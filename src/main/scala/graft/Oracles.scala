@@ -1,0 +1,236 @@
+package graft
+
+/** DuckDB oracle SQL — one twin per SparkEntry query (same column names,
+  * same rounding, deterministic tie-breaks). The driver materializes each
+  * harness parquet table under its bare name (lineitem, orders, ...).
+  */
+object Oracles {
+
+  private val q22MinhashSql: String = {
+    val p = graft.llmops.Dedup.MinhashP
+    val coeffs = graft.llmops.Dedup.minhashCoeffs(16)
+    val sigs = coeffs.zipWithIndex.map { case ((a, b), s) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p)) AS s$s"
+    }.mkString(",\n    ")
+    val bands = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text)-6),
+      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) % $p) AS hs
+  FROM documents WHERE length(text) >= 8
+), sig AS (
+  SELECT doc_id,
+    $sigs
+  FROM h
+), bands AS (
+  $bands
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+  }
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+  round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+  upper(l_linestatus) AS status
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'""",
+
+    "q03_join_revenue" ->
+      """SELECT c_mktsegment,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+
+    "q04_dim_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q07_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3""",
+
+    "q08_moving_avg" ->
+      """SELECT event_id, user_id,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+FROM events""",
+
+    "q09_lag_returns" ->
+      """SELECT event_id, user_id,
+  round(value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS ret
+FROM events""",
+
+    "q10_running_sum" ->
+      """SELECT event_id, user_id,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events""",
+
+    "q11_dedup_first" ->
+      """SELECT user_id, event_type, event_id, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1""",
+
+    "q12_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)""",
+
+    "q13_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q14_distinct_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events
+GROUP BY event_type""",
+
+    "q15_set_ops" ->
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM viewers)
+UNION ALL
+SELECT user_id, 'buy_only' AS cohort FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM viewers)
+UNION ALL
+SELECT user_id, 'view_only' AS cohort FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)""",
+
+    "q16_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20""",
+
+    "q17_candles_5m" ->
+      """SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+  round(arg_min(value, event_id), 4) AS open,
+  round(max(value), 4) AS high,
+  round(min(value), 4) AS low,
+  round(arg_max(value, event_id), 4) AS close,
+  round(sum(value), 4) AS vsum,
+  count(*) AS n
+FROM events
+GROUP BY event_type, time_bucket(INTERVAL '5 minutes', ts)""",
+
+    "q18_vwap" ->
+      """SELECT l_partkey,
+  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap,
+  round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_partkey""",
+
+    "q19_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+  v.ts AS view_ts, round(v.value, 4) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q20_json_props" ->
+      """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k FROM events)
+GROUP BY event_type""",
+
+    "q21_doc_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)""",
+
+    "q22_near_dup_pairs" -> q22MinhashSql,
+
+    "q23_token_stats" ->
+      """WITH scored AS (
+  SELECT lang,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS ntok,
+    length(text) AS lc,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+  FROM documents
+), q AS (
+  SELECT lang, ntok,
+    round(least(lc / 200.0, 1.0) * 0.4
+      + (CASE WHEN lc / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      + (CASE WHEN np / greatest(lc, 1.0) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS q
+  FROM scored
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens,
+  round(avg(ntok), 6) AS avg_tokens, round(avg(q), 6) AS avg_quality
+FROM q
+GROUP BY lang""",
+
+    "q24_knn_cosine" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(dp / (na * nb), 6) AS score
+FROM (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE))) AS dp,
+    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings e, qv
+)
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10""",
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> md5(substr(text, i, 8)))) AS fingerprint,
+  md5(text) AS content_md5
+FROM documents""",
+
+    "q26_token_histogram" ->
+      """SELECT token, count(*) AS n
+FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50""",
+
+    "q27_ingest_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events""",
+  )
+}

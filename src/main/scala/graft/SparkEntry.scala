@@ -1,13 +1,335 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.analytics.TimeSeries
+import graft.ingest.Ingest
+import graft.llmops.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each with a DuckDB-oracle SQL twin (column names aligned, floating
+  * aggregates rounded identically on both sides so hash comparison is
+  * stable across accumulation orders).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Harness-table reader. The driver's `events.ts` is parquet
+    * TIMESTAMP(NANOS) which Spark 4 refuses by default; read it as a long
+    * (legacy conf) and floor-divide to microseconds — integer `div`, not
+    * `/`, because epoch-nanos (~1.7e18) exceeds double's 2^53 exact range.
+    * DuckDB's TIMESTAMP is microseconds and truncates NANOS identically,
+    * so both engines see the same instants.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A1 candle re-aggregation — scan → filter → project → windowed agg.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q17(spark, "/root/testdata/sf0.001")
+
+  // ---- §2.4 aggregations ---------------------------------------------------
+
+  /** A3/A1: TPC-H-Q1-shaped pricing summary — partial+final hash agg. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1997-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ---- §2.2 projections / filters -----------------------------------------
+
+  /** P4/P5: predicate gate + projection + computed/renamed columns. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"),
+        upper(col("l_linestatus")).as("status"))
+
+  // ---- §2.3 joins ----------------------------------------------------------
+
+  /** J5/J1: 3-way equi-join fact⋈fact⋈dim + agg. */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+
+  /** J3: dimension joins with explicit broadcast of the small sides. */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+
+  /** J4 semi: customers having at least one finished order (EXISTS). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val finished = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(s, dir, "customer")
+      .join(finished, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** J4 anti: customers with no orders at all (NOT EXISTS). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  // ---- §2.5 / §2.6 windows, top-k, sort/limit ------------------------------
+
+  /** W3/D2: top-3 orders per customer — rank inside a keyed window. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.topNPerGroup(
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)(
+      t(s, dir, "orders"))
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("rn"))
+
+  /** W1: trailing 5-row moving average per user over event time. */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        round(TimeSeries.movingAvg(col("value"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), 5), 6).as("ma5"))
+
+  /** W2: lagged simple return per user series. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        round(TimeSeries.laggedReturn(col("value"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id"))), 6).as("ret"))
+
+  /** W5: running value sum per user. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        round(TimeSeries.runningSum(col("value"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id"))), 4).as("running_value"))
+
+  /** D1/A6: deterministic exact dedup — first event per (user, type). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Ingest.dedupFirstBy(Seq("user_id", "event_type"), "event_id")(t(s, dir, "events"))
+      .select(col("user_id"), col("event_type"), col("event_id"), round(col("value"), 4).as("value"))
+
+  // ---- §2.4 A5 grouping sets ----------------------------------------------
+
+  /** A5: rollup over the region→nation hierarchy. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+
+  /** A5: cube over order status × priority. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+
+  /** A4: exact distinct counts per group. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  // ---- §2.7 set operations -------------------------------------------------
+
+  /** Union/intersect/except over the two behavioural populations. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+    val viewers = ev.filter(col("event_type") === "view").select(col("user_id")).distinct()
+    buyers.intersect(viewers).withColumn("cohort", lit("both"))
+      .unionByName(buyers.except(viewers).withColumn("cohort", lit("buy_only")))
+      .unionByName(viewers.except(buyers).withColumn("cohort", lit("view_only")))
+  }
+
+  /** D3: global order-by + limit (TakeOrderedAndProject — no full sort). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+
+  // ---- §2.4 A1 / A2 time-series aggregation --------------------------------
+
+  /** A1: 5-minute candle re-aggregation per event_type (deterministic
+    * open/close via min_by/max_by on the unique event id).
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.candles(
+      col("ts"), col("event_type"), col("value"), col("value"), col("event_id"),
+      "5 minutes")(t(s, dir, "events"))
+      .select(
+        col("key").as("event_type"), col("bucket_start"),
+        round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+        round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+        round(col("volume"), 4).as("vsum"), col("n"))
+
+  /** A2: volume-weighted average price per part. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(round(TimeSeries.vwap(col("l_extendedprice"), col("l_quantity")), 6).as("vwap"),
+        round(sum(col("l_quantity")), 2).as("total_qty"))
+
+  // ---- §2.3 J2 as-of join --------------------------------------------------
+
+  /** J2: each purchase matched to the user's most recent view at-or-before
+    * it (union + last(ignoreNulls) over one keyed window — no range join).
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"), round(col("value"), 4).as("view_value"))
+    TimeSeries.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("view_ts", "view_value"))
+  }
+
+  // ---- §2.10 X5 json / map columns ----------------------------------------
+
+  /** X5: JSON props → typed map → per-type stats over an extracted key. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), MapType(StringType, StringType)).getItem("k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"))
+
+  // ---- §2.10 X1–X4, X6 LLM-data operators ----------------------------------
+
+  /** X1: exact near-duplicate groups by 256-bit content hash. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(Dedup.contentHash(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** X2: MinHash+LSH near-duplicate candidate pairs. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+
+  /** X4: token stats per language: counts + quality score aggregate. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("ntok"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+        round(avg(col("ntok")), 6).as("avg_tokens"), round(avg(col("q")), 6).as("avg_quality"))
+
+  /** X3: exact top-10 cosine neighbors of vec_id=0 (brute-force baseline). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.dot(Similarity.asDouble(col("embedding")), col("qv")) /
+          (Similarity.norm(Similarity.asDouble(col("embedding"))) * Similarity.norm(col("qv"))), 6).as("score"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** X4: document fingerprint (min rolling md5 over 8-grams) + content md5. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        md5(col("text")).as("content_md5"))
+
+  /** X6: generator expansion — token histogram, top-50. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  // ---- §2.1/§2.2 declared ingest surface (batch-verifiable roundtrip) ------
+
+  /** P1–P4 declared pipeline shape, DuckDB-checkable: serialize events rows
+    * to JSON wire text (the Kafka value), re-parse with an explicit schema
+    * (PERMISSIVE), flatten, project — must reproduce the source exactly.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val fmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    t(s, dir, "events")
+      .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")), fmt).as("value"))
+      .select(from_json(col("value"), schema, fmt).as("data"))
+      .select(col("data.*"))
+  }
+
+  /** A4 approx: HLL++ distinct users per type — no SQL oracle (approx),
+    * driver records rows-only.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_revenue" -> (q03 _),
+    "q04_dim_broadcast_join" -> (q04 _),
+    "q05_semi_join" -> (q05 _),
+    "q06_anti_join" -> (q06 _),
+    "q07_topn_per_group" -> (q07 _),
+    "q08_moving_avg" -> (q08 _),
+    "q09_lag_returns" -> (q09 _),
+    "q10_running_sum" -> (q10 _),
+    "q11_dedup_first" -> (q11 _),
+    "q12_rollup" -> (q12 _),
+    "q13_cube" -> (q13 _),
+    "q14_distinct_counts" -> (q14 _),
+    "q15_set_ops" -> (q15 _),
+    "q16_sort_limit" -> (q16 _),
+    "q17_candles_5m" -> (q17 _),
+    "q18_vwap" -> (q18 _),
+    "q19_asof_join" -> (q19 _),
+    "q20_json_props" -> (q20 _),
+    "q21_doc_dedup_exact" -> (q21 _),
+    "q22_near_dup_pairs" -> (q22 _),
+    "q23_token_stats" -> (q23 _),
+    "q24_knn_cosine" -> (q24 _),
+    "q25_fingerprint" -> (q25 _),
+    "q26_token_histogram" -> (q26 _),
+    "q27_ingest_roundtrip" -> (q27 _),
+    "q28_approx_distinct" -> (q28 _),
+  )
+
+  /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,105 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics the reference's serving layer implies
+  * (SURVEY §2.4 A1–A6, §2.5 W1–W5, §2.3 J2): candle re-aggregation, VWAP,
+  * rolling stats, returns, ranking, as-of join.
+  *
+  * Scale notes: every operator here is a single hash-aggregate or a single
+  * window over a keyed shuffle — one Exchange each, partial aggregation
+  * map-side where Catalyst supports it. Windows partition by the series key
+  * so state never exceeds one key's rows per task; skewed keys are the
+  * caller's concern (salt or AQE skew handling).
+  */
+object TimeSeries {
+
+  /** A1: re-aggregate fine-grained observations into coarser candles.
+    * `first/last` are made deterministic with min_by/max_by on a strictly
+    * ordering tiebreak column (`seqCol`, e.g. a unique event id) — never the
+    * order-dependent first()/last().
+    *
+    * One shuffle on (key, bucket); partial min/max/sum are map-side.
+    */
+  def candles(
+      ts: Column, key: Column, price: Column, volume: Column, seqCol: Column,
+      bucket: String): DataFrame => DataFrame = { df =>
+    df.groupBy(key.as("key"), window(ts, bucket).getField("start").as("bucket_start"))
+      .agg(
+        min_by(price, seqCol).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, seqCol).as("close"),
+        sum(volume).as("volume"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A2: volume-weighted average price per group. */
+  def vwap(price: Column, volume: Column): Column =
+    sum(price * volume) / sum(volume)
+
+  /** W1: trailing moving average over the previous `n-1` rows and current. */
+  def movingAvg(value: Column, partition: Seq[Column], order: Seq[Column], n: Int): Column =
+    avg(value).over(
+      Window.partitionBy(partition: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0))
+
+  /** W2: simple return vs the previous observation in the series. */
+  def laggedReturn(value: Column, partition: Seq[Column], order: Seq[Column]): Column = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    value / lag(value, 1).over(w) - 1
+  }
+
+  /** W5: running (cumulative) sum within the series. */
+  def runningSum(value: Column, partition: Seq[Column], order: Seq[Column]): Column =
+    sum(value).over(
+      Window.partitionBy(partition: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** W3/D3: top-n rows per group by `order` (desc callers pass desc cols),
+    * deterministic iff `order` is a total order within each group.
+    */
+  def topNPerGroup(partition: Seq[Column], order: Seq[Column], n: Int)(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*)))
+      .filter(col("rn") <= n)
+
+  /** J2: as-of join — for each left row, the most recent right row with the
+    * same key and rightTs <= leftTs.
+    *
+    * Spark has no native as-of join; rather than a range-join (O(n·m) blowup)
+    * this uses the union + last(ignoreNulls) pattern: one shuffle on the key,
+    * one ordered window pass, linear in |left|+|right|. At 100 TB this is the
+    * scalable form — state per task is a single running "last right row"
+    * value, and the sort is per-key within partitions.
+    *
+    * Right rows sort before left rows at equal timestamps (side 0 < 1), so
+    * the match is inclusive (rightTs == leftTs matches), like DuckDB's
+    * ASOF JOIN. `rightPayload` are the right columns to carry; they come back
+    * prefixed as-is, null when no match (left-outer semantics).
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // Align the two sides into one frame: shared (key, ts, side) + both payloads.
+    val l = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
+        lCols.map(col) ++ rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(Seq(col("__side")) ++ lCols.map(col) ++
+        rightPayload.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

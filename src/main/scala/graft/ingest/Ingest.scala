@@ -1,0 +1,132 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Models
+
+/** Source-agnostic JSON-stream normalization — the reference's declared
+  * relational surface (SURVEY §2.1–§2.2) re-expressed as pure
+  * `DataFrame => DataFrame` transforms.
+  *
+  * Every transform here works identically on a batch `spark.read` frame and
+  * a `spark.readStream` frame (streaming bindings: [[graft.streaming.Pipelines]]),
+  * which is what makes the streaming path batch-verifiable (SURVEY §7
+  * "Streaming verifiability").
+  *
+  * Scale notes (100 TB mandate): all transforms are stateless map-only —
+  * no shuffle, fully pipelined inside one whole-stage-codegen span. The one
+  * stateful op (dedup) is keyed and watermark-boundable in streaming form.
+  *
+  * Reference behavior being modeled (cited file:line under /root/reference):
+  *   - CAST(value AS STRING) → from_json → data.* → rename-project:
+  *     dags/ingestion_yfinance_data_to_cassandra_db.py:254-269 and
+  *     dags/ingestion_finnhub_data_to_cassandra_db.py:249-260.
+  *   - quality gate (volume > 0 AND key IS NOT NULL), implemented in the
+  *     reference as an Airflow sensor predicate pre-Spark
+  *     (..._yfinance...py:85-99) — here an in-engine filter.
+  *   - synthetic id: reference uses non-deterministic uuid()
+  *     (..._yfinance...py:269); we use a deterministic content hash so
+  *     foreachBatch retries are idempotent (SURVEY §7 hard-parts).
+  *   - epoch-ms → timestamp: reference's from_unixtime(t/1000) is
+  *     seconds-resolution (..._finnhub...py:252); we use timestamp_millis.
+  */
+object Ingest {
+
+  /** P1: Kafka frames carry binary key/value; analytics wants the JSON text. */
+  def valueAsString(kafkaFrame: DataFrame): DataFrame =
+    kafkaFrame.selectExpr("CAST(value AS STRING) AS value")
+
+  /** P2+P3: parse the JSON payload with an explicit schema (PERMISSIVE —
+    * malformed input yields an all-null struct, matching the reference's
+    * implicit default) and flatten.
+    */
+  private def parse(jsonValues: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    jsonValues
+      .select(from_json(col("value"), schema).alias("data"))
+      .select(col("data.*"))
+
+  /** Deterministic row key replacing the reference's uuid() (P7): a content
+    * hash of the natural key, so retried micro-batches write identical rows
+    * into an idempotent sink.
+    */
+  private def deterministicId(naturalKey: Column*): Column =
+    sha2(concat_ws("|", naturalKey: _*), 256)
+
+  /** Full bar pipeline: JSON text → normalized `stock_data` shape
+    * (id, datetime, open, high, low, close, adj_close, volume, dividends,
+    * stock_splits, ticker). Input: one JSON object per row in column
+    * `value`.
+    */
+  def normalizeBars(jsonValues: DataFrame): DataFrame =
+    parse(jsonValues, Models.barWireSchema)
+      .select(
+        col("Datetime").as("datetime"),
+        col("Open").as("open"),
+        col("High").as("high"),
+        col("Low").as("low"),
+        col("Close").as("close"),
+        col("Adj Close").as("adj_close"),
+        col("Volume").as("volume"),
+        col("Dividends").as("dividends"),
+        col("Stock Splits").as("stock_splits"),
+        col("ticker"))
+      .withColumn("id", deterministicId(col("ticker"), col("datetime").cast("string")))
+
+  /** Full trade pipeline: JSON text → normalized `stock_trade` shape
+    * (id, trade_conditions, last_price, symbol, datetime, volume).
+    * `timestamp_millis` keeps the wire's millisecond precision (the
+    * reference's from_unixtime would truncate to seconds — intentional fix,
+    * SURVEY §2.2 P8).
+    */
+  def normalizeTrades(jsonValues: DataFrame): DataFrame =
+    parse(jsonValues, Models.tradeWireSchema)
+      .select(
+        col("c").as("trade_conditions"),
+        col("p").as("last_price"),
+        col("s").as("symbol"),
+        timestamp_millis(col("t")).as("datetime"),
+        col("v").as("volume"))
+      .withColumn("id",
+        deterministicId(col("symbol"), col("datetime").cast("string"),
+          col("last_price").cast("string"), col("volume").cast("string"),
+          concat_ws(",", col("trade_conditions"))))
+
+  /** P5 quality gate for bars: admit iff volume > 0 and ticker present. */
+  def gateBars(bars: DataFrame): DataFrame =
+    bars.filter(col("volume") > 0 && col("ticker").isNotNull)
+
+  /** P5 quality gate for trades: admit iff volume > 0 and symbol present. */
+  def gateTrades(trades: DataFrame): DataFrame =
+    trades.filter(col("volume") > 0 && col("symbol").isNotNull)
+
+  /** P6: universe-membership predicate. For a literal list `isin` folds to a
+    * constant in-set test (no join, no shuffle); for a table-valued universe
+    * use a broadcast left-semi join instead (J4).
+    */
+  def inUniverse(keyCol: String, universe: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(col(keyCol).isin(universe: _*))
+
+  /** D1: exact-record dedup, batch form. The reference keeps an unbounded
+    * in-memory `seen_records` set (StockFinnhubMetrics.py:34,82-99); the
+    * relational form is a keyed aggregate — bounded per-partition, map-side
+    * partial — keeping the first occurrence by `orderCol` (deterministic,
+    * unlike dropDuplicates' arbitrary-row choice).
+    */
+  def dedupFirstBy(keys: Seq[String], orderCol: String)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** D2: last-complete-bar selection — the reference takes tail(2).head(1) of
+    * a pandas frame (second-to-last row = last *closed* minute bar,
+    * StockFinanceMetrics.py:87-93). Relational form: the row ranked `offset`
+    * from the top per key in `orderCol`-descending order.
+    */
+  def nthLatestPerKey(keys: Seq[String], orderCol: String, offset: Int)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === offset).drop("__rn")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star X3; SURVEY §2.10).
+  *
+  * Two paths:
+  *   - [[cosineTopK]]: brute-force exact scan — the correctness baseline.
+  *     One pass over the table, per-row dot product via higher-order array
+  *     functions (whole-stage codegen, no UDF), then a global top-k which
+  *     Spark executes as TakeOrderedAndProject (per-partition heaps + a
+  *     k-row driver merge — no full sort, no full shuffle).
+  *   - [[lshBucketedNeighbors]]: the 100 TB path — sign-random-projection
+  *     (hyperplane) LSH. Each vector maps to a small bucket key computed
+  *     per-row; only candidates sharing a bucket are compared, so the
+  *     quadratic compare collapses to within-bucket joins keyed on
+  *     uniformly-distributed hashes.
+  *
+  * All arithmetic is done in double (embeddings are float on disk) so
+  * results are stable and oracle-comparable.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (index-aligned fold — order
+    * deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+
+  /** L2 norm of an array<double> column. */
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Cosine similarity between two array columns (any numeric element type). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** X3 baseline: exact top-k nearest neighbors of `queryVec` by cosine.
+    * Output: (id, score) — score rounded so ranking and oracle comparison
+    * are stable across accumulation orders.
+    */
+  def cosineTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    embeddings
+      .select(
+        col(idCol).as("id"),
+        round(cosine(col(vecCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Sign-random-projection bucket key: `numPlanes` pseudo-random hyperplanes
+    * (deterministic per plane index — coefficients derived from a hash of
+    * (plane, dimension), zero RNG state to ship to executors), each vector
+    * keyed by the sign pattern of its projections. Per-row expression.
+    */
+  def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
+    val planes = (0 until numPlanes).map { p =>
+      // Deterministic "random" plane: coef(p, d) in [-1, 1) from a hash.
+      val coefs = (0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+        lit((h.toDouble / Int.MaxValue) % 1.0)
+      }
+      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * coefs(d)).reduce(_ + _)
+      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** X3 scale path: approximate nearest neighbors via SRP-LSH bucketing.
+    * Vectors are bucketed per-row; within each bucket, pairs are generated
+    * by a self-join on the bucket key and scored exactly. `probes` extra
+    * buckets would raise recall (left at 1 here; the correctness baseline
+    * covers exactness).
+    *
+    * Output: (id_a, id_b, bucket, score) with id_a < id_b.
+    */
+  def lshBucketedNeighbors(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int = 8, minScore: Double = 0.0): DataFrame = {
+    val keyed = embeddings.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"),
+      srpBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.bucket").as("bucket"),
+        round(dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v"))), 6).as("score"))
+      .filter(col("score") >= minScore)
+  }
+}

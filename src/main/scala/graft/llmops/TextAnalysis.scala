@@ -1,0 +1,86 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star X4;
+  * SURVEY §2.10): tokenization stats, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * All per-row expression trees — stateless, shuffle-free, whole-stage
+  * codegen; aggregation on top is the caller's groupBy.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty strings filtered — split on runs). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word-piece boundaries approximated by a
+    * regex over letter-runs / digit-runs / single punctuation, ~4 chars per
+    * piece cap. Counts matches without materializing the split.
+    */
+  def subwordTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])|(?<=[A-Za-z0-9]{4})"), t => length(t) > 0))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Stopword hit ratio against a given (small, broadcast-as-literal) list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Quality score in [0,1]: blend of length sanity, punctuation sanity and
+    * mean-word-length sanity — the standard cheap pre-filter shape for
+    * corpus cleaning. Deterministic, portable arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val ntok = tokenCount(text).cast("double")
+    val meanWord = len / greatest(ntok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val lenScore = least(len / lit(200.0), lit(1.0))
+    val wordScore = when(meanWord.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.3)
+    round(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2, 6)
+  }
+
+  /** Language-ID heuristic: score each candidate language by marker-token
+    * hits, pick the argmax (ties broken by language code order). Marker
+    * lists are tiny literals — the 100 TB form would broadcast a dimension
+    * table; per-row expression keeps it shuffle-free.
+    */
+  def langIdHeuristic(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = tokens(lower(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val w = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(w, t))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, reverse-lang) via array_max on (hits, negated order):
+    // array_max on struct compares fields in order; to prefer the
+    // lexicographically-smaller lang on ties we compare on (hits, rank) where
+    // rank descends with lang order.
+    val n = scored.size
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("hits").as("hits"), lit(n - i).as("rank"), s.getField("lang").as("lang"))
+    }
+    array_max(array(ranked: _*)).getField("lang")
+  }
+
+  /** Document fingerprint: min rolling-hash over character k-grams (1-seed
+    * MinHash — winnowing-style content fingerprint robust to reordering of
+    * whole shingles). Portable md5 form, SQL-oracle-expressible.
+    */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k)))))
+}
