@@ -1,0 +1,102 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star X5 extension): image/audio/video
+  * as opaque `binary` columns with typed metadata, processed batch-wise per
+  * partition.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * [[decodeStub]] derives a deterministic pseudo-feature vector from the
+  * bytes' sha-256, so the Spark-side plumbing — schema, encoders, partition
+  * batching, feature post-processing — is real and tested while the codec
+  * call is a drop-in replacement point.
+  *
+  * Scale design: media rows are large (MBs); everything here avoids
+  * shuffling raw bytes. Feature extraction is mapPartitions (one codec
+  * init per partition, not per row — the Scala analogue of a Pandas-batch
+  * UDF); downstream analytics carry only the small feature/metadata
+  * columns. Repartition media tables by a content-hash bucket BEFORE
+  * decode so partitions are size-balanced regardless of per-file skew.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  /** Extracted features: fixed-width vector + the metadata that survived. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      feature: Array[Double])
+
+  /** Deterministic stand-in for a codec: sha-256 of the payload expanded to
+    * `dim` doubles in [-1, 1). Replace with a real decode+embed call; the
+    * signature (bytes -> fixed-width vector) is the contract.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(bytes)
+    Array.tabulate(dim) { i =>
+      val b0 = d((2 * i) % d.length) & 0xff
+      val b1 = d((2 * i + 1) % d.length) & 0xff
+      ((b0 << 8 | b1).toDouble / 32768.0) - 1.0
+    }
+  }
+
+  /** Feature extraction over a media Dataset: per-partition batch loop with
+    * one "codec" (stub) per partition. Balanced input partitioning is the
+    * caller's job ([[bucketByContent]]).
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // one codec instance per partition would init here
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, decodeStub(r.bytes, dim))
+      }
+    }
+  }
+
+  /** Size-balancing repartition for skewed media payloads: bucket by a hash
+    * of content so a few multi-GB files don't serialize one task.
+    */
+  def bucketByContent(media: Dataset[MediaRecord], buckets: Int): Dataset[MediaRecord] =
+    media.repartition(buckets, abs(hash(col("media_id"))) % buckets)
+
+  /** Frame-sampling shape for video rows: emit (media_id, frame_idx) for
+    * every `everyMs` within duration — the downstream decode would seek per
+    * frame. Pure relational expansion (sequence + explode), no bytes moved.
+    */
+  def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ms"))
+
+  /** Demo source: synthesize a deterministic media table (for tests and the
+    * harness; real deployments read parquet/blob-store manifests).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      MediaRecord(
+        media_id = i,
+        kind = kind,
+        bytes = s"payload-$i-${"x" * (i % 7).toInt}".getBytes("UTF-8"),
+        width = if (kind == "image") Some(64 + (i % 16).toInt) else None,
+        height = if (kind == "image") Some(64) else None,
+        sample_rate = if (kind == "audio") Some(16000) else None,
+        duration_ms = if (kind == "video") Some(1000L + i * 37) else None)
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+
+import graft.ingest.Ingest
+
+/** Structured Streaming bindings for the ingest surface (SURVEY §2.1 S1–S3,
+  * §2.9 T1–T8). Every transform is the SAME function used on the batch path
+  * ([[graft.ingest.Ingest]]) — streams are verified by verifying the batch
+  * form (SURVEY §7 "Streaming verifiability").
+  *
+  * Scale design (vs the reference's pipelines):
+  *   - watermarks bound all state (the reference has none — T6);
+  *   - streaming dedup uses dropDuplicatesWithinWatermark keyed on the
+  *     deterministic content id, so state is bounded AND retries of a
+  *     micro-batch write identical rows (the reference's per-batch uuid()
+  *     + no-epoch-id foreachBatch duplicates on retry — §7 hard-parts);
+  *   - RocksDB state store keeps large dedup/window state off-heap.
+  */
+object Pipelines {
+
+  /** Session defaults for streaming jobs: RocksDB state store + AQE off is
+    * not needed (streaming micro-batches don't use AQE).
+    */
+  def configureStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** S1: Kafka streaming source for a topic — the fixed Kafka frame.
+    * (Not exercisable in the harness — no broker — but this is the
+    * production entry point; tests feed [[barsFromJson]] /
+    * [[tradesFromJson]] via MemoryStream instead, same code path from the
+    * `value` column on.)
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Normalized bar stream from a (streaming or batch) frame bearing a
+    * string `value` column of JSON bar messages: parse → gate → watermark →
+    * bounded-state exact dedup on the deterministic id.
+    */
+  def barsFromJson(jsonValues: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Ingest.gateBars(Ingest.normalizeBars(jsonValues))
+      .withWatermark("datetime", watermark)
+
+  /** Same for trades. */
+  def tradesFromJson(jsonValues: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Ingest.gateTrades(Ingest.normalizeTrades(jsonValues))
+      .withWatermark("datetime", watermark)
+
+  /** D1 streaming form: exact dedup with state bounded by the event-time
+    * watermark (the reference's producer set grows without bound).
+    * Input must already carry a watermark.
+    */
+  def dedupWithinWatermark(df: DataFrame): DataFrame =
+    df.dropDuplicatesWithinWatermark("id")
+
+  /** T7/A1: streaming candle re-aggregation — tumbling window per key with
+    * late data admitted up to the watermark. Emits append-mode finalized
+    * windows. first/last within window use max_by/min_by on event seq if
+    * present; for pure stream order we aggregate min/max/sum only (open and
+    * close need a deterministic sequence column — `seqCol`).
+    */
+  def streamingCandles(df: DataFrame, tsCol: String, keyCol: String,
+      priceCol: String, volumeCol: String, seqCol: String,
+      bucket: String): DataFrame =
+    // group on window(...) itself, not a projection of it — the streaming
+    // planner's watermark detection needs the TimeWindow in the grouping keys
+    df.groupBy(col(keyCol).as("key"), window(col(tsCol), bucket))
+      .agg(
+        min_by(col(priceCol), col(seqCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(seqCol)).as("close"),
+        sum(col(volumeCol)).as("volume"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("window.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"), col("n"))
+
+  /** S3: idempotent sink — foreachBatch parquet append. Retried epochs
+    * rewrite the same deterministic-id rows; a keyed upsert sink (Delta/
+    * JDBC MERGE) would make that exactly-once, parquet append here records
+    * the epoch id for downstream reconciliation.
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.withColumn("__epoch", lit(epochId))
+          .write.mode("append").parquet(path)
+      }
+
+  /** S2 shape: write a normalized stream back to a Kafka topic as JSON. */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** T1/T8: start a pipeline with an explicit trigger; the engine API the
+    * reference's DAG task approximates (`runPipeline(topic)` — SURVEY §2.9 T9).
+    */
+  def start(writer: DataStreamWriter[org.apache.spark.sql.Row],
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    writer.trigger(trigger).start()
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val barJson =
+    """{"Datetime":"2024-11-15T14:30:00.000Z","Open":224.75,"High":225.1,"Low":224.6,"Close":224.98,"Adj Close":224.98,"Volume":183024,"Dividends":0.0,"Stock Splits":0.0,"ticker":"AAPL"}"""
+  private val tradeJson =
+    """{"c":["1","12"],"p":224.91,"s":"AAPL","t":1731681000123,"v":50}"""
+
+  test("normalizeBars parses, renames spaced columns, attaches deterministic id") {
+    val out = Ingest.normalizeBars(Seq(barJson).toDF("value"))
+    assert(out.columns.toSet === Set("id", "datetime", "open", "high", "low", "close",
+      "adj_close", "volume", "dividends", "stock_splits", "ticker"))
+    val row = out.collect().head
+    assert(row.getAs[String]("ticker") === "AAPL")
+    assert(row.getAs[Float]("adj_close") === 224.98f)
+    assert(row.getAs[Timestamp]("datetime") === Timestamp.valueOf("2024-11-15 14:30:00"))
+    // id is a content hash: same input -> same id (idempotent retries)
+    val again = Ingest.normalizeBars(Seq(barJson).toDF("value")).collect().head
+    assert(row.getAs[String]("id") === again.getAs[String]("id"))
+    assert(row.getAs[String]("id").length === 64)
+  }
+
+  test("normalizeTrades keeps millisecond precision (timestamp_millis, not from_unixtime)") {
+    val out = Ingest.normalizeTrades(Seq(tradeJson).toDF("value")).collect().head
+    // 1731681000123 ms = 2024-11-15T14:30:00.123Z — the reference's
+    // from_unixtime(t/1000) would truncate the .123
+    assert(out.getAs[Timestamp]("datetime").getTime === 1731681000123L)
+    assert(out.getAs[Seq[String]]("trade_conditions") === Seq("1", "12"))
+    assert(out.getAs[Int]("volume") === 50)
+  }
+
+  test("malformed JSON yields an all-null row (PERMISSIVE), gate drops it") {
+    val out = Ingest.normalizeBars(Seq("{not json", barJson).toDF("value"))
+    assert(out.count() === 2)
+    assert(Ingest.gateBars(out).count() === 1)
+  }
+
+  test("gates drop volume<=0 and null key") {
+    val v0 = barJson.replace("183024", "0")
+    val noTicker = barJson.replace(""","ticker":"AAPL"""", "")
+    val out = Ingest.gateBars(Ingest.normalizeBars(Seq(barJson, v0, noTicker).toDF("value")))
+    assert(out.count() === 1)
+  }
+
+  test("inUniverse keeps only universe members") {
+    val df = Seq("AAPL", "ZZZZ").toDF("ticker")
+    assert(Ingest.inUniverse("ticker", Seq("AAPL", "MSFT"))(df).collect().map(_.getString(0)).toSeq === Seq("AAPL"))
+  }
+
+  test("dedupFirstBy is deterministic and idempotent") {
+    val df = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)).toDF("seq", "key", "v")
+    val once = Ingest.dedupFirstBy(Seq("key"), "seq")(df)
+    assert(once.orderBy("key").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (3L, "b")))
+    // idempotence: dedup(dedup(x)) == dedup(x); dedup(x ++ x) == dedup(x)
+    val doubled = Ingest.dedupFirstBy(Seq("key"), "seq")(df.union(df))
+    assert(doubled.count() === 2)
+  }
+
+  test("nthLatestPerKey picks the last *closed* bar (offset 2)") {
+    val df = Seq(
+      ("AAPL", "2024-01-01 10:01:00", 1.0), // closed
+      ("AAPL", "2024-01-01 10:02:00", 2.0), // still forming (latest)
+      ("MSFT", "2024-01-01 10:02:00", 9.0)
+    ).toDF("ticker", "dt", "close").withColumn("dt", col("dt").cast("timestamp"))
+    val out = Ingest.nthLatestPerKey(Seq("ticker"), "dt", 2)(df)
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(2))).toSet === Set(("AAPL", 1.0)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashBands
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmopsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native MinHashBands is bit-identical to the composable HOF form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val native = docs.select(col("doc_id"),
+      MinHashBands.minhashBands(col("text"), 8, 16, 4).as("bands"))
+    val hof = docs.select(col("doc_id"),
+      Dedup.lshBands(Dedup.minhashSignature(
+        Dedup.shingleBaseHashes(Dedup.shingles(col("text"), 8)), 16), 4, 4).as("bands"))
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
+  test("minhash candidate pairs include exact duplicates with all bands shared") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with other words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 4L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq(("abcabc", "abcabc", "xyzxyz")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(Dedup.shingles(col("a"), 3), Dedup.shingles(col("b"), 3)).as("same"),
+      Dedup.jaccard(Dedup.shingles(col("a"), 3), Dedup.shingles(col("c"), 3)).as("diff")
+    ).collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("simhash: identical texts collide, hamming distance small for near-dups") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("c", "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("id", "text")
+    val h = df.select(col("id"), Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a") === h("b"))
+    val dist = df.sparkSession.range(1).select(
+      Dedup.hammingDistance(lit(h("a")), lit(h("c")))).collect().head.getInt(0)
+    assert(dist > 0 && dist <= 16, s"hamming=$dist")
+  }
+
+  test("cosineTopK finds the aligned vector first") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val out = Similarity.cosineTopK(df, "id", "vec", Seq(1.0, 0.0), 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out.head.getDouble(1) === 1.0)
+  }
+
+  test("lshBucketedNeighbors buckets identical vectors together") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("id", "vec")
+    val out = Similarity.lshBucketedNeighbors(df, "id", "vec", dim = 4).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(3) == 1.0))
+    // opposite vector lands in the complementary bucket -> never a candidate
+    assert(!out.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint are deterministic") {
+    val df = Seq("the cat sat on the mat with a hat").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordRatio(col("text"), Seq("the", "a", "on", "with")).as("sw"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langIdHeuristic(col("text"),
+        Map("en" -> Seq("the", "a"), "de" -> Seq("der", "die"))).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect().head
+    assert(r.getAs[Int]("n") === 9)
+    assert(math.abs(r.getAs[Double]("sw") - 5.0 / 9.0) < 1e-12) // the,on,the,with,a
+    assert(r.getAs[Double]("q") > 0 && r.getAs[Double]("q") <= 1.0)
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[String]("fp").length === 32)
+  }
+
+  test("multimodal: feature extraction plumbing is deterministic; frame plan expands") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val feats = Multimodal.extractFeatures(Multimodal.bucketByContent(media, 3), dim = 8).collect()
+    assert(feats.length === 9)
+    assert(feats.forall(_.feature.length === 8))
+    val again = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+    val frames = Multimodal.frameSamplePlan(media.toDF(), 500L)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("media_id").count().filter(col("count") < 2).count() === 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Pipelines
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bar(ticker: String, dt: String, vol: Int): String =
+    s"""{"Datetime":"$dt","Open":1.0,"High":2.0,"Low":0.5,"Close":1.5,"Adj Close":1.5,"Volume":$vol,"Dividends":0.0,"Stock Splits":0.0,"ticker":"$ticker"}"""
+
+  test("bar stream: MemoryStream JSON -> normalized, gated rows in a memory sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Pipelines.barsFromJson(mem.toDF().withColumnRenamed("value", "value"))
+    val q = out.writeStream.format("memory").queryName("bars_out").outputMode("append").start()
+    try {
+      mem.addData(
+        bar("AAPL", "2024-11-15T14:30:00.000Z", 100),
+        bar("MSFT", "2024-11-15T14:30:00.000Z", 0), // gated out
+        "{malformed")                               // parsed to nulls, gated out
+      q.processAllAvailable()
+      val rows = spark.table("bars_out").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("ticker") === "AAPL")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops exact duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Pipelines.dedupWithinWatermark(Pipelines.barsFromJson(mem.toDF()))
+    val q = out.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val b = bar("AAPL", "2024-11-15T14:30:00.000Z", 100)
+      mem.addData(b, b, b, bar("AAPL", "2024-11-15T14:31:00.000Z", 50))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming candles finalize windows below the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val bars = Pipelines.barsFromJson(mem.toDF(), watermark = "2 minutes")
+      .withColumn("seq", col("datetime").cast("long"))
+    val candles = Pipelines.streamingCandles(
+      bars, "datetime", "ticker", "close", "volume", "seq", "5 minutes")
+    val q = candles.writeStream.format("memory").queryName("candles_out").outputMode("append").start()
+    try {
+      mem.addData(
+        bar("AAPL", "2024-11-15T14:30:00.000Z", 100),
+        bar("AAPL", "2024-11-15T14:31:00.000Z", 200))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 14:30 window
+      mem.addData(bar("AAPL", "2024-11-15T15:00:00.000Z", 10))
+      q.processAllAvailable()
+      mem.addData(bar("AAPL", "2024-11-15T15:30:00.000Z", 10))
+      q.processAllAvailable()
+      val rows = spark.table("candles_out").collect()
+      assert(rows.exists(r => r.getAs[Long]("volume") === 300L && r.getAs[Long]("n") === 2L))
+    } finally q.stop()
+  }
+}

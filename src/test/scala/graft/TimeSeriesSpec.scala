@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("candles aggregate OHLCV deterministically (open/close by seq)") {
+    val df = Seq(
+      (1L, "A", "2024-01-01 10:00:10", 10.0, 1.0),
+      (2L, "A", "2024-01-01 10:01:20", 30.0, 1.0),
+      (3L, "A", "2024-01-01 10:03:30", 5.0, 1.0),
+      (4L, "A", "2024-01-01 10:07:00", 7.0, 1.0)
+    ).toDF("seq", "sym", "t", "px", "vol").withColumn("t", col("t").cast("timestamp"))
+    val out = TimeSeries.candles(col("t"), col("sym"), col("px"), col("vol"), col("seq"), "5 minutes")(df)
+      .orderBy("bucket_start").collect()
+    assert(out.length === 2)
+    val first = out.head
+    assert(first.getAs[Double]("open") === 10.0)  // seq 1
+    assert(first.getAs[Double]("high") === 30.0)
+    assert(first.getAs[Double]("low") === 5.0)
+    assert(first.getAs[Double]("close") === 5.0)  // seq 3
+    assert(first.getAs[Double]("volume") === 3.0)
+  }
+
+  test("candle invariants hold on harness events (property-ish)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val c = TimeSeries.candles(col("ts"), col("event_type"), col("value"), col("value"), col("event_id"), "5 minutes")(ev)
+    assert(c.filter(col("high") < col("open") || col("high") < col("close") ||
+      col("low") > col("open") || col("low") > col("close")).count() === 0)
+  }
+
+  test("asOfJoin matches most recent right row at-or-before left ts; inclusive on ties") {
+    val left = Seq((1L, "u1", "2024-01-01 10:05:00"), (2L, "u1", "2024-01-01 10:00:00"),
+      (3L, "u2", "2024-01-01 09:00:00")).toDF("lid", "k", "lts")
+      .withColumn("lts", col("lts").cast("timestamp"))
+    val right = Seq(("u1", "2024-01-01 10:00:00", 100.0), ("u1", "2024-01-01 10:03:00", 200.0))
+      .toDF("k", "rts", "rv").withColumn("rts", col("rts").cast("timestamp"))
+      .withColumn("rv2", col("rv"))
+    val out = TimeSeries.asOfJoin(left, right, "k", "lts", "rts", Seq("rv")).orderBy("lid").collect()
+    assert(out(0).getAs[Double]("rv") === 200.0)   // 10:05 -> 10:03
+    assert(out(1).getAs[Double]("rv") === 100.0)   // 10:00 -> 10:00 (inclusive)
+    assert(out(2).isNullAt(out(2).fieldIndex("rv"))) // u2: no right rows
+  }
+
+  test("topNPerGroup is deterministic with a total order") {
+    val df = Seq(("g", 5.0, 1L), ("g", 5.0, 2L), ("g", 3.0, 3L)).toDF("k", "v", "id")
+    val out = TimeSeries.topNPerGroup(Seq(col("k")), Seq(col("v").desc, col("id")), 2)(df).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("vwap weights by volume") {
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("px", "vol")
+    val got = df.agg(TimeSeries.vwap(col("px"), col("vol")).as("vwap")).collect().head.getDouble(0)
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+}
