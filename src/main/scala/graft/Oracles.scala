@@ -6,7 +6,11 @@ package graft
   */
 object Oracles {
 
-  private val q22MinhashSql: String = {
+  /** Shared WITH-clause body computing MinHash+LSH candidate pairs exactly
+    * as graft.functions.MinHashBands does (same coefficients, same md5/band
+    * derivation) — used by q22 and reused with a Jaccard stage by q37.
+    */
+  private val minhashPairsCte: String = {
     val p = graft.llmops.Dedup.MinhashP
     val coeffs = graft.llmops.Dedup.minhashCoeffs(16)
     val sigs = coeffs.zipWithIndex.map { case ((a, b), s) =>
@@ -16,7 +20,7 @@ object Oracles {
       val cols = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH h AS (
+    s"""h AS (
   SELECT doc_id,
     list_transform(range(1, length(text)-6),
       i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) % $p) AS hs
@@ -27,12 +31,33 @@ object Oracles {
   FROM h
 ), bands AS (
   $bands
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-GROUP BY 1, 2"""
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
   }
+
+  private val q22MinhashSql: String =
+    s"""WITH $minhashPairsCte
+SELECT doc_a, doc_b, n_shared_bands FROM pairs"""
+
+  private val q37JaccardSql: String =
+    s"""WITH $minhashPairsCte,
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, length(text)-6), i -> substr(text, i, 8))) AS s
+  FROM documents WHERE length(text) >= 8
+), scored AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON p.doc_a = sa.doc_id
+  JOIN sh sb ON p.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_shared_bands, jaccard FROM scored WHERE jaccard >= 0.5"""
 
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -232,5 +257,111 @@ LIMIT 50""",
 
     "q27_ingest_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events""",
+
+    "q29_last_per_key" ->
+      """SELECT user_id, event_id, ts, round(value, 4) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1""",
+
+    "q30_session_windows" ->
+      """WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 4) AS total
+FROM g GROUP BY user_id, grp""",
+
+    "q31_sliding_windows" ->
+      """SELECT event_type, win_start, count(*) AS n, round(sum(value), 4) AS total
+FROM (
+  SELECT event_type, value, time_bucket(INTERVAL '10 minutes', ts) AS win_start FROM events
+  UNION ALL
+  SELECT event_type, value,
+    time_bucket(INTERVAL '10 minutes', ts, TIMESTAMP '2000-01-01 00:05:00') AS win_start
+  FROM events
+)
+GROUP BY event_type, win_start""",
+
+    "q32_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""",
+
+    "q33_percentiles" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
+
+    "q34_stats_agg" ->
+      """SELECT event_type,
+  round(stddev_samp(value), 6) AS sd,
+  round(var_samp(value), 6) AS vr,
+  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv,
+  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr
+FROM events GROUP BY event_type""",
+
+    "q35_pivot" ->
+      """SELECT user_id,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id""",
+
+    "q36_union_feeds" ->
+      """SELECT event_id, user_id, ts, round(value, 4) AS value, 'purchase' AS feed
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, ts, NULL AS value, 'view' AS feed
+FROM events WHERE event_type = 'view'""",
+
+    "q37_jaccard_near_dups" -> q37JaccardSql,
+
+    "q38_langid" ->
+      """WITH h AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, t -> list_contains(['the','a','and'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['der','die','das'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['el','la','los'], t))) AS h_es
+  FROM (SELECT doc_id, lang,
+          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents)
+)
+SELECT doc_id, lang,
+  CASE WHEN h_de >= h_en AND h_de >= h_es THEN 'de'
+       WHEN h_en >= h_es THEN 'en'
+       ELSE 'es' END AS pred_lang
+FROM h""",
+
+    "q39_quality_scores" ->
+      """WITH m AS (
+  SELECT doc_id, text,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS ntok,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS ltok,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> list_contains(['the','a','and','of','to'], x))) AS sw,
+    length(text) AS lc,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+  FROM documents
+)
+SELECT doc_id,
+  round(least(lc / 200.0, 1.0) * 0.4
+    + (CASE WHEN lc / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+    + (CASE WHEN np / greatest(lc, 1.0) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
+  ntok,
+  round(sw / greatest(ltok, 1.0), 6) AS stopword_ratio
+FROM m""",
   )
 }

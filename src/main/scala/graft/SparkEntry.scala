@@ -299,6 +299,127 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  // ---- §2.5 W4 / §2.9 T7 / more §2.4, §2.8, §2.10 --------------------------
+
+  /** W4: latest observation per key (the reference's tail-selection D2,
+    * relational form).
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Ingest.nthLatestPerKey(Seq("user_id"), "event_id", 1)(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), round(col("value"), 4).as("value"))
+
+  /** T7: session windows (30-minute gap) per user — batch form of the
+    * streaming session_window; state bounded per key.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("total"))
+
+  /** T7: sliding windows (10-minute window, 5-minute slide) per event type. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("event_type"), col("window.start").as("win_start"), col("n"), col("total"))
+
+  /** A5: explicit GROUPING SETS through the engine's SQL surface. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql("""
+      SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""")
+  }
+
+  /** A3+: exact percentiles (continuous interpolation) per group. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  /** A3+: statistical aggregates (sample stddev/variance, covariance,
+    * correlation).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 6).as("sd"),
+        round(var_samp(col("value")), 6).as("vr"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cv"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("cr"))
+
+  /** Pivot: per-user event-type counts as columns. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
+  /** §2.7: union of two differently-shaped normalized feeds
+    * (unionByName with missing columns null-filled).
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    purchases.withColumn("feed", lit("purchase"))
+      .unionByName(views.withColumn("feed", lit("view")), allowMissingColumns = true)
+  }
+
+  /** X2 verification stage: LSH candidate pairs -> exact n-gram Jaccard,
+    * keeping true near-duplicates. Only candidates are scored — the
+    * quadratic compare never materializes.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardVerifiedPairs(t(s, dir, "documents"), "doc_id", "text")
+
+  /** X4: language-ID heuristic per document (marker-token argmax). */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdHeuristic(col("text"), Map(
+          "en" -> Seq("the", "a", "and"),
+          "de" -> Seq("der", "die", "das"),
+          "es" -> Seq("el", "la", "los"))).as("pred_lang"))
+
+  /** X4: per-document quality score + punctuation/stopword diagnostics. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"),
+        round(TextAnalysis.stopwordRatio(col("text"),
+          Seq("the", "a", "and", "of", "to")), 6).as("stopword_ratio"))
+
+  /** X2: SimHash near-dup pairs (Hamming <= 6) via 8-bit-block pigeonhole
+    * banding — exact for this radius, no O(n^2) cross join. xxhash64-based —
+    * no SQL twin (rows-only check); the MinHash pipeline (q22/q37) is the
+    * oracle-verified near-dup path.
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id",
+      TextAnalysis.tokens(col("text")))
+
+  /** X3 scale path: SRP-LSH bucketed approximate neighbors (rows-only —
+    * bucket derivation uses JVM MurmurHash3 coefficients).
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBucketedNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, numPlanes = 8, minScore = 0.3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -328,6 +449,19 @@ object SparkEntry {
     "q26_token_histogram" -> (q26 _),
     "q27_ingest_roundtrip" -> (q27 _),
     "q28_approx_distinct" -> (q28 _),
+    "q29_last_per_key" -> (q29 _),
+    "q30_session_windows" -> (q30 _),
+    "q31_sliding_windows" -> (q31 _),
+    "q32_grouping_sets" -> (q32 _),
+    "q33_percentiles" -> (q33 _),
+    "q34_stats_agg" -> (q34 _),
+    "q35_pivot" -> (q35 _),
+    "q36_union_feeds" -> (q36 _),
+    "q37_jaccard_near_dups" -> (q37 _),
+    "q38_langid" -> (q38 _),
+    "q39_quality_scores" -> (q39 _),
+    "q40_simhash_pairs" -> (q40 _),
+    "q41_lsh_neighbors" -> (q41 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

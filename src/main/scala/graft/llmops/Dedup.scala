@@ -120,8 +120,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** N-gram Jaccard similarity between two shingle-array columns (used to
-    * verify LSH candidates; per-row expression on the joined pairs).
+  /** X2 verify stage at scale: exact n-gram Jaccard for candidate pairs,
+    * computed RELATIONALLY — distinct shingles exploded once per doc, the
+    * intersection counted by a (pair ⋈ shingle ⋈ shingle) equi-join, sizes
+    * by a per-doc count. All codegen'd joins/aggregates, no interpreted
+    * array intersections (the per-row array_intersect form costs O(|A|*|B|)
+    * interpreted per pair — measured 31s vs ~2s on sf0.1).
+    *
+    * Output: (doc_a, doc_b, n_shared_bands, jaccard) for candidates with
+    * jaccard >= minJaccard.
+    */
+  def jaccardVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numHashes: Int = 16, numBands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, idCol, textCol, shingleK, numHashes, numBands)
+    val sh = docs
+      .filter(length(col(textCol)) >= shingleK)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleK))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** N-gram Jaccard similarity between two shingle-array columns (per-row
+    * expression form — fine for ad-hoc pair scoring; use
+    * [[jaccardVerifiedPairs]] for bulk candidate verification).
     */
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val da = array_distinct(shinglesA)
@@ -149,4 +184,34 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs at scale: the 64-bit fingerprint split into
+    * `numBlocks` equal bit-blocks; by pigeonhole any pair within Hamming
+    * distance < numBlocks shares at least one identical block, so a
+    * block-keyed self-equi-join finds ALL such pairs without the O(n^2)
+    * cross join. Output: (doc_a, doc_b, hamming) with hamming <= maxHamming
+    * (maxHamming must be < numBlocks for exactness).
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame, idCol: String, tokensCol: Column,
+      maxHamming: Int = 6, numBlocks: Int = 8): DataFrame = {
+    require(maxHamming < numBlocks, "pigeonhole exactness needs maxHamming < numBlocks")
+    val bits = 64 / numBlocks
+    val h = docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64.simhash64(tokensCol).as("sh"))
+    val blocked = h.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until numBlocks).map { b =>
+        shiftrightunsigned(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)
+      }: _*)).as(Seq("block_idx", "block_val")))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b,
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -52,6 +52,28 @@ class LlmopsSpec extends SparkSpec {
     assert(dist > 0 && dist <= 16, s"hamming=$dist")
   }
 
+  test("native SimHash64 is bit-identical to the composable HOF form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val native = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(TextAnalysis.tokens(col("text"))).as("h"))
+    val hof = docs.select(col("doc_id"),
+      Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("h"))
+    assert(native.exceptAll(hof).count() === 0)
+  }
+
+  test("banded simhash pairs == brute-force pairs (pigeonhole exactness)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", TextAnalysis.tokens(col("text")))
+    val h = docs.select(col("doc_id"), Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+    val brute = h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Dedup.hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= 6)
+    assert(banded.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(banded).count() === 0)
+    assert(brute.count() > 0)
+  }
+
   test("cosineTopK finds the aligned vector first") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("id", "vec")
