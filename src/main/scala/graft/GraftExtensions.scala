@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashBands, ShingleFingerprint, SimHash64}
+
+/** SparkSessionExtensions registration exposing the engine's native
+  * expressions to the SQL surface:
+  *
+  *   spark.sql("SELECT minhash_bands(text, 8, 16, 4) FROM docs")
+  *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT shingle_fingerprint(text, 8) FROM docs")
+  *
+  * Wire up with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or config: spark.sql.extensions=graft.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, k, nh, nb) =>
+          MinHashBands(text, intArg(k, "shingleK"), intArg(nh, "numHashes"), intArg(nb, "numBands"))
+        case Seq(text) => MinHashBands(text, 8, 16, 4)
+        case _ => throw new IllegalArgumentException(
+          "minhash_bands(text[, shingleK, numHashes, numBands])")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHash64(tokens)
+        case _ => throw new IllegalArgumentException("simhash64(tokens_array)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_fingerprint"),
+      new ExpressionInfo(classOf[ShingleFingerprint].getName, "shingle_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, k) => ShingleFingerprint(text, intArg(k, "shingleK"))
+        case Seq(text) => ShingleFingerprint(text, 8)
+        case _ => throw new IllegalArgumentException("shingle_fingerprint(text[, shingleK])")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+  }
+}

@@ -363,5 +363,14 @@ SELECT doc_id,
   ntok,
   round(sw / greatest(ltok, 1.0), 6) AS stopword_ratio
 FROM m""",
+
+    "q42_range_join" ->
+      """SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks_5m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts > e.ts - INTERVAL '5 minutes'
+ AND c.ts <= e.ts
+GROUP BY e.event_id, e.user_id""",
   )
 }

@@ -258,10 +258,13 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** X4: document fingerprint (min rolling md5 over 8-grams) + content md5. */
+  /** X4: document fingerprint (min rolling md5 over 8-grams, native
+    * expression) + content md5.
+    */
   private def q25(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      .select(col("doc_id"),
+        graft.functions.ShingleFingerprint.fingerprint(col("text")).as("fingerprint"),
         md5(col("text")).as("content_md5"))
 
   /** X6: generator expansion — token histogram, top-50. */
@@ -420,6 +423,23 @@ object SparkEntry {
     Similarity.lshBucketedNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, numPlanes = 8, minScore = 0.3)
 
+  /** Range join (bucketed): for each error event, how many clicks by the
+    * same user in the preceding 5 minutes. The bucket equi-join keeps the
+    * theta predicate as a residual — no per-key quadratic blowup (SURVEY
+    * §2.3 range-join family).
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val counts = TimeSeries.boundedRangeJoin(errors, clicks, "user_id", "ts", "ts", 300L, Seq("click_id"))
+      .groupBy(col("event_id")).agg(count(col("r_click_id")).as("n"))
+    errors.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), coalesce(col("n"), lit(0L)).as("n_clicks_5m"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -462,6 +482,7 @@ object SparkEntry {
     "q39_quality_scores" -> (q39 _),
     "q40_simhash_pairs" -> (q40 _),
     "q41_lsh_neighbors" -> (q41 _),
+    "q42_range_join" -> (q42 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

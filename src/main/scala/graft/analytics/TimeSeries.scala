@@ -78,6 +78,41 @@ object TimeSeries {
     * ASOF JOIN. `rightPayload` are the right columns to carry; they come back
     * prefixed as-is, null when no match (left-outer semantics).
     */
+  /** Bounded-range join: pairs (left, right) with equal `key` and
+    * rightTs in (leftTs - windowSec, leftTs].
+    *
+    * Scale shape: instead of a naive theta-join (O(n*m) per key), both sides
+    * are bucketed to floor(epoch / windowSec); any right row in range lives
+    * in the left row's bucket or the one before, so the left side explodes
+    * to exactly two (bucket, key) probes and the join is a plain equi-join
+    * on (key, bucket) with the exact range predicate as a residual filter.
+    * Left-outer: left rows with no match survive with null right columns.
+    *
+    * `rightPayload` columns come back prefixed `r_`.
+    */
+  def boundedRangeJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSec: Long,
+      rightPayload: Seq[String]): DataFrame = {
+    val usec = windowSec * 1000000L
+    // integer `div`, not `/` (Spark `/` is double division)
+    val l = left.withColumn("__b", explode(array(
+      expr(s"unix_micros($leftTs) div $usec") - 1,
+      expr(s"unix_micros($leftTs) div $usec"))))
+    val r = right.select(
+      Seq(col(key).as("__rkey"),
+        expr(s"unix_micros($rightTs) div $usec").as("__rb"),
+        col(rightTs).as("__rts")) ++ rightPayload.map(c => col(c).as(s"r_$c")): _*)
+    // inner join: each matching right row lives in exactly one of the two
+    // probed buckets, so no pair duplicates; callers wanting left-outer
+    // semantics re-join unmatched lefts (see SparkEntry q42).
+    l.join(r,
+        col(key) === col("__rkey") && col("__b") === col("__rb") &&
+          col("__rts") > col(leftTs) - expr(s"INTERVAL $windowSec seconds") &&
+          col("__rts") <= col(leftTs))
+      .drop("__b", "__rkey", "__rb", "__rts")
+  }
+
   def asOfJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,

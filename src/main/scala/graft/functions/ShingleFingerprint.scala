@@ -1,0 +1,66 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native document fingerprint: lexicographic minimum of md5-hex over the
+  * text's character k-shingles (1-seed MinHash / winnowing-style content
+  * fingerprint). Bit-identical to [[graft.llmops.TextAnalysis.fingerprint]]
+  * (and its DuckDB oracle twin) including the short-text guard: texts
+  * shorter than k hash their full remainder from position 0.
+  *
+  * Native because the HOF form (`array_min(transform(sequence..., md5))`)
+  * evaluates interpreted, allocating the full shingle+hash arrays per row —
+  * measured ~3.6s on sf0.1 documents vs sub-second here.
+  */
+case class ShingleFingerprint(child: Expression, shingleK: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val md = ShingleFingerprint.localMd5.get()
+    val n = Math.max(text.length - shingleK + 1, 1)
+    var best: String = null
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val end = Math.min(i + shingleK, text.length)
+      val hex = ShingleFingerprint.hex(md.digest(text.substring(i, end).getBytes("UTF-8")))
+      if (best == null || hex.compareTo(best) < 0) best = hex
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFingerprint =
+    copy(child = newChild)
+}
+
+object ShingleFingerprint {
+  private val localMd5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private[functions] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def fingerprint(text: Column, shingleK: Int = 8): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      ShingleFingerprint(org.apache.spark.sql.graft.bridge.expression(text), shingleK))
+}

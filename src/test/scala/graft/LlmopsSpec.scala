@@ -107,6 +107,37 @@ class LlmopsSpec extends SparkSpec {
     assert(r.getAs[String]("fp").length === 32)
   }
 
+  test("native ShingleFingerprint == HOF fingerprint, incl. short-text guard") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+      .select(col("text"))
+      .union(Seq("ab", "exactly8", "niner, 9!").toDF("text"))
+    val native = docs.select(graft.functions.ShingleFingerprint.fingerprint(col("text")).as("f"))
+    val hof = docs.select(TextAnalysis.fingerprint(col("text")).as("f"))
+    assert(native.exceptAll(hof).count() === 0)
+  }
+
+  test("native expressions are SQL-callable (registry + GraftExtensions wiring)") {
+    // the extensions object itself must wire cleanly
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the same builders work through the SQL surface via the registry
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_bands",
+      exprs => graft.functions.MinHashBands(exprs.head, 8, 16, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => graft.functions.SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_fingerprint",
+      exprs => graft.functions.ShingleFingerprint(exprs.head, 8), "scala_udf")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+      .createOrReplaceTempView("ext_docs")
+    val out = spark.sql("""
+      SELECT doc_id, minhash_bands(text) AS bands, simhash64(split(text, ' ')) AS sh,
+             shingle_fingerprint(text) AS fp
+      FROM ext_docs""").collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.getAs[Seq[String]]("bands").length === 4))
+    assert(out.forall(_.getAs[String]("fp").length === 32))
+  }
+
   test("multimodal: feature extraction plumbing is deterministic; frame plan expands") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val feats = Multimodal.extractFeatures(Multimodal.bucketByContent(media, 3), dim = 8).collect()

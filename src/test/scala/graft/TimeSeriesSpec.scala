@@ -55,6 +55,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L))
   }
 
+  test("boundedRangeJoin == naive theta join on harness events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val bucketed = TimeSeries.boundedRangeJoin(
+      errors, clicks.select(col("cu").as("user_id"), col("cts").as("ts"), col("click_id")),
+      "user_id", "ts", "ts", 300L, Seq("click_id"))
+      .select(col("event_id"), col("r_click_id"))
+    val naive = errors.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cts") > col("ts") - expr("INTERVAL 300 seconds") && col("cts") <= col("ts"))
+      .select(col("event_id"), col("click_id").as("r_click_id"))
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
+    assert(naive.count() > 0)
+  }
+
   test("vwap weights by volume") {
     val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("px", "vol")
     val got = df.agg(TimeSeries.vwap(col("px"), col("vol")).as("vwap")).collect().head.getDouble(0)
