@@ -440,6 +440,31 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), coalesce(col("n"), lit(0L)).as("n_clicks_5m"))
   }
 
+  /** X3 IVF path: approximate top-10 of vec_id=0's query through the
+    * inverted-file index (16 cells, probe 6). Rows-only (centroid means are
+    * accumulation-order sensitive at the 1e-15 level; the exact path q24 is
+    * the oracle-verified twin).
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+      .collect()(0).getSeq[Double](0)
+    val (centroids, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding", 64, 16)
+    // exclude the query vector BEFORE the top-k, not after (a post-limit
+    // filter would shrink the result below k)
+    Similarity.ivfTopK(centroids, assigned.filter(col("id") =!= 0), qv, nProbe = 6, k = 10)
+  }
+
+  /** X4: BPE-ish subword token estimate (regex lookbehind — not
+    * RE2-expressible, rows-only).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.subwordTokenCount(col("text")).as("nsub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nsub")).as("total_subwords"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -483,6 +508,8 @@ object SparkEntry {
     "q40_simhash_pairs" -> (q40 _),
     "q41_lsh_neighbors" -> (q41 _),
     "q42_range_join" -> (q42 _),
+    "q43_ivf_knn" -> (q43 _),
+    "q44_subword_tokens" -> (q44 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

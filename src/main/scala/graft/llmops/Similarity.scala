@@ -75,6 +75,63 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** X3 scale path (IVF): coarse-quantized inverted-file index.
+    *
+    * Cells are seeded deterministically (SRP bucket mod nCells), centroids
+    * are the per-cell element-wise means (one aggregation pass), and every
+    * vector is re-assigned to its nearest centroid — i.e. one Lloyd
+    * iteration from a deterministic seeding, no RNG state. At query time
+    * only the `nProbe` cells whose centroids are nearest the query are
+    * scanned. At 100 TB the index pass is one shuffle keyed on cell id and
+    * the query pass prunes (nCells - nProbe)/nCells of the data; centroids
+    * are a tiny broadcast.
+    *
+    * Returns (cells, assigned) — `assigned` carries (id, v, cell).
+    */
+  def ivfIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCells: Int): (DataFrame, DataFrame) = {
+    val seeded = embeddings.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"),
+      pmod(srpBucket(col(vecCol), dim, 16), lit(nCells)).as("seed_cell"))
+    // element-wise mean per seed cell: explode to (cell, pos, x), average,
+    // gather back in position order
+    val centroids = seeded
+      .select(col("seed_cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("seed_cell"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("seed_cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("seed_cell").as("cell"), transform(col("pm"), _.getField("m")).as("centroid"))
+    // one Lloyd step: assign each vector to its nearest centroid
+    val assigned = seeded.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cell"),
+        (dot(col("v"), col("centroid")) / (norm(col("v")) * norm(col("centroid")))).as("sim"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"))
+    (centroids, assigned)
+  }
+
+  /** IVF query: scan only the nProbe nearest cells, exact cosine inside. */
+  def ivfTopK(
+      centroids: DataFrame, assigned: DataFrame,
+      queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    val probeCells = centroids
+      .select(col("cell"),
+        (dot(col("centroid"), q) / (norm(col("centroid")) * norm(q))).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell"))
+    assigned.join(broadcast(probeCells), "cell")
+      .select(col("id"), round(dot(col("v"), q) / (norm(col("v")) * norm(q)), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** X3 scale path: approximate nearest neighbors via SRP-LSH bucketing.
     * Vectors are bucketed per-row; within each bucket, pairs are generated
     * by a self-join on the bucket key and scored exactly. `probes` extra

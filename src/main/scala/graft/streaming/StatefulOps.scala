@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state via KeyValueGroupedDataset.flatMapGroupsWithState
+  * (SURVEY §2.9 / north-star streaming surface): running per-ticker OHLC
+  * state — the stateful analogue of candle re-aggregation that emits an
+  * updated candle snapshot per input batch rather than waiting for the
+  * window to close.
+  *
+  * Scale notes: state is one small case class per (ticker, bucket) key,
+  * stored in the state store (RocksDB-capable); a processing-time timeout
+  * evicts idle keys so state stays bounded even without event-time
+  * watermarks.
+  */
+object StatefulOps {
+
+  final case class TickerTick(ticker: String, datetime: Timestamp, price: Float, volume: Int)
+
+  final case class OhlcState(
+      open: Float, high: Float, low: Float, close: Float,
+      volume: Long, n: Long, lastSeq: Long)
+
+  final case class OhlcSnapshot(
+      ticker: String, open: Float, high: Float, low: Float, close: Float,
+      volume: Long, n: Long)
+
+  /** Fold a batch of ticks into the running OHLC state (ordering inside the
+    * batch by event time then insertion order).
+    */
+  private[streaming] def fold(st: Option[OhlcState], ticks: Seq[TickerTick]): Option[OhlcState] = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price))
+    sorted.foldLeft(st) { (acc, t) =>
+      acc match {
+        case None => Some(OhlcState(t.price, t.price, t.price, t.price, t.volume.toLong, 1L, t.datetime.getTime))
+        case Some(s) => Some(s.copy(
+          high = math.max(s.high, t.price),
+          low = math.min(s.low, t.price),
+          close = if (t.datetime.getTime >= s.lastSeq) t.price else s.close,
+          volume = s.volume + t.volume,
+          n = s.n + 1,
+          lastSeq = math.max(s.lastSeq, t.datetime.getTime)))
+      }
+    }
+  }
+
+  /** Streaming entry: per-ticker running OHLC snapshots, one emission per
+    * key per micro-batch.
+    *
+    * State eviction: pass `idleTimeoutMs = Some(ms)` to evict idle keys via
+    * ProcessingTimeTimeout — but ONLY together with an explicit periodic
+    * trigger on the query. With the default as-fast-as-possible trigger,
+    * a processing-time timeout makes the engine schedule continuous
+    * timeout-check micro-batches (a busy loop; `processAllAvailable` never
+    * settles). Default None = NoTimeout; bound state by key cardinality
+    * (one small OhlcState per ticker).
+    */
+  def runningOhlc(
+      ticks: Dataset[TickerTick],
+      idleTimeoutMs: Option[Long] = None): Dataset[OhlcSnapshot] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[OhlcState, OhlcSnapshot](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[OhlcState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val updated = fold(state.getOption, it.toSeq)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            updated.map(s => OhlcSnapshot(ticker, s.open, s.high, s.low, s.close, s.volume, s.n)).iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[runningOhlc]] for verification: same fold applied per
+    * key over a bounded Dataset.
+    */
+  def runningOhlcBatch(spark: SparkSession, ticks: Dataset[TickerTick]): Dataset[OhlcSnapshot] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .mapGroups { (ticker, it) =>
+        val s = fold(None, it.toSeq).get
+        OhlcSnapshot(ticker, s.open, s.high, s.low, s.close, s.volume, s.n)
+      }
+  }
+}

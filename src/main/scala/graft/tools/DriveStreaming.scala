@@ -54,6 +54,20 @@ object DriveStreaming {
     println("DRIVE closed window: " + closed.mkString("; "))
     q.stop()
 
+    // stateful drive: running OHLC via flatMapGroupsWithState across batches
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.TickerTick
+    val tmem = MemoryStream[TickerTick]
+    val oq = StatefulOps.runningOhlc(tmem.toDS())
+      .writeStream.format("memory").queryName("live_ohlc").outputMode("append").start()
+    tmem.addData(TickerTick("AAPL", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10f, 100))
+    oq.processAllAvailable()
+    tmem.addData(TickerTick("AAPL", java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 20f, 10))
+    oq.processAllAvailable()
+    println("DRIVE running OHLC snapshots:")
+    spark.table("live_ohlc").show(false)
+    oq.stop()
+
     // multimodal drive
     val feats = graft.llmops.Multimodal.extractFeatures(
       graft.llmops.Multimodal.bucketByContent(graft.llmops.Multimodal.syntheticMedia(spark, 6), 2), 4)

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{OhlcSnapshot, TickerTick}
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(t: String, ts: String, p: Float, v: Int) =
+    TickerTick(t, Timestamp.valueOf(ts), p, v)
+
+  private val ticks = Seq(
+    tick("AAPL", "2024-01-01 10:00:00", 10f, 100),
+    tick("AAPL", "2024-01-01 10:01:00", 12f, 50),
+    tick("AAPL", "2024-01-01 10:02:00", 9f, 25),
+    tick("MSFT", "2024-01-01 10:00:30", 5f, 10))
+
+  test("flatMapGroupsWithState running OHLC matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.runningOhlc(mem.toDS())
+      .writeStream.format("memory").queryName("ohlc_out").outputMode("append").start()
+    try {
+      mem.addData(ticks: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("ohlc_out").as[OhlcSnapshot].collect()
+        .map(s => s.ticker -> s).toMap
+      val batch = StatefulOps.runningOhlcBatch(spark, ticks.toDS()).collect()
+        .map(s => s.ticker -> s).toMap
+      assert(streaming === batch)
+      val aapl = streaming("AAPL")
+      assert(aapl.open === 10f && aapl.high === 12f && aapl.low === 9f && aapl.close === 9f)
+      assert(aapl.volume === 175L && aapl.n === 3L)
+    } finally q.stop()
+  }
+
+  test("state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.runningOhlc(mem.toDS())
+      .writeStream.format("memory").queryName("ohlc_acc").outputMode("append").start()
+    try {
+      mem.addData(tick("AAPL", "2024-01-01 10:00:00", 10f, 100))
+      q.processAllAvailable()
+      mem.addData(tick("AAPL", "2024-01-01 10:05:00", 20f, 10))
+      q.processAllAvailable()
+      val rows = spark.table("ohlc_acc").as[OhlcSnapshot].collect()
+      // second emission reflects accumulated state
+      assert(rows.exists(s => s.high === 20f && s.open === 10f && s.n === 2L))
+    } finally q.stop()
+  }
+
+  test("IVF top-k overlaps exact top-k and is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.llmops.Similarity.asDouble($"embedding")).collect()(0).getSeq[Double](0)
+    val exact = graft.llmops.Similarity.cosineTopK(emb, "vec_id", "embedding", qv, 11)
+      .collect().map(_.getLong(0)).toSet - 0L
+    val (c, a) = graft.llmops.Similarity.ivfIndex(emb, "vec_id", "embedding", 64, 16)
+    val ivf1 = graft.llmops.Similarity.ivfTopK(c, a, qv, 6, 11).collect().map(_.getLong(0)).toSet - 0L
+    val ivf2 = graft.llmops.Similarity.ivfTopK(c, a, qv, 6, 11).collect().map(_.getLong(0)).toSet - 0L
+    assert(ivf1 === ivf2)
+    assert((exact & ivf1).nonEmpty, s"no overlap: exact=$exact ivf=$ivf1")
+  }
+}
