@@ -372,5 +372,83 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts > e.ts - INTERVAL '5 minutes'
  AND c.ts <= e.ts
 GROUP BY e.event_id, e.user_id""",
+
+    "q45_predicates" ->
+      """SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND c_name LIKE '%1%'
+  AND c_acctbal BETWEEN 0 AND 8000""",
+
+    "q46_scalar_funcs" ->
+      """SELECT o_orderkey,
+  year(o_orderdate) AS y,
+  month(o_orderdate) AS m,
+  day(o_orderdate) AS d,
+  date_trunc('month', o_orderdate) AS month_start,
+  upper(o_orderpriority) AS prio_upper,
+  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+  length(o_orderpriority) AS prio_len,
+  substr(o_orderpriority, 1, 3) AS prio3,
+  regexp_extract(o_orderpriority, '(\d)', 1) AS prio_num,
+  round(ln(o_totalprice), 6) AS ln_price,
+  round(sqrt(o_totalprice), 6) AS sqrt_price,
+  round(abs(-o_totalprice), 2) AS abs_price
+FROM orders""",
+
+    "q47_multiset_ops" ->
+      """SELECT l_partkey, 'intersect_all' AS op FROM (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+UNION ALL
+SELECT l_partkey, 'except_all' AS op FROM (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')""",
+
+    "q48_ranking_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pr,
+  round(cume_dist() OVER w, 6) AS cd,
+  dense_rank() OVER w AS dr
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",
+
+    "q49_value_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+  round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+  round(last_value(o_totalprice) OVER w, 2) AS priciest,
+  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+
+    "q50_ingest_bars" ->
+      """SELECT
+  sha256(concat('T', o_custkey % 100, '|', CAST(o_orderdate AS VARCHAR))) AS id,
+  o_orderdate AS datetime,
+  CAST(o_totalprice AS FLOAT) AS open,
+  CAST(o_totalprice * 1.01 AS FLOAT) AS high,
+  CAST(o_totalprice * 0.99 AS FLOAT) AS low,
+  CAST(o_totalprice AS FLOAT) AS close,
+  CAST(o_totalprice AS FLOAT) AS adj_close,
+  CAST(o_orderkey % 1000 + 1 AS INTEGER) AS volume,
+  CAST(0.0 AS FLOAT) AS dividends,
+  CAST(0.0 AS FLOAT) AS stock_splits,
+  concat('T', o_custkey % 100) AS ticker
+FROM orders
+WHERE o_orderkey % 1000 + 1 > 0""",
+
+    "q51_ingest_trades" ->
+      """SELECT
+  list_value(l_returnflag, l_linestatus) AS trade_conditions,
+  CAST(l_extendedprice AS FLOAT) AS last_price,
+  concat('S', l_suppkey) AS symbol,
+  l_shipdate AS datetime,
+  l_linenumber AS volume
+FROM lineitem
+WHERE l_linenumber > 0""",
   )
 }

@@ -465,6 +465,111 @@ object SparkEntry {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nsub")).as("total_subwords"))
 
+  /** P5/P6: membership + pattern + range predicates (isin folds to an
+    * in-set test, LIKE to a codegen'd match — no join, no shuffle).
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY") &&
+        col("c_name").like("%1%") && col("c_acctbal").between(0, 8000))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), round(col("c_acctbal"), 2).as("bal"))
+
+  /** §2.8 scalar-function suite: date/time, string, math in one projection
+    * (all codegen'd built-ins; every one has an exact DuckDB twin —
+    * ln not log, since DuckDB's log() is log10).
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).as("prio_len"),
+        substring(col("o_orderpriority"), 1, 3).as("prio3"),
+        regexp_extract(col("o_orderpriority"), "(\\d)", 1).as("prio_num"),
+        round(log(col("o_totalprice")), 6).as("ln_price"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        round(abs(-col("o_totalprice")), 2).as("abs_price"))
+
+  /** §2.7 multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicities (min / difference of counts).
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    r.intersectAll(a).withColumn("op", lit("intersect_all"))
+      .unionByName(r.exceptAll(a).withColumn("op", lit("except_all")))
+  }
+
+  /** W3+: ranking family — ntile, percent_rank, cume_dist, dense_rank over
+    * a totally-ordered keyed window.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).as("dr"))
+  }
+
+  /** W4+: value-window family — first/last/nth over the full frame. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(first(col("o_totalprice")).over(w), 2).as("cheapest"),
+        round(last(col("o_totalprice")).over(w), 2).as("priciest"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_cheapest"))
+  }
+
+  /** Declared bar-ingest pipeline end-to-end through the DuckDB gate:
+    * orders rows shaped into the EXACT yfinance wire JSON (space-y field
+    * names and all), then the production pipeline: CAST -> from_json ->
+    * flatten -> rename-project -> deterministic id -> quality gate
+    * (SURVEY §2.1 S1 + §2.2 P1-P8, batch-verifiable form).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val wire = t(s, dir, "orders").select(to_json(struct(
+      col("o_orderdate").as("Datetime"),
+      col("o_totalprice").as("Open"),
+      (col("o_totalprice") * 1.01).as("High"),
+      (col("o_totalprice") * 0.99).as("Low"),
+      col("o_totalprice").as("Close"),
+      col("o_totalprice").as("Adj Close"),
+      (pmod(col("o_orderkey"), lit(1000)) + 1).cast("int").as("Volume"),
+      lit(0.0).as("Dividends"),
+      lit(0.0).as("Stock Splits"),
+      concat(lit("T"), pmod(col("o_custkey"), lit(100))).as("ticker"))).as("value"))
+    Ingest.gateBars(Ingest.normalizeBars(wire))
+  }
+
+  /** Declared trade-ingest pipeline (Finnhub shape: array condition column,
+    * epoch-millis event time) through the DuckDB gate. The id column is
+    * excluded from the comparison (its hash input includes Spark's
+    * float->string rendering, which has no portable SQL twin; bar ids are
+    * oracle-checked in q50).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val wire = t(s, dir, "lineitem").select(to_json(struct(
+      array(col("l_returnflag"), col("l_linestatus")).as("c"),
+      col("l_extendedprice").as("p"),
+      concat(lit("S"), col("l_suppkey")).as("s"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("t"),
+      col("l_linenumber").as("v"))).as("value"))
+    Ingest.gateTrades(Ingest.normalizeTrades(wire)).drop("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -510,6 +615,13 @@ object SparkEntry {
     "q42_range_join" -> (q42 _),
     "q43_ivf_knn" -> (q43 _),
     "q44_subword_tokens" -> (q44 _),
+    "q45_predicates" -> (q45 _),
+    "q46_scalar_funcs" -> (q46 _),
+    "q47_multiset_ops" -> (q47 _),
+    "q48_ranking_windows" -> (q48 _),
+    "q49_value_windows" -> (q49 _),
+    "q50_ingest_bars" -> (q50 _),
+    "q51_ingest_trades" -> (q51 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

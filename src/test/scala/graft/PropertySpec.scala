@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.analytics.TimeSeries
+import graft.ingest.Ingest
+
+/** Property-based invariants (SURVEY §5.4) over ScalaCheck-generated data:
+  * dedup idempotence, candle invariants, coarse-from-fine re-aggregation.
+  * Generators are sampled with fixed seeds (scalatestplus bridge isn't in
+  * the offline dependency cache, so sampling is driven manually).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen: Gen[(Long, String, Double, Int)] = for {
+    seq <- Gen.choose(0L, 50L)
+    key <- Gen.oneOf("A", "B", "C")
+    v <- Gen.choose(-100.0, 100.0)
+    vol <- Gen.choose(1, 10)
+  } yield (seq, key, v, vol)
+
+  private def sample(n: Int, seed: Long): List[(Long, String, Double, Int)] =
+    Gen.listOfN(n, rowGen).apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("gen failed"))
+
+  test("dedup is idempotent and duplication-invariant: d(xs ++ xs) == d(xs) == d(d(xs))") {
+    for (seed <- 1L to 5L) {
+      val df = sample(40, seed).toDF("seq", "key", "v", "vol")
+      val d1 = Ingest.dedupFirstBy(Seq("key"), "seq")(df)
+      val d2 = Ingest.dedupFirstBy(Seq("key"), "seq")(df.union(df))
+      val d3 = Ingest.dedupFirstBy(Seq("key"), "seq")(d1)
+      assert(d1.exceptAll(d2).count() === 0 && d2.exceptAll(d1).count() === 0, s"seed=$seed")
+      assert(d1.exceptAll(d3).count() === 0 && d3.exceptAll(d1).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("candle invariants: low <= open,close <= high; volume additive") {
+    for (seed <- 1L to 5L) {
+      val df = sample(60, seed).toDF("seq", "key", "px", "vol")
+        .withColumn("t", expr("timestamp_micros(1700000000000000 + seq * 60000000)"))
+      val c = TimeSeries.candles(col("t"), col("key"), col("px"), col("vol"), col("seq"), "5 minutes")(df)
+      assert(c.filter(col("low") > col("open") || col("low") > col("close") ||
+        col("high") < col("open") || col("high") < col("close")).count() === 0, s"seed=$seed")
+      val total = df.agg(sum(col("vol"))).collect()(0).getLong(0)
+      val bucketed = c.agg(sum(col("volume"))).collect()(0).getLong(0)
+      assert(total === bucketed, s"seed=$seed")
+    }
+  }
+
+  test("10-minute high/low/volume recompose exactly from 5-minute candles") {
+    for (seed <- 1L to 5L) {
+      val df = sample(60, seed).toDF("seq", "key", "px", "vol")
+        .withColumn("t", expr("timestamp_micros(1700000000000000 + seq * 37000000)"))
+      val direct = TimeSeries.candles(col("t"), col("key"), col("px"), col("vol"), col("seq"), "10 minutes")(df)
+        .select(col("key"), col("bucket_start"), col("high"), col("low"), col("volume"))
+      val fine = TimeSeries.candles(col("t"), col("key"), col("px"), col("vol"), col("seq"), "5 minutes")(df)
+      val recomposed = fine
+        .groupBy(col("key").as("k2"), window(col("bucket_start"), "10 minutes").getField("start").as("b2"))
+        .agg(max(col("high")).as("high"), min(col("low")).as("low"), sum(col("volume")).as("volume"))
+        .select(col("k2").as("key"), col("b2").as("bucket_start"), col("high"), col("low"), col("volume"))
+      assert(direct.exceptAll(recomposed).count() === 0, s"seed=$seed")
+      assert(recomposed.exceptAll(direct).count() === 0, s"seed=$seed")
+    }
+  }
+}

@@ -41,6 +41,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink appends with epoch ids; deterministic ids allow reconciliation") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val mem = MemoryStream[String]
+    val q = Pipelines.start(
+      Pipelines.parquetSink(Pipelines.barsFromJson(mem.toDF()), s"$dir/out", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      mem.addData(bar("AAPL", "2024-11-15T14:30:00.000Z", 100),
+        bar("MSFT", "2024-11-15T14:30:00.000Z", 7))
+      q.awaitTermination(60000)
+      val written = spark.read.parquet(s"$dir/out")
+      assert(written.count() === 2)
+      assert(written.columns.contains("__epoch"))
+      assert(written.select("id").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   test("streaming candles finalize windows below the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
