@@ -262,7 +262,7 @@ object SparkEntry {
     * expression) + content md5.
     */
   private def q25(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.util.Partitioning.ensureParallelism(t(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.ShingleFingerprint.fingerprint(col("text")).as("fingerprint"),
         md5(col("text")).as("content_md5"))
@@ -287,7 +287,7 @@ object SparkEntry {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
     val fmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-    t(s, dir, "events")
+    graft.util.Partitioning.ensureParallelism(t(s, dir, "events"))
       .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")), fmt).as("value"))
       .select(from_json(col("value"), schema, fmt).as("data"))
@@ -540,7 +540,8 @@ object SparkEntry {
     * (SURVEY §2.1 S1 + §2.2 P1-P8, batch-verifiable form).
     */
   private def q50(s: SparkSession, dir: String): DataFrame = {
-    val wire = t(s, dir, "orders").select(to_json(struct(
+    val wire = graft.util.Partitioning.ensureParallelism(t(s, dir, "orders"))
+      .select(to_json(struct(
       col("o_orderdate").as("Datetime"),
       col("o_totalprice").as("Open"),
       (col("o_totalprice") * 1.01).as("High"),
@@ -561,7 +562,8 @@ object SparkEntry {
     * oracle-checked in q50).
     */
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val wire = t(s, dir, "lineitem").select(to_json(struct(
+    val wire = graft.util.Partitioning.ensureParallelism(t(s, dir, "lineitem"))
+      .select(to_json(struct(
       array(col("l_returnflag"), col("l_linestatus")).as("c"),
       col("l_extendedprice").as("p"),
       concat(lit("S"), col("l_suppkey")).as("s"),

@@ -103,7 +103,7 @@ object Dedup {
     // Native single-pass expression (graft.functions.MinHashBands) — the
     // composable HOF form (shingles/minhashSignature/lshBands above) is
     // semantically identical but evaluates interpreted and ~30x slower.
-    val sig = docs
+    val sig = graft.util.Partitioning.ensureParallelism(docs)
       .filter(length(col(textCol)) >= shingleK)
       .select(
         col(idCol).as("doc_id"),
@@ -135,7 +135,7 @@ object Dedup {
       shingleK: Int = 8, numHashes: Int = 16, numBands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val pairs = minhashCandidatePairs(docs, idCol, textCol, shingleK, numHashes, numBands)
-    val sh = docs
+    val sh = graft.util.Partitioning.ensureParallelism(docs)
       .filter(length(col(textCol)) >= shingleK)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), shingleK))).as("shingle"))
@@ -197,8 +197,9 @@ object Dedup {
       maxHamming: Int = 6, numBlocks: Int = 8): DataFrame = {
     require(maxHamming < numBlocks, "pigeonhole exactness needs maxHamming < numBlocks")
     val bits = 64 / numBlocks
-    val h = docs.select(col(idCol).as("doc_id"),
-      graft.functions.SimHash64.simhash64(tokensCol).as("sh"))
+    val h = graft.util.Partitioning.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHash64.simhash64(tokensCol).as("sh"))
     val blocked = h.select(col("doc_id"), col("sh"),
       posexplode(array((0 until numBlocks).map { b =>
         shiftrightunsigned(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)

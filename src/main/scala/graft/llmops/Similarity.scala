@@ -62,18 +62,12 @@ object Similarity {
     * (plane, dimension), zero RNG state to ship to executors), each vector
     * keyed by the sign pattern of its projections. Per-row expression.
     */
-  def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
-    val planes = (0 until numPlanes).map { p =>
-      // Deterministic "random" plane: coef(p, d) in [-1, 1) from a hash.
-      val coefs = (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
-        lit((h.toDouble / Int.MaxValue) % 1.0)
-      }
-      val proj = (0 until dim).map(d => element_at(vec, d + 1).cast("double") * coefs(d)).reduce(_ + _)
-      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
-    }
-    planes.reduce(_ + _)
-  }
+  def srpBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    // native expression — the literal expression-tree form is dim*numPlanes
+    // terms and its codegen compilation dominated the IVF pipeline (see
+    // graft.functions.SrpBucket scaladoc); `dim` is kept in the signature
+    // for API stability but derived from the data at eval time.
+    graft.functions.SrpBucket.srpBucket(vec, numPlanes)
 
   /** X3 scale path (IVF): coarse-quantized inverted-file index.
     *
@@ -91,7 +85,7 @@ object Similarity {
   def ivfIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, nCells: Int): (DataFrame, DataFrame) = {
-    val seeded = embeddings.select(
+    val seeded = graft.util.Partitioning.ensureParallelism(embeddings).select(
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"),
       pmod(srpBucket(col(vecCol), dim, 16), lit(nCells)).as("seed_cell"))
