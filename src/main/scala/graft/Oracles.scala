@@ -450,5 +450,47 @@ WHERE o_orderkey % 1000 + 1 > 0""",
   l_linenumber AS volume
 FROM lineitem
 WHERE l_linenumber > 0""",
+
+    "q52_full_outer_join" ->
+      """WITH buys AS (SELECT user_id AS bu, count(*) AS n_buys FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+errs AS (SELECT user_id AS eu, count(*) AS n_errors FROM events
+  WHERE event_type = 'error' GROUP BY user_id)
+SELECT coalesce(bu, eu) AS user_id,
+  coalesce(n_buys, 0) AS n_buys,
+  coalesce(n_errors, 0) AS n_errors
+FROM buys FULL OUTER JOIN errs ON bu = eu""",
+
+    "q53_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""",
+
+    "q54_unpivot" ->
+      """SELECT p_partkey, 'size' AS attribute, round(CAST(p_size AS DOUBLE), 2) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS attribute, round(p_retailprice, 2) AS value FROM part""",
+
+    "q55_array_funcs" ->
+      """SELECT vec_id,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+  list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6))) AS sorted_head
+FROM embeddings""",
+
+    "q56_conditionals" ->
+      """SELECT
+  CASE WHEN l_discount >= 0.08 THEN 'high'
+       WHEN l_discount >= 0.04 THEN 'mid'
+       ELSE 'low' END AS disc_band,
+  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+  count(*) AS n
+FROM lineitem
+GROUP BY 1, 2""",
+
+    "q57_subqueries" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+  AND EXISTS (SELECT 1 FROM orders i
+              WHERE i.o_custkey = o.o_custkey AND i.o_orderkey <> o.o_orderkey)""",
   )
 }

@@ -572,6 +572,68 @@ object SparkEntry {
     Ingest.gateTrades(Ingest.normalizeTrades(wire)).drop("id")
   }
 
+  /** J outer: full-outer join of two aggregated populations with
+    * null-coalescing — exercises outer-join null semantics.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("bu")).agg(count(lit(1)).as("n_buys"))
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("eu")).agg(count(lit(1)).as("n_errors"))
+    buys.join(errs, col("bu") === col("eu"), "full_outer")
+      .select(coalesce(col("bu"), col("eu")).as("user_id"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+  }
+
+  /** J cross: explicit cartesian product (tiny dims only — the planner
+    * must see an explicit crossJoin, never an accidental one).
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+
+  /** Unpivot (melt): wide part attributes to (attribute, value) rows. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (attribute, value)"))
+      .select(col("p_partkey"), col("attribute"), round(col("value"), 2).as("value"))
+
+  /** §2.8 array functions: slice/sort/element access over embeddings. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+        sort_array(transform(slice(Similarity.asDouble(col("embedding")), 1, 4),
+          x => round(x, 6))).as("sorted_head")) // round THEN sort, same as the oracle
+
+  /** §2.8 conditional expressions: CASE buckets + nullif/coalesce. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        when(col("l_discount") >= 0.08, "high")
+          .when(col("l_discount") >= 0.04, "mid")
+          .otherwise("low").as("disc_band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"))
+      .groupBy(col("disc_band"), col("flag"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Scalar + correlated subqueries through the SQL surface (Catalyst
+    * decorrelation — SURVEY §4).
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders_sq o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders_sq)
+        AND EXISTS (SELECT 1 FROM orders_sq i
+                    WHERE i.o_custkey = o.o_custkey AND i.o_orderkey <> o.o_orderkey)""")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -624,6 +686,12 @@ object SparkEntry {
     "q49_value_windows" -> (q49 _),
     "q50_ingest_bars" -> (q50 _),
     "q51_ingest_trades" -> (q51 _),
+    "q52_full_outer_join" -> (q52 _),
+    "q53_cross_join" -> (q53 _),
+    "q54_unpivot" -> (q54 _),
+    "q55_array_funcs" -> (q55 _),
+    "q56_conditionals" -> (q56 _),
+    "q57_subqueries" -> (q57 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
