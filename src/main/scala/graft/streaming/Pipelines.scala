@@ -29,10 +29,12 @@ object Pipelines {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** S1: Kafka streaming source for a topic — the fixed Kafka frame.
-    * (Not exercisable in the harness — no broker — but this is the
-    * production entry point; tests feed [[barsFromJson]] /
-    * [[tradesFromJson]] via MemoryStream instead, same code path from the
-    * `value` column on.)
+    * (Not exercisable in the harness — no broker, and the
+    * spark-sql-kafka connector jar is not bundled in this image; in
+    * production add org.apache.spark:spark-sql-kafka-0-10 to the
+    * classpath. Tests feed [[barsFromJson]] / [[tradesFromJson]] via
+    * MemoryStream instead — the same code path from the `value` column
+    * on.)
     */
   def kafkaSource(spark: SparkSession, brokers: String, topic: String,
       startingOffsets: String = "earliest"): DataFrame =

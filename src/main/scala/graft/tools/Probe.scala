@@ -13,12 +13,17 @@ object Probe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(100000).selectExpr("sum(id)").collect()
     args.foreach { n =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        println(s"===== $n =====")
+        graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+      } else {
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(n)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE $n: ${times.map(t => f"$t%.1f").mkString(", ")}")
       }
-      println(f"PROBE $n: ${times.map(t => f"$t%.1f").mkString(", ")}")
     }
     spark.stop()
   }
