@@ -87,6 +87,26 @@ object Pipelines {
       .select(col("key"), col("window.start").as("bucket_start"),
         col("open"), col("high"), col("low"), col("close"), col("volume"), col("n"))
 
+  /** Stream-stream interval join: each left event matched to right events
+    * with the same key within [leftTs - windowSec, leftTs]. Both sides must
+    * carry watermarks; the time-range predicate is what lets Spark bound
+    * the join state (right rows are dropped once the left watermark passes
+    * their ts + windowSec). The batch twin is
+    * [[graft.analytics.TimeSeries.boundedRangeJoin]].
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSec: Long): DataFrame = {
+    val r = right.select(
+      col(key).as("__rkey"), col(rightTs).as("__rts"),
+      struct(right.columns.map(col): _*).as("right_row"))
+    left.join(r,
+      col(key) === col("__rkey") &&
+        col("__rts") >= col(leftTs) - expr(s"INTERVAL $windowSec seconds") &&
+        col("__rts") <= col(leftTs))
+      .drop("__rkey")
+  }
+
   /** S3: idempotent sink — foreachBatch parquet append. Retried epochs
     * rewrite the same deterministic-id rows; a keyed upsert sink (Delta/
     * JDBC MERGE) would make that exactly-once, parquet append here records

@@ -59,6 +59,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches trades to bars within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val barsMem = MemoryStream[String]
+    val tradesMem = MemoryStream[String]
+    def trade(sym: String, tMillis: Long, p: Double) =
+      s"""{"c":[],"p":$p,"s":"$sym","t":$tMillis,"v":5}"""
+    val bars = Pipelines.barsFromJson(barsMem.toDF(), "2 minutes")
+      .select(col("ticker"), col("datetime"), col("close"))
+    val trades = Pipelines.tradesFromJson(tradesMem.toDF(), "2 minutes")
+      .select(col("symbol").as("ticker"), col("datetime").as("trade_time"), col("last_price"))
+    val joined = Pipelines.streamIntervalJoin(
+      trades, bars, "ticker", "trade_time", "datetime", 300L)
+    val q = joined.writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      val base = 1731681000000L // 2024-11-15T14:30:00Z
+      barsMem.addData(bar("AAPL", "2024-11-15T14:30:00.000Z", 100))
+      tradesMem.addData(
+        trade("AAPL", base + 60000, 101.5), // 1 min after the bar -> joins
+        trade("AAPL", base + 600000, 99.0), // 10 min after -> outside window
+        trade("MSFT", base + 60000, 50.0))  // no MSFT bar -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("ticker") === "AAPL")
+      assert(rows.head.getAs[Float]("last_price") === 101.5f)
+    } finally q.stop()
+  }
+
   test("streaming candles finalize windows below the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
