@@ -35,7 +35,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // oracle_total: subtotal over queries that have a DuckDB SQL twin —
+    // the apples-to-apples number against a DuckDB baseline (rows-only
+    // queries have no baseline-side cost).
+    val oracleTotal = results.collect {
+      case (k, v) if SparkEntry.oracleSql.contains(k) => v
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","oracle_total":$oracleTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

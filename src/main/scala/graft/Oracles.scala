@@ -123,7 +123,7 @@ FROM events""",
 
     "q09_lag_returns" ->
       """SELECT event_id, user_id,
-  round(value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS ret
+  floor((value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1) * 1000000 + 0.5) / 1000000 AS ret
 FROM events""",
 
     "q10_running_sum" ->
@@ -372,6 +372,18 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts > e.ts - INTERVAL '5 minutes'
  AND c.ts <= e.ts
 GROUP BY e.event_id, e.user_id""",
+
+    "q44_subword_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+  CAST(sum(nsub) AS BIGINT) AS total_subwords
+FROM (
+  SELECT lang,
+    list_sum(list_transform(
+      list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0),
+      w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS nsub
+  FROM documents
+)
+GROUP BY lang""",
 
     "q45_predicates" ->
       """SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal

@@ -115,13 +115,21 @@ object SparkEntry {
         round(TimeSeries.movingAvg(col("value"), Seq(col("user_id")),
           Seq(col("ts"), col("event_id")), 5), 6).as("ma5"))
 
-  /** W2: lagged simple return per user series. */
+  /** W2: lagged simple return per user series.
+    *
+    * Rounding note: per-row RATIOS of 2-decimal inputs land on exact
+    * decimal half-boundaries often enough to bite (one hit per ~100k rows
+    * observed): Spark's round() rounds the shortest decimal rendering
+    * (HALF_UP) while DuckDB rounds the binary double — they disagree at
+    * the boundary. floor(x*1e6 + 0.5)/1e6 is pure IEEE arithmetic,
+    * bit-identical in both engines.
+    */
   private def q09(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(
         col("event_id"), col("user_id"),
-        round(TimeSeries.laggedReturn(col("value"), Seq(col("user_id")),
-          Seq(col("ts"), col("event_id"))), 6).as("ret"))
+        (floor(TimeSeries.laggedReturn(col("value"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id"))) * 1000000d + 0.5d) / 1000000d).as("ret"))
 
   /** W5: running value sum per user. */
   private def q10(s: SparkSession, dir: String): DataFrame =
@@ -456,9 +464,7 @@ object SparkEntry {
     Similarity.ivfTopK(centroids, assigned.filter(col("id") =!= 0), qv, nProbe = 6, k = 10)
   }
 
-  /** X4: BPE-ish subword token estimate (regex lookbehind — not
-    * RE2-expressible, rows-only).
-    */
+  /** X4: BPE-ish subword token estimate (ceil(len/4) pieces per token). */
   private def q44(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.subwordTokenCount(col("text")).as("nsub"))

@@ -45,10 +45,13 @@ object TimeSeries {
     avg(value).over(
       Window.partitionBy(partition: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0))
 
-  /** W2: simple return vs the previous observation in the series. */
+  /** W2: simple return vs the previous observation in the series. NULL when
+    * there is no previous observation OR it is exactly zero (ANSI mode
+    * would throw on the division; nullif matches the oracle's semantics).
+    */
   def laggedReturn(value: Column, partition: Seq[Column], order: Seq[Column]): Column = {
     val w = Window.partitionBy(partition: _*).orderBy(order: _*)
-    value / lag(value, 1).over(w) - 1
+    value / nullif(lag(value, 1).over(w), lit(0.0)) - 1
   }
 
   /** W5: running (cumulative) sum within the series. */

@@ -19,12 +19,14 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword token estimate: word-piece boundaries approximated by a
-    * regex over letter-runs / digit-runs / single punctuation, ~4 chars per
-    * piece cap. Counts matches without materializing the split.
+  /** BPE-ish subword token estimate: each whitespace token contributes
+    * ceil(len/4) pieces (~4 chars per merged piece, the empirical BPE
+    * average for English-like text). Pure arithmetic over the token array —
+    * deterministic, portable to the SQL oracle.
     */
   def subwordTokenCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])|(?<=[A-Za-z0-9]{4})"), t => length(t) > 0))
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
