@@ -51,8 +51,8 @@ sh AS (
   FROM documents WHERE length(text) >= 8
 ), scored AS (
   SELECT p.doc_a, p.doc_b, p.n_shared_bands,
-    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+    floor((CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
   FROM pairs p
   JOIN sh sa ON p.doc_a = sa.doc_id
   JOIN sh sb ON p.doc_b = sb.doc_id
@@ -66,9 +66,9 @@ SELECT doc_a, doc_b, n_shared_bands, jaccard FROM scored WHERE jaccard >= 0.5"""
   round(sum(l_extendedprice), 2) AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 6) AS avg_qty,
-  round(avg(l_extendedprice), 6) AS avg_price,
-  round(avg(l_discount), 6) AS avg_disc,
+  floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+  floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
+  floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
@@ -185,7 +185,7 @@ GROUP BY event_type, time_bucket(INTERVAL '5 minutes', ts)""",
 
     "q18_vwap" ->
       """SELECT l_partkey,
-  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap,
+  floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 1000000 + 0.5) / 1000000 AS vwap,
   round(sum(l_quantity), 2) AS total_qty
 FROM lineitem
 GROUP BY l_partkey""",
@@ -198,7 +198,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
     "q20_json_props" ->
-      """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
+      """SELECT event_type, count(k) AS n, floor((avg(k)) * 1000000 + 0.5) / 1000000 AS avg_k, max(k) AS max_k
 FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k FROM events)
 GROUP BY event_type""",
 
@@ -218,13 +218,13 @@ GROUP BY sha256(text)""",
   FROM documents
 ), q AS (
   SELECT lang, ntok,
-    round(least(lc / 200.0, 1.0) * 0.4
+    floor((least(lc / 200.0, 1.0) * 0.4
       + (CASE WHEN lc / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
-      + (CASE WHEN np / greatest(lc, 1.0) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS q
+      + (CASE WHEN np / greatest(lc, 1.0) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000 + 0.5) / 1000000 AS q
   FROM scored
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens,
-  round(avg(ntok), 6) AS avg_tokens, round(avg(q), 6) AS avg_quality
+  floor((avg(ntok)) * 1000000 + 0.5) / 1000000 AS avg_tokens, floor((avg(q)) * 1000000 + 0.5) / 1000000 AS avg_quality
 FROM q
 GROUP BY lang""",
 
@@ -298,16 +298,16 @@ GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""",
 
     "q33_percentiles" ->
       """SELECT event_type,
-  round(quantile_cont(value, 0.5), 6) AS p50,
-  round(quantile_cont(value, 0.9), 6) AS p90,
-  round(quantile_cont(value, 0.99), 6) AS p99
+  floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+  floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS p90,
+  floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99
 FROM events GROUP BY event_type""",
 
     "q34_stats_agg" ->
       """SELECT event_type,
   round(stddev_samp(value), 6) AS sd,
-  round(var_samp(value), 6) AS vr,
-  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv,
+  floor((var_samp(value)) * 1000000 + 0.5) / 1000000 AS vr,
+  floor((covar_samp(value, CAST(user_id AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cv,
   round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr
 FROM events GROUP BY event_type""",
 
@@ -357,11 +357,11 @@ FROM h""",
   FROM documents
 )
 SELECT doc_id,
-  round(least(lc / 200.0, 1.0) * 0.4
+  floor((least(lc / 200.0, 1.0) * 0.4
     + (CASE WHEN lc / greatest(ntok, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
-    + (CASE WHEN np / greatest(lc, 1.0) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
+    + (CASE WHEN np / greatest(lc, 1.0) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000 + 0.5) / 1000000 AS quality,
   ntok,
-  round(sw / greatest(ltok, 1.0), 6) AS stopword_ratio
+  floor((sw / greatest(ltok, 1.0)) * 1000000 + 0.5) / 1000000 AS stopword_ratio
 FROM m""",
 
     "q42_range_join" ->
@@ -422,8 +422,8 @@ SELECT l_partkey, 'except_all' AS op FROM (
     "q48_ranking_windows" ->
       """SELECT o_orderkey, o_orderstatus,
   ntile(4) OVER w AS quartile,
-  round(percent_rank() OVER w, 6) AS pr,
-  round(cume_dist() OVER w, 6) AS cd,
+  floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pr,
+  floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cd,
   dense_rank() OVER w AS dr
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",

@@ -15,6 +15,8 @@ import graft.llmops.{Dedup, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
+  import graft.util.Partitioning.{stableRound6 => sr6}
+
   /** Harness-table reader. The driver's `events.ts` is parquet
     * TIMESTAMP(NANOS) which Spark 4 refuses by default; read it as a long
     * (legacy conf) and floor-divide to microseconds — integer `div`, not
@@ -48,9 +50,9 @@ object SparkEntry {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sr6(avg(col("l_quantity"))).as("avg_qty"),
+        sr6(avg(col("l_extendedprice"))).as("avg_price"),
+        sr6(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   // ---- §2.2 projections / filters -----------------------------------------
@@ -204,7 +206,7 @@ object SparkEntry {
   private def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
-      .agg(round(TimeSeries.vwap(col("l_extendedprice"), col("l_quantity")), 6).as("vwap"),
+      .agg(sr6(TimeSeries.vwap(col("l_extendedprice"), col("l_quantity"))).as("vwap"),
         round(sum(col("l_quantity")), 2).as("total_qty"))
 
   // ---- §2.3 J2 as-of join --------------------------------------------------
@@ -229,7 +231,7 @@ object SparkEntry {
       .select(col("event_type"),
         from_json(col("props"), MapType(StringType, StringType)).getItem("k").cast("int").as("k"))
       .groupBy(col("event_type"))
-      .agg(count(col("k")).as("n"), round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"))
+      .agg(count(col("k")).as("n"), sr6(avg(col("k"))).as("avg_k"), max(col("k")).as("max_k"))
 
   // ---- §2.10 X1–X4, X6 LLM-data operators ----------------------------------
 
@@ -250,7 +252,7 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).as("q"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
-        round(avg(col("ntok")), 6).as("avg_tokens"), round(avg(col("q")), 6).as("avg_quality"))
+        sr6(avg(col("ntok"))).as("avg_tokens"), sr6(avg(col("q"))).as("avg_quality"))
 
   /** X3: exact top-10 cosine neighbors of vec_id=0 (brute-force baseline). */
   private def q24(s: SparkSession, dir: String): DataFrame = {
@@ -354,9 +356,9 @@ object SparkEntry {
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        sr6(expr("percentile(value, 0.5)")).as("p50"),
+        sr6(expr("percentile(value, 0.9)")).as("p90"),
+        sr6(expr("percentile(value, 0.99)")).as("p99"))
 
   /** A3+: statistical aggregates (sample stddev/variance, covariance,
     * correlation).
@@ -366,8 +368,8 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(
         round(stddev_samp(col("value")), 6).as("sd"),
-        round(var_samp(col("value")), 6).as("vr"),
-        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cv"),
+        sr6(var_samp(col("value"))).as("vr"),
+        sr6(covar_samp(col("value"), col("user_id").cast("double"))).as("cv"),
         round(corr(col("value"), col("user_id").cast("double")), 6).as("cr"))
 
   /** Pivot: per-user event-type counts as columns. */
@@ -412,8 +414,8 @@ object SparkEntry {
       .select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.tokenCount(col("text")).as("ntok"),
-        round(TextAnalysis.stopwordRatio(col("text"),
-          Seq("the", "a", "and", "of", "to")), 6).as("stopword_ratio"))
+        sr6(TextAnalysis.stopwordRatio(col("text"),
+          Seq("the", "a", "and", "of", "to"))).as("stopword_ratio"))
 
   /** X2: SimHash near-dup pairs (Hamming <= 6) via 8-bit-block pigeonhole
     * banding — exact for this radius, no O(n^2) cross join. xxhash64-based —
@@ -521,8 +523,8 @@ object SparkEntry {
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
+        sr6(percent_rank().over(w)).as("pr"),
+        sr6(cume_dist().over(w)).as("cd"),
         dense_rank().over(w).as("dr"))
   }
 

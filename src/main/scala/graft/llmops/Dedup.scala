@@ -149,8 +149,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
-          .as("jaccard"))
+        graft.util.Partitioning.stableRound6(
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -52,7 +52,7 @@ object TextAnalysis {
     val lenScore = least(len / lit(200.0), lit(1.0))
     val wordScore = when(meanWord.between(3.0, 10.0), 1.0).otherwise(0.5)
     val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.3)
-    round(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2, 6)
+    graft.util.Partitioning.stableRound6(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2)
   }
 
   /** Language-ID heuristic: score each candidate language by marker-token
