@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in optimizer rule (spark.graft.rewriteTopOne=true):
+    // rank-1-per-group window -> min_by/max_by hash aggregate
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopOnePerGroup)
+
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
