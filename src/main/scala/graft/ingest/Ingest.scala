@@ -93,6 +93,23 @@ object Ingest {
           col("last_price").cast("string"), col("volume").cast("string"),
           concat_ws(",", col("trade_conditions"))))
 
+  /** Typed view of a normalized bar frame — compile-time field checks at
+    * the API boundary (SURVEY §1.2: Dataset[T] at boundaries, DataFrame
+    * internally where column-name logic is clearer).
+    */
+  def barsTyped(normalized: DataFrame): org.apache.spark.sql.Dataset[graft.model.Models.Bar] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    normalized.as[graft.model.Models.Bar]
+  }
+
+  /** Typed view of a normalized trade frame. */
+  def tradesTyped(normalized: DataFrame): org.apache.spark.sql.Dataset[graft.model.Models.Trade] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    normalized.as[graft.model.Models.Trade]
+  }
+
   /** P5 quality gate for bars: admit iff volume > 0 and ticker present. */
   def gateBars(bars: DataFrame): DataFrame =
     bars.filter(col("volume") > 0 && col("ticker").isNotNull)

@@ -37,6 +37,15 @@ class IngestSpec extends SparkSpec {
     assert(out.getAs[Int]("volume") === 50)
   }
 
+  test("typed Dataset boundary: Bar/Trade case classes round-trip") {
+    val bars = Ingest.barsTyped(Ingest.normalizeBars(Seq(barJson).toDF("value")))
+    val b = bars.collect().head
+    assert(b.ticker === "AAPL" && b.close === 224.98f && b.volume === 183024)
+    val trades = Ingest.tradesTyped(Ingest.normalizeTrades(Seq(tradeJson).toDF("value")))
+    val tr = trades.collect().head
+    assert(tr.symbol === "AAPL" && tr.trade_conditions === Seq("1", "12"))
+  }
+
   test("malformed JSON yields an all-null row (PERMISSIVE), gate drops it") {
     val out = Ingest.normalizeBars(Seq("{not json", barJson).toDF("value"))
     assert(out.count() === 2)
