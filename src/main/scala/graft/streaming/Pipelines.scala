@@ -87,6 +87,18 @@ object Pipelines {
       .select(col("key"), col("window.start").as("bucket_start"),
         col("open"), col("high"), col("low"), col("close"), col("volume"), col("n"))
 
+  /** T2: update-mode running aggregate — the reference declares
+    * outputMode("update") on its (stateless) pipelines; the semantically
+    * meaningful form is a keyed aggregation that re-emits changed groups
+    * per micro-batch. Volume/price running totals per ticker; pair with
+    * an upsert sink keyed on `ticker`.
+    */
+  def runningTotalsUpdateMode(bars: DataFrame): DataFrame =
+    bars.groupBy(col("ticker"))
+      .agg(sum(col("volume")).as("total_volume"),
+        count(lit(1)).as("n_bars"),
+        max(col("datetime")).as("latest_bar"))
+
   /** Stream-stream interval join: each left event matched to right events
     * with the same key within [leftTs - windowSec, leftTs]. Both sides must
     * carry watermarks; the time-range predicate is what lets Spark bound

@@ -54,6 +54,18 @@ object DriveStreaming {
     println("DRIVE closed window: " + closed.mkString("; "))
     q.stop()
 
+    // update-mode drive: only changed groups re-emit
+    val umem = MemoryStream[String]
+    val uq = Pipelines.runningTotalsUpdateMode(Pipelines.barsFromJson(umem.toDF()))
+      .writeStream.format("memory").queryName("drive_upd").outputMode("update").start()
+    umem.addData(bar("AAPL", "2024-11-15T14:30:00.000Z", 100), bar("MSFT", "2024-11-15T14:30:00.000Z", 10))
+    uq.processAllAvailable()
+    umem.addData(bar("AAPL", "2024-11-15T14:31:00.000Z", 50))
+    uq.processAllAvailable()
+    println("DRIVE update-mode emissions (expect 3: AAPL, MSFT, then AAPL only):")
+    spark.table("drive_upd").show(false)
+    uq.stop()
+
     // stateful drive: running OHLC via flatMapGroupsWithState across batches
     import graft.streaming.StatefulOps
     import graft.streaming.StatefulOps.TickerTick

@@ -59,6 +59,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update-mode running totals re-emit only changed groups per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Pipelines.runningTotalsUpdateMode(Pipelines.barsFromJson(mem.toDF()))
+      .writeStream.format("memory").queryName("upd_out").outputMode("update").start()
+    try {
+      mem.addData(bar("AAPL", "2024-11-15T14:30:00.000Z", 100),
+        bar("MSFT", "2024-11-15T14:30:00.000Z", 10))
+      q.processAllAvailable()
+      val after1 = spark.table("upd_out").collect()
+      assert(after1.length === 2)
+      mem.addData(bar("AAPL", "2024-11-15T14:31:00.000Z", 50))
+      q.processAllAvailable()
+      val rows = spark.table("upd_out").collect()
+      // batch 2 re-emits ONLY the changed group (AAPL) with updated totals
+      assert(rows.length === 3)
+      assert(rows.count(_.getAs[String]("ticker") == "MSFT") === 1)
+      assert(rows.exists(r => r.getAs[String]("ticker") == "AAPL" &&
+        r.getAs[Long]("total_volume") == 150L && r.getAs[Long]("n_bars") == 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches trades to bars within the window") {
     implicit val sqlCtx = spark.sqlContext
     val barsMem = MemoryStream[String]
