@@ -21,8 +21,8 @@ import graft.ingest.Ingest
   */
 object Pipelines {
 
-  /** Session defaults for streaming jobs: RocksDB state store + AQE off is
-    * not needed (streaming micro-batches don't use AQE).
+  /** Session default for streaming jobs: RocksDB state store (off-heap,
+    * incremental checkpoints) for large dedup/window/join state.
     */
   def configureStateStore(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
