@@ -265,14 +265,14 @@ WHERE rn = 1""",
 
     "q30_session_windows" ->
       """WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), g AS (
   SELECT user_id, ts, value,
-    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
   FROM o
 )
 SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 4) AS total

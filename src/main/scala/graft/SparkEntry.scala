@@ -378,6 +378,7 @@ object SparkEntry {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
+      .na.fill(0) // absent combos: pivot yields NULL, the oracle's FILTER count yields 0
 
   /** §2.7: union of two differently-shaped normalized feeds
     * (unionByName with missing columns null-filled).

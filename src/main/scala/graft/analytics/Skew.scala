@@ -60,6 +60,12 @@ object Skew {
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String, saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // right-preserving joins would emit unmatched right rows once per
+    // replicated salt bucket — wrong duplicates by construction
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports left-preserving join types only, got: $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(col(key), spark_partition_id(), monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
     val replicatedRight = right.withColumn("__salt",

@@ -67,20 +67,6 @@ object TimeSeries {
     df.withColumn("rn", row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*)))
       .filter(col("rn") <= n)
 
-  /** J2: as-of join — for each left row, the most recent right row with the
-    * same key and rightTs <= leftTs.
-    *
-    * Spark has no native as-of join; rather than a range-join (O(n·m) blowup)
-    * this uses the union + last(ignoreNulls) pattern: one shuffle on the key,
-    * one ordered window pass, linear in |left|+|right|. At 100 TB this is the
-    * scalable form — state per task is a single running "last right row"
-    * value, and the sort is per-key within partitions.
-    *
-    * Right rows sort before left rows at equal timestamps (side 0 < 1), so
-    * the match is inclusive (rightTs == leftTs matches), like DuckDB's
-    * ASOF JOIN. `rightPayload` are the right columns to carry; they come back
-    * prefixed as-is, null when no match (left-outer semantics).
-    */
   /** Bounded-range join: pairs (left, right) with equal `key` and
     * rightTs in (leftTs - windowSec, leftTs].
     *
@@ -116,6 +102,20 @@ object TimeSeries {
       .drop("__b", "__rkey", "__rb", "__rts")
   }
 
+  /** J2: as-of join — for each left row, the most recent right row with the
+    * same key and rightTs <= leftTs.
+    *
+    * Spark has no native as-of join; rather than a range-join (O(n·m) blowup)
+    * this uses the union + last(ignoreNulls) pattern: one shuffle on the key,
+    * one ordered window pass, linear in |left|+|right|. At 100 TB this is the
+    * scalable form — state per task is a single running "last right row"
+    * value, and the sort is per-key within partitions.
+    *
+    * Right rows sort before left rows at equal timestamps (side 0 < 1), so
+    * the match is inclusive (rightTs == leftTs matches), like DuckDB's
+    * ASOF JOIN. `rightPayload` are the right columns to carry; they come back
+    * prefixed as-is, null when no match (left-outer semantics).
+    */
   def asOfJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
@@ -131,8 +131,13 @@ object TimeSeries {
       .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    // tie-break among right rows sharing (key, ts) on the payload struct so
+    // the match is deterministic (the largest payload tuple wins); DuckDB's
+    // ASOF pick among exact-duplicate timestamps is likewise unspecified, so
+    // callers should ensure right-side (key, ts) uniqueness for oracle work
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"),
+        struct(rightPayload.map(c => col(s"__r_$c")): _*).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select(Seq(col("__side")) ++ lCols.map(col) ++

@@ -33,6 +33,9 @@ case class MinHashBands(
     numBands: Int)
   extends UnaryExpression with CodegenFallback {
 
+  require(numBands > 0 && numHashes % numBands == 0,
+    s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
+
   private val p = Dedup.MinhashP
   private val coeffs = Dedup.minhashCoeffs(numHashes).toArray
   private val rowsPerBand = numHashes / numBands
@@ -40,14 +43,16 @@ case class MinHashBands(
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    // code-point shingling (NOT UTF-16 units) — matches Spark substr /
+    // DuckDB substr semantics on supplementary-plane characters
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
     val md = MinHashBands.localMd5.get()
     val minima = Array.fill(numHashes)(p)
-    val n = text.length - shingleK + 1
+    val n = cps.length - shingleK + 1
     var i = 0
     while (i < n) {
       md.reset()
-      val digest = md.digest(text.substring(i, i + shingleK).getBytes("UTF-8"))
+      val digest = md.digest(new String(cps, i, shingleK).getBytes("UTF-8"))
       // first 15 hex chars = top 60 bits of the digest
       var h = 0L
       var b = 0

@@ -24,15 +24,16 @@ case class ShingleFingerprint(child: Expression, shingleK: Int)
   override def dataType: DataType = StringType
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    // code-point shingling — matches Spark substr / DuckDB substr semantics
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
     val md = ShingleFingerprint.localMd5.get()
-    val n = Math.max(text.length - shingleK + 1, 1)
+    val n = Math.max(cps.length - shingleK + 1, 1)
     var best: String = null
     var i = 0
     while (i < n) {
       md.reset()
-      val end = Math.min(i + shingleK, text.length)
-      val hex = ShingleFingerprint.hex(md.digest(text.substring(i, end).getBytes("UTF-8")))
+      val count = Math.min(shingleK, cps.length - i)
+      val hex = ShingleFingerprint.hex(md.digest(new String(cps, i, count).getBytes("UTF-8")))
       if (best == null || hex.compareTo(best) < 0) best = hex
       i += 1
     }

@@ -26,14 +26,16 @@ object Dedup {
   /** X1: 256-bit content digest for exact dedup at scale. */
   def contentHash(text: Column): Column = sha2(text, 256)
 
-  /** Character k-shingles of `text` as an array column — positions are
-    * 1-based, requires length(text) >= k (callers filter shorter docs).
-    * Pure per-row expression; no shuffle.
+  /** Character k-shingles of `text` as an array column (1-based positions);
+    * empty array for text shorter than k — guarded, because sequence() with
+    * an end < start generates a DESCENDING sequence and substr() interprets
+    * non-positive positions from the string end, which would yield garbage
+    * shingles. Pure per-row expression; no shuffle.
     */
   def shingles(text: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), length(text) - (k - 1)),
-      i => text.substr(i, lit(k)))
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)), i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
 
   /** Prime modulus for the universal-hash MinHash family. Fits in 31 bits so
     * `a * h` stays under 2^62 — no overflow under ANSI arithmetic, in Spark

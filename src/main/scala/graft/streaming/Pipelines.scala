@@ -116,7 +116,7 @@ object Pipelines {
       col(key) === col("__rkey") &&
         col("__rts") >= col(leftTs) - expr(s"INTERVAL $windowSec seconds") &&
         col("__rts") <= col(leftTs))
-      .drop("__rkey")
+      .drop("__rkey", "__rts")
   }
 
   /** S3: idempotent sink — foreachBatch parquet append. Retried epochs

@@ -32,7 +32,10 @@ object StatefulOps {
     * batch by event time then insertion order).
     */
   private[streaming] def fold(st: Option[OhlcState], ticks: Seq[TickerTick]): Option[OhlcState] = {
-    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price))
+    // stable sort by event time ONLY: ties keep batch arrival order, so
+    // `close` is the last-arriving tick at the latest timestamp (last-trade
+    // semantics), not an arbitrary price-ordered pick
+    val sorted = ticks.sortBy(_.datetime.getTime)
     sorted.foldLeft(st) { (acc, t) =>
       acc match {
         case None => Some(OhlcState(t.price, t.price, t.price, t.price, t.volume.toLong, 1L, t.datetime.getTime))
