@@ -55,6 +55,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L))
   }
 
+  test("asOfJoin == naive argmax formulation on harness events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    val fast = TimeSeries.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("view_ts"))
+      .select(col("event_id"), col("view_ts"))
+    // naive: per purchase, the max view_ts <= purchase ts for the user
+    val naive = purchases.as("p")
+      .join(views.select(col("user_id").as("vu"), col("view_ts")),
+        col("user_id") === col("vu") && col("view_ts") <= col("ts"), "left_outer")
+      .groupBy(col("event_id")).agg(max(col("view_ts")).as("view_ts"))
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+    assert(fast.count() > 0)
+  }
+
   test("boundedRangeJoin == naive theta join on harness events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
