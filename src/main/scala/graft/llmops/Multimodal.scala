@@ -73,6 +73,29 @@ object Multimodal {
   def bucketByContent(media: Dataset[MediaRecord], buckets: Int): Dataset[MediaRecord] =
     media.repartition(buckets, abs(hash(col("media_id"))) % buckets)
 
+  /** Resize plumbing for image rows: target dimensions are computed
+    * relationally (aspect-preserving fit into maxDim); the byte
+    * transformation itself runs per-partition behind the same stubbed
+    * codec seam as [[extractFeatures]]. Only images flow through; other
+    * kinds pass untouched.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map {
+        case r if r.kind == "image" && r.width.isDefined && r.height.isDefined =>
+          val (w, h) = (r.width.get, r.height.get)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).round.toInt), math.max(1, (h * scale).round.toInt))
+          // codec stub: a real implementation decodes, resamples, re-encodes;
+          // the deterministic stand-in tags the payload with the new dims
+          r.copy(bytes = r.bytes ++ s"|resized:${nw}x$nh".getBytes("UTF-8"),
+            width = Some(nw), height = Some(nh))
+        case r => r
+      }
+    }
+  }
+
   /** Frame-sampling shape for video rows: emit (media_id, frame_idx) for
     * every `everyMs` within duration — the downstream decode would seek per
     * frame. Pure relational expansion (sequence + explode), no bytes moved.

@@ -84,6 +84,9 @@ object DriveStreaming {
     val feats = graft.llmops.Multimodal.extractFeatures(
       graft.llmops.Multimodal.bucketByContent(graft.llmops.Multimodal.syntheticMedia(spark, 6), 2), 4)
     feats.show(3, false)
+    println("DRIVE resized images (maxDim 32):")
+    graft.llmops.Multimodal.resizeImages(graft.llmops.Multimodal.syntheticMedia(spark, 6), 32)
+      .filter(_.kind == "image").toDF().select("media_id", "kind", "width", "height").show(false)
     spark.stop()
   }
 }

@@ -138,6 +138,18 @@ class LlmopsSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("fp").length === 32))
   }
 
+  test("multimodal: resize fits images into maxDim, preserves aspect, skips non-images") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val resized = Multimodal.resizeImages(media, maxDim = 32).collect()
+    val images = resized.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    assert(images.forall(r => r.width.get <= 32 && r.height.get <= 32))
+    assert(images.forall(r => new String(r.bytes, "UTF-8").contains("|resized:")))
+    // non-images untouched
+    val origAudio = media.collect().filter(_.kind == "audio").map(r => new String(r.bytes, "UTF-8")).toSet
+    assert(resized.filter(_.kind == "audio").map(r => new String(r.bytes, "UTF-8")).toSet === origAudio)
+  }
+
   test("multimodal: feature extraction plumbing is deterministic; frame plan expands") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val feats = Multimodal.extractFeatures(Multimodal.bucketByContent(media, 3), dim = 8).collect()
