@@ -643,6 +643,18 @@ object SparkEntry {
                     WHERE i.o_custkey = o.o_custkey AND i.o_orderkey <> o.o_orderkey)""")
   }
 
+  /** A4+: approximate percentiles (t-digest-style sketch) — the monitoring
+    * form of q33 for when a 1% error buys a single-pass mergeable sketch at
+    * 10^12 rows. Approximate by design — rows-only check; q33 is the exact
+    * oracle-verified twin.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.99, 1000)").as("p99_approx"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -701,6 +713,7 @@ object SparkEntry {
     "q55_array_funcs" -> (q55 _),
     "q56_conditionals" -> (q56 _),
     "q57_subqueries" -> (q57 _),
+    "q58_approx_percentiles" -> (q58 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -37,13 +37,23 @@ object Pipelines {
     * on.)
     */
   def kafkaSource(spark: SparkSession, brokers: String, topic: String,
-      startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true): DataFrame = {
+    val base = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
+      // backpressure: cap records per micro-batch so a backlog replay
+      // doesn't produce one giant batch (the scale knob the reference
+      // never sets — its topics are 1-partition anyway, SURVEY §6)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+    maxOffsetsPerTrigger
+      .map(n => base.option("maxOffsetsPerTrigger", n.toString))
+      .getOrElse(base)
       .load()
+  }
 
   /** Normalized bar stream from a (streaming or batch) frame bearing a
     * string `value` column of JSON bar messages: parse → gate → watermark →
