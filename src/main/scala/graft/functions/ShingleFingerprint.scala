@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,26 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * measured ~3.6s on sf0.1 documents vs sub-second here.
   */
 case class ShingleFingerprint(child: Expression, shingleK: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(input: Any): Any = {
-    // code-point shingling — matches Spark substr / DuckDB substr semantics
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
-    val md = ShingleFingerprint.localMd5.get()
-    val n = Math.max(cps.length - shingleK + 1, 1)
-    var best: String = null
-    var i = 0
-    while (i < n) {
-      md.reset()
-      val count = Math.min(shingleK, cps.length - i)
-      val hex = ShingleFingerprint.hex(md.digest(new String(cps, i, count).getBytes("UTF-8")))
-      if (best == null || hex.compareTo(best) < 0) best = hex
-      i += 1
-    }
-    UTF8String.fromString(best)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleFingerprint.compute(input.asInstanceOf[UTF8String], shingleK)
+
+  /** Real codegen: static call keeps the expression inside the
+    * whole-stage span (shingleK embedded as a literal).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleFingerprint.compute($c, $shingleK)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleFingerprint =
     copy(child = newChild)
@@ -47,6 +40,25 @@ case class ShingleFingerprint(child: Expression, shingleK: Int)
 object ShingleFingerprint {
   private val localMd5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
+
+  /** Shared by interpreted eval and generated code (static call).
+    * Code-point shingling — matches Spark substr / DuckDB substr semantics.
+    */
+  def compute(input: UTF8String, shingleK: Int): UTF8String = {
+    val cps = input.toString.codePoints().toArray
+    val md = localMd5.get()
+    val n = Math.max(cps.length - shingleK + 1, 1)
+    var best: String = null
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val count = Math.min(shingleK, cps.length - i)
+      val h = hex(md.digest(new String(cps, i, count).getBytes("UTF-8")))
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
 
   private val hexChars = "0123456789abcdef".toCharArray
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,12 +17,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOFs evaluate outside codegen with no CSE, so the HOF tree rescans the
   * hash array per bit (measured 15s on sf0.1 documents; this is sub-second).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  /** Real codegen (not CodegenFallback): emit a static call so the
+    * expression stays inside the surrounding whole-stage span — no
+    * interpreted-eval bridge, no per-row boxing of the input row.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Shared by the interpreted eval and the generated code (static call). */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val seen = new java.util.HashSet[UTF8String](Math.max(8, n * 2))
     val votes = new Array[Int](64)
@@ -47,14 +64,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   def simhash64(tokens: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
       SimHash64(org.apache.spark.sql.graft.bridge.expression(tokens)))
