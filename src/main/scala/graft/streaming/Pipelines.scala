@@ -143,6 +143,64 @@ object Pipelines {
           .write.mode("append").parquet(path)
       }
 
+  /** S3+: exactly-once UPSERT sink on plain parquet — the completion of the
+    * deterministic-id design (SURVEY §7 hard-parts).
+    *
+    * Layout: the table is hash-partitioned on the row id into `buckets`
+    * directory partitions. Each micro-batch:
+    *   1. bucket the incoming rows,
+    *   2. read ONLY the affected bucket partitions of the existing table,
+    *   3. anti-join old rows against incoming ids (new version wins),
+    *   4. rewrite just those partitions (dynamic partition overwrite).
+    *
+    * Retried epochs rewrite identical content (ids are content hashes), so
+    * the sink is idempotent AND updating — true exactly-once without a
+    * transactional table format. Work per batch scales with the batch's
+    * bucket fan-out, not table size; pick `buckets` so a typical batch
+    * touches a fraction of them.
+    */
+  def upsertParquetSink(df: DataFrame, path: String, checkpoint: String,
+      idCol: String = "id", buckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bucketed = batch
+          // int bucket (partition-dir type inference reads small values as int)
+          .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
+          .dropDuplicates(idCol) // in-batch dedup of same-id rows
+          .cache()
+        val affected = bucketed.select("__bucket").distinct()
+          .collect().map(_.getInt(0))
+        if (affected.nonEmpty) {
+          // drop any cached file listing for the path: the previous batch's
+          // dynamic overwrite replaced part files in place
+          spark.catalog.refreshByPath(path)
+          val survivors =
+            try {
+              spark.read.parquet(path)
+                .filter(col("__bucket").isin(affected: _*)) // partition-pruned read
+                .join(bucketed.select(col(idCol).as("__new_id")),
+                  col(idCol) === col("__new_id"), "left_anti") // new version wins
+                // sever lineage from `path`: Spark refuses to overwrite a
+                // path its plan still reads; survivors are bucket-sized
+                .localCheckpoint(true)
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketed.schema)
+            }
+          val merged = survivors.unionByName(bucketed)
+          val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+          finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
+        bucketed.unpersist()
+        () // foreachBatch lambda must be Unit-typed
+      }
+
   /** S2 shape: write a normalized stream back to a Kafka topic as JSON. */
   def kafkaSink(df: DataFrame, brokers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
