@@ -455,10 +455,10 @@ WHERE o_orderkey % 1000 + 1 > 0""",
 
     "q51_ingest_trades" ->
       """SELECT
-  list_value(l_returnflag, l_linestatus) AS trade_conditions,
+  concat(l_returnflag, ',', l_linestatus) AS trade_conditions,
   CAST(l_extendedprice AS FLOAT) AS last_price,
   concat('S', l_suppkey) AS symbol,
-  l_shipdate AS datetime,
+  CAST(l_shipdate AS TIMESTAMP) AS datetime,
   l_linenumber AS volume
 FROM lineitem
 WHERE l_linenumber > 0""",
@@ -485,7 +485,10 @@ SELECT p_partkey, 'retailprice' AS attribute, round(p_retailprice, 2) AS value F
       """SELECT vec_id,
   len(embedding) AS dim,
   round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-  list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6))) AS sorted_head
+  array_to_string(
+    list_transform(
+      list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6))),
+      x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS sorted_head
 FROM embeddings""",
 
     "q56_conditionals" ->

@@ -579,6 +579,9 @@ object SparkEntry {
       unix_millis(col("l_shipdate").cast("timestamp")).as("t"),
       col("l_linenumber").as("v"))).as("value"))
     Ingest.gateTrades(Ingest.normalizeTrades(wire)).drop("id")
+      // driver compare sorts rows in pandas; array cells are unhashable
+      // there, so render the condition list as a canonical CSV string
+      .withColumn("trade_conditions", concat_ws(",", col("trade_conditions")))
   }
 
   /** J outer: full-outer join of two aggregated populations with
@@ -616,8 +619,14 @@ object SparkEntry {
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
-        sort_array(transform(slice(Similarity.asDouble(col("embedding")), 1, 4),
-          x => round(x, 6))).as("sorted_head")) // round THEN sort, same as the oracle
+        // round THEN sort, same as the oracle; scaled-int CSV rendering keeps
+        // the cell scalar (pandas can't sort array cells) and avoids
+        // double->string formatting divergence between engines
+        concat_ws(",",
+          transform(
+            sort_array(transform(slice(Similarity.asDouble(col("embedding")), 1, 4),
+              x => round(x, 6))),
+            x => round(x * 1e6).cast("long"))).as("sorted_head"))
 
   /** §2.8 conditional expressions: CASE buckets + nullif/coalesce. */
   private def q56(s: SparkSession, dir: String): DataFrame =

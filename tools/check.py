@@ -24,8 +24,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if math.isnan(v):
                 return "NaN"
             return repr(round(v, 9))
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            # the DRIVER's compare crashes on array cells (pandas sort over
+            # unhashable values) — surface that locally instead of tolerating
+            raise TypeError("array-valued cell: driver compare cannot sort these")
         try:
             if v is pd.NaT or (v is not None and pd.isna(v)):
                 return "NULL"
@@ -55,7 +57,10 @@ def main():
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        s, d = canon(spark_df), canon(duck_df)
+        try:
+            s, d = canon(spark_df), canon(duck_df)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}"); n_fail += 1; continue
         if len(s) != len(d):
