@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Native vector arithmetic for the similarity-search operators (SURVEY
+  * §2.10 X3).
+  *
+  * The higher-order-function form (`aggregate(zip_with(a, b, _*_), ...)`)
+  * evaluates interpreted with a per-element lambda allocation and no
+  * common-subexpression elimination — a 64-dim cosine costs ~400 boxed
+  * ops per row, and each extra reference to the same norm recomputes it.
+  * These expressions are tight primitive loops with real codegen
+  * (static-call form), so a cosine is ~190 flops inside the surrounding
+  * whole-stage span.
+  *
+  * Accumulation order is i = 0..n-1, identical to the HOF fold they
+  * replace, so scores are bit-identical and oracle comparisons are
+  * unaffected.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  /** Shared by interpreted eval and generated code (static call).
+    * Left-to-right accumulation over min(|a|, |b|) elements.
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Dot product of two array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      DotProduct(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+}
+
+/** Nearest-centroid assignment against a small driver-resident centroid
+  * matrix (the IVF Lloyd step). The matrix rides into generated code as a
+  * codegen reference object — the same mechanics as a broadcast literal,
+  * appropriate because an IVF centroid set is small BY DESIGN (nCells is
+  * chosen ~sqrt(n); Spark ML's KMeans keeps centers on the driver for the
+  * same reason).
+  *
+  * Returns the cell id whose centroid has the highest cosine similarity to
+  * the input vector; ties resolve to the lowest cell id (cells are scanned
+  * in ascending-id order with a strict-greater test). `norm(v)` is a
+  * positive constant across candidates, so only `dot(v,c)/|c|` is compared.
+  */
+case class NearestCentroidCell(
+    child: Expression,
+    cellIds: Seq[Int],
+    centroids: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  require(cellIds.nonEmpty && cellIds.length == centroids.length,
+    s"need one cell id per centroid, got ${cellIds.length} ids / ${centroids.length} centroids")
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Int] = cellIds.toArray
+  @transient private lazy val invNorms: Array[Double] =
+    matrix.map { c =>
+      val n = math.sqrt(DotProduct.compute(
+        ArrayData.toArrayData(c), ArrayData.toArrayData(c)))
+      if (n == 0.0) 0.0 else 1.0 / n
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidCell.compute(input.asInstanceOf[ArrayData], ids, matrix, invNorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
+    val matRef = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    val invRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroidCell.compute($c, $idsRef, $matRef, $invRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidCell =
+    copy(child = newChild)
+}
+
+object NearestCentroidCell {
+
+  /** Shared by interpreted eval and generated code (static call). */
+  def compute(
+      v: ArrayData, ids: Array[Int],
+      matrix: Array[Array[Double]], invNorms: Array[Double]): Int = {
+    var best = ids(0)
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getDouble(i) * cent(i)
+        i += 1
+      }
+      val sim = s * invNorms(c)
+      if (sim > bestSim) { bestSim = sim; best = ids(c) }
+      c += 1
+    }
+    best
+  }
+
+  def nearestCentroidCell(
+      vec: Column, cellIds: Seq[Int], centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      NearestCentroidCell(
+        org.apache.spark.sql.graft.bridge.expression(vec), cellIds, centroids))
+}

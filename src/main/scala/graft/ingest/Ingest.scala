@@ -41,10 +41,19 @@ object Ingest {
   /** P2+P3: parse the JSON payload with an explicit schema (PERMISSIVE —
     * malformed input yields an all-null struct, matching the reference's
     * implicit default) and flatten.
+    *
+    * The `explode(array(...))` wrapper is a plan barrier, not data logic:
+    * a downstream filter would otherwise be pushed through the projection
+    * by substitution, duplicating the (interpreted, non-codegen) parse per
+    * predicate leg — and below any repartition, collapsing parallelism to
+    * the scan's task count. Predicates on a Generate's output attribute
+    * cannot push through it, so the stream parses each payload exactly
+    * once, after the exchange. Generate(explode) stays codegen'd and
+    * streaming-legal; the per-row cost is one 1-element array.
     */
   private def parse(jsonValues: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
     jsonValues
-      .select(from_json(col("value"), schema).alias("data"))
+      .select(explode(array(from_json(col("value"), schema))).alias("data"))
       .select(col("data.*"))
 
   /** Deterministic row key replacing the reference's uuid() (P7): a content

@@ -23,14 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (index-aligned fold — order
-    * deterministic).
+  /** Dot product of two array<double> columns. Native codegen'd loop
+    * ([[graft.functions.DotProduct]]) with the same left-to-right
+    * accumulation order as the HOF fold it replaced — bit-identical
+    * results, ~100x fewer boxed ops per row.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   /** L2 norm of an array<double> column. */
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
@@ -85,42 +87,56 @@ object Similarity {
   def ivfIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, nCells: Int): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val seeded = graft.util.Partitioning.ensureParallelism(embeddings).select(
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"),
       pmod(srpBucket(col(vecCol), dim, 16), lit(nCells)).as("seed_cell"))
-    // element-wise mean per seed cell: explode to (cell, pos, x), average,
-    // gather back in position order
-    val centroids = seeded
+    // element-wise mean per seed cell — ONE aggregation pass, then the
+    // nCells x dim result (small BY DESIGN — nCells ~ sqrt(n); Spark ML's
+    // KMeans keeps centers driver-side for the same reason) is collected
+    // and re-shipped as a codegen reference object. This removes the
+    // crossJoin + per-id window the dataframe-side Lloyd step needed, and
+    // stops the centroid subplan from being recomputed by every consumer.
+    val meanRows = seeded
       .select(col("seed_cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("seed_cell"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("seed_cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("seed_cell").as("cell"), transform(col("pm"), _.getField("m")).as("centroid"))
-    // one Lloyd step: assign each vector to its nearest centroid
-    val assigned = seeded.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cell"),
-        (dot(col("v"), col("centroid")) / (norm(col("v")) * norm(col("centroid")))).as("sim"))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"))
+      .collect()
+    val byCell = meanRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val cellIds = byCell.map(_._1)
+    val centroidVecs: Seq[Seq[Double]] =
+      byCell.map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    val centroids = cellIds.zip(centroidVecs).toDF("cell", "centroid")
+    // one Lloyd step: assign each vector to its nearest centroid (native
+    // argmax over the driver-resident matrix; ties -> lowest cell id)
+    val assigned = seeded.select(col("id"), col("v"),
+      graft.functions.NearestCentroidCell
+        .nearestCentroidCell(col("v"), cellIds, centroidVecs).as("cell"))
     (centroids, assigned)
   }
 
-  /** IVF query: scan only the nProbe nearest cells, exact cosine inside. */
+  /** IVF query: scan only the nProbe nearest cells, exact cosine inside.
+    * Probe-cell selection runs on the driver — `centroids` is the tiny
+    * index head (a LocalRelation from [[ivfIndex]]); only the pruned data
+    * scan is distributed.
+    */
   def ivfTopK(
       centroids: DataFrame, assigned: DataFrame,
       queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {
+    val qArr = queryVec.toArray
+    val qNorm = math.sqrt(qArr.map(x => x * x).sum)
+    val probe = centroids.select(col("cell"), col("centroid")).collect()
+      .map { r =>
+        val c = r.getSeq[Double](1).toArray
+        val d = c.zip(qArr).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (r.getInt(0), d / (cn * qNorm))
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
     val q = array(queryVec.map(lit): _*)
-    val probeCells = centroids
-      .select(col("cell"),
-        (dot(col("centroid"), q) / (norm(col("centroid")) * norm(q))).as("csim"))
-      .orderBy(col("csim").desc, col("cell"))
-      .limit(nProbe)
-      .select(col("cell"))
-    assigned.join(broadcast(probeCells), "cell")
+    assigned.filter(col("cell").isin(probe: _*))
       .select(col("id"), round(dot(col("v"), q) / (norm(col("v")) * norm(q)), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
