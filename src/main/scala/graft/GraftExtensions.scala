@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rank-1-per-group window -> min_by/max_by hash aggregate
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopOnePerGroup)
 
+    // physical planning for the custom sort-merge as-of join
+    // (graft.plans.MergeAsOfJoinPlan; the MergeAsOf.join API also
+    // registers this at runtime for sessions built without extensions)
+    ext.injectPlannerStrategy(_ => graft.plans.MergeAsOfJoinStrategy)
+
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),

@@ -197,6 +197,15 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
+    // same oracle as q19 — q59 is the identical query through the custom
+    // sort-merge as-of physical operator
+    "q59_asof_merge" ->
+      """SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+  v.ts AS view_ts, round(v.value, 4) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
     "q20_json_props" ->
       """SELECT event_type, count(k) AS n, floor((avg(k)) * 1000000 + 0.5) / 1000000 AS avg_k, max(k) AS max_k
 FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k FROM events)

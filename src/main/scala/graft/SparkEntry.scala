@@ -664,6 +664,23 @@ object SparkEntry {
         expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
         expr("approx_percentile(value, 0.99, 1000)").as("p99_approx"))
 
+  /** J2 as the custom physical operator (graft.plans.MergeAsOfJoinExec):
+    * the same query as q19, planned as a sort-merge as-of join — one
+    * exchange + sort per side inserted by EnsureRequirements, O(1) merge
+    * state, no union inflation or window state machine. Shares q19's
+    * DuckDB ASOF JOIN oracle.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"), round(col("value"), 4).as("view_value"))
+    graft.plans.MergeAsOf.join(purchases, views, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("r_view_ts").as("view_ts"), col("r_view_value").as("view_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -723,6 +740,7 @@ object SparkEntry {
     "q56_conditionals" -> (q56 _),
     "q57_subqueries" -> (q57 _),
     "q58_approx_percentiles" -> (q58 _),
+    "q59_asof_merge" -> (q59 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
