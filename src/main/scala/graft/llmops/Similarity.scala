@@ -86,33 +86,47 @@ object Similarity {
     */
   def ivfIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nCells: Int): (DataFrame, DataFrame) = {
+      dim: Int, nCells: Int, lloydIters: Int = 1): (DataFrame, DataFrame) = {
+    require(lloydIters >= 1, s"lloydIters must be >= 1, got $lloydIters")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val seeded = graft.util.Partitioning.ensureParallelism(embeddings).select(
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"),
       pmod(srpBucket(col(vecCol), dim, 16), lit(nCells)).as("seed_cell"))
-    // element-wise mean per seed cell — ONE aggregation pass, then the
-    // nCells x dim result (small BY DESIGN — nCells ~ sqrt(n); Spark ML's
-    // KMeans keeps centers driver-side for the same reason) is collected
-    // and re-shipped as a codegen reference object. This removes the
-    // crossJoin + per-id window the dataframe-side Lloyd step needed, and
-    // stops the centroid subplan from being recomputed by every consumer.
-    val meanRows = seeded
-      .select(col("seed_cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("seed_cell"), col("pos")).agg(avg(col("x")).as("m"))
-      .collect()
-    val byCell = meanRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-    val cellIds = byCell.map(_._1)
-    val centroidVecs: Seq[Seq[Double]] =
-      byCell.map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    // Element-wise mean per cell — ONE aggregation pass per Lloyd
+    // iteration, then the nCells x dim result (small BY DESIGN — nCells ~
+    // sqrt(n); Spark ML's KMeans keeps centers driver-side for the same
+    // reason) is collected and re-shipped as a codegen reference object.
+    // This removes the crossJoin + per-id window a dataframe-side Lloyd
+    // step would need, and stops the centroid subplan from being
+    // recomputed by every consumer. Each refinement iteration costs one
+    // distributed aggregate + one tiny collect; assignment is a native
+    // argmax over the driver-resident matrix (ties -> lowest cell id).
+    def means(assignedFrame: DataFrame): (Seq[Int], Seq[Seq[Double]]) = {
+      val rows = assignedFrame
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      (byCell.map(_._1),
+        byCell.map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq })
+    }
+    def assign(cellIds: Seq[Int], vecs: Seq[Seq[Double]]): DataFrame =
+      seeded.select(col("id"), col("v"),
+        graft.functions.NearestCentroidCell
+          .nearestCentroidCell(col("v"), cellIds, vecs).as("cell"))
+    var (cellIds, centroidVecs) = means(seeded.withColumnRenamed("seed_cell", "cell"))
+    var assigned = assign(cellIds, centroidVecs)
+    var it = 1
+    while (it < lloydIters) {
+      val m = means(assigned)
+      cellIds = m._1
+      centroidVecs = m._2
+      assigned = assign(cellIds, centroidVecs)
+      it += 1
+    }
     val centroids = cellIds.zip(centroidVecs).toDF("cell", "centroid")
-    // one Lloyd step: assign each vector to its nearest centroid (native
-    // argmax over the driver-resident matrix; ties -> lowest cell id)
-    val assigned = seeded.select(col("id"), col("v"),
-      graft.functions.NearestCentroidCell
-        .nearestCentroidCell(col("v"), cellIds, centroidVecs).as("cell"))
     (centroids, assigned)
   }
 

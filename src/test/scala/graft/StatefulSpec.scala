@@ -66,4 +66,23 @@ class StatefulSpec extends SparkSpec {
     assert(ivf1 === ivf2)
     assert((exact & ivf1).nonEmpty, s"no overlap: exact=$exact ivf=$ivf1")
   }
+
+  test("IVF Lloyd refinement keeps a valid deterministic index and decent recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.llmops.Similarity.asDouble($"embedding")).collect()(0).getSeq[Double](0)
+    val exact = graft.llmops.Similarity.cosineTopK(emb, "vec_id", "embedding", qv, 11)
+      .collect().map(_.getLong(0)).toSet - 0L
+    val (c3, a3) = graft.llmops.Similarity.ivfIndex(emb, "vec_id", "embedding", 64, 16, lloydIters = 3)
+    // every vector still assigned to exactly one live cell
+    assert(a3.count() === emb.count())
+    val liveCells = c3.collect().map(_.getInt(0)).toSet
+    val usedCells = a3.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(usedCells.subsetOf(liveCells), s"assignment to dead cell: ${usedCells -- liveCells}")
+    val ivfA = graft.llmops.Similarity.ivfTopK(c3, a3, qv, 6, 11).collect().map(_.getLong(0)).toSet - 0L
+    val ivfB = graft.llmops.Similarity.ivfTopK(c3, a3, qv, 6, 11).collect().map(_.getLong(0)).toSet - 0L
+    assert(ivfA === ivfB, "refined index must stay deterministic")
+    val recall = (exact & ivfA).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall after refinement too low: $recall (exact=$exact ivf=$ivfA)")
+  }
 }
