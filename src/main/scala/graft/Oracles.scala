@@ -197,6 +197,17 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
+    "q60_embed_near_dups" ->
+      """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE score >= 0.4""",
+
     // same oracle as q19 — q59 is the identical query through the custom
     // sort-merge as-of physical operator
     "q59_asof_merge" ->

@@ -681,6 +681,14 @@ object SparkEntry {
         col("r_view_ts").as("view_ts"), col("r_view_value").as("view_value"))
   }
 
+  /** X1/X3: exact embedding-cosine near-dup pairs — the oracle-verified
+    * semantic-dedup baseline the LSH (q41) and IVF (q43) scale paths are
+    * validated against. Threshold 0.4 fits the synthetic embeddings'
+    * similarity range.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -741,6 +749,7 @@ object SparkEntry {
     "q57_subqueries" -> (q57 _),
     "q58_approx_percentiles" -> (q58 _),
     "q59_asof_merge" -> (q59 _),
+    "q60_embed_near_dups" -> (q60 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -172,6 +172,34 @@ object Dedup {
     inter / (size(da) + size(db) - inter)
   }
 
+  /** X1/X3 crossover: exact embedding-cosine near-duplicate pairs — the
+    * verified BASELINE for semantic dedup. Deliberately O(n^2): norms are
+    * computed once per vector, the pair loop is a broadcast nested-loop
+    * join whose per-pair work is one native codegen'd dot product. The
+    * 100 TB path is [[Similarity.lshBucketedNeighbors]] (SRP-bucketed
+    * candidates only) or [[Similarity.ivfIndex]] — this operator is what
+    * those are validated against, same as brute-force [[Similarity.cosineTopK]]
+    * for search.
+    *
+    * Output: (id_a, id_b, score) with id_a < id_b and rounded
+    * score >= minCosine.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val base = graft.util.Partitioning.ensureParallelism(embeddings).select(
+      col(idCol).as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.util.Partitioning.stableRound6(
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint over token hashes.
     * For each of 64 bit positions, sum +1/-1 votes from each distinct
     * token's xxhash64 bit; the sign vector packs into a long. Per-row

@@ -82,6 +82,18 @@ class LlmopsSpec extends SparkSpec {
     assert(out.head.getDouble(1) === 1.0)
   }
 
+  test("embeddingNearDupPairs finds exactly the above-threshold pairs, once each") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // aligned with 2
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(-1.0f, 0.0f)),  // anti-aligned with both
+      (4L, Seq(0.0f, 1.0f)))   // orthogonal to 1
+      .toDF("id", "vec")
+    val out = Dedup.embeddingNearDupPairs(df, "id", "vec", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L))) // one direction only, nothing else passes 0.9
+  }
+
   test("lshBucketedNeighbors buckets identical vectors together") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
       (3L, Seq(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("id", "vec")
