@@ -68,6 +68,32 @@ class MergeAsOfSpec extends AnyFunSuite {
         a.zip(b).find { case (x, y) => x != y }.map(_.toString).getOrElse("none"))
   }
 
+  test("co-bucketed bucket-sorted inputs make the as-of join exchange-free") {
+    import spark.implicits._
+    val trades = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 5L, 3.0))
+      .toDF("sym", "ts", "px")
+    val quotes = Seq(("A", 10L, 100.0), ("A", 15L, 110.0), ("B", 9L, 120.0))
+      .toDF("sym", "ts", "bid")
+    graft.sources.BucketedLayout.writeBucketed(trades, "asof_trades", 4, Seq("sym"), Seq("sym", "ts"))
+    graft.sources.BucketedLayout.writeBucketed(quotes, "asof_quotes", 4, Seq("sym"), Seq("sym", "ts"))
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val out = plans.MergeAsOf.join(
+        spark.table("asof_trades"), spark.table("asof_quotes"), "sym", "ts", "ts")
+      val rows = out.select($"sym", $"ts", $"r_bid").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+      assert(rows === Set(("A", 10L, 100.0), ("A", 20L, 110.0), ("B", 5L, null)))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed inputs should satisfy the join's distribution:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS asof_trades")
+      spark.sql("DROP TABLE IF EXISTS asof_quotes")
+    }
+  }
+
   test("plan contains MergeAsOfJoinExec with exchanges and sorts inserted by EnsureRequirements") {
     import spark.implicits._
     val l = Seq(("A", 1L)).toDF("k", "ts")
