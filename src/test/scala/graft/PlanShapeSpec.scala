@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape assertions for the flagship queries — the "is this the plan
+  * you'd want at 100 TB" claims from docs/DESIGN.md, locked in as tests:
+  * filters and column pruning reach the parquet scan, small dims
+  * broadcast, global top-k avoids a total sort, native expressions stay
+  * inside whole-stage codegen, and keyed operators shuffle exactly once.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE
+    // keep only the final plan (AQE toString appends the pre-adaptive one)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q02 filter+project: predicate and pruned schema reach the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_returnflag), GreaterThanOrEqual(l_quantity"),
+      s"filter not pushed:\n$plan")
+    // projection pruning: the scan must NOT read all 16 lineitem columns
+    val scanCols = """FileScan parquet \[([^\]]*)\]""".r
+      .findFirstMatchIn(plan).map(_.group(1).count(_ == ',') + 1)
+    assert(scanCols.exists(_ <= 7), s"scan reads too many columns ($scanCols):\n$plan")
+  }
+
+  test("q04 dimension join: small dims broadcast, no shuffle on the fact side") {
+    val plan = planOf("q04_dim_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join must not sort-merge:\n$plan")
+  }
+
+  test("q01 aggregation: partial+final hash aggregate inside whole-stage codegen") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_sum"), s"expected map-side partial aggregation:\n$plan")
+    assert(plan.contains("*("), s"expected whole-stage codegen spans:\n$plan")
+  }
+
+  test("q16 global sort+limit plans as TakeOrderedAndProject (no total sort)") {
+    val plan = planOf("q16_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q25 native fingerprint expression runs inside a whole-stage codegen span") {
+    val plan = planOf("q25_fingerprint")
+    val line = plan.linesIterator.find(_.toLowerCase.contains("shinglefingerprint"))
+    assert(line.isDefined, s"native expression missing from plan:\n$plan")
+    assert(line.get.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
+      s"native expression fell out of codegen: ${line.get}")
+  }
+
+  test("q17 candles: exactly one exchange for the keyed aggregation") {
+    val plan = planOf("q17_candles_5m")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"candle re-aggregation should shuffle once, saw $exchanges:\n$plan")
+  }
+}
