@@ -217,4 +217,33 @@ object Pipelines {
   def start(writer: DataStreamWriter[org.apache.spark.sql.Row],
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     writer.trigger(trigger).start()
+
+  /** T9 facade — the one-call `runPipeline(topic): StreamingQuery` the
+    * reference's Airflow DAG approximates with create-topic -> sensor ->
+    * spark-submit: Kafka topic -> CAST -> parse -> gate -> watermark ->
+    * bounded dedup -> exactly-once-keyed parquet sink. `wire` selects the
+    * bar or trade normalization ([[barsFromJson]] / [[tradesFromJson]]).
+    * Tests exercise the identical chain from a MemoryStream `value`
+    * column (no broker in the harness); this composition only adds the
+    * Kafka frame in front.
+    */
+  def runPipeline(
+      spark: SparkSession, brokers: String, topic: String,
+      sinkPath: String, checkpoint: String,
+      wire: DataFrame => DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    configureStateStore(spark)
+    val normalized = wire(Ingest.valueAsString(kafkaSource(spark, brokers, topic)))
+    start(parquetSink(dedupWithinWatermark(normalized), sinkPath, checkpoint), trigger)
+  }
+
+  /** [[runPipeline]] bound to the yfinance bar wire (SURVEY §3.1). */
+  def runBarsPipeline(spark: SparkSession, brokers: String, topic: String,
+      sinkPath: String, checkpoint: String): StreamingQuery =
+    runPipeline(spark, brokers, topic, sinkPath, checkpoint, barsFromJson(_))
+
+  /** [[runPipeline]] bound to the finnhub trade wire (SURVEY §3.2). */
+  def runTradesPipeline(spark: SparkSession, brokers: String, topic: String,
+      sinkPath: String, checkpoint: String): StreamingQuery =
+    runPipeline(spark, brokers, topic, sinkPath, checkpoint, tradesFromJson(_))
 }
