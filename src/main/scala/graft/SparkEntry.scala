@@ -580,8 +580,11 @@ object SparkEntry {
       col("l_linenumber").as("v"))).as("value"))
     Ingest.gateTrades(Ingest.normalizeTrades(wire)).drop("id")
       // driver compare sorts rows in pandas; array cells are unhashable
-      // there, so render the condition list as a canonical CSV string
-      .withColumn("trade_conditions", concat_ws(",", col("trade_conditions")))
+      // there, so render the condition list as a canonical CSV string.
+      // array_join with "" null replacement (NOT concat_ws, which SKIPS
+      // nulls) renders [A, null] as "A," — same as the oracle's
+      // concat(a, ',', b) under SQL concat's ignore-null rule
+      .withColumn("trade_conditions", array_join(col("trade_conditions"), ",", ""))
   }
 
   /** J outer: full-outer join of two aggregated populations with

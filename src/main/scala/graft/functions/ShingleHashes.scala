@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native shingle-set operators for the exact-Jaccard verify stage of
@@ -33,6 +34,12 @@ case class ShingleHashesSorted(child: Expression, shingleK: Int)
   require(shingleK > 0, s"shingleK must be positive, got $shingleK")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_sorted requires a string input, got ${other.sql}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     ShingleHashesSorted.compute(input.asInstanceOf[UTF8String], shingleK)
@@ -103,6 +110,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

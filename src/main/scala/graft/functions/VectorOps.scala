@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector arithmetic for the similarity-search operators (SURVEY
   * §2.10 X3).
@@ -26,6 +27,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // array<double> only — ArrayData.getDouble on any other element width
+  // would read garbage in the unsafe path; callers cast with
+  // Similarity.asDouble
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -40,10 +52,16 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
 
   /** Shared by interpreted eval and generated code (static call).
-    * Left-to-right accumulation over min(|a|, |b|) elements.
+    * Left-to-right accumulation; dimension mismatch fails FAST — the HOF
+    * fold this replaces yielded NULL via zip_with padding, which silently
+    * poisoned downstream aggregates instead of surfacing the bug.
     */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_product dimension mismatch: $n vs ${b.numElements()}")
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -83,6 +101,12 @@ case class NearestCentroidCell(
     s"need one cell id per centroid, got ${cellIds.length} ids / ${centroids.length} centroids")
 
   override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_cell requires array<double> input, got ${other.sql}")
+  }
 
   @transient private lazy val matrix: Array[Array[Double]] =
     centroids.map(_.toArray).toArray

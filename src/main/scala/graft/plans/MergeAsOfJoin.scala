@@ -38,8 +38,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * keeps the LAST in sort order; requiredChildOrdering appends the
   * remaining orderable right columns, so the winner is the max payload
   * tuple — the same pick as the window baseline's payload tie-break.
-  * Null times sort first and therefore match any left time; callers who
-  * consider null times non-events should filter them out.
+  * Null KEYS match nothing (SQL equi-join semantics, like DuckDB ASOF's
+  * ON equality). Null times sort first and therefore match any left
+  * time; callers who consider null times non-events should filter them
+  * out.
   */
 case class MergeAsOfJoinPlan(
     left: LogicalPlan,
@@ -147,6 +149,14 @@ case class MergeAsOfJoinExec(
           override def next(): InternalRow = {
             val lRow = lIter.next()
             val lKey = lKeyProj(lRow)
+            // SQL equi-join semantics: a null key matches nothing (the
+            // natural ordering would compare null == null). Null-key rows
+            // sort first on both sides, so skipping them here leaves the
+            // right cursor correctly positioned for non-null keys; right
+            // null-key rows are dropped by the c < 0 advance below.
+            if (lKey.anyNull) {
+              return resultProj(joined(lRow, nullRight))
+            }
             val lTime = lTimeProj(lRow).copy()
             var scanning = true
             while (scanning && rHead != null) {

@@ -221,11 +221,13 @@ object Pipelines {
   /** T9 facade — the one-call `runPipeline(topic): StreamingQuery` the
     * reference's Airflow DAG approximates with create-topic -> sensor ->
     * spark-submit: Kafka topic -> CAST -> parse -> gate -> watermark ->
-    * bounded dedup -> exactly-once-keyed parquet sink. `wire` selects the
-    * bar or trade normalization ([[barsFromJson]] / [[tradesFromJson]]).
-    * Tests exercise the identical chain from a MemoryStream `value`
-    * column (no broker in the harness); this composition only adds the
-    * Kafka frame in front.
+    * bounded dedup -> exactly-once keyed upsert sink (retried epochs
+    * rewrite identical content under the deterministic id —
+    * [[upsertParquetSink]]). `wire` selects the bar or trade
+    * normalization ([[barsFromJson]] / [[tradesFromJson]]). Tests
+    * exercise the identical chain from a MemoryStream `value` column (no
+    * broker in the harness); this composition only adds the Kafka frame
+    * in front.
     */
   def runPipeline(
       spark: SparkSession, brokers: String, topic: String,
@@ -234,7 +236,7 @@ object Pipelines {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     configureStateStore(spark)
     val normalized = wire(Ingest.valueAsString(kafkaSource(spark, brokers, topic)))
-    start(parquetSink(dedupWithinWatermark(normalized), sinkPath, checkpoint), trigger)
+    start(upsertParquetSink(dedupWithinWatermark(normalized), sinkPath, checkpoint), trigger)
   }
 
   /** [[runPipeline]] bound to the yfinance bar wire (SURVEY §3.1). */

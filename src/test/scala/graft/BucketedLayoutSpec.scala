@@ -30,29 +30,29 @@ class BucketedLayoutSpec extends AnyFunSuite {
     BucketedLayout.writeBucketed(ord, "ord_bucketed", 8, Seq("o_orderkey"))
     try {
       // scan-reported within-bucket ordering is opt-in since Spark 3.0
-      // (sound here: writeBucketed guarantees one file per bucket)
+      // (sound here: writeBucketed guarantees one file per bucket);
+      // disable broadcast so the join would otherwise be a shuffled SMJ
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(sum(col("l_extendedprice")).as("rev"), max(col("o_totalprice")).as("tp"))
-      // disable broadcast so the join would otherwise be a shuffled SMJ
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = finalPlan(joined)
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       assert(!plan.contains("Exchange"), s"expected no exchanges:\n$plan")
       assert(!plan.contains("Sort "), s"expected scan-reported ordering to elide sorts:\n$plan")
       // same join over the raw (unbucketed) parquet must shuffle
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val unbucketed = finalPlan(
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"))
           .agg(sum(col("l_extendedprice")).as("rev")))
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       assert(unbucketed.contains("Exchange"), s"control plan should shuffle:\n$unbucketed")
     } finally {
+      // unset in finally — a mid-test failure must not leak session confs
+      // into other suites sharing this getOrCreate session
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }

@@ -32,6 +32,17 @@ class MergeAsOfSpec extends AnyFunSuite {
       ("C", 7L, 4.0, null)))  // key absent on right -> no match
   }
 
+  test("null keys match nothing (SQL equi-join semantics)") {
+    import spark.implicits._
+    val l = Seq((Option("A"), 10L), (Option.empty[String], 10L)).toDF("k", "ts")
+    val r = Seq((Option("A"), 5L, 1.0), (Option.empty[String], 5L, 2.0)).toDF("k", "ts", "v")
+    val out = MergeAsOf.join(l, r, "k", "ts", "ts")
+      .select($"k", $"r_v").collect()
+      .map(row => (if (row.isNullAt(0)) null else row.getString(0),
+        if (row.isNullAt(1)) null else row.getDouble(1))).toSet
+    assert(out === Set(("A", 1.0), (null, null))) // null-key left row matches no right row
+  }
+
   test("empty right side yields all-null right columns") {
     import spark.implicits._
     val l = Seq(("A", 1L)).toDF("k", "ts")
