@@ -197,6 +197,13 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
+    // oracle is the PLAIN group-by: the salted two-phase plan must be
+    // result-identical (sum_qty is integer-valued in double -> exact)
+    "q61_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
+  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag""",
+
     "q60_embed_near_dups" ->
       """WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

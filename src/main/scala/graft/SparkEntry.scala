@@ -692,6 +692,22 @@ object SparkEntry {
   private def q60(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.4)
 
+  /** Skew lever under the oracle: two-phase salted aggregation over a
+    * 3-distinct-value key (every key is hot — the worst case a plain
+    * groupBy serializes into 3 reducers). Results must equal the plain
+    * GROUP BY exactly; only the physical plan differs (phase-1 spread
+    * over 16 salt buckets).
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Skew
+    Skew.saltedAggregate(t(s, dir, "lineitem"),
+      Seq(col("l_returnflag")), saltBuckets = 16,
+      Seq(Skew.SaltedAgg.sumOf(col("l_quantity"), "sum_qty"),
+        Skew.SaltedAgg.countAll("n"),
+        Skew.SaltedAgg.minOf(col("l_extendedprice"), "min_price"),
+        Skew.SaltedAgg.maxOf(col("l_extendedprice"), "max_price")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -753,6 +769,7 @@ object SparkEntry {
     "q58_approx_percentiles" -> (q58 _),
     "q59_asof_merge" -> (q59 _),
     "q60_embed_near_dups" -> (q60 _),
+    "q61_salted_agg" -> (q61 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
