@@ -41,6 +41,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soak: dedup state stays watermark-bounded across many micro-batches") {
+    // roadmap item 6, scoped to the harness: 60 one-minute batches through
+    // the watermarked dedup (10-min watermark). Unbounded state (the
+    // reference's in-memory seen-set) would grow to ~1 state row per input
+    // row; watermark-bounded state must plateau at ~watermark-width rows
+    // per key once eviction kicks in.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Pipelines.dedupWithinWatermark(Pipelines.barsFromJson(mem.toDF()))
+    val q = out.writeStream.format("memory").queryName("soak_out").outputMode("append").start()
+    try {
+      val t0 = java.time.Instant.parse("2024-11-15T09:00:00Z")
+      var maxState = 0L
+      (0 until 60).foreach { minute =>
+        val ts = t0.plusSeconds(minute * 60L).toString.replace("Z", ".000Z")
+        // each batch: one new bar + a replay of the same bar (dup dropped)
+        mem.addData(bar("AAPL", ts, 100 + minute), bar("AAPL", ts, 100 + minute))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty) {
+          maxState = math.max(maxState, p.stateOperators.map(_.numRowsTotal).sum)
+        }
+      }
+      assert(spark.table("soak_out").count() === 60) // every dup dropped
+      // 60 minutes in; a leaky store would hold ~60+ rows. Allow slack for
+      // eviction granularity but require clearly-bounded state.
+      assert(maxState <= 30, s"dedup state grew unbounded: max $maxState rows for 60 batches")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink appends with epoch ids; deterministic ids allow reconciliation") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
