@@ -82,6 +82,41 @@ class LlmopsSpec extends SparkSpec {
     assert(out.head.getDouble(1) === 1.0)
   }
 
+  test("ShingleHashesSorted: sorted distinct output, code-point windows, short-text empty") {
+    import graft.functions.{ShingleHashesSorted, SortedIntersectCount}
+    val df = Seq(
+      ("aaaaaaaaaa", 1L),       // 10 a's, k=8 -> 3 windows, all identical -> 1 distinct hash
+      ("ab", 2L),               // shorter than k -> empty
+      ("😀bcdefgh😀", 3L)) // surrogate pairs count as ONE code point
+      .toDF("text", "id")
+    val out = df.select($"id", ShingleHashesSorted.shingleHashesSorted($"text", 8).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length === 1)
+    assert(out(2L).isEmpty)
+    // 9 code points -> 2 windows of 8 -> 2 distinct hashes, ascending
+    assert(out(3L).length === 2 && out(3L) === out(3L).sorted)
+    // merge-count agrees with set intersection on shared windows
+    val pair = df.filter($"id" === 1L).select(
+      SortedIntersectCount.sortedIntersectCount(
+        ShingleHashesSorted.shingleHashesSorted($"text", 8),
+        ShingleHashesSorted.shingleHashesSorted(lit("aaaaaaaa"), 8)).as("n"))
+      .collect().head.getLong(0)
+    assert(pair === 1L) // the all-a shingle is shared
+  }
+
+  test("DotProduct rejects non-double arrays at analysis and mismatched dims at runtime") {
+    import graft.functions.DotProduct
+    val floats = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      floats.select(DotProduct.dotProduct($"a", $"b")).collect()
+    }
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(DotProduct.dotProduct($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("embeddingNearDupPairs finds exactly the above-threshold pairs, once each") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),   // aligned with 2
