@@ -43,6 +43,35 @@ object Oracles {
     s"""WITH $minhashPairsCte
 SELECT doc_a, doc_b, n_shared_bands FROM pairs"""
 
+  /** Brute-force SimHash oracle: the identical 60-bit md5-based
+    * fingerprint (top 15 hex digits per distinct whitespace token,
+    * majority vote per bit), then an O(n^2) pair scan on Hamming <= 5 —
+    * the banded Spark pipeline (q40) must reproduce it exactly
+    * (pigeonhole: any pair within Hamming < 6 shares one of six 10-bit
+    * blocks).
+    */
+  private val q40SimhashSql: String = {
+    val bits = 60
+    val voteBits = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+  SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS ts
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+), sh AS (
+  SELECT doc_id, ($voteBits) AS f FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 5"""
+  }
+
   private val q37JaccardSql: String =
     s"""WITH $minhashPairsCte,
 sh AS (
@@ -390,6 +419,8 @@ SELECT doc_id,
   ntok,
   floor((sw / greatest(ltok, 1.0)) * 1000000 + 0.5) / 1000000 AS stopword_ratio
 FROM m""",
+
+    "q40_simhash_pairs" -> q40SimhashSql,
 
     "q42_range_join" ->
       """SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks_5m

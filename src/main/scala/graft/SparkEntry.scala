@@ -418,10 +418,11 @@ object SparkEntry {
         sr6(TextAnalysis.stopwordRatio(col("text"),
           Seq("the", "a", "and", "of", "to"))).as("stopword_ratio"))
 
-  /** X2: SimHash near-dup pairs (Hamming <= 6) via 8-bit-block pigeonhole
-    * banding — exact for this radius, no O(n^2) cross join. xxhash64-based —
-    * no SQL twin (rows-only check); the MinHash pipeline (q22/q37) is the
-    * oracle-verified near-dup path.
+  /** X2: SimHash near-dup pairs (Hamming <= 5) via 10-bit-block pigeonhole
+    * banding — exact for this radius, no O(n^2) cross join on the Spark
+    * side. md5-based 60-bit fingerprints are portable, so the oracle IS
+    * the O(n^2) brute-force pair scan in SQL — the banding must reproduce
+    * it exactly.
     */
   private def q40(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id",

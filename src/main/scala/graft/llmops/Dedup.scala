@@ -200,14 +200,17 @@ object Dedup {
       .filter(col("score") >= minCosine)
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint over token hashes.
-    * For each of 64 bit positions, sum +1/-1 votes from each distinct
-    * token's xxhash64 bit; the sign vector packs into a long. Per-row
-    * expression tree (64 terms) — no shuffle, codegen-friendly.
+  /** SimHash: 60-bit locality-sensitive fingerprint over token hashes
+    * (md5 top 60 bits — portable to the DuckDB oracle, same construction
+    * as the MinHash base hash). For each bit position, sum +1/-1 votes
+    * from each distinct token's hash bit; the sign vector packs into a
+    * long. Composable HOF form of [[graft.functions.SimHash64]] — per-row
+    * expression tree, no shuffle; use the native expression in hot paths.
     */
   def simhash64(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
+    val hashes = transform(array_distinct(tokens),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = (0 until graft.functions.SimHash64.Bits).map { b =>
       val vote = aggregate(
         hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -220,18 +223,21 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs at scale: the 64-bit fingerprint split into
+  /** SimHash near-dup pairs at scale: the 60-bit fingerprint split into
     * `numBlocks` equal bit-blocks; by pigeonhole any pair within Hamming
     * distance < numBlocks shares at least one identical block, so a
     * block-keyed self-equi-join finds ALL such pairs without the O(n^2)
     * cross join. Output: (doc_a, doc_b, hamming) with hamming <= maxHamming
-    * (maxHamming must be < numBlocks for exactness).
+    * (maxHamming must be < numBlocks for exactness). Oracle-verified
+    * against the brute-force pair scan in SQL (q40).
     */
   def simhashNearDupPairs(
       docs: DataFrame, idCol: String, tokensCol: Column,
-      maxHamming: Int = 6, numBlocks: Int = 8): DataFrame = {
+      maxHamming: Int = 5, numBlocks: Int = 6): DataFrame = {
     require(maxHamming < numBlocks, "pigeonhole exactness needs maxHamming < numBlocks")
-    val bits = 64 / numBlocks
+    require(graft.functions.SimHash64.Bits % numBlocks == 0,
+      s"numBlocks must divide ${graft.functions.SimHash64.Bits}")
+    val bits = graft.functions.SimHash64.Bits / numBlocks
     val h = graft.util.Partitioning.ensureParallelism(docs)
       .select(col(idCol).as("doc_id"),
         graft.functions.SimHash64.simhash64(tokensCol).as("sh"))

@@ -68,7 +68,7 @@ class LlmopsSpec extends SparkSpec {
     val brute = h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         Dedup.hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 5) // banding default: maxHamming 5 < 6 blocks
     assert(banded.exceptAll(brute).count() === 0)
     assert(brute.exceptAll(banded).count() === 0)
     assert(brute.count() > 0)
