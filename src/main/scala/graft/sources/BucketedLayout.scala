@@ -58,4 +58,21 @@ object BucketedLayout {
       .sortBy(sorted.head, sorted.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Hive-style directory partitioning — the time-axis complement to
+    * bucketing: partition on low-cardinality scan predicates (event date,
+    * feed) so date-range queries prune whole directories at PLANNING time
+    * (`PartitionFilters` in the scan, zero I/O for pruned partitions),
+    * while bucketing handles the high-cardinality join keys. The
+    * pre-write repartition on the partition columns gives one file per
+    * partition instead of one per (input task x partition) — the
+    * small-files failure mode of naive partitioned appends.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -73,6 +73,29 @@ class BucketedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned layout prunes partitions at planning time") {
+    val dir = "/root/testdata/sf0.001"
+    val path = "/tmp/graft_part_orders"
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("order_year"))
+    BucketedLayout.writePartitioned(ord, path, Seq("order_year"))
+    val q = spark.read.parquet(path).filter(col("order_year") === 1995)
+    val expect = ord.filter(col("order_year") === 1995).count()
+    assert(q.count() === expect && expect > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year") &&
+      plan.contains("(order_year") && plan.contains("= 1995)"),
+      s"expected partition pruning in scan:\n$plan")
+    // one file per partition: no small-files explosion from the write
+    val years = new java.io.File(path).listFiles().filter(_.getName.startsWith("order_year="))
+    assert(years.nonEmpty)
+    years.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName} has ${files.length} files")
+    }
+  }
+
   test("equality filter on the bucket key prunes to one bucket") {
     val dir = "/root/testdata/sf0.001"
     val ord = spark.read.parquet(s"$dir/orders.parquet")
