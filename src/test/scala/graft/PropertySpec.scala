@@ -50,6 +50,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge as-of join == union+window as-of baseline on random keyed series") {
+    for (seed <- 1L to 5L) {
+      val left = sample(40, seed).toDF("seq", "key", "v", "vol")
+        .withColumn("lts", col("seq") * 10 + col("vol")) // duplicated (key, ts) likely
+        .select(col("key"), col("lts").as("ts"), col("v").as("lv"))
+      val right = sample(40, seed + 100).toDF("seq", "key", "v", "vol")
+        .withColumn("rts", col("seq") * 10 + col("vol"))
+        .select(col("key"), col("rts").as("ts"), col("v").as("rv"))
+        // unique (key, ts) on the right: with duplicates both forms pick the
+        // max payload deterministically, but keep the property crisp
+        .groupBy(col("key"), col("ts")).agg(max(col("rv")).as("rv"))
+      val baseline = TimeSeries.asOfJoin(left, right, "key", "ts", "ts", Seq("rv"))
+        .select(col("key"), col("ts"), col("lv"), col("rv"))
+      val merged = plans.MergeAsOf.join(left, right, "key", "ts", "ts")
+        .select(col("key"), col("ts"), col("lv"), col("r_rv").as("rv"))
+      assert(baseline.exceptAll(merged).count() === 0 &&
+        merged.exceptAll(baseline).count() === 0, s"seed=$seed")
+    }
+  }
+
   test("10-minute high/low/volume recompose exactly from 5-minute candles") {
     for (seed <- 1L to 5L) {
       val df = sample(60, seed).toDF("seq", "key", "px", "vol")
