@@ -201,6 +201,32 @@ object Pipelines {
         () // foreachBatch lambda must be Unit-typed
       }
 
+  /** [[upsertParquetSink]] on the transactional commit log
+    * ([[graft.sources.TxParquetTable]]): same exactly-once keyed-upsert
+    * semantics, plus CONCURRENT-WRITER safety (optimistic bucket-domain
+    * conflict detection with bounded retry) and time travel. Use when
+    * more than one pipeline lands in the same table.
+    */
+  def txUpsertParquetSink(df: DataFrame, path: String, checkpoint: String,
+      idCol: String = "id", buckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        var attempts = 0
+        var done = false
+        while (!done) {
+          try {
+            graft.sources.TxParquetTable.upsert(batch, path, idCol, buckets)
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException if attempts < 5 =>
+              attempts += 1 // fresh read on retry picks up the interloper
+          }
+        }
+        ()
+      }
+
   /** S2 shape: write a normalized stream back to a Kafka topic as JSON. */
   def kafkaSink(df: DataFrame, brokers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

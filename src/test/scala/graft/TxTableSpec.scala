@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxParquetTable
+
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    Files.createTempDirectory("tx_table_").toFile.getAbsolutePath
+
+  test("append commits atomically and versions advance") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val v1 = TxParquetTable.append(Seq((3L, "c")).toDF("id", "v"), path)
+    assert(v0 === 0L && v1 === 1L)
+    assert(TxParquetTable.snapshot(spark, path).count() === 3)
+  }
+
+  test("upsert replaces by id, keeps others, and time travel sees the past") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(
+      Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "v"), path)
+    val v1 = TxParquetTable.upsert(
+      Seq((2L, "NEW2"), (9L, "NEW9")).toDF("id", "v"), path, "id")
+    assert(v1 > v0)
+    val now = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now === Map(1L -> "old1", 2L -> "NEW2", 3L -> "old3", 9L -> "NEW9"))
+    val past = TxParquetTable.snapshot(spark, path, Some(v0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(past === Map(1L -> "old1", 2L -> "old2", 3L -> "old3"))
+  }
+
+  test("stale upsert is rejected: interloping commit after the read snapshot") {
+    val path = freshPath()
+    TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
+    val staleRead = TxParquetTable.latestVersion(path)
+    // interloper lands between the stale writer's read and its publish
+    TxParquetTable.append(Seq((2L, "b")).toDF("id", "v"), path)
+    intercept[java.util.ConcurrentModificationException] {
+      TxParquetTable.upsert(Seq((1L, "STALE")).toDF("id", "v"), path, "id",
+        asOfVersion = Some(staleRead))
+    }
+    // table unchanged by the failed attempt; a fresh-read upsert succeeds
+    val before = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === Map(1L -> "a", 2L -> "b"))
+    TxParquetTable.upsert(Seq((1L, "FRESH")).toDF("id", "v"), path, "id")
+    val now = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now === Map(1L -> "FRESH", 2L -> "b"))
+  }
+
+  test("streaming tx upsert sink: micro-batches land as atomic upsert commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = freshPath()
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().select(col("_1").as("id"), col("_2").as("px"))
+    val q = graft.streaming.Pipelines.txUpsertParquetSink(
+      stream, path, freshPath() + "/ckpt", idCol = "id").start()
+    try {
+      mem.addData(("A", 1.0), ("B", 2.0))
+      q.processAllAvailable()
+      mem.addData(("A", 9.0), ("C", 3.0)) // A updated, C inserted
+      q.processAllAvailable()
+      val now = TxParquetTable.snapshot(spark, path)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(now === Map("A" -> 9.0, "B" -> 2.0, "C" -> 3.0))
+      // each micro-batch is one commit; the first is still readable
+      val v0 = TxParquetTable.snapshot(spark, path, Some(0L))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(v0 === Map("A" -> 1.0, "B" -> 2.0))
+    } finally q.stop()
+  }
+
+  test("racing appends from multiple threads all land with distinct versions") {
+    val path = freshPath()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        TxParquetTable.append(Seq((i.toLong, s"w$i")).toDF("id", "v"), path)
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TxParquetTable.latestVersion(path) === 3L)
+    val rows = TxParquetTable.snapshot(spark, path).collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getString(1)).toSet === Set("w0", "w1", "w2", "w3"))
+  }
+}
