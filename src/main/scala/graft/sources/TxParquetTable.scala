@@ -4,6 +4,9 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,145 +19,239 @@ import org.apache.spark.sql.functions._
   * Protocol:
   *   - Data files are written under `data/` with globally unique names;
   *     a writer stages files first, then publishes a commit.
-  *   - Commit N is the file `_graft_log/%020d.json` — one JSON object per
-  *     line is avoided; the whole commit is a single JSON document with
-  *     `add` / `remove` file-name arrays and the writer's declared
-  *     `buckets` conflict domain.
+  *   - Commit N is the file `_graft_log/%020d.json`: a JSON document with
+  *     `add` (file name + per-file bucket stats), `remove` (file names),
+  *     and the writer's declared `buckets` conflict domain.
   *   - Publishing is an ATOMIC create-if-absent of that commit file
-  *     (ATOMIC_MOVE of a staged temp file; both local FS and HDFS-like
-  *     stores give create-without-overwrite atomicity). Losing a race
-  *     means the version exists — re-read the log, CHECK CONFLICTS,
-  *     retry at N+1.
-  *   - Conflict rule: two commits conflict iff their declared bucket sets
-  *     intersect (appends declare no buckets and never conflict; an
-  *     upsert of buckets {3, 7} conflicts only with a concurrent upsert
-  *     touching 3 or 7). On conflict the loser's staged files are
-  *     deleted and the commit attempt fails to the caller.
+  *     (ATOMIC_MOVE of a staged temp file; local FS and HDFS-like stores
+  *     give create-without-overwrite atomicity). Losing a race means the
+  *     version exists — re-read the log, CHECK CONFLICTS, retry at N+1.
+  *   - Conflict rule: an upsert conflicts with a concurrent upsert whose
+  *     bucket domain intersects its own, and with ANY concurrent append
+  *     (an append's rows are not in the upsert's remove set, so ids it
+  *     replaced could resurrect). Appends never conflict with anything.
+  *     On conflict the loser's staged files are deleted and the commit
+  *     attempt fails to the caller.
   *   - A snapshot at version V is (all adds) minus (all removes) across
-  *     commits <= V — readers never see a half-published commit, and
-  *     old versions stay readable until vacuum.
+  *     commits <= V — readers never see a half-published commit, and old
+  *     versions stay readable until vacuumed.
   *
-  * At 100 TB the log is the scalability lever: state per commit is file
-  * NAMES (KBs), not data; snapshot resolution is a driver-side fold over
-  * the log, and data file I/O remains fully parallel. Log compaction
-  * (checkpoint parquet every N commits) is the known growth path and is
-  * out of scope here.
+  * Scale levers (the same ones the Delta paper names):
+  *   - State per commit is file NAMES + small stats (KBs), not data;
+  *     snapshot resolution is a driver-side fold; data I/O stays parallel.
+  *   - Every `checkpointInterval` commits the full live-file list is
+  *     written as `%020d.ckpt.json`, so a reader folds only the commits
+  *     AFTER the latest checkpoint — log replay is O(interval), not
+  *     O(history).
+  *   - Per-file bucket stats are recorded at WRITE time; upsert prunes
+  *     its rewrite set from the log alone — no data read to find
+  *     affected files. Files lacking stats (e.g. plain appends) are
+  *     conservatively rewritten and thereby gain stats: self-healing.
   */
 object TxParquetTable {
+
+  /** Commits between full-state checkpoints. */
+  val checkpointInterval = 10
+
+  private val mapper = new ObjectMapper()
 
   private def logDir(path: String) = new File(path, "_graft_log")
   private def dataDir(path: String) = new File(path, "data")
 
-  private case class Commit(version: Long, add: Seq[String], remove: Seq[String], buckets: Seq[Int])
+  private case class AddFile(name: String, buckets: Seq[Int])
+  private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int])
+  private case class Snapshot(version: Long, live: Seq[AddFile])
 
-  // minimal JSON for the fixed commit shape (no deps beyond the JDK)
-  private def render(c: Commit): String = {
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"add":${arr(c.add)},"remove":${arr(c.remove)},"buckets":${c.buckets.mkString("[", ",", "]")}}"""
-  }
+  // ---- log serialization (jackson tree API — bundled with Spark) ----
 
-  private def parse(s: String, version: Long): Commit = {
-    def strArr(key: String): Seq[String] = {
-      val m = (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
-      m.map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-        .getOrElse(Seq.empty)
+  private def addArray(parent: ArrayNode, fs: Seq[AddFile]): Unit =
+    fs.foreach { f =>
+      val o = parent.addObject()
+      o.put("name", f.name)
+      val b = o.putArray("buckets")
+      f.buckets.foreach(b.add)
     }
-    val buckets = (""""buckets":\[([^\]]*)\]""").r.findFirstMatchIn(s)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq.empty)
-    Commit(version, strArr("add"), strArr("remove"), buckets)
+
+  private def renderCommit(c: Commit): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", c.version)
+    addArray(root.putArray("add"), c.add)
+    val rm = root.putArray("remove")
+    c.remove.foreach(rm.add)
+    val bk = root.putArray("buckets")
+    c.buckets.foreach(bk.add)
+    mapper.writeValueAsString(root)
   }
 
-  private def commits(path: String): Seq[Commit] = {
+  private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode): Seq[AddFile] =
+    (0 until n.size()).map { i =>
+      val o = n.get(i)
+      val bs = o.get("buckets")
+      AddFile(o.get("name").asText(), (0 until bs.size()).map(bs.get(_).asInt()))
+    }
+
+  private def parseCommit(s: String): Commit = {
+    val root = mapper.readTree(s)
+    val rm = root.get("remove")
+    val bk = root.get("buckets")
+    Commit(
+      root.get("version").asLong(),
+      parseAdds(root.get("add")),
+      (0 until rm.size()).map(rm.get(_).asText()),
+      (0 until bk.size()).map(bk.get(_).asInt()))
+  }
+
+  private def renderSnapshot(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    addArray(root.putArray("live"), s.live)
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseSnapshot(s: String): Snapshot = {
+    val root = mapper.readTree(s)
+    Snapshot(root.get("version").asLong(), parseAdds(root.get("live")))
+  }
+
+  // ---- log reading ----
+
+  private def read(f: File): String =
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+
+  private def commitFiles(path: String): Seq[(Long, File)] = {
     val d = logDir(path)
     if (!d.exists()) Seq.empty
-    else d.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq
-      .map { f =>
-        val v = f.getName.stripSuffix(".json").toLong
-        parse(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8), v)
-      }
+    else d.listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.endsWith(".ckpt.json"))
+      .map(f => f.getName.stripSuffix(".json").toLong -> f)
+      .sortBy(_._1).toSeq
+  }
+
+  private def checkpointFiles(path: String): Seq[(Long, File)] = {
+    val d = logDir(path)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.getName.endsWith(".ckpt.json"))
+      .map(f => f.getName.stripSuffix(".ckpt.json").toLong -> f)
+      .sortBy(_._1).toSeq
   }
 
   /** Latest committed version, or -1 for an empty/new table. */
   def latestVersion(path: String): Long =
-    commits(path).lastOption.map(_.version).getOrElse(-1L)
+    commitFiles(path).lastOption.map(_._1).getOrElse(-1L)
 
-  /** Live data files at `version` (default: latest). */
-  private def liveFiles(path: String, version: Option[Long]): Seq[String] = {
-    val cs = commits(path).filter(c => version.forall(c.version <= _))
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach { c => live --= c.remove; live ++= c.add }
-    live.toSeq
+  /** Table state at `version` (default latest): start from the newest
+    * checkpoint at-or-below the target, fold forward only the remaining
+    * commits.
+    */
+  private def state(path: String, version: Option[Long]): Snapshot = {
+    val target = version.getOrElse(Long.MaxValue)
+    val ckpt = checkpointFiles(path).filter(_._1 <= target).lastOption
+      .map { case (_, f) => parseSnapshot(read(f)) }
+      .getOrElse(Snapshot(-1L, Seq.empty))
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    ckpt.live.foreach(f => live += f.name -> f)
+    var v = ckpt.version
+    commitFiles(path).filter { case (cv, _) => cv > ckpt.version && cv <= target }
+      .foreach { case (cv, f) =>
+        val c = parseCommit(read(f))
+        c.remove.foreach(live -= _)
+        c.add.foreach(a => live += a.name -> a)
+        v = cv
+      }
+    Snapshot(v, live.values.toSeq)
   }
 
   /** Snapshot read. `version = Some(v)` time-travels to commit v. */
   def snapshot(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
-    val files = liveFiles(path, version)
+    val files = state(path, version).live
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => new File(dataDir(path), f).getAbsolutePath): _*)
+    else spark.read.parquet(files.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
   }
 
-  /** Stage `df` as parquet files under data/ and return their names. */
-  private def stage(df: DataFrame, path: String): Seq[String] = {
+  // ---- writing ----
+
+  /** Stage `df` as parquet files under data/. When `bucketCol` is set,
+    * per-file bucket stats are computed from the staged data and recorded
+    * in the log (write-time stats, read-free upserts later).
+    */
+  private def stage(df: DataFrame, path: String, bucketCol: Option[String]): Seq[AddFile] = {
     dataDir(path).mkdirs()
+    val spark = df.sparkSession
     val tmp = new File(path, s".stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
-    val names = parts.map { p =>
+    val adds = parts.map { p =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
-      Files.move(p.toPath, new File(dataDir(path), name).toPath)
-      name
+      val target = new File(dataDir(path), name)
+      Files.move(p.toPath, target.toPath)
+      val buckets = bucketCol match {
+        case Some(c) => spark.read.parquet(target.getAbsolutePath)
+          .select(c).distinct().collect().map(_.getInt(0)).toSeq.sorted
+        case None => Seq.empty
+      }
+      AddFile(name, buckets)
     }
     tmp.listFiles().foreach(_.delete()); tmp.delete()
-    names
+    adds
   }
 
+  /** Best-effort full-state checkpoint; deterministic content, atomic
+    * create-if-absent, so racing writers are harmless.
+    */
+  private def maybeCheckpoint(path: String, version: Long): Unit =
+    if (version > 0 && version % checkpointInterval == 0) {
+      val target = new File(logDir(path), f"$version%020d.ckpt.json").toPath
+      if (!Files.exists(target)) {
+        val snap = state(path, Some(version))
+        val tmp = Files.write(
+          Paths.get(path, s".ckpt-${java.util.UUID.randomUUID()}.tmp"),
+          renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+      }
+    }
+
   /** Try to publish a commit; retries on version races, fails (cleaning
-    * up staged files) on a genuine bucket conflict. Returns the committed
+    * up staged files) on a genuine conflict. Returns the committed
     * version.
     */
   private def publish(
-      path: String, add: Seq[String], remove: Seq[String], buckets: Seq[Int],
+      path: String, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int],
       readVersion: Long, maxRetries: Int = 20): Long = {
     logDir(path).mkdirs()
     var attempt = 0
     while (attempt < maxRetries) {
-      val seen = commits(path)
-      // conflict check against commits that landed after our read snapshot:
-      // an upsert conflicts with an overlapping upsert AND with any append
-      // (buckets empty = unknown content — its rows are not in our remove
-      // set, so proceeding could resurrect replaced ids). Appends
-      // themselves never conflict.
-      val interlopers = seen.filter(_.version > readVersion)
+      val cf = commitFiles(path)
+      val interlopers = cf.filter(_._1 > readVersion).map { case (_, f) => parseCommit(read(f)) }
       if (buckets.nonEmpty && interlopers.exists(i =>
           i.buckets.isEmpty || i.buckets.intersect(buckets).nonEmpty)) {
-        add.foreach(f => new File(dataDir(path), f).delete())
+        add.foreach(f => new File(dataDir(path), f.name).delete())
         throw new java.util.ConcurrentModificationException(
           s"tx conflict on buckets ${buckets.mkString(",")} at $path " +
             s"(concurrent commits: ${interlopers.map(_.version).mkString(",")})")
       }
-      val next = seen.lastOption.map(_.version + 1).getOrElse(0L)
+      val next = cf.lastOption.map(_._1 + 1).getOrElse(0L)
       val target = new File(logDir(path), f"$next%020d.json").toPath
       val tmp = Files.write(
         Paths.get(path, s".commit-${java.util.UUID.randomUUID()}.tmp"),
-        render(Commit(next, add, remove, buckets)).getBytes(StandardCharsets.UTF_8))
+        renderCommit(Commit(next, add, remove, buckets)).getBytes(StandardCharsets.UTF_8))
       try {
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        maybeCheckpoint(path, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp); attempt += 1 // lost the race; re-read and retry
       }
     }
-    add.foreach(f => new File(dataDir(path), f).delete())
+    add.foreach(f => new File(dataDir(path), f.name).delete())
     throw new IllegalStateException(s"gave up publishing after $maxRetries races at $path")
   }
 
   /** Atomic append — never conflicts. Returns the committed version. */
   def append(df: DataFrame, path: String): Long = {
     val v = latestVersion(path)
-    publish(path, stage(df, path), Seq.empty, Seq.empty, v)
+    publish(path, stage(df, path, None), Seq.empty, Seq.empty, v)
   }
 
   /** Transactional keyed upsert: replaces whole hash-buckets of rows.
@@ -162,15 +259,18 @@ object TxParquetTable {
     * sink); survivors of the affected buckets are rewritten together with
     * the new rows in ONE atomic commit that declares those buckets as its
     * conflict domain — a concurrent upsert of disjoint buckets commits
-    * freely, an overlapping one fails cleanly. Returns the version.
+    * freely, an overlapping one (or any concurrent append) fails cleanly.
+    *
+    * The rewrite set comes from per-file bucket stats in the LOG — no
+    * data is read to find affected files. Stat-less files (plain
+    * appends) are conservatively rewritten and gain stats. Pass
+    * `asOfVersion` when implementing a caller-side retry loop, so a
+    * commit landing between your read and this call is detected.
+    * Returns the committed version.
     */
   def upsert(df: DataFrame, path: String, idCol: String, buckets: Int = 16,
       asOfVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
-    // asOfVersion pins the read snapshot explicitly — callers implementing
-    // their own retry loop pass the version they actually read, so a
-    // commit landing between their read and this call is DETECTED as a
-    // conflict instead of silently absorbed
     val readVersion = asOfVersion.getOrElse(latestVersion(path))
     val bucketed = df
       .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
@@ -178,39 +278,30 @@ object TxParquetTable {
       .localCheckpoint(true) // pin the batch; its plan must not re-read the table
     val affected = bucketed.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (affected.isEmpty) return readVersion
-    // pin the snapshot to our read version — snapshot(None) would read
-    // "latest" and silently absorb a concurrent commit's files
-    val current =
-      if (readVersion < 0) spark.emptyDataFrame else snapshot(spark, path, Some(readVersion))
+    val snap = if (readVersion < 0) Snapshot(-1L, Seq.empty) else state(path, Some(readVersion))
+    val affectedFiles = snap.live.filter(f =>
+      f.buckets.isEmpty || f.buckets.intersect(affected).nonEmpty)
+    // the conflict domain covers every bucket this commit REWRITES, not
+    // just the incoming ones: removed files may co-locate other buckets
+    // (stat-less files could hold anything -> declare the full domain),
+    // and a concurrent disjoint-looking upsert removing the same file
+    // would otherwise double-materialize its rows
+    val domain =
+      if (affectedFiles.exists(_.buckets.isEmpty)) (0 until buckets).toSeq
+      else (affected ++ affectedFiles.flatMap(_.buckets)).distinct.sorted
     val (adds, removes) =
-      if (current.isEmpty) (stage(bucketed, path), Seq.empty[String])
+      if (affectedFiles.isEmpty) (stage(bucketed, path, Some("__bucket")), Seq.empty[String])
       else {
-        val currentB = current.withColumn("__bucket",
-          pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
-        val survivors = currentB
-          .filter(col("__bucket").isin(affected: _*))
+        val old = spark.read.parquet(
+            affectedFiles.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+          .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
+        val survivors = old
           .join(bucketed.select(col(idCol).as("__new_id")),
             col(idCol) === col("__new_id"), "left_anti")
           .drop("__new_id")
-        // removed files = every live file that CONTAINS an affected bucket;
-        // conservatively rewrite untouched buckets co-located in those
-        // files (append-created files can mix buckets)
-        // per-file bucket probe; a stats-in-log column (Delta-style
-        // per-file min/max) is the growth path that removes this read
-        val affectedFiles = liveFiles(path, Some(readVersion)).filter { f =>
-          val fb = spark.read.parquet(new File(dataDir(path), f).getAbsolutePath)
-            .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
-            .select("__bucket").distinct().collect().map(_.getInt(0)).toSet
-          fb.intersect(affected.toSet).nonEmpty
-        }
-        val keepFromAffected = spark.read.parquet(
-            affectedFiles.map(f => new File(dataDir(path), f).getAbsolutePath): _*)
-          .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
-          .filter(!col("__bucket").isin(affected: _*))
-        val rewrite = survivors.unionByName(keepFromAffected).unionByName(bucketed)
-          .localCheckpoint(true)
-        (stage(rewrite, path), affectedFiles)
+        val rewrite = survivors.unionByName(bucketed).localCheckpoint(true)
+        (stage(rewrite, path, Some("__bucket")), affectedFiles.map(_.name))
       }
-    publish(path, adds, removes, affected, readVersion)
+    publish(path, adds, removes, domain, readVersion)
   }
 }

@@ -78,6 +78,26 @@ class TxTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("log checkpointing: replay starts from the checkpoint, history stays readable") {
+    val path = freshPath()
+    // 13 upserts of the same key -> versions 0..12, checkpoints at 10
+    (0 until 13).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"v$i")).toDF("id", "v"), path, "id")
+    }
+    assert(TxParquetTable.latestVersion(path) === 12L)
+    val ckpts = new java.io.File(path, "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".ckpt.json"))
+    assert(ckpts.nonEmpty, "expected a checkpoint at version 10")
+    // latest read resolves through the checkpoint
+    val now = TxParquetTable.snapshot(spark, path).collect()
+    assert(now.length === 1 && now.head.getString(1) === "v12")
+    // time travel both before and after the checkpoint
+    val v3 = TxParquetTable.snapshot(spark, path, Some(3L)).collect()
+    assert(v3.length === 1 && v3.head.getString(1) === "v3")
+    val v11 = TxParquetTable.snapshot(spark, path, Some(11L)).collect()
+    assert(v11.length === 1 && v11.head.getString(1) === "v11")
+  }
+
   test("racing appends from multiple threads all land with distinct versions") {
     val path = freshPath()
     val threads = (0 until 4).map { i =>
