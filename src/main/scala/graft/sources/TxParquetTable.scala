@@ -248,6 +248,28 @@ object TxParquetTable {
     throw new IllegalStateException(s"gave up publishing after $maxRetries races at $path")
   }
 
+  /** Delete data files no longer referenced by any snapshot at or after
+    * `retainVersion` (time travel below that version stops working; the
+    * log itself is kept — it is tiny and is the audit trail). Safe to run
+    * concurrently with writers: only files whose last reference is
+    * STRICTLY below the retained horizon are deleted, and committed
+    * removes never come back. Returns the number of files deleted.
+    */
+  def vacuum(path: String, retainVersion: Long): Int = {
+    val retained = scala.collection.mutable.Set.empty[String]
+    val latest = latestVersion(path)
+    // union of live sets of every retained version (bounded by the log
+    // suffix length; checkpoints keep each state() call cheap)
+    (math.max(0L, retainVersion) to latest).foreach { v =>
+      state(path, Some(v)).live.foreach(f => retained += f.name)
+    }
+    val all = Option(dataDir(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val doomed = all.filterNot(f => retained.contains(f.getName))
+    doomed.foreach(_.delete())
+    doomed.length
+  }
+
   /** Atomic append — never conflicts. Returns the committed version. */
   def append(df: DataFrame, path: String): Long = {
     val v = latestVersion(path)

@@ -98,6 +98,25 @@ class TxTableSpec extends SparkSpec {
     assert(v11.length === 1 && v11.head.getString(1) === "v11")
   }
 
+  test("vacuum deletes files only below the retained horizon") {
+    val path = freshPath()
+    (0 until 4).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"v$i")).toDF("id", "v"), path, "id")
+    }
+    val before = new java.io.File(path, "data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 4)
+    val deleted = TxParquetTable.vacuum(path, retainVersion = 2L)
+    assert(deleted > 0)
+    // versions >= 2 still read; version 0 is gone
+    assert(TxParquetTable.snapshot(spark, path, Some(2L)).collect()
+      .head.getString(1) === "v2")
+    assert(TxParquetTable.snapshot(spark, path).collect().head.getString(1) === "v3")
+    intercept[Exception] {
+      TxParquetTable.snapshot(spark, path, Some(0L)).collect()
+    }
+  }
+
   test("racing appends from multiple threads all land with distinct versions") {
     val path = freshPath()
     val threads = (0 until 4).map { i =>
