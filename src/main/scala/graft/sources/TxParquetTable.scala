@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ArrayNode
@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *   - Commit N is the file `_graft_log/%020d.json`: a JSON document with
   *     `add` (file name + per-file bucket stats), `remove` (file names),
   *     and the writer's declared `buckets` conflict domain.
-  *   - Publishing is an ATOMIC create-if-absent of that commit file
-  *     (ATOMIC_MOVE of a staged temp file; local FS and HDFS-like stores
-  *     give create-without-overwrite atomicity). Losing a race means the
-  *     version exists — re-read the log, CHECK CONFLICTS, retry at N+1.
+  *   - Publishing is an ATOMIC create-if-absent of that commit file:
+  *     hard-link from a staged temp file (link(2) fails if the target
+  *     exists; note rename(2) silently REPLACES and cannot be used).
+  *     Object stores substitute their conditional-put. Losing the race
+  *     means the version exists — re-read the log, CHECK CONFLICTS,
+  *     retry at N+1.
   *   - Conflict rule: an upsert conflicts with a concurrent upsert whose
   *     bucket domain intersects its own, and with ANY concurrent append
   *     (an append's rows are not in the upsert's remove set, so ids it
@@ -206,8 +208,9 @@ object TxParquetTable {
         val tmp = Files.write(
           Paths.get(path, s".ckpt-${java.util.UUID.randomUUID()}.tmp"),
           renderSnapshot(snap).getBytes(StandardCharsets.UTF_8))
-        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+        try Files.createLink(target, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
       }
     }
 
@@ -236,7 +239,12 @@ object TxParquetTable {
         Paths.get(path, s".commit-${java.util.UUID.randomUUID()}.tmp"),
         renderCommit(Commit(next, add, remove, buckets)).getBytes(StandardCharsets.UTF_8))
       try {
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        // createLink is the atomic CREATE-IF-ABSENT primitive: link(2)
+        // fails if the target exists. (rename(2)/Files.move+ATOMIC_MOVE
+        // silently REPLACES an existing target on POSIX — a racing
+        // publish would overwrite the winner's commit.)
+        Files.createLink(target, tmp)
+        Files.deleteIfExists(tmp)
         maybeCheckpoint(path, next)
         return next
       } catch {
