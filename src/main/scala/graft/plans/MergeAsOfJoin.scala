@@ -4,11 +4,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
-  NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+  Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Sort-merge as-of join as a first-class physical operator (DESIGN.md
   * roadmap item 2; SURVEY §2.3 J2).
@@ -81,7 +83,7 @@ case class MergeAsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -183,6 +185,124 @@ case class MergeAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): MergeAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen (same two-input-iterator shape as
+  // SortMergeJoinExec: children are separate codegen stages feeding this
+  // node's generated merge loop) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the mutable held row; parents must copy
+  override def needCopyResult: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "masofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "masofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    // registered after the iterators, so its initializer may consume one
+    val rHead = ctx.addMutableState("InternalRow", "masofRHead",
+      v => s"$v = $rightInput.hasNext() ? (InternalRow) $rightInput.next() : null;",
+      forceInline = true)
+    val held = ctx.addMutableState("InternalRow", "masofHeld", forceInline = true)
+
+    val leftRow = ctx.freshName("masofLeftRow")
+    val lKeyNull = ctx.freshName("masofLKeyNull")
+    val scanning = ctx.freshName("masofScanning")
+    val cmp = ctx.freshName("masofCmp")
+    val timeLE = ctx.freshName("masofTimeLE")
+    val hasMatch = ctx.freshName("masofHasMatch")
+
+    // evaluations against the current left row
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lKeyVars = leftKeys.map(BindReferences.bindReference(_, left.output).genCode(ctx))
+    val lTimeVar = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftOutVars = left.output.map(BindReferences.bindReference(_, left.output).genCode(ctx))
+
+    // evaluations against the right lookahead row (inside the scan loop)
+    ctx.INPUT_ROW = rHead
+    val rKeyVars = rightKeys.map(BindReferences.bindReference(_, right.output).genCode(ctx))
+    val rTimeVar = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+
+    // evaluations against the held row (match check)
+    ctx.INPUT_ROW = held
+    val heldKeyVars = rightKeys.map(BindReferences.bindReference(_, right.output).genCode(ctx))
+
+    // lexicographic compare of (possibly null) right-head keys vs the
+    // non-null left keys; null sorts first, matching the interpreted
+    // RowOrdering and the declared child ordering
+    val keyCompare = rKeyVars.zip(lKeyVars).zipWithIndex.map { case ((rk, lk), i) =>
+      val dt = leftKeys(i).dataType
+      val one =
+        s"""if (${rk.isNull}) { $cmp = -1; }
+           |else { $cmp = ${ctx.genComp(dt, rk.value.toString, lk.value.toString)}; }""".stripMargin
+      if (i == 0) one else s"if ($cmp == 0) {\n$one\n}"
+    }.mkString("\n")
+
+    val heldKeyEquals = heldKeyVars.zip(lKeyVars).zipWithIndex.map { case ((hk, lk), i) =>
+      val dt = leftKeys(i).dataType
+      s"(!${hk.isNull} && ${ctx.genComp(dt, hk.value.toString, lk.value.toString)} == 0)"
+    }.mkString(" && ")
+
+    val advance = s"$rHead = $rightInput.hasNext() ? (InternalRow) $rightInput.next() : null;"
+
+    // right-side output columns: read from the held row, all-null when no
+    // match (mirrors the interpreted path's nullRight row)
+    val rightOutVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("masofRIsNull")
+      val value = ctx.freshName("masofRValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val code =
+        code"""boolean $isNull = !$hasMatch || $held.isNullAt($i);
+              |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)}
+              |  : (${CodeGenerator.getValue(held, a.dataType, i.toString)});""".stripMargin
+      ExprCode(code, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    val timeType = leftTime.dataType
+    s"""while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${evaluateVariables(lKeyVars)}
+       |  ${lTimeVar.code}
+       |  boolean $lKeyNull = ${(lKeyVars.map(_.isNull.toString) :+ "false").mkString(" || ")};
+       |  if (!$lKeyNull) {
+       |    boolean $scanning = true;
+       |    while ($scanning && $rHead != null) {
+       |      ${evaluateVariables(rKeyVars)}
+       |      int $cmp = 0;
+       |      $keyCompare
+       |      if ($cmp < 0) {
+       |        $advance
+       |      } else if ($cmp == 0) {
+       |        ${rTimeVar.code}
+       |        boolean $timeLE;
+       |        if (${rTimeVar.isNull}) { $timeLE = true; }
+       |        else if (${lTimeVar.isNull}) { $timeLE = false; }
+       |        else { $timeLE = ${ctx.genComp(timeType, rTimeVar.value.toString, lTimeVar.value.toString)} <= 0; }
+       |        if ($timeLE) {
+       |          $held = $rHead.copy();
+       |          $advance
+       |        } else {
+       |          $scanning = false;
+       |        }
+       |      } else {
+       |        $scanning = false;
+       |      }
+       |    }
+       |  }
+       |  boolean $hasMatch = false;
+       |  if (!$lKeyNull && $held != null) {
+       |    ${evaluateVariables(heldKeyVars)}
+       |    $hasMatch = $heldKeyEquals;
+       |  }
+       |  ${evaluateVariables(leftOutVars)}
+       |  ${evaluateVariables(rightOutVars)}
+       |  ${consume(ctx, leftOutVars ++ rightOutVars)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
+  }
 }
 
 /** DataFrame-level API for the merge as-of join. */
