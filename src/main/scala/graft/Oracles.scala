@@ -226,6 +226,13 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
+    // oracle is plain SQL over the SOURCE table — matches only if the tx
+    // upsert replaced every wrong appended row exactly once
+    "q62_tx_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, count(*) AS n,
+  round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1""",
+
     // oracle is the PLAIN group-by: the salted two-phase plan must be
     // result-identical (sum_qty is integer-valued in double -> exact)
     "q61_salted_agg" ->

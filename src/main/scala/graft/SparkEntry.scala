@@ -709,6 +709,27 @@ object SparkEntry {
         Skew.SaltedAgg.maxOf(col("l_extendedprice"), "max_price")))
   }
 
+  /** Transactional-table round trip under the oracle (the tx analogue of
+    * q27's pipeline round trip): seed the table with WRONG prices via
+    * append, then upsert the true rows — the aggregate over the final
+    * snapshot hash-matches plain SQL over the source only if the upsert
+    * replaced every row exactly once (and the log's snapshot isolation
+    * holds). Fresh temp dir per invocation, so Verify and Bench re-runs
+    * are independent.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q62_tx").toString
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"),
+        year(col("o_orderdate")).as("order_year"))
+    TxParquetTable.append(src.withColumn("o_totalprice", col("o_totalprice") * -1), path)
+    TxParquetTable.upsert(src, path, "id")
+    TxParquetTable.snapshot(s, path)
+      .groupBy(col("order_year"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -771,6 +792,7 @@ object SparkEntry {
     "q59_asof_merge" -> (q59 _),
     "q60_embed_near_dups" -> (q60 _),
     "q61_salted_agg" -> (q61 _),
+    "q62_tx_roundtrip" -> (q62 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
