@@ -715,19 +715,28 @@ object SparkEntry {
     * snapshot hash-matches plain SQL over the source only if the upsert
     * replaced every row exactly once (and the log's snapshot isolation
     * holds). Fresh temp dir per invocation, so Verify and Bench re-runs
-    * are independent.
+    * are independent; the tiny per-year aggregate is materialized eagerly
+    * so the table directory can be deleted before returning (repeated
+    * bench runs must not accumulate full-orders-table copies on disk).
     */
   private def q62(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxParquetTable
-    val path = java.nio.file.Files.createTempDirectory("q62_tx").toString
-    val src = t(s, dir, "orders")
-      .select(col("o_orderkey").as("id"), col("o_totalprice"),
-        year(col("o_orderdate")).as("order_year"))
-    TxParquetTable.append(src.withColumn("o_totalprice", col("o_totalprice") * -1), path)
-    TxParquetTable.upsert(src, path, "id")
-    TxParquetTable.snapshot(s, path)
-      .groupBy(col("order_year"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    val path = java.nio.file.Files.createTempDirectory("q62_tx")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      TxParquetTable.append(src.withColumn("o_totalprice", col("o_totalprice") * -1), path.toString)
+      TxParquetTable.upsert(src, path.toString, "id")
+      val agg = TxParquetTable.snapshot(s, path.toString)
+        .groupBy(col("order_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -144,7 +144,12 @@ object NearestCentroidCell {
     var c = 0
     while (c < matrix.length) {
       val cent = matrix(c)
-      val n = math.min(v.numElements(), cent.length)
+      // fail fast on shape mismatch (same contract as DotProduct.compute):
+      // silent truncation would assign a quietly wrong cell
+      if (v.numElements() != cent.length)
+        throw new IllegalArgumentException(
+          s"nearest_centroid_cell: vector dim ${v.numElements()} != centroid dim ${cent.length}")
+      val n = cent.length
       var s = 0.0
       var i = 0
       while (i < n) {

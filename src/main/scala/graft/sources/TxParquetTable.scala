@@ -172,11 +172,15 @@ object TxParquetTable {
 
   // ---- writing ----
 
-  /** Stage `df` as parquet files under data/. When `bucketCol` is set,
-    * per-file bucket stats are computed from the staged data and recorded
-    * in the log (write-time stats, read-free upserts later).
+  /** Stage `df` as parquet files under data/. When `bucketOf` is set,
+    * per-file bucket stats are computed by evaluating that expression
+    * over the staged data and recorded in the log (write-time stats,
+    * read-free upserts later). The expression form keeps internal
+    * bookkeeping columns OUT of the persisted schema: appended and
+    * rewritten files stay schema-identical.
     */
-  private def stage(df: DataFrame, path: String, bucketCol: Option[String]): Seq[AddFile] = {
+  private def stage(df: DataFrame, path: String,
+      bucketOf: Option[org.apache.spark.sql.Column]): Seq[AddFile] = {
     dataDir(path).mkdirs()
     val spark = df.sparkSession
     val tmp = new File(path, s".stage-${java.util.UUID.randomUUID()}")
@@ -186,9 +190,9 @@ object TxParquetTable {
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       val target = new File(dataDir(path), name)
       Files.move(p.toPath, target.toPath)
-      val buckets = bucketCol match {
+      val buckets = bucketOf match {
         case Some(c) => spark.read.parquet(target.getAbsolutePath)
-          .select(c).distinct().collect().map(_.getInt(0)).toSeq.sorted
+          .select(c.cast("int")).distinct().collect().map(_.getInt(0)).toSeq.sorted
         case None => Seq.empty
       }
       AddFile(name, buckets)
@@ -256,24 +260,40 @@ object TxParquetTable {
     throw new IllegalStateException(s"gave up publishing after $maxRetries races at $path")
   }
 
+  /** Default vacuum retention: 7 days, the Delta-paper default. */
+  val defaultRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** Delete data files no longer referenced by any snapshot at or after
     * `retainVersion` (time travel below that version stops working; the
-    * log itself is kept — it is tiny and is the audit trail). Safe to run
-    * concurrently with writers: only files whose last reference is
-    * STRICTLY below the retained horizon are deleted, and committed
-    * removes never come back. Returns the number of files deleted.
+    * log itself is kept — it is tiny and is the audit trail). Returns the
+    * number of files deleted.
+    *
+    * Concurrency: an unreferenced-by-the-log file is NOT necessarily
+    * garbage — it may be a concurrent writer's staged-but-uncommitted
+    * file, or belong to a commit published after our log read. Both are
+    * NEW files, so (exactly as Delta's VACUUM does) we additionally
+    * require a file's mtime to be older than `retentionMs` before
+    * deleting it. With the default 7-day window vacuum is safe to run
+    * concurrently with writers; `retentionMs = 0` is an explicit
+    * out — only for quiesced tables (tests, offline compaction).
+    * `retainVersion` above the latest version is clamped (an empty
+    * retain range must never mean "delete everything").
     */
-  def vacuum(path: String, retainVersion: Long): Int = {
-    val retained = scala.collection.mutable.Set.empty[String]
+  def vacuum(path: String, retainVersion: Long,
+      retentionMs: Long = defaultRetentionMs): Int = {
     val latest = latestVersion(path)
+    if (latest < 0) return 0
+    val retained = scala.collection.mutable.Set.empty[String]
     // union of live sets of every retained version (bounded by the log
     // suffix length; checkpoints keep each state() call cheap)
-    (math.max(0L, retainVersion) to latest).foreach { v =>
+    (math.max(0L, math.min(retainVersion, latest)) to latest).foreach { v =>
       state(path, Some(v)).live.foreach(f => retained += f.name)
     }
+    val horizon = System.currentTimeMillis() - retentionMs
     val all = Option(dataDir(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
     val doomed = all.filterNot(f => retained.contains(f.getName))
+      .filter(_.lastModified() <= horizon)
     doomed.foreach(_.delete())
     doomed.length
   }
@@ -302,11 +322,12 @@ object TxParquetTable {
       asOfVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val readVersion = asOfVersion.getOrElse(latestVersion(path))
-    val bucketed = df
-      .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
+    def bucketOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(buckets)).cast("int")
+    val incoming = df
       .dropDuplicates(idCol)
       .localCheckpoint(true) // pin the batch; its plan must not re-read the table
-    val affected = bucketed.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val affected = incoming.select(bucketOf(col(idCol)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     if (affected.isEmpty) return readVersion
     val snap = if (readVersion < 0) Snapshot(-1L, Seq.empty) else state(path, Some(readVersion))
     val affectedFiles = snap.live.filter(f =>
@@ -320,17 +341,17 @@ object TxParquetTable {
       if (affectedFiles.exists(_.buckets.isEmpty)) (0 until buckets).toSeq
       else (affected ++ affectedFiles.flatMap(_.buckets)).distinct.sorted
     val (adds, removes) =
-      if (affectedFiles.isEmpty) (stage(bucketed, path, Some("__bucket")), Seq.empty[String])
+      if (affectedFiles.isEmpty)
+        (stage(incoming, path, Some(bucketOf(col(idCol)))), Seq.empty[String])
       else {
         val old = spark.read.parquet(
-            affectedFiles.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
-          .withColumn("__bucket", pmod(xxhash64(col(idCol)), lit(buckets)).cast("int"))
+          affectedFiles.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
         val survivors = old
-          .join(bucketed.select(col(idCol).as("__new_id")),
+          .join(incoming.select(col(idCol).as("__new_id")),
             col(idCol) === col("__new_id"), "left_anti")
           .drop("__new_id")
-        val rewrite = survivors.unionByName(bucketed).localCheckpoint(true)
-        (stage(rewrite, path, Some("__bucket")), affectedFiles.map(_.name))
+        val rewrite = survivors.unionByName(incoming).localCheckpoint(true)
+        (stage(rewrite, path, Some(bucketOf(col(idCol)))), affectedFiles.map(_.name))
       }
     publish(path, adds, removes, domain, readVersion)
   }

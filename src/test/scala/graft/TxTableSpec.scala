@@ -106,7 +106,8 @@ class TxTableSpec extends SparkSpec {
     val before = new java.io.File(path, "data").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(before >= 4)
-    val deleted = TxParquetTable.vacuum(path, retainVersion = 2L)
+    // retentionMs = 0: the table is quiesced (no concurrent writers here)
+    val deleted = TxParquetTable.vacuum(path, retainVersion = 2L, retentionMs = 0L)
     assert(deleted > 0)
     // versions >= 2 still read; version 0 is gone
     assert(TxParquetTable.snapshot(spark, path, Some(2L)).collect()
@@ -115,6 +116,58 @@ class TxTableSpec extends SparkSpec {
     intercept[Exception] {
       TxParquetTable.snapshot(spark, path, Some(0L)).collect()
     }
+  }
+
+  test("vacuum retention window protects staged and freshly committed files") {
+    val path = freshPath()
+    (0 until 3).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"v$i")).toDF("id", "v"), path, "id")
+    }
+    // simulate a concurrent writer's staged-but-uncommitted file: present
+    // in data/ but referenced by no commit
+    val staged = new java.io.File(new java.io.File(path, "data"),
+      s"${java.util.UUID.randomUUID()}.parquet")
+    Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    // default retention: every file is younger than 7 days -> none deleted
+    assert(TxParquetTable.vacuum(path, retainVersion = 2L) === 0)
+    assert(staged.exists(), "staged file of a concurrent writer must survive vacuum")
+    assert(TxParquetTable.snapshot(spark, path, Some(0L)).collect()
+      .head.getString(1) === "v0")
+  }
+
+  test("vacuum clamps retainVersion above latest instead of deleting everything") {
+    val path = freshPath()
+    (0 until 3).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"v$i")).toDF("id", "v"), path, "id")
+    }
+    // retainVersion far beyond the log must behave like retain-latest,
+    // never like retain-nothing
+    TxParquetTable.vacuum(path, retainVersion = 999L, retentionMs = 0L)
+    assert(TxParquetTable.snapshot(spark, path).collect().head.getString(1) === "v2")
+    // and an empty table is a no-op
+    assert(TxParquetTable.vacuum(freshPath(), retainVersion = 0L, retentionMs = 0L) === 0)
+  }
+
+  test("upsert persists data files without internal bookkeeping columns") {
+    val path = freshPath()
+    TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
+    TxParquetTable.upsert(Seq((1L, "A"), (2L, "b")).toDF("id", "v"), path, "id")
+    // the user-visible schema is exactly (id, v) — no __bucket leakage,
+    // and appended vs rewritten files are schema-identical on disk
+    val snap = TxParquetTable.snapshot(spark, path)
+    assert(snap.columns.toSeq === Seq("id", "v"))
+    val dataFiles = new java.io.File(path, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    dataFiles.foreach { f =>
+      val cols = spark.read.parquet(f.getAbsolutePath).columns.toSeq
+      assert(cols === Seq("id", "v"), s"unexpected schema $cols in ${f.getName}")
+    }
+    // bucket stats still recorded in the log (read-free upsert planning)
+    val logTxt = new java.io.File(path, "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(f =>
+        new String(Files.readAllBytes(f.toPath))).mkString
+    assert(logTxt.contains("\"buckets\":[") && logTxt.matches("(?s).*\"buckets\":\\[\\d.*"),
+      "expected non-empty per-file bucket stats in the commit log")
   }
 
   test("racing appends from multiple threads all land with distinct versions") {
