@@ -43,17 +43,17 @@ object Oracles {
     s"""WITH $minhashPairsCte
 SELECT doc_a, doc_b, n_shared_bands FROM pairs"""
 
-  /** Brute-force SimHash oracle: the identical 60-bit md5-based
-    * fingerprint (top 15 hex digits per distinct whitespace token,
-    * majority vote per bit), then an O(n^2) pair scan on Hamming <= 5 —
-    * the banded Spark pipeline (q40) must reproduce it exactly
-    * (pigeonhole: any pair within Hamming < 6 shares one of six 10-bit
-    * blocks).
+  /** Brute-force SimHash oracle: the identical 120-bit md5-based
+    * fingerprint (two 60-bit words from hex digits 1-15 and 16-30 per
+    * distinct whitespace token, majority vote per bit), then an O(n^2)
+    * pair scan on Hamming <= 5 — the banded Spark pipeline (q40) must
+    * reproduce it exactly (pigeonhole: any pair within Hamming < 6
+    * shares one of six 20-bit blocks).
     */
   private val q40SimhashSql: String = {
     val bits = 60
-    val voteBits = (0 until bits).map { b =>
-      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    def voteBits(hs: String) = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
     s"""WITH toks AS (
   SELECT doc_id,
@@ -61,15 +61,16 @@ SELECT doc_a, doc_b, n_shared_bands FROM pairs"""
   FROM documents
 ), hashed AS (
   SELECT doc_id,
-    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs1,
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 16, 15)) AS BIGINT)) AS hs2
   FROM toks
 ), sh AS (
-  SELECT doc_id, ($voteBits) AS f FROM hashed
+  SELECT doc_id, (${voteBits("hs1")}) AS f1, (${voteBits("hs2")}) AS f2 FROM hashed
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+  CAST(bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) AS INTEGER) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.f, b.f)) <= 5"""
+WHERE bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) <= 5"""
   }
 
   private val q37JaccardSql: String =

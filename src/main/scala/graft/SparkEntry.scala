@@ -418,14 +418,16 @@ object SparkEntry {
         sr6(TextAnalysis.stopwordRatio(col("text"),
           Seq("the", "a", "and", "of", "to"))).as("stopword_ratio"))
 
-  /** X2: SimHash near-dup pairs (Hamming <= 5) via 10-bit-block pigeonhole
-    * banding — exact for this radius, no O(n^2) cross join on the Spark
-    * side. md5-based 60-bit fingerprints are portable, so the oracle IS
+  /** X2: SimHash near-dup pairs (Hamming <= 5) via 20-bit-block pigeonhole
+    * banding over a 120-bit fingerprint — exact for this radius, no O(n^2)
+    * cross join on the Spark side, and block buckets stay sparse at corpus
+    * scale (2^20 values per block vs the 60-bit form's 2^10 ceiling).
+    * Both md5-derived fingerprint words are portable, so the oracle IS
     * the O(n^2) brute-force pair scan in SQL — the banding must reproduce
     * it exactly.
     */
   private def q40(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id",
+    Dedup.simhashNearDupPairs120(t(s, dir, "documents"), "doc_id",
       TextAnalysis.tokens(col("text")))
 
   /** X3 scale path: SRP-LSH bucketed approximate neighbors (rows-only —

@@ -256,4 +256,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Hamming distance between two 120-bit fingerprints (array<long> of
+    * two 60-bit words, [[graft.functions.SimHash120]]).
+    */
+  def hammingDistance120(a: Column, b: Column): Column =
+    bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+      bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2)))
+
+  /** The per-doc banded form of the 120-bit fingerprint: (doc_id, sh,
+    * block_idx, block_val) rows, one per block. Factored out so callers
+    * (and specs) can inspect candidate bucket populations directly.
+    */
+  def simhash120Blocked(
+      docs: DataFrame, idCol: String, tokensCol: Column, numBlocks: Int): DataFrame = {
+    import graft.functions.SimHash120
+    require(numBlocks % 2 == 0,
+      "numBlocks must be even so blocks never straddle the two 60-bit words")
+    require(SimHash120.Bits % numBlocks == 0, s"numBlocks must divide ${SimHash120.Bits}")
+    val bits = SimHash120.Bits / numBlocks
+    val blocksPerWord = numBlocks / 2
+    val h = graft.util.Partitioning.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), SimHash120.simhash120(tokensCol).as("sh"))
+    h.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until numBlocks).map { b =>
+        shiftrightunsigned(element_at(col("sh"), b / blocksPerWord + 1),
+          (b % blocksPerWord) * bits).bitwiseAND((1L << bits) - 1)
+      }: _*)).as(Seq("block_idx", "block_val")))
+  }
+
+  /** SimHash near-dup pairs at 100 TB scale: the 120-bit fingerprint
+    * ([[graft.functions.SimHash120]]) banded into `numBlocks` pigeonhole
+    * blocks — with the default 6 blocks each is 20 bits wide (2^20 values),
+    * so the expected bucket population is n/2^20 per block and spurious
+    * candidate pairs are ~1024x fewer than the 60-bit/10-bit-block form
+    * ([[simhashNearDupPairs]]) at the same radius. Still EXACT for
+    * Hamming <= maxHamming < numBlocks, and still oracle-verifiable
+    * (q40): both hash words are md5 hex-digit ranges DuckDB can parse.
+    * Output: (doc_a, doc_b, hamming), hamming measured over all 120 bits.
+    */
+  def simhashNearDupPairs120(
+      docs: DataFrame, idCol: String, tokensCol: Column,
+      maxHamming: Int = 5, numBlocks: Int = 6): DataFrame = {
+    require(maxHamming < numBlocks, "pigeonhole exactness needs maxHamming < numBlocks")
+    val blocked = simhash120Blocked(docs, idCol, tokensCol, numBlocks)
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b,
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDistance120(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -74,6 +74,56 @@ class LlmopsSpec extends SparkSpec {
     assert(brute.count() > 0)
   }
 
+  test("banded 120-bit simhash pairs == brute-force pairs (pigeonhole exactness)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    val toks = TextAnalysis.tokens(col("text"))
+    val banded = Dedup.simhashNearDupPairs120(docs, "doc_id", toks)
+    val h = docs.select(col("doc_id"), graft.functions.SimHash120.simhash120(toks).as("sh"))
+    val brute = h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Dedup.hammingDistance120(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= 5)
+    assert(banded.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(banded).count() === 0)
+    assert(brute.count() > 0)
+  }
+
+  test("120-bit blocks bound bucket populations where 60-bit blocks saturate") {
+    // The scale argument for the wide fingerprint: a 60-bit fingerprint in
+    // 6 pigeonhole blocks has only 2^10 = 1024 values per block, so on a
+    // corpus of UNRELATED docs bucket populations grow as n/1024 and
+    // within-bucket candidate pairs quadratically — an accidental
+    // all-pairs join at corpus scale. 20-bit blocks (2^20 values) keep
+    // unrelated docs apart. Deterministic corpus: 3000 docs of 30 random
+    // tokens each from a 50k vocabulary (seed 42) — no true near-dups.
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 3000).map { i =>
+      (i.toLong, (0 until 30).map(_ => s"tok${rnd.nextInt(50000)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    def candidatePairs(blocked: org.apache.spark.sql.DataFrame): Long =
+      blocked.groupBy("block_idx", "block_val").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .collect().head.getLong(0)
+    val bits = 10
+    val narrow = docs
+      .select(col("doc_id"), graft.functions.SimHash64.simhash64(toks).as("sh"))
+      .select(col("doc_id"),
+        posexplode(array((0 until 6).map { b =>
+          shiftrightunsigned(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)
+        }: _*)).as(Seq("block_idx", "block_val")))
+    val wide = Dedup.simhash120Blocked(docs, "doc_id", toks, 6)
+    val narrowCand = candidatePairs(narrow)
+    val wideCand = candidatePairs(wide)
+    // expected: narrow ~ 6 * C(3000,2)/2^10 ≈ 26k, wide ≈ 26
+    assert(narrowCand > 5000L, s"narrow banding should saturate, got $narrowCand")
+    assert(wideCand < 500L, s"wide banding should stay sparse, got $wideCand")
+    assert(wideCand * 20 < narrowCand,
+      s"expected >=20x candidate reduction, got narrow=$narrowCand wide=$wideCand")
+    // and exactness is preserved on this corpus too (no true near-dups)
+    assert(Dedup.simhashNearDupPairs120(docs, "doc_id", toks).count() === 0)
+  }
+
   test("cosineTopK finds the aligned vector first") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("id", "vec")
