@@ -227,6 +227,15 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
+    // the skew-safe (key, time-bucket) as-of plan must reproduce the
+    // plain ASOF result exactly
+    "q64_asof_bucketed" ->
+      """SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+  v.ts AS view_ts, round(v.value, 4) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
     // oracle is plain SQL over the SOURCE table — matches only if the tx
     // upsert replaced every wrong appended row exactly once
     "q62_tx_roundtrip" ->

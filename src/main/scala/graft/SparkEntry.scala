@@ -223,6 +223,22 @@ object SparkEntry {
     TimeSeries.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("view_ts", "view_value"))
   }
 
+  /** J2 under skew: the same as-of join as q19, but clustered on
+    * (key, time-bucket) so a hyper-hot key spreads over many tasks
+    * instead of serializing one ([[TimeSeries.asOfJoinTimeBucketed]]).
+    * Shares q19's DuckDB ASOF oracle — the skew-safe plan must be
+    * semantically invisible.
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"), round(col("value"), 4).as("view_value"))
+    TimeSeries.asOfJoinTimeBucketed(purchases, views, "user_id", "ts", "ts",
+      Seq("view_ts", "view_value"), bucketWidthSec = 6 * 3600.0)
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -804,6 +820,7 @@ object SparkEntry {
     "q60_embed_near_dups" -> (q60 _),
     "q61_salted_agg" -> (q61 _),
     "q62_tx_roundtrip" -> (q62 _),
+    "q64_asof_bucketed" -> (q64 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

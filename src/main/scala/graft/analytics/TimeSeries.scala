@@ -145,4 +145,70 @@ object TimeSeries {
       .filter(col("__side") === 1)
       .drop("__side")
   }
+
+  /** J2 for SKEWED keys: as-of join clustered on (key, time-bucket)
+    * instead of the key alone. Both [[asOfJoin]] and the custom merge
+    * operator ([[graft.plans.MergeAsOf]]) put every row of a key in ONE
+    * task — a hyper-hot symbol serializes at scale. Here time is cut into
+    * `bucketWidthSec` buckets and the hot key's work spreads over its
+    * buckets; the price is two extra narrow shuffles over per-bucket
+    * SUMMARY rows (≤ |distinct (key, bucket)|), not raw rows.
+    *
+    * Correctness: a left row's match is either in its own bucket or is
+    * the last right row of the latest earlier non-empty bucket. Buckets
+    * partition the time axis, so that "carry" candidate is exactly the
+    * per-bucket max (ts, payload) struct of that bucket, forwarded to
+    * each later left bucket by a per-key as-of pass over bucket
+    * summaries. The final merge is the custom sort-merge as-of operator
+    * keyed on struct(key, bucket) — same inclusive-backward,
+    * max-payload-tie-break semantics as [[asOfJoin]], which the spec
+    * asserts by equality.
+    *
+    * Rows with a null right timestamp are excluded (they have no bucket);
+    * the unbucketed forms instead let them match any left time — filter
+    * them out before calling either form if they are not real events.
+    */
+  def asOfJoinTimeBucketed(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      bucketWidthSec: Double): DataFrame = {
+    require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    require(!rightPayload.contains(rightTs),
+      "rightPayload must not repeat the rightTs column (it is carried implicitly)")
+    val lCols = left.columns
+    def bucket(ts: Column) = floor(ts.cast("double") / bucketWidthSec).cast("long")
+    val lb = left.withColumn("__tb", bucket(col(leftTs)))
+    val rb = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("__rk"), bucket(col(rightTs)).as("__rtb"),
+        struct(col(rightTs) +: rightPayload.map(col): _*).as("__cand"))
+    val candType = rb.schema("__cand").dataType
+    // per (key, right-bucket) summary: the max (ts, payload) struct — the
+    // row the merge would hold at that bucket's end
+    val bucketLast = rb.groupBy(col("__rk"), col("__rtb")).agg(max(col("__cand")).as("__cand"))
+    // carry-forward: for each LEFT bucket, the summary of the latest right
+    // bucket STRICTLY before it (a summary published at __rtb becomes
+    // visible from bucket __rtb + 1 on; side 0 sorts before the left
+    // marker at equal position, making the visibility inclusive there)
+    val lBuckets = lb.select(col(key).as("__ck"), col("__tb")).distinct()
+    val carryW = Window.partitionBy(col("__ck"))
+      .orderBy(col("__cpos"), col("__cside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = lBuckets
+      .select(col("__ck"), col("__tb").as("__cpos"), lit(1).as("__cside"),
+        lit(null).cast(candType).as("__cand"), col("__tb"))
+      .unionByName(bucketLast.select(col("__rk").as("__ck"),
+        (col("__rtb") + 1).as("__cpos"), lit(0).as("__cside"),
+        col("__cand"), lit(null).cast("long").as("__tb")))
+      .select(col("__ck"), col("__cside"), col("__tb"),
+        last(col("__cand"), ignoreNulls = true).over(carryW).as("__cand"))
+      .filter(col("__cside") === 1 && col("__cand").isNotNull)
+      .select(col("__ck").as("__rk"), col("__tb").as("__rtb"), col("__cand"))
+    // candidate set per (key, left-bucket): in-bucket rows + the carry;
+    // final merge on the composite key spreads the hot key over buckets
+    val cands = rb.unionByName(carry)
+      .select(struct(col("__rk"), col("__rtb")).as("__kb"), col("__cand.*"))
+    val lb2 = lb.withColumn("__kb", struct(col(key), col("__tb")))
+    graft.plans.MergeAsOf.join(lb2, cands, "__kb", leftTs, rightTs)
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"r_$c").as(c)): _*)
+  }
 }

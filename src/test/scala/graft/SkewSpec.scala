@@ -44,6 +44,54 @@ class SkewSpec extends SparkSpec {
     assert(hot.select("event_type").distinct().collect().map(_.getString(0)).toSet === Set("view", "click"))
   }
 
+  test("time-bucketed as-of join == plain as-of join on a 90%-one-key dataset") {
+    import graft.analytics.TimeSeries
+    val rnd = new scala.util.Random(7)
+    // 90% of rows on one hot key — the case where key-clustered as-of
+    // serializes a single task
+    def mkKey() = if (rnd.nextInt(10) < 9) "HOT" else s"k${rnd.nextInt(20)}"
+    val leftRows = (0 until 20000).map(i => (i.toLong, mkKey(), rnd.nextInt(100000).toDouble))
+    val rightRows = (0 until 8000).map(i => (mkKey(), rnd.nextInt(100000).toDouble, i.toDouble))
+    val left = leftRows.toDF("id", "sym", "ts").repartition(8)
+    val right = rightRows.toDF("sym", "ts", "px").repartition(8)
+
+    val plain = TimeSeries.asOfJoin(left, right, "sym", "ts", "ts", Seq("px"))
+    val bucketed = TimeSeries.asOfJoinTimeBucketed(
+      left, right, "sym", "ts", "ts", Seq("px"), bucketWidthSec = 5000.0)
+    assert(bucketed.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(bucketed).count() === 0)
+    assert(plain.count() === 20000)
+
+    // the scale argument: clustering on (key, bucket) caps any one task's
+    // share of the hot key at roughly one bucket's worth of rows
+    val hotTotal = left.filter(col("sym") === "HOT").count()
+    val maxGroup = left
+      .groupBy(col("sym"), floor(col("ts") / 5000.0).cast("long").as("tb"))
+      .count().agg(max("count")).collect().head.getLong(0)
+    assert(maxGroup < hotTotal / 10,
+      s"expected (key,bucket) groups to split the hot key, max=$maxGroup hot=$hotTotal")
+    // and the final merge really is keyed on the composite struct
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    assert(planStr.contains("MergeAsOfJoin"), "expected the custom merge operator")
+    assert(planStr.contains("hashpartitioning(__kb"),
+      "expected the exchange to partition on struct(key, bucket)")
+  }
+
+  test("time-bucketed as-of: carry crosses empty buckets, empty right side is all-null") {
+    import graft.analytics.TimeSeries
+    val left = Seq((1L, "A", 10.0), (2L, "A", 95000.0), (3L, "B", 50.0))
+      .toDF("id", "sym", "ts")
+    // A's only quote is at ts=5: buckets between 5 and 95000 are all empty,
+    // so the carry must propagate across many empty buckets; B has no quotes
+    val right = Seq(("A", 5.0, 1.25)).toDF("sym", "ts", "px")
+    val out = TimeSeries.asOfJoinTimeBucketed(
+        left, right, "sym", "ts", "ts", Seq("px"), bucketWidthSec = 100.0)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) === Some(1.25))
+    assert(out(2L) === Some(1.25))
+    assert(out(3L) === None)
+  }
+
   test("GraftSession.local registers extensions and reads nanos parquet") {
     // our shared session isn't built via GraftSession; validate the builder
     // config set instead of creating a second context-conflicting session
