@@ -227,6 +227,15 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
+    // oracle over the RAW events table: directory pruning on the
+    // partitioned copy must be a pure optimization
+    "q63_partitioned_scan" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+  count(*) AS n, round(sum(value), 2) AS total
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1, 2""",
+
     // the skew-safe (key, time-bucket) as-of plan must reproduce the
     // plain ASOF result exactly
     "q64_asof_bucketed" ->

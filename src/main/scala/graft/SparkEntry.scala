@@ -223,6 +223,35 @@ object SparkEntry {
     TimeSeries.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("view_ts", "view_value"))
   }
 
+  /** S9/layout: date-partitioned scan with planning-time pruning — events
+    * written Hive-partitioned on event_date
+    * ([[graft.sources.BucketedLayout.writePartitioned]]), then a one-week
+    * predicate prunes whole directories before any I/O (PartitionFilters,
+    * asserted in BucketedLayoutSpec). The aggregate over the pruned scan
+    * must match plain SQL over the raw table — pruning is a pure
+    * optimization. Temp table lifecycle as in q62 (eager materialize,
+    * delete before returning).
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("q63_part")
+    try {
+      val ev = t(s, dir, "events").withColumn("event_date", to_date(col("ts")))
+      graft.sources.BucketedLayout.writePartitioned(ev, path.toString, Seq("event_date"))
+      // event_date rendered as a string: DATE cells round-trip differently
+      // through the driver's pandas/parquet compare than through DuckDB
+      val agg = s.read.parquet(path.toString)
+        .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** J2 under skew: the same as-of join as q19, but clustered on
     * (key, time-bucket) so a hyper-hot key spreads over many tasks
     * instead of serializing one ([[TimeSeries.asOfJoinTimeBucketed]]).
@@ -820,6 +849,7 @@ object SparkEntry {
     "q60_embed_near_dups" -> (q60 _),
     "q61_salted_agg" -> (q61 _),
     "q62_tx_roundtrip" -> (q62 _),
+    "q63_partitioned_scan" -> (q63 _),
     "q64_asof_bucketed" -> (q64 _),
   )
 

@@ -96,6 +96,29 @@ class BucketedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q63's range predicate prunes the date-partitioned events scan") {
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("graft_part_events").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("event_date", to_date(col("ts")))
+    BucketedLayout.writePartitioned(ev, path, Seq("event_date"))
+    val q = spark.read.parquet(path)
+      .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+      .groupBy(col("event_date"), col("event_type")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    // the date range must reach the scan as PartitionFilters (planning-time
+    // directory pruning), not as a post-scan data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date") &&
+      plan.contains(">= 2024-01-08") && plan.contains("<= 2024-01-14"),
+      s"expected the date range in PartitionFilters:\n$plan")
+    assert(plan.contains("DataFilters: []"),
+      s"the range must prune directories, not filter rows post-scan:\n$plan")
+    assert(q.count() > 0)
+    assert(q.select("event_date").distinct().count() === 7)
+  }
+
   test("equality filter on the bucket key prunes to one bucket") {
     val dir = "/root/testdata/sf0.001"
     val ord = spark.read.parquet(s"$dir/orders.parquet")
