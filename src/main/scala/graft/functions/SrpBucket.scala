@@ -9,7 +9,10 @@ import org.apache.spark.sql.types.{DataType, FloatType, IntegerType}
 /** Native sign-random-projection bucket: vector -> int bucket key from the
   * sign pattern of `numPlanes` deterministic pseudo-random hyperplane
   * projections (coefficient(p, d) derived from MurmurHash3 of (p, d) — no
-  * RNG state, identical on every executor).
+  * RNG state, identical on every executor). `planeOffset` selects a
+  * disjoint plane range [offset, offset + numPlanes) of the same family,
+  * which is what gives multi-table LSH (the OR-construction in
+  * [[graft.llmops.Similarity.lshBandedNeighbors]]) independent tables.
   *
   * Native because the expression-tree form is numPlanes*dim literal terms
   * (1024 for 16x64) — janino recompiles that giant method for every job
@@ -18,7 +21,7 @@ import org.apache.spark.sql.types.{DataType, FloatType, IntegerType}
   * Implements real doGenCode (static-call form) to stay inside the
   * surrounding whole-stage span.
   */
-case class SrpBucket(child: Expression, numPlanes: Int)
+case class SrpBucket(child: Expression, numPlanes: Int, planeOffset: Int = 0)
   extends UnaryExpression {
 
   private lazy val elementIsFloat =
@@ -29,11 +32,11 @@ case class SrpBucket(child: Expression, numPlanes: Int)
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Integer.valueOf(
-      SrpBucket.compute(input.asInstanceOf[ArrayData], numPlanes, elementIsFloat))
+      SrpBucket.compute(input.asInstanceOf[ArrayData], numPlanes, planeOffset, elementIsFloat))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SrpBucket.compute($c, $numPlanes, $elementIsFloat)")
+      s"graft.functions.SrpBucket.compute($c, $numPlanes, $planeOffset, $elementIsFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
     copy(child = newChild)
@@ -53,14 +56,17 @@ object SrpBucket {
       }
     })
 
-  /** Shared by interpreted eval and generated code (static call). */
-  def compute(arr: ArrayData, numPlanes: Int, elementIsFloat: Boolean): Int = {
+  /** Shared by interpreted eval and generated code (static call). Plane p
+    * of the bucket reads coefficient row `planeOffset + p`, so any offset
+    * slice of the family is consistent with the offset-0 table.
+    */
+  def compute(arr: ArrayData, numPlanes: Int, planeOffset: Int, elementIsFloat: Boolean): Int = {
     val n = arr.numElements()
-    val cs = coefficients(numPlanes, n)
+    val cs = coefficients(planeOffset + numPlanes, n)
     var bucket = 0
     var p = 0
     while (p < numPlanes) {
-      val row = cs(p)
+      val row = cs(planeOffset + p)
       var proj = 0.0
       var d = 0
       while (d < n) {
@@ -77,4 +83,9 @@ object SrpBucket {
   def srpBucket(vec: Column, numPlanes: Int): Column =
     org.apache.spark.sql.graft.bridge.column(
       SrpBucket(org.apache.spark.sql.graft.bridge.expression(vec), numPlanes))
+
+  /** Bucket from the plane slice [startPlane, startPlane + numPlanes). */
+  def srpBucketRange(vec: Column, startPlane: Int, numPlanes: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      SrpBucket(org.apache.spark.sql.graft.bridge.expression(vec), numPlanes, startPlane))
 }

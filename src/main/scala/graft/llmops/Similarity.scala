@@ -179,4 +179,43 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v"))), 6).as("score"))
       .filter(col("score") >= minScore)
   }
+
+  /** X3 scale path, OR-construction: `numTables` independent SRP tables of
+    * `planesPerTable` hyperplanes each — a pair collides if it shares a
+    * bucket in ANY table (the same AND/OR banding as MinHash LSH). Fewer
+    * planes per table raise per-table collision probability; independent
+    * tables multiply the chances: recall = 1 - (1 - p^k)^L for per-plane
+    * agreement p = 1 - θ/π. The single-table form ([[lshBucketedNeighbors]])
+    * is the k=numPlanes, L=1 degenerate case — high precision, low recall.
+    * Shuffle volume is L small (table, bucket) keys per vector; candidate
+    * pairs are deduplicated before scoring so each pair's exact cosine is
+    * computed once.
+    *
+    * Output: (id_a, id_b, score) with id_a < id_b, distinct pairs.
+    */
+  def lshBandedNeighbors(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planesPerTable: Int = 4, numTables: Int = 8,
+      minScore: Double = 0.0): DataFrame = {
+    val keyed = graft.util.Partitioning.ensureParallelism(embeddings).select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"),
+      posexplode(array((0 until numTables).map { t =>
+        // per-table plane sets are disjoint by construction: table t uses
+        // plane indices [t*k, (t+1)*k) of the same deterministic family
+        graft.functions.SrpBucket.srpBucketRange(
+          col(vecCol), t * planesPerTable, planesPerTable)
+      }: _*)).as(Seq("table_idx", "bucket")))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6).as("score"))
+      .filter(col("score") >= minScore)
+  }
 }
