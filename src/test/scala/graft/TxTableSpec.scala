@@ -170,6 +170,54 @@ class TxTableSpec extends SparkSpec {
       "expected non-empty per-file bucket stats in the commit log")
   }
 
+  test("concurrent upsert stress: two writers + racing vacuum, no lost rows") {
+    val path = freshPath()
+    val rounds = 4
+    // two writers upserting their OWN id ranges — semantically disjoint,
+    // but 16 hash buckets over 40 ids each means their bucket DOMAINS
+    // overlap, so the OCC layer must serialize them via conflicts+retry
+    def writer(base: Long, tag: String): Thread = new Thread(() => {
+      (1 to rounds).foreach { round =>
+        val df = (base until base + 40L).map(id => (id, s"$tag$round")).toDF("id", "v")
+        var committed = false
+        while (!committed) {
+          try { TxParquetTable.upsert(df, path, "id"); committed = true }
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+      }
+    })
+    // vacuum racing the writers: with the default retention window it must
+    // never delete anything (all files are fresh) and never throw
+    @volatile var stop = false
+    val vac = new Thread(() => {
+      while (!stop) {
+        val latest = TxParquetTable.latestVersion(path)
+        if (latest >= 0) assert(TxParquetTable.vacuum(path, math.max(0L, latest - 1)) === 0)
+        Thread.sleep(20)
+      }
+    })
+    val a = writer(0L, "A")
+    val b = writer(100L, "B")
+    vac.start(); a.start(); b.start()
+    a.join(); b.join()
+    stop = true; vac.join()
+
+    // every successful upsert is one commit; versions are contiguous
+    assert(TxParquetTable.latestVersion(path) === 2L * rounds - 1)
+    // no lost rows, and each id holds its writer's LAST round — writer
+    // rounds are ordered per thread, so the final state is deterministic
+    val now = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now.size === 80)
+    (0L until 40L).foreach(id => assert(now(id) === s"A$rounds", s"id=$id got ${now(id)}"))
+    (100L until 140L).foreach(id => assert(now(id) === s"B$rounds", s"id=$id got ${now(id)}"))
+    // post-quiesce vacuum with retention 0 reclaims history; the latest
+    // snapshot must be untouched
+    assert(TxParquetTable.vacuum(path, TxParquetTable.latestVersion(path),
+      retentionMs = 0L) > 0)
+    assert(TxParquetTable.snapshot(spark, path).count() === 80)
+  }
+
   test("racing appends from multiple threads all land with distinct versions") {
     val path = freshPath()
     val threads = (0 until 4).map { i =>
