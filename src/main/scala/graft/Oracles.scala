@@ -236,6 +236,23 @@ FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY 1, 2""",
 
+    // batched exact kNN: the bounded-heap aggregate must pick the same
+    // rows as the window-rank form (score DESC, id tie-break)
+    "q65_knn_batch" ->
+      """WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qv.qid, e.vec_id AS id,
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+  FROM scored) WHERE rn <= 10""",
+
     // the skew-safe (key, time-bucket) as-of plan must reproduce the
     // plain ASOF result exactly
     "q64_asof_bucketed" ->

@@ -268,6 +268,19 @@ object SparkEntry {
       Seq("view_ts", "view_value"), bucketWidthSec = 6 * 3600.0)
   }
 
+  /** X3 batch: exact top-10 neighbors for 5 query vectors in one corpus
+    * scan — per-query top-k via the [[graft.functions.BoundedTopK]]
+    * map-side-bounded aggregate (only |queries| x k entries shuffle, vs
+    * all scored rows under the window-rank form). Oracle is the
+    * equivalent ROW_NUMBER() window over the same portable cosine.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    Similarity.cosineTopKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -855,6 +868,7 @@ object SparkEntry {
     "q62_tx_roundtrip" -> (q62 _),
     "q63_partitioned_scan" -> (q63 _),
     "q64_asof_bucketed" -> (q64 _),
+    "q65_knn_batch" -> (q65 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

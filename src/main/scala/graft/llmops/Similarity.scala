@@ -180,6 +180,37 @@ object Similarity {
       .filter(col("score") >= minScore)
   }
 
+  /** X3 batch form: exact top-k neighbors for a SET of query vectors in
+    * one corpus scan. `queries` (qidCol, qVecCol as array<double>) is
+    * broadcast; every corpus row is scored against every query inside
+    * whole-stage codegen, and the per-query top-k is taken by the
+    * [[graft.functions.BoundedTopK]] aggregate — a k-bounded heap in the
+    * MAP-SIDE partial aggregate, so only |queries| * k entries shuffle
+    * rather than the |queries| * |corpus| scored rows the window-rank
+    * form (`row_number() <= k`) would move. Corpus norms are computed
+    * once per row, not once per (row, query).
+    *
+    * Output: (qid, id, score), k rows per query, ties broken by id —
+    * identical picks to `ROW_NUMBER() OVER (ORDER BY score DESC, id)`.
+    */
+  def cosineTopKBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String, k: Int): DataFrame = {
+    val corpus = graft.util.Partitioning.ensureParallelism(embeddings).select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val qs = queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("score"))
+  }
+
   /** X3 scale path, OR-construction: `numTables` independent SRP tables of
     * `planesPerTable` hyperplanes each — a pair collides if it shares a
     * bucket in ANY table (the same AND/OR banding as MinHash LSH). Fewer

@@ -36,6 +36,52 @@ class AnnRecallSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.65, s"mean recall@10 too low: $recalls")
   }
 
+  test("BoundedTopK == window-rank top-k (partials, merges, ties, serialization)") {
+    import graft.functions.BoundedTopK
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // many partitions force the partial/merge (and serialize) path; tied
+    // scores force the id tie-break
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 5000).map(i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 20) / 20.0, i.toLong))
+    val df = rows.toDF("g", "s", "id").repartition(16)
+    val agg = df.groupBy(col("g"))
+      .agg(BoundedTopK.topK(col("s"), col("id"), 5).as("nn"))
+      .select(col("g"), explode(col("nn")).as("e"))
+      .select(col("g"), col("e.id").as("id"), col("e.score").as("s"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    val win = df.select(col("g"), col("id"), col("s"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(agg.exceptAll(win).count() === 0)
+    assert(win.exceptAll(agg).count() === 0)
+    assert(agg.count() === 35)
+    // rank order inside the array is score DESC, id ASC
+    val arr = df.groupBy(col("g")).agg(BoundedTopK.topK(col("s"), col("id"), 5).as("nn"))
+      .filter(col("g") === 0L).head.getSeq[org.apache.spark.sql.Row](1)
+    val pairs = arr.map(r => (r.getDouble(0), r.getLong(1)))
+    assert(pairs === pairs.sortBy { case (s, id) => (-s, id) })
+  }
+
+  test("cosineTopKBatch matches per-query brute-force cosineTopK") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10)
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0)
+      val single = Similarity.cosineTopK(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch.filter(col("qid") === qid)
+        .select(col("id"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fromBatch.toSet === single.toSet, s"qid=$qid")
+    }
+  }
+
   test("banded SRP-LSH recall of the exact near-dup pairs") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.4)
       .select(col("id_a"), col("id_b")).cache()
