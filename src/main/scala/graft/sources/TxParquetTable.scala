@@ -304,6 +304,33 @@ object TxParquetTable {
     publish(path, stage(df, path, None), Seq.empty, Seq.empty, v)
   }
 
+  /** Compaction (the OPTIMIZE shape): rewrite the current snapshot into
+    * at most `targetFiles` files, clustered on the id's hash bucket, in
+    * ONE atomic commit. Logical content is unchanged — only the file
+    * layout. Removing files means declaring the FULL bucket domain, so a
+    * concurrent upsert or append conflicts cleanly (either could
+    * otherwise race the rewrite and double-materialize rows); retry
+    * compaction in a quiet moment, it is never urgent. Streaming ingest
+    * pairs with this: micro-batches land as small appends, compaction
+    * periodically folds them into the clustered layout (and, as a side
+    * effect, stat-less appended files gain bucket stats). Pre-compaction
+    * versions stay time-travelable until vacuumed. Returns the committed
+    * version (or the read version if already compact).
+    */
+  def compact(spark: SparkSession, path: String, idCol: String,
+      buckets: Int = 16, targetFiles: Int = 4): Long = {
+    val readVersion = latestVersion(path)
+    if (readVersion < 0) return readVersion
+    val live = state(path, Some(readVersion)).live
+    if (live.length <= targetFiles) return readVersion
+    val bucketOf = pmod(xxhash64(col(idCol)), lit(buckets)).cast("int")
+    val df = spark.read.parquet(
+        live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+      .repartition(targetFiles, bucketOf)
+    val adds = stage(df, path, Some(bucketOf))
+    publish(path, adds, live.map(_.name), (0 until buckets), readVersion)
+  }
+
   /** Transactional keyed upsert: replaces whole hash-buckets of rows.
     * `df` is bucketed on `idCol` (same scheme as the streaming upsert
     * sink); survivors of the affected buckets are rewritten together with

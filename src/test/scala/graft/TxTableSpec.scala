@@ -218,6 +218,40 @@ class TxTableSpec extends SparkSpec {
     assert(TxParquetTable.snapshot(spark, path).count() === 80)
   }
 
+  test("compact folds the file set without changing content; history survives until vacuum") {
+    val path = freshPath()
+    // several appends + an upsert -> many small files, some stat-less
+    (0 until 5).foreach { i =>
+      TxParquetTable.append(Seq((i * 10L, s"a$i")).toDF("id", "v"), path)
+    }
+    TxParquetTable.upsert(Seq((10L, "A1"), (99L, "new")).toDF("id", "v"), path, "id")
+    val preVersion = TxParquetTable.latestVersion(path)
+    val before = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def liveFiles() = {
+      val logTxt = TxParquetTable.snapshot(spark, path).inputFiles
+      logTxt.length
+    }
+    assert(liveFiles() > 2)
+
+    val v = TxParquetTable.compact(spark, path, "id", buckets = 16, targetFiles = 2)
+    assert(v === preVersion + 1)
+    assert(liveFiles() <= 2, s"expected <=2 live files, got ${liveFiles()}")
+    val after = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before)
+    // already-compact table: no-op, no new commit
+    assert(TxParquetTable.compact(spark, path, "id", targetFiles = 2) === v)
+    assert(TxParquetTable.latestVersion(path) === v)
+    // the pre-compaction version still reads (files not deleted yet)...
+    assert(TxParquetTable.snapshot(spark, path, Some(preVersion))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === before)
+    // ...until vacuum reclaims it; the compacted snapshot is untouched
+    assert(TxParquetTable.vacuum(path, v, retentionMs = 0L) > 0)
+    assert(TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === before)
+  }
+
   test("racing appends from multiple threads all land with distinct versions") {
     val path = freshPath()
     val threads = (0 until 4).map { i =>
