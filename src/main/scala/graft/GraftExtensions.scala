@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashBands, ShingleFingerprint, SimHash64}
+import graft.functions.{BoundedTopK, MinHashBands, ShingleFingerprint, SimHash120, SimHash64}
 
 /** SparkSessionExtensions registration exposing the engine's native
   * expressions to the SQL surface:
@@ -53,6 +53,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(tokens) => SimHash64(tokens)
         case _ => throw new IllegalArgumentException("simhash64(tokens_array)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash120"),
+      new ExpressionInfo(classOf[SimHash120].getName, "simhash120"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHash120(tokens)
+        case _ => throw new IllegalArgumentException("simhash120(tokens_array)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      (args: Seq[Expression]) => args match {
+        case Seq(score, id, k) => BoundedTopK(score, id, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("bounded_top_k(score, id, k)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((

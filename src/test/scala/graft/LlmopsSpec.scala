@@ -224,15 +224,26 @@ class LlmopsSpec extends SparkSpec {
       exprs => graft.functions.SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_fingerprint",
       exprs => graft.functions.ShingleFingerprint(exprs.head, 8), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash120",
+      exprs => graft.functions.SimHash120(exprs.head), "scala_udf")
+    // bare AggregateFunction, as GraftExtensions registers it — the
+    // analyzer wraps it in an AggregateExpression
+    reg.createOrReplaceTempFunction("bounded_top_k",
+      exprs => graft.functions.BoundedTopK(exprs(0), exprs(1), 3), "scala_udf")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
       .createOrReplaceTempView("ext_docs")
     val out = spark.sql("""
       SELECT doc_id, minhash_bands(text) AS bands, simhash64(split(text, ' ')) AS sh,
-             shingle_fingerprint(text) AS fp
+             simhash120(split(text, ' ')) AS sh120, shingle_fingerprint(text) AS fp
       FROM ext_docs""").collect()
     assert(out.length === 5)
     assert(out.forall(r => r.getAs[Seq[String]]("bands").length === 4))
     assert(out.forall(_.getAs[String]("fp").length === 32))
+    assert(out.forall(r => r.getAs[Seq[Long]]("sh120").length === 2))
+    val top = spark.sql(
+      "SELECT bounded_top_k(CAST(doc_id AS DOUBLE), doc_id) AS nn FROM ext_docs")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length === 3)
   }
 
   test("multimodal: resize fits images into maxDim, preserves aspect, skips non-images") {
