@@ -59,4 +59,17 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange "))
     assert(exchanges <= 1, s"candle re-aggregation should shuffle once, saw $exchanges:\n$plan")
   }
+
+  test("q65 batched knn: bounded top-k aggregates map-side before the shuffle") {
+    val plan = planOf("q65_knn_batch")
+    // the partial (map-side) bounded_top_k must appear below the exchange:
+    // only |queries| x k heap entries cross the wire, not the scored rows
+    assert(plan.contains("partial_bounded_top_k"),
+      s"expected a map-side partial bounded_top_k:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed imperative aggregate should plan as ObjectHashAggregate:\n$plan")
+    // and the corpus side is scanned once with the query set broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$plan")
+  }
 }
