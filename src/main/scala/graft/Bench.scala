@@ -24,6 +24,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same timezone as Verify/GraftSession, so TZ-sensitive queries
+      // (calendar windows, date functions) measure the same work
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect() // JVM/codegen warmup

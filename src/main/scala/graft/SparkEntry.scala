@@ -17,6 +17,18 @@ object SparkEntry {
 
   import graft.util.Partitioning.{stableRound6 => sr6}
 
+  /** Recursive delete for the per-invocation temp tables (q62/q63); the
+    * walk stream must be closed or each call leaks a directory fd.
+    */
+  private def deleteRecursively(path: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close()
+  }
+
   /** Harness-table reader. The driver's `events.ts` is parquet
     * TIMESTAMP(NANOS) which Spark 4 refuses by default; read it as a long
     * (legacy conf) and floor-divide to microseconds — integer `div`, not
@@ -235,7 +247,13 @@ object SparkEntry {
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("q63_part")
     try {
-      val ev = t(s, dir, "events").withColumn("event_date", to_date(col("ts")))
+      // epoch-day arithmetic, NOT to_date(ts): to_date renders in the
+      // SESSION timezone, which only GraftSession/Verify pin to UTC —
+      // this derivation matches DuckDB's TZ-naive CAST(ts AS DATE) in
+      // any session
+      val ev = t(s, dir, "events").withColumn("event_date",
+        date_add(lit("1970-01-01").cast("date"),
+          expr("unix_micros(ts) div 86400000000").cast("int")))
       graft.sources.BucketedLayout.writePartitioned(ev, path.toString, Seq("event_date"))
       // event_date rendered as a string: DATE cells round-trip differently
       // through the driver's pandas/parquet compare than through DuckDB
@@ -245,11 +263,7 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(path).iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally deleteRecursively(path)
   }
 
   /** J2 under skew: the same as-of join as q19, but clustered on
@@ -278,7 +292,8 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
-    Similarity.cosineTopKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+    Similarity.cosineTopKBatch(emb, "vec_id", "embedding", queries, "qid", "qv", k = 10,
+      excludeSelfId = true) // queries ARE corpus rows here
   }
 
   // ---- §2.10 X5 json / map columns ----------------------------------------
@@ -796,11 +811,7 @@ object SparkEntry {
         .groupBy(col("order_year"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(path).iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally deleteRecursively(path)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

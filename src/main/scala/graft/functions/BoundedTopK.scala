@@ -120,7 +120,14 @@ object BoundedTopK {
       if (heap.size < k) heap.add((score, id))
       else {
         val worst = heap.peek()
-        val better = score > worst._1 || (score == worst._1 && id < worst._2)
+        // Double.compare, NOT primitive > / ==: the primitive ops are
+        // false for NaN on both sides, which would make a NaN's fate
+        // depend on arrival order (seated NaN never evicted, late NaN
+        // never seated). Double.compare ranks NaN above every score on
+        // both insert and eviction — the same total order Spark and the
+        // SQL window-rank oracle use for ORDER BY score DESC.
+        val c = java.lang.Double.compare(score, worst._1)
+        val better = c > 0 || (c == 0 && id < worst._2)
         if (better) { heap.poll(); heap.add((score, id)) }
       }
     }
@@ -128,10 +135,16 @@ object BoundedTopK {
     def foreach(f: (Double, Long) => Unit): Unit =
       heap.iterator().forEachRemaining(e => f(e._1, e._2))
 
-    /** Entries in final rank order: score DESC, id ASC. */
+    /** Entries in final rank order: score DESC (NaN first, as in ORDER BY
+      * score DESC), id ASC. Explicit Double.compare — negating through
+      * sortBy would send NaN to the wrong end.
+      */
     def sortedEntries: Seq[(Double, Long)] = {
       import scala.jdk.CollectionConverters._
-      heap.iterator().asScala.toSeq.sortBy { case (s, id) => (-s, id) }
+      heap.iterator().asScala.toSeq.sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = java.lang.Double.compare(sa, sb)
+        c > 0 || (c == 0 && ia < ib)
+      }
     }
   }
 

@@ -192,17 +192,25 @@ object Similarity {
     *
     * Output: (qid, id, score), k rows per query, ties broken by id —
     * identical picks to `ROW_NUMBER() OVER (ORDER BY score DESC, id)`.
+    *
+    * `excludeSelfId = true` drops the corpus row whose id equals the
+    * query's qid — ONLY meaningful when queries are drawn from the
+    * corpus under the same id space (the "neighbors of my own rows"
+    * form). Leave false for external query vectors: qids that
+    * coincidentally collide with corpus ids would silently lose a
+    * candidate.
     */
   def cosineTopKBatch(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qVecCol: String, k: Int): DataFrame = {
+      queries: DataFrame, qidCol: String, qVecCol: String, k: Int,
+      excludeSelfId: Boolean = false): DataFrame = {
     val corpus = graft.util.Partitioning.ensureParallelism(embeddings).select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", norm(col("v")))
     val qs = queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     corpus.crossJoin(broadcast(qs))
-      .filter(col("id") =!= col("qid"))
+      .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
       .select(col("qid"), col("id"),
         round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6).as("score"))
       .groupBy(col("qid"))

@@ -61,8 +61,9 @@ object TxParquetTable {
   private def dataDir(path: String) = new File(path, "data")
 
   private case class AddFile(name: String, buckets: Seq[Int])
-  private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int])
-  private case class Snapshot(version: Long, live: Seq[AddFile])
+  private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String],
+    buckets: Seq[Int], bucketCount: Option[Int])
+  private case class Snapshot(version: Long, live: Seq[AddFile], bucketCount: Option[Int])
 
   // ---- log serialization (jackson tree API — bundled with Spark) ----
 
@@ -82,6 +83,7 @@ object TxParquetTable {
     c.remove.foreach(rm.add)
     val bk = root.putArray("buckets")
     c.buckets.foreach(bk.add)
+    c.bucketCount.foreach(root.put("bucketCount", _))
     mapper.writeValueAsString(root)
   }
 
@@ -100,19 +102,22 @@ object TxParquetTable {
       root.get("version").asLong(),
       parseAdds(root.get("add")),
       (0 until rm.size()).map(rm.get(_).asText()),
-      (0 until bk.size()).map(bk.get(_).asInt()))
+      (0 until bk.size()).map(bk.get(_).asInt()),
+      Option(root.get("bucketCount")).map(_.asInt()))
   }
 
   private def renderSnapshot(s: Snapshot): String = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
     addArray(root.putArray("live"), s.live)
+    s.bucketCount.foreach(root.put("bucketCount", _))
     mapper.writeValueAsString(root)
   }
 
   private def parseSnapshot(s: String): Snapshot = {
     val root = mapper.readTree(s)
-    Snapshot(root.get("version").asLong(), parseAdds(root.get("live")))
+    Snapshot(root.get("version").asLong(), parseAdds(root.get("live")),
+      Option(root.get("bucketCount")).map(_.asInt()))
   }
 
   // ---- log reading ----
@@ -149,18 +154,20 @@ object TxParquetTable {
     val target = version.getOrElse(Long.MaxValue)
     val ckpt = checkpointFiles(path).filter(_._1 <= target).lastOption
       .map { case (_, f) => parseSnapshot(read(f)) }
-      .getOrElse(Snapshot(-1L, Seq.empty))
+      .getOrElse(Snapshot(-1L, Seq.empty, None))
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     ckpt.live.foreach(f => live += f.name -> f)
     var v = ckpt.version
+    var bucketCount = ckpt.bucketCount
     commitFiles(path).filter { case (cv, _) => cv > ckpt.version && cv <= target }
       .foreach { case (cv, f) =>
         val c = parseCommit(read(f))
         c.remove.foreach(live -= _)
         c.add.foreach(a => live += a.name -> a)
+        c.bucketCount.foreach(n => bucketCount = Some(n))
         v = cv
       }
-    Snapshot(v, live.values.toSeq)
+    Snapshot(v, live.values.toSeq, bucketCount)
   }
 
   /** Snapshot read. `version = Some(v)` time-travels to commit v. */
@@ -224,7 +231,7 @@ object TxParquetTable {
     */
   private def publish(
       path: String, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int],
-      readVersion: Long, maxRetries: Int = 20): Long = {
+      readVersion: Long, bucketCount: Option[Int] = None, maxRetries: Int = 20): Long = {
     logDir(path).mkdirs()
     var attempt = 0
     while (attempt < maxRetries) {
@@ -241,7 +248,7 @@ object TxParquetTable {
       val target = new File(logDir(path), f"$next%020d.json").toPath
       val tmp = Files.write(
         Paths.get(path, s".commit-${java.util.UUID.randomUUID()}.tmp"),
-        renderCommit(Commit(next, add, remove, buckets)).getBytes(StandardCharsets.UTF_8))
+        renderCommit(Commit(next, add, remove, buckets, bucketCount)).getBytes(StandardCharsets.UTF_8))
       try {
         // createLink is the atomic CREATE-IF-ABSENT primitive: link(2)
         // fails if the target exists. (rename(2)/Files.move+ATOMIC_MOVE
@@ -321,14 +328,17 @@ object TxParquetTable {
       buckets: Int = 16, targetFiles: Int = 4): Long = {
     val readVersion = latestVersion(path)
     if (readVersion < 0) return readVersion
-    val live = state(path, Some(readVersion)).live
-    if (live.length <= targetFiles) return readVersion
-    val bucketOf = pmod(xxhash64(col(idCol)), lit(buckets)).cast("int")
+    val snap = state(path, Some(readVersion))
+    if (snap.live.length <= targetFiles) return readVersion
+    // the table's established bucket scheme always wins over the
+    // parameter (see upsert) — stats and domains must share one modulus
+    val n = snap.bucketCount.getOrElse(buckets)
+    val bucketOf = pmod(xxhash64(col(idCol)), lit(n)).cast("int")
     val df = spark.read.parquet(
-        live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+        snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
       .repartition(targetFiles, bucketOf)
     val adds = stage(df, path, Some(bucketOf))
-    publish(path, adds, live.map(_.name), (0 until buckets), readVersion)
+    publish(path, adds, snap.live.map(_.name), (0 until n), readVersion, Some(n))
   }
 
   /** Transactional keyed upsert: replaces whole hash-buckets of rows.
@@ -340,7 +350,10 @@ object TxParquetTable {
     *
     * The rewrite set comes from per-file bucket stats in the LOG — no
     * data is read to find affected files. Stat-less files (plain
-    * appends) are conservatively rewritten and gain stats. Pass
+    * appends) are conservatively rewritten and gain stats. `buckets`
+    * seeds a NEW table's scheme; once recorded in the log the
+    * established count always wins (mixed moduli would corrupt the
+    * stats/domain bookkeeping). Pass
     * `asOfVersion` when implementing a caller-side retry loop, so a
     * commit landing between your read and this call is detected.
     * Returns the committed version.
@@ -349,14 +362,20 @@ object TxParquetTable {
       asOfVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val readVersion = asOfVersion.getOrElse(latestVersion(path))
-    def bucketOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(buckets)).cast("int")
+    val snap = if (readVersion < 0) Snapshot(-1L, Seq.empty, None) else state(path, Some(readVersion))
+    // the log records the table's bucket scheme at the first keyed write;
+    // it ALWAYS wins over the parameter afterwards — per-file stats and
+    // conflict domains are bucket ids under one modulus, and a caller
+    // with a different count would otherwise plan a rewrite that misses
+    // files (duplicate ids) while its domain fails to conflict
+    val n = snap.bucketCount.getOrElse(buckets)
+    def bucketOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(n)).cast("int")
     val incoming = df
       .dropDuplicates(idCol)
       .localCheckpoint(true) // pin the batch; its plan must not re-read the table
     val affected = incoming.select(bucketOf(col(idCol)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (affected.isEmpty) return readVersion
-    val snap = if (readVersion < 0) Snapshot(-1L, Seq.empty) else state(path, Some(readVersion))
     val affectedFiles = snap.live.filter(f =>
       f.buckets.isEmpty || f.buckets.intersect(affected).nonEmpty)
     // the conflict domain covers every bucket this commit REWRITES, not
@@ -365,7 +384,7 @@ object TxParquetTable {
     // and a concurrent disjoint-looking upsert removing the same file
     // would otherwise double-materialize its rows
     val domain =
-      if (affectedFiles.exists(_.buckets.isEmpty)) (0 until buckets).toSeq
+      if (affectedFiles.exists(_.buckets.isEmpty)) (0 until n).toSeq
       else (affected ++ affectedFiles.flatMap(_.buckets)).distinct.sorted
     val (adds, removes) =
       if (affectedFiles.isEmpty)
@@ -380,6 +399,6 @@ object TxParquetTable {
         val rewrite = survivors.unionByName(incoming).localCheckpoint(true)
         (stage(rewrite, path, Some(bucketOf(col(idCol)))), affectedFiles.map(_.name))
       }
-    publish(path, adds, removes, domain, readVersion)
+    publish(path, adds, removes, domain, readVersion, Some(n))
   }
 }

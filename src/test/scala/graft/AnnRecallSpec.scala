@@ -68,7 +68,7 @@ class AnnRecallSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
     val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
-      queries, "qid", "qv", k = 10)
+      queries, "qid", "qv", k = 10, excludeSelfId = true)
     (0L until 3L).foreach { qid =>
       val q = emb.filter(col("vec_id") === qid)
         .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0)

@@ -102,7 +102,8 @@ class BucketedLayoutSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("event_date", date_add(lit("1970-01-01").cast("date"),
+        expr("unix_micros(ts) div 86400000000").cast("int")))
     BucketedLayout.writePartitioned(ev, path, Seq("event_date"))
     val q = spark.read.parquet(path)
       .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))

@@ -187,20 +187,26 @@ class TxTableSpec extends SparkSpec {
       }
     })
     // vacuum racing the writers: with the default retention window it must
-    // never delete anything (all files are fresh) and never throw
+    // never delete anything (all files are fresh) and never throw. A
+    // failure inside the thread must fail the TEST — capture and rethrow
+    // after join, or the dead thread would pass silently.
     @volatile var stop = false
+    @volatile var vacFailure: Throwable = null
     val vac = new Thread(() => {
-      while (!stop) {
-        val latest = TxParquetTable.latestVersion(path)
-        if (latest >= 0) assert(TxParquetTable.vacuum(path, math.max(0L, latest - 1)) === 0)
-        Thread.sleep(20)
-      }
+      try {
+        while (!stop) {
+          val latest = TxParquetTable.latestVersion(path)
+          if (latest >= 0) assert(TxParquetTable.vacuum(path, math.max(0L, latest - 1)) === 0)
+          Thread.sleep(20)
+        }
+      } catch { case t: Throwable => vacFailure = t }
     })
     val a = writer(0L, "A")
     val b = writer(100L, "B")
     vac.start(); a.start(); b.start()
     a.join(); b.join()
     stop = true; vac.join()
+    if (vacFailure != null) throw vacFailure
 
     // every successful upsert is one commit; versions are contiguous
     assert(TxParquetTable.latestVersion(path) === 2L * rounds - 1)
@@ -216,6 +222,32 @@ class TxTableSpec extends SparkSpec {
     assert(TxParquetTable.vacuum(path, TxParquetTable.latestVersion(path),
       retentionMs = 0L) > 0)
     assert(TxParquetTable.snapshot(spark, path).count() === 80)
+  }
+
+  test("the log's bucket scheme wins over a caller's mismatched bucket count") {
+    val path = freshPath()
+    TxParquetTable.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      path, "id", buckets = 8)
+    // a later writer configured with a DIFFERENT modulus must not plan
+    // against the 8-bucket stats with mod-16 ids (it would miss files and
+    // resurrect replaced rows)
+    TxParquetTable.upsert(Seq((1L, "A"), (9L, "d")).toDF("id", "v"),
+      path, "id", buckets = 16)
+    val rows = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length === rows.map(_._1).distinct.length, s"duplicate ids: ${rows.toSeq}")
+    assert(rows.toMap === Map(1L -> "A", 2L -> "b", 3L -> "c", 9L -> "d"))
+    // compact with yet another count also adopts the established scheme
+    TxParquetTable.compact(spark, path, "id", buckets = 4, targetFiles = 1)
+    assert(TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "A", 2L -> "b", 3L -> "c", 9L -> "d"))
+    val logTxt = new java.io.File(path, "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).map(f =>
+        new String(Files.readAllBytes(f.toPath)))
+    assert(logTxt.forall(!_.contains("\"bucketCount\":16")),
+      "established 8-bucket scheme must never be overridden")
+    assert(logTxt.exists(_.contains("\"bucketCount\":8")))
   }
 
   test("compact folds the file set without changing content; history survives until vacuum") {
