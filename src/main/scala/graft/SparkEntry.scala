@@ -296,6 +296,19 @@ object SparkEntry {
       excludeSelfId = true) // queries ARE corpus rows here
   }
 
+  /** X3 batch x IVF: the q65 query set answered through the IVF index
+    * with per-query probe pruning (rows-only — IVF hashing has no SQL
+    * twin; q65 is the exact twin, recall pinned in AnnRecallSpec).
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val (cent, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding", 64, nCells = 16)
+    Similarity.ivfTopKBatch(cent, assigned, queries, "qid", "qv",
+      nProbe = 4, k = 10, excludeSelfId = true)
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -880,6 +893,7 @@ object SparkEntry {
     "q63_partitioned_scan" -> (q63 _),
     "q64_asof_bucketed" -> (q64 _),
     "q65_knn_batch" -> (q65 _),
+    "q66_ivf_batch" -> (q66 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -156,6 +156,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** X3 batch x IVF: approximate top-k for a query SET against the IVF
+    * index in one pruned scan. Probe cells are chosen per query on the
+    * driver (the centroid head is tiny); the (qid, cell) probe list
+    * joins against `assigned` so each query scores ONLY its nProbe
+    * cells' vectors — the scan prunes (nCells - nProbe)/nCells of the
+    * corpus per query — and the per-query top-k is the bounded-heap
+    * aggregate, same as [[cosineTopKBatch]]. Approximation quality vs
+    * the exact batch is pinned in AnnRecallSpec. Query ids must be
+    * long-typed; `excludeSelfId` as in [[cosineTopKBatch]] (only for
+    * queries drawn from the corpus).
+    */
+  def ivfTopKBatch(
+      centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      nProbe: Int, k: Int, excludeSelfId: Boolean = false): DataFrame = {
+    val cents = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      cents.map { case (cid, c) =>
+        val d = c.zip(qv).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (cid, d / (cn * qn))
+      }.sortBy { case (cid, s) => (-s, cid) }
+        .take(nProbe).map { case (cid, _) => (qid, cid, qv.toSeq) }
+    }.toDF("qid", "cell", "qv")
+    assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("id"),
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6).as("score"))
+      .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("score"))
+  }
+
   /** X3 scale path: approximate nearest neighbors via SRP-LSH bucketing.
     * Vectors are bucketed per-row; within each bucket, pairs are generated
     * by a self-join on the bucket key and scored exactly. `probes` extra

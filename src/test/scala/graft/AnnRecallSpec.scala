@@ -82,6 +82,23 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKBatch recall vs the exact batch over the same query set") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, excludeSelfId = true)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val (cent, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding", dim, nCells = 16)
+    val approx = Similarity.ivfTopKBatch(cent, assigned, queries, "qid", "qv",
+        nProbe = 8, k = 10, excludeSelfId = true)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      (exact(q) & approx.getOrElse(q, Set.empty)).size / 10.0
+    }
+    assert(recalls.min >= 0.5, s"per-query batch IVF recall too low: $recalls")
+    assert(recalls.sum / recalls.size >= 0.65, s"mean batch IVF recall too low: $recalls")
+  }
+
   test("banded SRP-LSH recall of the exact near-dup pairs") {
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.4)
       .select(col("id_a"), col("id_b")).cache()
