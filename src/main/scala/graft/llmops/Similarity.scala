@@ -266,9 +266,14 @@ object Similarity {
     * tables multiply the chances: recall = 1 - (1 - p^k)^L for per-plane
     * agreement p = 1 - θ/π. The single-table form ([[lshBucketedNeighbors]])
     * is the k=numPlanes, L=1 degenerate case — high precision, low recall.
-    * Shuffle volume is L small (table, bucket) keys per vector; candidate
-    * pairs are deduplicated before scoring so each pair's exact cosine is
-    * computed once.
+    * Shuffle volume is L small (table, bucket) keys per vector into the
+    * candidate join; pairs are scored IMMEDIATELY after the join (map
+    * side, inside codegen, norms precomputed once per vector) and
+    * filtered by `minScore` BEFORE the dedup, so the distinct shuffles
+    * only the (id_a, id_b, score) survivors — never candidate rows
+    * carrying embedding vectors. A pair colliding in multiple tables is
+    * scored once per collision (a few extra codegen'd dot products, no
+    * extra I/O) and deduplicated by the identical rounded triple.
     *
     * Output: (id_a, id_b, score) with id_a < id_b, distinct pairs.
     */
@@ -285,16 +290,14 @@ object Similarity {
         graft.functions.SrpBucket.srpBucketRange(
           col(vecCol), t * planesPerTable, planesPerTable)
       }: _*)).as(Seq("table_idx", "bucket")))
-    val pairs = keyed.as("a")
+      .withColumn("n", norm(col("v")))
+    keyed.as("a")
       .join(keyed.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6).as("score"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("score"))
       .filter(col("score") >= minScore)
+      .distinct()
   }
 }
