@@ -236,6 +236,18 @@ FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY 1, 2""",
 
+    // deterministic hash sampling: DuckDB recomputes the md5-uniform and
+    // the per-stratum threshold row by row — membership must be identical
+    "q67_stratified_sample" ->
+      """WITH sampled AS (
+  SELECT * FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0
+      < CASE event_type WHEN 'view' THEN 0.25 WHEN 'click' THEN 0.5 ELSE 1.0 END
+)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM sampled GROUP BY event_type""",
+
     // batched exact kNN: the bounded-heap aggregate must pick the same
     // rows as the window-rank form (score DESC, id tie-break)
     "q65_knn_batch" ->

@@ -309,6 +309,21 @@ object SparkEntry {
       nProbe = 4, k = 10, excludeSelfId = true)
   }
 
+  /** X4+: deterministic stratified sampling — hash-based (md5-uniform per
+    * id), so the sample is a pure function of the data: reproducible
+    * across engines (the oracle recomputes membership row by row),
+    * partitioning-independent, and append-stable. Downsamples the
+    * over-represented strata, keeps rare ones whole — the
+    * rebalance-before-training op.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    Sampling.stratifiedSample(t(s, dir, "events"), "event_type", "event_id",
+      Map("view" -> 0.25, "click" -> 0.5), default = 1.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -894,6 +909,7 @@ object SparkEntry {
     "q64_asof_bucketed" -> (q64 _),
     "q65_knn_batch" -> (q65 _),
     "q66_ivf_batch" -> (q66 _),
+    "q67_stratified_sample" -> (q67 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

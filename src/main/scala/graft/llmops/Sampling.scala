@@ -1,0 +1,67 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (north-star X4
+  * adjacent; the ops a 100 TB corpus needs around dedup/quality: hold-out
+  * splits, per-stratum downsampling of over-represented slices).
+  *
+  * Everything here is HASH-based, not RNG-based: `df.sample()` draws from
+  * a seeded RNG whose row assignment depends on partitioning and
+  * evaluation order, so it is neither reproducible across engines nor
+  * stable under re-partitioning — useless for an auditable train/test
+  * split. A row's fate here is a pure function of its id (md5, the same
+  * deliberately-portable construction as the MinHash/SimHash families),
+  * so samples are reproducible run-to-run, engine-to-engine (the DuckDB
+  * oracle recomputes them bit-identically, q67), and stable as the table
+  * grows — adding rows never flips an existing row's assignment, which
+  * is what keeps yesterday's test set uncontaminated after today's
+  * append.
+  *
+  * Scale shape: a per-row codegen'd predicate — no shuffle, no state,
+  * fully pushdown-friendly.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) value derived from the id: the first 15 md5 hex
+    * digits as a 60-bit integer over 2^60. Portable:
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) / 1152921504606846976.0`.
+    */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") /
+      lit(1152921504606846976.0)
+
+  /** Keep rows whose [[hashUniform]] falls below `fraction`. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(hashUniform(col(idCol)) < fraction)
+  }
+
+  /** Deterministic train/test split on the id hash: (train, test) with
+    * `testFraction` of rows in test. Disjoint and exhaustive by
+    * construction; membership never changes as the table grows.
+    */
+  def trainTestSplit(
+      df: DataFrame, idCol: String, testFraction: Double): (DataFrame, DataFrame) = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0,1], got $testFraction")
+    val u = hashUniform(col(idCol))
+    (df.filter(u >= testFraction), df.filter(u < testFraction))
+  }
+
+  /** Per-stratum sampling fractions (e.g. downsample dominant languages,
+    * keep rare ones whole). Strata absent from `fractions` fall back to
+    * `default`. One codegen'd CASE over the strata map — no shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "all fractions must be in [0,1]")
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol)) < frac)
+  }
+}

@@ -124,6 +124,31 @@ class LlmopsSpec extends SparkSpec {
     assert(Dedup.simhashNearDupPairs120(docs, "doc_id", toks).count() === 0)
   }
 
+  test("hash sampling: split is disjoint+exhaustive, append-stable, near target rate") {
+    import graft.llmops.Sampling
+    val df = (0 until 4000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    val (train, test) = Sampling.trainTestSplit(df, "id", 0.2)
+    val nTrain = train.count()
+    val nTest = test.count()
+    assert(nTrain + nTest === 4000)
+    assert(train.join(test, Seq("id"), "left_semi").count() === 0)
+    assert(math.abs(nTest / 4000.0 - 0.2) < 0.03, s"test rate ${nTest / 4000.0}")
+    // append stability: the same ids keep their assignment in a larger table
+    val bigger = (0 until 8000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    val (_, biggerTest) = Sampling.trainTestSplit(bigger, "id", 0.2)
+    val originalTestIds = test.select("id").collect().map(_.getLong(0)).toSet
+    val biggerTestIds = biggerTest.filter(col("id") < 4000)
+      .collect().map(_.getLong(0)).toSet
+    assert(biggerTestIds === originalTestIds, "growing the table must not reshuffle the split")
+    // stratified: per-stratum rates land near their targets
+    val strat = Seq.tabulate(3000)(i => (i.toLong, if (i % 2 == 0) "big" else "rare"))
+      .toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(strat, "stratum", "id", Map("big" -> 0.1))
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") === 1500, "default 1.0 keeps the rare stratum whole")
+    assert(math.abs(kept("big") / 1500.0 - 0.1) < 0.05, s"big stratum kept ${kept("big")}")
+  }
+
   test("cosineTopK finds the aligned vector first") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("id", "vec")
