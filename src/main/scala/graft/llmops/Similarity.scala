@@ -130,6 +130,28 @@ object Similarity {
     (centroids, assigned)
   }
 
+  /** Driver-side probe selection shared by [[ivfTopK]] and
+    * [[ivfTopKBatch]]: the nProbe cells whose centroids are nearest the
+    * query by cosine (ties to the lower cell id). Centroid norms are
+    * computed once per centroid, not once per (query, centroid).
+    */
+  private def probeCells(
+      cents: Array[(Int, Array[Double], Double)], qv: Array[Double], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    cents.map { case (cid, c, cn) =>
+      val d = c.zip(qv).map { case (a, b) => a * b }.sum
+      (cid, d / (cn * qn))
+    }.sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
+  }
+
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double], Double)] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map { r =>
+        val c = r.getSeq[Double](1).toArray
+        (r.getInt(0), c, math.sqrt(c.map(x => x * x).sum))
+      }
+
   /** IVF query: scan only the nProbe nearest cells, exact cosine inside.
     * Probe-cell selection runs on the driver — `centroids` is the tiny
     * index head (a LocalRelation from [[ivfIndex]]); only the pruned data
@@ -138,17 +160,7 @@ object Similarity {
   def ivfTopK(
       centroids: DataFrame, assigned: DataFrame,
       queryVec: Seq[Double], nProbe: Int, k: Int): DataFrame = {
-    val qArr = queryVec.toArray
-    val qNorm = math.sqrt(qArr.map(x => x * x).sum)
-    val probe = centroids.select(col("cell"), col("centroid")).collect()
-      .map { r =>
-        val c = r.getSeq[Double](1).toArray
-        val d = c.zip(qArr).map { case (a, b) => a * b }.sum
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        (r.getInt(0), d / (cn * qNorm))
-      }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nProbe).map(_._1).toSeq
+    val probe = probeCells(collectCentroids(centroids), queryVec.toArray, nProbe)
     val q = array(queryVec.map(lit): _*)
     assigned.filter(col("cell").isin(probe: _*))
       .select(col("id"), round(dot(col("v"), q) / (norm(col("v")) * norm(q)), 6).as("score"))
@@ -171,24 +183,26 @@ object Similarity {
       centroids: DataFrame, assigned: DataFrame,
       queries: DataFrame, qidCol: String, qVecCol: String,
       nProbe: Int, k: Int, excludeSelfId: Boolean = false): DataFrame = {
-    val cents = centroids.select(col("cell"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cents = collectCentroids(centroids)
     val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val spark = assigned.sparkSession
     import spark.implicits._
+    // two slim broadcasts instead of one wide one: the (qid, cell) probe
+    // list, and each query's vector+norm ONCE — not replicated nProbe
+    // times into every probe row
     val probes = qRows.toSeq.flatMap { case (qid, qv) =>
-      val qn = math.sqrt(qv.map(x => x * x).sum)
-      cents.map { case (cid, c) =>
-        val d = c.zip(qv).map { case (a, b) => a * b }.sum
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        (cid, d / (cn * qn))
-      }.sortBy { case (cid, s) => (-s, cid) }
-        .take(nProbe).map { case (cid, _) => (qid, cid, qv.toSeq) }
-    }.toDF("qid", "cell", "qv")
-    assigned.join(broadcast(probes), Seq("cell"))
+      probeCells(cents, qv, nProbe).map(cid => (qid, cid))
+    }.toDF("qid", "cell")
+    val qTable = qRows.toSeq.map { case (qid, qv) =>
+      (qid, qv.toSeq, math.sqrt(qv.map(x => x * x).sum))
+    }.toDF("qid", "qv", "qn")
+    // corpus norms computed once per row, before fan-out to probe matches
+    assigned.withColumn("vn", norm(col("v")))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qTable), Seq("qid"))
       .select(col("qid"), col("id"),
-        round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6).as("score"))
+        round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6).as("score"))
       .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
       .groupBy(col("qid"))
       .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))

@@ -147,6 +147,11 @@ class LlmopsSpec extends SparkSpec {
       .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept("rare") === 1500, "default 1.0 keeps the rare stratum whole")
     assert(math.abs(kept("big") / 1500.0 - 0.1) < 0.05, s"big stratum kept ${kept("big")}")
+    // null ids route deterministically to exactly one split, never vanish
+    val withNull = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("id", "v")
+    val (tr2, te2) = Sampling.trainTestSplit(withNull, "id", 0.5)
+    assert(tr2.count() + te2.count() === 3, "null-id row must land in one split")
   }
 
   test("cosineTopK finds the aligned vector first") {
