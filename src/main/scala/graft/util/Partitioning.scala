@@ -22,13 +22,19 @@ object Partitioning {
     * group scans as ONE task no matter the split config — on local[32] that
     * leaves 31 cores idle through the most expensive operators.
     *
-    * At production scale inputs arrive in many row groups/files and this
-    * no-ops (the partition count check costs only plan construction, no
-    * job). The round-robin repartition of a small input is microseconds —
-    * strictly dominated by the parallelism it unlocks.
+    * The "is it small" check reads the optimizer's size statistics — a
+    * pure plan-side lookup. (The previous form asked `df.rdd` for its
+    * partition count, which plans a whole second query with a
+    * row-deserializer projection and its own codegen; statistics cost
+    * nothing.) Below the threshold — a few MB per core — the round-robin
+    * repartition is microseconds and strictly dominated by the
+    * parallelism it unlocks; above it, the scan's own file/row-group
+    * splits already provide parallelism and a forced shuffle would only
+    * add cost, so this no-ops at production scale.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) df.repartition(target) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < target.toLong * 8L * 1024 * 1024) df.repartition(target) else df
   }
 }
