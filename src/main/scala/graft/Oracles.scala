@@ -236,6 +236,22 @@ FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY 1, 2""",
 
+    // deterministic cumulative packing: the oracle's window cumsum must
+    // reproduce the engine's bin layout exactly
+    "q68_sequence_packing" ->
+      """WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS tokens
+  FROM documents
+), binned AS (
+  SELECT shard, tokens,
+    CAST(floor((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens) / 512.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT shard, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+FROM binned GROUP BY shard, bin""",
+
     // deterministic hash sampling: DuckDB recomputes the md5-uniform and
     // the per-stratum threshold row by row — membership must be identical
     "q67_stratified_sample" ->

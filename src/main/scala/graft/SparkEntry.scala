@@ -324,6 +324,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
   }
 
+  /** X4+: sequence packing — documents assigned to fixed-token-budget
+    * bins by deterministic cumulative packing within hash shards
+    * ([[graft.llmops.Packing]]). Per-(shard, bin) stats under the oracle:
+    * the whole layout is a pure function of the data, so DuckDB's window
+    * cumsum reproduces it bin for bin.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Packing
+    val docs = t(s, dir, "documents")
+    Packing.packSequences(docs,
+        TextAnalysis.tokenCount(col("text")), budget = 512,
+        shardCol = pmod(col("doc_id"), lit(8)), orderCols = Seq(col("doc_id")))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -910,6 +926,7 @@ object SparkEntry {
     "q65_knn_batch" -> (q65 _),
     "q66_ivf_batch" -> (q66 _),
     "q67_stratified_sample" -> (q67 _),
+    "q68_sequence_packing" -> (q68 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -154,6 +154,35 @@ class LlmopsSpec extends SparkSpec {
     assert(tr2.count() + te2.count() === 3, "null-id row must land in one split")
   }
 
+  test("sequence packing: bins contiguous, bounded by budget + max doc, nothing dropped") {
+    import graft.llmops.Packing
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 2000).map(i => (i.toLong, rnd.nextInt(200) + 1)).toDF("id", "ntok")
+    val budget = 512L
+    val packed = Packing.packSequences(docs, col("ntok"), budget,
+      shardCol = pmod(col("id"), lit(4)), orderCols = Seq(col("id"))).cache()
+    assert(packed.count() === 2000) // nothing dropped
+    val maxDoc = 200L
+    val bins = packed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("tokens")).as("t"), min(col("id")).as("lo"), max(col("id")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    // streaming-packing bound: total <= budget + one straddling doc
+    bins.foreach { r =>
+      assert(r.getAs[Long]("t") <= budget + maxDoc,
+        s"bin ${r.getAs[Long]("bin")} overflows: ${r.getAs[Long]("t")}")
+    }
+    // bins are contiguous runs of the shard order: id ranges never interleave
+    bins.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+        case _ => ()
+      }
+    }
+    packed.unpersist()
+  }
+
   test("cosineTopK finds the aligned vector first") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("id", "vec")
