@@ -10,7 +10,7 @@ object Oracles {
     * as graft.functions.MinHashBands does (same coefficients, same md5/band
     * derivation) — used by q22 and reused with a Jaccard stage by q37.
     */
-  private val minhashPairsCte: String = {
+  private def minhashPairsCteOver(src: String): String = {
     val p = graft.llmops.Dedup.MinhashP
     val coeffs = graft.llmops.Dedup.minhashCoeffs(16)
     val sigs = coeffs.zipWithIndex.map { case ((a, b), s) =>
@@ -24,7 +24,7 @@ object Oracles {
   SELECT doc_id,
     list_transform(range(1, length(text)-6),
       i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) % $p) AS hs
-  FROM documents WHERE length(text) >= 8
+  FROM $src WHERE length(text) >= 8
 ), sig AS (
   SELECT doc_id,
     $sigs
@@ -39,9 +39,37 @@ object Oracles {
 )"""
   }
 
+  private val minhashPairsCte: String = minhashPairsCteOver("documents")
+
   private val q22MinhashSql: String =
     s"""WITH $minhashPairsCte
 SELECT doc_a, doc_b, n_shared_bands FROM pairs"""
+
+  /** Full curation chain in SQL: gate -> exact dedup (keep min doc_id per
+    * content hash) -> near-dup removal (drop the higher id of every LSH
+    * candidate pair) -> stratified hash sample -> per-lang token stats.
+    * Every stage reuses a construction already proven portable by its
+    * standalone oracle (q21 sha256, q22 banding, q67 md5-uniform).
+    */
+  private val q69CurationSql: String =
+    s"""WITH gated AS (
+  SELECT * FROM documents WHERE length(text) >= 8
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+), exact AS (
+  SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+), ${minhashPairsCteOver("exact")},
+near_kept AS (
+  SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_b FROM pairs)
+), sampled AS (
+  SELECT * FROM near_kept
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0
+      < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens
+FROM sampled GROUP BY lang"""
 
   /** Brute-force SimHash oracle: the identical 120-bit md5-based
     * fingerprint (two 60-bit words from hex digits 1-15 and 16-30 per
@@ -235,6 +263,8 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY 1, 2""",
+
+    "q69_corpus_curation" -> q69CurationSql,
 
     // deterministic cumulative packing: the oracle's window cumsum must
     // reproduce the engine's bin layout exactly

@@ -340,6 +340,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
   }
 
+  /** X1-X4 composed: the full corpus-curation pipeline in one plan —
+    * length gate, exact dedup (min doc_id per content hash), near-dup
+    * removal (drop the higher id of every MinHash+LSH candidate pair),
+    * deterministic stratified downsampling, per-lang token accounting.
+    * Every stage is individually oracle-verified (q21/q22/q67/q23); this
+    * query verifies they COMPOSE — the SQL oracle rebuilds the whole
+    * chain and must match end to end.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    val gated = t(s, dir, "documents").filter(length(col("text")) >= 8)
+    val exact = Ingest.dedupFirstBy(Seq("__h"), "doc_id")(
+      gated.withColumn("__h", Dedup.contentHash(col("text")))).drop("__h")
+    val dropIds = Dedup.minhashCandidatePairs(exact, "doc_id", "text")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    Sampling.stratifiedSample(kept, "lang", "doc_id", Map("en" -> 0.5))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -927,6 +949,7 @@ object SparkEntry {
     "q66_ivf_batch" -> (q66 _),
     "q67_stratified_sample" -> (q67 _),
     "q68_sequence_packing" -> (q68 _),
+    "q69_corpus_curation" -> (q69 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
