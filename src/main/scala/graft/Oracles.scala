@@ -63,7 +63,7 @@ near_kept AS (
   SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_b FROM pairs)
 ), sampled AS (
   SELECT * FROM near_kept
-  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+  WHERE CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'graft-null-id')), 1, 15)) AS BIGINT)
         / 1152921504606846976.0
       < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END
 )
@@ -287,7 +287,7 @@ FROM binned GROUP BY shard, bin""",
     "q67_stratified_sample" ->
       """WITH sampled AS (
   SELECT * FROM events
-  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+  WHERE CAST(('0x' || substr(md5(COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'graft-null-id')), 1, 15)) AS BIGINT)
         / 1152921504606846976.0
       < CASE event_type WHEN 'view' THEN 0.25 WHEN 'click' THEN 0.5 ELSE 1.0 END
 )

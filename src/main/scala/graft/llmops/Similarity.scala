@@ -139,6 +139,11 @@ object Similarity {
       cents: Array[(Int, Array[Double], Double)], qv: Array[Double], nProbe: Int): Seq[Int] = {
     val qn = math.sqrt(qv.map(x => x * x).sum)
     cents.map { case (cid, c, cn) =>
+      // fail fast on a dimension mismatch — zip would silently truncate
+      // and pick quietly-wrong probe cells (same contract as
+      // NearestCentroidCell.compute)
+      require(c.length == qv.length,
+        s"query dimension ${qv.length} != centroid dimension ${c.length} (cell $cid)")
       val d = c.zip(qv).map { case (a, b) => a * b }.sum
       (cid, d / (cn * qn))
     }.sortBy { case (cid, s) => (-s, cid) }

@@ -35,6 +35,14 @@ object Partitioning {
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < target.toLong * 8L * 1024 * 1024) df.repartition(target) else df
+    // Relations without computable stats (LogicalRDD, some views) report
+    // spark.sql.defaultSizeInBytes = Long.MaxValue as a sentinel, not a
+    // real size. Treating that as "big" would leave a tiny RDD-backed
+    // frame single-task, so fall back to the physical partition count.
+    val unknown = bytes >= BigInt(Long.MaxValue)
+    val small =
+      if (!unknown) bytes < target.toLong * 8L * 1024 * 1024
+      else df.rdd.getNumPartitions < target // rare path; plan-time-only cost
+    if (small) df.repartition(target) else df
   }
 }

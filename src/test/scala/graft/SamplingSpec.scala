@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Sampling
+import graft.util.Partitioning
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null ids hash the sentinel: row lands in exactly one split") {
+    val df = Seq(Some("a"), Some("b"), None, Some("c")).toDF("id")
+    val (train, test) = Sampling.trainTestSplit(df, "id", 0.5)
+    // disjoint + exhaustive, including the null-id row
+    assert(train.count() + test.count() === 4)
+    assert(train.intersect(test).count() === 0)
+  }
+
+  test("hashUniform is a pure function of the id (repartition-stable)") {
+    val df = spark.range(1000).select(col("id").cast("string").as("id"))
+    val a = Sampling.hashSample(df, "id", 0.3).collect().map(_.getString(0)).sorted
+    val b = Sampling.hashSample(df.repartition(7), "id", 0.3)
+      .collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    // fraction lands near its target on a uniform id population
+    assert(math.abs(a.length / 1000.0 - 0.3) < 0.06)
+  }
+
+  test("sentinel uniform matches the oracle's chr(0) construction") {
+    // The DuckDB oracle writes COALESCE(id, chr(0) || 'graft-null-id');
+    // assert the Spark sentinel hashes to the same md5 so membership for
+    // a null id is engine-independent. (Value checked against DuckDB:
+    // md5(chr(0)||'graft-null-id') = e26f930b048f3634440a18b9b6b0b93c.)
+    val h = spark.range(1)
+      .select(md5(lit(Sampling.NullIdSentinel)).as("h")).head.getString(0)
+    assert(h === "e26f930b048f3634440a18b9b6b0b93c")
+  }
+
+  test("ensureParallelism repartitions an unknown-stats RDD-backed frame") {
+    val rdd = spark.sparkContext.parallelize(Seq(1, 2, 3, 4), 1)
+    val df = spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType))))
+    val out = Partitioning.ensureParallelism(df)
+    assert(out.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    assert(out.count() === 4)
+  }
+}
