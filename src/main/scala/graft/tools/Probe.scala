@@ -12,6 +12,16 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(100000).selectExpr("sum(id)").collect()
+    if (sys.env.contains("GRAFT_CACHE")) { // mirror Bench's warmed cache
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try {
+          val df = spark.read.parquet(s"$dir/$t.parquet")
+          df.cache(); df.count()
+        } catch { case _: Throwable => () }
+      }
+    }
     args.foreach { n =>
       if (sys.env.contains("GRAFT_EXPLAIN")) {
         println(s"===== $n =====")
