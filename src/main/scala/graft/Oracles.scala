@@ -266,6 +266,23 @@ GROUP BY 1, 2""",
 
     "q69_corpus_curation" -> q69CurationSql,
 
+    // decontamination: distinct 5-gram overlap between each training doc
+    // (source <> src0) and the benchmark gram set (source = src0); the
+    // oracle mirrors the engine's lowercase whitespace tokenization
+    "q70_decontaminate" ->
+      """WITH toks AS (
+  SELECT doc_id, source,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+), bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE source <> 'src0')
+SELECT t.doc_id, count(*) AS n_overlap
+FROM train t JOIN bench b USING (gram)
+GROUP BY t.doc_id HAVING count(*) >= 2""",
+
     // deterministic cumulative packing: the oracle's window cumsum must
     // reproduce the engine's bin layout exactly
     "q68_sequence_packing" ->

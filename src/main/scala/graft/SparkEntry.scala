@@ -340,6 +340,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
   }
 
+  /** Benchmark decontamination: training docs (source <> src0) sharing
+    * >= 2 distinct 5-gram shingles with the benchmark set (source = src0).
+    * The benchmark gram set is broadcast — the corpus side is never
+    * shuffled; only the rare contamination hits reach the count.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Decontaminate
+    val docs = t(s, dir, "documents")
+    Decontaminate.contaminationReport(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 5, minOverlap = 2L)
+  }
+
   /** X1-X4 composed: the full corpus-curation pipeline in one plan —
     * length gate, exact dedup (min doc_id per content hash), near-dup
     * removal (drop the higher id of every MinHash+LSH candidate pair),
@@ -950,6 +964,7 @@ object SparkEntry {
     "q67_stratified_sample" -> (q67 _),
     "q68_sequence_packing" -> (q68 _),
     "q69_corpus_curation" -> (q69 _),
+    "q70_decontaminate" -> (q70 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Decontaminate
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams: space-joined sliding token windows, lowercased") {
+    val df = Seq("The Quick  brown fox jumps").toDF("text")
+    val got = df.select(Decontaminate.ngrams(col("text"), 3).as("g"))
+      .head.getSeq[String](0)
+    assert(got === Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("ngrams: documents shorter than n yield an empty array, not null") {
+    val df = Seq("one two").toDF("text")
+    val got = df.select(Decontaminate.ngrams(col("text"), 3).as("g"))
+      .head.getSeq[String](0)
+    assert(got === Seq.empty)
+  }
+
+  test("contaminationReport counts DISTINCT shared grams per doc") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "alpha beta gamma" and "beta gamma delta", the latter twice
+      (1L, "alpha beta gamma delta x beta gamma delta"),
+      (2L, "alpha beta gamma nothing else here"), // one shared gram only
+      (3L, "totally unrelated words in this doc")).toDF("doc_id", "text")
+    val rep = Decontaminate.contaminationReport(
+      corpus, bench, "doc_id", "text", n = 3, minOverlap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep === Map(1L -> 2L)) // distinct grams: 2, despite 3 raw hits
+  }
+
+  test("decontaminate drops flagged docs and keeps everything else intact") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "clean document with no overlap at all")).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminate(
+      corpus, bench, "doc_id", "text", n = 3, minOverlap = 1L)
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // full row preserved (anti-join, not projection)
+    assert(kept.columns.toSeq === corpus.columns.toSeq)
+  }
+
+  test("benchmark gram set is broadcast (corpus side never shuffles pre-join)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = Decontaminate.contaminationReport(
+      docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 5, minOverlap = 2L)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}
