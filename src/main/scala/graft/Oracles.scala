@@ -266,6 +266,25 @@ GROUP BY 1, 2""",
 
     "q69_corpus_curation" -> q69CurationSql,
 
+    // Gopher repetition stats: the oracle rebuilds the per-doc 2-gram
+    // multiset by explode+count (the engine's per-row sorted-run fold
+    // must match it exactly); same rounding association as the engine
+    "q71_repetition_stats" ->
+      """WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+), counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+  floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000 + 0.5) / 1000000 AS top_gram_frac,
+  floor(CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / sum(c) * 1000000 + 0.5) / 1000000 AS dup_gram_frac
+FROM counts GROUP BY doc_id""",
+
     // decontamination: distinct 5-gram overlap between each training doc
     // (source <> src0) and the benchmark gram set (source = src0); the
     // oracle mirrors the engine's lowercase whitespace tokenization

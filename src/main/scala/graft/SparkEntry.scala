@@ -354,6 +354,21 @@ object SparkEntry {
       "doc_id", "text", n = 5, minOverlap = 2L)
   }
 
+  /** Gopher-style repetition filters: per-document top-2-gram fraction
+    * and duplicate-2-gram fraction from a shuffle-free per-row fold
+    * (no corpus-wide gram explode). The stats struct crosses a Generate
+    * barrier once, then its fields are projected — the interpreted HOF
+    * fold runs exactly once per row.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.gramRepetitionStats(col("text"), 2))).as("r"))
+      .select(col("doc_id"), col("r.n_grams").as("n_grams"),
+        sr6(col("r.top_count").cast("double") / col("r.n_grams")).as("top_gram_frac"),
+        sr6(col("r.dup_count").cast("double") / col("r.n_grams")).as("dup_gram_frac"))
+      .filter(col("n_grams") > 0)
+
   /** X1-X4 composed: the full corpus-curation pipeline in one plan —
     * length gate, exact dedup (min doc_id per content hash), near-dup
     * removal (drop the higher id of every MinHash+LSH candidate pair),
@@ -965,6 +980,7 @@ object SparkEntry {
     "q68_sequence_packing" -> (q68 _),
     "q69_corpus_curation" -> (q69 _),
     "q70_decontaminate" -> (q70 _),
+    "q71_repetition_stats" -> (q71 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

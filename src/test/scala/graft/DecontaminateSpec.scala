@@ -46,6 +46,37 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept.columns.toSeq === corpus.columns.toSeq)
   }
 
+  test("gramRepetitionStats: run-length fold matches hand-counted multiset") {
+    import graft.llmops.TextAnalysis
+    // 2-grams of "a b a b a c": [a b, b a, a b, b a, a c]
+    //  -> n=5, top = 2 ("a b" or "b a"), dup = 4 (both doubled pairs)
+    val df = Seq("a b a b a c").toDF("text")
+    val r = df.select(TextAnalysis.gramRepetitionStats(col("text"), 2).as("r"))
+      .select("r.n_grams", "r.top_count", "r.dup_count").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 2L, 4L)))
+  }
+
+  test("gramRepetitionStats: no duplicates and short docs") {
+    import graft.llmops.TextAnalysis
+    val r = Seq("x y z").toDF("text")
+      .select(TextAnalysis.gramRepetitionStats(col("text"), 2).as("r"))
+      .select("r.n_grams", "r.top_count", "r.dup_count").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 0L)))
+    val short = Seq("only").toDF("text")
+      .select(TextAnalysis.gramRepetitionStats(col("text"), 2).as("r"))
+      .select("r.n_grams", "r.top_count", "r.dup_count").head
+    assert((short.getLong(0), short.getLong(1), short.getLong(2)) === ((0L, 0L, 0L)))
+  }
+
+  test("gramRepetitionStats: triple-repeated gram counted once in top, thrice in dup") {
+    import graft.llmops.TextAnalysis
+    // 1-grams of "w w w q": top = 3 (w), dup = 3 (three w's)
+    val r = Seq("w w w q").toDF("text")
+      .select(TextAnalysis.gramRepetitionStats(col("text"), 1).as("r"))
+      .select("r.n_grams", "r.top_count", "r.dup_count").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 3L)))
+  }
+
   test("benchmark gram set is broadcast (corpus side never shuffles pre-join)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rep = Decontaminate.contaminationReport(
