@@ -355,10 +355,10 @@ object SparkEntry {
   }
 
   /** Gopher-style repetition filters: per-document top-2-gram fraction
-    * and duplicate-2-gram fraction from a shuffle-free per-row fold
-    * (no corpus-wide gram explode). The stats struct crosses a Generate
-    * barrier once, then its fields are projected — the interpreted HOF
-    * fold runs exactly once per row.
+    * and duplicate-2-gram fraction from a shuffle-free native per-row
+    * hash count (no corpus-wide gram explode). The stats struct still
+    * crosses a Generate barrier before its fields are projected, so the
+    * count runs exactly once per row regardless of CSE behavior.
     */
   private def q71(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -12,32 +12,27 @@ import org.apache.spark.sql.functions._
   *   - the benchmark side is exploded to DISTINCT n-grams — for any real
   *     eval suite that is a few million short strings, far under the
   *     broadcast threshold — so the corpus-side probe is a map-side
-  *     broadcast hash join: the 100 TB side is never shuffled;
+  *     broadcast hash join: the 100 TB side is never shuffled. The
+  *     broadcast is guarded: if the distinct gram count exceeds
+  *     `maxBroadcastGrams` the join falls back to a plain shuffled hash
+  *     join instead of OOMing executors;
   *   - per-document n-grams are deduplicated per (doc, gram) BEFORE the
-  *     join inside the same projection pipeline (array_distinct on the
-  *     gram array), so overlap counts distinct grams without a shuffle;
+  *     join in the same native gram pass (`wordNgrams(distinct = true)`),
+  *     so overlap counts distinct grams without a shuffle;
   *   - only matching (doc_id, gram) pairs — contamination hits, rare by
   *     construction — reach the final count aggregate.
   *
-  * Tokenization is [[TextAnalysis.tokens]] over lowercased text, so the
-  * oracle can mirror it with string_split_regex; grams are space-rejoined
-  * token windows (portable — no JVM hashing in the contract).
+  * Tokenization is [[TextAnalysis.wordNgrams]]'s portable contract
+  * (lowercase, `\s+` split, space-joined windows), so the oracle mirrors
+  * it with string_split_regex — no JVM hashing in the contract.
   */
 object Decontaminate {
 
   /** Array of space-joined `n`-token shingles of `text` (lowercased,
     * whitespace-tokenized). Documents shorter than `n` tokens yield an
-    * empty array. The token array is materialized once per row (single
-    * HOF pipeline — no repeated interpreted re-evaluation of split).
+    * empty array. Delegates to the shared native gram builder.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val toks = TextAnalysis.tokens(lower(text))
-    // transform over 0..size-n, each index sliced to an n-token window
-    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))
-  }
+  def ngrams(text: Column, n: Int): Column = TextAnalysis.wordNgrams(text, n)
 
   /** Distinct n-grams of the benchmark frame: (gram). Kept as a separate
     * step so callers can cache/persist it across corpus partitions.
@@ -47,18 +42,24 @@ object Decontaminate {
 
   /** Per-training-document count of DISTINCT n-grams shared with the
     * benchmark set: (idCol, n_overlap), restricted to docs with at least
-    * `minOverlap` shared grams. The benchmark side is broadcast — the
-    * corpus side stays map-local until the (rare) matches are counted.
+    * `minOverlap` shared grams. The benchmark side is broadcast when its
+    * distinct gram count is at most `maxBroadcastGrams` (counting it
+    * costs one extra pass over the SMALL side only); above that the
+    * planner falls back to a shuffled join — slower, but bounded memory.
     */
   def contaminationReport(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
-      n: Int, minOverlap: Long): DataFrame = {
+      n: Int, minOverlap: Long,
+      maxBroadcastGrams: Long = 8L * 1000 * 1000): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val grams = benchmarkGrams(bench, textCol, n)
+    val benchSide =
+      if (grams.count() <= maxBroadcastGrams) broadcast(grams) else grams
     val corpusGrams = corpus
-      .select(col(idCol), explode(array_distinct(ngrams(col(textCol), n))).as("gram"))
+      .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
     corpusGrams
-      .join(broadcast(benchmarkGrams(bench, textCol, n)), Seq("gram"))
+      .join(benchSide, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
@@ -68,13 +69,24 @@ object Decontaminate {
     * training pipeline actually consumes. Left-anti against the report,
     * so clean rows pass through untouched (no wide shuffle: the report
     * is tiny and hash-joined on the id).
+    *
+    * NOTE: this form scans the corpus twice — once to build the report,
+    * once for the anti-join. When the report is already in hand (or
+    * several corpora share one benchmark), use the [[decontaminate(
+    * corpus:org\.apache\.spark\.sql\.DataFrame,report:org\.apache\.spark\.sql\.DataFrame,idCol:String)* precomputed-report overload]]
+    * to pay the corpus scan once.
     */
   def decontaminate(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int, minOverlap: Long): DataFrame =
-    corpus.join(
-      contaminationReport(corpus, bench, idCol, textCol, n, minOverlap)
-        .select(col(idCol)),
-      Seq(idCol), "left_anti")
+    decontaminate(corpus,
+      contaminationReport(corpus, bench, idCol, textCol, n, minOverlap), idCol)
+
+  /** Anti-join form over a precomputed contamination report (the output
+    * of [[contaminationReport]], possibly persisted) — single corpus
+    * scan.
+    */
+  def decontaminate(corpus: DataFrame, report: DataFrame, idCol: String): DataFrame =
+    corpus.join(report.select(col(idCol)), Seq(idCol), "left_anti")
 }

@@ -86,6 +86,18 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => md5(text.substr(i, lit(k)))))
 
+  /** Array of space-joined `n`-token word shingles of `text` (lowercased,
+    * whitespace-tokenized; docs shorter than `n` tokens yield an empty
+    * array). The single shared gram builder for the decontamination and
+    * repetition paths — a native codegen'd expression
+    * ([[graft.functions.WordNgrams]]), since the HOF form evaluates
+    * interpreted with per-window allocation. `distinct = true` dedupes
+    * in the same pass (first-occurrence order, `array_distinct`
+    * semantics).
+    */
+  def wordNgrams(text: Column, n: Int, distinct: Boolean = false): Column =
+    graft.functions.WordNgrams.wordNgrams(text, n, distinct)
+
   /** Gopher-style repetition statistics over the document's token
     * `n`-gram multiset: struct(n_grams, top_count, dup_count) where
     * `top_count` is the multiplicity of the most frequent n-gram and
@@ -93,44 +105,12 @@ object TextAnalysis {
     * more than once (Rae et al. 2021 §A1.1's "top n-gram fraction" /
     * "duplicate n-gram fraction" numerators).
     *
-    * Scale design: a single per-row fold over the SORTED gram array
-    * (equal grams are adjacent, so multiplicities are run lengths) —
-    * O(g log g) per document, zero shuffle, no corpus-wide
-    * (doc_id, gram) explode. The whole computation is one expression
-    * tree: every expensive subtree (split, gram build, sort, fold) is
-    * referenced exactly once (HOFs evaluate interpreted with no CSE) —
-    * the fold result is let-bound through a 1-element transform lambda
-    * so projecting three fields out of it does not run the fold three
-    * times; callers needing the fields as separate columns should still
-    * route the struct through a Generate barrier (see
-    * [[graft.ingest.Ingest.parse]]) before projecting them.
+    * Scale design: one native per-row hash count
+    * ([[graft.functions.GramRepetitionStats]]) — O(g) per document,
+    * zero shuffle, no corpus-wide (doc_id, gram) explode, whole-stage
+    * codegen. Gram semantics are [[wordNgrams]]'s portable contract, so
+    * the SQL oracle reproduces the counts from the gram strings.
     */
-  def gramRepetitionStats(text: Column, n: Int): Column = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val toks = tokens(lower(text))
-    val grams = transform(
-      when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-        .otherwise(array().cast("array<int>")),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    val init = struct(
-      lit(null).cast("string").as("prev"), lit(0L).as("run"),
-      lit(0L).as("cnt"), lit(0L).as("top"), lit(0L).as("dup"))
-    val folded = aggregate(array_sort(grams), init, (acc, g) => {
-      val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
-        .otherwise(lit(1L))
-      struct(
-        g.as("prev"), run.as("run"),
-        (acc.getField("cnt") + 1L).as("cnt"),
-        greatest(acc.getField("top"), run).as("top"),
-        (acc.getField("dup") +
-          when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L)).as("dup"))
-    })
-    // expression-level let: evaluate the fold once, project thrice
-    element_at(
-      transform(array(folded), f => struct(
-        f.getField("cnt").as("n_grams"),
-        f.getField("top").as("top_count"),
-        f.getField("dup").as("dup_count"))),
-      1)
-  }
+  def gramRepetitionStats(text: Column, n: Int): Column =
+    graft.functions.GramRepetitionStats.gramRepetitionStats(text, n)
 }

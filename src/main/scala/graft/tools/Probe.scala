@@ -19,7 +19,10 @@ object Probe {
         try {
           val df = spark.read.parquet(s"$dir/$t.parquet")
           df.cache(); df.count()
-        } catch { case _: Throwable => () }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"[probe] cache warm-up skipped $t: ${e.getMessage}")
+        }
       }
     }
     args.foreach { n =>
