@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BoundedTopK, MinHashBands, ShingleFingerprint, SimHash120, SimHash64}
+import graft.functions.{BoundedTopK, GramRepetitionStats, MinHashBands, ShingleFingerprint, SimHash120, SimHash64, WordNgrams}
 
 /** SparkSessionExtensions registration exposing the engine's native
   * expressions to the SQL surface:
@@ -69,6 +69,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(score, id, k) => BoundedTopK(score, id, intArg(k, "k"))
         case _ => throw new IllegalArgumentException("bounded_top_k(score, id, k)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => WordNgrams(text, intArg(n, "n"), distinct = false)
+        case Seq(text, n, Literal(d: Boolean, _)) => WordNgrams(text, intArg(n, "n"), d)
+        case _ => throw new IllegalArgumentException("word_ngrams(text, n[, distinct])")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("gram_repetition_stats"),
+      new ExpressionInfo(classOf[GramRepetitionStats].getName, "gram_repetition_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => GramRepetitionStats(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("gram_repetition_stats(text, n)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((

@@ -266,6 +266,23 @@ GROUP BY 1, 2""",
 
     "q69_corpus_curation" -> q69CurationSql,
 
+    // connected components over the q22 pair list: recursive closure
+    // (min reachable id per node) must equal the engine's min-label
+    // propagation fixpoint
+    "q72_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT DISTINCT src AS id, src AS lab FROM bi
+  UNION
+  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
+), comp AS (
+  SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_members FROM comp""",
+
     // Gopher repetition stats: the oracle rebuilds the per-doc 2-gram
     // multiset by explode+count (the engine's per-row sorted-run fold
     // must match it exactly); same rounding association as the engine

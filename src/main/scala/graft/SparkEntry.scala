@@ -391,6 +391,22 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
   }
 
+  /** X2 end-stage: near-duplicate GROUPS — connected components over the
+    * MinHash+LSH candidate-pair graph (iterative min-label propagation,
+    * one join+min shuffle per round, lineage truncated per round). Every
+    * doc that appears in a pair is assigned the min doc_id of its
+    * transitive cluster; the oracle rebuilds the same fixpoint with a
+    * recursive CTE over the identical pair list.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Components
+    val pairs = Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").as("component"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("component")).select(col("doc_id"), col("component"), col("n_members"))
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -981,6 +997,7 @@ object SparkEntry {
     "q69_corpus_curation" -> (q69 _),
     "q70_decontaminate" -> (q70 _),
     "q71_repetition_stats" -> (q71 _),
+    "q72_dedup_groups" -> (q72 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

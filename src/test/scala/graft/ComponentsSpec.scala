@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assignments(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to one component labeled by its min id") {
+    // 5-4, 4-3, 3-2, 2-1: diameter 4 forces several propagation rounds
+    val m = assignments(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint clusters keep distinct labels; duplicate and self edges tolerated") {
+    val m = assignments(Seq((1L, 2L), (2L, 1L), (1L, 1L), (10L, 11L), (11L, 12L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("random graphs match brute-force transitive closure") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // brute force: repeated relabel over an adjacency map
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var lab = adj.keys.map(k => k -> k).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for (k <- adj.keys) {
+          val m = (adj(k).map(lab) + lab(k)).min
+          if (m != lab(k)) { lab += k -> m; changed = true }
+        }
+      }
+      assert(assignments(edges) === lab)
+    }
+  }
+
+  test("dedupByComponents keeps exactly the component minima") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("doc_id")
+    // components {1,2,3} (chain) and {4,5}; 99 untouched by any pair
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = Components.dedupByComponents(docs, pairs, "doc_id", "doc_a", "doc_b")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 99L))
+  }
+}

@@ -77,6 +77,38 @@ class DecontaminateSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 3L)))
   }
 
+  test("native wordNgrams matches the HOF construction, incl. distinct, with codegen forced") {
+    import graft.llmops.TextAnalysis
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val hofGrams = transform(
+        when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+          .otherwise(array().cast("array<int>")),
+        i => array_join(slice(toks, i + 1, lit(3)), " "))
+      val diff = docs.select(col("doc_id"),
+          TextAnalysis.wordNgrams(col("text"), 3).as("nat"),
+          TextAnalysis.wordNgrams(col("text"), 3, distinct = true).as("natd"),
+          hofGrams.as("hof"))
+        .filter(col("nat") =!= col("hof") ||
+          col("natd") =!= array_distinct(col("hof")))
+      assert(diff.count() === 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("word_ngrams and gram_repetition_stats are callable from SQL") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => graft.functions.WordNgrams(exprs.head, 2, distinct = false), "scala_udf")
+    reg.createOrReplaceTempFunction("gram_repetition_stats",
+      exprs => graft.functions.GramRepetitionStats(exprs.head, 1), "scala_udf")
+    val r = spark.sql(
+      "SELECT word_ngrams('A b c') AS g, gram_repetition_stats('w w w') AS s").head
+    assert(r.getSeq[String](0) === Seq("a b", "b c"))
+    assert(r.getStruct(1).getLong(1) === 3L)
+  }
+
   test("benchmark gram set is broadcast (corpus side never shuffles pre-join)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rep = Decontaminate.contaminationReport(
