@@ -283,6 +283,28 @@ bi AS (
 )
 SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_members FROM comp""",
 
+    // TF-IDF: df via count-over-term window on the (doc, term) frame,
+    // idf rounded to 1e-6 before the tf multiply (both engines rank on
+    // identical doubles), row_number is total (term unique per doc)
+    "q73_tfidf_terms" ->
+      """WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS t
+        FROM documents)
+  GROUP BY 1, 2
+), w AS (
+  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS doc_freq FROM tf
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, doc_freq,
+    floor(tf * (floor(ln(n.n / doc_freq) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) / 1000000 AS score
+  FROM w CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score FROM ranked WHERE rk <= 3""",
+
     // Gopher repetition stats: the oracle rebuilds the per-doc 2-gram
     // multiset by explode+count (the engine's per-row sorted-run fold
     // must match it exactly); same rounding association as the engine

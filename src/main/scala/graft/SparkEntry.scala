@@ -407,6 +407,16 @@ object SparkEntry {
     comp.join(sizes, Seq("component")).select(col("doc_id"), col("component"), col("n_members"))
   }
 
+  /** X4 corpus-level: TF-IDF keyword extraction — top-3 scoring terms
+    * per document (explode → (doc,term) aggregate → df window by term →
+    * broadcast corpus size → deterministic top-k). Both engines rank on
+    * the same pre-rounded doubles.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Keywords
+    Keywords.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -998,6 +1008,7 @@ object SparkEntry {
     "q70_decontaminate" -> (q70 _),
     "q71_repetition_stats" -> (q71 _),
     "q72_dedup_groups" -> (q72 _),
+    "q73_tfidf_terms" -> (q73 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
