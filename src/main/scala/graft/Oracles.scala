@@ -305,6 +305,25 @@ scored AS (
 )
 SELECT doc_id, term, tf, doc_freq, score FROM ranked WHERE rk <= 3""",
 
+    // per-label centroids: per-dim means rounded to 1e-6, then an
+    // in-order fold for the norm (list built ORDER BY dim = Spark's
+    // ascending native dot loop)
+    "q74_label_centroids" ->
+      """WITH per AS (
+  SELECT label, i,
+    floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS m,
+    count(*) AS n
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r
+  GROUP BY 1, 2
+), asm AS (
+  SELECT label, max(n) AS n_vectors, CAST(count(*) AS INTEGER) AS n_dims,
+    list(m ORDER BY i) AS ms
+  FROM per GROUP BY 1
+)
+SELECT label, n_vectors, n_dims,
+  floor(sqrt(list_sum(list_transform(ms, x -> x * x))) * 1000000 + 0.5) / 1000000 AS centroid_norm
+FROM asm""",
+
     // Gopher repetition stats: the oracle rebuilds the per-doc 2-gram
     // multiset by explode+count (the engine's per-row sorted-run fold
     // must match it exactly); same rounding association as the engine

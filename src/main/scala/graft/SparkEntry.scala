@@ -417,6 +417,20 @@ object SparkEntry {
     Keywords.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
   }
 
+  /** X3 corpus-level: per-label embedding centroids (element-wise means
+    * via posexplode + (label, dim) aggregate — shuffle volume is
+    * labels x dims, never the raw vectors). Output pins each centroid by
+    * its L2 norm over per-dim means rounded to 1e-6 (sequential fold on
+    * both engines, so the sum order is identical).
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+    val r6 = transform(col("centroid"), v => sr6(v))
+    cents.select(col("label"), col("n_vectors"),
+      size(col("centroid")).as("n_dims"),
+      sr6(sqrt(Similarity.dot(r6, r6))).as("centroid_norm"))
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -1009,6 +1023,7 @@ object SparkEntry {
     "q71_repetition_stats" -> (q71 _),
     "q72_dedup_groups" -> (q72 _),
     "q73_tfidf_terms" -> (q73 _),
+    "q74_label_centroids" -> (q74 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

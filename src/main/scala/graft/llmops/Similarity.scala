@@ -43,6 +43,29 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Per-group embedding centroids: (groupCol, n_vectors, centroid),
+    * centroid the element-wise mean as array<double>. The workhorse for
+    * class prototypes, topic-drift monitoring, and IVF seeding at corpus
+    * scale.
+    *
+    * Scale design: posexplode to (group, dim, value) — a narrow 3-column
+    * stream, never the raw vectors — then one hash aggregate on
+    * (group, dim) with map-side partial sums, and a per-group reassembly
+    * (collect_list of (dim, mean) structs, sorted, projected). Shuffle
+    * volume is |groups| x dims x 2 rows, independent of corpus size.
+    * Means are exact doubles; callers needing cross-engine determinism
+    * round per-dimension before any further reduction.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val exploded = df.select(col(groupCol), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    val perDim = exploded.groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+    perDim.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+  }
+
   /** X3 baseline: exact top-k nearest neighbors of `queryVec` by cosine.
     * Output: (id, score) — score rounded so ranking and oracle comparison
     * are stable across accumulation orders.

@@ -272,6 +272,16 @@ class LlmopsSpec extends SparkSpec {
     assert(native.exceptAll(hof).count() === 0)
   }
 
+  test("groupCentroids: element-wise means per group, dims in order") {
+    val df = Seq(
+      ("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(7.0f, 9.0f))
+    ).toDF("g", "vec")
+    val out = Similarity.groupCentroids(df, "g", "vec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+      .sortBy(_._1)
+    assert(out === Seq(("a", 2L, Seq(2.0, 4.0)), ("b", 1L, Seq(7.0, 9.0))))
+  }
+
   test("native expressions are SQL-callable (registry + GraftExtensions wiring)") {
     // the extensions object itself must wire cleanly
     new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
