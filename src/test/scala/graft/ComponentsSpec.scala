@@ -43,6 +43,27 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("alternating (large-star/small-star) agrees with min-propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 50
+      val edges = Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("a", "b")
+      val prop = Components.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val alt = Components.connectedComponentsAlternating(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt === prop)
+    }
+  }
+
+  test("alternating collapses a long chain (diameter >> rounds)") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val m = Components.connectedComponentsAlternating(chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size === 40 && m.values.forall(_ == 1L))
+  }
+
   test("dedupByComponents keeps exactly the component minima") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("doc_id")
     // components {1,2,3} (chain) and {4,5}; 99 untouched by any pair
