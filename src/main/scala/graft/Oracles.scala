@@ -324,6 +324,20 @@ SELECT label, n_vectors, n_dims,
   floor(sqrt(list_sum(list_transform(ms, x -> x * x))) * 1000000 + 0.5) / 1000000 AS centroid_norm
 FROM asm""",
 
+    // exact-k per stratum: rank by the same md5-uniform double (not the
+    // raw 60-bit int — both engines must fall to the doc_id tie-break at
+    // identical collision points), keep 25 per lang
+    "q75_exact_stratum_sample" ->
+      """WITH ranked AS (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0,
+             doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 25""",
+
     // Gopher repetition stats: the oracle rebuilds the per-doc 2-gram
     // multiset by explode+count (the engine's per-row sorted-run fold
     // must match it exactly); same rounding association as the engine

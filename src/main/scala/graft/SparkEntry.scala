@@ -431,6 +431,16 @@ object SparkEntry {
       sr6(sqrt(Similarity.dot(r6, r6))).as("centroid_norm"))
   }
 
+  /** X4+: exact-size balanced sampling — exactly 25 docs per language,
+    * ranked inside each stratum by the portable md5-uniform (deterministic
+    * shuffle order), doc_id tie-break on both engines.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    Sampling.sampleExactPerStratum(t(s, dir, "documents"), "lang", "doc_id", k = 25)
+      .select(col("doc_id"), col("lang"))
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -1024,6 +1034,7 @@ object SparkEntry {
     "q72_dedup_groups" -> (q72 _),
     "q73_tfidf_terms" -> (q73 _),
     "q74_label_centroids" -> (q74 _),
+    "q75_exact_stratum_sample" -> (q75 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -59,6 +59,32 @@ object Sampling {
     (df.filter(u >= testFraction), df.filter(u < testFraction))
   }
 
+  /** EXACTLY `k` rows per stratum (or the whole stratum when smaller) —
+    * balanced fixed-size subsets (eval slices, per-language probes)
+    * where a fractional sample's size would drift with the stratum.
+    * Rows are ranked inside each stratum by ([[hashUniform]], id) — a
+    * deterministic shuffle order — and the top `k` kept, so the pick is
+    * reproducible and engine-portable like every sampler here, but NOT
+    * append-stable (a new row can displace one of the k; that is
+    * inherent to any exact-size sample).
+    *
+    * Scale shape: one hash-partition shuffle on the stratum column plus
+    * a per-partition running rank — no global sort. Skew note: a single
+    * giant stratum serializes through one task; for pathological strata
+    * pre-filter with [[hashSample]] at ~(2k / |stratum|) first, then
+    * exact-rank the survivors.
+    */
+  def sampleExactPerStratum(
+      df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample dominant languages,
     * keep rare ones whole). Strata absent from `fractions` fall back to
     * `default`. One codegen'd CASE over the strata map — no shuffle.

@@ -36,6 +36,20 @@ class SamplingSpec extends SparkSpec {
     assert(h === "e26f930b048f3634440a18b9b6b0b93c")
   }
 
+  test("sampleExactPerStratum: exactly k per stratum, small strata whole, deterministic") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "big")) ++ Seq((200L, "tiny"), (201L, "tiny")))
+      .toDF("id", "s")
+    val out = Sampling.sampleExactPerStratum(df, "s", "id", k = 10)
+    val byStratum = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum === Map("big" -> 10L, "tiny" -> 2L))
+    // deterministic: same pick on re-evaluation and under repartitioning
+    val again = Sampling.sampleExactPerStratum(df.repartition(7), "s", "id", k = 10)
+    assert(out.select("id").except(again.select("id")).count() === 0)
+    assert(again.select("id").except(out.select("id")).count() === 0)
+  }
+
   test("ensureParallelism repartitions an unknown-stats RDD-backed frame") {
     val rdd = spark.sparkContext.parallelize(Seq(1, 2, 3, 4), 1)
     val df = spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
