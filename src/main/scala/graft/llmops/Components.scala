@@ -56,18 +56,24 @@ object Components {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
 
-    var labels = bi.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // round 0 folded into initialization: label = min(id, neighbors) is
+    // exactly the first propagation round, for one aggregate instead of
+    // a join + union + aggregate
+    var labels = bi.select(col("src").as("id"), col("dst"))
+      .groupBy(col("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label"))
+      .localCheckpoint(false)
     var prevSum = checkSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       val msgs = bi.join(labels, bi("src") === labels("id"))
         .select(bi("dst").as("id"), labels("label"))
+      // lazy checkpoint: materialized by the checkSum action below —
+      // one job per round, not one for the checkpoint plus one to probe
       val next = labels.select(col("id"), col("label")).union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val sum = checkSum(next)
       converged = sum == prevSum
       prevSum = sum
@@ -138,7 +144,7 @@ object Components {
       val next = smaller.join(mins2, "x")
         .filter(col("y") =!= col("m")).select(col("m").as("p"), col("y").as("c"))
         .union(mins2.select(col("m").as("p"), col("x").as("c")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       converged = next.count() == e.count() && next.except(e).isEmpty
       e = next
       iter += 1
