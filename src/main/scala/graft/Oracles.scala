@@ -41,6 +41,27 @@ object Oracles {
 
   private val minhashPairsCte: String = minhashPairsCteOver("documents")
 
+  /** EWMA oracle generated from the SAME weight constants as
+    * `Indicators.ewma(alpha = 0.5, horizon = 10)` — `math.pow(0.5, j)`
+    * renders to an exact terminating decimal (dyadic rational), so the
+    * DuckDB parse reproduces the identical double and the explicit
+    * left-to-right term order matches the engine's fold.
+    */
+  private val q83EwmaSql: String = {
+    val terms = (0 until 10).map { j =>
+      val wj = math.pow(0.5, j)
+      val x = if (j == 0) "value" else s"lag(value, $j) OVER w"
+      (s"(CASE WHEN $x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST($wj AS DOUBLE) * $x END)",
+        s"(CASE WHEN $x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST($wj AS DOUBLE) END)")
+    }
+    val num = terms.map(_._1).mkString(" + ")
+    val den = terms.map(_._2).mkString(" + ")
+    s"""SELECT event_id, user_id,
+  floor((($num) / ($den)) * 1000000 + 0.5) / 1000000 AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+  }
+
   private val q22MinhashSql: String =
     s"""WITH $minhashPairsCte
 SELECT doc_a, doc_b, n_shared_bands FROM pairs"""
@@ -774,5 +795,162 @@ FROM orders o
 WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
   AND EXISTS (SELECT 1 FROM orders i
               WHERE i.o_custkey = o.o_custkey AND i.o_orderkey <> o.o_orderkey)""",
+
+    // Cutler RSI-14: lag diff -> explicit CASE gain/loss (null on the
+    // first row of a series, so avg excludes it in both engines) ->
+    // trailing-14 frame averages -> 100*ag/(ag+al), flat series pinned
+    // to 50. Same floor-rounding as the engine.
+    "q76_rsi" ->
+      """WITH d AS (
+  SELECT event_id, user_id, ts, value,
+    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+  FROM events
+), g AS (
+  SELECT event_id, user_id,
+    avg(CASE WHEN diff IS NULL THEN NULL WHEN diff > 0.0 THEN diff ELSE 0.0 END)
+      OVER f AS ag,
+    avg(CASE WHEN diff IS NULL THEN NULL WHEN diff < 0.0 THEN -diff ELSE 0.0 END)
+      OVER f AS al
+  FROM d
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+  CASE WHEN ag IS NULL OR al IS NULL THEN NULL
+       WHEN ag + al = 0.0 THEN 50.0
+       ELSE floor((100.0 * ag / (ag + al)) * 1000000 + 0.5) / 1000000 END AS rsi14
+FROM g""",
+
+    "q77_drawdown" ->
+      """WITH p AS (
+  SELECT user_id, value,
+    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+  FROM events WHERE value > 0
+)
+SELECT user_id,
+  floor(min(value / rmax - 1.0) * 1000000 + 0.5) / 1000000 AS max_drawdown,
+  floor(max(rmax) * 1000000 + 0.5) / 1000000 AS peak
+FROM p GROUP BY user_id""",
+
+    "q78_bollinger" ->
+      """WITH b AS (
+  SELECT event_id, user_id, value,
+    avg(value) OVER f AS ma,
+    stddev_samp(value) OVER f AS sd
+  FROM events
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+  floor(ma * 1000000 + 0.5) / 1000000 AS mid,
+  floor((ma + 2.0 * sd) * 1000000 + 0.5) / 1000000 AS upper,
+  floor((ma - 2.0 * sd) * 1000000 + 0.5) / 1000000 AS lower,
+  CASE WHEN sd IS NULL OR sd = 0.0 THEN NULL
+       ELSE floor(((value - (ma - 2.0 * sd)) / (2.0 * 2.0 * sd)) * 1000000 + 0.5) / 1000000
+  END AS pct_b
+FROM b""",
+
+    "q79_series_corr" ->
+      """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS bucket, event_type AS series, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.series AS series_a, b.series AS series_b,
+  round(corr(a.v, b.v), 6) AS r, count(*) AS n_buckets
+FROM daily a JOIN daily b ON a.bucket = b.bucket AND a.series < b.series
+GROUP BY 1, 2""",
+
+    // C4-style boilerplate: per-doc DISTINCT word trigrams -> 60-bit md5
+    // keys -> document frequency -> df >= |docs|/50 is boilerplate ->
+    // per-doc overlap. Same gram contract as q70/q71 (lower, \s+ split).
+    "q80_boilerplate" ->
+      """WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+), keys AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_key
+  FROM grams
+), dfreq AS (
+  SELECT gram_key, count(*) AS df FROM keys GROUP BY gram_key
+), boiler AS (
+  SELECT gram_key FROM dfreq
+  WHERE df >= (SELECT count(*) // 50 FROM documents)
+)
+SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
+  floor((CAST(count(b.gram_key) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS boiler_frac
+FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
+GROUP BY k.doc_id""",
+
+    // source-mixture sampling: rate = min(1, 0.3 * T * w / W / toks),
+    // exact BIGINT token sums, double arithmetic in the engine's exact
+    // operation order, md5-uniform membership
+    "q81_mixture_sample" ->
+      """WITH toks AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok
+  FROM documents
+), tot AS (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS toks,
+    CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS w
+  FROM toks GROUP BY source
+), rates AS (
+  SELECT source,
+    LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM tot) AS DOUBLE) * w
+      / CAST((SELECT sum(w) FROM tot) AS DOUBLE) / CAST(toks AS DOUBLE)) AS rate
+  FROM tot
+)
+SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < r.rate
+GROUP BY t.source""",
+
+    // bounded-horizon EWMA: the identical 10 lag terms in the identical
+    // left-to-right summation order; alpha = 0.5 makes every weight an
+    // exact dyadic rational, so both engines compute bit-equal doubles
+    "q83_ewma" -> q83EwmaSql,
+
+    "q84_winsorize" ->
+      """WITH b AS (
+  SELECT event_type,
+    quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+  floor(avg(least(greatest(e.value, b.lo), b.hi)) * 1000000 + 0.5) / 1000000 AS avg_w,
+  floor(min(least(greatest(e.value, b.lo), b.hi)) * 1000000 + 0.5) / 1000000 AS min_w,
+  floor(max(least(greatest(e.value, b.lo), b.hi)) * 1000000 + 0.5) / 1000000 AS max_w
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type""",
+
+    "q85_histogram" ->
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+FROM events GROUP BY 1, 2""",
+
+    // int8 quantized kNN: codes = floor(x/||x||*127 + 0.5) (pure IEEE,
+    // engine-portable), scores are exact integer dot products
+    "q82_quantized_knn" ->
+      """WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), q8 AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS BIGINT)) AS cv
+  FROM n
+), qs AS (SELECT vec_id AS qid, cv AS qv FROM q8 WHERE vec_id < 5),
+scored AS (
+  SELECT qs.qid, c.vec_id AS id,
+    CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * qs.qv[i])) AS BIGINT) AS qdot
+  FROM q8 c, qs WHERE c.vec_id <> qs.qid
+)
+SELECT qid, id, qdot FROM (
+  SELECT qid, id, qdot, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rn
+  FROM scored) WHERE rn <= 10""",
   )
 }

@@ -441,6 +441,103 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  // ---- §2.5 technical indicators (downstream finance analytics) -----------
+
+  /** W1/W2 composite: Cutler RSI-14 per user series — momentum from a
+    * lag diff + trailing-frame averages, one sort per series.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.rsi(
+      t(s, dir, "events"), "value", "rsi14",
+      Seq("user_id"), Seq("ts", "event_id"), 14)
+      .select(col("event_id"), col("user_id"), col("rsi14"))
+
+  /** W5 composite: per-user max drawdown from the running peak (positive
+    * values only — drawdown through zero is undefined).
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.maxDrawdown(
+      t(s, dir, "events").filter(col("value") > 0),
+      "value", Seq("user_id"), Seq("ts", "event_id"))
+
+  /** W1 composite: Bollinger(20, 2) volatility envelope + %B per series. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.bollinger(
+      t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"), 20)
+      .select(col("event_id"), col("user_id"),
+        col("mid"), col("upper"), col("lower"), col("pct_b"))
+
+  /** A3 composite: pairwise Pearson correlation between event-type series
+    * aligned on day buckets — the co-movement matrix, quadratic only in
+    * series count.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.pairwiseCorr(
+      t(s, dir, "events"), "event_type", to_date(col("ts")), "value")
+
+  /** W1 composite: bounded-horizon EWMA, alpha = 0.5 so every weight
+    * (0.5)^j is an exact power of two — bit-portable across engines.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.ewma(
+      t(s, dir, "events"), "value", "ewma",
+      Seq("user_id"), Seq("ts", "event_id"), alpha = 0.5, horizon = 10)
+      .select(col("event_id"), col("user_id"), col("ewma"))
+
+  /** A3 composite: per-type winsorization at [p01, p99] — exact
+    * percentile bounds broadcast back, values clamped, robust stats out.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Robust.winsorize(t(s, dir, "events"), "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sr6(avg(col("value_w"))).as("avg_w"),
+        sr6(min(col("value_w"))).as("min_w"),
+        sr6(max(col("value_w"))).as("max_w"))
+
+  /** A3 composite: equi-width value histogram per event type. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Robust.histogram(t(s, dir, "events"), "event_type", "value", 5.0)
+
+  // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
+
+  /** X2/X4: C4-style repeated-span exposure — word trigrams with document
+    * frequency >= |corpus|/50 are boilerplate; score each doc's distinct-
+    * gram overlap. Grams shuffle as 60-bit md5 keys, never strings.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val minDf = docs.count() / 50
+    graft.llmops.Boilerplate.boilerplateStats(docs, "doc_id", "text", 3, minDf)
+  }
+
+  /** X4+: source-mixture sampling — weighted per-source token budget
+    * (sources src0-src2 worth 3x), total budget 30% of corpus tokens,
+    * deterministic hash membership. Output: per-source surviving docs
+    * and tokens.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    val docs = t(s, dir, "documents")
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    val w = when(col("source").isin("src0", "src1", "src2"), lit(3.0)).otherwise(lit(1.0))
+    Sampling.mixtureSample(docs, "doc_id", "source", tok, w, 0.3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+  }
+
+  /** X3: batched kNN over int8-quantized codes — integer dot products,
+    * exact in both engines, 4x lighter corpus scan than q65's floats.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.quantizedTopKBatch(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 10, excludeSelfId = true)
+  }
+
   // ---- §2.10 X5 json / map columns ----------------------------------------
 
   /** X5: JSON props → typed map → per-type stats over an extracted key. */
@@ -1035,6 +1132,16 @@ object SparkEntry {
     "q73_tfidf_terms" -> (q73 _),
     "q74_label_centroids" -> (q74 _),
     "q75_exact_stratum_sample" -> (q75 _),
+    "q76_rsi" -> (q76 _),
+    "q77_drawdown" -> (q77 _),
+    "q78_bollinger" -> (q78 _),
+    "q79_series_corr" -> (q79 _),
+    "q80_boilerplate" -> (q80 _),
+    "q81_mixture_sample" -> (q81 _),
+    "q82_quantized_knn" -> (q82 _),
+    "q83_ewma" -> (q83 _),
+    "q84_winsorize" -> (q84 _),
+    "q85_histogram" -> (q85 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -1,0 +1,158 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical indicators over keyed time series — the analytics a finance
+  * ingestion pipeline (reference:
+  * `dags/ingestion_yfinance_data_to_cassandra_db.py` writes 1-minute OHLCV
+  * bars; `scripts/finance-collect-data/StockFinanceMetrics.py:52` emits the
+  * closed bar) serves to downstream consumers: momentum (RSI), volatility
+  * envelopes (Bollinger), peak-to-trough risk (drawdown), and cross-series
+  * co-movement (pairwise correlation).
+  *
+  * Scale shape: every indicator is ONE hash-partitioned sort within the
+  * series key (`Window.partitionBy(key).orderBy(time)`) — the shuffle moves
+  * each series to one task and all frames evaluate in a single pass over
+  * the sorted run. Nothing here is iterative or driver-resident; a million
+  * symbols parallelize as a million independent window groups. Where an
+  * indicator needs a window OVER a window (RSI's average gain over lagged
+  * diffs), it is expressed as two select stages over the SAME window spec,
+  * so Catalyst collapses them into one Window physical node pair sharing
+  * one sort.
+  */
+object Indicators {
+
+  import graft.util.Partitioning.{stableRound6 => sr6}
+
+  /** Cutler's RSI (simple-moving-average form) over the trailing `n` rows:
+    * `100 * avgGain / (avgGain + avgLoss)`, with the flat-series 0/0 case
+    * pinned to 50 (neutral) and the first row (no lag) null. The SMA form
+    * is chosen over Wilder's recursive EMA deliberately: it is
+    * frame-expressible (one window pass, no recurrence), which keeps it
+    * inside Spark's Window codegen AND makes it bit-portable to the SQL
+    * oracle — a recurrence would need driver-side iteration or
+    * flatMapGroups and could not be verified against DuckDB exactly.
+    */
+  def rsi(
+      df: DataFrame, valueCol: String, out: String,
+      partition: Seq[String], order: Seq[String], n: Int): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val diff = col(valueCol) - lag(col(valueCol), 1).over(w)
+    // Explicit CASE, not greatest(diff, 0): Spark's greatest SKIPS nulls
+    // (greatest(null, 0) = 0), which would count the first row of every
+    // series as a zero-gain observation instead of excluding it — and
+    // null-skipping is exactly the engine-specific edge a portable
+    // oracle can't rely on.
+    df.withColumn("__gain",
+        when(diff.isNull, lit(null).cast("double"))
+          .when(diff > 0.0, diff).otherwise(lit(0.0)))
+      .withColumn("__loss",
+        when(diff.isNull, lit(null).cast("double"))
+          .when(diff < 0.0, -diff).otherwise(lit(0.0)))
+      .withColumn("__ag", avg(col("__gain")).over(frame))
+      .withColumn("__al", avg(col("__loss")).over(frame))
+      .withColumn(out,
+        when(col("__ag").isNull || col("__al").isNull, lit(null).cast("double"))
+          .when(col("__ag") + col("__al") === 0.0, lit(50.0))
+          .otherwise(sr6(lit(100.0) * col("__ag") / (col("__ag") + col("__al")))))
+      .drop("__gain", "__loss", "__ag", "__al")
+  }
+
+  /** Per-key maximum drawdown: the deepest relative drop from the running
+    * peak, `min(value / runningMax(value) - 1)`. One window pass for the
+    * running max, one hash aggregate for the min — the classic
+    * peak-to-trough risk statistic. Requires strictly positive values
+    * (ratios of a running max are meaningless through zero); callers
+    * filter first.
+    */
+  def maxDrawdown(
+      df: DataFrame, valueCol: String, partition: Seq[String],
+      order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__peak", max(col(valueCol)).over(w))
+      .groupBy(partition.map(col): _*)
+      .agg(
+        sr6(min(col(valueCol) / col("__peak") - 1.0)).as("max_drawdown"),
+        sr6(max(col("__peak"))).as("peak"))
+  }
+
+  /** Bollinger bands over the trailing `n` rows: SMA center line ±
+    * `width` sample standard deviations, plus %B (where the value sits in
+    * the band, 0 = lower, 1 = upper). Rows with an undefined band
+    * (fewer than 2 frame rows → null stddev, or zero width) get null %B.
+    */
+  def bollinger(
+      df: DataFrame, valueCol: String,
+      partition: Seq[String], order: Seq[String], n: Int,
+      width: Double = 2.0): DataFrame = {
+    val frame = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*).rowsBetween(-(n - 1), 0)
+    val ma = avg(col(valueCol)).over(frame)
+    val sd = stddev_samp(col(valueCol)).over(frame)
+    df.withColumn("__ma", ma).withColumn("__sd", sd)
+      .withColumn("mid", sr6(col("__ma")))
+      .withColumn("upper", sr6(col("__ma") + lit(width) * col("__sd")))
+      .withColumn("lower", sr6(col("__ma") - lit(width) * col("__sd")))
+      .withColumn("pct_b",
+        when(col("__sd").isNull || col("__sd") === 0.0, lit(null).cast("double"))
+          .otherwise(sr6((col(valueCol) - (col("__ma") - lit(width) * col("__sd")))
+            / (lit(2.0) * lit(width) * col("__sd")))))
+      .drop("__ma", "__sd")
+  }
+
+  /** Bounded-horizon EWMA: exponentially weighted moving average over the
+    * trailing `horizon` rows, weights `(1-alpha)^j` for lag j,
+    * renormalized over the lags actually present (series head has fewer).
+    * Expressed as `horizon` explicit lag terms over ONE window spec — a
+    * single per-key sort, no recurrence, no self-join — which is what
+    * makes it both frame-parallel at scale and bit-portable to the SQL
+    * oracle (Wilder's unbounded recursive EMA is neither; with
+    * `(1-alpha)^horizon` < 1e-3 for the defaults the truncation error is
+    * below the rounding grid).
+    */
+  def ewma(
+      df: DataFrame, valueCol: String, out: String,
+      partition: Seq[String], order: Seq[String],
+      alpha: Double, horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val terms = (0 until horizon).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      val x = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (when(x.isNull, lit(0.0)).otherwise(lit(wj) * x),
+        when(x.isNull, lit(0.0)).otherwise(lit(wj)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn(out, sr6(num / den))
+  }
+
+  /** Pairwise Pearson correlation between named series, aligned on a
+    * shared time bucket: series → per-(bucket, series) mean → self-join on
+    * the bucket with `seriesA < seriesB` → `corr` per pair. The alignment
+    * aggregate shrinks the data to |buckets| × |series| rows BEFORE the
+    * self-join, so the quadratic blow-up is over series count only, never
+    * over raw rows — at 100 TB the daily-bucket matrix for 10k symbols is
+    * ~40 MB/decade, and the join broadcasts.
+    */
+  def pairwiseCorr(
+      df: DataFrame, seriesCol: String, bucketCol: Column,
+      valueCol: String): DataFrame = {
+    val aligned = df
+      .groupBy(bucketCol.as("bucket"), col(seriesCol).as("series"))
+      .agg(avg(col(valueCol)).as("v"))
+    val a = aligned.select(col("bucket"), col("series").as("series_a"), col("v").as("va"))
+    val b = aligned.select(col("bucket"), col("series").as("series_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(
+        round(corr(col("va"), col("vb")), 6).as("r"),
+        count(lit(1)).as("n_buckets"))
+  }
+}

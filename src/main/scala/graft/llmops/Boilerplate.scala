@@ -1,0 +1,79 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repeated-span (boilerplate) detection over a document corpus — the
+  * C4-style cleanup step (Raffel et al. 2020 §2.2 removed any
+  * three-sentence span occurring more than once): find word n-grams whose
+  * DOCUMENT frequency exceeds a threshold (navigation chrome, license
+  * headers, templated footers) and score every document by how much of it
+  * is boilerplate.
+  *
+  * Scale design:
+  *  - Per-doc grams are computed by the native codegen'd
+  *    [[graft.functions.WordNgrams]] builder and DEDUPED per document in
+  *    the same pass, so a gram repeated inside one doc counts once toward
+  *    document frequency.
+  *  - Grams are hashed to a 60-bit key (first 15 md5 hex digits — the
+  *    repo-wide portable construction) BEFORE the shuffle: the document
+  *    frequency aggregate moves (8-byte key, doc_id) pairs, never gram
+  *    strings. At 100 TB of text the gram-string shuffle would dwarf the
+  *    corpus; the hashed shuffle is ~16 bytes/gram.
+  *  - The boilerplate set (grams with df >= minDf) is the high-df TAIL of
+  *    the frequency distribution — small by construction (frequent grams
+  *    are few; Zipf), so the score-back join broadcasts it when it fits
+  *    (same guarded pattern as [[Decontaminate]]); above the guard it
+  *    degrades to a shuffled hash join on the 8-byte key, never an
+  *    all-pairs form.
+  */
+object Boilerplate {
+
+  /** (id, gram_key) pairs: per-document DISTINCT word `n`-grams, each
+    * hashed to the portable 60-bit md5 key
+    * (`CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)` in the
+    * oracle).
+    */
+  def gramKeys(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    graft.util.Partitioning.ensureParallelism(df)
+      .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
+      .select(col(idCol),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_key"))
+
+  /** Grams with document frequency >= `minDf`: the boilerplate set. */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame =
+    gramKeys(df, idCol, textCol, n)
+      .groupBy(col("gram_key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document boilerplate exposure: (id, n_grams, n_boiler,
+    * boiler_frac) over distinct grams. Documents shorter than `n` tokens
+    * have no grams and are absent (matching the oracle's inner explode).
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long,
+      maxBroadcastGrams: Long = 5000000L): DataFrame = {
+    val grams = gramKeys(df, idCol, textCol, n)
+    // Persist the (small, post-filter) boilerplate set before the guard
+    // count so the sizing probe and the join share ONE gram-frequency
+    // pass over the corpus — without it the count would re-run the
+    // full explode+aggregate a second time.
+    val boiler = boilerplateGrams(df, idCol, textCol, n, minDf)
+      .select(col("gram_key"), lit(1).as("is_boiler"))
+      .persist()
+    // same broadcast guard rule as Decontaminate: only hint when the set
+    // is provably small, otherwise let the join shuffle the 8-byte keys
+    val joined =
+      if (boiler.count() <= maxBroadcastGrams)
+        grams.join(broadcast(boiler), Seq("gram_key"), "left")
+      else grams.join(boiler, Seq("gram_key"), "left")
+    joined.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("is_boiler")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        floor(col("n_boiler").cast("double") / col("n_grams").cast("double") * 1000000d + 0.5d) / 1000000d)
+  }
+}

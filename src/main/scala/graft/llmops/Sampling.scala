@@ -99,4 +99,40 @@ object Sampling {
     }
     df.filter(hashUniform(col(idCol)) < frac)
   }
+
+  /** Source-mixture sampling — the data-mixing step of a training
+    * pipeline (the Pile / Dolma recipe): give each source a WEIGHT, fix a
+    * total token budget as a fraction of the corpus, and downsample each
+    * source to its weighted share. A source whose share exceeds its
+    * actual size keeps everything (rate clamps at 1; no upsampling —
+    * repetition is a separate epoch-level concern).
+    *
+    * rate(s) = min(1, budgetFraction * T * w(s) / W / tokens(s))
+    * where T = corpus token total, W = total weight over sources present.
+    *
+    * Scale shape: one aggregate to |sources| rows (partial map-side
+    * combine), a window total over that TINY frame (never over data), a
+    * broadcast join of the per-source rates back onto the corpus, and the
+    * per-row hash predicate — the corpus is scanned once and never
+    * shuffled. Determinism: the rate is a pure arithmetic function of
+    * exact BIGINT token sums (weights sum exactly in doubles), and row
+    * fate is [[hashUniform]] — reproducible engine-to-engine.
+    */
+  def mixtureSample(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCount: Column,
+      weight: Column, budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0,1], got $budgetFraction")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val rates = df
+      .groupBy(col(sourceCol))
+      .agg(sum(tokenCount).as("__toks"), first(weight).as("__w"))
+      .withColumn("__rate", least(lit(1.0),
+        lit(budgetFraction) * sum(col("__toks")).over(all).cast("double") * col("__w")
+          / sum(col("__w")).over(all) / col("__toks").cast("double")))
+      .select(col(sourceCol), col("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashUniform(col(idCol)) < col("__rate"))
+  }
 }

@@ -342,4 +342,49 @@ object Similarity {
       .filter(col("score") >= minScore)
       .distinct()
   }
+
+  /** Symmetric int8 quantization of a unit-normalized vector:
+    * `floor(x / ||x|| * 127 + 0.5)` per element — the standard
+    * scalar-quantized index representation (4x smaller vectors, integer
+    * dot products). The codes are returned as array<double> HOLDING
+    * EXACT INTEGERS: every downstream product (|q_i| <= 127, dot <=
+    * dim * 127^2 << 2^53) stays exact in double arithmetic, which keeps
+    * the native codegen'd [[dot]] on the hot path AND makes the scores
+    * bit-portable to an integer-typed SQL oracle. The floor(+0.5) form
+    * (not round()) is pure IEEE arithmetic — identical in every engine.
+    */
+  def int8Quantize(vec: Column): Column = {
+    val v = asDouble(vec)
+    val n = norm(v)
+    // Spark's floor returns BIGINT; cast back so the codes stay in the
+    // array<double> domain the native dot product requires (values are
+    // exact integers either way).
+    transform(v, x => floor(x / n * lit(127.0) + lit(0.5)).cast("double"))
+  }
+
+  /** Batched exact kNN over int8-quantized vectors — the memory-bound
+    * scale path of [[cosineTopKBatch]]: the corpus scan moves 64 bytes of
+    * codes per 64-dim vector instead of 256+ of floats, scoring is an
+    * integer dot product (monotone in cosine up to quantization error),
+    * and the shuffle is still |queries| * k via [[graft.functions.BoundedTopK]].
+    * Quantization error vs exact cosine is pinned by AnnRecallSpec; the
+    * exact twin (q65 / cosineTopKBatch) is the verification anchor.
+    *
+    * Output: (qid, id, qdot) — qdot the integer quantized dot product.
+    */
+  def quantizedTopKBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String, k: Int,
+      excludeSelfId: Boolean = false): DataFrame = {
+    val corpus = graft.util.Partitioning.ensureParallelism(embeddings)
+      .select(col(idCol).as("id"), int8Quantize(col(vecCol)).as("cv"))
+    val qs = queries.select(col(qidCol).as("qid"), int8Quantize(col(qVecCol)).as("qv"))
+    corpus.crossJoin(broadcast(qs))
+      .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").cast("long").as("qdot"))
+  }
 }

@@ -96,4 +96,70 @@ object StatefulOps {
         OhlcSnapshot(ticker, s.open, s.high, s.low, s.close, s.volume, s.n)
       }
   }
+
+  // ---- Wilder EMA: the RECURSIVE smoothing no window frame can express ----
+
+  final case class EmaState(ema: Double, lastTs: Long, n: Long)
+
+  final case class EmaSnapshot(ticker: String, ema: Double, n: Long)
+
+  /** Fold ticks into the running Wilder EMA: `ema := alpha*x + (1-alpha)*ema`
+    * (seeded with the first price). The recurrence depends on EVERY prior
+    * row, which is exactly what a bounded window frame cannot express —
+    * batch engines approximate it with a truncated horizon
+    * ([[graft.analytics.Indicators.ewma]]); the streaming state form is
+    * exact and O(1) per tick.
+    */
+  private[streaming] def emaFold(
+      st: Option[EmaState], ticks: Seq[TickerTick], alpha: Double): Option[EmaState] = {
+    val sorted = ticks.sortBy(_.datetime.getTime)
+    sorted.foldLeft(st) { (acc, t) =>
+      acc match {
+        case None => Some(EmaState(t.price.toDouble, t.datetime.getTime, 1L))
+        case Some(s) => Some(EmaState(
+          alpha * t.price.toDouble + (1.0 - alpha) * s.ema,
+          math.max(s.lastTs, t.datetime.getTime), s.n + 1))
+      }
+    }
+  }
+
+  /** Streaming per-ticker Wilder EMA: one snapshot per key per
+    * micro-batch. Same state/timeout discipline as [[runningOhlc]]:
+    * one ~24-byte state per ticker, optional processing-time eviction.
+    */
+  def runningEma(
+      ticks: Dataset[TickerTick], alpha: Double,
+      idleTimeoutMs: Option[Long] = None): Dataset[EmaSnapshot] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[EmaState, EmaSnapshot](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[EmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val updated = emaFold(state.getOption, it.toSeq, alpha)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            updated.map(s => EmaSnapshot(ticker, s.ema, s.n)).iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[runningEma]] for verification. */
+  def runningEmaBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick], alpha: Double): Dataset[EmaSnapshot] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .mapGroups { (ticker, it) =>
+        val s = emaFold(None, it.toSeq, alpha).get
+        EmaSnapshot(ticker, s.ema, s.n)
+      }
+  }
 }

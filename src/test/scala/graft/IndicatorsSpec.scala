@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Indicators
+
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vals: Double*): org.apache.spark.sql.DataFrame =
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, "A", v) }
+      .toDF("seq", "sym", "px")
+
+  test("rsi: all-up series is 100, all-down is 0, flat is 50, first row null") {
+    val up = Indicators.rsi(series(1, 2, 3, 4), "px", "rsi", Seq("sym"), Seq("seq"), 14)
+      .orderBy("seq").select("rsi").as[Option[Double]].collect()
+    assert(up.head.isEmpty)                 // no lag on the first row
+    assert(up.tail.forall(_.contains(100.0)))
+
+    val down = Indicators.rsi(series(4, 3, 2, 1), "px", "rsi", Seq("sym"), Seq("seq"), 14)
+      .orderBy("seq").select("rsi").as[Option[Double]].collect()
+    assert(down.tail.forall(_.contains(0.0)))
+
+    val flat = Indicators.rsi(series(5, 5, 5), "px", "rsi", Seq("sym"), Seq("seq"), 14)
+      .orderBy("seq").select("rsi").as[Option[Double]].collect()
+    assert(flat.tail.forall(_.contains(50.0)))
+  }
+
+  test("rsi: hand-computed mixed series, trailing frame only") {
+    // diffs: null, +2, -1, +3  -> at row 3 (frame rows 0..3):
+    // gains (2, 0, 3) avg 5/3; losses (0, 1, 0) avg 1/3 -> rsi = 100*5/6
+    val out = Indicators.rsi(series(10, 12, 11, 14), "px", "rsi", Seq("sym"), Seq("seq"), 14)
+      .orderBy("seq").select("rsi").as[Option[Double]].collect()
+    assert(math.abs(out(3).get - 100.0 * 5 / 6) < 1e-5)
+  }
+
+  test("maxDrawdown: deepest drop from the running peak, not global min/max") {
+    // peak path: 10,10,20,20 ; deepest drawdown is 8/20 - 1 = -0.6
+    // (global min 5 against later peak 20 never co-occurs: 5 precedes 20)
+    val out = Indicators.maxDrawdown(series(10, 5, 20, 8), "px", Seq("sym"), Seq("seq"))
+      .collect().head
+    assert(math.abs(out.getAs[Double]("max_drawdown") - (8.0 / 20.0 - 1.0)) < 1e-9)
+    assert(out.getAs[Double]("peak") === 20.0)
+  }
+
+  test("bollinger: value at mean has pct_b 0.5; constant window nulls pct_b") {
+    val out = Indicators.bollinger(series(1, 3, 2), "px", Seq("sym"), Seq("seq"), 3)
+      .orderBy("seq").collect()
+    // row 2 frame = (1,3,2): ma=2, value=2 -> centered
+    assert(math.abs(out(2).getAs[Double]("pct_b") - 0.5) < 1e-9)
+    // row 0 frame = (1): stddev_samp null -> pct_b null
+    assert(out(0).isNullAt(out(0).fieldIndex("pct_b")))
+    val const = Indicators.bollinger(series(4, 4, 4), "px", Seq("sym"), Seq("seq"), 3)
+      .orderBy("seq").collect()
+    assert(const.forall(r => r.isNullAt(r.fieldIndex("pct_b"))))
+  }
+
+  test("pairwiseCorr: perfectly correlated and anti-correlated series") {
+    val df = Seq(
+      (0L, "a", 1.0), (0L, "b", 2.0), (0L, "c", 9.0),
+      (1L, "a", 2.0), (1L, "b", 4.0), (1L, "c", 7.0),
+      (2L, "a", 3.0), (2L, "b", 6.0), (2L, "c", 5.0)
+    ).toDF("bucket", "series", "v")
+    val out = Indicators.pairwiseCorr(df, "series", col("bucket"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("a", "b")) - 1.0) < 1e-6)   // b = 2a
+    assert(math.abs(out(("a", "c")) + 1.0) < 1e-6)   // c = 11 - 2a
+    assert(out.size === 3)                            // a<b, a<c, b<c only
+  }
+
+  test("ewma: constant series is the constant; head renormalizes over present lags") {
+    val out = Indicators.ewma(series(7, 7, 7), "px", "ewma", Seq("sym"), Seq("seq"), 0.5, 10)
+      .orderBy("seq").select("ewma").as[Double].collect()
+    assert(out.forall(v => math.abs(v - 7.0) < 1e-9))
+    // two-row series: ewma(1) = (1*x1 + 0.5*x0) / 1.5
+    val two = Indicators.ewma(series(2, 8), "px", "ewma", Seq("sym"), Seq("seq"), 0.5, 10)
+      .orderBy("seq").select("ewma").as[Double].collect()
+    assert(math.abs(two(0) - 2.0) < 1e-9)                       // head: only own weight
+    assert(math.abs(two(1) - (8.0 + 0.5 * 2.0) / 1.5) < 1e-6)
+  }
+
+  test("ewma weights recent rows more than a plain moving average") {
+    // jump series: after a level shift, ewma should sit closer to the new level
+    val vals = Seq.fill(10)(0.0) ++ Seq.fill(3)(10.0)
+    val df = series(vals: _*)
+    val e = Indicators.ewma(df, "px", "ewma", Seq("sym"), Seq("seq"), 0.5, 10)
+      .orderBy("seq").select("ewma").as[Double].collect().last
+    assert(e > 8.0, s"ewma after 3 rows at the new level was $e")
+  }
+
+  test("indicators produce one row per input row (rsi/bollinger) on harness events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val n = ev.count()
+    assert(Indicators.rsi(ev, "value", "rsi", Seq("user_id"), Seq("ts", "event_id"), 14).count() === n)
+    val boll = Indicators.bollinger(ev, "value", Seq("user_id"), Seq("ts", "event_id"), 20)
+    assert(boll.count() === n)
+    // band ordering invariant wherever defined
+    assert(boll.filter(col("upper") < col("lower")).count() === 0)
+  }
+}

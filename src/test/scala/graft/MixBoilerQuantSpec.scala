@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Boilerplate, Sampling, Similarity}
+
+class MixBoilerQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplateStats: the repeated footer trigram is flagged, unique text is not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma all rights reserved"),
+      (2L, "delta epsilon zeta all rights reserved"),
+      (3L, "eta theta iota all rights reserved"),
+      (4L, "unique words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.boilerplateStats(docs, "doc_id", "text", 3, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "all rights reserved" appears in 3 docs -> boilerplate
+    assert(out(1L).getAs[Long]("n_boiler") === 1)
+    assert(out(4L).getAs[Long]("n_boiler") === 0)
+    assert(out(4L).getAs[Double]("boiler_frac") === 0.0)
+    // doc 1 has 4 distinct trigrams, 1 boiler
+    assert(out(1L).getAs[Long]("n_grams") === 4)
+    assert(out(1L).getAs[Double]("boiler_frac") === 0.25)
+  }
+
+  test("boilerplateGrams df counts each doc once even when a gram repeats in-doc") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" repeats inside ONE doc
+      (2L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val grams = Boilerplate.boilerplateGrams(docs, "doc_id", "text", 3, minDf = 2)
+    assert(grams.count() === 0) // in-doc repetition is not document frequency
+  }
+
+  test("mixtureSample: clamped rates keep small sources whole; budget is approached") {
+    val docs = (0 until 2000).map { i =>
+      val src = if (i % 10 == 0) "rare" else "common"
+      (i.toLong, src, "tok " * 10)
+    }.toDF("doc_id", "source", "text")
+    val tok = graft.llmops.TextAnalysis.tokenCount(col("text")).cast("long")
+    // rare weighted 5x on a 50% budget -> rare's share exceeds its size -> keep all
+    val w = when(col("source") === "rare", lit(5.0)).otherwise(lit(1.0))
+    val out = Sampling.mixtureSample(docs, "doc_id", "source", tok, w, 0.5)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("rare") === 200)          // rate clamped at 1.0
+    // common gets (0.5*T*1/6)/toks_common of its docs ~ 1800 * 0.5*2000*10/6/18000 = 166
+    assert(bySrc("common") > 100 && bySrc("common") < 250)
+    // deterministic: same call yields the identical sample
+    val again = Sampling.mixtureSample(docs, "doc_id", "source", tok, w, 0.5)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
+  }
+
+  test("int8Quantize: codes are integer-valued doubles within [-127, 127]") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = emb.select(explode(Similarity.int8Quantize(col("embedding"))).as("c"))
+    assert(codes.filter(col("c") =!= floor(col("c"))).count() === 0)
+    assert(codes.filter(abs(col("c")) > 127).count() === 0)
+  }
+
+  test("quantizedTopKBatch approximates exact cosine kNN (recall@10 >= 0.8)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+        queries.select(col("qid"), Similarity.asDouble(col("qv")).as("qv")),
+        "qid", "qv", k = 10, excludeSelfId = true)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, excludeSelfId = true)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@10 was $recall")
+  }
+}

@@ -54,6 +54,42 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running Wilder EMA matches the batch twin and the recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.runningEma(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_out").outputMode("append").start()
+    try {
+      mem.addData(ticks: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("ema_out").as[StatefulOps.EmaSnapshot].collect()
+        .map(s => s.ticker -> s).toMap
+      val batch = StatefulOps.runningEmaBatch(spark, ticks.toDS(), alpha = 0.5).collect()
+        .map(s => s.ticker -> s).toMap
+      assert(streaming === batch)
+      // AAPL: seed 10 -> 0.5*12+0.5*10 = 11 -> 0.5*9+0.5*11 = 10
+      assert(math.abs(streaming("AAPL").ema - 10.0) < 1e-9)
+      assert(streaming("AAPL").n === 3L)
+      assert(math.abs(streaming("MSFT").ema - 5.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("EMA state carries the recurrence across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.runningEma(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_acc").outputMode("append").start()
+    try {
+      mem.addData(tick("AAPL", "2024-01-01 10:00:00", 10f, 1))
+      q.processAllAvailable()
+      mem.addData(tick("AAPL", "2024-01-01 10:01:00", 20f, 1))
+      q.processAllAvailable()
+      val rows = spark.table("ema_acc").as[StatefulOps.EmaSnapshot].collect()
+      // second emission continues from the first batch's state: 0.5*20+0.5*10
+      assert(rows.exists(s => math.abs(s.ema - 15.0) < 1e-9 && s.n === 2L))
+    } finally q.stop()
+  }
+
   test("IVF top-k overlaps exact top-k and is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qv = emb.filter($"vec_id" === 0)
