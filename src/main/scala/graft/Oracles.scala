@@ -910,6 +910,41 @@ WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         / 1152921504606846976.0 < r.rate
 GROUP BY t.source""",
 
+    // funnel via DuckDB's native ASOF (the q19-verified construction):
+    // per-user conversion counts + mean latency from exact micros
+    "q86_funnel" ->
+      """WITH c AS (
+  SELECT p.user_id, p.ts, v.ts AS entry_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT user_id, count(*) AS n_convert, count(entry_ts) AS n_converted,
+  floor(avg(CAST(epoch_us(ts) - epoch_us(entry_ts) AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000 AS avg_latency_s
+FROM c GROUP BY user_id""",
+
+    "q87_cohorts" ->
+      """WITH cohorts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_date,
+  datediff('day', c.cohort_date, a.d) AS day_offset,
+  count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2""",
+
+    "q88_gap_stats" ->
+      """WITH g AS (
+  SELECT user_id, event_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, count(CASE WHEN gap_us > 3600000000 THEN 1 END) AS n_gaps,
+  max(gap_us) AS max_gap_us, count(*) AS n_rows
+FROM g GROUP BY user_id""",
+
     // bounded-horizon EWMA: the identical 10 lag terms in the identical
     // left-to-right summation order; alpha = 0.5 makes every weight an
     // exact dyadic rational, so both engines compute bit-equal doubles

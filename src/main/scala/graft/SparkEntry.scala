@@ -500,6 +500,31 @@ object SparkEntry {
   private def q85(s: SparkSession, dir: String): DataFrame =
     graft.llmops.Robust.histogram(t(s, dir, "events"), "event_type", "value", 5.0)
 
+  /** J2 composite: view→purchase funnel via the as-of join — per-user
+    * conversion counts and mean latency in seconds (exact micros before
+    * the single division).
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.funnel(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "view", "purchase")
+
+  /** A4 composite: cohort retention — users bucketed by first-activity
+    * date, distinct-active counts per (cohort, day offset).
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+      // render the date as ISO text: DuckDB DATE and Spark DateType
+      // stringify differently in the driver's pandas compare
+      .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_users"))
+
+  /** W2 composite: feed-gap detection — inter-arrival gaps over 1 hour
+    * per user, worst gap, in exact epoch micros.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.gapStats(
+      t(s, dir, "events"), "user_id", "ts", "event_id", thresholdUs = 3600L * 1000000L)
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1142,6 +1167,9 @@ object SparkEntry {
     "q83_ewma" -> (q83 _),
     "q84_winsorize" -> (q84 _),
     "q85_histogram" -> (q85 _),
+    "q86_funnel" -> (q86 _),
+    "q87_cohorts" -> (q87 _),
+    "q88_gap_stats" -> (q88 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -1,0 +1,77 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / data-quality analytics over keyed event streams: funnel
+  * conversion, cohort retention, and feed-gap detection — the queries a
+  * finance ingestion pipeline's consumers run to answer "did the user
+  * convert", "do users come back", and "did the feed drop bars"
+  * (the reference emits fixed-cadence 1-minute bars:
+  * `scripts/finance-collect-data/StockFinanceMetrics.py:52` — gap
+  * detection is how downstream spots missing ones).
+  *
+  * Scale shape: funnel rides the as-of join (one keyed shuffle, merge
+  * semantics — see [[TimeSeries.asOfJoin]]); cohorts are two hash
+  * aggregates and an equi-join on user, all shuffles keyed on uniform
+  * ids; gaps are one window sort per key. Nothing driver-resident.
+  */
+object Behavior {
+
+  /** Funnel conversion: for each `convertEvent` row, the latest
+    * at-or-before `entryEvent` row per key (as-of), then per-key
+    * conversion stats. `latency_s` is epoch-microsecond difference /
+    * 1e6 — exact integer micros before the one division, so portable.
+    *
+    * Output: key, n_convert, n_converted (with a matching entry),
+    * avg_latency_s (over converted rows only).
+    */
+  def funnel(
+      events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      entryEvent: String, convertEvent: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convertEvent)
+      .select(col(keyCol), col(tsCol))
+    val entry = events.filter(col(typeCol) === entryEvent)
+      .select(col(keyCol), col(tsCol), col(tsCol).as("entry_ts"))
+    TimeSeries.asOfJoin(conv, entry, keyCol, tsCol, tsCol, Seq("entry_ts"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_convert"),
+        count(col("entry_ts")).as("n_converted"),
+        graft.util.Partitioning.stableRound6(
+          avg((unix_micros(col(tsCol)) - unix_micros(col("entry_ts"))).cast("double")
+            / lit(1000000.0))).as("avg_latency_s"))
+  }
+
+  /** Cohort retention: users grouped by their FIRST activity date, then
+    * distinct active (user, day) pairs joined back — counts per
+    * (cohort_date, day_offset). Both aggregates shrink before the join;
+    * the join key is the uniform user id.
+    */
+  def cohortRetention(
+      events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val cohorts = events.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val activity = events.select(col(keyCol), to_date(col(tsCol)).as("d")).distinct()
+    activity.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_date"), datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
+  /** Feed-gap detection: per-key inter-arrival gaps in exact epoch
+    * micros; reports gaps exceeding `thresholdUs` and the worst gap.
+    */
+  def gapStats(
+      events: DataFrame, keyCol: String, tsCol: String, orderTieCol: String,
+      thresholdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderTieCol))
+    events
+      .withColumn("__gap_us", unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(when(col("__gap_us") > thresholdUs, lit(1))).as("n_gaps"),
+        max(col("__gap_us")).as("max_gap_us"),
+        count(lit(1)).as("n_rows"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Behavior
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, u: Long, typ: String, ts: String) =
+    (id, u, typ, java.sql.Timestamp.valueOf(ts))
+
+  test("funnel: purchases match the latest preceding view; unmatched counted") {
+    val events = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "view", "2024-01-01 10:30:00"),
+      ev(3, 1, "purchase", "2024-01-01 10:40:00"),  // -> view at 10:30, 600s
+      ev(4, 2, "purchase", "2024-01-01 09:00:00")   // no view before -> unconverted
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.funnel(events, "user_id", "ts", "event_type", "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_convert") === 1)
+    assert(out(1L).getAs[Long]("n_converted") === 1)
+    assert(out(1L).getAs[Double]("avg_latency_s") === 600.0)
+    assert(out(2L).getAs[Long]("n_converted") === 0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("avg_latency_s")))
+  }
+
+  test("cohortRetention: offsets count users active N days after first touch") {
+    val events = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "view", "2024-01-03 10:00:00"),   // day 2 for cohort 01-01
+      ev(3, 2, "view", "2024-01-01 12:00:00"),
+      ev(4, 3, "view", "2024-01-02 12:00:00")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-01-01", 0)) === 2)   // users 1 and 2 on day 0
+    assert(out(("2024-01-01", 2)) === 1)   // user 1 returns on day 2
+    assert(out(("2024-01-02", 0)) === 1)   // user 3's own cohort
+    assert(out.size === 3)
+  }
+
+  test("gapStats: flags only gaps over the threshold and reports the worst") {
+    val events = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "view", "2024-01-01 10:30:00"),   // 30 min gap — under 1h
+      ev(3, 1, "view", "2024-01-01 13:00:00"),   // 2.5 h gap — over
+      ev(4, 2, "view", "2024-01-01 09:00:00")    // single event: no gaps
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.gapStats(events, "user_id", "ts", "event_id", 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_gaps") === 1)
+    assert(out(1L).getAs[Long]("max_gap_us") === 2L * 3600L * 1000000L + 1800L * 1000000L)
+    assert(out(2L).getAs[Long]("n_gaps") === 0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("max_gap_us")))
+    assert(out(1L).getAs[Long]("n_rows") === 3)
+  }
+}

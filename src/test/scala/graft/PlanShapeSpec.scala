@@ -72,4 +72,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set should broadcast:\n$plan")
   }
+
+  test("q83 ewma: all ten lag terms evaluate in ONE Window node over one shuffle") {
+    val plan = planOf("q83_ewma")
+    val windows = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Window .*"""))
+    assert(windows === 1, s"ewma lags must share one Window node, saw $windows:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"ewma should shuffle once on the series key, saw $exchanges:\n$plan")
+  }
+
+  test("q76 rsi: the lag window and the frame averages share one series shuffle") {
+    val plan = planOf("q76_rsi")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"rsi should shuffle once on the series key, saw $exchanges:\n$plan")
+    val sorts = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Sort .*"""))
+    assert(sorts <= 1, s"rsi windows share partition+order, one sort expected, saw $sorts:\n$plan")
+  }
+
+  test("q84 winsorize: percentile bounds broadcast back onto the data") {
+    val plan = planOf("q84_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), s"bounds frame should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"bounds join must not sort-merge:\n$plan")
+  }
+
+  test("q81 mixture sampling: per-source rates broadcast, corpus never shuffles pre-filter") {
+    val plan = planOf("q81_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"), s"rates frame should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rates join must not sort-merge:\n$plan")
+  }
+
+  test("q82 quantized knn keeps the bounded top-k partial and the broadcast query set") {
+    val plan = planOf("q82_quantized_knn")
+    assert(plan.contains("partial_bounded_top_k"),
+      s"expected a map-side partial bounded_top_k:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$plan")
+  }
 }
