@@ -41,6 +41,46 @@ object Oracles {
 
   private val minhashPairsCte: String = minhashPairsCteOver("documents")
 
+  /** Suffixed bands-only variant of [[minhashPairsCteOver]] for
+    * cross-corpus joins: emits `h_<sfx>`, `sig_<sfx>`, `bands_<sfx>`
+    * CTEs over an arbitrary source expression (same coefficients and
+    * md5/band construction as the engine's native MinHashBands).
+    */
+  private def minhashBandsCteOver(sfx: String, src: String): String = {
+    val p = graft.llmops.Dedup.MinhashP
+    val coeffs = graft.llmops.Dedup.minhashCoeffs(16)
+    val sigs = coeffs.zipWithIndex.map { case ((a, b), s) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p)) AS s$s"
+    }.mkString(",\n    ")
+    val bands = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sig_$sfx"
+    }.mkString("\n  UNION ALL ")
+    s"""h_$sfx AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text)-6),
+      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) % $p) AS hs
+  FROM $src WHERE length(text) >= 8
+), sig_$sfx AS (
+  SELECT doc_id,
+    $sigs
+  FROM h_$sfx
+), bands_$sfx AS (
+  $bands
+)"""
+  }
+
+  private val oldSrcPred =
+    "source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')"
+
+  private val q89IncrementalSql: String =
+    s"""WITH ${minhashBandsCteOver("o", s"(SELECT * FROM documents WHERE $oldSrcPred)")},
+${minhashBandsCteOver("n", s"(SELECT * FROM documents WHERE NOT ($oldSrcPred))")}
+SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS n_shared_bands
+FROM bands_n n JOIN bands_o o
+  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+GROUP BY 1, 2"""
+
   /** EWMA oracle generated from the SAME weight constants as
     * `Indicators.ewma(alpha = 0.5, horizon = 10)` — `math.pow(0.5, j)`
     * renders to an exact terminating decimal (dyadic rational), so the
@@ -909,6 +949,10 @@ FROM toks t JOIN rates r ON t.source = r.source
 WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         / 1152921504606846976.0 < r.rate
 GROUP BY t.source""",
+
+    // incremental cross-corpus near-dedup: new sources' bands joined
+    // against the kept corpus's bands — same construction as q22
+    "q89_incremental_dedup" -> q89IncrementalSql,
 
     // funnel via DuckDB's native ASOF (the q19-verified construction):
     // per-user conversion counts + mean latency from exact micros

@@ -525,6 +525,19 @@ object SparkEntry {
     graft.analytics.Behavior.gapStats(
       t(s, dir, "events"), "user_id", "ts", "event_id", thresholdUs = 3600L * 1000000L)
 
+  /** X2 incremental: near-dup candidates of the NEW half of the corpus
+    * (sources src10+) against the KEPT half (src0-src9) — the per-batch
+    * dedup-against-history op; cost scales with the increment.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    Dedup.minhashPairsAgainst(
+      docs.filter(!col("source").isin(oldSrcs: _*)),
+      docs.filter(col("source").isin(oldSrcs: _*)),
+      "doc_id", "text")
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1170,6 +1183,7 @@ object SparkEntry {
     "q86_funnel" -> (q86 _),
     "q87_cohorts" -> (q87 _),
     "q88_gap_stats" -> (q88 _),
+    "q89_incremental_dedup" -> (q89 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -122,6 +122,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** X2 incremental form: near-duplicate candidates of NEW documents
+    * against an EXISTING corpus — the every-batch operation of a growing
+    * 100 TB corpus (dedup the day's crawl against everything already
+    * kept) where re-running the full self-join would redo all historical
+    * work. Same banding as [[minhashCandidatePairs]], but the join is
+    * new-bands ⋈ old-bands, so cost scales with |new| + matched bands,
+    * not |corpus|²; in production the old side's banded signatures are
+    * precomputed once and stored (they are 24 bytes/band), making the
+    * daily increment a join of a small frame against a bucketed table.
+    *
+    * Output: (new_id, old_id, n_shared_bands).
+    */
+  def minhashPairsAgainst(
+      newDocs: DataFrame, oldDocs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    def banded(docs: DataFrame) =
+      graft.util.Partitioning.ensureParallelism(docs)
+        .filter(length(col(textCol)) >= shingleK)
+        .select(col(idCol).as("doc_id"),
+          graft.functions.MinHashBands.minhashBands(
+            col(textCol), shingleK, numHashes, numBands).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    banded(newDocs).as("n")
+      .join(banded(oldDocs).as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash"))
+      .groupBy(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** X2 verify stage at scale: exact n-gram Jaccard for candidate pairs.
     * Each doc is reduced ONCE to its sorted distinct shingle-hash array
     * (native [[graft.functions.ShingleHashesSorted]], one codegen'd pass);

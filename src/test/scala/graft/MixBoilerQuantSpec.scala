@@ -54,6 +54,25 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
   }
 
+  test("incremental minhash dedup equals the cross-split slice of the full self-join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isOld = col("source").isin((0 to 9).map(i => s"src$i"): _*)
+    val oldIds = docs.filter(isOld).select("doc_id").as[Long].collect().toSet
+    val full = graft.llmops.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // keep pairs with one endpoint per side, normalized to (new, old)
+      .collect {
+        case (a, b, n) if oldIds(a) ^ oldIds(b) =>
+          (if (oldIds(a)) b else a, if (oldIds(a)) a else b, n)
+      }.toSet
+    val inc = graft.llmops.Dedup.minhashPairsAgainst(
+        docs.filter(!isOld), docs.filter(isOld), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+  }
+
   test("int8Quantize: codes are integer-valued doubles within [-127, 127]") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
