@@ -73,6 +73,67 @@ object Multimodal {
   def bucketByContent(media: Dataset[MediaRecord], buckets: Int): Dataset[MediaRecord] =
     media.repartition(buckets, abs(hash(col("media_id"))) % buckets)
 
+  // ---- header sniffing: REAL metadata, no codec required -------------------
+
+  import org.apache.spark.sql.Column
+
+  /** Unsigned value of one payload byte (1-indexed), as a plain-function
+    * expression chain (substring on binary → hex → base-16 parse) — stays
+    * inside whole-stage codegen, unlike a UDF.
+    */
+  private def u8(bytes: Column, pos: Int): Column =
+    conv(hex(substring(bytes, pos, 1)), 16, 10).cast("int")
+
+  /** Big-endian u32 at a 1-indexed offset. */
+  private def beU32(bytes: Column, pos: Int): Column =
+    conv(hex(substring(bytes, pos, 4)), 16, 10).cast("long")
+
+  /** Little-endian u16 / u32 at a 1-indexed offset (byte-swapped sums —
+    * `conv` has no endianness, so compose from [[u8]]).
+    */
+  private def leU16(bytes: Column, pos: Int): Column =
+    (u8(bytes, pos) + u8(bytes, pos + 1) * lit(256)).cast("int")
+  private def leU32(bytes: Column, pos: Int): Column =
+    (u8(bytes, pos).cast("long") + u8(bytes, pos + 1).cast("long") * lit(256L) +
+      u8(bytes, pos + 2).cast("long") * lit(65536L) +
+      u8(bytes, pos + 3).cast("long") * lit(16777216L))
+
+  /** Container format from magic bytes: 'png' | 'gif' | 'jpeg' | 'wav' |
+    * 'unknown'. Pure per-row predicates over the first bytes — this (and
+    * the metadata sniffers below) is NOT stubbed: it implements the real
+    * PNG (RFC 2083 §12.11), GIF89a, JFIF and RIFF/WAVE header layouts.
+    */
+  def sniffFormat(bytes: Column): Column =
+    when(hex(substring(bytes, 1, 8)) === "89504E470D0A1A0A", "png")
+      .when(hex(substring(bytes, 1, 3)) === "474946", "gif")
+      .when(hex(substring(bytes, 1, 3)) === "FFD8FF", "jpeg")
+      .when(hex(substring(bytes, 1, 4)) === "52494646" &&
+        hex(substring(bytes, 9, 4)) === "57415645", "wav")
+      .otherwise("unknown")
+
+  /** (width, height) struct for PNG (IHDR big-endian u32 at offset 17/21)
+    * and GIF (logical screen little-endian u16 at offset 7/9); null for
+    * other formats (JPEG dimensions live in a variable-position SOF
+    * marker — a scan, not a fixed offset; that belongs in the partition
+    * loop, not an expression).
+    */
+  def imageDims(bytes: Column): Column = {
+    val fmt = sniffFormat(bytes)
+    when(fmt === "png",
+      struct(beU32(bytes, 17).cast("int").as("width"), beU32(bytes, 21).cast("int").as("height")))
+      .when(fmt === "gif",
+        struct(leU16(bytes, 7).as("width"), leU16(bytes, 9).as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+  }
+
+  /** Sample rate (Hz) from a canonical RIFF/WAVE header (fmt chunk at the
+    * canonical offset 13, rate little-endian u32 at offset 25); null for
+    * non-WAV payloads or non-canonical chunk layouts.
+    */
+  def wavSampleRate(bytes: Column): Column =
+    when(sniffFormat(bytes) === "wav" && hex(substring(bytes, 13, 4)) === "666D7420",
+      leU32(bytes, 25)).otherwise(lit(null).cast("long"))
+
   /** Resize plumbing for image rows: target dimensions are computed
     * relationally (aspect-preserving fit into maxDim); the byte
     * transformation itself runs per-partition behind the same stubbed

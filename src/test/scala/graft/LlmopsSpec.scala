@@ -339,4 +339,37 @@ class LlmopsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.groupBy("media_id").count().filter(col("count") < 2).count() === 0)
   }
+
+  test("header sniffing reads real PNG/GIF/WAV layouts, no codec involved") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+    val wav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ le16(16)
+    val junk = "not an image".getBytes
+
+    val df = Seq(("png", png), ("gif", gif), ("wav", wav), ("jpeg", jpeg), ("junk", junk))
+      .toDF("name", "bytes")
+      .select(col("name"),
+        Multimodal.sniffFormat(col("bytes")).as("fmt"),
+        Multimodal.imageDims(col("bytes")).as("dims"),
+        Multimodal.wavSampleRate(col("bytes")).as("rate"))
+    val out = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(out("png").getString(1) === "png")
+    assert(out("png").getStruct(2).getInt(0) === 640)
+    assert(out("png").getStruct(2).getInt(1) === 480)
+    assert(out("gif").getString(1) === "gif")
+    assert(out("gif").getStruct(2).getInt(0) === 320)
+    assert(out("gif").getStruct(2).getInt(1) === 200)
+    assert(out("wav").getString(1) === "wav")
+    assert(out("wav").getLong(3) === 44100L)
+    assert(out("jpeg").getString(1) === "jpeg")
+    assert(out("jpeg").isNullAt(2))            // SOF scan is out of expression scope
+    assert(out("junk").getString(1) === "unknown")
+    assert(out("junk").isNullAt(2) && out("junk").isNullAt(3))
+  }
 }
