@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 
@@ -274,4 +274,23 @@ object Pipelines {
   def runTradesPipeline(spark: SparkSession, brokers: String, topic: String,
       sinkPath: String, checkpoint: String): StreamingQuery =
     runPipeline(spark, brokers, topic, sinkPath, checkpoint, tradesFromJson(_))
+
+  /** Normalized trade stream → per-ticker running Wilder EMA snapshots:
+    * the analytics-serving pipeline (reference's downstream consumers
+    * read per-ticker aggregates from the sink table) expressed as keyed
+    * state over the SAME wire normalization as [[runTradesPipeline]].
+    * The returned stream is ready for any sink; tests drive it from
+    * MemoryStream, production binds [[kafkaSource]] upstream.
+    */
+  def emaFromTrades(
+      normalizedTrades: DataFrame, alpha: Double): Dataset[StatefulOps.EmaSnapshot] = {
+    val spark = normalizedTrades.sparkSession
+    import spark.implicits._
+    val ticks = normalizedTrades.select(
+      col("symbol").as("ticker"),
+      col("datetime"),
+      col("last_price").cast("float").as("price"),
+      col("volume").cast("int").as("volume")).as[StatefulOps.TickerTick]
+    StatefulOps.runningEma(ticks, alpha)
+  }
 }

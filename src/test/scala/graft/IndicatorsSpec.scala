@@ -88,6 +88,28 @@ class IndicatorsSpec extends SparkSpec {
     assert(e > 8.0, s"ewma after 3 rows at the new level was $e")
   }
 
+  test("indicator invariants on harness events: rsi in [0,100], bands ordered, drawdown <= 0, ewma within window hull") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val rsi = Indicators.rsi(ev, "value", "rsi", Seq("user_id"), Seq("ts", "event_id"), 14)
+    assert(rsi.filter(col("rsi") < 0 || col("rsi") > 100).count() === 0)
+
+    val dd = Indicators.maxDrawdown(ev.filter(col("value") > 0), "value",
+      Seq("user_id"), Seq("ts", "event_id"))
+    assert(dd.filter(col("max_drawdown") > 0).count() === 0)
+    assert(dd.filter(col("max_drawdown") < -1).count() === 0) // positive values: ratio >= 0
+
+    // ewma is a convex combination of trailing values -> bounded by the
+    // trailing-window min/max (same frame as the horizon)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+    val e = Indicators.ewma(ev, "value", "ewma", Seq("user_id"), Seq("ts", "event_id"), 0.5, 10)
+      .withColumn("lo", min(col("value")).over(w))
+      .withColumn("hi", max(col("value")).over(w))
+    assert(e.filter(col("ewma") < col("lo") - 1e-6 || col("ewma") > col("hi") + 1e-6).count() === 0)
+  }
+
   test("indicators produce one row per input row (rsi/bollinger) on harness events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

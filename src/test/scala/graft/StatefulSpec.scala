@@ -90,6 +90,24 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("emaFromTrades: the wire-normalized trade stream feeds the EMA state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    def trade(sym: String, tMillis: Long, p: Double) =
+      s"""{"c":[],"p":$p,"s":"$sym","t":$tMillis,"v":5}"""
+    val normalized = graft.streaming.Pipelines.tradesFromJson(mem.toDF(), "2 minutes")
+    val q = graft.streaming.Pipelines.emaFromTrades(normalized, alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_wire").outputMode("append").start()
+    try {
+      val base = 1731681000000L
+      mem.addData(trade("AAPL", base, 10.0), trade("AAPL", base + 60000, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("ema_wire").as[StatefulOps.EmaSnapshot].collect()
+      // seed 10 then 0.5*20 + 0.5*10 = 15
+      assert(rows.exists(s => s.ticker == "AAPL" && math.abs(s.ema - 15.0) < 1e-9 && s.n == 2L))
+    } finally q.stop()
+  }
+
   test("IVF top-k overlaps exact top-k and is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qv = emb.filter($"vec_id" === 0)
