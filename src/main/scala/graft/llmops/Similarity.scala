@@ -34,7 +34,12 @@ object Similarity {
   /** L2 norm of an array<double> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+  /** Element cast via the native array cast (codegen'd) — NOT
+    * `transform(_, _.cast)`: higher-order functions evaluate interpreted
+    * per element, and this sits under every dot product in the module.
+    * float→double is exact either way.
+    */
+  def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** Cosine similarity between two array columns (any numeric element type). */
   def cosine(a: Column, b: Column): Column = {
