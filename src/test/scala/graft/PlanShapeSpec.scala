@@ -73,6 +73,15 @@ class PlanShapeSpec extends SparkSpec {
       s"query set should broadcast:\n$plan")
   }
 
+  test("q07 top-n per group truncates to k rows map-side (WindowGroupLimit below the exchange)") {
+    val plan = planOf("q07_topn_per_group")
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange "))
+    val partialLimitIdx = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    assert(exchangeIdx >= 0 && partialLimitIdx > exchangeIdx,
+      s"expected a partial WindowGroupLimit below the shuffle (only k rows per group cross the wire):\n$plan")
+  }
+
   test("q83 ewma: all ten lag terms evaluate in ONE Window node over one shuffle") {
     val plan = planOf("q83_ewma")
     val windows = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Window .*"""))

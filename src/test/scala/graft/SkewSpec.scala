@@ -38,6 +38,67 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("AQE skew join: a hyper-hot key is split into multiple tasks at runtime") {
+    // 95%-one-key left side joined to a non-broadcastable right side; with
+    // the thresholds forced low, AQE must mark the sort-merge join skewed
+    // and split the hot partition instead of serializing it in one task.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(50000).select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // parquet-backed fact side (the injected filter targets scans) and a
+      // selectively-filtered creation side
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("splitHotKeys partitions rows exactly") {
     val (hot, rest) = Skew.splitHotKeys(ev, "event_type", Seq("view", "click"))
     assert(hot.count() + rest.count() === ev.count())
