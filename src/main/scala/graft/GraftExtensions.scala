@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((
+      FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[graft.functions.Int8Quantize].getName, "int8_quantize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec) => graft.functions.Int8Quantize(vec)
+        case _ => throw new IllegalArgumentException("int8_quantize(array<double>)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
       FunctionIdentifier("shingle_fingerprint"),
       new ExpressionInfo(classOf[ShingleFingerprint].getName, "shingle_fingerprint"),
       (args: Seq[Expression]) => args match {

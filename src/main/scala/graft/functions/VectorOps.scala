@@ -169,3 +169,64 @@ object NearestCentroidCell {
       NearestCentroidCell(
         org.apache.spark.sql.graft.bridge.expression(vec), cellIds, centroids))
 }
+
+/** One-pass int8 scalar quantization: `floor(x_i / ||x|| * 127 + 0.5)`
+  * per element, norm and codes computed in a single primitive loop. The
+  * HOF form (`transform` with a floor chain over a separately-computed
+  * norm) evaluates interpreted AND walks the array twice; this is the
+  * hot first pass of the quantized ANN scan
+  * ([[graft.llmops.Similarity.quantizedTopKBatch]]).
+  *
+  * Output stays array<double> holding exact small integers — see the
+  * module scaladoc there for why (native dot reuse + integer-exact,
+  * oracle-portable scores). Arithmetic is EXACTLY the HOF chain's
+  * (`x / n * 127.0 + 0.5`, IEEE ops in that order), so results are
+  * bit-identical to the form it replaced; a zero vector yields NaN codes
+  * in both forms.
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int8_quantize requires array<double> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Quantize.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Int8Quantize.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+object Int8Quantize {
+
+  /** Shared by interpreted eval and generated code (static call). */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getDouble(i) / norm * 127.0 + 0.5)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def int8Quantize(vec: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      Int8Quantize(org.apache.spark.sql.graft.bridge.expression(vec)))
+}

@@ -134,6 +134,64 @@ object Multimodal {
     when(sniffFormat(bytes) === "wav" && hex(substring(bytes, 13, 4)) === "666D7420",
       leU32(bytes, 25)).otherwise(lit(null).cast("long"))
 
+  /** JPEG dimensions by walking the marker stream to the first SOF frame
+    * header (ITU-T T.81 §B.2.2: height/width are big-endian u16 at
+    * offsets 3/5 of the frame segment). Markers are length-prefixed, so
+    * this is a segment SKIP, not a byte scan — a few dozen reads per
+    * image regardless of payload size. Variable-position work like this
+    * belongs in the partition loop ([[imageDimsScan]]), not an
+    * expression; the fixed-offset formats stay in [[imageDims]].
+    */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return None // desynced marker stream
+      val marker = u8(i + 1)
+      marker match {
+        case 0xd8 | 0x01 => i += 2                      // standalone markers
+        case m if m >= 0xd0 && m <= 0xd7 => i += 2      // RSTn
+        case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOF0..SOF15 (minus DHT/JPG/DAC): [len][precision][h][w]
+          return if (i + 8 < bytes.length) Some((u16(i + 7), u16(i + 5))) else None
+        case 0xd9 => return None                        // EOI before any SOF
+        case _ =>
+          if (i + 3 >= bytes.length) return None
+          i += 2 + u16(i + 2)                           // skip length-prefixed segment
+      }
+    }
+    None
+  }
+
+  /** JVM-side dims across formats: PNG/GIF via their fixed offsets (the
+    * same layouts as [[imageDims]]), JPEG via the SOF walk.
+    */
+  def dimsOf(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 24 && u8(0) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      Some((
+        (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19),
+        (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)))
+    else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    else jpegDims(bytes)
+  }
+
+  /** Partition-loop dimension extraction: one small case-match per row,
+    * bytes never leave the task.
+    */
+  def imageDimsScan(media: Dataset[MediaRecord]): Dataset[(Long, Option[Int], Option[Int])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dims = dimsOf(r.bytes)
+        (r.media_id, dims.map(_._1), dims.map(_._2))
+      }
+    }
+  }
+
   /** Resize plumbing for image rows: target dimensions are computed
     * relationally (aspect-preserving fit into maxDim); the byte
     * transformation itself runs per-partition behind the same stubbed

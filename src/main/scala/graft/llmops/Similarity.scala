@@ -358,14 +358,8 @@ object Similarity {
     * bit-portable to an integer-typed SQL oracle. The floor(+0.5) form
     * (not round()) is pure IEEE arithmetic — identical in every engine.
     */
-  def int8Quantize(vec: Column): Column = {
-    val v = asDouble(vec)
-    val n = norm(v)
-    // Spark's floor returns BIGINT; cast back so the codes stay in the
-    // array<double> domain the native dot product requires (values are
-    // exact integers either way).
-    transform(v, x => floor(x / n * lit(127.0) + lit(0.5)).cast("double"))
-  }
+  def int8Quantize(vec: Column): Column =
+    graft.functions.Int8Quantize.int8Quantize(asDouble(vec))
 
   /** Batched exact kNN over int8-quantized vectors — the memory-bound
     * scale path of [[cosineTopKBatch]]: the corpus scan moves 64 bytes of

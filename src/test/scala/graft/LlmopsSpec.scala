@@ -372,4 +372,32 @@ class LlmopsSpec extends SparkSpec {
     assert(out("junk").getString(1) === "unknown")
     assert(out("junk").isNullAt(2) && out("junk").isNullAt(3))
   }
+
+  test("jpegDims walks the marker stream to SOF (APP0/comment segments skipped)") {
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0)
+    val comment = Array[Byte](0xff.toByte, 0xfe.toByte) ++ be16(8) ++ "graft!".getBytes
+    val dht = Array[Byte](0xff.toByte, 0xc4.toByte) ++ be16(4) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(1080) ++ be16(1920) ++ Array.fill[Byte](10)(0)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ comment ++ dht ++ sof0
+    assert(graft.llmops.Multimodal.jpegDims(jpeg) === Some((1920, 1080)))
+    assert(graft.llmops.Multimodal.dimsOf(jpeg) === Some((1920, 1080)))
+    // progressive marker SOF2 is also a frame header
+    val sof2 = sof0.clone(); sof2(1) = 0xc2.toByte
+    val prog = Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof2
+    assert(graft.llmops.Multimodal.jpegDims(prog) === Some((1920, 1080)))
+    // DHT (0xc4) must NOT terminate the walk as a frame header
+    assert(graft.llmops.Multimodal.jpegDims(
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ dht) === None)
+    // truncated and non-JPEG payloads
+    assert(graft.llmops.Multimodal.jpegDims("nope".getBytes) === None)
+    assert(graft.llmops.Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+    // PNG/GIF route through dimsOf's fixed offsets
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    assert(graft.llmops.Multimodal.dimsOf(png) === Some((640, 480)))
+  }
 }

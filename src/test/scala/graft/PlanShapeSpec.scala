@@ -116,5 +116,10 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side partial bounded_top_k:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set should broadcast:\n$plan")
+    // the native one-pass quantizer must run inside a whole-stage span
+    val line = plan.linesIterator.find(_.toLowerCase.contains("int8quantize"))
+    assert(line.isDefined, s"native quantize expression missing from plan:\n$plan")
+    assert(line.get.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
+      s"int8quantize fell out of codegen: ${line.get}")
   }
 }
