@@ -954,6 +954,24 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // SCD2 change history: null-safe change detection against the lag,
+    // then the next change's ts via lead over the surviving runs
+    "q90_scd2_history" ->
+      """WITH t AS (
+  SELECT user_id, ts, event_id, CAST(floor(value / 20.0) AS BIGINT) AS tier FROM events
+), c AS (
+  SELECT user_id, ts, event_id, tier,
+    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM t
+), runs AS (
+  SELECT user_id, ts, event_id, tier FROM c WHERE prev IS NULL OR tier <> prev
+)
+SELECT user_id, tier, ts AS valid_from,
+  lead(ts) OVER w AS valid_to,
+  CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
     // funnel via DuckDB's native ASOF (the q19-verified construction):
     // per-user conversion counts + mean latency from exact micros
     "q86_funnel" ->

@@ -538,6 +538,14 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** D2 composite: SCD2 / run-length change history — each user's value
+    * TIER (floor(value/20)) compressed to [valid_from, valid_to) runs.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.typeTwoHistory(
+      t(s, dir, "events"), "user_id", "ts", "event_id",
+      floor(col("value") / 20.0).cast("long"), "tier")
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1184,6 +1192,7 @@ object SparkEntry {
     "q87_cohorts" -> (q87 _),
     "q88_gap_stats" -> (q88 _),
     "q89_incremental_dedup" -> (q89 _),
+    "q90_scd2_history" -> (q90 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -59,6 +59,31 @@ object Behavior {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** Type-2 (SCD2) change history of a derived attribute over a keyed
+    * event series: consecutive runs of the same attribute value collapse
+    * to one row carrying [valid_from, valid_to) — valid_to null on the
+    * open (current) run. The warehouse-standard versioned-dimension
+    * shape, and simultaneously run-length compression for telemetry
+    * (a 1 Hz feed whose tier changes hourly shrinks ~3600x).
+    *
+    * Two window stages over the SAME (key, time) sort: change detection
+    * against the lag (null-safe), then the next change's timestamp via
+    * lead over the surviving rows. One shuffle total.
+    */
+  def typeTwoHistory(
+      events: DataFrame, keyCol: String, tsCol: String, orderTieCol: String,
+      attr: Column, attrName: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderTieCol))
+    events
+      .withColumn(attrName, attr)
+      .withColumn("__prev", lag(col(attrName), 1).over(w))
+      .filter(!(col(attrName) <=> col("__prev")))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select(col(keyCol), col(attrName), col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   /** Feed-gap detection: per-key inter-arrival gaps in exact epoch
     * micros; reports gaps exceeding `thresholdUs` and the worst gap.
     */

@@ -41,6 +41,29 @@ class BehaviorSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("typeTwoHistory compresses runs and chains validity ranges") {
+    val events = Seq(
+      ev(1, 1, "a", "2024-01-01 10:00:00"),
+      ev(2, 1, "a", "2024-01-01 11:00:00"),   // same attr -> folded into run 1
+      ev(3, 1, "b", "2024-01-01 12:00:00"),   // change
+      ev(4, 1, "a", "2024-01-01 13:00:00"),   // change back -> NEW run, not merged
+      ev(5, 2, "x", "2024-01-01 09:00:00")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.analytics.Behavior.typeTwoHistory(
+        events, "user_id", "ts", "event_id", col("event_type"), "attr")
+      .orderBy("user_id", "valid_from").collect()
+    assert(out.length === 4)                        // runs: a, b, a | x
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq === Seq("a", "b", "a"))
+    // ranges chain: each valid_to equals the next valid_from
+    assert(u1(0).getTimestamp(3) === u1(1).getTimestamp(2))
+    assert(u1(1).getTimestamp(3) === u1(2).getTimestamp(2))
+    assert(u1(2).isNullAt(3) && u1(2).getInt(4) === 1)   // open current run
+    assert(u1(0).getInt(4) === 0)
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2(0).getInt(4) === 1)
+  }
+
   test("gapStats: flags only gaps over the threshold and reports the worst") {
     val events = Seq(
       ev(1, 1, "view", "2024-01-01 10:00:00"),
