@@ -954,6 +954,23 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // gap-based sessionization: running sum of break flags = session idx
+    "q91_sessionize" ->
+      """WITH g AS (
+  SELECT user_id, ts, event_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY 1, 2""",
+
     // SCD2 change history: null-safe change detection against the lag,
     // then the next change's ts via lead over the surviving runs
     "q90_scd2_history" ->

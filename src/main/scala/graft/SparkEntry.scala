@@ -546,6 +546,17 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id",
       floor(col("value") / 20.0).cast("long"), "tier")
 
+  /** T7 composite: gap-based sessionization (30-min inactivity breaks) —
+    * per-session row counts and exact-micros durations.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.sessionize(
+      t(s, dir, "events"), "user_id", "ts", "event_id", gapUs = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1193,6 +1204,7 @@ object SparkEntry {
     "q88_gap_stats" -> (q88 _),
     "q89_incremental_dedup" -> (q89 _),
     "q90_scd2_history" -> (q90 _),
+    "q91_sessionize" -> (q91 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

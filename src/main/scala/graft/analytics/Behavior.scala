@@ -59,6 +59,25 @@ object Behavior {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** Gap-based sessionization: a new session starts where the
+    * inter-arrival gap exceeds `gapUs` (exact epoch micros). The running
+    * sum of break flags IS the per-key session index — one window sort,
+    * the same construction `session_window` uses internally but exposed
+    * relationally so downstream joins/aggregates can key on
+    * (key, session_idx). Adds `session_idx` (1-based).
+    */
+  def sessionize(
+      events: DataFrame, keyCol: String, tsCol: String, orderTieCol: String,
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderTieCol))
+    val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    events
+      .withColumn("__new", when(gap.isNull || gap > gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
   /** Type-2 (SCD2) change history of a derived attribute over a keyed
     * event series: consecutive runs of the same attribute value collapse
     * to one row carrying [valid_from, valid_to) — valid_to null on the

@@ -64,6 +64,23 @@ class BehaviorSpec extends SparkSpec {
     assert(u2.length === 1 && u2(0).getInt(4) === 1)
   }
 
+  test("sessionize: gaps over the threshold start new sessions, indexes are 1-based and dense") {
+    val events = Seq(
+      ev(1, 1, "v", "2024-01-01 10:00:00"),
+      ev(2, 1, "v", "2024-01-01 10:10:00"),   // 10 min — same session
+      ev(3, 1, "v", "2024-01-01 11:00:00"),   // 50 min — new session
+      ev(4, 1, "v", "2024-01-01 11:05:00"),
+      ev(5, 2, "v", "2024-01-01 09:00:00")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.analytics.Behavior.sessionize(events, "user_id", "ts", "event_id",
+        gapUs = 1800L * 1000000L)
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1 && out(2L) === 1)
+    assert(out(3L) === 2 && out(4L) === 2)
+    assert(out(5L) === 1)
+  }
+
   test("gapStats: flags only gaps over the threshold and reports the worst") {
     val events = Seq(
       ev(1, 1, "view", "2024-01-01 10:00:00"),
