@@ -954,6 +954,23 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // unigram surprisal: identical token contract as q26 (raw \s+ split),
+    // ln over identical doubles, floor-rounded average
+    "q92_surprisal" ->
+      """WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM tf
+)
+SELECT k.doc_id, count(*) AS n_tokens,
+  floor(avg(-ln(CAST(f.c AS DOUBLE) / CAST(tot.t AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS surprisal
+FROM toks k JOIN tf f ON k.tok = f.tok, tot
+GROUP BY k.doc_id""",
+
     // gap-based sessionization: running sum of break flags = session idx
     "q91_sessionize" ->
       """WITH g AS (

@@ -557,6 +557,12 @@ object SparkEntry {
         count(lit(1)).as("n_events"),
         (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
 
+  /** X4: unigram-LM surprisal — the relational perplexity-proxy quality
+    * signal; corpus frequencies broadcast onto the token stream.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1205,6 +1211,7 @@ object SparkEntry {
     "q89_incremental_dedup" -> (q89 _),
     "q90_scd2_history" -> (q90 _),
     "q91_sessionize" -> (q91 _),
+    "q92_surprisal" -> (q92 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

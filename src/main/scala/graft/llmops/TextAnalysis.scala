@@ -113,4 +113,39 @@ object TextAnalysis {
     */
   def gramRepetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepetitionStats.gramRepetitionStats(text, n)
+
+  /** Unigram-LM surprisal per document: `avg(-ln(tf(token)/T))` over the
+    * doc's tokens, with frequencies from the corpus itself — the
+    * shuffle-light relational stand-in for the KenLM-perplexity quality
+    * filter (CCNet, Wenzek et al. 2020): boilerplate-heavy docs score
+    * LOW (common tokens), lorem-ipsum noise scores HIGH (rare tokens);
+    * both tails get reviewed or cut.
+    *
+    * Scale shape: one (token) count aggregate to |vocab| rows, a
+    * guarded broadcast of the frequency table back onto the exploded
+    * token stream (above the guard it degrades to a hash join on the
+    * token — never quadratic), one per-doc average. At 100 TB the vocab
+    * table is the natural precomputed artifact (reuse across batches).
+    *
+    * Output: (id, n_tokens, surprisal), surprisal floor-rounded to 1e-6.
+    */
+  def unigramSurprisal(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = 10000000L): org.apache.spark.sql.DataFrame = {
+    val toks = graft.util.Partitioning.ensureParallelism(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("c")).persist()
+    val joined =
+      if (tf.count() <= maxBroadcastVocab) toks.join(broadcast(tf), Seq("tok"))
+      else toks.join(tf, Seq("tok"))
+    // total from the tf frame, not a window over joined rows (which would
+    // count each token's frequency once per occurrence)
+    val total = tf.agg(sum(col("c")).as("t"))
+    joined.crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (floor(avg(-log(col("c").cast("double") / col("t").cast("double"))) * 1000000d + 0.5d)
+          / 1000000d).as("surprisal"))
+  }
 }

@@ -54,6 +54,22 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
   }
 
+  test("unigramSurprisal: common-token docs score low, rare-token docs high") {
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "the the the the")) ++        // dominant token
+        Seq((100L, "the the the the"), (101L, "zyx qwv jkl pmn")) // one rare-token doc
+      ).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getAs[Double]("surprisal") < out(101L).getAs[Double]("surprisal"))
+    assert(out(100L).getAs[Long]("n_tokens") === 4)
+    // every doc scored, none dropped by the frequency join
+    assert(out.size === 52)
+    // surprisal is -avg ln p: for the rare doc each token has count 1 of T
+    val T = 51 * 4 + 4
+    assert(math.abs(out(101L).getAs[Double]("surprisal") - math.log(T.toDouble)) < 1e-5)
+  }
+
   test("incremental minhash dedup equals the cross-split slice of the full self-join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
