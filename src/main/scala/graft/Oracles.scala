@@ -954,6 +954,35 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // Efraimidis-Spirakis weighted sample: key = u^(1/w) from the same
+    // md5-uniform as q67/q75; POWER over identical doubles
+    "q93_weighted_sample" ->
+      """WITH ranked AS (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY POWER(
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0,
+      1.0 / CAST(n_chars AS DOUBLE)) DESC,
+    doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 20""",
+
+    "q94_token_entropy" ->
+      """WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id,
+      unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS tok
+    FROM documents) GROUP BY 1, 2
+), t AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS tot FROM counts
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+  floor((-sum((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+    * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS entropy
+FROM t GROUP BY doc_id""",
+
     // unigram surprisal: identical token contract as q26 (raw \s+ split),
     // ln over identical doubles, floor-rounded average
     "q92_surprisal" ->

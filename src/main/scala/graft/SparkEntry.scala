@@ -563,6 +563,22 @@ object SparkEntry {
   private def q92(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
 
+  /** X4+: Efraimidis-Spirakis weighted sample — top-20 docs per lang,
+    * inclusion odds proportional to n_chars, deterministic hash keys.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    Sampling.weightedSamplePerStratum(
+      t(s, dir, "documents"), "lang", "doc_id", col("n_chars").cast("double"), k = 20)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** X4: per-doc token-distribution entropy — the in-document diversity
+    * signal complementing q92's corpus-level surprisal.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1212,6 +1228,8 @@ object SparkEntry {
     "q90_scd2_history" -> (q90 _),
     "q91_sessionize" -> (q91 _),
     "q92_surprisal" -> (q92 _),
+    "q93_weighted_sample" -> (q93 _),
+    "q94_token_entropy" -> (q94 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

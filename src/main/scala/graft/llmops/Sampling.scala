@@ -100,6 +100,29 @@ object Sampling {
     df.filter(hashUniform(col(idCol)) < frac)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    * rank rows by `u^(1/w)` DESC for u = [[hashUniform]] and keep the
+    * top `k` per stratum — inclusion probability proportional to weight,
+    * but DETERMINISTIC (hash-keyed, not RNG), so the same quality-
+    * weighted subset is drawn by every engine and every rerun. The
+    * standard "sample by quality score" op of training-data curation.
+    *
+    * Same scale shape as [[sampleExactPerStratum]]: one stratum-keyed
+    * shuffle + per-partition rank; the E-S key makes the weighting
+    * exact without replacement bookkeeping.
+    */
+  def weightedSamplePerStratum(
+      df: DataFrame, strataCol: String, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val key = pow(hashUniform(col(idCol)), lit(1.0) / weight)
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Source-mixture sampling — the data-mixing step of a training
     * pipeline (the Pile / Dolma recipe): give each source a WEIGHT, fix a
     * total token budget as a fraction of the corpus, and downsample each

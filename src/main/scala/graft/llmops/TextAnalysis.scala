@@ -114,6 +114,33 @@ object TextAnalysis {
   def gramRepetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepetitionStats.gramRepetitionStats(text, n)
 
+  /** Token-distribution Shannon entropy per document:
+    * `-sum p_t ln p_t` over the doc's own token frequencies — near-zero
+    * for one-token spam, ln(n_tokens) for all-distinct text; the
+    * complementary in-document signal to the corpus-level
+    * [[unigramSurprisal]]. Shape: explode → (doc, token) count →
+    * per-doc aggregate; shuffles only (doc_id, token-hash)-sized rows.
+    */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = graft.util.Partitioning.ensureParallelism(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    // per-doc total staged via a window (shares the (doc) partitioning of
+    // the final aggregate — no extra shuffle), then p ln p summed per doc
+    val tot = sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))
+    val p = col("c").cast("double") / col("__tot").cast("double")
+    counts.withColumn("__tot", tot)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (floor((-sum(p * log(p))) * 1000000d + 0.5d) / 1000000d).as("entropy"))
+  }
+
   /** Unigram-LM surprisal per document: `avg(-ln(tf(token)/T))` over the
     * doc's tokens, with frequencies from the corpus itself — the
     * shuffle-light relational stand-in for the KenLM-perplexity quality

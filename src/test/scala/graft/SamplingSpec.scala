@@ -6,6 +6,33 @@ import graft.llmops.Sampling
 import graft.util.Partitioning
 
 class SamplingSpec extends SparkSpec {
+
+  test("weightedSamplePerStratum: heavy rows are strongly over-represented") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 light rows (w=1) + 50 heavy rows (w=100): an unweighted pick of
+    // 100 would include ~5 heavy rows; E-S weighting should take nearly all
+    val df = ((1 to 1000).map(i => (i.toLong, 1.0)) ++ (2001 to 2050).map(i => (i.toLong, 100.0)))
+      .toDF("id", "w").withColumn("g", lit("all"))
+    val picked = graft.llmops.Sampling.weightedSamplePerStratum(df, "g", "id", col("w"), 100)
+    assert(picked.count() === 100)
+    val heavy = picked.filter(col("id") >= 2000L).count()
+    assert(heavy >= 40, s"expected nearly all 50 heavy rows in the top 100, got $heavy")
+    // deterministic
+    val again = graft.llmops.Sampling.weightedSamplePerStratum(df, "g", "id", col("w"), 100)
+    assert(picked.select("id").except(again.select("id")).count() === 0)
+  }
+
+  test("tokenEntropy extremes: repeated token -> 0, all-distinct -> ln n") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("entropy") === 0.0)
+    assert(out(1L).getAs[Long]("n_distinct") === 1)
+    assert(math.abs(out(2L).getAs[Double]("entropy") - math.log(4.0)) < 1e-5)
+    assert(out(2L).getAs[Long]("n_tokens") === 4)
+  }
   import spark.implicits._
 
   test("null ids hash the sentinel: row lands in exactly one split") {
