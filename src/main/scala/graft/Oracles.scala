@@ -97,7 +97,8 @@ GROUP BY 1, 2"""
     val num = terms.map(_._1).mkString(" + ")
     val den = terms.map(_._2).mkString(" + ")
     s"""SELECT event_id, user_id,
-  floor((($num) / ($den)) * 1000000 + 0.5) / 1000000 AS ewma
+  CASE WHEN value IS NULL THEN NULL
+       ELSE floor((($num) / ($den)) * 1000000 + 0.5) / 1000000 END AS ewma
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
   }
@@ -1027,7 +1028,10 @@ FROM s GROUP BY 1, 2""",
     lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM t
 ), runs AS (
-  SELECT user_id, ts, event_id, tier FROM c WHERE prev IS NULL OR tier <> prev
+  -- IS DISTINCT FROM mirrors the engine's null-safe <=> change test
+  -- exactly (a null tier starts/continues runs the same way on both
+  -- sides); 'prev IS NULL OR tier <> prev' would diverge on null tiers
+  SELECT user_id, ts, event_id, tier FROM c WHERE tier IS DISTINCT FROM prev
 )
 SELECT user_id, tier, ts AS valid_from,
   lead(ts) OVER w AS valid_to,

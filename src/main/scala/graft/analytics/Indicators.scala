@@ -129,7 +129,13 @@ object Indicators {
     }
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
-    df.withColumn(out, sr6(num / den))
+    // A null own-value row has no defined EWMA — pin it to null (matching
+    // rsi/bollinger's discipline) instead of letting 0.0/0.0 emit NaN.
+    // Null LAGS renormalize over the weights present: that is the
+    // documented series-head behavior, and a mid-series null value simply
+    // contributes no term.
+    df.withColumn(out,
+      when(col(valueCol).isNull, lit(null).cast("double")).otherwise(sr6(num / den)))
   }
 
   /** Pairwise Pearson correlation between named series, aligned on a

@@ -194,11 +194,20 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
       s"int8_quantize requires array<double> input, got ${other.sql}")
   }
 
+  // nullable even when the child isn't: an array WITH a null element
+  // (containsNull inputs pass the type check) quantizes to null — reading
+  // getDouble on a null slot would silently treat it as 0.0 (or garbage
+  // in the unsafe format) and rank neighbors wrong with no error
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any =
     Int8Quantize.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.Int8Quantize.compute($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.Int8Quantize.compute($a);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
     copy(child = newChild)
@@ -206,12 +215,15 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
 
 object Int8Quantize {
 
-  /** Shared by interpreted eval and generated code (static call). */
+  /** Shared by interpreted eval and generated code (static call).
+    * Returns null when any element is null (no silent 0.0 reads).
+    */
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = a.getDouble(i)
       s += x * x
       i += 1

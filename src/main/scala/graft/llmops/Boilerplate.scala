@@ -59,7 +59,12 @@ object Boilerplate {
     // Persist the (small, post-filter) boilerplate set before the guard
     // count so the sizing probe and the join share ONE gram-frequency
     // pass over the corpus — without it the count would re-run the
-    // full explode+aggregate a second time.
+    // full explode+aggregate a second time. CACHE CONTRACT: the cached
+    // frame backs the returned (lazy) DataFrame, so it cannot be
+    // unpersisted here; it is dropped by LRU eviction or session end.
+    // Long-lived sessions making many calls should unpersist via
+    // spark.catalog.clearCache() between batches, or precompute
+    // boilerplateGrams once and reuse it.
     val boiler = boilerplateGrams(df, idCol, textCol, n, minDf)
       .select(col("gram_key"), lit(1).as("is_boiler"))
       .persist()
@@ -74,6 +79,7 @@ object Boilerplate {
         count(lit(1)).as("n_grams"),
         count(col("is_boiler")).as("n_boiler"))
       .withColumn("boiler_frac",
-        floor(col("n_boiler").cast("double") / col("n_grams").cast("double") * 1000000d + 0.5d) / 1000000d)
+        graft.util.Partitioning.stableRound6(
+          col("n_boiler").cast("double") / col("n_grams").cast("double")))
   }
 }

@@ -80,6 +80,15 @@ object Components {
       labels = next
       iter += 1
     }
+    // Exhausting the round budget without reaching the fixpoint would
+    // return labels that are only min-of-(maxIters)-hop-neighborhood —
+    // silently wrong components. Fail loudly; the caller either raises
+    // maxIters or switches to the log-rounds alternating variant.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(graph diameter exceeds the budget); raise maxIters or use " +
+          "connectedComponentsAlternating")
     labels
   }
 
@@ -149,6 +158,9 @@ object Components {
       e = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxIters rounds; raise maxIters")
     nodes.join(e.select(col("c").as("id"), col("p").as("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }

@@ -151,6 +151,7 @@ object Multimodal {
       if (u8(i) != 0xff) return None // desynced marker stream
       val marker = u8(i + 1)
       marker match {
+        case 0xff => i += 1                             // fill byte (T.81 §B.1.1.2)
         case 0xd8 | 0x01 => i += 2                      // standalone markers
         case m if m >= 0xd0 && m <= 0xd7 => i += 2      // RSTn
         case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>

@@ -116,7 +116,13 @@ object Sampling {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val key = pow(hashUniform(col(idCol)), lit(1.0) / weight)
+    // In-plan weight guard: w <= 0 would INVERT the sampling (u^(1/w) with
+    // negative w is >= 1 and outranks every valid key; w = 0 keys to 0) —
+    // fail the job instead of silently selecting the worst rows.
+    val w0 = when(weight <= 0.0,
+      raise_error(concat(lit("weightedSamplePerStratum: non-positive weight "),
+        weight.cast("string")))).otherwise(weight)
+    val key = pow(hashUniform(col(idCol)), lit(1.0) / w0)
     val w = Window.partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)

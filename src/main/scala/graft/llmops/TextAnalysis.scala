@@ -138,7 +138,7 @@ object TextAnalysis {
       .agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        (floor((-sum(p * log(p))) * 1000000d + 0.5d) / 1000000d).as("entropy"))
+        graft.util.Partitioning.stableRound6(-sum(p * log(p))).as("entropy"))
   }
 
   /** Unigram-LM surprisal per document: `avg(-ln(tf(token)/T))` over the
@@ -161,6 +161,10 @@ object TextAnalysis {
       maxBroadcastVocab: Long = 10000000L): org.apache.spark.sql.DataFrame = {
     val toks = graft.util.Partitioning.ensureParallelism(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // CACHE CONTRACT: tf backs the returned lazy frame (guard count +
+    // join + total share one vocabulary pass) and so stays cached until
+    // LRU eviction or session end — per-batch callers should reuse a
+    // precomputed vocabulary or clearCache() between batches.
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("c")).persist()
     val joined =
       if (tf.count() <= maxBroadcastVocab) toks.join(broadcast(tf), Seq("tok"))
@@ -172,7 +176,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        (floor(avg(-log(col("c").cast("double") / col("t").cast("double"))) * 1000000d + 0.5d)
-          / 1000000d).as("surprisal"))
+        graft.util.Partitioning.stableRound6(
+          avg(-log(col("c").cast("double") / col("t").cast("double")))).as("surprisal"))
   }
 }

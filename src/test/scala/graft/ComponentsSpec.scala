@@ -64,6 +64,21 @@ class ComponentsSpec extends SparkSpec {
     assert(m.size === 40 && m.values.forall(_ == 1L))
   }
 
+  test("propagation FAILS LOUDLY when the round budget is below the diameter") {
+    // a 40-node chain needs ~39 propagation hops; maxIters = 3 must throw,
+    // never return silently-truncated labels
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(chain.toDF("a", "b"), "a", "b", maxIters = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with an adequate budget the same graph converges to one label
+    val ok = Components.connectedComponents(chain.toDF("a", "b"), "a", "b", maxIters = 45)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok === Set(1L))
+  }
+
   test("dedupByComponents keeps exactly the component minima") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("doc_id")
     // components {1,2,3} (chain) and {4,5}; 99 untouched by any pair
