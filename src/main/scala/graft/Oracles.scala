@@ -955,6 +955,18 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // blocked fuzzy matching: same (nation, 16-char-prefix) blocking and
+    // the same unit-cost edit distance
+    "q95_fuzzy_match" ->
+      """WITH k AS (
+  SELECT c_custkey AS id, c_name AS name,
+    concat_ws('|', c_nationkey, substr(c_name, 1, 16)) AS block
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM k a JOIN k b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 2""",
+
     // Efraimidis-Spirakis weighted sample: key = u^(1/w) from the same
     // md5-uniform as q67/q75; POWER over identical doubles
     "q93_weighted_sample" ->

@@ -579,6 +579,16 @@ object SparkEntry {
   private def q94(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
 
+  /** X2+: record linkage — customers whose names are within edit
+    * distance 2, blocked on (nation, name-prefix) so each block stays
+    * small; the Fellegi-Sunter blocking shape.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyMatchPairs(
+      t(s, dir, "customer"), "c_custkey", "c_name",
+      concat_ws("|", col("c_nationkey"), substring(col("c_name"), 1, 16)),
+      maxDist = 2)
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1230,6 +1240,7 @@ object SparkEntry {
     "q92_surprisal" -> (q92 _),
     "q93_weighted_sample" -> (q93 _),
     "q94_token_entropy" -> (q94 _),
+    "q95_fuzzy_match" -> (q95 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -152,6 +152,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Record linkage by blocked fuzzy matching: candidate pairs share a
+    * BLOCKING key (equi-join — never an all-pairs scan), then survive an
+    * exact edit-distance test. The classic entity-resolution shape
+    * (Fellegi-Sunter blocking): the blocking key bounds each block's
+    * quadratic cost, the verifier bounds false merges. Block design is
+    * the caller's contract — recall is limited to pairs agreeing on the
+    * block, exactly like LSH banding bounds MinHash recall.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist <= maxDist.
+    */
+  def fuzzyMatchPairs(
+      records: DataFrame, idCol: String, nameCol: String, blockKey: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val keyed = records.select(
+      col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** X2 verify stage at scale: exact n-gram Jaccard for candidate pairs.
     * Each doc is reduced ONCE to its sorted distinct shingle-hash array
     * (native [[graft.functions.ShingleHashesSorted]], one codegen'd pass);

@@ -54,6 +54,18 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
   }
 
+  test("fuzzyMatchPairs: blocked edit-distance linkage finds typos, respects blocks") {
+    val recs = Seq(
+      (1L, "jon smith", "b1"),
+      (2L, "john smith", "b1"),   // dist 1 from jon smith
+      (3L, "jane doe", "b1"),     // dist > 2 from both
+      (4L, "jon smith", "b2")     // identical name, DIFFERENT block -> never compared
+    ).toDF("id", "name", "blk")
+    val out = graft.llmops.Dedup.fuzzyMatchPairs(recs, "id", "name", col("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1)))
+  }
+
   test("unigramSurprisal: common-token docs score low, rare-token docs high") {
     val docs = (
       (1 to 50).map(i => (i.toLong, "the the the the")) ++        // dominant token
