@@ -955,6 +955,18 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // rolling trend: windowed corr(value, time-rank), same frame
+    "q96_rolling_trend" ->
+      """WITH r AS (
+  SELECT event_id, user_id, ts, value,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS rn
+  FROM events
+)
+SELECT event_id, user_id,
+  round(corr(value, rn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) + 0.0 AS trend
+FROM r""",
+
     // blocked fuzzy matching: same (nation, 16-char-prefix) blocking and
     // the same unit-cost edit distance
     "q95_fuzzy_match" ->

@@ -589,6 +589,12 @@ object SparkEntry {
       concat_ws("|", col("c_nationkey"), substring(col("c_name"), 1, 16)),
       maxDist = 2)
 
+  /** W1+: rolling trend strength — windowed corr(value, time-rank). */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.rollingTrend(
+      t(s, dir, "events"), "value", "trend", Seq("user_id"), Seq("ts", "event_id"), 10)
+      .select(col("event_id"), col("user_id"), col("trend"))
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1241,6 +1247,7 @@ object SparkEntry {
     "q93_weighted_sample" -> (q93 _),
     "q94_token_entropy" -> (q94 _),
     "q95_fuzzy_match" -> (q95 _),
+    "q96_rolling_trend" -> (q96 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -138,6 +138,37 @@ object Indicators {
       when(col(valueCol).isNull, lit(null).cast("double")).otherwise(sr6(num / den)))
   }
 
+  /** Rolling trend strength: Pearson correlation between the value and
+    * its time RANK over the trailing `n` rows — +1 on a steady climb,
+    * -1 on a steady fall, ~0 chopping sideways (the "correlation
+    * coefficient" indicator; rank-vs-value is Spearman-against-time).
+    * One window pass; frames with < 2 rows or zero variance yield null
+    * in both engines (corr's aggregate contract).
+    */
+  def rollingTrend(
+      df: DataFrame, valueCol: String, out: String,
+      partition: Seq[String], order: Seq[String], n: Int): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    // corr() itself would be evaluated unconditionally inside the Window
+    // node and, under ANSI (Spark 4 default), DIVIDES BY ZERO on a
+    // zero-variance frame (a flat price run). Build Pearson from
+    // covar/stddev windows — none of which divide — and guard the one
+    // division in the projection ABOVE the window, where CASE is lazy.
+    val sdv = stddev_samp(col(valueCol)).over(frame)
+    val sdr = stddev_samp(col("__rn")).over(frame)
+    val cv = covar_samp(col(valueCol), col("__rn")).over(frame)
+    df.withColumn("__rn", row_number().over(w).cast("double"))
+      .withColumn("__sdv", sdv).withColumn("__sdr", sdr).withColumn("__cv", cv)
+      // + 0.0 collapses IEEE negative zero (engines disagree on the sign
+      // of a rounded -1e-9) and is the identity on every other double
+      .withColumn(out,
+        when(col("__sdv") > 0.0 && col("__sdr") > 0.0,
+          round(col("__cv") / (col("__sdv") * col("__sdr")), 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")))
+      .drop("__rn", "__sdv", "__sdr", "__cv")
+  }
+
   /** Pairwise Pearson correlation between named series, aligned on a
     * shared time bucket: series → per-(bucket, series) mean → self-join on
     * the bucket with `seriesA < seriesB` → `corr` per pair. The alignment

@@ -55,6 +55,19 @@ class IndicatorsSpec extends SparkSpec {
     assert(const.forall(r => r.isNullAt(r.fieldIndex("pct_b"))))
   }
 
+  test("rollingTrend: monotone ramp is +1, fall is -1, short frames null") {
+    val up = Indicators.rollingTrend(series(1, 2, 3, 4, 5), "px", "t", Seq("sym"), Seq("seq"), 10)
+      .orderBy("seq").select("t").as[Option[Double]].collect()
+    assert(up.head.isEmpty)                    // 1-row frame: corr undefined
+    assert(up.tail.forall(_.contains(1.0)))
+    val down = Indicators.rollingTrend(series(5, 4, 3, 2, 1), "px", "t", Seq("sym"), Seq("seq"), 10)
+      .orderBy("seq").select("t").as[Option[Double]].collect()
+    assert(down.tail.forall(_.contains(-1.0)))
+    val flat = Indicators.rollingTrend(series(7, 7, 7), "px", "t", Seq("sym"), Seq("seq"), 10)
+      .orderBy("seq").select("t").as[Option[Double]].collect()
+    assert(flat.tail.forall(_.isEmpty))        // zero variance: null
+  }
+
   test("pairwiseCorr: perfectly correlated and anti-correlated series") {
     val df = Seq(
       (0L, "a", 1.0), (0L, "b", 2.0), (0L, "c", 9.0),
