@@ -941,8 +941,9 @@ GROUP BY k.doc_id""",
   FROM toks GROUP BY source
 ), rates AS (
   SELECT source,
-    LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM tot) AS DOUBLE) * w
-      / CAST((SELECT sum(w) FROM tot) AS DOUBLE) / CAST(toks AS DOUBLE)) AS rate
+    CASE WHEN toks = 0 THEN 1.0
+         ELSE LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM tot) AS DOUBLE) * w
+           / CAST((SELECT sum(w) FROM tot) AS DOUBLE) / CAST(toks AS DOUBLE)) END AS rate
   FROM tot
 )
 SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens

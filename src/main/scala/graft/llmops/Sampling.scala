@@ -157,9 +157,12 @@ object Sampling {
     val rates = df
       .groupBy(col(sourceCol))
       .agg(sum(tokenCount).as("__toks"), first(weight).as("__w"))
-      .withColumn("__rate", least(lit(1.0),
-        lit(budgetFraction) * sum(col("__toks")).over(all).cast("double") * col("__w")
-          / sum(col("__w")).over(all) / col("__toks").cast("double")))
+      // a zero-token source (all-empty documents) would divide by zero
+      // under ANSI; its share is vacuous, so keep it whole (rate 1)
+      .withColumn("__rate",
+        when(col("__toks") === 0L, lit(1.0)).otherwise(least(lit(1.0),
+          lit(budgetFraction) * sum(col("__toks")).over(all).cast("double") * col("__w")
+            / sum(col("__w")).over(all) / col("__toks").cast("double"))))
       .select(col(sourceCol), col("__rate"))
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(hashUniform(col(idCol)) < col("__rate"))

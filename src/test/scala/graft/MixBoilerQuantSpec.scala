@@ -101,6 +101,17 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("mixtureSample survives a zero-token source under ANSI (kept whole)") {
+    val docs = Seq(
+      (1L, "empty", ""), (2L, "empty", "   "),          // zero tokens
+      (3L, "full", "a b c"), (4L, "full", "d e f")
+    ).toDF("doc_id", "source", "text")
+    val tok = graft.llmops.TextAnalysis.tokenCount(col("text")).cast("long")
+    val out = Sampling.mixtureSample(docs, "doc_id", "source", tok, lit(1.0), 1.0)
+    // no divide-by-zero; the vacuous source keeps all rows
+    assert(out.filter(col("source") === "empty").count() === 2)
+  }
+
   test("int8Quantize: codes are integer-valued doubles within [-127, 127]") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
