@@ -956,6 +956,19 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // exact heavy hitters: the oracle computes the full vocabulary count
+    // (the engine's Misra-Gries candidates + recount must equal it)
+    "q97_heavy_hitters" ->
+      """WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+)
+SELECT tok, c FROM tf, tot WHERE c * 40 > n""",
+
     // rolling trend: windowed corr(value, time-rank), same frame
     "q96_rolling_trend" ->
       """WITH r AS (

@@ -595,6 +595,12 @@ object SparkEntry {
       t(s, dir, "events"), "value", "trend", Seq("user_id"), Seq("ts", "event_id"), 10)
       .select(col("event_id"), col("user_id"), col("trend"))
 
+  /** X4/A4+: exact heavy-hitter tokens (freq > n/40) via per-partition
+    * Misra-Gries candidates + exact recount — no vocabulary shuffle.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.HeavyHitters.heavyHitterTokens(t(s, dir, "documents"), "text", k = 40)
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1248,6 +1254,7 @@ object SparkEntry {
     "q94_token_entropy" -> (q94 _),
     "q95_fuzzy_match" -> (q95 _),
     "q96_rolling_trend" -> (q96 _),
+    "q97_heavy_hitters" -> (q97 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -1,0 +1,67 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters without a full-vocabulary shuffle: per-partition
+  * Misra-Gries summaries nominate candidates, then ONE narrow aggregate
+  * recounts only the candidates exactly (candidate-then-verify, the same
+  * two-phase shape as the LSH→Jaccard dedup path).
+  *
+  * Guarantee: an item with global frequency > n/k exceeds n_p/k in at
+  * least one partition (pigeonhole), and Misra-Gries with k counters
+  * never evicts an item whose in-partition frequency exceeds n_p/k — so
+  * the candidate union is a SUPERSET of the true heavy hitters and the
+  * exact recount makes the final answer deterministic and
+  * oracle-checkable.
+  *
+  * Scale shape: the corpus-wide token stream is scanned twice but
+  * SHUFFLED never for non-candidates — the wire carries at most
+  * k x partitions candidate strings plus one count row per candidate,
+  * versus a full groupBy's |vocab| rows. For a 100 TB corpus with
+  * billion-word vocabulary and k=100 that is a ~10^7-fold shuffle
+  * reduction on phase two.
+  */
+object HeavyHitters {
+
+  /** Misra-Gries over one iterator: at most `k` surviving items. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { item =>
+      counters.get(item) match {
+        case Some(c) => counters.update(item, c + 1)
+        case None if counters.size < k => counters.update(item, 1L)
+        case None =>
+          // decrement-all; drop zeros (the classic k-counter step)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            val c = counters(key) - 1
+            if (c == 0) dead += key else counters.update(key, c)
+          }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator.toSeq.iterator
+  }
+
+  /** Exact tokens with corpus frequency strictly greater than
+    * `total / k` (integer-exact test: `count * k > total`).
+    * Output: (tok, c) — deterministic, hash-matchable.
+    */
+  def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = graft.util.Partitioning.ensureParallelism(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val candidates: Dataset[String] =
+      toks.select(col("tok")).as[String].mapPartitions(it => misraGries(it, k))
+    val cands = candidates.toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .filter(col("c") * lit(k.toLong) > col("n"))
+      .select(col("tok"), col("c"))
+  }
+}

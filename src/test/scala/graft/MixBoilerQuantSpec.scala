@@ -82,6 +82,28 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(math.abs(out(101L).getAs[Double]("surprisal") - math.log(T.toDouble)) < 1e-5)
   }
 
+  test("misraGries never evicts an item above the n/k guarantee; recount equals full groupBy") {
+    // stream: 600 of 'a', 300 of 'b', 100 singletons -> k=4 must keep a and b
+    val stream = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++ (1 to 100).map(i => s"x$i")
+    val survivors = graft.llmops.HeavyHitters.misraGries(
+      scala.util.Random.shuffle(stream).iterator, 4).toSet
+    assert(survivors.contains("a") && survivors.contains("b"))
+    assert(survivors.size <= 4)
+
+    // end-to-end equals the brute-force definition on the harness corpus
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = graft.llmops.HeavyHitters.heavyHitterTokens(docs, "text", 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(explode(graft.llmops.TextAnalysis.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val brute = toks.groupBy("tok").count()
+      .filter(col("count") * 40 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fast === brute)
+    assert(fast.nonEmpty, "expected at least one heavy hitter at k=40 on the harness corpus")
+  }
+
   test("incremental minhash dedup equals the cross-split slice of the full self-join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
