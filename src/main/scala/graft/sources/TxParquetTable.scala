@@ -174,7 +174,14 @@ object TxParquetTable {
   def snapshot(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val files = state(path, version).live
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+    // mergeSchema: schema EVOLUTION support — an append may carry a
+    // superset schema (new nullable columns); older files surface null
+    // for the added columns, exactly Delta's additive-evolution rule.
+    // Width changes are additive-only: parquet would fail loudly on a
+    // same-name type CHANGE at read, so evolution never silently
+    // corrupts (verified in TxTableSpec).
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
   }
 
   // ---- writing ----

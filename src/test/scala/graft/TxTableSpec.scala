@@ -298,4 +298,20 @@ class TxTableSpec extends SparkSpec {
     assert(rows.length === 4)
     assert(rows.map(_.getString(1)).toSet === Set("w0", "w1", "w2", "w3"))
   }
+
+  test("schema evolution: appends may add nullable columns; old files read as null") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("txevolve").toString
+    TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // widened append: a new column the first file doesn't have
+    TxParquetTable.append(Seq((3L, "c", 9.5)).toDF("id", "v", "score"), path)
+    val snap = TxParquetTable.snapshot(spark, path)
+    assert(snap.columns.toSet === Set("id", "v", "score"))
+    val byId = snap.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2) && byId(2L).isNullAt(2))  // pre-evolution rows
+    assert(byId(3L).getDouble(2) === 9.5)
+    // time travel BEFORE the evolution sees the narrow schema
+    val v0 = TxParquetTable.snapshot(spark, path, Some(0L))
+    assert(v0.columns.toSet === Set("id", "v"))
+  }
 }
