@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((
+      FunctionIdentifier("word_ngrams_stream"),
+      new ExpressionInfo(classOf[graft.functions.WordNgramsStream].getName, "word_ngrams_stream"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => graft.functions.WordNgramsStream(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("word_ngrams_stream(text, n)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
       FunctionIdentifier("int8_quantize"),
       new ExpressionInfo(classOf[graft.functions.Int8Quantize].getName, "int8_quantize"),
       (args: Seq[Expression]) => args match {

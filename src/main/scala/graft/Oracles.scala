@@ -956,6 +956,19 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // trigram histogram (generator path): q70's gram contract + count
+    "q98_gram_histogram" ->
+      """WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+)
+SELECT gram, count(*) AS n FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT 50""",
+
     // exact heavy hitters: the oracle computes the full vocabulary count
     // (the engine's Misra-Gries candidates + recount must equal it)
     "q97_heavy_hitters" ->

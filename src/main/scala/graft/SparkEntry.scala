@@ -601,6 +601,17 @@ object SparkEntry {
   private def q97(s: SparkSession, dir: String): DataFrame =
     graft.llmops.HeavyHitters.heavyHitterTokens(t(s, dir, "documents"), "text", k = 40)
 
+  /** X6: custom Catalyst Generator — trigram histogram through the
+    * streaming expansion (no per-doc gram array materialized).
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.util.Partitioning.ensureParallelism(t(s, dir, "documents"))
+      .select(graft.functions.WordNgramsStream.wordNgramsStream(col("text"), 3))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(50)
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1255,6 +1266,7 @@ object SparkEntry {
     "q95_fuzzy_match" -> (q95 _),
     "q96_rolling_trend" -> (q96 _),
     "q97_heavy_hitters" -> (q97 _),
+    "q98_gram_histogram" -> (q98 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -94,7 +94,7 @@ object WordNgrams {
     }
   }
 
-  private def joinWindow(toks: Array[String], start: Int, n: Int): String = {
+  private[functions] def joinWindow(toks: Array[String], start: Int, n: Int): String = {
     if (n == 1) return toks(start)
     var len = n - 1
     var j = 0
@@ -112,6 +112,60 @@ object WordNgrams {
   def wordNgrams(text: Column, n: Int, distinct: Boolean = false): Column =
     org.apache.spark.sql.graft.bridge.column(
       WordNgrams(org.apache.spark.sql.graft.bridge.expression(text), n, distinct))
+}
+
+/** Streaming n-gram expansion: a custom Catalyst GENERATOR that yields
+  * one output row per gram without ever materializing the per-document
+  * gram array (`explode(word_ngrams(...))` allocates |grams| strings in
+  * one GenericArrayData before the explode copies them out — for a
+  * 1 MB document that is a multi-MB transient allocation per row; this
+  * yields them one at a time). Same gram contract as [[WordNgrams]]
+  * (lowercase, `\s+` split, space-joined windows), verified equivalent
+  * in LlmopsSpec.
+  *
+  * Generators evaluate in GenerateExec outside whole-stage codegen
+  * (CodegenFallback — true for most built-in generators too); the win
+  * here is allocation shape, not instruction count.
+  */
+case class WordNgramsStream(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams_stream requires a string argument, got ${other.sql}")
+  }
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram", StringType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val toks = WordNgrams.tokenize(t.asInstanceOf[UTF8String])
+      val count = toks.length - n + 1
+      if (count <= 0) Iterator.empty
+      else (0 until count).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(WordNgrams.joinWindow(toks, i, n)))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsStream =
+    copy(child = newChild)
+}
+
+object WordNgramsStream {
+  def wordNgramsStream(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      WordNgramsStream(org.apache.spark.sql.graft.bridge.expression(text), n))
 }
 
 /** Native Gopher-style repetition statistics (Rae et al. 2021 §A1.1):

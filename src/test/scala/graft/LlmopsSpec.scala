@@ -373,6 +373,22 @@ class LlmopsSpec extends SparkSpec {
     assert(out("junk").isNullAt(2) && out("junk").isNullAt(3))
   }
 
+  test("WordNgramsStream generator equals explode(word_ngrams) on the harness corpus") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaArray = docs.select(explode(TextAnalysis.wordNgrams(col("text"), 3)).as("gram"))
+      .groupBy("gram").count()
+    val viaGen = docs.select(graft.functions.WordNgramsStream.wordNgramsStream(col("text"), 3))
+      .groupBy("gram").count()
+    assert(viaArray.exceptAll(viaGen).count() === 0)
+    assert(viaGen.exceptAll(viaArray).count() === 0)
+    // null and short texts yield no rows
+    import spark.implicits._
+    val edge = Seq((1L, null: String), (2L, "a b")).toDF("id", "text")
+    assert(edge.select(graft.functions.WordNgramsStream.wordNgramsStream(col("text"), 3))
+      .count() === 0)
+  }
+
   test("jpegDims walks the marker stream to SOF (APP0/comment segments skipped)") {
     def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
     val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
