@@ -956,6 +956,24 @@ GROUP BY t.source""",
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
 
+    // beta to benchmark: covar/var over day-aligned means, division
+    // guarded on zero benchmark variance
+    "q99_beta" ->
+      """WITH s AS (
+  SELECT CAST(ts AS DATE) AS bucket, user_id, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT CAST(ts AS DATE) AS bucket, avg(value) AS m FROM events GROUP BY 1
+), j AS (
+  SELECT s.user_id, s.v, m.m FROM s JOIN m ON s.bucket = m.bucket
+)
+SELECT user_id,
+  CASE WHEN var_samp(m) > 0.0
+       THEN floor((covar_samp(v, m) / var_samp(m)) * 1000000 + 0.5) / 1000000
+       ELSE NULL END AS beta,
+  count(*) AS n_buckets
+FROM j GROUP BY user_id""",
+
     // trigram histogram (generator path): q70's gram contract + count
     "q98_gram_histogram" ->
       """WITH toks AS (

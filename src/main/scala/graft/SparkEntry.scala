@@ -612,6 +612,13 @@ object SparkEntry {
       .orderBy(col("n").desc, col("gram"))
       .limit(50)
 
+  /** A3+: beta of each user's daily series to the all-users benchmark —
+    * covar/var over day-aligned means, shrink-before-join.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.betaToBenchmark(
+      t(s, dir, "events"), "user_id", to_date(col("ts")), "value")
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1267,6 +1274,7 @@ object SparkEntry {
     "q96_rolling_trend" -> (q96 _),
     "q97_heavy_hitters" -> (q97 _),
     "q98_gram_histogram" -> (q98 _),
+    "q99_beta" -> (q99 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

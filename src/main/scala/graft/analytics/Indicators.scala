@@ -169,6 +169,34 @@ object Indicators {
       .drop("__rn", "__sdv", "__sdr", "__cv")
   }
 
+  /** Beta to a benchmark: per-series OLS slope against the
+    * bucket-aligned benchmark mean — `covar(v, m) / var(m)` over shared
+    * buckets, the market-sensitivity statistic. Same shrink-first shape
+    * as [[pairwiseCorr]]: both sides aggregate to |buckets| rows before
+    * the join (the benchmark frame broadcasts), so cost is linear in
+    * data and the join is tiny. The division is guarded in the
+    * projection (zero benchmark variance over a series' buckets → null),
+    * keeping the plan ANSI-safe.
+    */
+  def betaToBenchmark(
+      df: DataFrame, seriesCol: String, bucketCol: Column,
+      valueCol: String): DataFrame = {
+    val series = df.groupBy(bucketCol.as("bucket"), col(seriesCol))
+      .agg(avg(col(valueCol)).as("v"))
+    val bench = df.groupBy(bucketCol.as("bucket"))
+      .agg(avg(col(valueCol)).as("m"))
+    series.join(broadcast(bench), Seq("bucket"))
+      .groupBy(col(seriesCol))
+      .agg(
+        covar_samp(col("v"), col("m")).as("__cv"),
+        var_samp(col("m")).as("__vm"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("beta",
+        when(col("__vm") > 0.0, sr6(col("__cv") / col("__vm")))
+          .otherwise(lit(null).cast("double")))
+      .select(col(seriesCol), col("beta"), col("n_buckets"))
+  }
+
   /** Pairwise Pearson correlation between named series, aligned on a
     * shared time bucket: series → per-(bucket, series) mean → self-join on
     * the bucket with `seriesA < seriesB` → `corr` per pair. The alignment

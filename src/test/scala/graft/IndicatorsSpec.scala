@@ -68,6 +68,29 @@ class IndicatorsSpec extends SparkSpec {
     assert(flat.tail.forall(_.isEmpty))        // zero variance: null
   }
 
+  test("betaToBenchmark: amplified series has beta > 1, inverse series beta < 0") {
+    // benchmark is the all-series mean; series 'hi' moves 2x the trend,
+    // 'lo' moves with it, 'inv' moves against it
+    val df = (0 until 20).flatMap { b =>
+      Seq((b.toLong, "hi", 100.0 + 2.0 * b), (b.toLong, "lo", 100.0 + 1.0 * b),
+        (b.toLong, "inv", 100.0 - 1.0 * b))
+    }.toDF("bucket", "series", "v")
+    val out = graft.analytics.Indicators.betaToBenchmark(df, "series", col("bucket"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("beta")).toMap
+    // market slope = (2+1-1)/3 per bucket -> betas 3, 1.5, -1.5
+    assert(math.abs(out("hi") - 3.0) < 1e-6)
+    assert(math.abs(out("lo") - 1.5) < 1e-6)
+    assert(math.abs(out("inv") + 1.5) < 1e-6)
+  }
+
+  test("betaToBenchmark: single-bucket series yields null beta (no variance)") {
+    val df = Seq((0L, "only", 5.0)).toDF("bucket", "series", "v")
+    val out = graft.analytics.Indicators.betaToBenchmark(df, "series", col("bucket"), "v")
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("beta")))
+    assert(out.getAs[Long]("n_buckets") === 1)
+  }
+
   test("pairwiseCorr: perfectly correlated and anti-correlated series") {
     val df = Seq(
       (0L, "a", 1.0), (0L, "b", 2.0), (0L, "c", 9.0),
