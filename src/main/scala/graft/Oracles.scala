@@ -70,6 +70,60 @@ object Oracles {
 )"""
   }
 
+  /** Capstone: the extended curation chain assembled from the SAME
+    * verified fragments as q69 (gate/exact/near-drop), q70
+    * (decontamination gram contract) and q81 (mixture arithmetic).
+    */
+  private val q100CurationExtendedSql: String =
+    s"""WITH gated AS (
+  SELECT * FROM documents WHERE length(text) >= 8
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+), exact AS (
+  SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+), ${minhashPairsCteOver("exact")},
+near_kept AS (
+  SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_b FROM pairs)
+), corpus AS (
+  SELECT * FROM near_kept WHERE source <> 'src0'
+), ctoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+  FROM corpus
+), cgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+), btoks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+  FROM documents WHERE source = 'src0'
+), bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+  FROM btoks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+), contaminated AS (
+  SELECT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)
+  GROUP BY c.doc_id HAVING count(*) >= 2
+), clean AS (
+  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), toks2 AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok
+  FROM clean
+), tot AS (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS toks,
+    CAST(CASE WHEN source IN ('src1', 'src2', 'src3') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS w
+  FROM toks2 GROUP BY source
+), rates AS (
+  SELECT source,
+    CASE WHEN toks = 0 THEN 1.0
+         ELSE LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM tot) AS DOUBLE) * w
+           / CAST((SELECT sum(w) FROM tot) AS DOUBLE) / CAST(toks AS DOUBLE)) END AS rate
+  FROM tot
+)
+SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
+FROM toks2 t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < r.rate
+GROUP BY t.source"""
+
   private val oldSrcPred =
     "source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')"
 
@@ -955,6 +1009,8 @@ GROUP BY t.source""",
     // incremental cross-corpus near-dedup: new sources' bands joined
     // against the kept corpus's bands — same construction as q22
     "q89_incremental_dedup" -> q89IncrementalSql,
+
+    "q100_curation_extended" -> q100CurationExtendedSql,
 
     // beta to benchmark: covar/var over day-aligned means, division
     // guarded on zero benchmark variance

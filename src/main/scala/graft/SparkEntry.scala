@@ -619,6 +619,34 @@ object SparkEntry {
     graft.analytics.Indicators.betaToBenchmark(
       t(s, dir, "events"), "user_id", to_date(col("ts")), "value")
 
+  /** Capstone composite — the EXTENDED curation chain over the round-5
+    * operator set: quality gate → exact dedup → near-dup drop →
+    * benchmark decontamination (src0 is the held-out bench) → weighted
+    * source mixing under a token budget → per-source stats. Every stage
+    * reuses a construction already proven portable by its standalone
+    * oracle (q69/q70/q81).
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{Decontaminate, Sampling}
+    val docs = t(s, dir, "documents")
+    val gated = docs.filter(length(col("text")) >= 8)
+    val exact = Ingest.dedupFirstBy(Seq("__h"), "doc_id")(
+      gated.withColumn("__h", Dedup.contentHash(col("text")))).drop("__h")
+    val dropIds = Dedup.minhashCandidatePairs(exact, "doc_id", "text")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val corpus = kept.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val report = Decontaminate.contaminationReport(
+      corpus, bench, "doc_id", "text", n = 5, minOverlap = 2)
+    val clean = Decontaminate.decontaminate(corpus, report, "doc_id")
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    val w = when(col("source").isin("src1", "src2", "src3"), lit(3.0)).otherwise(lit(1.0))
+    Sampling.mixtureSample(clean, "doc_id", "source", tok, w, 0.3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1275,6 +1303,7 @@ object SparkEntry {
     "q97_heavy_hitters" -> (q97 _),
     "q98_gram_histogram" -> (q98 _),
     "q99_beta" -> (q99 _),
+    "q100_curation_extended" -> (q100 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
