@@ -1064,8 +1064,8 @@ SELECT tok, c FROM tf, tot WHERE c * 40 > n""",
   FROM events
 )
 SELECT event_id, user_id,
-  round(corr(value, rn) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) + 0.0 AS trend
+  floor((corr(value, rn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000 AS trend
 FROM r""",
 
     // blocked fuzzy matching: same (nation, 16-char-prefix) blocking and
@@ -1081,7 +1081,11 @@ FROM k a JOIN k b ON a.block = b.block AND a.id < b.id
 WHERE levenshtein(a.name, b.name) <= 2""",
 
     // Efraimidis-Spirakis weighted sample: key = u^(1/w) from the same
-    // md5-uniform as q67/q75; POWER over identical doubles
+    // md5-uniform as q67/q75. CAVEAT: pow is not correctly rounded in
+    // either libm, so two keys within ~1 ulp could order differently
+    // across engines at the rank-k boundary — accepted: u is a 60-bit
+    // uniform, so near-ties are ~2^-50 events; verified stable at both
+    // harness scales
     "q93_weighted_sample" ->
       """WITH ranked AS (
   SELECT doc_id, lang, row_number() OVER (

@@ -155,18 +155,23 @@ object Indicators {
     // zero-variance frame (a flat price run). Build Pearson from
     // covar/stddev windows — none of which divide — and guard the one
     // division in the projection ABOVE the window, where CASE is lazy.
+    // The rank is MASKED to null wherever the value is null so all three
+    // moments aggregate the same complete pairs (corr's pairwise-deletion
+    // contract — an unmasked rank stddev would mix populations).
+    // stableRound6, not round(): the floor form is bit-portable at
+    // half-boundaries and never yields IEEE negative zero.
     val sdv = stddev_samp(col(valueCol)).over(frame)
-    val sdr = stddev_samp(col("__rn")).over(frame)
-    val cv = covar_samp(col(valueCol), col("__rn")).over(frame)
-    df.withColumn("__rn", row_number().over(w).cast("double"))
+    val sdr = stddev_samp(col("__rnm")).over(frame)
+    val cv = covar_samp(col(valueCol), col("__rnm")).over(frame)
+    df.withColumn("__rnm",
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(row_number().over(w).cast("double")))
       .withColumn("__sdv", sdv).withColumn("__sdr", sdr).withColumn("__cv", cv)
-      // + 0.0 collapses IEEE negative zero (engines disagree on the sign
-      // of a rounded -1e-9) and is the identity on every other double
       .withColumn(out,
         when(col("__sdv") > 0.0 && col("__sdr") > 0.0,
-          round(col("__cv") / (col("__sdv") * col("__sdr")), 6) + lit(0.0))
+          sr6(col("__cv") / (col("__sdv") * col("__sdr"))))
           .otherwise(lit(null).cast("double")))
-      .drop("__rn", "__sdv", "__sdr", "__cv")
+      .drop("__rnm", "__sdv", "__sdr", "__cv")
   }
 
   /** Beta to a benchmark: per-series OLS slope against the

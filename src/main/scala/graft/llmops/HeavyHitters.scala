@@ -25,9 +25,20 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Misra-Gries over one iterator: at most `k` surviving items. */
-  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] =
+    misraGriesWithCount(it, k).collect { case (Some(tok), _) => tok }
+
+  /** Misra-Gries plus the partition's token count in the SAME pass:
+    * candidate rows as (Some(tok), 0), one trailing (None, n) row — so
+    * phase one yields both the candidate set and the exact total without
+    * a separate counting scan.
+    */
+  private[graft] def misraGriesWithCount(
+      it: Iterator[String], k: Int): Iterator[(Option[String], Long)] = {
     val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
     it.foreach { item =>
+      n += 1
       counters.get(item) match {
         case Some(c) => counters.update(item, c + 1)
         case None if counters.size < k => counters.update(item, 1L)
@@ -41,12 +52,17 @@ object HeavyHitters {
           dead.foreach(counters.remove)
       }
     }
-    counters.keysIterator.toSeq.iterator
+    counters.keysIterator.toSeq.iterator.map(t => (Some(t), 0L)) ++
+      Iterator((Option.empty[String], n))
   }
 
   /** Exact tokens with corpus frequency strictly greater than
     * `total / k` (integer-exact test: `count * k > total`).
     * Output: (tok, c) — deterministic, hash-matchable.
+    *
+    * Exactly two corpus scans: phase one emits candidates AND the exact
+    * token total from one mapPartitions pass (persisted — it is at most
+    * k+1 rows per partition), phase two recounts only candidates.
     */
   def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
@@ -54,14 +70,17 @@ object HeavyHitters {
     import spark.implicits._
     val toks = graft.util.Partitioning.ensureParallelism(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val candidates: Dataset[String] =
-      toks.select(col("tok")).as[String].mapPartitions(it => misraGries(it, k))
-    val cands = candidates.toDF("tok").distinct()
-    val total = toks.agg(count(lit(1)).as("n"))
-    toks.join(broadcast(cands), Seq("tok"))
+    val phase1 = toks.select(col("tok")).as[String]
+      .mapPartitions(it => misraGriesWithCount(it, k))
+      .toDF("tok", "cnt")
+      .persist()
+    val cands = phase1.filter(col("tok").isNotNull).select(col("tok")).distinct()
+    val total = phase1.agg(sum(col("cnt")).as("n"))
+    val out = toks.join(broadcast(cands), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .crossJoin(broadcast(total))
       .filter(col("c") * lit(k.toLong) > col("n"))
       .select(col("tok"), col("c"))
+    out
   }
 }

@@ -341,7 +341,11 @@ object TxParquetTable {
     // parameter (see upsert) — stats and domains must share one modulus
     val n = snap.bucketCount.getOrElse(buckets)
     val bucketOf = pmod(xxhash64(col(idCol)), lit(n)).cast("int")
-    val df = spark.read.parquet(
+    // mergeSchema: a schema-evolved table's live set mixes narrow and
+    // wide files; a plain read could resolve the NARROW schema and the
+    // rewrite would silently DROP the evolved column from the whole
+    // table (the removes make it permanent after vacuum)
+    val df = spark.read.option("mergeSchema", "true").parquet(
         snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
       .repartition(targetFiles, bucketOf)
     val adds = stage(df, path, Some(bucketOf))
@@ -397,13 +401,20 @@ object TxParquetTable {
       if (affectedFiles.isEmpty)
         (stage(incoming, path, Some(bucketOf(col(idCol)))), Seq.empty[String])
       else {
-        val old = spark.read.parquet(
+        // mergeSchema + allowMissingColumns: survivors and the incoming
+        // batch may sit on either side of a schema evolution (narrow old
+        // files / widened batch, or vice versa); the merged read plus the
+        // null-filling union keeps every column of both sides — a plain
+        // read or strict unionByName would crash or silently drop the
+        // evolved column from the rewritten files
+        val old = spark.read.option("mergeSchema", "true").parquet(
           affectedFiles.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
         val survivors = old
           .join(incoming.select(col(idCol).as("__new_id")),
             col(idCol) === col("__new_id"), "left_anti")
           .drop("__new_id")
-        val rewrite = survivors.unionByName(incoming).localCheckpoint(true)
+        val rewrite = survivors.unionByName(incoming, allowMissingColumns = true)
+          .localCheckpoint(true)
         (stage(rewrite, path, Some(bucketOf(col(idCol)))), affectedFiles.map(_.name))
       }
     publish(path, adds, removes, domain, readVersion, Some(n))

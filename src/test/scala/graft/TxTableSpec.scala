@@ -314,4 +314,25 @@ class TxTableSpec extends SparkSpec {
     val v0 = TxParquetTable.snapshot(spark, path, Some(0L))
     assert(v0.columns.toSet === Set("id", "v"))
   }
+
+  test("schema evolution survives upsert and compact (no silent column loss)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("txevolve2").toString
+    TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // widened UPSERT against narrow files: survivors gain null score
+    TxParquetTable.upsert(Seq((2L, "b2", 7.5), (3L, "c", 9.5)).toDF("id", "v", "score"),
+      path, "id", buckets = 4)
+    val afterUpsert = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(afterUpsert.keySet === Set(1L, 2L, 3L))
+    assert(afterUpsert(2L).getAs[Double]("score") === 7.5)
+    assert(afterUpsert(1L).isNullAt(afterUpsert(1L).fieldIndex("score")))
+    // compaction of the mixed-schema live set must NOT drop the column
+    TxParquetTable.compact(spark, path, "id", targetFiles = 1)
+    val afterCompact = TxParquetTable.snapshot(spark, path)
+    assert(afterCompact.columns.toSet === Set("id", "v", "score"))
+    val rows = afterCompact.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).getAs[Double]("score") === 9.5)
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("score")))
+  }
 }
