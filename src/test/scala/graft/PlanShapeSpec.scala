@@ -110,6 +110,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"rates join must not sort-merge:\n$plan")
   }
 
+  test("q97 heavy hitters: candidates broadcast back, no sort-merge join, partial counts map-side") {
+    val plan = planOf("q97_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), s"candidate set should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"recount join must not sort-merge:\n$plan")
+    assert(plan.contains("partial_count"), s"recount should partial-aggregate map-side:\n$plan")
+  }
+
   test("q82 quantized knn keeps the bounded top-k partial and the broadcast query set") {
     val plan = planOf("q82_quantized_knn")
     assert(plan.contains("partial_bounded_top_k"),
