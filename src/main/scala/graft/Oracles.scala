@@ -1012,6 +1012,47 @@ GROUP BY t.source""",
 
     "q100_curation_extended" -> q100CurationExtendedSql,
 
+    // ATR-14 over the q17 candle construction: CASE on the missing lag
+    // (first bar = high-low), trailing-14 average
+    "q101_atr" ->
+      """WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    max(value) AS high, min(value) AS low, arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, bucket_start, high, low,
+    lag(close) OVER (PARTITION BY event_type ORDER BY bucket_start) AS pc
+  FROM c
+), t2 AS (
+  SELECT event_type, bucket_start,
+    CASE WHEN pc IS NULL THEN high - low
+         ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+  FROM tr
+)
+SELECT event_type, bucket_start,
+  floor((avg(tr) OVER (PARTITION BY event_type ORDER BY bucket_start
+    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000 AS atr14
+FROM t2""",
+
+    // stochastic %K(14) over the same candles, degenerate range -> null
+    "q102_stochastic" ->
+      """WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    max(value) AS high, min(value) AS low, arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, bucket_start, close,
+    min(low) OVER f AS ll, max(high) OVER f AS hh
+  FROM c
+  WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_start,
+  CASE WHEN hh > ll
+       THEN floor((100.0 * (close - ll) / (hh - ll)) * 1000000 + 0.5) / 1000000
+       ELSE NULL END AS pct_k
+FROM b""",
+
     // beta to benchmark: covar/var over day-aligned means, division
     // guarded on zero benchmark variance
     "q99_beta" ->

@@ -647,6 +647,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
   }
 
+  /** Shared 5-minute candle frame for the OHLC indicators (the q17
+    * construction, unrounded).
+    */
+  private def candles5m(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.candles(
+      col("ts"), col("event_type"), col("value"), col("value"), col("event_id"),
+      "5 minutes")(t(s, dir, "events"))
+
+  /** W1+/A1 composite: ATR-14 over the derived candle series. */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.atr(
+      candles5m(s, dir), "high", "low", "close", "atr14",
+      Seq("key"), Seq("bucket_start"), 14)
+      .select(col("key").as("event_type"), col("bucket_start"), col("atr14"))
+
+  /** W1+/A1 composite: stochastic %K(14) over the derived candles. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.stochasticK(
+      candles5m(s, dir), "high", "low", "close", "pct_k",
+      Seq("key"), Seq("bucket_start"), 14)
+      .select(col("key").as("event_type"), col("bucket_start"), col("pct_k"))
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1304,6 +1326,8 @@ object SparkEntry {
     "q98_gram_histogram" -> (q98 _),
     "q99_beta" -> (q99 _),
     "q100_curation_extended" -> (q100 _),
+    "q101_atr" -> (q101 _),
+    "q102_stochastic" -> (q102 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -174,6 +174,47 @@ object Indicators {
       .drop("__rnm", "__sdv", "__sdr", "__cv")
   }
 
+  /** Average True Range over an OHLC series: TR = max(high-low,
+    * |high-prevClose|, |low-prevClose|) (first bar: high-low), averaged
+    * over the trailing `n` bars — the volatility unit position sizing is
+    * quoted in. Explicit CASE on the missing lag (not greatest-over-null,
+    * whose null-skipping is engine-specific). One window pass.
+    */
+  def atr(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      out: String, partition: Seq[String], order: Seq[String], n: Int): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val pc = lag(col(closeCol), 1).over(w)
+    val tr = when(pc.isNull, col(highCol) - col(lowCol))
+      .otherwise(greatest(
+        col(highCol) - col(lowCol),
+        abs(col(highCol) - pc),
+        abs(col(lowCol) - pc)))
+    df.withColumn("__tr", tr)
+      .withColumn(out, sr6(avg(col("__tr")).over(frame)))
+      .drop("__tr")
+  }
+
+  /** Stochastic oscillator %K over an OHLC series:
+    * `100 * (close - lowestLow(n)) / (highestHigh(n) - lowestLow(n))`,
+    * null when the n-bar range is degenerate (flat). One window pass;
+    * the division is guarded in the projection (ANSI-safe).
+    */
+  def stochasticK(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      out: String, partition: Seq[String], order: Seq[String], n: Int): DataFrame = {
+    val frame = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*).rowsBetween(-(n - 1), 0)
+    df.withColumn("__ll", min(col(lowCol)).over(frame))
+      .withColumn("__hh", max(col(highCol)).over(frame))
+      .withColumn(out,
+        when(col("__hh") > col("__ll"),
+          sr6(lit(100.0) * (col(closeCol) - col("__ll")) / (col("__hh") - col("__ll"))))
+          .otherwise(lit(null).cast("double")))
+      .drop("__ll", "__hh")
+  }
+
   /** Beta to a benchmark: per-series OLS slope against the
     * bucket-aligned benchmark mean — `covar(v, m) / var(m)` over shared
     * buckets, the market-sensitivity statistic. Same shrink-first shape

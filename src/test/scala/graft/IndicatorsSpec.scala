@@ -68,6 +68,34 @@ class IndicatorsSpec extends SparkSpec {
     assert(flat.tail.forall(_.isEmpty))        // zero variance: null
   }
 
+  test("atr: first bar uses high-low; gap bars widen the true range") {
+    val ohlc = Seq(
+      (0L, "A", 12.0, 10.0, 11.0),   // TR = 2 (no prev)
+      (1L, "A", 13.0, 12.5, 13.0),   // gap up: TR = max(0.5, |13-11|=2, |12.5-11|=1.5) = 2
+      (2L, "A", 13.2, 13.0, 13.1)    // TR = max(0.2, 0.2, 0.0) = 0.2
+    ).toDF("seq", "sym", "high", "low", "close")
+    val out = graft.analytics.Indicators.atr(ohlc, "high", "low", "close", "atr",
+        Seq("sym"), Seq("seq"), 14)
+      .orderBy("seq").select("atr").as[Double].collect()
+    assert(math.abs(out(0) - 2.0) < 1e-9)
+    assert(math.abs(out(1) - 2.0) < 1e-9)               // avg(2, 2)
+    assert(math.abs(out(2) - (2.0 + 2.0 + 0.2) / 3) < 1e-6)
+  }
+
+  test("stochasticK: close at the range top is 100, at the bottom 0, flat range null") {
+    val ohlc = Seq(
+      (0L, "A", 10.0, 5.0, 10.0),    // close == hh -> 100
+      (1L, "A", 11.0, 6.0, 6.0),     // close == ll(5? no: ll=min(5,6)=5) -> (6-5)/(11-5)
+      (2L, "B", 7.0, 7.0, 7.0)       // degenerate range -> null
+    ).toDF("seq", "sym", "high", "low", "close")
+    val out = graft.analytics.Indicators.stochasticK(ohlc, "high", "low", "close", "k",
+        Seq("sym"), Seq("seq"), 14)
+      .orderBy("sym", "seq").collect()
+    assert(out(0).getAs[Double]("k") === 100.0)
+    assert(math.abs(out(1).getAs[Double]("k") - 100.0 / 6.0) < 1e-4)
+    assert(out(2).isNullAt(out(2).fieldIndex("k")))
+  }
+
   test("betaToBenchmark: amplified series has beta > 1, inverse series beta < 0") {
     // benchmark is the all-series mean; series 'hi' moves 2x the trend,
     // 'lo' moves with it, 'inv' moves against it
