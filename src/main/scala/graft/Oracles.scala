@@ -141,6 +141,55 @@ GROUP BY 1, 2"""
     * DuckDB parse reproduces the identical double and the explicit
     * left-to-right term order matches the engine's fold.
     */
+  /** Bounded-horizon EWMA as a single SQL expression over `valueSql`,
+    * mirroring `Indicators.ewma` term by term INCLUDING its internal
+    * floor-rounding. Weights ride as CAST('<shortest-repr>' AS DOUBLE):
+    * string→double parse is correctly rounded in both engines, so ANY
+    * alpha is bit-portable (the dyadic-alpha trick of q83 is only needed
+    * for bare numeric literals, which DuckDB parses as DECIMAL).
+    * Requires a `WINDOW w AS (PARTITION BY ... ORDER BY ...)` clause in
+    * the enclosing SELECT.
+    */
+  private def ewmaSqlExpr(valueSql: String, alpha: Double, horizon: Int): String = {
+    val terms = (0 until horizon).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      val x = if (j == 0) valueSql else s"lag($valueSql, $j) OVER w"
+      (s"(CASE WHEN $x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST('$wj' AS DOUBLE) * $x END)",
+        s"(CASE WHEN $x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST('$wj' AS DOUBLE) END)")
+    }
+    val num = terms.map(_._1).mkString(" + ")
+    val den = terms.map(_._2).mkString(" + ")
+    s"""CASE WHEN $valueSql IS NULL THEN NULL
+       ELSE floor((($num) / ($den)) * 1000000 + 0.5) / 1000000 END"""
+  }
+
+  private val q103MacdSql: String = {
+    val wClause = "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    s"""WITH s1 AS (
+  SELECT event_id, user_id, ts, value,
+    ${ewmaSqlExpr("value", 2.0 / 13, 16)} AS e12
+  FROM events
+  $wClause
+), s2 AS (
+  SELECT event_id, user_id, ts, value, e12,
+    ${ewmaSqlExpr("value", 2.0 / 27, 16)} AS e26
+  FROM s1
+  $wClause
+), m AS (
+  SELECT event_id, user_id, ts, e12 - e26 AS macd FROM s2
+), s3 AS (
+  SELECT event_id, user_id, macd,
+    ${ewmaSqlExpr("macd", 0.2, 16)} AS signal
+  FROM m
+  $wClause
+)
+SELECT event_id, user_id,
+  floor(macd * 1000000 + 0.5) / 1000000 AS macd,
+  signal,
+  floor((macd - signal) * 1000000 + 0.5) / 1000000 AS hist
+FROM s3"""
+  }
+
   private val q83EwmaSql: String = {
     val terms = (0 until 10).map { j =>
       val wj = math.pow(0.5, j)
@@ -1011,6 +1060,8 @@ GROUP BY t.source""",
     "q89_incremental_dedup" -> q89IncrementalSql,
 
     "q100_curation_extended" -> q100CurationExtendedSql,
+
+    "q103_macd" -> q103MacdSql,
 
     // ATR-14 over the q17 candle construction: CASE on the missing lag
     // (first bar = high-low), trailing-14 average

@@ -669,6 +669,23 @@ object SparkEntry {
       Seq("key"), Seq("bucket_start"), 14)
       .select(col("key").as("event_type"), col("bucket_start"), col("pct_k"))
 
+  /** W1+ composite: MACD(12, 26, 9)-shaped — fast/slow bounded-horizon
+    * EWMAs, their difference, and a smoothed signal line over it. The
+    * non-dyadic alphas are oracle-portable via string-cast weight
+    * literals (correctly-rounded parse on both engines).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Indicators
+    val keys = (Seq("user_id"), Seq("ts", "event_id"))
+    val s1 = Indicators.ewma(t(s, dir, "events"), "value", "e12", keys._1, keys._2, 2.0 / 13, 16)
+    val s2 = Indicators.ewma(s1, "value", "e26", keys._1, keys._2, 2.0 / 27, 16)
+    val m = s2.withColumn("macd", col("e12") - col("e26"))
+    val s3 = Indicators.ewma(m, "macd", "signal", keys._1, keys._2, 0.2, 16)
+    s3.select(col("event_id"), col("user_id"),
+      sr6(col("macd")).as("macd"), col("signal"),
+      sr6(col("macd") - col("signal")).as("hist"))
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1328,6 +1345,7 @@ object SparkEntry {
     "q100_curation_extended" -> (q100 _),
     "q101_atr" -> (q101 _),
     "q102_stochastic" -> (q102 _),
+    "q103_macd" -> (q103 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -96,6 +96,16 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("k")))
   }
 
+  test("macd composition: fast EWMA above slow on an uptrend (positive macd)") {
+    val up = series((1 to 30).map(_.toDouble): _*)
+    val s1 = Indicators.ewma(up, "px", "e12", Seq("sym"), Seq("seq"), 2.0 / 13, 16)
+    val s2 = Indicators.ewma(s1, "px", "e26", Seq("sym"), Seq("seq"), 2.0 / 27, 16)
+    val last = s2.withColumn("macd", col("e12") - col("e26"))
+      .orderBy("seq").select("macd").as[Double].collect().last
+    // on a steady climb the fast average sits above the slow one
+    assert(last > 0.5, s"macd on an uptrend should be clearly positive, got $last")
+  }
+
   test("betaToBenchmark: amplified series has beta > 1, inverse series beta < 0") {
     // benchmark is the all-series mean; series 'hi' moves 2x the trend,
     // 'lo' moves with it, 'inv' moves against it
