@@ -1063,6 +1063,44 @@ GROUP BY t.source""",
 
     "q103_macd" -> q103MacdSql,
 
+    // contrastive mining: q65's scoring with an extra (query, label-match)
+    // ranking partition
+    "q104_contrastive" ->
+      """WITH qv AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlbl FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT qv.qid,
+    CAST(e.label = qv.qlbl AS INT) AS same_label,
+    e.vec_id AS id,
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.qid
+)
+SELECT qid, same_label, id, score FROM (
+  SELECT qid, same_label, id, score,
+    row_number() OVER (PARTITION BY qid, same_label ORDER BY score DESC, id) AS rn
+  FROM scored) WHERE rn <= 5""",
+
+    // OBV over the q17 candles: sign of close change x candle volume,
+    // running total per series
+    "q105_obv" ->
+      """WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS close, sum(value) AS volume
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, bucket_start, volume,
+    sign(close - lag(close) OVER (PARTITION BY event_type ORDER BY bucket_start)) AS dir
+  FROM c
+)
+SELECT event_type, bucket_start,
+  floor((sum(COALESCE(dir, 0.0) * volume) OVER (PARTITION BY event_type ORDER BY bucket_start
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000 AS obv
+FROM d""",
+
     // ATR-14 over the q17 candle construction: CASE on the missing lag
     // (first bar = high-low), trailing-14 average
     "q101_atr" ->

@@ -686,6 +686,34 @@ object SparkEntry {
       sr6(col("macd") - col("signal")).as("hist"))
   }
 
+  /** X3+: contrastive pair mining — top-5 positives and top-5 hard
+    * negatives per query by cosine, ranked within (query, label-match).
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"), col("label").as("qlbl"))
+    Similarity.contrastivePairs(emb, "vec_id", "embedding", "label",
+      queries, "qid", "qv", "qlbl", k = 5)
+  }
+
+  /** W5+/A1 composite: on-balance volume — signed cumulative volume over
+    * the derived candle series (direction = sign of the close change).
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_start"))
+    candles5m(s, dir)
+      .withColumn("__dir", signum(col("close") - lag(col("close"), 1).over(w)))
+      .withColumn("obv",
+        sr6(sum(coalesce(col("__dir"), lit(0.0)) * col("volume"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))))
+      .select(col("key").as("event_type"), col("bucket_start"), col("obv"))
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1346,6 +1374,8 @@ object SparkEntry {
     "q101_atr" -> (q101 _),
     "q102_stochastic" -> (q102 _),
     "q103_macd" -> (q103 _),
+    "q104_contrastive" -> (q104 _),
+    "q105_obv" -> (q105 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -348,6 +348,37 @@ object Similarity {
       .distinct()
   }
 
+  /** Contrastive pair mining: for each query, the top-`k` most similar
+    * SAME-label rows (positives) and top-`k` most similar
+    * DIFFERENT-label rows (hard negatives) — the metric-learning
+    * training-pair op. One corpus scan with the query set broadcast;
+    * ranking is per (query, side), so the shuffle carries 2k rows per
+    * query via the bounded top-k aggregate.
+    *
+    * Output: (qid, same_label 0/1, id, score).
+    */
+  def contrastivePairs(
+      embeddings: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String, qLabelCol: String,
+      k: Int): DataFrame = {
+    val corpus = graft.util.Partitioning.ensureParallelism(embeddings).select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col(labelCol).as("lbl"))
+      .withColumn("vn", norm(col("v")))
+    val qs = queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv"),
+      col(qLabelCol).as("qlbl"))
+      .withColumn("qn", norm(col("qv")))
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"),
+        (col("lbl") === col("qlbl")).cast("int").as("same_label"),
+        col("id"),
+        round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6).as("score"))
+      .groupBy(col("qid"), col("same_label"))
+      .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))
+      .select(col("qid"), col("same_label"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("same_label"), col("e.id").as("id"), col("e.score").as("score"))
+  }
+
   /** Symmetric int8 quantization of a unit-normalized vector:
     * `floor(x / ||x|| * 127 + 0.5)` per element — the standard
     * scalar-quantized index representation (4x smaller vectors, integer

