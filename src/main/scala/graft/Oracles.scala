@@ -1063,6 +1063,23 @@ GROUP BY t.source""",
 
     "q103_macd" -> q103MacdSql,
 
+    // novelty rate: q89's cross-corpus candidate join aggregated to a
+    // per-source monitoring statistic
+    "q106_novelty_rate" ->
+      (s"""WITH ${minhashBandsCteOver("o", s"(SELECT * FROM documents WHERE $oldSrcPred)")},
+${minhashBandsCteOver("n", s"(SELECT * FROM documents WHERE NOT ($oldSrcPred))")},
+dups AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands_n n JOIN bands_o o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+)
+SELECT d.source, count(*) AS n_docs,
+  count(x.doc_id) AS n_dups,
+  floor((1.0 - CAST(count(x.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS novelty_rate
+FROM (SELECT * FROM documents WHERE NOT ($oldSrcPred)) d
+LEFT JOIN dups x ON d.doc_id = x.doc_id
+GROUP BY d.source"""),
+
     // contrastive mining: q65's scoring with an extra (query, label-match)
     // ranking partition
     "q104_contrastive" ->

@@ -714,6 +714,28 @@ object SparkEntry {
       .select(col("key").as("event_type"), col("bucket_start"), col("obv"))
   }
 
+  /** X2+ metric: novelty rate of the incoming batch — per new source,
+    * the fraction of docs that near-duplicate the KEPT corpus (q89's
+    * candidate join aggregated to a monitoring statistic; the number a
+    * crawl pipeline alerts on when a source goes stale).
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val newDocs = docs.filter(!col("source").isin(oldSrcs: _*))
+    val dupIds = Dedup.minhashPairsAgainst(
+        newDocs, docs.filter(col("source").isin(oldSrcs: _*)), "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    newDocs.join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("is_dup")).as("n_dups"),
+        sr6(lit(1.0) - count(col("is_dup")).cast("double") / count(lit(1)).cast("double"))
+          .as("novelty_rate"))
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1376,6 +1398,7 @@ object SparkEntry {
     "q103_macd" -> (q103 _),
     "q104_contrastive" -> (q104 _),
     "q105_obv" -> (q105 _),
+    "q106_novelty_rate" -> (q106 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -70,6 +70,10 @@ object HeavyHitters {
     import spark.implicits._
     val toks = graft.util.Partitioning.ensureParallelism(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // CACHE CONTRACT: phase1 (<= k+1 rows per partition) backs both
+    // broadcast frames of the returned lazy plan, so it stays cached
+    // until LRU eviction or session end — same documented rule as the
+    // Boilerplate/surprisal guard frames.
     val phase1 = toks.select(col("tok")).as[String]
       .mapPartitions(it => misraGriesWithCount(it, k))
       .toDF("tok", "cnt")
