@@ -120,7 +120,7 @@ near_kept AS (
 )
 SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
 FROM toks2 t JOIN rates r ON t.source = r.source
-WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+WHERE CAST(('0x' || substr(md5(COALESCE(CAST(t.doc_id AS VARCHAR), chr(0) || 'graft-null-id')), 1, 15)) AS BIGINT)
         / 1152921504606846976.0 < r.rate
 GROUP BY t.source"""
 
@@ -190,21 +190,15 @@ SELECT event_id, user_id,
 FROM s3"""
   }
 
-  private val q83EwmaSql: String = {
-    val terms = (0 until 10).map { j =>
-      val wj = math.pow(0.5, j)
-      val x = if (j == 0) "value" else s"lag(value, $j) OVER w"
-      (s"(CASE WHEN $x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST($wj AS DOUBLE) * $x END)",
-        s"(CASE WHEN $x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST($wj AS DOUBLE) END)")
-    }
-    val num = terms.map(_._1).mkString(" + ")
-    val den = terms.map(_._2).mkString(" + ")
+  // one EWMA SQL generator for q83 and q103 — a contract change (null
+  // handling, rounding) lands in both oracles or neither. Dyadic 0.5^j
+  // weights have exact short decimal renderings, so the string-cast
+  // form is value-identical to the bare-CAST form it replaces.
+  private val q83EwmaSql: String =
     s"""SELECT event_id, user_id,
-  CASE WHEN value IS NULL THEN NULL
-       ELSE floor((($num) / ($den)) * 1000000 + 0.5) / 1000000 END AS ewma
+  ${ewmaSqlExpr("value", 0.5, 10)} AS ewma
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
-  }
 
   private val q22MinhashSql: String =
     s"""WITH $minhashPairsCte
@@ -1051,7 +1045,7 @@ GROUP BY k.doc_id""",
 )
 SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
 FROM toks t JOIN rates r ON t.source = r.source
-WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+WHERE CAST(('0x' || substr(md5(COALESCE(CAST(t.doc_id AS VARCHAR), chr(0) || 'graft-null-id')), 1, 15)) AS BIGINT)
         / 1152921504606846976.0 < r.rate
 GROUP BY t.source""",
 
@@ -1089,10 +1083,10 @@ GROUP BY d.source"""),
   SELECT qv.qid,
     CAST(e.label = qv.qlbl AS INT) AS same_label,
     e.vec_id AS id,
-    round(
+    floor((
       list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000 + 0.5) / 1000000 AS score
   FROM embeddings e, qv
   WHERE e.vec_id <> qv.qid
 )

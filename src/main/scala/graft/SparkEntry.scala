@@ -701,18 +701,10 @@ object SparkEntry {
   /** W5+/A1 composite: on-balance volume — signed cumulative volume over
     * the derived candle series (direction = sign of the close change).
     */
-  private def q105(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("bucket_start"))
-    candles5m(s, dir)
-      .withColumn("__dir", signum(col("close") - lag(col("close"), 1).over(w)))
-      .withColumn("obv",
-        sr6(sum(coalesce(col("__dir"), lit(0.0)) * col("volume"))
-          .over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow))))
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.obv(
+      candles5m(s, dir), "close", "volume", "obv", Seq("key"), Seq("bucket_start"))
       .select(col("key").as("event_type"), col("bucket_start"), col("obv"))
-  }
 
   /** X2+ metric: novelty rate of the incoming batch — per new source,
     * the fraction of docs that near-duplicate the KEPT corpus (q89's

@@ -215,6 +215,22 @@ object Indicators {
       .drop("__ll", "__hh")
   }
 
+  /** On-balance volume: running sum of `sign(close change) * volume`
+    * per series — the W5 cumulative family applied to OHLC (volume
+    * flows tagged by price direction; the first bar contributes 0).
+    * One window pass.
+    */
+  def obv(
+      df: DataFrame, closeCol: String, volumeCol: String, out: String,
+      partition: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("__dir", signum(col(closeCol) - lag(col(closeCol), 1).over(w)))
+      .withColumn(out,
+        sr6(sum(coalesce(col("__dir"), lit(0.0)) * col(volumeCol))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .drop("__dir")
+  }
+
   /** Beta to a benchmark: per-series OLS slope against the
     * bucket-aligned benchmark mean — `covar(v, m) / var(m)` over shared
     * buckets, the market-sensitivity statistic. Same shrink-first shape

@@ -43,13 +43,19 @@ object HeavyHitters {
         case Some(c) => counters.update(item, c + 1)
         case None if counters.size < k => counters.update(item, 1L)
         case None =>
-          // decrement-all; drop zeros (the classic k-counter step)
-          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-          counters.keysIterator.foreach { key =>
+          // decrement-all; drop zeros (the classic k-counter step).
+          // Keys are SNAPSHOT first: mutating a mutable.HashMap while
+          // iterating it is undefined by the collections contract, and a
+          // skipped/double-visited key would break the superset
+          // guarantee the exact recount depends on.
+          val keys = counters.keys.toArray
+          var i = 0
+          while (i < keys.length) {
+            val key = keys(i)
             val c = counters(key) - 1
-            if (c == 0) dead += key else counters.update(key, c)
+            if (c == 0) counters.remove(key) else counters.update(key, c)
+            i += 1
           }
-          dead.foreach(counters.remove)
       }
     }
     counters.keysIterator.toSeq.iterator.map(t => (Some(t), 0L)) ++

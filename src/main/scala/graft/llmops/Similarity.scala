@@ -372,7 +372,10 @@ object Similarity {
       .select(col("qid"),
         (col("lbl") === col("qlbl")).cast("int").as("same_label"),
         col("id"),
-        round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6).as("score"))
+        // floor form, not round(): a cosine in (-5e-7, 0) rounds to an
+        // engine-dependent ZERO SIGN under round(); sr6 never emits -0.0
+        graft.util.Partitioning.stableRound6(
+          dot(col("v"), col("qv")) / (col("vn") * col("qn"))).as("score"))
       .groupBy(col("qid"), col("same_label"))
       .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))
       .select(col("qid"), col("same_label"), explode(col("nn")).as("e"))

@@ -413,6 +413,16 @@ object TxParquetTable {
           .join(incoming.select(col(idCol).as("__new_id")),
             col(idCol) === col("__new_id"), "left_anti")
           .drop("__new_id")
+        // ADDITIVE-ONLY evolution on upsert: the incoming batch may add
+        // columns, but must carry every existing one — upserts replace
+        // whole rows, so a missing (typo'd or dropped) column would
+        // silently null the matched rows' values. allowMissingColumns
+        // below only fills the SURVIVOR side of genuinely new columns.
+        val missing = old.columns.toSet -- incoming.columns.toSet
+        require(missing.isEmpty,
+          s"upsert batch is missing table columns ${missing.mkString(", ")}; " +
+            "upserts replace whole rows — supply every existing column " +
+            "(new columns may be added)")
         val rewrite = survivors.unionByName(incoming, allowMissingColumns = true)
           .localCheckpoint(true)
         (stage(rewrite, path, Some(bucketOf(col(idCol)))), affectedFiles.map(_.name))

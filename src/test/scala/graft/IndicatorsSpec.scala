@@ -96,6 +96,19 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("k")))
   }
 
+  test("obv: up-bars add volume, down-bars subtract, flat bars contribute nothing") {
+    val ohlc = Seq(
+      (0L, "A", 10.0, 100.0),  // first bar: dir null -> 0
+      (1L, "A", 12.0, 50.0),   // up -> +50
+      (2L, "A", 11.0, 30.0),   // down -> -30
+      (3L, "A", 11.0, 99.0)    // flat -> +0
+    ).toDF("seq", "sym", "close", "vol")
+    val out = graft.analytics.Indicators.obv(ohlc, "close", "vol", "obv",
+        Seq("sym"), Seq("seq"))
+      .orderBy("seq").select("obv").as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 50.0, 20.0, 20.0))
+  }
+
   test("macd composition: fast EWMA above slow on an uptrend (positive macd)") {
     val up = series((1 to 30).map(_.toDouble): _*)
     val s1 = Indicators.ewma(up, "px", "e12", Seq("sym"), Seq("seq"), 2.0 / 13, 16)

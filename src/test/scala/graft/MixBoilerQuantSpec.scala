@@ -84,12 +84,26 @@ class MixBoilerQuantSpec extends SparkSpec {
         s"label-match flag wrong for qid=$qid id=$id")
       assert(id != qid)
     }
-    // within each (query, side) the scores are the TOP ones: the best
-    // positive must outrank the 5th positive
-    val byKey = out.groupBy(r => (r.getLong(0), r.getInt(1)))
-    byKey.values.foreach { rows =>
-      val scores = rows.map(_.getDouble(3))
-      assert(scores.length === 5 && scores.max >= scores.min)
+    // TRUE top-k property: within each (query, side) the returned scores
+    // must dominate every non-returned same-side score (brute force)
+    val scoredAll = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), (col("label") === col("qlbl")).cast("int").as("same"),
+        col("vec_id").as("id"),
+        graft.util.Partitioning.stableRound6(
+          graft.llmops.Similarity.dot(
+            graft.llmops.Similarity.asDouble(col("embedding")), col("qv"))
+            / (graft.llmops.Similarity.norm(graft.llmops.Similarity.asDouble(col("embedding")))
+              * graft.llmops.Similarity.norm(col("qv")))).as("score"))
+      .collect().groupBy(r => (r.getLong(0), r.getInt(1)))
+    out.groupBy(r => (r.getLong(0), r.getInt(1))).foreach { case (key, rows) =>
+      assert(rows.length === 5)
+      val returnedIds = rows.map(_.getLong(2)).toSet
+      val minReturned = rows.map(_.getDouble(3)).min
+      val bestExcluded = scoredAll(key).filterNot(r => returnedIds(r.getLong(2)))
+        .map(_.getDouble(3)).max
+      assert(minReturned >= bestExcluded,
+        s"$key: returned min $minReturned < excluded max $bestExcluded")
     }
   }
 
