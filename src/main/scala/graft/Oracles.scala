@@ -1057,6 +1057,28 @@ GROUP BY t.source""",
 
     "q103_macd" -> q103MacdSql,
 
+    // Donchian breakouts: prior-20-bar high (frame shifted one bar back),
+    // per-series event counts
+    "q107_breakouts" ->
+      """WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    max(value) AS high, arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, bucket_start, close,
+    max(high) OVER (PARTITION BY event_type ORDER BY bucket_start
+      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS ph
+  FROM c
+), f AS (
+  SELECT event_type, bucket_start,
+    CAST(ph IS NOT NULL AND close > ph AS INT) AS brk
+  FROM b
+)
+SELECT event_type, CAST(sum(brk) AS BIGINT) AS n_breakouts,
+  max(CASE WHEN brk = 1 THEN bucket_start END) AS last_breakout,
+  count(*) AS n_bars
+FROM f GROUP BY event_type""",
+
     // novelty rate: q89's cross-corpus candidate join aggregated to a
     // per-source monitoring statistic
     "q106_novelty_rate" ->

@@ -728,6 +728,25 @@ object SparkEntry {
           .as("novelty_rate"))
   }
 
+  /** W1+/A1 composite: Donchian breakout events — bars whose close
+    * exceeds the PRIOR 20-bar high (the channel shifted one bar back so
+    * a bar never "breaks" its own high); per-series breakout counts and
+    * the latest breakout time.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_start"))
+    val priorHigh = max(col("high")).over(w.rowsBetween(-20, -1))
+    candles5m(s, dir)
+      .withColumn("__ph", priorHigh)
+      .withColumn("__brk", (col("__ph").isNotNull && col("close") > col("__ph")).cast("int"))
+      .groupBy(col("key").as("event_type"))
+      .agg(
+        sum(col("__brk")).as("n_breakouts"),
+        max(when(col("__brk") === 1, col("bucket_start"))).as("last_breakout"),
+        count(lit(1)).as("n_bars"))
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1391,6 +1410,7 @@ object SparkEntry {
     "q104_contrastive" -> (q104 _),
     "q105_obv" -> (q105 _),
     "q106_novelty_rate" -> (q106 _),
+    "q107_breakouts" -> (q107 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
