@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * "regressions" purely from map-iteration-order changes). Scalar
   * summary keys are emitted AFTER the queries object so they survive
   * log-tail truncation on the harness side.
+  *
+  * Two artifacts per run (r5 advice — the 107-query full-name line
+  * outgrew the harness tail window): full names + full precision to
+  * `docs/bench/last_run.json` (override with SPARK_GRAFT_BENCH_OUT);
+  * stdout carries a short-key (`qNN`), 3-decimal line that fits the
+  * tail whole.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,8 +59,6 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // oracle_total: subtotal over queries that have a DuckDB SQL twin —
     // the apples-to-apples number against a DuckDB baseline (rows-only
@@ -62,7 +66,23 @@ object Bench {
     val oracleTotal = results.collect {
       case (k, v) if SparkEntry.oracleSql.contains(k) => v
     }.sum
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$qs,"oracle_total":$oracleTotal,"value":$total}""")
+    // Truncation-proof artifact (r5 advice): the harness keeps only the
+    // TAIL of stdout, which lost q01-q38 of the full-name line at 107
+    // queries. Full names + full precision go to a file inside the repo
+    // (committed by the round driver); stdout carries a SHORT line —
+    // unique qNN keys (see uniqueness check in BenchSpec), 3-decimal
+    // seconds — that fits the tail window whole, so `parsed` is non-null.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$fullQs,"oracle_total":$oracleTotal,"value":$total}"""
+    val artifact = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/last_run.json"))
+    Option(artifact.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(artifact, fullJson.getBytes("UTF-8"))
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$shortQs,"oracle_total":${f"$oracleTotal%.3f"},"value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

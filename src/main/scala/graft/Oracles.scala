@@ -135,12 +135,6 @@ FROM bands_n n JOIN bands_o o
   ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
 GROUP BY 1, 2"""
 
-  /** EWMA oracle generated from the SAME weight constants as
-    * `Indicators.ewma(alpha = 0.5, horizon = 10)` — `math.pow(0.5, j)`
-    * renders to an exact terminating decimal (dyadic rational), so the
-    * DuckDB parse reproduces the identical double and the explicit
-    * left-to-right term order matches the engine's fold.
-    */
   /** Bounded-horizon EWMA as a single SQL expression over `valueSql`,
     * mirroring `Indicators.ewma` term by term INCLUDING its internal
     * floor-rounding. Weights ride as CAST('<shortest-repr>' AS DOUBLE):
@@ -995,7 +989,7 @@ FROM b""",
   FROM events GROUP BY 1, 2
 )
 SELECT a.series AS series_a, b.series AS series_b,
-  round(corr(a.v, b.v), 6) AS r, count(*) AS n_buckets
+  floor(corr(a.v, b.v) * 1000000 + 0.5) / 1000000 AS r, count(*) AS n_buckets
 FROM daily a JOIN daily b ON a.bucket = b.bucket AND a.series < b.series
 GROUP BY 1, 2""",
 

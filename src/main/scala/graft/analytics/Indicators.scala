@@ -279,7 +279,11 @@ object Indicators {
       .filter(col("series_a") < col("series_b"))
       .groupBy(col("series_a"), col("series_b"))
       .agg(
-        round(corr(col("va"), col("vb")), 6).as("r"),
+        // stableRound6, not round(): engines disagree on the sign of
+        // round(-1e-9, 6) ("-0.0" vs "0.0"), so a zero-crossing
+        // correlation would be a latent cross-engine hash mismatch.
+        // Same negative-zero playbook as rollingTrend/contrastivePairs.
+        sr6(corr(col("va"), col("vb"))).as("r"),
         count(lit(1)).as("n_buckets"))
   }
 }

@@ -156,7 +156,21 @@ object Sampling {
     val all = Window.partitionBy()
     val rates = df
       .groupBy(col(sourceCol))
-      .agg(sum(tokenCount).as("__toks"), first(weight).as("__w"))
+      // min+max, not first(): first() is iterator-order-dependent, so a
+      // caller passing a per-row weight expression (e.g. a quality score)
+      // would get silently order-dependent rates. The contract is
+      // constant-per-source; the in-plan guard below makes a violation
+      // fail the job loudly instead.
+      .agg(sum(tokenCount).as("__toks"),
+        min(weight).as("__wmin"), max(weight).as("__wmax"))
+      .withColumn("__w",
+        when(col("__wmin") =!= col("__wmax"),
+          raise_error(concat(
+            lit("mixtureSample: weight is not constant within source "),
+            col(sourceCol).cast("string"),
+            lit(" (min "), col("__wmin").cast("string"),
+            lit(", max "), col("__wmax").cast("string"), lit(")"))))
+          .otherwise(col("__wmax")))
       // a zero-token source (all-empty documents) would divide by zero
       // under ANSI; its share is vacuous, so keep it whole (rate 1)
       .withColumn("__rate",

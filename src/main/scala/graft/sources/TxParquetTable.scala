@@ -389,6 +389,22 @@ object TxParquetTable {
     if (affected.isEmpty) return readVersion
     val affectedFiles = snap.live.filter(f =>
       f.buckets.isEmpty || f.buckets.intersect(affected).nonEmpty)
+    // ADDITIVE-ONLY evolution on upsert, checked against the table's
+    // MERGED snapshot schema (footer-only read, no data) BEFORE branching
+    // on affectedFiles: a batch missing an existing column whose ids land
+    // only in untouched buckets would otherwise be staged unchecked and
+    // silently write null-filled rows — the exact typo'd-column hazard
+    // this guard exists for. New columns may still be added.
+    if (snap.live.nonEmpty) {
+      val tableCols = spark.read.option("mergeSchema", "true").parquet(
+        snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+        .columns.toSet
+      val missing = tableCols -- incoming.columns.toSet
+      require(missing.isEmpty,
+        s"upsert batch is missing table columns ${missing.mkString(", ")}; " +
+          "upserts replace whole rows — supply every existing column " +
+          "(new columns may be added)")
+    }
     // the conflict domain covers every bucket this commit REWRITES, not
     // just the incoming ones: removed files may co-locate other buckets
     // (stat-less files could hold anything -> declare the full domain),
@@ -413,16 +429,10 @@ object TxParquetTable {
           .join(incoming.select(col(idCol).as("__new_id")),
             col(idCol) === col("__new_id"), "left_anti")
           .drop("__new_id")
-        // ADDITIVE-ONLY evolution on upsert: the incoming batch may add
-        // columns, but must carry every existing one — upserts replace
-        // whole rows, so a missing (typo'd or dropped) column would
-        // silently null the matched rows' values. allowMissingColumns
-        // below only fills the SURVIVOR side of genuinely new columns.
-        val missing = old.columns.toSet -- incoming.columns.toSet
-        require(missing.isEmpty,
-          s"upsert batch is missing table columns ${missing.mkString(", ")}; " +
-            "upserts replace whole rows — supply every existing column " +
-            "(new columns may be added)")
+        // additive-only evolution already enforced above against the full
+        // snapshot schema (old.columns is a subset of it);
+        // allowMissingColumns below only fills the SURVIVOR side of
+        // genuinely new columns.
         val rewrite = survivors.unionByName(incoming, allowMissingColumns = true)
           .localCheckpoint(true)
         (stage(rewrite, path, Some(bucketOf(col(idCol)))), affectedFiles.map(_.name))

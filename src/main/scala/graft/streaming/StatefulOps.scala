@@ -112,7 +112,12 @@ object StatefulOps {
     */
   private[streaming] def emaFold(
       st: Option[EmaState], ticks: Seq[TickerTick], alpha: Double): Option[EmaState] = {
-    val sorted = ticks.sortBy(_.datetime.getTime)
+    // (ts, price, volume) sort, not ts alone: mapGroups iterator order is
+    // partition-dependent, so same-timestamp ticks folded in arrival order
+    // would make runningEma vs runningEmaBatch (StatefulSpec's equality)
+    // and rerun determinism diverge on tied timestamps — same tie-breaking
+    // discipline as the (ts, event_id) ordering in the batch indicators.
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
     sorted.foldLeft(st) { (acc, t) =>
       acc match {
         case None => Some(EmaState(t.price.toDouble, t.datetime.getTime, 1L))
