@@ -101,6 +101,20 @@ object Components {
     labels.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
       .head.getDecimal(0)
 
+  /** One-action edge-set fingerprint for the alternating variant's
+    * convergence probe: (count, Σ xxhash64(p, c)) in exact decimal (a
+    * sum of up to 10¹² signed 64-bit hashes fits decimal(38,0) with 7
+    * digits to spare). Unlike min-propagation's label sum there is no
+    * monotone scalar over a mutating edge SET, so set equality is what
+    * must be detected — the hash sum is order-independent and one
+    * aggregate, vs the two full-set actions of count+except.
+    */
+  private def edgeFingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = e.agg(count(lit(1)).as("n"),
+      sum(xxhash64(col("p"), col("c")).cast("decimal(38,0)")).as("h")).head
+    (r.getLong(0), r.getDecimal(1))
+  }
+
   /** Log-rounds connected components: the alternating large-star /
     * small-star algorithm (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014). Same (id, component) output as
@@ -117,9 +131,15 @@ object Components {
     *   - small-star(u): every neighbor v < u and u itself attach to
     *     m = min of u's smaller neighborhood — flattens toward stars.
     * At fixpoint the edge set IS the component assignment: every edge is
-    * (component-min, member). Convergence is checked by exact edge-set
-    * equality (count + anti-join); a checksum compare would be cheaper
-    * at extreme scale and is trivially swappable.
+    * (component-min, member). Convergence is probed by a ONE-ACTION
+    * (count, Σ xxhash64(p,c)) fingerprint compared against the previous
+    * round's — the r5 probe's `count() + except().isEmpty` was two extra
+    * full-edge-set actions per round, exactly the cost this variant
+    * exists to avoid at adversarial scale. Equal fingerprints on unequal
+    * sets require a hash-sum collision (~2⁻⁶⁴ per round, non-adversarial
+    * inputs — edge ids, not attacker-chosen hashes); the exact-compare
+    * form this replaced is one `git log -S except` away if a caller ever
+    * needs certainty over cost.
     */
   def connectedComponentsAlternating(
       edges: DataFrame, aCol: String, bCol: String,
@@ -134,7 +154,8 @@ object Components {
       .select(least(col("x"), col("y")).as("p"), greatest(col("x"), col("y")).as("c"))
       .distinct().localCheckpoint()
     var iter = 0
-    var converged = e.isEmpty
+    var prevFp = edgeFingerprint(e)
+    var converged = prevFp._1 == 0L
     while (iter < maxIters && !converged) {
       // ---- large-star ----
       val bi = e.select(col("p").as("x"), col("c").as("y"))
@@ -154,7 +175,11 @@ object Components {
         .filter(col("y") =!= col("m")).select(col("m").as("p"), col("y").as("c"))
         .union(mins2.select(col("m").as("p"), col("x").as("c")))
         .distinct().localCheckpoint(false)
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      // lazy checkpoint materialized by the fingerprint action — one job
+      // per round total, same discipline as connectedComponents
+      val fp = edgeFingerprint(next)
+      converged = fp == prevFp
+      prevFp = fp
       e = next
       iter += 1
     }

@@ -313,6 +313,17 @@ object Similarity {
     * tables multiply the chances: recall = 1 - (1 - p^k)^L for per-plane
     * agreement p = 1 - θ/π. The single-table form ([[lshBucketedNeighbors]])
     * is the k=numPlanes, L=1 degenerate case — high precision, low recall.
+    *
+    * COST next to that recall formula: candidate generation and rescoring
+    * scale ~linearly in `numTables` (each table contributes one exploded
+    * (table, bucket) key per vector and its own within-bucket join), and
+    * ~n²/2^planesPerTable per table in candidate pairs. q41's r5 switch
+    * from one 8-plane table to 4×8 OR-construction bought recall
+    * 0.05 → 0.76 for ~2.4× the bench time — that trade is the knob.
+    * Defaults here suit the harness corpus; at corpus scale derive the
+    * parameters from [[lshSizing]] (or call [[lshAutoSizedNeighbors]]),
+    * which keeps expected bucket population ≤ √n instead of the soft
+    * cartesian a fixed 16-bucket table becomes at 10⁹ vectors.
     * Shuffle volume is L small (table, bucket) keys per vector into the
     * candidate join; pairs are scored IMMEDIATELY after the join (map
     * side, inside codegen, norms precomputed once per vector) and
@@ -347,6 +358,69 @@ object Similarity {
       .filter(col("score") >= minScore)
       .distinct()
   }
+
+  /** Banded-LSH sizing rule — the twin of IVF's documented `nCells ~ √n`
+    * (see [[ivfIndex]]): derive (planesPerTable, numTables) from corpus
+    * size and a recall target, instead of trusting fixed defaults that
+    * turn into a soft cartesian at corpus scale.
+    *
+    * Planes: a table of `b` hyperplanes has 2^b buckets, so the expected
+    * bucket population under the uniform-hash model is n/2^b and each
+    * table's within-bucket self-join generates ~n²/2^(b+1) candidate
+    * pairs. `b = ceil(log₂(n)/2)` pins the expected population at ≤ √n,
+    * making per-table candidate work ~n^1.5/2 — subquadratic at any n
+    * (n=10⁹ → b=15, ~31k-row buckets), the same √n balance point IVF
+    * uses for its cells. Skewed (correlated) corpora concentrate
+    * somewhat above the uniform model; SimilaritySizingSpec pins the
+    * realized population factor on a clustered synthetic corpus.
+    *
+    * Tables: per-plane agreement at cosine threshold s is
+    * p = 1 − arccos(s)/π, so a table matches a true pair with p^b and
+    * L tables reach recall 1 − (1 − p^b)^L. Solving for the target:
+    * `L = ceil(ln(1 − recall) / ln(1 − p^b))`. L is the linear cost
+    * multiplier (see [[lshBandedNeighbors]]), so an unreachable target
+    * fails LOUDLY via `maxTables` instead of silently scheduling
+    * thousands of joins — at high n and moderate thresholds the honest
+    * answer is IVF ([[ivfIndex]]) or a higher similarity floor, and the
+    * error message says so.
+    */
+  def lshSizing(
+      n: Long, simThreshold: Double, recallTarget: Double,
+      maxTables: Int = 64): (Int, Int) = {
+    require(n >= 2, s"corpus size must be >= 2, got $n")
+    require(simThreshold > 0 && simThreshold < 1,
+      s"simThreshold must be in (0,1), got $simThreshold")
+    require(recallTarget > 0 && recallTarget < 1,
+      s"recallTarget must be in (0,1), got $recallTarget")
+    val b = math.max(1, math.ceil(math.log(n.toDouble) / math.log(2.0) / 2.0).toInt)
+    val p = 1.0 - math.acos(simThreshold) / math.Pi
+    val pTable = math.pow(p, b)
+    val l = math.max(1, math.ceil(math.log1p(-recallTarget) / math.log1p(-pTable)).toInt)
+    require(l <= maxTables,
+      f"lshSizing: recall $recallTarget at threshold $simThreshold needs $l tables " +
+        f"of $b planes (per-table match ${pTable}%.2e) — over maxTables=$maxTables. " +
+        "Raise simThreshold, lower recallTarget, or use the IVF path (ivfIndex/ivfTopK).")
+    (b, l)
+  }
+
+  /** [[lshBandedNeighbors]] with (planesPerTable, numTables) derived by
+    * [[lshSizing]] from the corpus size. Pass `n` when the caller already
+    * knows it (a catalog row count, a previous stage's count) — the
+    * overload without `n` spends one count job, cheap next to the join.
+    */
+  def lshAutoSizedNeighbors(
+      embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
+      n: Long, simThreshold: Double, recallTarget: Double,
+      minScore: Double = 0.0, maxTables: Int = 64): DataFrame = {
+    val (b, l) = lshSizing(n, simThreshold, recallTarget, maxTables)
+    lshBandedNeighbors(embeddings, idCol, vecCol, dim, b, l, minScore)
+  }
+
+  def lshAutoSizedNeighbors(
+      embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
+      simThreshold: Double, recallTarget: Double): DataFrame =
+    lshAutoSizedNeighbors(embeddings, idCol, vecCol, dim,
+      embeddings.count(), simThreshold, recallTarget)
 
   /** Contrastive pair mining: for each query, the top-`k` most similar
     * SAME-label rows (positives) and top-`k` most similar

@@ -79,6 +79,44 @@ class ComponentsSpec extends SparkSpec {
     assert(ok === Set(1L))
   }
 
+  test("alternating convergence probe costs ONE job per round (checksum, not count+except)") {
+    // warm codegen/exchange paths so the counted run has no one-off jobs
+    Components.connectedComponentsAlternating(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b").collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // AQE submits one job per query STAGE and each broadcast build is its
+    // own job, burying the action count this test pins; with both off,
+    // jobs == actions exactly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val chain = (1L until 40L).map(i => (i, i + 1))
+      Components.connectedComponentsAlternating(chain.toDF("a", "b"), "a", "b").collect()
+      // job-start events are synchronous with submission; give the async
+      // listener bus a beat to drain
+      Thread.sleep(300)
+      // fixed overhead: nodes checkpoint, initial edge checkpoint, initial
+      // fingerprint, final assignment collect = 4 actions. Per round:
+      // exactly ONE fingerprint action (the lazy localCheckpoint rides on
+      // it). A 39-chain settles in <= 7 alternating rounds (log-rounds
+      // collapse plus the fixpoint-confirming round), so <= 11 actions;
+      // the r5 count()+except() probe cost 3 actions/round and would blow
+      // this budget at ~2x the jobs.
+      val rounds = 7
+      assert(jobs.get <= 4 + rounds,
+        s"${jobs.get} jobs for a <=$rounds-round run — convergence probe regressed?")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedupByComponents keeps exactly the component minima") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("doc_id")
     // components {1,2,3} (chain) and {4,5}; 99 untouched by any pair
