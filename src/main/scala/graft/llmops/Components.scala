@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected edge list — the
@@ -76,10 +77,18 @@ object Components {
         .localCheckpoint(false)
       val sum = checkSum(next)
       converged = sum == prevSum
+      // the previous round's label blocks are superseded the moment
+      // `next` is materialized (by the checkSum action) — release them so
+      // checkpoint residue stays at one label table, not rounds× of them.
+      // Residue is not free: in a shared JVM (the bench) leftover blocks
+      // squeeze execution/storage memory for whatever runs next (r6 saw
+      // q73-q76, the queries right after this operator, inflate together).
+      releaseCheckpoint(labels)
       prevSum = sum
       labels = next
       iter += 1
     }
+    releaseCheckpoint(bi)
     // Exhausting the round budget without reaching the fixpoint would
     // return labels that are only min-of-(maxIters)-hop-neighborhood —
     // silently wrong components. Fail loudly; the caller either raises
@@ -91,6 +100,19 @@ object Components {
           "connectedComponentsAlternating")
     labels
   }
+
+  /** Drop the block-manager blocks behind a `localCheckpoint`ed frame
+    * that a later round has superseded. A checkpointed Dataset's plan is
+    * a [[LogicalRDD]] over the block-backed RDD — unpersisting that RDD
+    * is the only way to free the blocks before GC gets to them (the
+    * Dataset-level `unpersist` talks to the cache manager, which never
+    * knew about checkpoint blocks). No-op on non-checkpointed frames.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** One-scalar convergence probe: sum of labels (exact decimal — label
     * ids can be any long, so a double sum could hide a change in
@@ -141,9 +163,14 @@ object Components {
     * form this replaced is one `git log -S except` away if a caller ever
     * needs certainty over cost.
     */
+  /** @param exactConvergence when true, convergence additionally verifies
+    *        set equality with a `count + except` probe (two extra full-set
+    *        actions on the FINAL round only) — for callers who need
+    *        certainty over the ~2⁻⁶⁴/round fingerprint-collision risk
+    */
   def connectedComponentsAlternating(
       edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, exactConvergence: Boolean = false): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val raw = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
@@ -178,8 +205,13 @@ object Components {
       // lazy checkpoint materialized by the fingerprint action — one job
       // per round total, same discipline as connectedComponents
       val fp = edgeFingerprint(next)
-      converged = fp == prevFp
+      converged = fp == prevFp &&
+        // opt-in exact probe: only ever runs on the candidate-final round,
+        // so its two full-set actions are paid once, not per round
+        (!exactConvergence ||
+          (e.except(next).isEmpty && next.except(e).isEmpty))
       prevFp = fp
+      releaseCheckpoint(e) // superseded once next is live (probes above ran)
       e = next
       iter += 1
     }

@@ -117,6 +117,41 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("superseded per-round checkpoint blocks are released, not left to GC") {
+    // r6 lesson: rounds× leftover localCheckpoint blocks squeeze whatever
+    // runs next in a shared JVM (bench saw q73-q76 inflate after q72).
+    // A 12-chain needs ~11 propagation rounds; residue must stay O(1)
+    // frames (final labels + the caller-visible result), not O(rounds).
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L until 13L).map(i => (i, i + 1))
+    val labels = Components.connectedComponents(chain.toDF("a", "b"), "a", "b")
+    labels.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"${after - before} persistent RDDs left behind by an ~11-round run " +
+        "— per-round checkpoint release regressed?")
+
+    val before2 = spark.sparkContext.getPersistentRDDs.size
+    Components.connectedComponentsAlternating(
+      chain.toDF("a", "b"), "a", "b").collect()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    // alternating keeps the nodes frame + final edge set for the result
+    assert(after2 - before2 <= 2,
+      s"${after2 - before2} persistent RDDs left behind by alternating CC")
+  }
+
+  test("exactConvergence opt-in returns identical components") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = edges.toDF("a", "b")
+    val fp = Components.connectedComponentsAlternating(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Components.connectedComponentsAlternating(
+      df, "a", "b", exactConvergence = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact === fp)
+  }
+
   test("dedupByComponents keeps exactly the component minima") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("doc_id")
     // components {1,2,3} (chain) and {4,5}; 99 untouched by any pair
