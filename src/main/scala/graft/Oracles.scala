@@ -271,6 +271,70 @@ sh AS (
 SELECT doc_a, doc_b, n_shared_bands, jaccard FROM scored WHERE jaccard >= 0.5"""
 
   val sql: Map[String, String] = Map(
+    // ---- r7 bounded-error companions for the approximate operators ----
+    // Each approximate query emits exact-side facts plus verdict booleans
+    // computed in-plan (|approx-exact| within tolerance / recall >= tau);
+    // the oracle recomputes the exact side and predicts `true` — the row
+    // hash-matches iff the approximation honors its advertised bound.
+
+    "q28_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+FROM events GROUP BY event_type""",
+
+    "q58_approx_percentiles" ->
+      """SELECT event_type,
+  floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+  floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
+  true AS p50_ok, true AS p99_ok
+FROM events GROUP BY event_type""",
+
+    "q41_lsh_neighbors" ->
+      """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT id_a, id_b, score FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+  WHERE score >= 0.4)
+SELECT count(*) AS n_exact_pairs, true AS recall_ok, true AS precision_ok
+FROM pairs""",
+
+    "q43_ivf_knn" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+    FROM embeddings e, qv
+    WHERE e.vec_id <> 0)
+  ORDER BY score DESC, vec_id
+  LIMIT 10)
+SELECT CAST(0 AS BIGINT) AS qid, count(*) AS n_exact_top, true AS recall_ok
+FROM top""",
+
+    "q66_ivf_batch" ->
+      """WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qv.qid, e.vec_id AS id,
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.qid
+),
+top AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+    FROM scored) WHERE rn <= 10)
+SELECT count(DISTINCT qid) AS n_queries, count(*) AS n_exact, true AS recall_ok
+FROM top""",
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
