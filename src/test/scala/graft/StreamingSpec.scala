@@ -28,6 +28,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka source/sink fail at BUILD time, loudly, when the connector is absent") {
+    // this image deliberately omits spark-sql-kafka (zero egress); the
+    // probe must name the artifact instead of deferring to Spark's
+    // opaque stream-start DataSource lookup failure
+    val e = intercept[IllegalStateException] {
+      Pipelines.kafkaSource(spark, "broker:9092", "topic")
+    }
+    assert(e.getMessage.contains("spark-sql-kafka-0-10"))
+    val e2 = intercept[IllegalStateException] {
+      Pipelines.kafkaSink(Seq("x").toDF("v"), "broker:9092", "topic", "/tmp/ck")
+    }
+    assert(e2.getMessage.contains("spark-sql-kafka-0-10"))
+  }
+
   test("streaming dedup within watermark drops exact duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
