@@ -340,6 +340,38 @@ class LlmopsSpec extends SparkSpec {
     assert(frames.groupBy("media_id").count().filter(col("count") < 2).count() === 0)
   }
 
+  test("multimodal: REAL PNG decode through javax.imageio (capability-gated)") {
+    // a genuine PNG fixture: 32x32, left half black, right half white,
+    // encoded by the same in-JVM codec the decode path uses
+    val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    assert(Multimodal.canDecodeImage(png))
+    assert(!Multimodal.canDecodeImage("not an image".getBytes("UTF-8")))
+
+    // 2x2 grid over dim=4: cells 0/2 are the black half (luminance -1),
+    // cells 1/3 the white half (+1) — features reflect PIXELS, not hashes
+    val feat = Multimodal.decodeImage(png, dim = 4).get
+    assert(feat(0) === -1.0 && feat(2) === -1.0)
+    assert(feat(1) === 1.0 && feat(3) === 1.0)
+
+    // and through the distributed seam: an image row with a real payload
+    // decodes via the codec (pixel features), while an unreadable image
+    // payload falls back to the deterministic stub — same shape
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", png, Some(32), Some(32), None, None),
+      Multimodal.MediaRecord(2L, "image", "junk".getBytes("UTF-8"), None, None, None, None))
+    val feats = Multimodal.extractFeatures(rows.toDS(), dim = 4)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).feature.toSeq === feat.toSeq)
+    assert(feats(1).feature.toSeq === Multimodal.decodeStub("junk".getBytes("UTF-8"), 4).toSeq)
+  }
+
   test("header sniffing reads real PNG/GIF/WAV layouts, no codec involved") {
     def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
