@@ -118,6 +118,57 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("schema guard reads the LOG's column set, not every live footer") {
+    val path = freshPath()
+    TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
+    // evolve: add a column via upsert; go past a checkpoint boundary so
+    // the column set must survive snapshot render/parse too
+    TxParquetTable.upsert(Seq((1L, "A", 7)).toDF("id", "v", "extra"), path, "id")
+    (0 until 10).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"u$i", i)).toDF("id", "v", "extra"), path, "id")
+    }
+    // the guard still rejects a batch missing an evolved column...
+    val e = intercept[IllegalArgumentException] {
+      TxParquetTable.upsert(Seq((2L, "narrow")).toDF("id", "v"), path, "id")
+    }
+    assert(e.getMessage.contains("extra"))
+    // ...and its input is recorded in the log: the latest commit's JSON
+    // carries the full union column set (no footer read needed)
+    val logFiles = new java.io.File(path, "_graft_log").listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.endsWith(".ckpt.json"))
+      .sortBy(_.getName)
+    val last = new String(Files.readAllBytes(logFiles.last.toPath), "UTF-8")
+    assert(last.contains("\"columns\""))
+    Seq("id", "v", "extra").foreach(c => assert(last.contains(s"\"$c\""), s"column $c not in log"))
+  }
+
+  test("reader pinned below the vacuum horizon: loud VERSIONED error, never partial data") {
+    val path = freshPath()
+    (0 until 4).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"v$i")).toDF("id", "v"), path, "id")
+    }
+    TxParquetTable.vacuum(path, retainVersion = 2L, retentionMs = 0L)
+    // the pinned read fails at SNAPSHOT time with the version named —
+    // not at scan time with an opaque missing-path error
+    val e = intercept[IllegalStateException] {
+      TxParquetTable.snapshot(spark, path, Some(0L))
+    }
+    assert(e.getMessage.contains("version 0") && e.getMessage.contains("vacuum"))
+    // the adversarial conf: ignoreMissingFiles would silently DROP the
+    // vacuumed files' rows from a path-listing read; the snapshot-time
+    // check must still refuse
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      intercept[IllegalStateException] {
+        TxParquetTable.snapshot(spark, path, Some(0L))
+      }
+    } finally spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+    // versions at/above the horizon read clean — same data as pre-vacuum
+    assert(TxParquetTable.snapshot(spark, path, Some(2L)).collect()
+      .head.getString(1) === "v2")
+    assert(TxParquetTable.snapshot(spark, path).collect().head.getString(1) === "v3")
+  }
+
   test("vacuum retention window protects staged and freshly committed files") {
     val path = freshPath()
     (0 until 3).foreach { i =>
