@@ -85,6 +85,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("committed stream-soak artifact: throughput bar met, state PLATEAUED, dedup exact") {
+    // docs/bench/stream_soak.json is the measured 60s run of the
+    // runBarsPipeline twin (graft.tools.StreamSoak). This spec pins the
+    // three claims the artifact makes; regenerating it on a machine or
+    // build that breaks any of them fails here instead of silently
+    // shipping a weaker artifact.
+    val f = new java.io.File("docs/bench/stream_soak.json")
+    assert(f.exists(), "run graft.tools.StreamSoak to generate the artifact")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val append = root.get("append")
+    val rowsIn = append.get("rows_in").asLong()
+    val perBatch = root.get("rows_per_batch").asLong()
+    // sustained throughput ≥ 100k rows/s over ≥ 60s of wall clock
+    assert(root.get("duration_sec").asInt() >= 60)
+    assert(append.get("rows_per_sec").asLong() >= 100000L,
+      s"soak throughput ${append.get("rows_per_sec")} below the 100k rows/s bar")
+    // plateau: watermark eviction bounds state far below the total
+    // distinct-key count — ~(watermark/advance + lag) batches' worth,
+    // generously 12 — while the run pushed 20+ batches through
+    val last = append.get("state_rows").get("last").asLong()
+    val max = append.get("state_rows").get("max").asLong()
+    // the run must outlast the horizon by 8+ batches for "plateau" to
+    // mean anything...
+    assert(rowsIn >= 20 * perBatch, s"soak too short to show a plateau: $rowsIn rows")
+    // ...and state must be pinned at the horizon's width the whole way —
+    // unbounded state would track rowsIn (20+ batches), not 12
+    assert(max <= 12 * perBatch, s"state max $max not bounded by eviction")
+    assert(last <= 12 * perBatch,
+      s"state last=$last for rows_in=$rowsIn — dedup state did not plateau")
+    // the 2%-replay construction: exactly every 50th row is a duplicate,
+    // so the sink must hold exactly 49/50 of the input
+    assert(append.get("sink_rows").asLong() === rowsIn - rowsIn / 50,
+      "dedup did not drop exactly the replayed rows")
+  }
+
   test("foreachBatch parquet sink appends with epoch ids; deterministic ids allow reconciliation") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
