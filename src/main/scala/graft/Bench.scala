@@ -80,9 +80,17 @@ object Bench {
     Option(artifact.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(artifact, fullJson.getBytes("UTF-8"))
     val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$shortQs,"oracle_total":${f"$oracleTotal%.3f"},"value":${f"$total%.3f"}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$shortQs,"oracle_total":${f3(oracleTotal)},"value":${f3(total)}}""")
     spark.stop()
   }
+
+  /** Locale-pinned 3-decimal render: the default-locale `f"%.3f"` emits
+    * a comma decimal separator under e.g. de_DE, turning the stdout JSON
+    * line unparseable — the exact failure the short line exists to
+    * prevent.
+    */
+  private[graft] def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 }

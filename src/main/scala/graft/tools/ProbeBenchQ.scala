@@ -37,7 +37,7 @@ object ProbeBenchQ {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$n: ${times.map(t => f"$t%.3f").mkString(" ")} min=${times.min}%.3f")
+      println(s"$n: ${times.map(graft.Bench.f3).mkString(" ")} min=${graft.Bench.f3(times.min)}")
     }
     spark.stop()
   }
