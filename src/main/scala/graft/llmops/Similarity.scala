@@ -396,6 +396,40 @@ object Similarity {
     * answer is IVF ([[ivfIndex]]) or a higher similarity floor, and the
     * error message says so.
     */
+  /** IVF sizing rule — the √n balance point [[ivfIndex]] documents, as a
+    * derivation instead of a caller-chosen constant (the twin of
+    * [[lshSizing]]): `nCells = ⌈√n⌉` equalizes expected cell population
+    * (n/nCells = √n rows scanned per probed cell) against index-head
+    * size (nCells centroids), the standard IVF operating point. The
+    * result is validated against the [[ivfIndex]] driver-collect budget
+    * up front, so an impossible (n, dim) combination fails HERE with
+    * the remedy named, before any job runs.
+    */
+  def ivfSizing(n: Long, dim: Int, maxDriverCells: Long = 16000000L): Int = {
+    require(n >= 1, s"corpus size must be >= 1, got $n")
+    val cells = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    require(cells.toLong * dim <= maxDriverCells,
+      f"ivfSizing: sqrt($n) = $cells cells x dim=$dim exceeds the driver " +
+        f"collect budget maxDriverCells=$maxDriverCells%,d (see ivfIndex). " +
+        "Shard the index across several ivfIndex calls, or raise " +
+        "maxDriverCells deliberately with driver memory to match.")
+    cells
+  }
+
+  /** [[ivfIndex]] with nCells derived by [[ivfSizing]] from the corpus
+    * size. Pass `n` when the caller already knows it; the overload
+    * without `n` spends one count job, cheap next to the index pass.
+    */
+  def ivfIndexAutoSized(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, n: Long, lloydIters: Int): (DataFrame, DataFrame) =
+    ivfIndex(embeddings, idCol, vecCol, dim, ivfSizing(n, dim), lloydIters)
+
+  def ivfIndexAutoSized(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int): (DataFrame, DataFrame) =
+    ivfIndexAutoSized(embeddings, idCol, vecCol, dim, embeddings.count(), 1)
+
   def lshSizing(
       n: Long, simThreshold: Double, recallTarget: Double,
       maxTables: Int = 64): (Int, Int) = {

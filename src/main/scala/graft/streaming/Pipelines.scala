@@ -21,12 +21,19 @@ import graft.ingest.Ingest
   */
 object Pipelines {
 
-  /** Session default for streaming jobs: RocksDB state store (off-heap,
-    * incremental checkpoints) for large dedup/window/join state.
+  /** Session default for streaming jobs: RocksDB state store (off-heap)
+    * with CHANGELOG checkpointing — per-commit cost ∝ the batch's state
+    * CHANGES instead of a full snapshot upload of the store. The 60s
+    * soak artifact (`docs/bench/stream_soak.json`, graft.tools.StreamSoak)
+    * is measured under exactly this configuration; at multi-million-row
+    * dedup state the full-snapshot default dominates the micro-batch.
     */
-  def configureStateStore(spark: SparkSession): Unit =
+  def configureStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
 
   /** S1: Kafka streaming source for a topic — the fixed Kafka frame.
     * (Not exercisable in the harness — no broker, and the

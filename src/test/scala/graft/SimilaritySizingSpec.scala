@@ -128,6 +128,24 @@ class SimilaritySizingSpec extends SparkSpec {
     assert(cent.count() > 0)
   }
 
+  test("ivfSizing: sqrt(n) cells, budget-checked up front") {
+    assert(Similarity.ivfSizing(100L, 64) === 10)
+    assert(Similarity.ivfSizing(1000000000L, 64) === 31623) // 10^9 -> ~31.6k cells
+    // 10^9 vectors at 1024d: 31.6k x 1024 = 32M components > 16M budget
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSizing(1000000000L, 1024)
+    }
+    assert(e.getMessage.contains("Shard the index"))
+  }
+
+  test("ivfIndexAutoSized end-to-end on the harness corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cent, assigned) = Similarity.ivfIndexAutoSized(emb, "vec_id", "embedding", dim = 64)
+    val n = emb.count()
+    assert(cent.count() <= math.ceil(math.sqrt(n.toDouble)).toLong)
+    assert(assigned.count() === n) // every vector assigned to a cell
+  }
+
   test("lshAutoSizedNeighbors end-to-end on the harness corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val nVec = emb.count()
