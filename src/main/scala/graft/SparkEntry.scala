@@ -320,11 +320,14 @@ object SparkEntry {
     val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
       queries, "qid", "qv", k = 10, excludeSelfId = true)
       .select(col("qid"), col("id"))
-    exact.agg(countDistinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"))
-      .crossJoin(exact.join(ivf, Seq("qid", "id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit")))
+    // one pass over the exact side (left join + flag count — the
+    // count-agg + semi-join pair would run the exact-batch subplan
+    // twice); division-free verdict, NULL-proof at an empty exact side
+    exact.join(ivf.withColumn("in_ivf", lit(1)), Seq("qid", "id"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"),
+        count(col("in_ivf")).as("n_hit"))
       .select(col("n_queries"), col("n_exact"),
-        (col("n_hit") / col("n_exact") >= 0.3).as("recall_ok"))
+        (col("n_hit") * 10 >= col("n_exact") * 3).as("recall_ok"))
   }
 
   /** X4+: deterministic stratified sampling — hash-based (md5-uniform per
@@ -901,8 +904,10 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
         countDistinct(col("user_id")).as("n_exact"))
+      // division-free 5% bound (|a-e|*20 <= e): an all-null-key group's
+      // n_exact=0 yields the oracle's `true` (0<=0), never a NULL verdict
       .select(col("event_type"), col("n_exact"),
-        (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.05).as("approx_ok"))
+        (abs(col("approx") - col("n_exact")) * 20 <= col("n_exact")).as("approx_ok"))
 
   // ---- §2.5 W4 / §2.9 T7 / more §2.4, §2.8, §2.10 --------------------------
 
@@ -1040,17 +1045,21 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val lsh = Similarity.lshBandedNeighbors(emb, "vec_id", "embedding",
       dim = 64, planesPerTable = 4, numTables = 8, minScore = 0.4)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1).as("in_lsh"))
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.4)
-      .select(col("id_a"), col("id_b"))
-    val hits = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_spurious"))
-    exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(hits).crossJoin(spurious)
+      .select(col("id_a"), col("id_b"), lit(1).as("in_exact"))
+    // ONE full-outer join + ONE aggregate: Spark re-executes shared
+    // DataFrame subplans per consumer, so the semi/anti/count triple this
+    // replaces ran the O(n²) exact-pair subplan three times and the LSH
+    // subplan twice. Verdicts are division-free (n_hit*10 >= n_exact*6
+    // etc.), so an empty exact side yields the oracle's `true`, not NULL.
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("in_exact")).as("n_exact_pairs"),
+        count(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1)).as("n_hit"),
+        count(when(col("in_exact").isNull, 1)).as("n_spurious"))
       .select(col("n_exact_pairs"),
-        (col("n_hit") / col("n_exact_pairs") >= 0.6).as("recall_ok"),
+        (col("n_hit") * 10 >= col("n_exact_pairs") * 6).as("recall_ok"),
         (col("n_spurious") === 0).as("precision_ok"))
   }
 
@@ -1102,11 +1111,13 @@ object SparkEntry {
           (Similarity.norm(Similarity.asDouble(col("embedding"))) *
             Similarity.norm(col("qq")))).as("s"))
       .orderBy(col("s").desc, col("id")).limit(10).select(col("id"))
-    exactTop.agg(count(lit(1)).as("n_exact_top"))
-      .crossJoin(exactTop.join(ivf, Seq("id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit")))
+    // one pass over the exact side (a left join + flag count, not a
+    // count-agg plus a semi join re-running the subplan); division-free
+    // verdict so an empty exact side yields the oracle's `true`, not NULL
+    exactTop.join(ivf.select(col("id"), lit(1).as("in_ivf")), Seq("id"), "left")
+      .agg(count(lit(1)).as("n_exact_top"), count(col("in_ivf")).as("n_hit"))
       .select(lit(0L).as("qid"), col("n_exact_top"),
-        (col("n_hit") / col("n_exact_top") >= 0.3).as("recall_ok"))
+        (col("n_hit") * 10 >= col("n_exact_top") * 3).as("recall_ok"))
   }
 
   /** X4: BPE-ish subword token estimate (ceil(len/4) pieces per token). */
@@ -1313,10 +1324,12 @@ object SparkEntry {
         expr("approx_percentile(value, 0.99, 1000)").as("a99"),
         expr("percentile(value, 0.5)").as("e50"),
         expr("percentile(value, 0.99)").as("e99"))
+      // division-free 5% bound (|a-e|*20 <= |e|): a zero exact percentile
+      // demands an exactly-zero sketch value instead of a NULL verdict
       .select(col("event_type"),
         sr6(col("e50")).as("p50"), sr6(col("e99")).as("p99"),
-        (abs(col("a50") - col("e50")) / abs(col("e50")) <= 0.05).as("p50_ok"),
-        (abs(col("a99") - col("e99")) / abs(col("e99")) <= 0.05).as("p99_ok"))
+        (abs(col("a50") - col("e50")) * 20 <= abs(col("e50"))).as("p50_ok"),
+        (abs(col("a99") - col("e99")) * 20 <= abs(col("e99"))).as("p99_ok"))
 
   /** J2 as the custom physical operator (graft.plans.MergeAsOfJoinExec):
     * the same query as q19, planned as a sort-merge as-of join — one

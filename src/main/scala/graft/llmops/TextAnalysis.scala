@@ -184,24 +184,41 @@ object TextAnalysis {
     * the plan as a literal, so no crossJoin'd one-row frame and no
     * second vocabulary aggregation.
     *
+    * Out-of-vocabulary tokens — the defining case of cross-batch reuse,
+    * impossible in the self-computed form — score as frequency
+    * `oovPseudoCount` (default 1, the add-one floor: "rarer than
+    * anything seen"), via a LEFT join + coalesce. An inner join would
+    * silently DROP them, deflating n_tokens and hiding exactly the
+    * high-surprisal novelty this filter exists to catch.
+    *
     * Output: (id, n_tokens, surprisal), surprisal floor-rounded to 1e-6.
     */
   def unigramSurprisal(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       vocab: org.apache.spark.sql.DataFrame,
-      maxBroadcastVocab: Long): org.apache.spark.sql.DataFrame = {
+      maxBroadcastVocab: Long): org.apache.spark.sql.DataFrame =
+    unigramSurprisal(df, idCol, textCol, vocab, maxBroadcastVocab, 1.0)
+
+  def unigramSurprisal(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocab: org.apache.spark.sql.DataFrame,
+      maxBroadcastVocab: Long,
+      oovPseudoCount: Double): org.apache.spark.sql.DataFrame = {
+    require(oovPseudoCount > 0,
+      s"oovPseudoCount must be > 0 (it feeds a log), got $oovPseudoCount")
     val toks = graft.util.Partitioning.ensureParallelism(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val probe = vocab.agg(count(lit(1)).as("n"), sum(col("c")).as("t")).head
     val vocabSize = probe.getLong(0)
-    // empty vocab -> null sum; the join below is empty anyway, any total works
+    // empty vocab -> null sum; every token is then OOV at the pseudo-count
     val total = if (probe.isNullAt(1)) 1L else probe.getLong(1)
     val side = if (vocabSize <= maxBroadcastVocab) broadcast(vocab) else vocab
-    toks.join(side, Seq("tok"))
+    toks.join(side, Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
         graft.util.Partitioning.stableRound6(
-          avg(-log(col("c").cast("double") / lit(total.toDouble)))).as("surprisal"))
+          avg(-log(coalesce(col("c").cast("double"), lit(oovPseudoCount)) /
+            lit(total.toDouble)))).as("surprisal"))
   }
 }

@@ -69,8 +69,13 @@ object TxParquetTable {
   // upsert).
   private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String],
     buckets: Seq[Int], bucketCount: Option[Int], columns: Seq[String] = Seq.empty)
+  // `columnsComplete`: every file-ADDING commit folded into this snapshot
+  // carried a columns record. Only then may the schema guard trust the
+  // log's column set — one legacy commit in the history could have added
+  // files whose columns the log never saw, and trusting a stale union
+  // would let a narrow upsert batch slip past the additive-only guard.
   private case class Snapshot(version: Long, live: Seq[AddFile], bucketCount: Option[Int],
-    columns: Seq[String] = Seq.empty)
+    columns: Seq[String] = Seq.empty, columnsComplete: Boolean = true)
 
   // ---- log serialization (jackson tree API — bundled with Spark) ----
 
@@ -128,7 +133,10 @@ object TxParquetTable {
     root.put("version", s.version)
     addArray(root.putArray("live"), s.live)
     s.bucketCount.foreach(root.put("bucketCount", _))
-    if (s.columns.nonEmpty) {
+    // an incomplete column record is NOT checkpointed — a checkpoint
+    // carrying a partial union would launder legacy commits into
+    // guard-trusted "complete" state downstream of it
+    if (s.columnsComplete && s.columns.nonEmpty) {
       val cols = root.putArray("columns")
       s.columns.foreach(cols.add)
     }
@@ -137,9 +145,13 @@ object TxParquetTable {
 
   private def parseSnapshot(s: String): Snapshot = {
     val root = mapper.readTree(s)
-    Snapshot(root.get("version").asLong(), parseAdds(root.get("live")),
+    val live = parseAdds(root.get("live"))
+    val cols = parseColumns(root)
+    // renderSnapshot omits columns unless the folded history was
+    // complete, so live files + no columns record = legacy/incomplete
+    Snapshot(root.get("version").asLong(), live,
       Option(root.get("bucketCount")).map(_.asInt()),
-      parseColumns(root))
+      cols, columnsComplete = cols.nonEmpty || live.isEmpty)
   }
 
   // ---- log reading ----
@@ -182,9 +194,12 @@ object TxParquetTable {
     var v = ckpt.version
     var bucketCount = ckpt.bucketCount
     // union-fold: columns only ever grow (additive-only evolution), so
-    // the union over any interleaving of writers is the true column set
+    // the union over any interleaving of writers is the true column set —
+    // PROVIDED every file-adding commit recorded its columns
+    // (columnsComplete tracks that; see tableColumns)
     val columns = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.columns.foreach(columns += _)
+    var complete = ckpt.columnsComplete
     commitFiles(path).filter { case (cv, _) => cv > ckpt.version && cv <= target }
       .foreach { case (cv, f) =>
         val c = parseCommit(read(f))
@@ -192,17 +207,21 @@ object TxParquetTable {
         c.add.foreach(a => live += a.name -> a)
         c.bucketCount.foreach(n => bucketCount = Some(n))
         c.columns.foreach(columns += _)
+        if (c.add.nonEmpty && c.columns.isEmpty) complete = false
         v = cv
       }
-    Snapshot(v, live.values.toSeq, bucketCount, columns.toSeq)
+    Snapshot(v, live.values.toSeq, bucketCount, columns.toSeq, complete)
   }
 
-  /** The table's column set from the LOG when recorded (every commit
-    * written by this code records it), else one mergeSchema footer pass
-    * over the live files (legacy logs) — the upsert guard's input.
+  /** The table's column set: from the LOG when every file-adding commit
+    * recorded one (all commits written by this code do), else one
+    * mergeSchema footer pass over the live files — a history containing
+    * even one legacy commit cannot trust the log union, since that
+    * commit may have added files carrying columns the log never saw.
     */
   private def tableColumns(spark: SparkSession, path: String, snap: Snapshot): Seq[String] =
-    if (snap.columns.nonEmpty || snap.live.isEmpty) snap.columns
+    if (snap.live.isEmpty) snap.columns
+    else if (snap.columnsComplete && snap.columns.nonEmpty) snap.columns
     else spark.read.option("mergeSchema", "true").parquet(
       snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
       .columns.toSeq

@@ -91,7 +91,18 @@ object StreamSoak {
       }
       val states = ps.flatMap(p =>
         if (p.stateOperators.nonEmpty) Some(p.stateOperators.map(_.numRowsTotal).sum) else None)
-      val sinkRows = spark.read.parquet(s"$outDir/out").count()
+      // count only epochs whose progress was recorded: a batch committed
+      // by the sink inside the stop window but missing from
+      // recentProgress would otherwise inflate sink_rows relative to
+      // rows_in and break the artifact's exact dedup arithmetic
+      val sinkRows = sinkKind match {
+        case "append" =>
+          val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
+          spark.read.parquet(s"$outDir/out")
+            .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
+            .count()
+        case _ => spark.read.parquet(s"$outDir/out").count()
+      }
       Segment(ps.map(_.numInputRows).sum, seconds, ps.length,
         states.headOption.getOrElse(0L),
         if (states.isEmpty) 0L else states.max,

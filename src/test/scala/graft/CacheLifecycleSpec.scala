@@ -68,7 +68,9 @@ class CacheLifecycleSpec extends SparkSpec {
     }
     // <= not ==: the shared session's ContextCleaner may concurrently
     // release OTHER suites' checkpoint blocks between the two reads; the
-    // invariant here is only that THIS path added none
+    // invariant here is only that THIS path added none. (Suites run
+    // sequentially in the forked test JVM — testForkedParallel is off —
+    // so concurrent ADDITIONS can't happen; only async removals race.)
     assert(spark.sparkContext.getPersistentRDDs.size <= beforeRdds,
       "vocab path left persistent RDD blocks behind")
   }

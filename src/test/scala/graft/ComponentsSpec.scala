@@ -122,6 +122,10 @@ class ComponentsSpec extends SparkSpec {
     // runs next in a shared JVM (bench saw q73-q76 inflate after q72).
     // A 12-chain needs ~11 propagation rounds; residue must stay O(1)
     // frames (final labels + the caller-visible result), not O(rounds).
+    // Delta-based counting is safe here: suites run sequentially in the
+    // forked test JVM (testForkedParallel off), so no other suite adds
+    // blocks between the reads, and async cleaner removals only shrink
+    // the delta.
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (1L until 13L).map(i => (i, i + 1))
     val labels = Components.connectedComponents(chain.toDF("a", "b"), "a", "b")
