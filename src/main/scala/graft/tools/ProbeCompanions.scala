@@ -26,9 +26,9 @@ object ProbeCompanions {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-    println("== q28: HLL++ vs exact distinct ==")
+    println("== q28: HLL++ (rsd 0.02, the committed sketch) vs exact distinct ==")
     events.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("a"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
         countDistinct(col("user_id")).as("e"))
       .select(col("event_type"), col("a"), col("e"),
         (abs(col("a") - col("e")) / col("e")).as("rel_err"))
