@@ -1115,6 +1115,47 @@ GROUP BY t.source""",
 
     "q103_macd" -> q103MacdSql,
 
+    // Markov transition matrix: lag pairs per user, counts aggregated
+    // BEFORE the tiny normalizing window
+    "q108_transition_matrix" ->
+      """WITH g AS (
+  SELECT event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+  floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+    * 1000000 + 0.5) / 1000000 AS prob
+FROM c""",
+
+    // session path mining: q91's session index feeding double-lag
+    // trigrams within (user, session), global top-20
+    "q110_session_paths" ->
+      """WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+), tri AS (
+  SELECT
+    lag(event_type, 2) OVER w AS t1,
+    lag(event_type, 1) OVER w AS t2,
+    event_type AS t3
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, session_idx ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+FROM tri WHERE t1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
     // Donchian breakouts: prior-20-bar high (frame shifted one bar back),
     // per-series event counts
     "q107_breakouts" ->

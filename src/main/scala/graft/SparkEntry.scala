@@ -768,6 +768,24 @@ object SparkEntry {
         count(lit(1)).as("n_bars"))
   }
 
+  /** W2+ composite: first-order Markov transition matrix of event types
+    * per user — the "what happens next" behavioral baseline. The
+    * normalizing window runs over the 25-row aggregated matrix, not the
+    * event stream.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.transitionMatrix(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+
+  /** T7+/X6 composite: most common 3-step in-session journeys — q91's
+    * sessionization feeding double-lag trigrams (no collect_list, no
+    * explode), globally ranked.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.sessionPathTrigrams(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      gapUs = 1800L * 1000000L, k = 20)
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1506,6 +1524,8 @@ object SparkEntry {
     "q105_obv" -> (q105 _),
     "q106_novelty_rate" -> (q106 _),
     "q107_breakouts" -> (q107 _),
+    "q108_transition_matrix" -> (q108 _),
+    "q110_session_paths" -> (q110 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -103,6 +103,59 @@ object Behavior {
       .select(col(keyCol), col(attrName), col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** First-order Markov transition matrix over a keyed event-type
+    * sequence: counts and conditional probabilities of `cur` following
+    * `prev` within each key's (time, tie) order. The sequence-mining
+    * primitive behind "what do users do next" dashboards and behavioral
+    * anomaly baselines.
+    *
+    * Scale shape: one window sort per key computes the lag; the count
+    * aggregate shrinks the frame to |types|² rows BEFORE the probability
+    * window runs — the normalizing `sum over (prev)` window therefore
+    * sorts a tiny aggregated frame, not the event stream.
+    *
+    * Output: prev_type, event_type (= cur), n, prob (round-6).
+    */
+  def transitionMatrix(
+      events: DataFrame, keyCol: String, tsCol: String, orderTieCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderTieCol))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        graft.util.Partitioning.stableRound6(
+          col("n").cast("double") / sum(col("n")).over(wPrev).cast("double")))
+  }
+
+  /** Session path mining: event-type trigrams WITHIN a session (gap
+    * break > `gapUs`), counted globally and ranked — the "most common
+    * 3-step journeys" query. Trigrams come from two lags over the same
+    * (key, session) window sort — no collect_list, no explode: a path
+    * is a row the moment its third step arrives, so the only state per
+    * partition is the window's two-row lag buffer.
+    *
+    * Output: top-`k` of (path, n) by count desc, path asc (deterministic).
+    */
+  def sessionPathTrigrams(
+      events: DataFrame, keyCol: String, tsCol: String, orderTieCol: String,
+      typeCol: String, gapUs: Long, k: Int): DataFrame = {
+    val sessions = sessionize(events, keyCol, tsCol, orderTieCol, gapUs)
+    val w = Window.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy(col(tsCol), col(orderTieCol))
+    sessions
+      .withColumn("__t1", lag(col(typeCol), 2).over(w))
+      .withColumn("__t2", lag(col(typeCol), 1).over(w))
+      .filter(col("__t1").isNotNull)
+      .select(concat_ws(">", col("__t1"), col("__t2"), col(typeCol)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Feed-gap detection: per-key inter-arrival gaps in exact epoch
     * micros; reports gaps exceeding `thresholdUs` and the worst gap.
     */

@@ -96,4 +96,44 @@ class BehaviorSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("max_gap_us")))
     assert(out(1L).getAs[Long]("n_rows") === 3)
   }
+
+  test("transitionMatrix: per-prev conditional probabilities over lag pairs") {
+    val events = Seq(
+      ev(1, 1, "a", "2024-01-01 10:00:00"),
+      ev(2, 1, "b", "2024-01-01 10:01:00"),   // a->b
+      ev(3, 1, "b", "2024-01-01 10:02:00"),   // b->b
+      ev(4, 1, "a", "2024-01-01 10:03:00"),   // b->a
+      ev(5, 2, "a", "2024-01-01 10:00:00"),
+      ev(6, 2, "b", "2024-01-01 10:01:00")    // a->b (user 2; no cross-user pair)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.transitionMatrix(events, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 3)
+    assert(out(("a", "b")).getAs[Long]("n") === 2)
+    assert(out(("a", "b")).getAs[Double]("prob") === 1.0)  // a is always followed by b
+    assert(out(("b", "a")).getAs[Double]("prob") === 0.5)
+    assert(out(("b", "b")).getAs[Double]("prob") === 0.5)
+    // size===3 above also proves no phantom pair was created from each
+    // user's first row (null prev filtered) or across user boundaries
+  }
+
+  test("sessionPathTrigrams: trigrams never span a session break; ranked deterministically") {
+    val events = Seq(
+      ev(1, 1, "a", "2024-01-01 10:00:00"),
+      ev(2, 1, "b", "2024-01-01 10:01:00"),
+      ev(3, 1, "c", "2024-01-01 10:02:00"),   // a>b>c
+      ev(4, 1, "d", "2024-01-01 10:03:00"),   // b>c>d
+      ev(5, 1, "a", "2024-01-01 12:00:00"),   // > 30 min gap: new session
+      ev(6, 1, "b", "2024-01-01 12:01:00"),
+      ev(7, 1, "c", "2024-01-01 12:02:00"),   // a>b>c again — c>d>a / d>a>b must NOT exist
+      ev(8, 2, "x", "2024-01-01 10:00:00"),
+      ev(9, 2, "y", "2024-01-01 10:01:00")    // only 2 events: no trigram
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.sessionPathTrigrams(
+        events, "user_id", "ts", "event_id", "event_type", gapUs = 1800L * 1000000L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === ("a>b>c", 2L))                    // count-desc first
+    assert(out.toMap === Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+    assert(!out.map(_._1).exists(p => p.contains("d>a"))) // no cross-session span
+  }
 }
