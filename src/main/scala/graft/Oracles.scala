@@ -1131,6 +1131,20 @@ SELECT prev_type, event_type, n,
     * 1000000 + 0.5) / 1000000 AS prob
 FROM c""",
 
+    // Bloom-gated incremental dedup: the bloom only changes the PLAN —
+    // the oracle is the plain exact content-digest membership join
+    "q109_bloom_gated_dedup" ->
+      (s"""WITH h AS (
+  SELECT DISTINCT sha256(text) AS ch FROM documents WHERE $oldSrcPred
+), i AS (
+  SELECT source, sha256(text) AS ch FROM documents WHERE NOT ($oldSrcPred)
+)
+SELECT i.source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN h.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(sum(CASE WHEN h.ch IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+FROM i LEFT JOIN h ON i.ch = h.ch
+GROUP BY i.source"""),
+
     // session path mining: q91's session index feeding double-lag
     // trigrams within (user, session), global top-20
     "q110_session_paths" ->

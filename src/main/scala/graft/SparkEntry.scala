@@ -777,6 +777,26 @@ object SparkEntry {
     graft.analytics.Behavior.transitionMatrix(
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
 
+  /** X1+ at increment scale: Bloom-gated exact incremental dedup — new
+    * sources' docs vs the src0-src9 history. The gate discharges
+    * provably-new rows without a shuffle; the result is EXACT (the
+    * oracle is the plain content-digest anti-join), so this
+    * hash-matches like any exact query.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val hist = docs.filter(col("source").isin(oldSrcs: _*))
+    val inc = docs.filter(!col("source").isin(oldSrcs: _*))
+    val newDocs = Dedup.bloomGatedNewDocs(inc, hist, "text", expectedItems = hist.count())
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+    inc.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(newDocs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_docs") - coalesce(col("n_new"), lit(0L))).as("n_dup"))
+  }
+
   /** T7+/X6 composite: most common 3-step in-session journeys — q91's
     * sessionization feeding double-lag trigrams (no collect_list, no
     * explode), globally ranked.
@@ -1525,6 +1545,7 @@ object SparkEntry {
     "q106_novelty_rate" -> (q106 _),
     "q107_breakouts" -> (q107 _),
     "q108_transition_matrix" -> (q108 _),
+    "q109_bloom_gated_dedup" -> (q109 _),
     "q110_session_paths" -> (q110 _),
   )
 

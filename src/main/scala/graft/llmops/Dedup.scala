@@ -365,4 +365,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Bloom-filter byte budget for `expectedItems` at `fpp` — the standard
+    * optimal-bits formula, exposed so callers can size before building.
+    */
+  def bloomBytes(expectedItems: Long, fpp: Double): Long =
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong / 8 + 1
+
+  /** X1 at increment scale: EXACT "which increment docs are new vs the
+    * history corpus", with a Bloom-filter gate cutting the join volume.
+    *
+    * The gate is an approximate-membership filter over the history's
+    * 64-bit content keys: `mightContain = false` is definitive, so those
+    * increment rows are new BY CONSTRUCTION and never shuffle; only the
+    * might-contain rows (true duplicates + an `fpp` sliver of the new
+    * ones) proceed to the exact anti-join on the 256-bit content digest.
+    * Output rows are therefore EXACTLY the anti-join's answer — the bloom
+    * changes the plan, never the result (the oracle for q109 is the plain
+    * exact join).
+    *
+    * Design for 100 TB: a daily-increment dedup joins |increment| against
+    * |history| — the history side is the monster. With the gate, history
+    * is read once to BUILD the filter (a treeAggregate of OR-able bit
+    * arrays, no shuffle) and once more only for the might-contain rows'
+    * anti-join probe — and that join's increment side shrinks from
+    * |increment| to ~|dups| + fpp·|new|. At 1% duplicate rate and
+    * fpp=0.01, ~98% of the increment never enters an exchange. The
+    * increment IS scanned twice (gate-pass + gate-fail branches of the
+    * union); a columnar scan is cheap next to the shuffle it avoids.
+    *
+    * Sizing is guarded like [[Similarity.ivfSizing]]: the filter must fit
+    * `maxFilterBytes` (it rides to every task as a reference object), and
+    * the guard message names the remedy — shard the gate by key range, or
+    * fall back to the plain anti-join whose cost the gate only optimizes.
+    * The default budget (128 MB) covers ~10⁸ history docs at fpp=0.01.
+    */
+  def bloomGatedNewDocs(
+      increment: DataFrame, history: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      maxFilterBytes: Long = 128L << 20): DataFrame = {
+    val bytes = bloomBytes(expectedItems, fpp)
+    require(bytes <= maxFilterBytes,
+      f"bloomGatedNewDocs: a filter for $expectedItems%,d items at fpp=$fpp " +
+        f"needs $bytes%,d bytes > maxFilterBytes=$maxFilterBytes%,d. Shard the " +
+        "gate across key ranges (one bloomGatedNewDocs per shard), raise " +
+        "maxFilterBytes deliberately with executor memory to match, or use " +
+        "the plain exact anti-join the gate optimizes.")
+    val filter = history
+      .select(xxhash64(col(textCol)).as("__bloom_key"))
+      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
+    val gate = graft.functions.BloomGate.mightContain(xxhash64(col(textCol)), filter)
+    val histDigests = history.select(contentHash(col(textCol)).as("__ch")).distinct()
+    val confirmedNew = increment.filter(gate)
+      .join(histDigests, contentHash(col(textCol)) === col("__ch"), "left_anti")
+    increment.filter(!gate).unionByName(confirmedNew)
+  }
 }

@@ -448,4 +448,37 @@ class LlmopsSpec extends SparkSpec {
       be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
     assert(graft.llmops.Multimodal.dimsOf(png) === Some((640, 480)))
   }
+
+  test("bloomGatedNewDocs: result EQUALS the plain exact anti-join; gate has no false negatives") {
+    import spark.implicits._
+    // history: 50 docs; increment: 30 overlapping (true dups) + 40 new
+    val hist = (0 until 50).map(i => (i.toLong, s"history document number $i"))
+      .toDF("doc_id", "text")
+    val inc = ((20 until 50).map(i => (1000L + i, s"history document number $i")) ++
+      (0 until 40).map(i => (2000L + i, s"fresh increment doc $i")))
+      .toDF("doc_id", "text")
+    val gated = graft.llmops.Dedup.bloomGatedNewDocs(inc, hist, "text", expectedItems = 50L)
+    val exact = inc.join(
+      hist.select(graft.llmops.Dedup.contentHash(col("text")).as("__ch")).distinct(),
+      graft.llmops.Dedup.contentHash(col("text")) === col("__ch"), "left_anti")
+    val gatedIds = gated.select("doc_id").as[Long].collect().sorted
+    assert(gatedIds === exact.select("doc_id").as[Long].collect().sorted)
+    assert(gatedIds.length === 40)                 // exactly the fresh docs
+    assert(gatedIds.forall(_ >= 2000L))            // no true dup survived (no false negatives)
+    assert(gated.columns === inc.columns)          // increment schema preserved
+  }
+
+  test("bloomGatedNewDocs sizing guard fails loudly naming the remedy") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.llmops.Dedup.bloomGatedNewDocs(df, df, "text",
+        expectedItems = 100000000000L, fpp = 0.01, maxFilterBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("Shard the gate"))
+    assert(e.getMessage.contains("maxFilterBytes"))
+    // and the byte formula matches the classic optimal-bits expression
+    val b = graft.llmops.Dedup.bloomBytes(1000000L, 0.01)
+    assert(b > 1100000L && b < 1300000L)           // ~9.6 bits/item at 1%
+  }
 }

@@ -129,4 +129,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(line.get.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
       s"int8quantize fell out of codegen: ${line.get}")
   }
+
+  test("q109 bloom gate: gate-fail branch bypasses the join; only gate-pass rows reach the anti-join") {
+    val plan = planOf("q109_bloom_gated_dedup")
+    // both gate branches present: a positive probe feeding the anti-join
+    // and a negated probe that reaches the union with NO join above it
+    val probes = plan.linesIterator.filter(_.contains("bloommightcontain")).toSeq
+    assert(probes.exists(_.contains("NOT bloommightcontain(")),
+      s"gate-fail bypass branch missing:\n$plan")
+    assert(probes.exists(l => l.contains("AND bloommightcontain(")),
+      s"gate-pass candidate branch missing:\n$plan")
+    // the probe is a filter condition (inside the scan stage's codegen
+    // span), not a standalone project stage
+    assert(probes.exists(l => l.trim.matches("""^[+:\-\s]*\*\(\d+\)\s*Filter .*""")),
+      s"bloom probe fell out of the codegen filter:\n$probes")
+    // exactness path: the anti-join on the 256-bit digest is still there
+    assert(plan.contains("LeftAnti"), s"exact anti-join missing:\n$plan")
+  }
 }
