@@ -1082,6 +1082,37 @@ SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
 FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
 GROUP BY k.doc_id""",
 
+    // positional boilerplate coverage: occurrences of boilerplate grams
+    // expand to spanned positions, deduped per (doc, position)
+    "q111_boiler_coverage" ->
+      """WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, i AS pos,
+    CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) AS gram_key
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+), dfreq AS (
+  SELECT gram_key, count(DISTINCT doc_id) AS df FROM occ GROUP BY gram_key
+), boiler AS (
+  SELECT gram_key FROM dfreq
+  WHERE df >= (SELECT count(*) // 50 FROM documents)
+), cov AS (
+  SELECT DISTINCT o.doc_id, o.pos + off AS p
+  FROM occ o JOIN boiler b ON o.gram_key = b.gram_key,
+    LATERAL (SELECT unnest(range(0, 3)) AS off) u
+), covn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+  COALESCE(c.n_covered, 0) AS n_covered,
+  CAST(len(t.t) AS BIGINT) - COALESCE(c.n_covered, 0) AS clean_tokens,
+  CASE WHEN len(t.t) = 0 THEN 0.0
+       ELSE floor(CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
+         * 1000000 + 0.5) / 1000000 END AS cover_frac
+FROM toks t LEFT JOIN covn c ON t.doc_id = c.doc_id""",
+
     // source-mixture sampling: rate = min(1, 0.3 * T * w / W / toks),
     // exact BIGINT token sums, double arithmetic in the engine's exact
     // operation order, md5-uniform membership

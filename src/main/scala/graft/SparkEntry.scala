@@ -797,6 +797,16 @@ object SparkEntry {
         (col("n_docs") - coalesce(col("n_new"), lit(0L))).as("n_dup"))
   }
 
+  /** X2+ removal-side twin of q80: positional boilerplate coverage —
+    * per-doc covered token positions (overlaps once), the exact length
+    * after C4-style span removal.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val minDf = docs.count() / 50
+    graft.llmops.Boilerplate.coverageStats(docs, "doc_id", "text", 3, minDf)
+  }
+
   /** T7+/X6 composite: most common 3-step in-session journeys — q91's
     * sessionization feeding double-lag trigrams (no collect_list, no
     * explode), globally ranked.
@@ -1547,6 +1557,7 @@ object SparkEntry {
     "q108_transition_matrix" -> (q108 _),
     "q109_bloom_gated_dedup" -> (q109 _),
     "q110_session_paths" -> (q110 _),
+    "q111_boiler_coverage" -> (q111 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -91,4 +91,59 @@ object Boilerplate {
         graft.util.Partitioning.stableRound6(
           col("n_boiler").cast("double") / col("n_grams").cast("double")))
   }
+
+  /** Positional boilerplate COVERAGE — the removal-side twin of
+    * [[boilerplateStats]]: a token position is covered when any
+    * boilerplate gram OCCURRENCE spans it, so `clean_tokens` is exactly
+    * the document length after C4-style span removal. boilerplateStats
+    * answers "how exposed is this doc" over its distinct grams;
+    * coverageStats answers "what is left after cutting the spans" —
+    * overlapping occurrences counted once per position.
+    *
+    * Scale shape: the positional gram stream joins the (small,
+    * guard-broadcast) boilerplate set FIRST, so only matching
+    * occurrences ever expand into per-position rows — coverage volume is
+    * proportional to boilerplate density, not corpus size. The position
+    * distinct + per-doc count shuffle on the uniform doc id. Every doc
+    * survives to the output (left join), including those shorter than
+    * `n` tokens (zero coverage by construction).
+    *
+    * Output: (id, n_tokens, n_covered, clean_tokens, cover_frac) with
+    * the zero-length division guarded (empty doc -> 0.0).
+    */
+  def coverageStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, boilerGrams: DataFrame, maxBroadcastGrams: Long): DataFrame = {
+    val occ = graft.util.Partitioning.ensureParallelism(df)
+      .select(col(idCol),
+        posexplode(TextAnalysis.wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_key"))
+    val boiler = boilerGrams.select(col("gram_key"))
+    val hits =
+      if (boiler.count() <= maxBroadcastGrams) occ.join(broadcast(boiler), Seq("gram_key"))
+      else occ.join(boiler, Seq("gram_key"))
+    val covered = hits
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("__cov"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    df.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("clean_tokens", col("n_tokens") - col("n_covered"))
+      .withColumn("cover_frac",
+        when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+          graft.util.Partitioning.stableRound6(
+            col("n_covered").cast("double") / col("n_tokens").cast("double"))))
+  }
+
+  /** Self-contained [[coverageStats]]: boilerplate set computed in-plan
+    * (lineage intact, nothing cached — see [[boilerplateStats]] on the
+    * recoverable-materialization rule); at corpus scale pass a persisted
+    * [[boilerplateGrams]] to the precomputed overload instead.
+    */
+  def coverageStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long,
+      maxBroadcastGrams: Long = 5000000L): DataFrame =
+    coverageStats(df, idCol, textCol, n,
+      boilerplateGrams(df, idCol, textCol, n, minDf), maxBroadcastGrams)
 }

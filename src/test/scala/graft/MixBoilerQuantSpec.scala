@@ -34,6 +34,32 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(grams.count() === 0) // in-doc repetition is not document frequency
   }
 
+  test("coverageStats: overlapping occurrences cover positions once; short docs survive at zero") {
+    val docs = Seq(
+      // "all rights reserved" in 3 docs -> boilerplate at minDf=3
+      (1L, "alpha beta gamma all rights reserved"),          // covers pos 3,4,5 of 6
+      (2L, "all rights reserved all rights reserved"),       // occurrences at 0 and 3 PLUS
+                                                             // the bridging grams are unique;
+                                                             // all 6 positions covered once
+      (3L, "eta theta all rights reserved iota"),            // covers pos 2,3,4 of 6
+      (4L, "unique words only here nothing shared"),         // no coverage
+      (5L, "too short")                                      // < n tokens: zero grams
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.coverageStats(docs, "doc_id", "text", 3, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5)                                   // every doc present
+    assert(out(1L).getAs[Long]("n_covered") === 3)
+    assert(out(1L).getAs[Long]("clean_tokens") === 3)
+    assert(out(1L).getAs[Double]("cover_frac") === 0.5)
+    assert(out(2L).getAs[Long]("n_covered") === 6)           // overlap counted once
+    assert(out(2L).getAs[Long]("clean_tokens") === 0)
+    assert(out(3L).getAs[Long]("n_covered") === 3)
+    assert(out(4L).getAs[Long]("n_covered") === 0)
+    assert(out(4L).getAs[Double]("cover_frac") === 0.0)
+    assert(out(5L).getAs[Long]("n_covered") === 0)
+    assert(out(5L).getAs[Long]("n_tokens") === 2)
+  }
+
   test("mixtureSample: clamped rates keep small sources whole; budget is approached") {
     val docs = (0 until 2000).map { i =>
       val src = if (i % 10 == 0) "rare" else "common"
