@@ -335,6 +335,27 @@ top AS (
 SELECT count(DISTINCT qid) AS n_queries, count(*) AS n_exact, true AS recall_ok
 FROM top""",
 
+    // PQ + re-rank: same exact-twin verdict construction as q66 — the
+    // oracle recomputes the exact side and predicts the measured-margin
+    // recall gate as a literal
+    "q112_pq_knn" ->
+      """WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qv.qid, e.vec_id AS id,
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.qid
+),
+top AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+    FROM scored) WHERE rn <= 10)
+SELECT count(DISTINCT qid) AS n_queries, count(*) AS n_exact, true AS recall_ok
+FROM top""",
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,

@@ -816,6 +816,32 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
       gapUs = 1800L * 1000000L, k = 20)
 
+  /** X3 compression path: product quantization with ADC shortlist +
+    * exact re-rank — 5 query vectors, top-10 each. The verdict joins the
+    * exact batch twin (q65's construction) in-query: division-free
+    * recall gate at >= 0.7, measured 1.0 at both SFs (ProbePq; the
+    * shortlist=200 boundary is where ADC error can bite, and doesn't).
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val (codebook, codes) = Similarity.pqIndex(
+      emb, "vec_id", "embedding", 64, m = 16, ksub = 16, lloydIters = 2)
+    val pq = Similarity.pqRerankTopKBatch(codebook, codes, emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, shortlist = 200, excludeSelfId = true)
+      .select(col("qid"), col("id"))
+    val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, excludeSelfId = true)
+      .select(col("qid"), col("id"))
+    // one pass over the exact side; division-free verdict (see q66)
+    exact.join(pq.withColumn("in_pq", lit(1)), Seq("qid", "id"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"),
+        count(col("in_pq")).as("n_hit"))
+      .select(col("n_queries"), col("n_exact"),
+        (col("n_hit") * 10 >= col("n_exact") * 7).as("recall_ok"))
+  }
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1558,6 +1584,7 @@ object SparkEntry {
     "q109_bloom_gated_dedup" -> (q109 _),
     "q110_session_paths" -> (q110 _),
     "q111_boiler_coverage" -> (q111 _),
+    "q112_pq_knn" -> (q112 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

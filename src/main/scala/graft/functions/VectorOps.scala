@@ -170,6 +170,81 @@ object NearestCentroidCell {
         org.apache.spark.sql.graft.bridge.expression(vec), cellIds, centroids))
 }
 
+/** Euclidean (squared-L2) nearest centroid — the k-means-proper twin of
+  * [[NearestCentroidCell]], used where magnitude matters: product-
+  * quantization subspace assignment ([[graft.llmops.Similarity.pqIndex]])
+  * pairs L2 argmin with mean updates, the combination Lloyd's algorithm
+  * is actually convergent for. Same reference-object codegen shape; ties
+  * resolve to the lowest code (ascending scan, strict-less test).
+  */
+case class NearestCentroidL2(
+    child: Expression,
+    cellIds: Seq[Int],
+    centroids: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  require(cellIds.nonEmpty && cellIds.length == centroids.length,
+    s"need one cell id per centroid, got ${cellIds.length} ids / ${centroids.length} centroids")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_l2 requires array<double> input, got ${other.sql}")
+  }
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Int] = cellIds.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidL2.compute(input.asInstanceOf[ArrayData], ids, matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
+    val matRef = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroidL2.compute($c, $idsRef, $matRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL2 =
+    copy(child = newChild)
+}
+
+object NearestCentroidL2 {
+
+  /** Shared by interpreted eval and generated code (static call). */
+  def compute(v: ArrayData, ids: Array[Int], matrix: Array[Array[Double]]): Int = {
+    var best = ids(0)
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      if (v.numElements() != cent.length)
+        throw new IllegalArgumentException(
+          s"nearest_centroid_l2: vector dim ${v.numElements()} != centroid dim ${cent.length}")
+      val n = cent.length
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getDouble(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = ids(c) }
+      c += 1
+    }
+    best
+  }
+
+  def nearestCentroidL2(
+      vec: Column, cellIds: Seq[Int], centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      NearestCentroidL2(
+        org.apache.spark.sql.graft.bridge.expression(vec), cellIds, centroids))
+}
+
 /** One-pass int8 scalar quantization: `floor(x_i / ||x|| * 127 + 0.5)`
   * per element, norm and codes computed in a single primitive loop. The
   * HOF form (`transform` with a floor chain over a separately-computed
