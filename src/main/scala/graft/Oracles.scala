@@ -1103,6 +1103,28 @@ SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
 FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
 GROUP BY k.doc_id""",
 
+    // cross-source containment: distinct (source, gram) pairs joined on
+    // the 60-bit gram key across sources
+    "q113_source_overlap" ->
+      """WITH toks AS (
+  SELECT source,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT source AS src,
+    CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) AS gram_key
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+), tot AS (
+  SELECT src, count(*) AS n_a FROM g GROUP BY src
+), p AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+  FROM g a JOIN g b ON a.gram_key = b.gram_key AND a.src <> b.src
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_shared, t.n_a,
+  floor(CAST(p.n_shared AS DOUBLE) / CAST(t.n_a AS DOUBLE) * 1000000 + 0.5) / 1000000 AS containment
+FROM p JOIN tot t ON p.src_a = t.src""",
+
     // positional boilerplate coverage: occurrences of boilerplate grams
     // expand to spanned positions, deduped per (doc, position)
     "q111_boiler_coverage" ->

@@ -842,6 +842,14 @@ object SparkEntry {
         (col("n_hit") * 10 >= col("n_exact") * 7).as("recall_ok"))
   }
 
+  /** X2+/X4 diagnostic: cross-source n-gram containment matrix — the
+    * pairwise "which sources mirror each other" view; 60-bit gram keys,
+    * text reduced to distinct (source, gram) before any join.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Decontaminate.sourceOverlapMatrix(
+      t(s, dir, "documents"), "source", "text", 3)
+
   // ---- §2.10 X-extensions: boilerplate / mixing / quantized ANN ------------
 
   /** X2/X4: C4-style repeated-span exposure — word trigrams with document
@@ -1585,6 +1593,7 @@ object SparkEntry {
     "q110_session_paths" -> (q110 _),
     "q111_boiler_coverage" -> (q111 _),
     "q112_pq_knn" -> (q112 _),
+    "q113_source_overlap" -> (q113 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

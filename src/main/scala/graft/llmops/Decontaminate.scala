@@ -87,6 +87,43 @@ object Decontaminate {
     * of [[contaminationReport]], possibly persisted) — single corpus
     * scan.
     */
+  /** Cross-source containment matrix — the corpus-internal sibling of
+    * benchmark decontamination: for each ordered source pair (a, b),
+    * what fraction of a's DISTINCT word n-grams also occur in b. The
+    * curation diagnostic behind "is src_a a mirror/scrape of src_b" and
+    * "which sources actually add novel text" — the pairwise view q106's
+    * per-source novelty rate collapses.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, gram_key)
+    * pairs FIRST — 60-bit hashed keys, so the reduction shuffle carries
+    * ~16 bytes per (source, gram) and the text never moves again. The
+    * pair join is gram-keyed (uniform); a gram shared by s sources
+    * expands to s² pair rows, bounded by |sources|² per gram — at any
+    * corpus size the join output is ≤ |sources|² × |vocab|, and the
+    * final aggregate is |sources|² rows. Zero-overlap pairs are absent
+    * (inner join), by contract.
+    *
+    * Output: (src_a, src_b, n_shared, n_a, containment = n_shared/n_a).
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = graft.util.Partitioning.ensureParallelism(docs)
+      .select(col(srcCol).as("src"),
+        explode(TextAnalysis.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
+      .select(col("src"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_key"))
+      .distinct()
+    val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n_a"))
+    grams.as("a").join(grams.as("b"),
+        col("a.gram_key") === col("b.gram_key") && col("a.src") =!= col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.withColumnRenamed("src", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        graft.util.Partitioning.stableRound6(
+          col("n_shared").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
   def decontaminate(corpus: DataFrame, report: DataFrame, idCol: String): DataFrame =
     corpus.join(report.select(col(idCol)), Seq(idCol), "left_anti")
 }

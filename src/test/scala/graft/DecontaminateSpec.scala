@@ -117,4 +117,22 @@ class DecontaminateSpec extends SparkSpec {
     val plan = rep.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  test("sourceOverlapMatrix: symmetric-count containment, no self pairs, zero-overlap pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "shared gram one here plus alpha unique tail"),
+      (2L, "B", "shared gram one here plus beta other words"),
+      (3L, "C", "totally disjoint vocabulary nothing common at all")
+    ).toDF("doc_id", "source", "text")
+    val out = Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // A: 6 trigrams, B: 6 trigrams; shared: "shared gram one", "gram one here",
+    // "one here plus" = 3
+    assert(out.keySet === Set(("A", "B"), ("B", "A")))   // C overlaps nothing; no self rows
+    assert(out(("A", "B")).getAs[Long]("n_shared") === 3)
+    assert(out(("A", "B")).getAs[Long]("n_a") === 6)
+    assert(out(("A", "B")).getAs[Double]("containment") === 0.5)
+    assert(out(("B", "A")).getAs[Double]("containment") === 0.5)
+  }
 }
