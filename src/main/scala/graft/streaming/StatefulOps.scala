@@ -167,4 +167,62 @@ object StatefulOps {
         EmaSnapshot(ticker, s.ema, s.n)
       }
   }
+
+  final case class UserEvent(userId: Long, ts: Timestamp, eventId: Long, eventType: String)
+
+  final case class LastEvent(eventType: String, tsUs: Long, eventId: Long)
+
+  final case class TransitionPair(userId: Long, prevType: String, curType: String)
+
+  /** Fold a batch of events into (prev, cur) transition pairs, chaining
+    * from the carried last-event state. In-batch order is (ts, eventId) —
+    * the same tie discipline as the batch transition matrix
+    * ([[graft.analytics.Behavior.transitionMatrix]]); ACROSS batches the
+    * chain follows arrival order (the state is whatever arrived last), so
+    * equality with the batch form holds exactly when batches respect
+    * event-time order — StatefulSpec's twin contract.
+    */
+  private[streaming] def transitionFold(
+      st: Option[LastEvent], events: Seq[UserEvent]): (Option[LastEvent], Seq[(String, String)]) = {
+    val sorted = events.sortBy(e => (e.ts.getTime, e.eventId))
+    var prev = st
+    val out = Seq.newBuilder[(String, String)]
+    sorted.foreach { e =>
+      prev.foreach(p => out += ((p.eventType, e.eventType)))
+      prev = Some(LastEvent(e.eventType, e.ts.getTime, e.eventId))
+    }
+    (prev, out.result())
+  }
+
+  /** Streaming transition-pair emission — the stateful feeder of the
+    * q108 Markov matrix: per-user state is ONE LastEvent (~32 bytes), and
+    * each micro-batch emits the (prev, cur) pairs it completes. Counting
+    * the matrix downstream is then a plain streaming aggregate over
+    * (prevType, curType) — the unbounded-history part lives in the
+    * bounded per-key state, exactly the split a batch window cannot make.
+    * Same timeout discipline as [[runningOhlc]].
+    */
+  def transitionPairs(
+      events: Dataset[UserEvent],
+      idleTimeoutMs: Option[Long] = None): Dataset[TransitionPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](OutputMode.Append, timeoutConf) {
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, pairs) = transitionFold(state.getOption, it.toSeq)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            pairs.map { case (p, c) => TransitionPair(userId, p, c) }.iterator
+          }
+      }
+  }
 }

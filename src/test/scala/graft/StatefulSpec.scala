@@ -139,4 +139,39 @@ class StatefulSpec extends SparkSpec {
     val recall = (exact & ivfA).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall after refinement too low: $recall (exact=$exact ivf=$ivfA)")
   }
+
+  test("streaming transition pairs chain across micro-batches and match the q108 batch matrix") {
+    import graft.streaming.StatefulOps.{TransitionPair, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, u: Long, typ: String, ts: String) =
+      UserEvent(u, Timestamp.valueOf(ts), id, typ)
+    val batch1 = Seq(
+      ev(1, 1, "a", "2024-01-01 10:00:00"),
+      ev(2, 1, "b", "2024-01-01 10:01:00"),   // a->b in-batch
+      ev(5, 2, "a", "2024-01-01 10:00:00"))
+    val batch2 = Seq(
+      ev(3, 1, "b", "2024-01-01 10:02:00"),   // b->b ACROSS the batch boundary
+      ev(4, 1, "a", "2024-01-01 10:03:00"),   // b->a in-batch
+      ev(6, 2, "b", "2024-01-01 10:01:00"))   // a->b across (user 2)
+    val mem = MemoryStream[UserEvent]
+    val q = StatefulOps.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("trans_out").as[TransitionPair].collect()
+        .groupBy(p => (p.prevType, p.curType)).view.mapValues(_.length.toLong).toMap
+      // batch twin over the union of both batches
+      val df = (batch1 ++ batch2)
+        .map(e => (e.eventId, e.userId, e.eventType, e.ts))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val batch = graft.analytics.Behavior
+        .transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(streaming === batch)
+      assert(streaming(("b", "b")) === 1L)   // the cross-batch chain specifically
+    } finally q.stop()
+  }
 }
