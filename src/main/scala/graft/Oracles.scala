@@ -1103,6 +1103,27 @@ SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
 FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
 GROUP BY k.doc_id""",
 
+    // Zipf profile: token frequencies, top-30 by (count desc, token),
+    // cumulative coverage against the independent total-token scan
+    "q114_zipf_profile" ->
+      """WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 30
+), ranked AS (
+  SELECT tok, c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank,
+    sum(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM top
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+)
+SELECT rank, tok, c, CAST(rank * c AS BIGINT) AS rank_x_c,
+  floor(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_frac
+FROM ranked, tot""",
+
     // cross-source containment: distinct (source, gram) pairs joined on
     // the 60-bit gram key across sources
     "q113_source_overlap" ->

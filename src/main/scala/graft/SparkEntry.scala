@@ -842,6 +842,13 @@ object SparkEntry {
         (col("n_hit") * 10 >= col("n_exact") * 7).as("recall_ok"))
   }
 
+  /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
+    * the rank×count invariant and cumulative occurrence coverage; the
+    * rank window sorts 30 rows, never the vocabulary.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Keywords.zipfProfile(t(s, dir, "documents"), "text", 30)
+
   /** X2+/X4 diagnostic: cross-source n-gram containment matrix — the
     * pairwise "which sources mirror each other" view; 60-bit gram keys,
     * text reduced to distinct (source, gram) before any join.
@@ -1594,6 +1601,7 @@ object SparkEntry {
     "q111_boiler_coverage" -> (q111 _),
     "q112_pq_knn" -> (q112 _),
     "q113_source_overlap" -> (q113 _),
+    "q114_zipf_profile" -> (q114 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

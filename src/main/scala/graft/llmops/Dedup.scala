@@ -404,6 +404,10 @@ object Dedup {
       increment: DataFrame, history: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
       maxFilterBytes: Long = 128L << 20): DataFrame = {
+    require(expectedItems > 0,
+      s"bloomGatedNewDocs: expectedItems=$expectedItems — size the filter from the " +
+        "history count (an empty history needs no gate: the plain anti-join " +
+        "is already a no-op there)")
     val bytes = bloomBytes(expectedItems, fpp)
     require(bytes <= maxFilterBytes,
       f"bloomGatedNewDocs: a filter for $expectedItems%,d items at fpp=$fpp " +

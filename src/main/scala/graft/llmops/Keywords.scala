@@ -57,4 +57,38 @@ object Keywords {
       .filter(col("__rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("doc_freq"), col("score"))
   }
+
+  /** Zipf rank-frequency profile: the top-`k` tokens with rank,
+    * occurrence count, the Zipf invariant rank×count (near-constant on
+    * natural text — THE one-glance sanity check that a corpus is
+    * language-shaped, not log spam or boilerplate soup), and the
+    * cumulative share of all token occurrences covered through each
+    * rank (head-heaviness: how much of the corpus the top-k carries).
+    *
+    * Scale shape: one explode + token hash aggregate (map-side combine
+    * soaks repetition), then TakeOrderedAndProject keeps k rows — the
+    * rank window sorts ONLY those k, never the vocabulary. The
+    * occurrence total comes from a separate sum-of-token-counts scan of
+    * the docs (per-row arithmetic, no vocabulary shuffle), NOT from a
+    * second consumer of the frequency frame — shared-subplan re-execution
+    * would run the explode aggregate twice.
+    */
+  def zipfProfile(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = graft.util.Partitioning.ensureParallelism(docs)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k)
+    val total = docs.agg(
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).cast("double").as("__total"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("c"),
+        (col("rank") * col("c")).as("rank_x_c"),
+        stableRound6(col("__cum").cast("double") / col("__total")).as("cum_frac"))
+  }
 }

@@ -35,4 +35,20 @@ class KeywordsSpec extends SparkSpec {
     val rows = Keywords.tfidfTopTerms(docs, "doc_id", "text", k = 10).collect()
     assert(rows.length === 4)
   }
+
+  test("zipfProfile: ranks by count then token, invariant and coverage exact") {
+    val docs = Seq(
+      (1L, "a a a a b b b c c d"),   // a:4 b:3 c:2 d:1 -> 10 tokens
+      (2L, "a b c")                   // a:5 b:4 c:3 d:1 -> 13 total
+    ).toDF("doc_id", "text")
+    val rows = Keywords.zipfProfile(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, "a", 5L), (2L, "b", 4L), (3L, "c", 3L)))
+    assert(rows.map(_._4).toSeq === Seq(5L, 8L, 9L))          // rank * count
+    assert(rows.map(_._5).toSeq ===
+      Seq(5.0 / 13, 9.0 / 13, 12.0 / 13).map(x => math.floor(x * 1e6 + 0.5) / 1e6))
+    // top-k smaller than vocabulary: d never appears
+    assert(!rows.exists(_._2 == "d"))
+  }
 }
