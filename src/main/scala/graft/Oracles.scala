@@ -1103,6 +1103,23 @@ SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
 FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
 GROUP BY k.doc_id""",
 
+    // per-source entropy + TTR: q94's entropy construction keyed by
+    // source, plus the distinct/total ratio
+    "q115_source_entropy" ->
+      """WITH counts AS (
+  SELECT source, tok, count(*) AS c FROM (
+    SELECT source,
+      unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS tok
+    FROM documents) GROUP BY 1, 2
+), t AS (
+  SELECT source, c, sum(c) OVER (PARTITION BY source) AS tot FROM counts
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+  floor((CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS ttr,
+  floor((-sum((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+    * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS entropy
+FROM t GROUP BY source""",
+
     // Zipf profile: token frequencies, top-30 by (count desc, token),
     // cumulative coverage against the independent total-token scan
     "q114_zipf_profile" ->

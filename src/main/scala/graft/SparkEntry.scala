@@ -849,6 +849,18 @@ object SparkEntry {
   private def q114(s: SparkSession, dir: String): DataFrame =
     graft.llmops.Keywords.zipfProfile(t(s, dir, "documents"), "text", 30)
 
+  /** X4 diagnostic: per-source token entropy + type-token ratio — the
+    * corpus-slice quality profile (language-shaped text sits near ~7-8
+    * nats with mid TTR; log spam collapses entropy, random ids inflate
+    * TTR). Reuses q94's verified entropy construction with source as
+    * the grouping key.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"), "source", "text")
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        sr6(col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        col("entropy"))
+
   /** X2+/X4 diagnostic: cross-source n-gram containment matrix — the
     * pairwise "which sources mirror each other" view; 60-bit gram keys,
     * text reduced to distinct (source, gram) before any join.
@@ -1602,6 +1614,7 @@ object SparkEntry {
     "q112_pq_knn" -> (q112 _),
     "q113_source_overlap" -> (q113 _),
     "q114_zipf_profile" -> (q114 _),
+    "q115_source_entropy" -> (q115 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
