@@ -94,31 +94,36 @@ object Decontaminate {
     * "which sources actually add novel text" — the pairwise view q106's
     * per-source novelty rate collapses.
     *
-    * Scale shape: the corpus reduces to DISTINCT (source, gram_key)
-    * pairs FIRST — 60-bit hashed keys, so the reduction shuffle carries
-    * ~16 bytes per (source, gram) and the text never moves again. The
-    * pair join is gram-keyed (uniform); a gram shared by s sources
-    * expands to s² pair rows, bounded by |sources|² per gram — at any
-    * corpus size the join output is ≤ |sources|² × |vocab|, and the
-    * final aggregate is |sources|² rows. Zero-overlap pairs are absent
-    * (inner join), by contract.
+    * Scale shape — the corpus is gram-scanned ONCE: the (source, gram)
+    * stream hash-aggregates straight to per-gram source SETS (collect_set
+    * dedupes map-side, so one gram-keyed shuffle of ~16-byte rows and no
+    * separate distinct pass), each set explodes to its ordered pairs
+    * INCLUDING self-pairs — at most |sources|² rows per gram — and the
+    * (a, a) diagonal of the resulting |sources|²-row matrix IS the
+    * per-source distinct-gram total, read back by a window over that
+    * tiny frame. No self-join, no second corpus pass for totals, no
+    * shared-subplan re-execution (the q41 lesson). Zero-overlap pairs
+    * are absent (set co-membership), by contract.
     *
     * Output: (src_a, src_b, n_shared, n_a, containment = n_shared/n_a).
     */
   def sourceOverlapMatrix(
       docs: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
-    val grams = graft.util.Partitioning.ensureParallelism(docs)
+    import org.apache.spark.sql.expressions.Window
+    val pairCounts = graft.util.Partitioning.ensureParallelism(docs)
       .select(col(srcCol).as("src"),
         explode(TextAnalysis.wordNgrams(col(textCol), n, distinct = true)).as("gram"))
       .select(col("src"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_key"))
-      .distinct()
-    val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n_a"))
-    grams.as("a").join(grams.as("b"),
-        col("a.gram_key") === col("b.gram_key") && col("a.src") =!= col("b.src"))
-      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(totals.withColumnRenamed("src", "src_a"), Seq("src_a"))
+      .groupBy(col("gram_key")).agg(collect_set(col("src")).as("srcs"))
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+    val wA = Window.partitionBy(col("src_a"))
+    pairCounts
+      .withColumn("n_a",
+        max(when(col("src_a") === col("src_b"), col("n_shared"))).over(wA))
+      .filter(col("src_a") =!= col("src_b"))
       .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
         graft.util.Partitioning.stableRound6(
           col("n_shared").cast("double") / col("n_a").cast("double")).as("containment"))
