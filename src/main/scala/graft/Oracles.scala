@@ -1103,6 +1103,33 @@ SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
 FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
 GROUP BY k.doc_id""",
 
+    // resample + forward fill: full 5-minute grid per key, holes carry
+    // the latest earlier close via the portable run-partition fill
+    "q116_resample_ffill" ->
+      """WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx FROM c GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS bucket_start
+  FROM b
+), j AS (
+  SELECT g.event_type, g.bucket_start, c.close
+  FROM grid g LEFT JOIN c
+    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start
+), runs AS (
+  SELECT event_type, bucket_start, close,
+    count(close) OVER (PARTITION BY event_type ORDER BY bucket_start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM j
+)
+SELECT event_type, bucket_start, round(close, 4) AS close,
+  round(max(close) OVER (PARTITION BY event_type, run), 4) AS ffill,
+  CAST(close IS NULL AS INT) AS is_gap
+FROM runs""",
+
     // per-source entropy + TTR: q94's entropy construction keyed by
     // source, plus the distinct/total ratio
     "q115_source_entropy" ->

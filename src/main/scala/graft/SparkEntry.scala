@@ -849,6 +849,18 @@ object SparkEntry {
   private def q114(s: SparkSession, dir: String): DataFrame =
     graft.llmops.Keywords.zipfProfile(t(s, dir, "documents"), "text", 30)
 
+  /** W1+/A1 composite: fixed-cadence resample + forward fill over the
+    * derived candle closes — gap REPAIR pairing with q88's gap
+    * detection; holes carry the latest earlier close via the portable
+    * run-partition fill.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleFfill(candles5m(s, dir), "key", "bucket_start", "close",
+        stepSeconds = 300L)
+      .select(col("key").as("event_type"), col("bucket_start"),
+        round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
+        col("is_gap"))
+
   /** X4 diagnostic: per-source token entropy + type-token ratio — the
     * corpus-slice quality profile (language-shaped text sits near ~7-8
     * nats with mid TTR; log spam collapses entropy, random ids inflate
@@ -1615,6 +1627,7 @@ object SparkEntry {
     "q113_source_overlap" -> (q113 _),
     "q114_zipf_profile" -> (q114 _),
     "q115_source_entropy" -> (q115 _),
+    "q116_resample_ffill" -> (q116 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -211,4 +211,49 @@ object TimeSeries {
     graft.plans.MergeAsOf.join(lb2, cands, "__kb", leftTs, rightTs)
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"r_$c").as(c)): _*)
   }
+
+  /** Fixed-cadence resample with forward fill — the missing-bar REPAIR
+    * that pairs with gap DETECTION ([[graft.analytics.Behavior.gapStats]]):
+    * each key's [min, max] bucket range expands to the full `stepSeconds`
+    * grid, observed rows join back, and holes carry the latest earlier
+    * value. Downstream indicators then see the fixed cadence they assume
+    * (the reference's bars are nominally fixed-cadence; this is what
+    * makes that true after an outage).
+    *
+    * The fill uses the portable run-partition construction, NOT
+    * last(ignoreNulls): `count(value) over (key order bucket)` increments
+    * only on observed rows, so each hole shares a run id with the
+    * observation that opened it and `max over (key, run)` is the carried
+    * value — deterministic, and the SQL oracle states it identically.
+    *
+    * Scale shape: bounds are a per-key aggregate of the (already
+    * aggregated) bar frame — the bar subplan does execute twice (bounds +
+    * join side; at corpus scale materialize the bars once under the
+    * caller's lifecycle). The grid explode emits only (key, bucket) pairs,
+    * the join is keyed on them, and both windows ride ONE (key, bucket)
+    * sort. Grid size is bounded by the observed time span / step, never
+    * by row count.
+    *
+    * Output: (keyCol, bucketCol, valueCol — null in holes, `ffill`,
+    * `is_gap`).
+    */
+  def resampleFfill(
+      bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val bounds = bars.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__mn"), col("__mx"),
+        expr(s"interval $stepSeconds seconds"))).as(bucketCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bars.select(col(keyCol), col(bucketCol), col(valueCol)),
+        Seq(keyCol, bucketCol), "left")
+      .withColumn("__run", count(col(valueCol)).over(w))
+      .withColumn("ffill",
+        max(col(valueCol)).over(Window.partitionBy(col(keyCol), col("__run"))))
+      .withColumn("is_gap", col(valueCol).isNull.cast("int"))
+      .drop("__run")
+  }
 }

@@ -100,4 +100,25 @@ class TimeSeriesSpec extends SparkSpec {
     val got = df.agg(TimeSeries.vwap(col("px"), col("vol")).as("vwap")).collect().head.getDouble(0)
     assert(math.abs(got - 17.5) < 1e-12)
   }
+
+  test("resampleFfill: holes filled from the latest earlier bar, grid complete per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val bars = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      // 10:05 and 10:10 missing — double-width hole
+      ("A", ts("2024-01-01 10:15:00"), 4.0),
+      ("A", ts("2024-01-01 10:20:00"), 5.0),
+      ("B", ts("2024-01-01 09:00:00"), 7.0)       // single bar: 1-row grid
+    ).toDF("key", "bucket_start", "close")
+    val out = TimeSeries.resampleFfill(bars, "key", "bucket_start", "close", 300L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3), r.getInt(4))).toMap
+    assert(out.size === 6)                         // A: 5 grid slots, B: 1
+    assert(out(("A", "2024-01-01 10:00:00.0")) === ((Some(1.0), 1.0, 0)))
+    assert(out(("A", "2024-01-01 10:05:00.0")) === ((None, 1.0, 1)))   // carried
+    assert(out(("A", "2024-01-01 10:10:00.0")) === ((None, 1.0, 1)))   // still carried
+    assert(out(("A", "2024-01-01 10:15:00.0")) === ((Some(4.0), 4.0, 0)))
+    assert(out(("A", "2024-01-01 10:20:00.0")) === ((Some(5.0), 5.0, 0)))
+    assert(out(("B", "2024-01-01 09:00:00.0")) === ((Some(7.0), 7.0, 0)))
+  }
 }
