@@ -1103,6 +1103,20 @@ SELECT k.doc_id, count(*) AS n_grams, count(b.gram_key) AS n_boiler,
 FROM keys k LEFT JOIN boiler b ON k.gram_key = b.gram_key
 GROUP BY k.doc_id""",
 
+    // tolerance as-of: native ASOF pick, then the staleness bound nulls
+    // the payload (pandas merge_asof(tolerance) semantics)
+    "q117_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+  CASE WHEN v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+       THEN v.ts END AS view_ts,
+  CASE WHEN v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+       THEN round(v.value, 4) END AS view_value,
+  CASE WHEN v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+       THEN CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) END AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
     // resample + forward fill: full 5-minute grid per key, holes carry
     // the latest earlier close via the portable run-partition fill
     "q116_resample_ffill" ->

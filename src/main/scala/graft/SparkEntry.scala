@@ -849,6 +849,21 @@ object SparkEntry {
   private def q114(s: SparkSession, dir: String): DataFrame =
     graft.llmops.Keywords.zipfProfile(t(s, dir, "documents"), "text", 30)
 
+  /** J2+ composite: tolerance-bounded as-of join — q19's purchase/view
+    * pairing where a view older than 10 minutes is stale and nulls out
+    * (pandas merge_asof(tolerance) semantics; the latest earlier match
+    * is picked FIRST, then discarded if too old).
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"), round(col("value"), 4).as("view_value"))
+    TimeSeries.asOfJoinTolerance(purchases, views, "user_id", "ts", "ts",
+      Seq("view_ts", "view_value"), toleranceUs = 600L * 1000000L)
+  }
+
   /** W1+/A1 composite: fixed-cadence resample + forward fill over the
     * derived candle closes — gap REPAIR pairing with q88's gap
     * detection; holes carry the latest earlier close via the portable
@@ -1628,6 +1643,7 @@ object SparkEntry {
     "q114_zipf_profile" -> (q114 _),
     "q115_source_entropy" -> (q115 _),
     "q116_resample_ffill" -> (q116 _),
+    "q117_asof_tolerance" -> (q117 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

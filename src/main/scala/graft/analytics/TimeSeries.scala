@@ -146,6 +146,32 @@ object TimeSeries {
       .drop("__side")
   }
 
+  /** J2 with a staleness bound: as-of join whose match must lie within
+    * `toleranceUs` of the left timestamp (pandas `merge_asof(tolerance)`
+    * semantics — the latest earlier row is picked FIRST, then discarded
+    * if it is too old; an older in-tolerance row never substitutes).
+    * The financial meaning: "price the trade with the latest quote,
+    * unless the quote is stale". Payload columns null out together with
+    * the carried `lag_us` (exact integer micros), preserving left-outer
+    * shape. Same one-window construction and scale behavior as
+    * [[asOfJoin]] — the tolerance is a projection over the matched
+    * timestamp, not a second join.
+    */
+  def asOfJoinTolerance(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    require(!rightPayload.contains("__matched_ts"), "__matched_ts is reserved")
+    val r2 = right.withColumn("__matched_ts", col(rightTs))
+    val lag = unix_micros(col(leftTs)) - unix_micros(col("__matched_ts"))
+    val ok = col("__matched_ts").isNotNull && lag <= toleranceUs
+    asOfJoin(left, r2, key, leftTs, rightTs, rightPayload :+ "__matched_ts")
+      .select(left.columns.map(col) ++
+        rightPayload.map(c => when(ok, col(c)).as(c)) :+
+        when(ok, lag).as("lag_us"): _*)
+  }
+
   /** J2 for SKEWED keys: as-of join clustered on (key, time-bucket)
     * instead of the key alone. Both [[asOfJoin]] and the custom merge
     * operator ([[graft.plans.MergeAsOf]]) put every row of a key in ONE

@@ -101,6 +101,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(got - 17.5) < 1e-12)
   }
 
+  test("asOfJoinTolerance: fresh match kept with exact lag, stale match nulls out, no-match stays null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "u1", ts("2024-01-01 10:30:00")),  // quote 30s earlier: fresh
+      (2L, "u2", ts("2024-01-01 10:30:00")),  // quote 10min+1s earlier: stale
+      (3L, "u3", ts("2024-01-01 10:30:00"))   // no quote at all
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      ("u1", ts("2024-01-01 10:29:30"), 1.5),
+      ("u2", ts("2024-01-01 10:19:59"), 2.5)
+    ).toDF("user_id", "ts", "px")
+    val out = TimeSeries.asOfJoinTolerance(trades, quotes, "user_id", "ts", "ts",
+        Seq("px"), toleranceUs = 600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("px") === 1.5)
+    assert(out(1L).getAs[Long]("lag_us") === 30L * 1000000L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("px")))       // stale -> nulled
+    assert(out(2L).isNullAt(out(2L).fieldIndex("lag_us")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("px")))       // left-outer preserved
+    assert(out.size === 3)
+  }
+
   test("resampleFfill: holes filled from the latest earlier bar, grid complete per key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val bars = Seq(
