@@ -85,4 +85,57 @@ class PropertySpec extends SparkSpec {
       assert(recomposed.exceptAll(direct).count() === 0, s"seed=$seed")
     }
   }
+
+  test("bloom-gated dedup == plain anti-join on random overlapping corpora") {
+    val textGen: Gen[(Long, String)] = for {
+      id <- Gen.choose(0L, 100000L)
+      w <- Gen.choose(0, 60)          // small word space forces real overlap
+    } yield (id, s"document body number $w")
+    def corpus(n: Int, seed: Long) =
+      Gen.listOfN(n, textGen).apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    for (seed <- 1L to 5L) {
+      val hist = corpus(50, seed).toDF("doc_id", "text")
+      val inc = corpus(40, seed + 100).toDF("doc_id", "text")
+      val gated = graft.llmops.Dedup
+        .bloomGatedNewDocs(inc, hist, "text", expectedItems = 50L)
+        .select("doc_id", "text")
+      val exact = inc.join(
+        hist.select(graft.llmops.Dedup.contentHash(col("text")).as("__ch")).distinct(),
+        graft.llmops.Dedup.contentHash(col("text")) === col("__ch"), "left_anti")
+        .select("doc_id", "text")
+      assert(gated.exceptAll(exact).count() === 0, s"seed=$seed")
+      assert(exact.exceptAll(gated).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("resampleFfill invariants: grid dense per key, fill never null, observed rows unchanged") {
+    val barGen: Gen[(String, Int, Double)] = for {
+      key <- Gen.oneOf("A", "B")
+      slot <- Gen.choose(0, 30)       // 5-min slots with holes
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (key, slot, v)
+    for (seed <- 1L to 5L) {
+      val bars = Gen.listOfN(25, barGen).apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+        .map { case (k, slot, v) =>
+          (k, new java.sql.Timestamp(1704100000000L + slot * 300000L), v)
+        }.distinctBy(t => (t._1, t._2))
+        .toDF("key", "bucket_start", "close")
+      val out = TimeSeries.resampleFfill(bars, "key", "bucket_start", "close", 300L)
+      val rows = out.collect()
+      assert(rows.forall(!_.isNullAt(3)), s"seed=$seed: ffill null")
+      // grid density: per key, (max-min)/step + 1 rows exactly
+      val byKey = rows.groupBy(_.getString(0))
+      byKey.foreach { case (k, rs) =>
+        val ts = rs.map(_.getTimestamp(1).getTime)
+        assert(rs.length === ((ts.max - ts.min) / 300000L + 1),
+          s"seed=$seed key=$k grid not dense")
+      }
+      // observed rows keep their value; ffill equals it there
+      val observed = rows.filter(!_.isNullAt(2))
+      assert(observed.length === bars.count(), s"seed=$seed observed count")
+      assert(observed.forall(r => r.getDouble(2) === r.getDouble(3)), s"seed=$seed")
+    }
+  }
 }
