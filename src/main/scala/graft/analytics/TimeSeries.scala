@@ -265,12 +265,24 @@ object TimeSeries {
     */
   def resampleFfill(
       bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
-      stepSeconds: Long): DataFrame = {
+      stepSeconds: Long, maxGridPerKey: Long = 10000000L): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
     val bounds = bars.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+    // in-plan guard (the weightedSample raise_error pattern — no extra
+    // scan): sequence() materializes one span/step-length ARRAY per key
+    // before the explode, so a fine step over a long span is an executor
+    // OOM, not a big-but-streamable grid. Fail loudly with the remedy.
+    val slots = (unix_seconds(col("__mx")) - unix_seconds(col("__mn"))) / stepSeconds + 1
+    val guardedMn = when(slots > maxGridPerKey,
+      raise_error(concat(
+        lit(s"resampleFfill: a key's grid needs "), slots.cast("string"),
+        lit(s" slots > maxGridPerKey=$maxGridPerKey — the per-key sequence() array " +
+          "would not fit an executor. Use a coarser step, split the time range, " +
+          "or raise maxGridPerKey deliberately with executor memory to match."))
+      ).cast("timestamp")).otherwise(col("__mn"))
     val grid = bounds.select(col(keyCol),
-      explode(sequence(col("__mn"), col("__mx"),
+      explode(sequence(guardedMn, col("__mx"),
         expr(s"interval $stepSeconds seconds"))).as(bucketCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -123,6 +123,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("resampleFfill: oversized grid fails in-plan with the remedy named") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val bars = Seq(
+      ("A", ts("2020-01-01 00:00:00"), 1.0),
+      ("A", ts("2024-01-01 00:00:00"), 2.0)   // 4 years at 1s step >> 1000 slots
+    ).toDF("key", "bucket_start", "close")
+    val e = intercept[Exception] {
+      TimeSeries.resampleFfill(bars, "key", "bucket_start", "close", 1L,
+        maxGridPerKey = 1000L).collect()
+    }
+    assert(e.getMessage.contains("maxGridPerKey"), e.getMessage)
+    assert(e.getMessage.contains("coarser step"), e.getMessage)
+  }
+
   test("resampleFfill: holes filled from the latest earlier bar, grid complete per key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val bars = Seq(
