@@ -1144,6 +1144,50 @@ SELECT event_type, bucket_start, round(close, 4) AS close,
   CAST(close IS NULL AS INT) AS is_gap
 FROM runs""",
 
+    // Gopher-style quality filter: every signal is a single
+    // integer-ratio division (bit-identical across engines); the dup
+    // fraction reuses q71's bigram construction
+    "q118_gopher_filter" ->
+      """WITH m AS (
+  SELECT doc_id, text,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS ltok,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> list_contains(['the','a','and','of','to'], x))) AS sw,
+    length(text) AS lc,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+    CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+  FROM gc GROUP BY doc_id
+), flags AS (
+  SELECT m.doc_id, m.ntok,
+    (CASE WHEN m.ntok < 20 OR m.ntok > 100000 THEN 1 ELSE 0 END)
+    + (CASE WHEN NOT (CAST(m.lc AS DOUBLE) / greatest(CAST(m.ntok AS DOUBLE), 1.0)
+            BETWEEN 3.0 AND 10.0) THEN 2 ELSE 0 END)
+    + (CASE WHEN CAST(m.sw AS DOUBLE) / greatest(CAST(m.ltok AS DOUBLE), 1.0) < 0.05
+            THEN 4 ELSE 0 END)
+    + (CASE WHEN r.doc_id IS NOT NULL AND r.n_grams > 0
+            AND CAST(r.dup AS DOUBLE) / CAST(r.n_grams AS DOUBLE) > 0.3
+            THEN 8 ELSE 0 END)
+    + (CASE WHEN CAST(m.np AS DOUBLE) / greatest(CAST(m.lc AS DOUBLE), 1.0) > 0.2
+            THEN 16 ELSE 0 END) AS reasons
+  FROM m LEFT JOIN rep r ON m.doc_id = r.doc_id
+)
+SELECT doc_id, ntok AS n_tokens, reasons,
+  CAST(reasons = 0 AS INT) AS keep
+FROM flags""",
+
     // per-source entropy + TTR: q94's entropy construction keyed by
     // source, plus the distinct/total ratio
     "q115_source_entropy" ->

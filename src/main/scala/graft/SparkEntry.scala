@@ -876,6 +876,15 @@ object SparkEntry {
         round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
         col("is_gap"))
 
+  /** X4 composite: Gopher-style quality filter — the keep/reject
+    * decision with a per-rule REASONS bitmask (1 length, 2 mean word,
+    * 4 stopwords, 8 repetition, 16 punctuation); one shuffle-free
+    * codegen scan.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
+      Seq("the", "a", "and", "of", "to"))
+
   /** X4 diagnostic: per-source token entropy + type-token ratio — the
     * corpus-slice quality profile (language-shaped text sits near ~7-8
     * nats with mid TTR; log spam collapses entropy, random ids inflate
@@ -1644,6 +1653,7 @@ object SparkEntry {
     "q115_source_entropy" -> (q115 _),
     "q116_resample_ffill" -> (q116 _),
     "q117_asof_tolerance" -> (q117 _),
+    "q118_gopher_filter" -> (q118 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -55,6 +55,47 @@ object TextAnalysis {
     graft.util.Partitioning.stableRound6(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2)
   }
 
+  /** Gopher-style quality FILTER (Rae et al. 2021 §A1.1 shape): the
+    * composite keep/reject decision the individual signals (q39 quality,
+    * q71 repetition, q94 entropy) feed in a real curation pipeline, with
+    * a REASONS bitmask so rejected docs are auditable — "how much did
+    * each rule cost me" is the question every filter change asks.
+    *
+    * Bits: 1 token count outside [minTok, maxTok]; 2 mean word length
+    * outside [3, 10]; 4 stopword ratio < minStopRatio (natural-language
+    * evidence); 8 duplicate-bigram fraction > maxDupFrac (repetition);
+    * 16 punctuation ratio > maxPunctRatio. keep = reasons == 0.
+    *
+    * Every signal is a per-row expression (the repetition count is the
+    * native [[gramRepetitionStats]]) — the whole filter is one
+    * shuffle-free codegen scan, and every threshold comparison is a
+    * single integer-ratio division, bit-identical across engines.
+    */
+  def gopherFilter(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], minTok: Int = 20, maxTok: Int = 100000,
+      minStopRatio: Double = 0.05, maxDupFrac: Double = 0.3,
+      maxPunctRatio: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val ntok = tokenCount(text).cast("long")
+    val len = length(text).cast("double")
+    val meanWord = len / greatest(ntok.cast("double"), lit(1.0))
+    val stopR = stopwordRatio(text, stopwords)
+    val rep = gramRepetitionStats(text, 2)
+    val dupFrac = when(rep.getField("n_grams") === 0, lit(0.0))
+      .otherwise(rep.getField("dup_count").cast("double") /
+        rep.getField("n_grams").cast("double"))
+    val punctR = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val reasons =
+      when(ntok < minTok || ntok > maxTok, 1).otherwise(0) +
+        when(!meanWord.between(3.0, 10.0), 2).otherwise(0) +
+        when(stopR < minStopRatio, 4).otherwise(0) +
+        when(dupFrac > maxDupFrac, 8).otherwise(0) +
+        when(punctR > maxPunctRatio, 16).otherwise(0)
+    df.select(col(idCol), ntok.as("n_tokens"), reasons.as("reasons"),
+      (reasons === 0).cast("int").as("keep"))
+  }
+
   /** Language-ID heuristic: score each candidate language by marker-token
     * hits, pick the argmax (ties broken by language code order). Marker
     * lists are tiny literals — the 100 TB form would broadcast a dimension

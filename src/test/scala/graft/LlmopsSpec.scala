@@ -449,6 +449,27 @@ class LlmopsSpec extends SparkSpec {
     assert(graft.llmops.Multimodal.dimsOf(png) === Some((640, 480)))
   }
 
+  test("gopherFilter: each rule sets its own reason bit; clean text keeps") {
+    import spark.implicits._
+    val sw = Seq("the", "a", "and", "of", "to")
+    val clean = "the quick brown fox jumps over a lazy dog while many other animals " +
+      "of various kinds wander slowly across wide open grassy fields during warm afternoons"
+    val docs = Seq(
+      (1L, clean),                                    // passes everything
+      (2L, "the of and to a"),                        // 5 tokens < 20 -> bit 1 (stop ratio high, mean ok)
+      (3L, ("superlongtokenword " * 25).trim),        // mean word len 18 -> bit 2 (+ no stopwords -> 4)
+      (4L, ("the cat " * 30).trim),                   // dup bigrams ~1.0 -> bit 8
+      (5L, ("!!! ??? ;;; " * 10 + "the end of it and a to " * 3).trim) // punct ratio -> bit 16
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, "doc_id", "text", sw)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((0, 1)), s"clean doc flagged: ${out(1L)}")
+    assert((out(2L)._1 & 1) === 1 && out(2L)._2 === 0)
+    assert((out(3L)._1 & 2) === 2 && (out(3L)._1 & 4) === 4)
+    assert((out(4L)._1 & 8) === 8)
+    assert((out(5L)._1 & 16) === 16)
+  }
+
   test("bloomGatedNewDocs: result EQUALS the plain exact anti-join; gate has no false negatives") {
     import spark.implicits._
     // history: 50 docs; increment: 30 overlapping (true dups) + 40 new
