@@ -1144,6 +1144,21 @@ SELECT event_type, bucket_start, round(close, 4) AS close,
   CAST(close IS NULL AS INT) AS is_gap
 FROM runs""",
 
+    // rolling WAU: sliding-frame count-distinct via the contribution
+    // inversion; observed-days join bounds the grid
+    "q119_rolling_wau" ->
+      """WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), obs AS (
+  SELECT DISTINCT d FROM ud
+), contrib AS (
+  SELECT user_id, d + CAST(o AS INTEGER) AS day
+  FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS o) r
+)
+SELECT strftime(c.day, '%Y-%m-%d') AS day, count(DISTINCT c.user_id) AS n_active
+FROM contrib c JOIN obs ON c.day = obs.d
+GROUP BY 1""",
+
     // Gopher-style quality filter: every signal is a single
     // integer-ratio division (bit-identical across engines); the dup
     // fraction reuses q71's bigram construction

@@ -876,6 +876,14 @@ object SparkEntry {
         round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
         col("is_gap"))
 
+  /** A4+/W composite: trailing 7-day rolling distinct users (WAU) —
+    * sliding-frame COUNT DISTINCT via the contribution inversion (each
+    * user-day feeds the 7 window-end days it falls into).
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.rollingDistinctActives(
+      t(s, dir, "events"), "user_id", "ts", windowDays = 7)
+
   /** X4 composite: Gopher-style quality filter — the keep/reject
     * decision with a per-rule REASONS bitmask (1 length, 2 mean word,
     * 4 stopwords, 8 repetition, 16 punctuation); one shuffle-free
@@ -1654,6 +1662,7 @@ object SparkEntry {
     "q116_resample_ffill" -> (q116 _),
     "q117_asof_tolerance" -> (q117 _),
     "q118_gopher_filter" -> (q118 _),
+    "q119_rolling_wau" -> (q119 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -156,6 +156,36 @@ object Behavior {
       .limit(k)
   }
 
+  /** Trailing `windowDays`-day rolling distinct actives (the WAU/MAU
+    * family). COUNT DISTINCT over a sliding frame is not expressible as
+    * a window function (distinct aggregates are unsupported over
+    * frames, in Spark and in SQL generally); the scalable construction
+    * inverts it: each (user, active-day) CONTRIBUTES to the
+    * `windowDays` window-end days it falls into, and a plain
+    * count-distinct per end-day over the contribution stream gives the
+    * rolling metric. Shuffle volume is |user-days| × windowDays small
+    * rows — linear in activity, never quadratic in days; no self-join
+    * of the day grid. Output is restricted to OBSERVED days (inner
+    * join), so trailing windows past the data's end don't dangle;
+    * days render as ISO strings (the cross-engine DATE discipline).
+    */
+  def rollingDistinctActives(
+      events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col(keyCol), to_date(col(tsCol)).as("d")).distinct()
+    val observed = userDays.select(col("d")).distinct()
+    userDays
+      .select(col(keyCol), col("d"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__o"))
+      .select(col(keyCol), date_add(col("d"), col("__o")).as("d"))
+      .join(observed, Seq("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n_active"))
+  }
+
   /** Feed-gap detection: per-key inter-arrival gaps in exact epoch
     * micros; reports gaps exceeding `thresholdUs` and the worst gap.
     */

@@ -97,6 +97,23 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_rows") === 3)
   }
 
+  test("rollingDistinctActives: trailing window counts each user once; observed days only") {
+    val events = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "view", "2024-01-01 11:00:00"),   // same user+day: counted once
+      ev(3, 2, "view", "2024-01-03 10:00:00"),
+      ev(4, 1, "view", "2024-01-09 10:00:00")    // 8 days later: out of day-1's window
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.analytics.Behavior
+      .rollingDistinctActives(events, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // observed days only: 01-01, 01-03, 01-09
+    assert(out.keySet === Set("2024-01-01", "2024-01-03", "2024-01-09"))
+    assert(out("2024-01-01") === 1)   // user 1 (once, despite 2 events)
+    assert(out("2024-01-03") === 2)   // users 1 (from 01-01) + 2
+    assert(out("2024-01-09") === 2)   // user 1 (09) + user 2 (03 is within 7 days: 03+6=09)
+  }
+
   test("transitionMatrix: per-prev conditional probabilities over lag pairs") {
     val events = Seq(
       ev(1, 1, "a", "2024-01-01 10:00:00"),
