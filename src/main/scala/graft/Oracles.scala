@@ -1144,6 +1144,22 @@ SELECT event_type, bucket_start, round(close, 4) AS close,
   CAST(close IS NULL AS INT) AS is_gap
 FROM runs""",
 
+    // TWAP: piecewise-constant interpolation — weight = integer-micros
+    // gap to the next observation; last row weight 0; 1-row day
+    // degrades to its value (the raw avg)
+    "q120_twap" ->
+      """WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+    CAST(lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      ORDER BY ts, event_id) - epoch_us(ts) AS DOUBLE) AS dt
+  FROM events
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, count(*) AS n,
+  floor(avg(value) * 1000000 + 0.5) / 1000000 AS simple_avg,
+  floor((CASE WHEN COALESCE(sum(dt), 0) > 0 THEN sum(value * dt) / sum(dt)
+              ELSE avg(value) END) * 1000000 + 0.5) / 1000000 AS twap
+FROM g GROUP BY event_type, day""",
+
     // rolling WAU: sliding-frame count-distinct via the contribution
     // inversion; observed-days join bounds the grid
     "q119_rolling_wau" ->

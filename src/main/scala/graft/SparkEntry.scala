@@ -876,6 +876,12 @@ object SparkEntry {
         round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
         col("is_gap"))
 
+  /** A2+/W composite: TWAP per (series, day) — piecewise-constant
+    * time weighting against which q18's VWAP measures volume skew.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.twap(t(s, dir, "events"), "event_type", "ts", "event_id", "value")
+
   /** A4+/W composite: trailing 7-day rolling distinct users (WAU) —
     * sliding-frame COUNT DISTINCT via the contribution inversion (each
     * user-day feeds the 7 window-end days it falls into).
@@ -1663,6 +1669,7 @@ object SparkEntry {
     "q117_asof_tolerance" -> (q117 _),
     "q118_gopher_filter" -> (q118 _),
     "q119_rolling_wau" -> (q119 _),
+    "q120_twap" -> (q120 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -238,6 +238,43 @@ object TimeSeries {
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"r_$c").as(c)): _*)
   }
 
+  /** Time-weighted average price (TWAP) per (key, day): each
+    * observation's value holds until the NEXT observation
+    * (piecewise-constant interpolation), so the weight is the exact
+    * integer-microsecond gap to the next row — the execution-quality
+    * benchmark against which VWAP ([[vwap]]) measures volume skew; the
+    * two diverge exactly when volume clusters at prices away from the
+    * time-uniform mean. The day's last observation carries no forward
+    * gap (weight 0); a single-observation day degrades to that value.
+    *
+    * One (key, day) window sort shared by the lead and the aggregate;
+    * weights are integer micros so only the final products are float.
+    */
+  def twap(
+      events: DataFrame, keyCol: String, tsCol: String, orderTieCol: String,
+      valueCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val w = Window.partitionBy(col(keyCol), col("__day"))
+      .orderBy(col(tsCol), col(orderTieCol))
+    val dt = (lead(unix_micros(col(tsCol)), 1).over(w) - unix_micros(col(tsCol)))
+      .cast("double")
+    events
+      .withColumn("__day", day)
+      .withColumn("__dt", dt)
+      .groupBy(col(keyCol), col("__day"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.util.Partitioning.stableRound6(avg(col(valueCol))).as("simple_avg"),
+        sum(col(valueCol) * col("__dt")).as("__wsum"),
+        sum(col("__dt")).as("__tsum"),
+        avg(col(valueCol)).as("__avg_raw"))
+      .select(col(keyCol), date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("simple_avg"),
+        graft.util.Partitioning.stableRound6(
+          when(col("__tsum") > 0, col("__wsum") / col("__tsum"))
+            .otherwise(col("__avg_raw"))).as("twap"))
+  }
+
   /** Fixed-cadence resample with forward fill — the missing-bar REPAIR
     * that pairs with gap DETECTION ([[graft.analytics.Behavior.gapStats]]):
     * each key's [min, max] bucket range expands to the full `stepSeconds`

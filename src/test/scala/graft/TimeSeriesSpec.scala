@@ -101,6 +101,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(got - 17.5) < 1e-12)
   }
 
+  test("twap: duration-weighted, last row weightless, single-row day degrades to its value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // value 10 holds 3 minutes, then 20 holds 1 minute, then 40 (last, no weight)
+      (1L, "A", ts("2024-01-01 10:00:00"), 10.0),
+      (2L, "A", ts("2024-01-01 10:03:00"), 20.0),
+      (3L, "A", ts("2024-01-01 10:04:00"), 40.0),
+      (4L, "B", ts("2024-01-01 09:00:00"), 7.5)   // single observation
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = TimeSeries.twap(events, "event_type", "ts", "event_id", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // A: (10*180 + 20*60) / 240 = 12.5; simple avg (10+20+40)/3
+    assert(out("A").getAs[Double]("twap") === 12.5)
+    assert(out("A").getAs[Double]("simple_avg") ===
+      math.floor((70.0 / 3) * 1e6 + 0.5) / 1e6)
+    assert(out("A").getAs[Long]("n") === 3)
+    assert(out("B").getAs[Double]("twap") === 7.5)
+    assert(out("B").getAs[String]("day") === "2024-01-01")
+  }
+
   test("asOfJoinTolerance: fresh match kept with exact lag, stale match nulls out, no-match stays null") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(
