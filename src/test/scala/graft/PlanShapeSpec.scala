@@ -130,6 +130,15 @@ class PlanShapeSpec extends SparkSpec {
       s"int8quantize fell out of codegen: ${line.get}")
   }
 
+  test("q120 twap: the lead window and the (key, day) aggregate share ONE exchange") {
+    val plan = planOf("q120_twap")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges === 1, s"expected one shared (key, day) exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"aggregate missing:\n$plan")
+  }
+
   test("q109 bloom gate: gate-fail branch bypasses the join; only gate-pass rows reach the anti-join") {
     val plan = planOf("q109_bloom_gated_dedup")
     // both gate branches present: a positive probe feeding the anti-join
