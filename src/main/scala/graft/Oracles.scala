@@ -1144,6 +1144,85 @@ SELECT event_type, bucket_start, round(close, 4) AS close,
   CAST(close IS NULL AS INT) AS is_gap
 FROM runs""",
 
+    // capstone v2: gopher gate -> exact dedup vs kept history ->
+    // decontaminate -> mixture; same fragments as q118/q109/q70/q81
+    "q121_curation_v2" ->
+      (s"""WITH m AS (
+  SELECT doc_id, text,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS ltok,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        x -> list_contains(['the','a','and','of','to'], x))) AS sw,
+    length(text) AS lc,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+  FROM documents
+), gtoks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), ggrams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM gtoks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+), ggc AS (
+  SELECT doc_id, gram, count(*) AS c FROM ggrams GROUP BY 1, 2
+), grep AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+    CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+  FROM ggc GROUP BY doc_id
+), keepids AS (
+  SELECT m.doc_id
+  FROM m LEFT JOIN grep r ON m.doc_id = r.doc_id
+  WHERE NOT (m.ntok < 20 OR m.ntok > 100000)
+    AND (CAST(m.lc AS DOUBLE) / greatest(CAST(m.ntok AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0)
+    AND (CAST(m.sw AS DOUBLE) / greatest(CAST(m.ltok AS DOUBLE), 1.0) >= 0.05)
+    AND NOT (r.doc_id IS NOT NULL AND r.n_grams > 0
+             AND CAST(r.dup AS DOUBLE) / CAST(r.n_grams AS DOUBLE) > 0.3)
+    AND (CAST(m.np AS DOUBLE) / greatest(CAST(m.lc AS DOUBLE), 1.0) <= 0.2)
+), kept AS (
+  SELECT d.* FROM documents d JOIN keepids k ON d.doc_id = k.doc_id
+), h AS (
+  SELECT DISTINCT sha256(text) AS ch FROM kept WHERE $oldSrcPred
+), freshd AS (
+  SELECT i.* FROM (SELECT * FROM kept WHERE NOT ($oldSrcPred)) i
+  LEFT JOIN h ON sha256(i.text) = h.ch WHERE h.ch IS NULL
+), ctoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+  FROM freshd
+), cgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+), btoks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+  FROM documents WHERE source = 'src0'
+), bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+  FROM btoks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+), contaminated AS (
+  SELECT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)
+  GROUP BY c.doc_id HAVING count(*) >= 2
+), clean AS (
+  SELECT * FROM freshd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), toks2 AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok
+  FROM clean
+), tot AS (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS toks,
+    CAST(CASE WHEN source IN ('src10', 'src11', 'src12') THEN 3.0 ELSE 1.0 END AS DOUBLE) AS w
+  FROM toks2 GROUP BY source
+), rates AS (
+  SELECT source,
+    CASE WHEN toks = 0 THEN 1.0
+         ELSE LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM tot) AS DOUBLE) * w
+           / CAST((SELECT sum(w) FROM tot) AS DOUBLE) / CAST(toks AS DOUBLE)) END AS rate
+  FROM tot
+)
+SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
+FROM toks2 t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(COALESCE(CAST(t.doc_id AS VARCHAR), chr(0) || 'graft-null-id')), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < r.rate
+GROUP BY t.source"""),
+
     // TWAP: piecewise-constant interpolation — weight = integer-micros
     // gap to the next observation; last row weight 0; 1-row day
     // degrades to its value (the raw avg)

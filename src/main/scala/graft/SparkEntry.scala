@@ -876,6 +876,35 @@ object SparkEntry {
         round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
         col("is_gap"))
 
+  /** Capstone composite v2 — the round-7 operators chained end-to-end:
+    * Gopher quality gate (q118) → Bloom-gated exact dedup of the
+    * new-source increment against the kept old-source history (q109) →
+    * 5-gram decontamination vs the src0 benchmark (q70) → weighted
+    * token-budget mixture (q81). Every stage is the individually
+    * oracle-verified construction; the oracle chains the same
+    * fragments.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    val docs = t(s, dir, "documents")
+    val oldSrcs = (0 to 9).map(i => s"src$i")
+    val keepIds = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+        Seq("the", "a", "and", "of", "to"))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val kept = docs.join(keepIds, Seq("doc_id"))
+    val hist = kept.filter(col("source").isin(oldSrcs: _*))
+    val inc = kept.filter(!col("source").isin(oldSrcs: _*))
+    val fresh = Dedup.bloomGatedNewDocs(inc, hist, "text", expectedItems = hist.count())
+    val clean = graft.llmops.Decontaminate.decontaminate(
+      fresh, docs.filter(col("source") === "src0"), "doc_id", "text",
+      n = 5, minOverlap = 2)
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    val w = when(col("source").isin("src10", "src11", "src12"), lit(3.0)).otherwise(lit(1.0))
+    Sampling.mixtureSample(clean, "doc_id", "source", tok, w, 0.3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+  }
+
   /** A2+/W composite: TWAP per (series, day) — piecewise-constant
     * time weighting against which q18's VWAP measures volume skew.
     */
@@ -1670,6 +1699,7 @@ object SparkEntry {
     "q118_gopher_filter" -> (q118 _),
     "q119_rolling_wau" -> (q119 _),
     "q120_twap" -> (q120 _),
+    "q121_curation_v2" -> (q121 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
