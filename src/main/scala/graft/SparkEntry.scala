@@ -894,7 +894,10 @@ object SparkEntry {
     val kept = docs.join(keepIds, Seq("doc_id"))
     val hist = kept.filter(col("source").isin(oldSrcs: _*))
     val inc = kept.filter(!col("source").isin(oldSrcs: _*))
-    val fresh = Dedup.bloomGatedNewDocs(inc, hist, "text", expectedItems = hist.count())
+    // size the bloom from the RAW table count — an upper bound is all the
+    // filter needs (~2x bits at worst), and counting `hist` itself would
+    // re-execute the whole gopher-gate join once more just for sizing
+    val fresh = Dedup.bloomGatedNewDocs(inc, hist, "text", expectedItems = docs.count())
     val clean = graft.llmops.Decontaminate.decontaminate(
       fresh, docs.filter(col("source") === "src0"), "doc_id", "text",
       n = 5, minOverlap = 2)
