@@ -1144,6 +1144,23 @@ SELECT event_type, bucket_start, round(close, 4) AS close,
   CAST(close IS NULL AS INT) AS is_gap
 FROM runs""",
 
+    // rolling z-score anomalies: prior-n frame, null z in warm-up/flat,
+    // null-safe flag
+    "q122_anomaly_zscore" ->
+      """SELECT event_id, user_id,
+  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+       ELSE floor(((value - ma) / sd) * 1000000 + 0.5) / 1000000 END AS z,
+  COALESCE(CAST(abs(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+       ELSE floor(((value - ma) / sd) * 1000000 + 0.5) / 1000000 END) > 3.0 AS INT), 0) AS is_anomaly
+FROM (
+  SELECT event_id, user_id, value,
+    avg(value) OVER w AS ma,
+    stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)""",
+
     // capstone v2: gopher gate -> exact dedup vs kept history ->
     // decontaminate -> mixture; same fragments as q118/q109/q70/q81
     "q121_curation_v2" ->

@@ -876,6 +876,15 @@ object SparkEntry {
         round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
         col("is_gap"))
 
+  /** W1+ composite: rolling z-score anomaly flags over each user's
+    * event-value series — prior-20-row frame (a spike never normalizes
+    * itself), null-z warm-up, exact flags.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.rollingZScore(
+      t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"), 20)
+      .select(col("event_id"), col("user_id"), col("z"), col("is_anomaly"))
+
   /** Capstone composite v2 — the round-7 operators chained end-to-end:
     * Gopher quality gate (q118) → Bloom-gated exact dedup of the
     * new-source increment against the kept old-source history (q109) →
@@ -1703,6 +1712,7 @@ object SparkEntry {
     "q119_rolling_wau" -> (q119 _),
     "q120_twap" -> (q120 _),
     "q121_curation_v2" -> (q121 _),
+    "q122_anomaly_zscore" -> (q122 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

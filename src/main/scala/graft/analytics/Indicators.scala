@@ -286,4 +286,33 @@ object Indicators {
         sr6(corr(col("va"), col("vb"))).as("r"),
         count(lit(1)).as("n_buckets"))
   }
+
+  /** Rolling z-score anomaly detection over a keyed series: each row
+    * scored against the PRIOR `n` rows' mean/std (the frame shifted one
+    * back, so a spike never normalizes itself away — same discipline as
+    * the q107 Donchian prior-high). z is null until the warm-up window
+    * holds >= 2 prior rows or while the window is flat (std 0 — a first
+    * deviation from a constant series IS anomalous, but its z is
+    * undefined; the flag uses the null-safe comparison, so flat-window
+    * rows flag 0). One window sort per key; flags are exact.
+    *
+    * Output: adds `z` (round-6, null in warm-up/flat) and `is_anomaly`
+    * (1 when |z| > threshold).
+    */
+  def rollingZScore(
+      df: DataFrame, valueCol: String,
+      partition: Seq[String], order: Seq[String], n: Int,
+      threshold: Double = 3.0): DataFrame = {
+    val frame = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*).rowsBetween(-n, -1)
+    val ma = avg(col(valueCol)).over(frame)
+    val sd = stddev_samp(col(valueCol)).over(frame)
+    df.withColumn("__ma", ma).withColumn("__sd", sd)
+      .withColumn("z",
+        when(col("__sd").isNull || col("__sd") === 0.0, lit(null).cast("double"))
+          .otherwise(sr6((col(valueCol) - col("__ma")) / col("__sd"))))
+      .withColumn("is_anomaly",
+        coalesce((abs(col("z")) > threshold).cast("int"), lit(0)))
+      .drop("__ma", "__sd")
+  }
 }

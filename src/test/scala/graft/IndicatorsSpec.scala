@@ -208,4 +208,24 @@ class IndicatorsSpec extends SparkSpec {
     // band ordering invariant wherever defined
     assert(boll.filter(col("upper") < col("lower")).count() === 0)
   }
+
+  test("rollingZScore: prior frame excludes self, spike flags, warm-up and flat stay null/0") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: stable 10.0 x5 then a spike 100; user 2: constant (flat window)
+    val rows = (0 until 5).map(i => (i.toLong, 1L, ts(f"2024-01-01 10:0$i:00"), 10.0 + (i % 2) * 0.2)) ++
+      Seq((5L, 1L, ts("2024-01-01 10:05:00"), 100.0)) ++
+      (10 until 13).map(i => (i.toLong, 2L, ts(f"2024-01-01 10:${i - 10}%02d:00"), 5.0))
+    val out = Indicators.rollingZScore(
+        rows.toDF("event_id", "user_id", "ts", "value"), "value",
+        Seq("user_id"), Seq("ts", "event_id"), 20)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(r.fieldIndex("z"))), r.getInt(r.fieldIndex("is_anomaly"))))).toMap
+    assert(out(0L) === ((None, 0)))            // first row: no prior frame
+    assert(out(1L) === ((None, 0)))            // one prior row: stddev_samp null
+    assert(out(5L)._1.exists(_.asInstanceOf[Double] > 3.0))
+    assert(out(5L)._2 === 1)                   // spike vs stable history flags
+    assert(out(4L)._2 === 0)                   // in-distribution row does not
+    assert(out(12L) === ((None, 0)))           // flat window: z undefined, flag 0
+  }
 }
