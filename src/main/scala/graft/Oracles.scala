@@ -832,6 +832,26 @@ FROM events WHERE event_type = 'view'""",
 
     "q37_jaccard_near_dups" -> q37JaccardSql,
 
+    // asymmetric containment over the same candidate set as q37:
+    // |A∩B| / min(|A|,|B|) — the excerpt detector
+    "q123_containment_pairs" ->
+      (s"""WITH $minhashPairsCte,
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, length(text)-6), i -> substr(text, i, 8))) AS s
+  FROM documents WHERE length(text) >= 8
+), scored AS (
+  SELECT p.doc_a, p.doc_b,
+    floor((CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / least(len(sa.s), len(sb.s))) * 1000000 + 0.5) / 1000000 AS containment,
+    floor((CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM pairs p
+  JOIN sh sa ON p.doc_a = sa.doc_id
+  JOIN sh sb ON p.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, containment, jaccard FROM scored WHERE containment >= 0.5"""),
+
     "q38_langid" ->
       """WITH h AS (
   SELECT doc_id, lang,

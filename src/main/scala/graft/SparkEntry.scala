@@ -876,6 +876,14 @@ object SparkEntry {
         round(col("close"), 4).as("close"), round(col("ffill"), 4).as("ffill"),
         col("is_gap"))
 
+  /** X2+ excerpt detector: asymmetric shingle containment over the LSH
+    * candidate set — high containment + low Jaccard = a quote/partial
+    * mirror the symmetric near-dup score misses.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+      minContainment = 0.5)
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1713,6 +1721,7 @@ object SparkEntry {
     "q120_twap" -> (q120 _),
     "q121_curation_v2" -> (q121 _),
     "q122_anomaly_zscore" -> (q122 _),
+    "q123_containment_pairs" -> (q123 _),
   )
 
   /** DuckDB oracle twins. Omitted: q28 (approximate by design). */

@@ -215,6 +215,50 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric shingle CONTAINMENT over the LSH candidate set: scores
+    * each candidate pair by `|A∩B| / min(|A|,|B|)` — 1.0 when the
+    * smaller document's shingles are a subset of the larger's. This is
+    * the EXCERPT detector: a quote or partial mirror has high
+    * containment but low Jaccard (the symmetric score q37 thresholds
+    * on), so near-dup dedup alone keeps both copies of the text.
+    *
+    * Honest recall contract: candidates still come from MinHash banding,
+    * whose per-band agreement probability equals the JACCARD — a tiny
+    * excerpt of a huge document can evade banding entirely. Within the
+    * candidate set the score is exact (the oracle recomputes it from
+    * shingle strings); a dedicated containment index (e.g. bottom-k
+    * sketches of the SMALL side probed against the large side's full
+    * set) is the scale path when sub-5%-length excerpts matter.
+    *
+    * Output: (doc_a, doc_b, containment, jaccard) for candidates with
+    * containment >= minContainment.
+    */
+  def containmentVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numHashes: Int = 16, numBands: Int = 4,
+      minContainment: Double = 0.8): DataFrame = {
+    import graft.functions.{ShingleHashesSorted, SortedIntersectCount}
+    val pairs = minhashCandidatePairs(docs, idCol, textCol, shingleK, numHashes, numBands)
+    val hashed = graft.util.Partitioning.ensureParallelism(docs)
+      .filter(length(col(textCol)) >= shingleK)
+      .select(col(idCol).as("doc_id"),
+        ShingleHashesSorted.shingleHashesSorted(col(textCol), shingleK).as("sh"))
+    pairs
+      .join(hashed.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        SortedIntersectCount.sortedIntersectCount(col("sha"), col("shb")).as("inter"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.util.Partitioning.stableRound6(
+          col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"),
+        graft.util.Partitioning.stableRound6(
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** N-gram Jaccard similarity between two shingle-array columns (per-row
     * expression form — fine for ad-hoc pair scoring; use
     * [[jaccardVerifiedPairs]] for bulk candidate verification).

@@ -449,6 +449,23 @@ class LlmopsSpec extends SparkSpec {
     assert(graft.llmops.Multimodal.dimsOf(png) === Some((640, 480)))
   }
 
+  test("containmentVerifiedPairs: prefix excerpt scores containment 1.0 with jaccard < 1") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while many other animals wander slowly across wide open fields"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),   // 1 is a prefix excerpt of 2: containment 1.0
+      (3L, "completely unrelated content with entirely different words everywhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentVerifiedPairs(docs, "doc_id", "text", minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.contains((1L, 2L)), s"excerpt pair missing: ${out.keySet}")
+    val (c, j) = out((1L, 2L))
+    assert(c === 1.0, s"containment $c")       // every shingle of 1 is in 2
+    assert(j < 1.0 && j > 0.8, s"jaccard $j")  // symmetric score strictly lower
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("gopherFilter: each rule sets its own reason bit; clean text keeps") {
     import spark.implicits._
     val sw = Seq("the", "a", "and", "of", "to")
