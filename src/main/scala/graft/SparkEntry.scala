@@ -1724,6 +1724,8 @@ object SparkEntry {
     "q123_containment_pairs" -> (q123 _),
   )
 
-  /** DuckDB oracle twins. Omitted: q28 (approximate by design). */
+  /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
+    * operators (q28/q41/q43/q66/q112) emit in-plan recall/error verdicts
+    * against exact twins, so their oracles check the verdict columns. */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -625,7 +625,9 @@ object Similarity {
     * lookup tables — per-(query, subspace, code) partial dot products
     * and per-(subspace, code) centroid squared norms (the reconstructed
     * norm is exact across disjoint subspaces). Both ship as array
-    * LITERALS (m×ksub×|queries| + m×ksub doubles — KBs), so scoring is
+    * LITERALS (m×ksub×|queries| + m×ksub doubles — KBs at typical batch
+    * sizes, byte-budgeted by `maxAdcBytes` since the product grows
+    * linearly in all three factors), so scoring is
     * pure codegen'd element_at arithmetic: no per-row float vectors, no
     * UDF, and the shuffle is still |queries|×k via [[graft.functions.BoundedTopK]].
     *
@@ -635,17 +637,23 @@ object Similarity {
   def pqTopKBatch(
       codebook: PqCodebook, codes: DataFrame,
       queries: DataFrame, qidCol: String, qVecCol: String, k: Int,
-      excludeSelfId: Boolean = false, maxQueries: Int = 4096): DataFrame = {
+      excludeSelfId: Boolean = false, maxAdcBytes: Long = 64L << 20): DataFrame = {
     val m = codebook.m
     val subDim = codebook.subDim
     val sizes = codebook.centroids.map(_.length)
     val offsets = sizes.scanLeft(0)(_ + _) // per-subspace start in the flat tables
     val perQ = offsets.last
     val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
-    require(qRows.length <= maxQueries,
-      s"pqTopKBatch: ${qRows.length} queries exceed maxQueries=$maxQueries — the ADC " +
-        s"dot table is |queries| x $perQ doubles shipped to every task; batch the " +
-        "queries across several calls, or raise maxQueries deliberately.")
+    // Guard the actual literal size, not the query count: the dot table is
+    // |queries| × perQ doubles embedded in the plan, so 4096 queries at
+    // m=32, ksub=256 would be ~256 MB — a plan/codegen failure, not a KB
+    // literal. Same budget style as ivfIndex's maxDriverCells.
+    val adcBytes = qRows.length.toLong * perQ * 8L
+    require(adcBytes <= maxAdcBytes,
+      s"pqTopKBatch: ADC dot table is ${qRows.length} queries x $perQ entries x 8 B " +
+        s"= $adcBytes bytes, over maxAdcBytes=$maxAdcBytes — the table ships to every " +
+        "task as a plan literal; batch the queries across several calls (each call's " +
+        "table is |batch| x m x ksub doubles), or raise maxAdcBytes deliberately.")
     require(qRows.nonEmpty, "pqTopKBatch: empty query set")
     val sqFlat: Array[Double] =
       codebook.centroids.flatMap(_.map(c => c.map(x => x * x).sum))

@@ -67,8 +67,16 @@ object TxParquetTable {
   // interleaving). Lets the upsert schema guard read the log instead of
   // every live file's parquet footer (r6 advice: O(#files) planning per
   // upsert).
+  // `columnsReset`: this commit's column record is a NEW COMPLETE
+  // baseline, not a delta to union — set only by compact, which rewrites
+  // every live file and reads its columns via mergeSchema, so any
+  // legacy (pre-columns) files are gone and their columns captured.
+  // Without it a single legacy commit would pin columnsComplete=false
+  // forever, re-imposing the O(#live files) footer pass compact was
+  // supposed to clear (r7 advice).
   private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String],
-    buckets: Seq[Int], bucketCount: Option[Int], columns: Seq[String] = Seq.empty)
+    buckets: Seq[Int], bucketCount: Option[Int], columns: Seq[String] = Seq.empty,
+    columnsReset: Boolean = false)
   // `columnsComplete`: every file-ADDING commit folded into this snapshot
   // carried a columns record. Only then may the schema guard trust the
   // log's column set — one legacy commit in the history could have added
@@ -100,6 +108,7 @@ object TxParquetTable {
       val cols = root.putArray("columns")
       c.columns.foreach(cols.add)
     }
+    if (c.columnsReset) root.put("columnsReset", true)
     mapper.writeValueAsString(root)
   }
 
@@ -125,7 +134,8 @@ object TxParquetTable {
       (0 until rm.size()).map(rm.get(_).asText()),
       (0 until bk.size()).map(bk.get(_).asInt()),
       Option(root.get("bucketCount")).map(_.asInt()),
-      parseColumns(root))
+      parseColumns(root),
+      Option(root.get("columnsReset")).exists(_.asBoolean()))
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -206,6 +216,10 @@ object TxParquetTable {
         c.remove.foreach(live -= _)
         c.add.foreach(a => live += a.name -> a)
         c.bucketCount.foreach(n => bucketCount = Some(n))
+        // a reset commit (compact) replaces every live file with fully
+        // recorded ones: its column set is a fresh complete baseline, so
+        // history poisoned by a legacy commit heals here
+        if (c.columnsReset) { columns.clear(); complete = true }
         c.columns.foreach(columns += _)
         if (c.add.nonEmpty && c.columns.isEmpty) complete = false
         v = cv
@@ -315,7 +329,8 @@ object TxParquetTable {
   private def publish(
       path: String, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int],
       readVersion: Long, bucketCount: Option[Int] = None,
-      columns: Seq[String] = Seq.empty, maxRetries: Int = 20): Long = {
+      columns: Seq[String] = Seq.empty, columnsReset: Boolean = false,
+      maxRetries: Int = 20): Long = {
     logDir(path).mkdirs()
     var attempt = 0
     while (attempt < maxRetries) {
@@ -332,7 +347,8 @@ object TxParquetTable {
       val target = new File(logDir(path), f"$next%020d.json").toPath
       val tmp = Files.write(
         Paths.get(path, s".commit-${java.util.UUID.randomUUID()}.tmp"),
-        renderCommit(Commit(next, add, remove, buckets, bucketCount, columns)).getBytes(StandardCharsets.UTF_8))
+        renderCommit(Commit(next, add, remove, buckets, bucketCount, columns,
+          columnsReset)).getBytes(StandardCharsets.UTF_8))
       try {
         // createLink is the atomic CREATE-IF-ABSENT primitive: link(2)
         // fails if the target exists. (rename(2)/Files.move+ATOMIC_MOVE
@@ -428,8 +444,11 @@ object TxParquetTable {
         snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
       .repartition(targetFiles, bucketOf)
     val adds = stage(df, path, Some(bucketOf))
+    // columnsReset: df.columns came from a mergeSchema read of EVERY live
+    // file, and all of them are removed by this commit — the union with
+    // the log's (possibly incomplete) record is a fresh complete baseline
     publish(path, adds, snap.live.map(_.name), (0 until n), readVersion, Some(n),
-      columns = (snap.columns ++ df.columns).distinct)
+      columns = (snap.columns ++ df.columns).distinct, columnsReset = true)
   }
 
   /** Transactional keyed upsert: replaces whole hash-buckets of rows.

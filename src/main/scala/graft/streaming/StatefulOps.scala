@@ -174,22 +174,30 @@ object StatefulOps {
 
   final case class TransitionPair(userId: Long, prevType: String, curType: String)
 
+  /** Microsecond-precision epoch key of a Timestamp: getTime carries only
+    * millis, the sub-ms digits live in getNanos — without them, events in
+    * the same millisecond but different microseconds would sort by eventId
+    * where the batch twin sorts by the full timestamp. */
+  private[streaming] def epochMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** Fold a batch of events into (prev, cur) transition pairs, chaining
-    * from the carried last-event state. In-batch order is (ts, eventId) —
-    * the same tie discipline as the batch transition matrix
-    * ([[graft.analytics.Behavior.transitionMatrix]]); ACROSS batches the
-    * chain follows arrival order (the state is whatever arrived last), so
-    * equality with the batch form holds exactly when batches respect
-    * event-time order — StatefulSpec's twin contract.
+    * from the carried last-event state. In-batch order is (ts-at-microsecond
+    * -precision, eventId) — the same tie discipline as the batch transition
+    * matrix ([[graft.analytics.Behavior.transitionMatrix]], which orders by
+    * the full timestamp); ACROSS batches the chain follows arrival order
+    * (the state is whatever arrived last), so equality with the batch form
+    * holds exactly when batches respect event-time order — StatefulSpec's
+    * twin contract.
     */
   private[streaming] def transitionFold(
       st: Option[LastEvent], events: Seq[UserEvent]): (Option[LastEvent], Seq[(String, String)]) = {
-    val sorted = events.sortBy(e => (e.ts.getTime, e.eventId))
+    val sorted = events.sortBy(e => (epochMicros(e.ts), e.eventId))
     var prev = st
     val out = Seq.newBuilder[(String, String)]
     sorted.foreach { e =>
       prev.foreach(p => out += ((p.eventType, e.eventType)))
-      prev = Some(LastEvent(e.eventType, e.ts.getTime, e.eventId))
+      prev = Some(LastEvent(e.eventType, epochMicros(e.ts), e.eventId))
     }
     (prev, out.result())
   }

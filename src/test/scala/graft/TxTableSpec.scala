@@ -142,6 +142,48 @@ class TxTableSpec extends SparkSpec {
     Seq("id", "v", "extra").foreach(c => assert(last.contains(s"\"$c\""), s"column $c not in log"))
   }
 
+  test("compact heals a legacy (pre-columns) history: columnsReset baseline") {
+    // r7 advice: one legacy file-adding commit pinned columnsComplete=false
+    // FOREVER — every later upsert paid the O(#live files) footer pass and
+    // checkpoints refused to record the (by-then accurate) column set.
+    // compact rewrites every live file with full column records, so its
+    // commit declares a fresh complete baseline via the columnsReset marker.
+    val path = freshPath()
+    TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
+    // simulate a legacy writer: strip the columns record from commit 0
+    val logDir = new java.io.File(path, "_graft_log")
+    val c0 = new java.io.File(logDir, f"${0L}%020d.json")
+    val stripped = new String(Files.readAllBytes(c0.toPath), "UTF-8")
+      .replaceAll(""","columns":\[[^\]]*\]""", "")
+    assert(!stripped.contains("\"columns\""), "legacy simulation failed")
+    Files.write(c0.toPath, stripped.getBytes("UTF-8"))
+    (0 until 3).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"u$i"), (2L, "b")).toDF("id", "v"), path, "id")
+    }
+    // poisoned history: compact (commit 4) must carry the reset marker
+    val cv = TxParquetTable.compact(spark, path, "id", targetFiles = 1)
+    val compactJson = new String(Files.readAllBytes(
+      new java.io.File(logDir, f"$cv%020d.json").toPath), "UTF-8")
+    assert(compactJson.contains("\"columnsReset\":true"))
+    assert(compactJson.contains("\"columns\""))
+    // cross the checkpoint boundary: a healed history checkpoints its
+    // column set (an unhealed one refuses — renderSnapshot omits it)
+    (cv until TxParquetTable.checkpointInterval).foreach { i =>
+      TxParquetTable.upsert(Seq((1L, s"p$i"), (2L, "b")).toDF("id", "v"), path, "id")
+    }
+    val ckpts = logDir.listFiles().filter(_.getName.endsWith(".ckpt.json")).sortBy(_.getName)
+    assert(ckpts.nonEmpty, "no checkpoint written")
+    val ckptJson = new String(Files.readAllBytes(ckpts.last.toPath), "UTF-8")
+    assert(ckptJson.contains("\"columns\""),
+      "checkpoint after compact still refuses to record columns — history not healed")
+    Seq("id", "v").foreach(c => assert(ckptJson.contains(s"\"$c\"")))
+    // and the guard still works off the healed log
+    val e = intercept[IllegalArgumentException] {
+      TxParquetTable.upsert(Seq((3L, 9)).toDF("id", "extra"), path, "id")
+    }
+    assert(e.getMessage.contains("missing table columns v"))
+  }
+
   test("reader pinned below the vacuum horizon: loud VERSIONED error, never partial data") {
     val path = freshPath()
     (0 until 4).foreach { i =>
