@@ -106,10 +106,27 @@ object Decontaminate {
     * are absent (set co-membership), by contract.
     *
     * Output: (src_a, src_b, n_shared, n_a, containment = n_shared/n_a).
+    *
+    * Bound: `collect_set(src)` per gram and the per-gram pair explode are
+    * O(|sources|) state and O(|sources|²) rows respectively — fine at
+    * corpus-mixing source counts (tens), quadratic-per-gram beyond. The
+    * guard counts distinct sources up front (one scan of the SMALL
+    * src-column projection, cheap next to the gram pass) and fails fast
+    * over `maxSources` with the sharding remedy named, in the
+    * [[Similarity.lshSizing]] style.
     */
   def sourceOverlapMatrix(
-      docs: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
+      docs: DataFrame, srcCol: String, textCol: String, n: Int,
+      maxSources: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nSrc = docs.select(col(srcCol)).distinct().count()
+    require(nSrc <= maxSources,
+      f"sourceOverlapMatrix: $nSrc%,d distinct sources exceeds " +
+        f"maxSources=$maxSources%,d — per-gram state is O(|sources|) and the " +
+        f"pair explode emits up to |sources|²=${nSrc * nSrc}%,d rows PER GRAM. " +
+        "For large source counts, shard the gram key (add pmod(gram_key, S) " +
+        "to the groupBy and sum the per-shard pair counts) or pre-bucket " +
+        "sources into families; or raise maxSources if memory allows.")
     val pairCounts = graft.util.Partitioning.ensureParallelism(docs)
       .select(col(srcCol).as("src"),
         explode(TextAnalysis.wordNgrams(col(textCol), n, distinct = true)).as("gram"))

@@ -135,4 +135,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(("A", "B")).getAs[Double]("containment") === 0.5)
     assert(out(("B", "A")).getAs[Double]("containment") === 0.5)
   }
+
+  test("sourceOverlapMatrix: maxSources guard fails fast with the sharding remedy named") {
+    import spark.implicits._
+    val docs = (1 to 8).map(i => (i.toLong, s"src$i", s"doc number $i words here"))
+      .toDF("doc_id", "source", "text")
+    // 8 distinct sources passes the default bound but trips a tight one.
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3, maxSources = 4)
+    }
+    assert(e.getMessage.contains("distinct sources exceeds"))
+    assert(e.getMessage.contains("shard the gram key"))
+    // At or under the bound the same input runs fine.
+    Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3, maxSources = 8).collect()
+  }
 }
