@@ -29,20 +29,13 @@ object SparkEntry {
     } finally walk.close()
   }
 
-  /** Harness-table reader. The driver's `events.ts` is parquet
-    * TIMESTAMP(NANOS) which Spark 4 refuses by default; read it as a long
-    * (legacy conf) and floor-divide to microseconds — integer `div`, not
-    * `/`, because epoch-nanos (~1.7e18) exceeds double's 2^53 exact range.
-    * DuckDB's TIMESTAMP is microseconds and truncates NANOS identically,
-    * so both engines see the same instants.
+  /** Harness-table reader — delegates to [[Tables.load]], the one place
+    * that knows the driver's on-disk `ts` encodings (long-nanos, NTZ
+    * micros, UTC micros; see its doc for why each normalizes identically
+    * to DuckDB's read).
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 candle re-aggregation — scan → filter → project → windowed agg.

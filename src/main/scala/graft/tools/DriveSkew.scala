@@ -9,8 +9,7 @@ object DriveSkew {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.analytics.Skew
     import graft.analytics.Skew.SaltedAgg
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.1")
     val salted = Skew.saltedAggregate(ev, Seq(col("event_type")), 16, Seq(
       SaltedAgg.sumOf(col("value"), "total"), SaltedAgg.countAll("n")))
     println("DRIVE salted aggregate (16 buckets):")

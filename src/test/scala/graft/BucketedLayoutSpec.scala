@@ -99,9 +99,7 @@ class BucketedLayoutSpec extends AnyFunSuite {
   test("q63's range predicate prunes the date-partitioned events scan") {
     val dir = "/root/testdata/sf0.001"
     val path = java.nio.file.Files.createTempDirectory("graft_part_events").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.events(spark, dir)
       .withColumn("event_date", date_add(lit("1970-01-01").cast("date"),
         expr("unix_micros(ts) div 86400000000").cast("int")))
     BucketedLayout.writePartitioned(ev, path, Seq("event_date"))

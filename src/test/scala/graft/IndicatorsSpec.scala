@@ -176,9 +176,7 @@ class IndicatorsSpec extends SparkSpec {
   }
 
   test("indicator invariants on harness events: rsi in [0,100], bands ordered, drawdown <= 0, ewma within window hull") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val rsi = Indicators.rsi(ev, "value", "rsi", Seq("user_id"), Seq("ts", "event_id"), 14)
     assert(rsi.filter(col("rsi") < 0 || col("rsi") > 100).count() === 0)
 
@@ -198,9 +196,7 @@ class IndicatorsSpec extends SparkSpec {
   }
 
   test("indicators produce one row per input row (rsi/bollinger) on harness events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val n = ev.count()
     assert(Indicators.rsi(ev, "value", "rsi", Seq("user_id"), Seq("ts", "event_id"), 14).count() === n)
     val boll = Indicators.bollinger(ev, "value", Seq("user_id"), Seq("ts", "event_id"), 20)

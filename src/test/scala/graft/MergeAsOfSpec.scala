@@ -62,9 +62,7 @@ class MergeAsOfSpec extends AnyFunSuite {
   test("matches the union+window asOfJoin baseline on events at sf0.001") {
     val ev = SparkEntry.queries("q19_asof_join")(spark, "/root/testdata/sf0.001")
     // same query re-expressed through the custom operator
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
     val views = events.filter(col("event_type") === "view")

@@ -18,11 +18,8 @@ class RewriteRuleSpec extends SparkSpec {
     }
   }
 
-  private lazy val ev = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-  }
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
   test("rank=1 window rewrites to aggregate with identical results (asc)") {
     val query = Ingest.dedupFirstBy(Seq("user_id", "event_type"), "event_id")(ev)

@@ -8,10 +8,7 @@ import graft.analytics.Skew.SaltedAgg
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val ev = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-  }
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
 
   test("saltedAggregate == plain aggregate (sum/count/min/max)") {
     val salted = Skew.saltedAggregate(ev, Seq(col("event_type")), 8, Seq(

@@ -33,4 +33,42 @@ class SourcesSpec extends SparkSpec {
     val csvBack = spark.read.schema(schema).option("header", "true").csv(s"$dir/csv")
     assert(csvBack.exceptAll(bars).count() === 0, "csv")
   }
+
+  /** Data-shape contract: the driver has regenerated `/root/testdata`
+    * with a different `events.ts` parquet encoding twice (NANOS in the
+    * early rounds, TIMESTAMP_MICROS isAdjustedToUTC=0 in round 8). This
+    * pins [[Tables.load]]'s normalization for all three shapes so the
+    * next regen fails ONE named test instead of eight anonymous ones.
+    */
+  test("Tables.load normalizes all three ts parquet encodings to the same TimestampType micros") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_shapes_").toString
+    val micros = Seq(1704067200000000L, 1704067201500000L, 1704153599999999L)
+
+    // shape 1: legacy long-nanos — what a parquet TIMESTAMP(NANOS) column
+    // reads as under spark.sql.legacy.parquet.nanosAsLong (the loader
+    // cannot distinguish that from a plain int64-of-nanos, by design)
+    micros.map(u => Tuple1(u * 1000L)).toDF("ts")
+      .write.parquet(s"$dir/nanos/events.parquet")
+
+    // shape 2: TIMESTAMP_MICROS isAdjustedToUTC=0 → Spark TIMESTAMP_NTZ
+    // (the round-8 regen shape)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    micros.map { u =>
+      Tuple1(java.time.LocalDateTime.ofEpochSecond(
+        u / 1000000L, ((u % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+    }.toDF("ts").write.parquet(s"$dir/ntz/events.parquet")
+
+    // shape 3: TIMESTAMP_MICROS isAdjustedToUTC=1 → TimestampType directly
+    micros.map { u =>
+      Tuple1(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)))
+    }.toDF("ts").write.parquet(s"$dir/utc/events.parquet")
+
+    for (shape <- Seq("nanos", "ntz", "utc")) {
+      val df = Tables.events(spark, s"$dir/$shape")
+      assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType, shape)
+      val got = df.select(expr("unix_micros(ts)")).as[Long].collect().sorted.toSeq
+      assert(got === micros, shape)
+    }
+  }
 }

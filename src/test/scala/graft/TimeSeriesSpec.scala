@@ -28,9 +28,7 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
   test("candle invariants hold on harness events (property-ish)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val c = TimeSeries.candles(col("ts"), col("event_type"), col("value"), col("value"), col("event_id"), "5 minutes")(ev)
     assert(c.filter(col("high") < col("open") || col("high") < col("close") ||
       col("low") > col("open") || col("low") > col("close")).count() === 0)
@@ -56,9 +54,7 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
   test("asOfJoin == naive argmax formulation on harness events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val views = ev.filter(col("event_type") === "view")
@@ -76,9 +72,7 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
   test("boundedRangeJoin == naive theta join on harness events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
