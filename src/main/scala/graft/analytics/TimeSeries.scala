@@ -290,9 +290,11 @@ object TimeSeries {
     * value — deterministic, and the SQL oracle states it identically.
     *
     * Scale shape: bounds are a per-key aggregate of the (already
-    * aggregated) bar frame — the bar subplan does execute twice (bounds +
-    * join side; at corpus scale materialize the bars once under the
-    * caller's lifecycle). The grid explode emits only (key, bucket) pairs,
+    * aggregated) bar frame — in this self-contained form the bar subplan
+    * executes twice (bounds + join side); at corpus scale precompute
+    * [[resampleBounds]] once over a materialized bars frame and use the
+    * precomputed-bounds overload to pay it once. The grid explode emits
+    * only (key, bucket) pairs,
     * the join is keyed on them, and both windows ride ONE (key, bucket)
     * sort. Grid size is bounded by the observed time span / step, never
     * by row count.
@@ -302,10 +304,31 @@ object TimeSeries {
     */
   def resampleFfill(
       bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
-      stepSeconds: Long, maxGridPerKey: Long = 10000000L): DataFrame = {
-    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    val bounds = bars.groupBy(col(keyCol))
+      stepSeconds: Long, maxGridPerKey: Long = 10000000L): DataFrame =
+    resampleFfill(bars, keyCol, bucketCol, valueCol, stepSeconds, maxGridPerKey,
+      resampleBounds(bars, keyCol, bucketCol))
+
+  /** Per-key [min, max] of the bucket column — the precomputable bounds
+    * artifact behind [[resampleFfill]]. At corpus scale compute this ONCE
+    * over a materialized bars frame and pass it to the precomputed-bounds
+    * overload, so the bars subplan executes once (join side only) instead
+    * of twice — the [[graft.llmops.TextAnalysis.unigramVocab]]
+    * artifact-reuse contract.
+    */
+  def resampleBounds(bars: DataFrame, keyCol: String, bucketCol: String): DataFrame =
+    bars.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+
+  /** [[resampleFfill]] over precomputed per-key bounds — (key, __mn, __mx)
+    * as produced by [[resampleBounds]], persisted/computed under the
+    * CALLER's lifecycle. The bars frame is consumed exactly once (the
+    * grid join's right side); the self-contained form above pays the bars
+    * subplan twice with lineage fully intact instead.
+    */
+  def resampleFfill(
+      bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
+      stepSeconds: Long, maxGridPerKey: Long, bounds: DataFrame): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
     // in-plan guard (the weightedSample raise_error pattern — no extra
     // scan): sequence() materializes one span/step-length ARRAY per key
     // before the explode, so a fine step over a long span is an executor

@@ -113,13 +113,23 @@ object Decontaminate {
     * guard counts distinct sources up front (one scan of the SMALL
     * src-column projection, cheap next to the gram pass) and fails fast
     * over `maxSources` with the sharding remedy named, in the
-    * [[Similarity.lshSizing]] style.
+    * [[Similarity.lshSizing]] style. Callers that already know the
+    * source count (a curated mixture spec, a prior
+    * [[contaminationReport]] pass) pass it via `knownSourceCount` and
+    * the guard job is skipped entirely — the
+    * [[Similarity.lshAutoSizedNeighbors]] precedent for not making a
+    * lazy transformation eager.
+    *
+    * NULL sources: `collect_set` drops nulls, so null-source docs never
+    * enter the matrix; the guard count uses `count(DISTINCT src)` (also
+    * null-skipping) so both sides agree.
     */
   def sourceOverlapMatrix(
       docs: DataFrame, srcCol: String, textCol: String, n: Int,
-      maxSources: Int = 256): DataFrame = {
+      maxSources: Int = 256, knownSourceCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nSrc = docs.select(col(srcCol)).distinct().count()
+    val nSrc = knownSourceCount.getOrElse(
+      docs.agg(count_distinct(col(srcCol))).head().getLong(0))
     require(nSrc <= maxSources,
       f"sourceOverlapMatrix: $nSrc%,d distinct sources exceeds " +
         f"maxSources=$maxSources%,d — per-gram state is O(|sources|) and the " +

@@ -149,4 +149,34 @@ class DecontaminateSpec extends SparkSpec {
     // At or under the bound the same input runs fine.
     Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3, maxSources = 8).collect()
   }
+
+  test("sourceOverlapMatrix: knownSourceCount bypasses the guard count job and is trusted") {
+    import spark.implicits._
+    val docs = (1 to 8).map(i => (i.toLong, s"src$i", s"doc number $i words here"))
+      .toDF("doc_id", "source", "text")
+    // the guard uses the PROVIDED count, not a recount: 100 > 4 trips it
+    // even though the data has only 8 sources — proof no count job ran
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3,
+        maxSources = 4, knownSourceCount = Some(100L))
+    }
+    assert(e.getMessage.contains("100"))
+    // and a correct provided count runs fine
+    Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3,
+      maxSources = 8, knownSourceCount = Some(8L)).collect()
+  }
+
+  test("sourceOverlapMatrix: null sources are excluded from matrix AND guard count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "shared gram one here plus alpha unique tail"),
+      (2L, "B", "shared gram one here plus beta other words"),
+      (3L, null.asInstanceOf[String], "shared gram one here plus nothing")
+    ).toDF("doc_id", "source", "text")
+    // guard: count(DISTINCT src) skips the null → 2, under a bound of 2
+    val out = Decontaminate.sourceOverlapMatrix(docs, "source", "text", 3, maxSources = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // the null-source doc shares grams with A and B but appears nowhere
+    assert(out.keySet === Set(("A", "B"), ("B", "A")))
+  }
 }

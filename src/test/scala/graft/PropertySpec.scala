@@ -136,6 +136,12 @@ class PropertySpec extends SparkSpec {
       val observed = rows.filter(!_.isNullAt(2))
       assert(observed.length === bars.count(), s"seed=$seed observed count")
       assert(observed.forall(r => r.getDouble(2) === r.getDouble(3)), s"seed=$seed")
+
+      // precomputed-bounds overload == self-contained form, row for row
+      val viaBounds = TimeSeries.resampleFfill(bars, "key", "bucket_start",
+        "close", 300L, 10000000L, TimeSeries.resampleBounds(bars, "key", "bucket_start"))
+      assert(viaBounds.exceptAll(out).count() === 0, s"seed=$seed")
+      assert(out.exceptAll(viaBounds).count() === 0, s"seed=$seed")
     }
   }
 }
