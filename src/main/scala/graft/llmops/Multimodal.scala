@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * for real through the in-JVM `javax.imageio` codecs (PNG/GIF/JPEG/BMP —
   * whatever readers the JVM registers) behind the [[canDecodeImage]]
   * capability check, with [[decodeImage]] turning pixels into a
-  * grid-mean-luminance feature vector; payloads no reader claims — and
-  * audio/video, where this container has no codecs — fall back to
-  * [[decodeStub]], a deterministic sha-256 pseudo-feature, so the
-  * Spark-side plumbing (schema, encoders, partition batching, feature
-  * post-processing) is identical and tested either way.
+  * grid-mean-luminance feature vector; AUDIO rows decode for real
+  * through `javax.sound.sampled` (WAV/AIFF/AU PCM) behind
+  * [[canDecodeAudio]], with [[decodeAudio]] turning samples into a
+  * segment-RMS feature vector; payloads no codec claims — and video,
+  * where this container has none — fall back to [[decodeStub]], a
+  * deterministic sha-256 pseudo-feature, so the Spark-side plumbing
+  * (schema, encoders, partition batching, feature post-processing) is
+  * identical and tested either way.
   *
   * Scale design: media rows are large (MBs); everything here avoids
   * shuffling raw bytes. Feature extraction is mapPartitions (one codec
@@ -104,20 +107,94 @@ object Multimodal {
     }
   }
 
+  /** Capability check in front of [[decodeAudio]]: true when an in-JVM
+    * `javax.sound.sampled` provider claims the payload's container format
+    * (WAV/AIFF/AU PCM in every JVM). Costs a header parse, not a decode —
+    * the same seam contract as [[canDecodeImage]].
+    */
+  def canDecodeAudio(bytes: Array[Byte]): Boolean =
+    try {
+      javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      true
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => false
+      case _: java.io.IOException => false
+    }
+
+  /** REAL audio decode via `javax.sound.sampled` (in every JVM — WAV/
+    * AIFF/AU, no external codec): samples → `dim` features, each
+    * `2·rms − 1` of one equal-length segment of the mono-mixed waveform
+    * (RMS of full-scale PCM is in [0, 1], so features land in [-1, 1] —
+    * the same range contract as [[decodeImage]]'s luminance grid;
+    * silence maps to −1). Non-PCM encodings are converted through the
+    * JVM's PCM_SIGNED 16-bit path first. None when no provider decodes
+    * the payload — callers fall back to [[decodeStub]].
+    */
+  def decodeAudio(bytes: Array[Byte], dim: Int): Option[Array[Double]] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      try {
+        val base = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcmIn = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = pcmIn.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = pcmIn.read(buf) }
+        val pcm = out.toByteArray
+        val nCh = target.getChannels
+        val nFrames = pcm.length / (2 * nCh)
+        if (nFrames == 0) None
+        else Some {
+          // mono-mix each frame (mean over channels), little-endian s16
+          val mono = Array.tabulate(nFrames) { f =>
+            var s = 0.0
+            var c = 0
+            while (c < nCh) {
+              val o = (f * nCh + c) * 2
+              s += ((pcm(o) & 0xff) | (pcm(o + 1) << 8)).toShort / 32768.0
+              c += 1
+            }
+            s / nCh
+          }
+          Array.tabulate(dim) { i =>
+            val f0 = i.toLong * nFrames / dim
+            val f1 = math.max(f0 + 1, (i + 1).toLong * nFrames / dim)
+            var sq = 0.0
+            var f = f0
+            while (f < f1) { sq += mono(f.toInt) * mono(f.toInt); f += 1 }
+            2.0 * math.sqrt(sq / (f1 - f0)) - 1.0
+          }
+        }
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no PCM conversion path
+    }
+
   /** Feature extraction over a media Dataset: per-partition batch loop —
     * image rows through the real ImageIO codec when a reader claims them,
-    * everything else (and unreadable payloads) through the deterministic
-    * stub, same output shape. Balanced input partitioning is the
-    * caller's job ([[bucketByContent]]).
+    * audio rows through the real `javax.sound.sampled` codec when a
+    * provider claims them, everything else (and unreadable payloads)
+    * through the deterministic stub, same output shape. Balanced input
+    * partitioning is the caller's job ([[bucketByContent]]).
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // one codec instance per partition would init here
       rows.map { r =>
-        val feature =
-          if (r.kind == "image") decodeImage(r.bytes, dim).getOrElse(decodeStub(r.bytes, dim))
-          else decodeStub(r.bytes, dim)
+        val feature = r.kind match {
+          case "image" => decodeImage(r.bytes, dim).getOrElse(decodeStub(r.bytes, dim))
+          case "audio" => decodeAudio(r.bytes, dim).getOrElse(decodeStub(r.bytes, dim))
+          case _ => decodeStub(r.bytes, dim)
+        }
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, feature)
       }
     }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.analytics.TimeSeries
+import graft.ingest.Ingest
+import graft.streaming.Pipelines
+
+/** The composed integration path the reference runs as ONE system
+  * (`dags/ingestion_yfinance_data_to_cassandra_db.py:254-279`: topic →
+  * spark process → sink table → downstream consumers): wire JSON through
+  * the streaming pipeline into the exactly-once transactional sink, then
+  * run the batch analytics operators (q17 candles, q29 last-bar) OVER the
+  * sink table and require them row-equal to the same analytics over a
+  * batch-normalized twin of the same wire rows. Chains the pieces the
+  * individual suites test in isolation.
+  */
+class ComposedPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bar(ticker: String, dt: String, vol: Int, close: Double = 1.5): String =
+    s"""{"Datetime":"$dt","Open":1.0,"High":2.0,"Low":0.5,"Close":$close,"Adj Close":$close,"Volume":$vol,"Dividends":0.0,"Stock Splits":0.0,"ticker":"$ticker"}"""
+
+  test("stream -> Tx sink -> candles/last-bar analytics == batch twin on the same wire rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_composed_").toString
+    val sink = s"$dir/table"
+    val ck = s"$dir/ck"
+
+    // epoch 1 has an in-batch duplicate; epoch 2 replays an epoch-1 row.
+    // Exactly-once lands each wire row ONCE in the table: the in-batch dup
+    // dies in dropDuplicatesWithinWatermark, the cross-epoch replay
+    // overwrites itself in the keyed Tx upsert (same deterministic id).
+    val epoch1 = Seq(
+      bar("AAPL", "2024-11-15T14:30:00.000Z", 100, 1.5),
+      bar("AAPL", "2024-11-15T14:31:00.000Z", 110, 1.7),
+      bar("AAPL", "2024-11-15T14:31:00.000Z", 110, 1.7),
+      bar("MSFT", "2024-11-15T14:32:00.000Z", 200, 2.5))
+    val epoch2 = Seq(
+      bar("AAPL", "2024-11-15T14:36:00.000Z", 120, 1.9),
+      bar("AAPL", "2024-11-15T14:30:00.000Z", 100, 1.5),
+      bar("MSFT", "2024-11-15T14:37:00.000Z", 210, 2.6))
+
+    val mem = MemoryStream[String]
+    // the runPipeline chain from the `value` column down (no broker in
+    // the harness; runPipeline only adds the Kafka frame in front), on
+    // the CONCURRENT-SAFE Tx sink variant
+    val q = Pipelines.start(Pipelines.txUpsertParquetSink(
+      Pipelines.dedupWithinWatermark(Pipelines.barsFromJson(mem.toDF())),
+      sink, ck, idCol = "id", buckets = 4))
+    try {
+      mem.addData(epoch1: _*)
+      q.processAllAvailable()
+      mem.addData(epoch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val table = graft.sources.TxParquetTable.snapshot(spark, sink)
+
+    // batch twin: same wire rows through the batch normalization + exact
+    // dedup (the id doubles as content hash, so first-by-id == distinct)
+    val twin = Ingest.dedupFirstBy(Seq("id"), "id")(
+      Ingest.gateBars(Ingest.normalizeBars((epoch1 ++ epoch2).toDF("value"))))
+
+    // the sink table IS the deduped batch frame (exactly-once held
+    // through in-batch dups and a cross-epoch replay): 7 wire rows,
+    // 5 distinct bars
+    assert(table.count() === 5)
+    val tableN = table.select(twin.columns.map(col): _*)
+    assert(tableN.exceptAll(twin).count() === 0 && twin.exceptAll(tableN).count() === 0)
+
+    // q17's operator over the sink table == over the batch twin
+    def q17over(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.candles(col("datetime"), col("ticker"), col("close"),
+        col("volume"), col("id"), "5 minutes")(df)
+    val cS = q17over(table)
+    val cB = q17over(twin)
+    assert(cS.exceptAll(cB).count() === 0 && cB.exceptAll(cS).count() === 0)
+    assert(cS.count() === 4) // AAPL 14:30+14:35 buckets, MSFT 14:30+14:35
+
+    // q29's operator (last bar per ticker) over the sink table == twin
+    def q29over(df: org.apache.spark.sql.DataFrame) =
+      Ingest.nthLatestPerKey(Seq("ticker"), "datetime", 1)(df)
+        .select(col("ticker"), col("datetime"), col("close"))
+    val lS = q29over(table)
+    val lB = q29over(twin)
+    assert(lS.exceptAll(lB).count() === 0 && lB.exceptAll(lS).count() === 0)
+    val last = lS.collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(last("AAPL") === java.sql.Timestamp.from(java.time.Instant.parse("2024-11-15T14:36:00Z")))
+    assert(last("MSFT") === java.sql.Timestamp.from(java.time.Instant.parse("2024-11-15T14:37:00Z")))
+  }
+}
