@@ -82,9 +82,22 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f2t(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$shortQs,"oracle_total":${f3(oracleTotal)},"value":${f3(total)}}""")
+    val withMap = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$shortQs,"oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
+    val withoutMap = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries_artifact":"$artifact","oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
+    println(stdoutLine(withMap, withoutMap))
     spark.stop()
   }
+
+  /** The one stdout JSON line, tail-window-safe by CONSTRUCTION: the
+    * per-query map rides along while the rendered line fits the harness's
+    * 2000-char tail; a line that would overflow (suite growth × worst-case
+    * widths) degrades to a pointer at the full-precision artifact instead
+    * of shipping a map whose head the tail window would eat — a truncated
+    * JSON line parses as null and zeroes the round's bench, the exact
+    * failure the short line exists to prevent.
+    */
+  private[graft] def stdoutLine(withMap: String, withoutMap: String): String =
+    if (withMap.length < 2000) withMap else withoutMap
 
   /** Locale-pinned 3-decimal render: the default-locale `f"%.3f"` emits
     * a comma decimal separator under e.g. de_DE, turning the stdout JSON

@@ -1865,5 +1865,26 @@ scored AS (
 SELECT qid, id, qdot FROM (
   SELECT qid, id, qdot, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rn
   FROM scored) WHERE rn <= 10""",
+
+    // PII scrub: same doc_id-derived augmentation, same Java∩RE2 regex
+    // subset stated verbatim, same email→phone→IP redaction order
+    "q124_pii_redaction" ->
+      """WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    AS a
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+  md5(regexp_replace(regexp_replace(regexp_replace(a,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM aug""",
   )
 }

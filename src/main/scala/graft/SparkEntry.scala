@@ -877,6 +877,31 @@ object SparkEntry {
     Dedup.containmentVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
       minContainment = 0.5)
 
+  /** X4+ PII scrub: per-doc detection counts + redacted-text hash over a
+    * deterministically PII-augmented column (the harness corpus is
+    * synthetic word-salad with no real PII, so — the q27 roundtrip
+    * pattern — both engines append the same doc_id-derived contact
+    * fragments, selected by doc_id residues so every count varies, then
+    * detect and redact them; the md5 hash-checks the full redacted
+    * string). Patterns live in [[graft.llmops.Pii]], restricted to the
+    * Java-regex ∩ RE2 common subset the oracle states verbatim.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4567"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7"))).otherwise(lit("")))
+    t(s, dir, "documents")
+      .withColumn("__aug", aug)
+      .select(Seq(col("doc_id")) ++ graft.llmops.Pii.signals(col("__aug")) ++
+        Seq(md5(graft.llmops.Pii.redact(col("__aug"))).as("redacted_md5")): _*)
+  }
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1715,6 +1740,7 @@ object SparkEntry {
     "q121_curation_v2" -> (q121 _),
     "q122_anomaly_zscore" -> (q122 _),
     "q123_containment_pairs" -> (q123 _),
+    "q124_pii_redaction" -> (q124 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

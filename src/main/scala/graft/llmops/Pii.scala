@@ -1,0 +1,60 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction over text columns (north-star X4 extension):
+  * the scrubbing pass every training-data pipeline runs before release
+  * (emails, phone numbers, IP addresses), expressed as codegen'd
+  * `regexp_extract_all` / `regexp_replace` scans — shuffle-free, one pass
+  * per document, no UDFs.
+  *
+  * Pattern dialect: Spark compiles Java regex, the DuckDB oracle
+  * compiles RE2. Every pattern here is restricted to the COMMON SUBSET
+  * (character classes, bounded repetition, `\b` word boundaries; no
+  * lookaround, no backreferences) so the oracle states the exact same
+  * pattern string and both engines find the exact same matches — the
+  * portability contract that makes redaction hash-checkable.
+  *
+  * Redaction replaces each class with an angle-bracket placeholder
+  * (`<EMAIL>`/`<PHONE>`/`<IP>`). Placeholders contain no characters any
+  * pattern can match, so redaction is idempotent (spec-pinned), and the
+  * classes are replaced in a fixed order (email, phone, IP) so engines
+  * agree on overlapping candidates.
+  *
+  * At 100 TB: these are per-row projections inside whole-stage codegen —
+  * they fuse with whatever scan/filter surrounds them, shuffle nothing,
+  * and scale embarrassingly. The cost is the regex automaton per row,
+  * linear in text length.
+  */
+object Pii {
+
+  /** Email addresses (practical form, not full RFC 5321). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style dashed phone numbers (NNN-NNN-NNNN). */
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 literals. */
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Non-overlapping match count of `re` in `text` (left-to-right, the
+    * same enumeration Java regex and RE2 both implement).
+    */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** All three class counts as named columns, for a per-doc signal row. */
+  def signals(text: Column): Seq[Column] = Seq(
+    countMatches(text, emailRe).as("n_email"),
+    countMatches(text, phoneRe).as("n_phone"),
+    countMatches(text, ipRe).as("n_ip"))
+
+  /** Redact all three classes, fixed order: email → phone → IP. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+}
