@@ -14,6 +14,12 @@ import graft.functions.{BoundedTopK, GramRepetitionStats, MinHashBands, ShingleF
   *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
   *   spark.sql("SELECT shingle_fingerprint(text, 8) FROM docs")
   *
+  * plus the transactional table as a SQL TABLE function (the S4
+  * catalog-substitution surface — time travel from plain SQL):
+  *
+  *   spark.sql("SELECT * FROM graft_tx('/path/to/table')")
+  *   spark.sql("SELECT * FROM graft_tx('/path/to/table', 3)")  -- version 3
+  *
   * Wire up with:
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   * or config: spark.sql.extensions=graft.GraftExtensions
@@ -112,5 +118,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => ShingleFingerprint(text, 8)
         case _ => throw new IllegalArgumentException("shingle_fingerprint(text[, shingleK])")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_tx"),
+      new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx"),
+      GraftExtensions.graftTxBuilder))
+  }
+}
+
+object GraftExtensions {
+
+  /** Table-function builder for `graft_tx(path[, version])` — resolves a
+    * [[graft.sources.TxParquetTable]] snapshot (latest, or the given
+    * committed version) into the calling query's plan at ANALYSIS time:
+    * the commit log is read once while the plan is built (exactly when a
+    * catalog would pin its file listing), and the resulting scan prunes
+    * and pushes down like any parquet relation. Arguments must be
+    * literals — a table's identity cannot be row-dependent.
+    *
+    * Shared between [[GraftExtensions.apply]] and test-side registry
+    * registration (suites whose shared session predates the extensions).
+    */
+  private[graft] val graftTxBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+    def strArg(e: Expression, name: String): String = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_tx: $name must be a string literal, got: $other")
+    }
+    def longArg(e: Expression, name: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_tx: $name must be an integer literal, got: $other")
+    }
+    val (path, version) = args match {
+      case Seq(p) => (strArg(p, "path"), None)
+      case Seq(p, v) => (strArg(p, "path"), Some(longArg(v, "version")))
+      case _ => throw new IllegalArgumentException("graft_tx(path[, version])")
+    }
+    graft.sources.TxParquetTable
+      .snapshot(org.apache.spark.sql.SparkSession.active, path, version)
+      .queryExecution.analyzed
   }
 }

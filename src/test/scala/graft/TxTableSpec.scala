@@ -428,4 +428,39 @@ class TxTableSpec extends SparkSpec {
     assert(rows(3L).getAs[Double]("score") === 9.5)
     assert(rows(1L).isNullAt(rows(1L).fieldIndex("score")))
   }
+
+  test("graft_tx SQL table function: current snapshot, time travel, joins like any relation") {
+    // the shared spec session predates the extensions — register through
+    // the same builder GraftExtensions injects
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        TxParquetTable.getClass.getName, "graft_tx"),
+      GraftExtensions.graftTxBuilder)
+
+    val path = freshPath()
+    val v0 = TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    TxParquetTable.upsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), path, "id")
+
+    val now = spark.sql(s"SELECT id, v FROM graft_tx('$path') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+
+    val past = spark.sql(s"SELECT id, v FROM graft_tx('$path', $v0) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(past === Seq((1L, "a"), (2L, "b")))
+
+    // composes like any relation: joins, aggregates, the works
+    val joined = spark.sql(
+      s"""SELECT n.id, n.v AS now_v, p.v AS then_v
+          FROM graft_tx('$path') n LEFT JOIN graft_tx('$path', $v0) p USING (id)
+          WHERE n.v <> coalesce(p.v, '') ORDER BY n.id""").collect()
+    assert(joined.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+
+    // non-literal args are rejected with the function's own message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_tx(concat('$path', id))").collect()
+    }
+    assert(e.getMessage.contains("string literal") || e.getMessage.contains("graft_tx"))
+  }
 }
