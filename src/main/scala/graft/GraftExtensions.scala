@@ -119,6 +119,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("shingle_fingerprint(text[, shingleK])")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
+    // pii_redact(text): the llmops.Pii redaction chain as a SQL scalar —
+    // composed from Spark's own codegen'd RegExpReplace expressions, so
+    // the SQL surface and the Column API share one pattern source of
+    // truth (graft.llmops.Pii.{emailRe,phoneRe,ipRe}, fixed order)
+    ext.injectFunction((
+      FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(graft.llmops.Pii.getClass.getName, "pii_redact"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
+          RegExpReplace(
+            RegExpReplace(
+              RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
+              L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
+            L(graft.llmops.Pii.ipRe), L("<IP>"))
+        case _ => throw new IllegalArgumentException("pii_redact(text)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
     ext.injectTableFunction((
       FunctionIdentifier("graft_tx"),
       new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx"),
