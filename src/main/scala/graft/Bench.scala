@@ -74,7 +74,7 @@ object Bench {
     // seconds — that fits the tail window whole, so `parsed` is non-null.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$fullQs,"oracle_total":$oracleTotal,"value":$total}"""
+    val fullJson = s"""{"metric":"total","unit":"sec","sf":"${jstr(sfDir)}","iters":$iters,"queries":$fullQs,"oracle_total":$oracleTotal,"value":$total}"""
     val artifact = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/last_run.json"))
     Option(artifact.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -82,10 +82,22 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f2t(v)
     }.mkString("{", ",", "}")
-    val withMap = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries":$shortQs,"oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
-    val withoutMap = s"""{"metric":"total","unit":"sec","sf":"$sfDir","iters":$iters,"queries_artifact":"$artifact","oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
+    val withMap = s"""{"metric":"total","unit":"sec","sf":"${jstr(sfDir)}","iters":$iters,"queries":$shortQs,"oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
+    val withoutMap = s"""{"metric":"total","unit":"sec","sf":"${jstr(sfDir)}","iters":$iters,"queries_artifact":"${jstr(artifact.toString)}","oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
     println(stdoutLine(withMap, withoutMap))
     spark.stop()
+  }
+
+  /** Minimal JSON string escape for interpolated paths (sfDir and the
+    * artifact path come from env vars): a quote or backslash in either
+    * would make the one stdout line unparseable — the exact failure this
+    * file's machinery exists to prevent.
+    */
+  private[graft] def jstr(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** The one stdout JSON line, tail-window-safe by CONSTRUCTION: the

@@ -126,16 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("pii_redact"),
       new ExpressionInfo(graft.llmops.Pii.getClass.getName, "pii_redact"),
-      (args: Seq[Expression]) => args match {
-        case Seq(text) =>
-          import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
-          RegExpReplace(
-            RegExpReplace(
-              RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
-              L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
-            L(graft.llmops.Pii.ipRe), L("<IP>"))
-        case _ => throw new IllegalArgumentException("pii_redact(text)")
-      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+      GraftExtensions.piiRedactBuilder): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectTableFunction((
       FunctionIdentifier("graft_tx"),
@@ -145,6 +136,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Scalar builder for `pii_redact(text)` — the [[graft.llmops.Pii]]
+    * redaction chain as Spark's own codegen'd RegExpReplace expressions,
+    * same pattern constants and fixed email→phone→IP order as the Column
+    * API. Shared between [[GraftExtensions.apply]] and test-side registry
+    * registration, so the SQL surface cannot drift from what the spec
+    * asserts.
+    */
+  private[graft] val piiRedactBuilder: Seq[Expression] => Expression = {
+    case Seq(text) =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
+      RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
+          L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
+        L(graft.llmops.Pii.ipRe), L("<IP>"))
+    case _ => throw new IllegalArgumentException("pii_redact(text)")
+  }
 
   /** Table-function builder for `graft_tx(path[, version])` — resolves a
     * [[graft.sources.TxParquetTable]] snapshot (latest, or the given

@@ -30,9 +30,20 @@ object Tables {
 
   /** Read `dir/name.parquet`, normalizing a `ts` column per the table
     * above. Tables without `ts` pass through untouched.
+    *
+    * Sets BOTH session confs the normalization depends on — the legacy
+    * nanos read AND the UTC session time zone. The NTZ→Timestamp cast
+    * interprets wall-clock micros in the session zone, so without the
+    * UTC pin a session built outside [[GraftSession]] (which pins it)
+    * would shift every instant by the local offset — silently, unlike
+    * the loud DATATYPE_MISMATCH the raw NTZ column produces. The whole
+    * engine contract (oracle parity, SURVEY §1.2) is UTC; this loader
+    * owning the pin is what makes "always load events through it" safe
+    * advice for ad-hoc tools.
     */
   def load(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
 

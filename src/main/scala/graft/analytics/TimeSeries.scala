@@ -324,6 +324,15 @@ object TimeSeries {
     * CALLER's lifecycle. The bars frame is consumed exactly once (the
     * grid join's right side); the self-contained form above pays the bars
     * subplan twice with lineage fully intact instead.
+    *
+    * STALENESS CONTRACT: `bounds` must cover the bars frame — same
+    * snapshot, or a superset of its keys and bucket ranges. The grid is
+    * built from `bounds` alone and bars joins left FROM the grid, so a
+    * key absent from stale bounds vanishes from the output and a bucket
+    * beyond a stale `__mx` is dropped — silently, by construction (the
+    * self-contained form cannot exhibit this). If bars can grow between
+    * the bounds computation and this call, recompute bounds or use the
+    * self-contained overload.
     */
   def resampleFfill(
       bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,

@@ -439,19 +439,10 @@ class LlmopsSpec extends SparkSpec {
     val again = df.select(Pii.redact(Pii.redact(col("text"))).as("r2"), Pii.redact(col("text")).as("r1"))
     assert(again.filter(col("r1") =!= col("r2")).count() === 0)
 
-    // SQL surface: pii_redact registered by GraftExtensions equals the
-    // Column API (same pattern constants, same order)
+    // SQL surface: the SAME builder GraftExtensions injects (shared via
+    // the companion, so the SQL registration cannot drift from this spec)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("pii_redact",
-      exprs => org.apache.spark.sql.catalyst.expressions.RegExpReplace(
-        org.apache.spark.sql.catalyst.expressions.RegExpReplace(
-          org.apache.spark.sql.catalyst.expressions.RegExpReplace(
-            exprs.head,
-            org.apache.spark.sql.catalyst.expressions.Literal(Pii.emailRe),
-            org.apache.spark.sql.catalyst.expressions.Literal("<EMAIL>")),
-          org.apache.spark.sql.catalyst.expressions.Literal(Pii.phoneRe),
-          org.apache.spark.sql.catalyst.expressions.Literal("<PHONE>")),
-        org.apache.spark.sql.catalyst.expressions.Literal(Pii.ipRe),
-        org.apache.spark.sql.catalyst.expressions.Literal("<IP>")), "scala_udf")
+      graft.GraftExtensions.piiRedactBuilder, "scala_udf")
     df.createOrReplaceTempView("pii_docs")
     val viaSql = spark.sql("SELECT k, pii_redact(text) AS red FROM pii_docs")
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap

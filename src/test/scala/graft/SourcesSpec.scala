@@ -50,19 +50,27 @@ class SourcesSpec extends SparkSpec {
     micros.map(u => Tuple1(u * 1000L)).toDF("ts")
       .write.parquet(s"$dir/nanos/events.parquet")
 
-    // shape 2: TIMESTAMP_MICROS isAdjustedToUTC=0 → Spark TIMESTAMP_NTZ
-    // (the round-8 regen shape)
+    // shapes 2 + 3 need TIMESTAMP_MICROS output; the session is shared
+    // across suites, so restore the previous value afterwards
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    micros.map { u =>
-      Tuple1(java.time.LocalDateTime.ofEpochSecond(
-        u / 1000000L, ((u % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
-    }.toDF("ts").write.parquet(s"$dir/ntz/events.parquet")
+    try {
+      // shape 2: TIMESTAMP_MICROS isAdjustedToUTC=0 → Spark TIMESTAMP_NTZ
+      // (the round-8 regen shape)
+      micros.map { u =>
+        Tuple1(java.time.LocalDateTime.ofEpochSecond(
+          u / 1000000L, ((u % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      }.toDF("ts").write.parquet(s"$dir/ntz/events.parquet")
 
-    // shape 3: TIMESTAMP_MICROS isAdjustedToUTC=1 → TimestampType directly
-    micros.map { u =>
-      Tuple1(java.sql.Timestamp.from(
-        java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)))
-    }.toDF("ts").write.parquet(s"$dir/utc/events.parquet")
+      // shape 3: TIMESTAMP_MICROS isAdjustedToUTC=1 → TimestampType directly
+      micros.map { u =>
+        Tuple1(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)))
+      }.toDF("ts").write.parquet(s"$dir/utc/events.parquet")
+    } finally prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
 
     for (shape <- Seq("nanos", "ntz", "utc")) {
       val df = Tables.events(spark, s"$dir/$shape")
