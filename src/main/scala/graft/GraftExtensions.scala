@@ -149,9 +149,11 @@ object GraftExtensions {
       import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
       RegExpReplace(
         RegExpReplace(
-          RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
-          L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
-        L(graft.llmops.Pii.ipRe), L("<IP>"))
+          RegExpReplace(
+            RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
+            L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
+          L(graft.llmops.Pii.ipRe), L("<IP>")),
+        L(graft.llmops.Pii.cardRe), L("<CARD>"))
     case _ => throw new IllegalArgumentException("pii_redact(text)")
   }
 

@@ -1874,6 +1874,7 @@ SELECT qid, id, qdot FROM (
     || CASE WHEN doc_id % 2 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
     || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
     AS a
   FROM documents
 )
@@ -1881,10 +1882,12 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
   CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
   CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
-  md5(regexp_replace(regexp_replace(regexp_replace(a,
+  CAST(len(regexp_extract_all(a, '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) AS INT) AS n_card,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CARD>', 'g')) AS redacted_md5
 FROM aug""",
   )
 }

@@ -895,7 +895,10 @@ object SparkEntry {
         concat(lit(" call 555-"),
           lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4567"))).otherwise(lit("")),
       when(col("doc_id") % 5 === 0,
-        concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7"))).otherwise(lit("")))
+        concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" card 4111-1111-1111-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
     t(s, dir, "documents")
       .withColumn("__aug", aug)
       .select(Seq(col("doc_id")) ++ graft.llmops.Pii.signals(col("__aug")) ++

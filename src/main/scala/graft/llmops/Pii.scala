@@ -38,23 +38,34 @@ object Pii {
   /** Dotted-quad IPv4 literals. */
   val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Dashed 16-digit card numbers (4-4-4-4). Digit-group widths make
+    * this disjoint from [[phoneRe]] (3-3-4) — inside a card number the
+    * only `\b` anchors sit after each dash, and no 3-digit group
+    * followed by a dash starts there — and from [[ipRe]] (dots, not
+    * dashes), so redaction order cannot change what matches.
+    */
+  val cardRe = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b"
+
   /** Non-overlapping match count of `re` in `text` (left-to-right, the
     * same enumeration Java regex and RE2 both implement).
     */
   def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
-  /** All three class counts as named columns, for a per-doc signal row. */
+  /** All four class counts as named columns, for a per-doc signal row. */
   def signals(text: Column): Seq[Column] = Seq(
     countMatches(text, emailRe).as("n_email"),
     countMatches(text, phoneRe).as("n_phone"),
-    countMatches(text, ipRe).as("n_ip"))
+    countMatches(text, ipRe).as("n_ip"),
+    countMatches(text, cardRe).as("n_card"))
 
-  /** Redact all three classes, fixed order: email → phone → IP. */
+  /** Redact all four classes, fixed order: email → phone → IP → card. */
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
-      ipRe, "<IP>")
+        regexp_replace(
+          regexp_replace(text, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>"),
+      cardRe, "<CARD>")
 }
