@@ -122,7 +122,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pii_redact(text): the llmops.Pii redaction chain as a SQL scalar —
     // composed from Spark's own codegen'd RegExpReplace expressions, so
     // the SQL surface and the Column API share one pattern source of
-    // truth (graft.llmops.Pii.{emailRe,phoneRe,ipRe}, fixed order)
+    // truth (graft.llmops.Pii.{emailRe,cardRe,phoneRe,ipRe}, fixed
+    // longest-first order)
     ext.injectFunction((
       FunctionIdentifier("pii_redact"),
       new ExpressionInfo(graft.llmops.Pii.getClass.getName, "pii_redact"),
@@ -139,10 +140,10 @@ object GraftExtensions {
 
   /** Scalar builder for `pii_redact(text)` — the [[graft.llmops.Pii]]
     * redaction chain as Spark's own codegen'd RegExpReplace expressions,
-    * same pattern constants and fixed email→phone→IP order as the Column
-    * API. Shared between [[GraftExtensions.apply]] and test-side registry
-    * registration, so the SQL surface cannot drift from what the spec
-    * asserts.
+    * same pattern constants and the same fixed longest-first
+    * email→card→phone→IP order as the Column API. Shared between
+    * [[GraftExtensions.apply]] and test-side registry registration, so
+    * the SQL surface cannot drift from what the spec asserts.
     */
   private[graft] val piiRedactBuilder: Seq[Expression] => Expression = {
     case Seq(text) =>
@@ -151,9 +152,9 @@ object GraftExtensions {
         RegExpReplace(
           RegExpReplace(
             RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
-            L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
-          L(graft.llmops.Pii.ipRe), L("<IP>")),
-        L(graft.llmops.Pii.cardRe), L("<CARD>"))
+            L(graft.llmops.Pii.cardRe), L("<CARD>")),
+          L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
+        L(graft.llmops.Pii.ipRe), L("<IP>"))
     case _ => throw new IllegalArgumentException("pii_redact(text)")
   }
 

@@ -1867,7 +1867,7 @@ SELECT qid, id, qdot FROM (
   FROM scored) WHERE rn <= 10""",
 
     // PII scrub: same doc_id-derived augmentation, same Java∩RE2 regex
-    // subset stated verbatim, same email→phone→IP redaction order
+    // subset stated verbatim, same email→card→phone→IP redaction order
     "q124_pii_redaction" ->
       """WITH aug AS (
   SELECT doc_id, text
@@ -1885,9 +1885,9 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(a, '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) AS INT) AS n_card,
   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CARD>', 'g'),
       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CARD>', 'g')) AS redacted_md5
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
 FROM aug""",
   )
 }

@@ -425,7 +425,11 @@ class LlmopsSpec extends SparkSpec {
       ("mail a@b.io and c.d+x@e-f.org, call 555-123-4567 or 555-000-1111, host 10.0.0.1", 1),
       ("no pii at all here", 2),
       ("edge: 1.2.3.4 ends the line, a@b.co starts 999-999-9999", 3),
-      ("pay 4111-1111-1111-1111 now", 4) // card only: phone (3-3-4) must NOT fire inside it
+      ("pay 4111-1111-1111-1111 now", 4), // card only: phone (3-3-4) must NOT fire inside it
+      // overlap: phone ends on the digit group the card starts with —
+      // counts see BOTH on the original text; card-first redaction takes
+      // the 16-digit span, the phone residue stays (object-doc contract)
+      ("call 555-123-4567-1111-1111-1111", 5)
     ).toDF("text", "k")
     val cols = Seq(col("k")) ++ Pii.signals(col("text")) :+ Pii.redact(col("text")).as("red")
     val out = df.select(cols: _*).collect()
@@ -434,10 +438,12 @@ class LlmopsSpec extends SparkSpec {
     assert(out(2).getInt(1) === 0 && out(2).getInt(2) === 0 && out(2).getInt(3) === 0 && out(2).getInt(4) === 0)
     assert(out(3).getInt(1) === 1 && out(3).getInt(2) === 1 && out(3).getInt(3) === 1 && out(3).getInt(4) === 0)
     assert(out(4).getInt(1) === 0 && out(4).getInt(2) === 0 && out(4).getInt(3) === 0 && out(4).getInt(4) === 1)
+    assert(out(5).getInt(2) === 1 && out(5).getInt(4) === 1) // both classes counted
     val red1 = out(1).getString(5)
     assert(red1 === "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>, host <IP>")
     assert(out(2).getString(5) === "no pii at all here")
     assert(out(4).getString(5) === "pay <CARD> now")
+    assert(out(5).getString(5) === "call 555-123-<CARD>") // card wins the shared group
     // idempotence: placeholders match no pattern
     val again = df.select(Pii.redact(Pii.redact(col("text"))).as("r2"), Pii.redact(col("text")).as("r1"))
     assert(again.filter(col("r1") =!= col("r2")).count() === 0)
@@ -450,6 +456,8 @@ class LlmopsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT k, pii_redact(text) AS red FROM pii_docs")
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(viaSql(1) === red1)
+    assert(viaSql(4) === "pay <CARD> now")            // card layer exercised via SQL
+    assert(viaSql(5) === "call 555-123-<CARD>")       // and the overlap order too
   }
 
   test("header sniffing reads real PNG/GIF/WAV layouts, no codec involved") {
