@@ -140,21 +140,18 @@ object GraftExtensions {
 
   /** Scalar builder for `pii_redact(text)` — the [[graft.llmops.Pii]]
     * redaction chain as Spark's own codegen'd RegExpReplace expressions,
-    * same pattern constants and the same fixed longest-first
-    * email→card→phone→IP order as the Column API. Shared between
-    * [[GraftExtensions.apply]] and test-side registry registration, so
-    * the SQL surface cannot drift from what the spec asserts.
+    * folded from [[graft.llmops.Pii.classes]] (the one ordered pattern
+    * source of truth, longest-first email→card→intl→phone→IPv6→IPv4) so
+    * the SQL surface cannot drift from the Column API or from what the
+    * spec asserts. Shared between [[GraftExtensions.apply]] and
+    * test/query-side registry registration.
     */
   private[graft] val piiRedactBuilder: Seq[Expression] => Expression = {
     case Seq(text) =>
       import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}
-      RegExpReplace(
-        RegExpReplace(
-          RegExpReplace(
-            RegExpReplace(text, L(graft.llmops.Pii.emailRe), L("<EMAIL>")),
-            L(graft.llmops.Pii.cardRe), L("<CARD>")),
-          L(graft.llmops.Pii.phoneRe), L("<PHONE>")),
-        L(graft.llmops.Pii.ipRe), L("<IP>"))
+      graft.llmops.Pii.classes.foldLeft(text) { (e, c) =>
+        RegExpReplace(e, L(c.re), L(c.tag))
+      }
     case _ => throw new IllegalArgumentException("pii_redact(text)")
   }
 

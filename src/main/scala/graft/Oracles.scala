@@ -1867,7 +1867,8 @@ SELECT qid, id, qdot FROM (
   FROM scored) WHERE rn <= 10""",
 
     // PII scrub: same doc_id-derived augmentation, same Java∩RE2 regex
-    // subset stated verbatim, same email→card→phone→IP redaction order
+    // subset stated verbatim, same email→card→intl→phone→IPv6→IPv4
+    // redaction order (six classes since r10)
     "q124_pii_redaction" ->
       """WITH aug AS (
   SELECT doc_id, text
@@ -1875,19 +1876,61 @@ SELECT qid, id, qdot FROM (
     || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
     || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' intl +44-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-7946-0958' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' node 2001:db8:' || (doc_id % 9999) || '::1' ELSE '' END
     AS a
   FROM documents
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-  CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
-  CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
   CAST(len(regexp_extract_all(a, '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) AS INT) AS n_card,
-  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+  CAST(len(regexp_extract_all(a, '\+\d{1,3}[ -]\d{1,4}[ -]\d{3,4}[ -]\d{3,4}\b')) AS INT) AS n_intl,
+  CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(a, '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b')) AS INT) AS n_ipv6,
+  CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CARD>', 'g'),
+      '\+\d{1,3}[ -]\d{1,4}[ -]\d{3,4}[ -]\d{3,4}\b', '<INTL>', 'g'),
       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b', '<IPV6>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
 FROM aug""",
+
+    // SQL-surface twin of q124's redaction hash: Spark runs the
+    // registered pii_redact scalar through spark.sql; the oracle states
+    // the identical chain inline
+    "q125_pii_sql" ->
+      """WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' intl +44-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-7946-0958' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' node 2001:db8:' || (doc_id % 9999) || '::1' ELSE '' END
+    AS a
+  FROM documents
+)
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CARD>', 'g'),
+      '\+\d{1,3}[ -]\d{1,4}[ -]\d{3,4}[ -]\d{3,4}\b', '<INTL>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b', '<IPV6>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM aug""",
+
+    // graft_tx SQL time travel: the seeded (negated-price) v0 snapshot
+    // and the upserted latest snapshot, both recomputed from raw orders
+    "q126_tx_sql_travel" ->
+      """SELECT 'v0' AS snap, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  count(*) AS n, round(sum(-o_totalprice), 2) AS total
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'latest' AS snap, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 2""",
   )
 }

@@ -883,26 +883,91 @@ object SparkEntry {
     * pattern — both engines append the same doc_id-derived contact
     * fragments, selected by doc_id residues so every count varies, then
     * detect and redact them; the md5 hash-checks the full redacted
-    * string). Patterns live in [[graft.llmops.Pii]], restricted to the
-    * Java-regex ∩ RE2 common subset the oracle states verbatim.
+    * string). All six classes exercised: email, card, international
+    * phone, NANP phone, IPv6, IPv4. Patterns live in
+    * [[graft.llmops.Pii]], restricted to the Java-regex ∩ RE2 common
+    * subset the oracle states verbatim.
     */
-  private def q124(s: SparkSession, dir: String): DataFrame = {
-    val aug = concat(
-      col("text"),
-      when(col("doc_id") % 2 === 0,
-        concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" call 555-"),
-          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4567"))).otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7"))).otherwise(lit("")),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" card 4111-1111-1111-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+  private def q124(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("__aug", aug)
+      .withColumn("__aug", piiAugmented)
       .select(Seq(col("doc_id")) ++ graft.llmops.Pii.signals(col("__aug")) ++
         Seq(md5(graft.llmops.Pii.redact(col("__aug"))).as("redacted_md5")): _*)
+
+  /** The shared q124/q125 PII augmentation: doc_id-residue-selected
+    * fragments, one per class, so every count varies across the corpus.
+    * The DuckDB oracles and q125's SQL form state the same expression.
+    */
+  private def piiAugmented: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4567"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" card 4111-1111-1111-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" intl +44-"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-7946-0958"))).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" node 2001:db8:"), (col("doc_id") % 9999).cast("string"), lit("::1"))).otherwise(lit("")))
+
+  /** X7 through the SQL surface: the q124 scrub driven via the
+    * registered `pii_redact` scalar from `spark.sql`, pinning the
+    * [[GraftExtensions]] SQL registration against regression with a
+    * DuckDB oracle. The builder is registered idempotently here because
+    * the Bench/Verify sessions are built without extensions; a
+    * [[GraftSession]] already has it and the re-registration is a no-op
+    * by content (same shared builder).
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_redact", GraftExtensions.piiRedactBuilder, "scala_udf")
+    t(s, dir, "documents").withColumn("__aug", piiAugmented)
+      .createOrReplaceTempView("graft_q125_documents")
+    s.sql("""SELECT doc_id, md5(pii_redact(__aug)) AS redacted_md5
+             FROM graft_q125_documents""")
+  }
+
+  /** S4/S8 through the SQL surface: `graft_tx(path[, version])`
+    * time-travel driven from `spark.sql` — the seeded (wrong-price)
+    * version and the upserted latest snapshot aggregated side by side.
+    * The oracle recomputes both states from the raw source, so the row
+    * only matches if the SQL table function resolves both snapshots
+    * exactly (q62's Column-API roundtrip, now pinned at the SQL entry
+    * point). Same eager-materialize-then-delete temp-table pattern as
+    * q62.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        TxParquetTable.getClass.getName, "graft_tx"),
+      GraftExtensions.graftTxBuilder)
+    val path = java.nio.file.Files.createTempDirectory("q126_tx")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      val v0 = TxParquetTable.append(
+        src.withColumn("o_totalprice", col("o_totalprice") * -1), path.toString)
+      TxParquetTable.upsert(src, path.toString, "id")
+      val p = path.toString.replace("'", "''")
+      val agg = s.sql(
+        s"""SELECT 'v0' AS snap, order_year, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM graft_tx('$p', $v0) GROUP BY order_year
+            UNION ALL
+            SELECT 'latest' AS snap, order_year, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM graft_tx('$p') GROUP BY order_year""")
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(path)
   }
 
   /** W1+ composite: rolling z-score anomaly flags over each user's
@@ -1744,6 +1809,8 @@ object SparkEntry {
     "q122_anomaly_zscore" -> (q122 _),
     "q123_containment_pairs" -> (q123 _),
     "q124_pii_redaction" -> (q124 _),
+    "q125_pii_sql" -> (q125 _),
+    "q126_tx_sql_travel" -> (q126 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -434,16 +434,17 @@ class LlmopsSpec extends SparkSpec {
     val cols = Seq(col("k")) ++ Pii.signals(col("text")) :+ Pii.redact(col("text")).as("red")
     val out = df.select(cols: _*).collect()
       .map(r => r.getInt(0) -> r).toMap
-    assert(out(1).getInt(1) === 2 && out(1).getInt(2) === 2 && out(1).getInt(3) === 1 && out(1).getInt(4) === 0)
-    assert(out(2).getInt(1) === 0 && out(2).getInt(2) === 0 && out(2).getInt(3) === 0 && out(2).getInt(4) === 0)
-    assert(out(3).getInt(1) === 1 && out(3).getInt(2) === 1 && out(3).getInt(3) === 1 && out(3).getInt(4) === 0)
-    assert(out(4).getInt(1) === 0 && out(4).getInt(2) === 0 && out(4).getInt(3) === 0 && out(4).getInt(4) === 1)
-    assert(out(5).getInt(2) === 1 && out(5).getInt(4) === 1) // both classes counted
-    val red1 = out(1).getString(5)
+    def n(k: Int, cls: String): Int = out(k).getAs[Int](s"n_$cls")
+    assert(n(1, "email") === 2 && n(1, "phone") === 2 && n(1, "ip") === 1 && n(1, "card") === 0)
+    assert(Seq("email", "phone", "ip", "card", "intl", "ipv6").forall(n(2, _) === 0))
+    assert(n(3, "email") === 1 && n(3, "phone") === 1 && n(3, "ip") === 1 && n(3, "card") === 0)
+    assert(n(4, "email") === 0 && n(4, "phone") === 0 && n(4, "ip") === 0 && n(4, "card") === 1)
+    assert(n(5, "phone") === 1 && n(5, "card") === 1) // both classes counted
+    val red1 = out(1).getAs[String]("red")
     assert(red1 === "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>, host <IP>")
-    assert(out(2).getString(5) === "no pii at all here")
-    assert(out(4).getString(5) === "pay <CARD> now")
-    assert(out(5).getString(5) === "call 555-123-<CARD>") // card wins the shared group
+    assert(out(2).getAs[String]("red") === "no pii at all here")
+    assert(out(4).getAs[String]("red") === "pay <CARD> now")
+    assert(out(5).getAs[String]("red") === "call 555-123-<CARD>") // card wins the shared group
     // idempotence: placeholders match no pattern
     val again = df.select(Pii.redact(Pii.redact(col("text"))).as("r2"), Pii.redact(col("text")).as("r1"))
     assert(again.filter(col("r1") =!= col("r2")).count() === 0)
