@@ -83,7 +83,10 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f2t(v)
     }.mkString("{", ",", "}")
     val withMap = s"""{"metric":"total","unit":"sec","sf":"${jstr(sfDir)}","iters":$iters,"queries":$shortQs,"oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
-    val withoutMap = s"""{"metric":"total","unit":"sec","sf":"${jstr(sfDir)}","iters":$iters,"queries_artifact":"${jstr(artifact.toString)}","oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
+    // `queries` stays PRESENT (empty) in the fallback (r9 advice): a
+    // stdout parser keyed on it sees {} + the artifact pointer rather
+    // than the key silently vanishing on suite growth
+    val withoutMap = s"""{"metric":"total","unit":"sec","sf":"${jstr(sfDir)}","iters":$iters,"queries":{},"queries_artifact":"${jstr(artifact.toString)}","oracle_total":${f3(oracleTotal)},"value":${f3(total)}}"""
     println(stdoutLine(withMap, withoutMap))
     spark.stop()
   }

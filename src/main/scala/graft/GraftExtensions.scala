@@ -163,8 +163,17 @@ object GraftExtensions {
     * and pushes down like any parquet relation. Arguments must be
     * literals — a table's identity cannot be row-dependent.
     *
-    * Shared between [[GraftExtensions.apply]] and test-side registry
-    * registration (suites whose shared session predates the extensions).
+    * SINGLE-SESSION ASSUMPTION (r9 advice): Spark's table-function
+    * builder API does not hand the builder a session, so the snapshot
+    * resolves through `SparkSession.active`. In multi-session or
+    * multi-threaded setups the active session may differ from the one
+    * analyzing the query, pinning the commit-log read (and its confs)
+    * to the wrong session — use one session per planning thread, which
+    * the engine's own mains and [[GraftSession]] do.
+    *
+    * Shared between [[GraftExtensions.apply]] and test/query-side
+    * registry registration (suites and SparkEntry queries whose session
+    * predates the extensions).
     */
   private[graft] val graftTxBuilder
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>

@@ -28,21 +28,31 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Read `dir/name.parquet`, normalizing a `ts` column per the table
     * above. Tables without `ts` pass through untouched.
     *
-    * Sets BOTH session confs the normalization depends on — the legacy
-    * nanos read AND the UTC session time zone. The NTZ→Timestamp cast
-    * interprets wall-clock micros in the session zone, so without the
-    * UTC pin a session built outside [[GraftSession]] (which pins it)
-    * would shift every instant by the local offset — silently, unlike
-    * the loud DATATYPE_MISMATCH the raw NTZ column produces. The whole
-    * engine contract (oracle parity, SURVEY §1.2) is UTC; this loader
-    * owning the pin is what makes "always load events through it" safe
-    * advice for ad-hoc tools.
+    * SIDE EFFECT, deliberate (r9 advice asked it be visible here, not
+    * only on the object): this MUTATES the session — it sets BOTH
+    * session confs the normalization depends on, the legacy nanos read
+    * AND `spark.sql.session.timeZone=UTC`, for the whole session, not
+    * just this read. A caller who had set a non-UTC zone gets a WARN
+    * log naming the overwrite. The NTZ→Timestamp cast interprets
+    * wall-clock micros in the session zone, so without the UTC pin a
+    * session built outside [[GraftSession]] (which pins it) would shift
+    * every instant by the local offset — silently, unlike the loud
+    * DATATYPE_MISMATCH the raw NTZ column produces. The whole engine
+    * contract (oracle parity, SURVEY §1.2) is UTC; this loader owning
+    * the pin is what makes "always load events through it" safe advice
+    * for ad-hoc tools.
     */
   def load(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tz = s.conf.get("spark.sql.session.timeZone", "")
+    if (tz.nonEmpty && tz != "UTC") log.warn(
+      s"Tables.load pins spark.sql.session.timeZone=UTC for this session (was: $tz) — " +
+        "the engine contract is UTC and the NTZ ts cast resolves in the session zone")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
@@ -52,8 +62,13 @@ object Tables {
 
   /** Normalize an already-read frame's `ts` column to TimestampType
     * epoch-micros (see encoding table in the object doc).
+    *
+    * `private[graft]` (r9 advice): the NTZ→Timestamp branch resolves in
+    * the SESSION time zone, so calling this without [[load]]'s UTC pin
+    * on a non-UTC session would silently shift every instant — exactly
+    * the hazard the loader exists to close. Go through [[load]].
     */
-  def normalizeTs(df: DataFrame): DataFrame =
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -37,11 +37,18 @@ class SourcesSpec extends SparkSpec {
   /** Data-shape contract: the driver has regenerated `/root/testdata`
     * with a different `events.ts` parquet encoding twice (NANOS in the
     * early rounds, TIMESTAMP_MICROS isAdjustedToUTC=0 in round 8). This
-    * pins [[Tables.load]]'s normalization for all three shapes so the
-    * next regen fails ONE named test instead of eight anonymous ones.
+    * pins [[Tables.load]]'s normalization for all four shapes a
+    * parquet writer could plausibly ship — the three observed plus
+    * legacy INT96 (pyarrow `use_deprecated_int96_timestamps`, old
+    * Spark/Hive writers), which Spark reads as TimestampType directly —
+    * so the next regen fails ONE named test instead of eight anonymous
+    * ones.
     */
-  test("Tables.load normalizes all three ts parquet encodings to the same TimestampType micros") {
+  test("Tables.load normalizes all four ts parquet encodings to the same TimestampType micros") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ts_shapes_").toString
+    // NOTE: INT96 carries nanos-of-day + Julian day — microsecond
+    // precision round-trips exactly, so the same fixture values serve
+    // all four shapes
     val micros = Seq(1704067200000000L, 1704067201500000L, 1704153599999999L)
 
     // shape 1: legacy long-nanos — what a parquet TIMESTAMP(NANOS) column
@@ -67,12 +74,21 @@ class SourcesSpec extends SparkSpec {
         Tuple1(java.sql.Timestamp.from(
           java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)))
       }.toDF("ts").write.parquet(s"$dir/utc/events.parquet")
+      // shape 4: legacy INT96 (the one remaining encoding an older
+      // writer could ship) → Spark reads TimestampType directly, the
+      // normalizeTs pass-through case — post-1582 values, so the
+      // Julian/Gregorian rebase modes cannot bite
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      micros.map { u =>
+        Tuple1(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)))
+      }.toDF("ts").write.parquet(s"$dir/int96/events.parquet")
     } finally prevOut match {
       case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
       case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
     }
 
-    for (shape <- Seq("nanos", "ntz", "utc")) {
+    for (shape <- Seq("nanos", "ntz", "utc", "int96")) {
       val df = Tables.events(spark, s"$dir/$shape")
       assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType, shape)
       val got = df.select(expr("unix_micros(ts)")).as[Long].collect().sorted.toSeq
