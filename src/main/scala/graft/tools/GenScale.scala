@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r10 scale-decade generator (r9 verdict item 3): build a FACTOR× slice
+  * of the three engine-native tables (`events`, `documents`,
+  * `embeddings`) from sf0.1, leaving the TPC-H tables symlinked at
+  * sf0.1 (per the verdict: the decade extension targets the
+  * llmops/analytics surface). Output is ephemeral (/tmp) — regenerate
+  * with this tool; ProbeScaling10 consumes it.
+  *
+  * Replication is STRUCTURE-PRESERVING, not row-copying — each replica
+  * r ∈ [0, factor) is keyed away from the others so per-key work scales
+  * linearly instead of quadratically:
+  *
+  *   - events: event_id/user_id offset per replica (10× users, per-user
+  *     series length UNCHANGED — window/sessionization state per key is
+  *     constant), ts/event_type/value/props untouched so calendar
+  *     windows get 10× density, the aggregation scale axis.
+  *   - documents: doc_id offset; every word suffixed `x<r>` for r>0, so
+  *     WITHIN-replica shingle/minhash/simhash structure is identical to
+  *     the original (near-dup pairs, dup groups, containment pairs all
+  *     scale exactly ×factor) while CROSS-replica similarity is zero —
+  *     replicating text verbatim would instead make every doc a 10-way
+  *     exact dup and blow candidate pairs up quadratically, an
+  *     artificial super-linearity no real corpus has.
+  *   - embeddings: vec_id offset; dimensions circularly rotated by r
+  *     (norms and within-replica pairwise dots exactly preserved;
+  *     cross-replica dots decorrelate), labels untouched.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(out)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(out)
+      try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+        java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(out)
+
+    // TPC-H tables stay at sf0.1 — symlink the single-file parquets
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      java.nio.file.Files.createSymbolicLink(
+        out.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/$t.parquet"))
+    }
+
+    def withReplica(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("r", explode(array((0 until factor).map(lit(_)): _*)))
+
+    val ev = graft.Tables.load(spark, srcDir, "events")
+    val Array(maxE, maxU) = ev.agg(max(col("event_id")), max(col("user_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    withReplica(ev).select(
+        (col("event_id") + col("r") * lit(maxE)).as("event_id"), col("ts"),
+        (col("user_id") + col("r") * lit(maxU)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.parquet(s"$outDir/events.parquet")
+
+    val docs = graft.Tables.load(spark, srcDir, "documents")
+    val maxD = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    withReplica(docs).select(
+        (col("doc_id") + col("r") * lit(maxD)).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("x"), col("r"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.parquet(s"$outDir/documents.parquet")
+
+    val emb = graft.Tables.load(spark, srcDir, "embeddings")
+    val maxV = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    withReplica(emb).select(
+        (col("vec_id") + col("r") * lit(maxV)).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
+            slice(col("embedding"), lit(1), col("r")))).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.parquet(s"$outDir/embeddings.parquet")
+
+    for (t <- Seq("events", "documents", "embeddings")) {
+      val n = spark.read.parquet(s"$outDir/$t.parquet").count()
+      println(s"[genscale] $t: $n rows")
+    }
+    spark.stop()
+  }
+}
