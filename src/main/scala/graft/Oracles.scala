@@ -1927,10 +1927,10 @@ FROM aug""",
     "q126_tx_sql_travel" ->
       """SELECT 'v0' AS snap, CAST(year(o_orderdate) AS INTEGER) AS order_year,
   count(*) AS n, round(sum(-o_totalprice), 2) AS total
-FROM orders GROUP BY 2
+FROM orders WHERE o_orderkey % 10 = 7 GROUP BY 2
 UNION ALL
 SELECT 'latest' AS snap, CAST(year(o_orderdate) AS INTEGER) AS order_year,
   count(*) AS n, round(sum(o_totalprice), 2) AS total
-FROM orders GROUP BY 2""",
+FROM orders WHERE o_orderkey % 10 = 7 GROUP BY 2""",
   )
 }

@@ -951,7 +951,10 @@ object SparkEntry {
       GraftExtensions.graftTxBuilder)
     val path = java.nio.file.Files.createTempDirectory("q126_tx")
     try {
+      // deterministic 10% slice: the point is the SQL time-travel seam,
+      // not re-benchmarking q62's full-table write volume
       val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 7)
         .select(col("o_orderkey").as("id"), col("o_totalprice"),
           year(col("o_orderdate")).as("order_year"))
       val v0 = TxParquetTable.append(

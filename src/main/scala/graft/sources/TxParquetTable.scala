@@ -373,7 +373,13 @@ object TxParquetTable {
   /** Delete data files no longer referenced by any snapshot at or after
     * `retainVersion` (time travel below that version stops working; the
     * log itself is kept — it is tiny and is the audit trail). Returns the
-    * number of files deleted.
+    * number of files THIS CALL deleted (`delete()` returning true), not
+    * the number it considered: a file can vanish between the directory
+    * listing and the delete — an OCC-losing writer cleaning up its own
+    * staged file is the live case, and `lastModified()` on the vanished
+    * name returns 0, which would otherwise sail under any retention
+    * horizon and miscount the writer's cleanup as a vacuum deletion
+    * (seen as a 1-in-many-runs flake of the racing-vacuum stress spec).
     *
     * Concurrency: an unreferenced-by-the-log file is NOT necessarily
     * garbage — it may be a concurrent writer's staged-but-uncommitted
@@ -401,8 +407,7 @@ object TxParquetTable {
       .filter(_.getName.endsWith(".parquet"))
     val doomed = all.filterNot(f => retained.contains(f.getName))
       .filter(_.lastModified() <= horizon)
-    doomed.foreach(_.delete())
-    doomed.length
+    doomed.count(_.delete())
   }
 
   /** Atomic append — never conflicts. Returns the committed version. */

@@ -95,4 +95,22 @@ class SourcesSpec extends SparkSpec {
       assert(got === micros, shape)
     }
   }
+
+  /** The r10 advice contract: the loader owns the UTC pin — a caller-set
+    * non-UTC zone is overwritten (with a WARN) rather than silently
+    * shifting NTZ instants, and the pin sticks for the session.
+    */
+  test("Tables.load pins a non-UTC session time zone back to UTC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tz_pin_").toString
+    Seq(Tuple1(1704067200000000L * 1000L)).toDF("ts")
+      .write.parquet(s"$dir/events.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Tables.events(spark, dir)
+      assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+      // and the value resolves as UTC epoch-micros, not a shifted instant
+      assert(df.select(expr("unix_micros(ts)")).as[Long].first() === 1704067200000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
