@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   *     series length UNCHANGED — window/sessionization state per key is
   *     constant), ts/event_type/value/props untouched so calendar
   *     windows get 10× density, the aggregation scale axis.
-  *   - documents: doc_id offset; every word suffixed `x<r>` for r>0, so
-  *     WITHIN-replica shingle/minhash/simhash structure is identical to
-  *     the original (near-dup pairs, dup groups, containment pairs all
-  *     scale exactly ×factor) while CROSS-replica similarity is zero —
-  *     replicating text verbatim would instead make every doc a 10-way
-  *     exact dup and blow candidate pairs up quadratically, an
-  *     artificial super-linearity no real corpus has.
+  *   - documents: doc_id offset; text passed through a PER-REPLICA
+  *     Caesar cipher (`translate` over a rotated alphabet) for r>0 —
+  *     length-preserving and bijective, so WITHIN-replica
+  *     shingle/minhash/simhash similarity structure is preserved
+  *     (near-dup pairs, dup groups, containment pairs scale ≈×factor)
+  *     while CROSS-replica character shingles all differ (Jaccard 0).
+  *     The first cut suffixed each word with `x<r>` instead; that
+  *     leaves within-word 8-char shingles intact, cross-replica
+  *     Jaccard lands ~0.3+, and LSH candidate pairs measured 59× at
+  *     factor 10 — a quadratic-ish blow-up no real 10× corpus has,
+  *     same failure mode as replicating verbatim (every doc a 10-way
+  *     exact dup).
   *   - embeddings: vec_id offset; dimensions circularly rotated by r
   *     (norms and within-replica pairwise dots exactly preserved;
   *     cross-replica dots decorrelate), labels untouched.
@@ -73,13 +78,18 @@ object GenScale {
 
     val docs = graft.Tables.load(spark, srcDir, "documents")
     val maxD = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+    val ciphered = (1 until factor).foldLeft(
+        when(col("r") === 0, col("text"))) { (acc, r) =>
+      acc.when(col("r") === r,
+        translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r)))
+    }.otherwise(col("text"))
     withReplica(docs).select(
         (col("doc_id") + col("r") * lit(maxD)).as("doc_id"),
-        when(col("r") === 0, col("text")).otherwise(
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("x"), col("r"))), " ")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+        ciphered.as("text"),
+        col("lang"), col("source"), col("n_chars")) // cipher is length-preserving
       .repartition(32)
       .write.parquet(s"$outDir/documents.parquet")
 
