@@ -51,11 +51,7 @@ object Components {
       edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // undirected: propagate both ways; persist — reused every round
-    val bi = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
+    val bi = bidirectional(edges, aCol, bCol)
 
     // round 0 folded into initialization: label = min(id, neighbors) is
     // exactly the first propagation round, for one aggregate instead of
@@ -99,6 +95,33 @@ object Components {
           "(graph diameter exceeds the budget); raise maxIters or use " +
           "connectedComponentsAlternating")
     labels
+  }
+
+  /** Both propagation variants' shared edge prep: null-filtered edges,
+    * materialized ONCE, then mirrored into the bidirectional frame the
+    * rounds re-read.
+    *
+    * Two lineage cuts, deliberately: the first checkpoint executes the
+    * caller's edge-producing plan exactly once (the union below would
+    * otherwise run it once per branch — an all-pairs cosine join or an
+    * LSH banding pipeline, twice); the second pins the mirrored frame
+    * the rounds actually join against. Measured (r10, q129's embedding
+    * pair graph, 16 propagation rounds): feeding the rounds a deep-
+    * lineage frame costs ~0.4 s/round vs ~0.15 s/round for a
+    * shallow-lineage one — per-round job overhead tracks the ORIGINAL
+    * plan depth even though the checkpoint serves all reads, so cutting
+    * before the loop pays for itself within two rounds. The producer
+    * blocks are released as soon as the mirror is live.
+    */
+  private def bidirectional(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    val bi = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    releaseCheckpoint(fwd)
+    bi
   }
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame
@@ -220,6 +243,67 @@ object Components {
         s"connectedComponentsAlternating did not converge in $maxIters rounds; raise maxIters")
     nodes.join(e.select(col("c").as("id"), col("p").as("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** Min-label propagation WITH per-round pointer jumping: after the
+    * neighbor-propagation step each node also follows its current label
+    * one hop (label := label-of-label), so chain depth HALVES per round
+    * on top of the one-hop advance — convergence in O(log diameter)
+    * rounds instead of O(diameter), at ~1.5x the per-round shuffle (one
+    * extra equi-join on the label table). Same (id, component) fixpoint
+    * as [[connectedComponents]]: both steps are monotone non-increasing
+    * toward min-reachable-id, and convergence is the same exact-decimal
+    * label-sum probe over a full (propagate + jump) round.
+    *
+    * When to prefer which: at corpus scale with dense near-dup clusters
+    * (shallow diameter) plain min-propagation does fewer joins per
+    * round; on chainy graphs — embedding-similarity threads, long
+    * citation chains — the round count dominates and this variant wins
+    * (measured on q129's embedding pair graph, 16 min-prop rounds:
+    * composed query 8.7→5.6 s together with the [[bidirectional]]
+    * lineage cut; parity on the shallow q72 minhash graph;
+    * docs/BENCH_NOTES.md r10).
+    */
+  def connectedComponentsJumping(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val bi = bidirectional(edges, aCol, bCol)
+    var labels = bi.select(col("src").as("id"), col("dst"))
+      .groupBy(col("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label"))
+      .localCheckpoint(false)
+    var prevSum = checkSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val msgs = bi.join(labels, bi("src") === labels("id"))
+        .select(bi("dst").as("id"), labels("label"))
+      // lazy-checkpointed so the two consumers below (join left side +
+      // label lookup table) compute the propagation shuffle ONCE — the
+      // persisted blocks serve the second branch within the same job
+      val prop = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(false)
+      val lut = prop.select(col("id").as("__jid"), col("label").as("__jlabel"))
+      val next = prop.join(lut, prop("label") === col("__jid"), "left")
+        .select(prop("id"),
+          least(prop("label"), coalesce(col("__jlabel"), prop("label"))).as("label"))
+        .localCheckpoint(false)
+      val sum = checkSum(next)
+      converged = sum == prevSum
+      releaseCheckpoint(labels)
+      releaseCheckpoint(prop)
+      prevSum = sum
+      labels = next
+      iter += 1
+    }
+    releaseCheckpoint(bi)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsJumping did not converge in $maxIters rounds; " +
+          "raise maxIters")
+    labels
   }
 
   /** Component-based near-duplicate removal: keep, per transitive
