@@ -1932,5 +1932,110 @@ UNION ALL
 SELECT 'latest' AS snap, CAST(year(o_orderdate) AS INTEGER) AS order_year,
   count(*) AS n, round(sum(o_totalprice), 2) AS total
 FROM orders WHERE o_orderkey % 10 = 7 GROUP BY 2""",
+
+    // BM25 top-10: Lucene-style non-negative idf, k1=1.2 b=0.75; avgdl,
+    // idf, and the tf-normalization each rounded to 1e-6 as produced,
+    // per-(doc,term) scores summed as integer micros (no float-order
+    // wobble), rank total on (micros desc, doc_id). All float literals
+    // written e0 so DuckDB computes in DOUBLE like Spark, never DECIMAL.
+    "q127_bm25" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    list_filter(toks, t -> t IN ('dup', 'key', 'window', 'join', 'batch')) AS qt
+  FROM tk
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    floor(avg(dl) * 1000000 + 0.5) / 1000000 AS avgdl
+  FROM d
+), tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(qt) AS t FROM d)
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT doc_id, dl, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+), sc AS (
+  SELECT doc_id, dl,
+    floor(ln(1e0 + (n - df + 0.5e0) / (df + 0.5e0)) * 1000000 + 0.5) / 1000000 AS idf,
+    floor(tf * 2.2e0 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) * 1000000 + 0.5) / 1000000 AS tfn
+  FROM w CROSS JOIN stats
+), perdoc AS (
+  SELECT doc_id, dl, count(*) AS n_terms,
+    CAST(sum(CAST(floor(idf * tfn * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS sm
+  FROM sc GROUP BY 1, 2
+), top AS (SELECT * FROM perdoc ORDER BY sm DESC, doc_id LIMIT 10)
+SELECT row_number() OVER (ORDER BY sm DESC, doc_id) AS rank,
+  doc_id, n_terms, dl, CAST(sm AS DOUBLE) / 1e6 AS score
+FROM top""",
+
+    // sliding chunks: 64-token windows, step 48 (overlap 16); range()
+    // excludes tc exactly as sequence(0, tc-1, 48) does; md5 over the
+    // space-rejoined slice matches Spark's array_join
+    "q128_doc_chunks" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS tc FROM tk WHERE len(toks) >= 1
+), st AS (
+  SELECT doc_id, toks, tc, unnest(range(0, tc, 48)) AS s FROM d
+)
+SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+  CAST(s AS INTEGER) AS start_token,
+  CAST(least(64, tc - s) AS INTEGER) AS n_tokens,
+  md5(array_to_string(list_slice(toks, s + 1, s + 64), ' ')) AS chunk_md5
+FROM st""",
+
+    // SemDeDup keep-list: recursive closure (min reachable id) over the
+    // exact-cosine pair list q60 verifies, every vector assigned its
+    // component representative; singletons keep themselves
+    "q129_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), pr AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+  WHERE score >= 0.4
+), bi AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pr
+), reach AS (
+  SELECT DISTINCT src AS id, src AS lab FROM bi
+  UNION
+  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
+), comp AS (
+  SELECT id, min(lab) AS rep FROM reach GROUP BY id
+)
+SELECT v.vec_id, coalesce(c.rep, v.vec_id) AS rep_id,
+  coalesce(c.rep, v.vec_id) = v.vec_id AS kept
+FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id""",
+
+    // BPE pair stats: corpus collapses to the distinct-word frame, then
+    // adjacent char pairs weighted by word count; overlaps count
+    // separately (i ranges 1..len-1), rank total on (freq desc, pair)
+    "q130_bpe_pairs" ->
+      """WITH wc AS (
+  SELECT t AS w, count(*) AS wc
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS t
+        FROM documents)
+  GROUP BY 1
+), p AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, w, wc
+  FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+  WHERE len(w) >= 2
+), a AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS freq, count(DISTINCT w) AS n_words
+  FROM p GROUP BY 1
+), top AS (SELECT * FROM a ORDER BY freq DESC, pair LIMIT 30)
+SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq, n_words
+FROM top""",
   )
 }

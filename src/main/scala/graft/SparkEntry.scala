@@ -973,6 +973,51 @@ object SparkEntry {
     } finally deleteRecursively(path)
   }
 
+  /** X8: BM25 lexical retrieval — top-10 documents for a five-term
+    * query bag over the corpus vocabulary's frequent/mid/rare mix.
+    * Array-domain term filter before the generator, broadcast corpus
+    * stats, long-micros score totals (no float-order wobble), global
+    * TakeOrderedAndProject top-k.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Retrieval.bm25TopDocs(
+      t(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = 10)
+
+  /** The q127 query-term bag: high-df, mid-df, and low-df corpus terms
+    * so idf spread actually exercises the ranking (stated identically
+    * in the DuckDB oracle).
+    */
+  private val Bm25Terms = Seq("dup", "key", "window", "join", "batch")
+
+  /** X9: sliding-window chunking — 64-token windows, 16-token overlap,
+    * map-only generator expansion (zero shuffle at any scale).
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Chunking.slidingChunks(
+      t(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+
+  /** X2/X3 composite: SemDeDup-style semantic dedup — exact-cosine
+    * near-dup pairs (the q60 oracle-verified baseline) → connected
+    * components → min-id representative, every vector marked
+    * keep/drop. The oracle rebuilds the identical fixpoint with a
+    * recursive CTE over the identical pair list (q72's discipline,
+    * embedding-space edition).
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.4)
+    Dedup.semanticDedupAssignments(emb, "vec_id", pairs)
+  }
+
+  /** X10: BPE merge-pair statistics — top-30 adjacent character pairs,
+    * word-frequency-weighted, counted over the distinct-word frame
+    * (corpus collapses to vocabulary before any character work).
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Bpe.pairStats(t(s, dir, "documents"), "text", k = 30)
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1814,6 +1859,10 @@ object SparkEntry {
     "q124_pii_redaction" -> (q124 _),
     "q125_pii_sql" -> (q125 _),
     "q126_tx_sql_travel" -> (q126 _),
+    "q127_bm25" -> (q127 _),
+    "q128_doc_chunks" -> (q128 _),
+    "q129_semantic_dedup" -> (q129 _),
+    "q130_bpe_pairs" -> (q130 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -468,4 +468,40 @@ object Dedup {
       .join(histDigests, contentHash(col(textCol)) === col("__ch"), "left_anti")
     increment.filter(!gate).unionByName(confirmedNew)
   }
+
+  /** X2/X3 composite: SemDeDup-style semantic dedup — collapse each
+    * transitive cluster of the near-dup pair graph to one canonical
+    * representative (min id) and mark every item keep/drop:
+    * (idCol, rep_id, kept). Items in no pair are their own
+    * representative and always kept.
+    *
+    * The pair source is a parameter by design: the oracle-verified
+    * exact path feeds [[embeddingNearDupPairs]] (all-pairs — fine for
+    * a verification slice, quadratic at corpus scale); the 100 TB path
+    * feeds the same assignment with LSH/SRP-bucketed candidates
+    * ([[minhashCandidatePairs]] or [[graft.functions.SrpBucket]]-banded
+    * cosine pairs), which this function never needs to know about.
+    *
+    * Scale shape: [[Components.connectedComponents]] over the pairs
+    * (one join+min shuffle per round, bounded rounds), then ONE
+    * left join of the id universe against the component map — the
+    * component side holds only ids that appear in a pair (usually a
+    * tiny fraction of the corpus), so AQE turns it into a broadcast
+    * join in the common case.
+    */
+  def semanticDedupAssignments(
+      items: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // jumping variant: similarity graphs thread near-dups into long
+    // chains (A~B~C~... under a cosine threshold), so round count —
+    // O(log diameter) here vs O(diameter) for plain min-propagation —
+    // is the dominant cost (measured: composed q129 8.7→5.6 s,
+    // docs/BENCH_NOTES.md r10)
+    val comp = Components.connectedComponentsJumping(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("label"))
+    val rep = coalesce(col("label"), col(idCol))
+    items.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), rep.as("rep_id"), (rep === col(idCol)).as("kept"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Partitioning.stableRound6
+
+/** BM25 lexical retrieval over a document corpus (north-star X8: the
+  * scoring half of a training-data retrieval / hard-negative-mining
+  * pass — given a bag of query terms, rank the corpus by Okapi BM25).
+  *
+  * Scale design (the query-term set is tiny and KNOWN; the corpus is
+  * the 100 TB side — every choice below keeps per-corpus work one
+  * scan and makes the shuffle proportional to matches, not tokens):
+  *   - the term filter runs in the ARRAY domain (`filter(tokens, t in
+  *     terms)`) BEFORE the generator, so explode emits only query-term
+  *     occurrences — at most |docs| x |terms| rows enter the shuffle,
+  *     never the corpus token stream;
+  *   - document length and the matched-token array come from the same
+  *     projection — one corpus scan total;
+  *   - document frequency is a `count over (partition by term)` window
+  *     on the already-aggregated (doc, term) frame (cardinality <=
+  *     matching docs x |terms|), not a second corpus pass;
+  *   - corpus size N and average document length join in as a
+  *     broadcast single-row aggregate;
+  *   - the final top-k is a global `orderBy.limit` —
+  *     TakeOrderedAndProject, per-partition heaps, no single-partition
+  *     window over the corpus; only the k survivors get ranked.
+  *
+  * Determinism contract for the DuckDB oracle (same discipline as
+  * [[Keywords.tfidfTopTerms]]): avgdl, idf, and the tf-normalization
+  * are each rounded to 1e-6 as they are produced; the per-(doc, term)
+  * score is converted to integer MICROS and per-document totals are
+  * summed as longs — float addition order can never wobble a rank.
+  *
+  * Formula (Lucene-style non-negative idf; k1 = 1.2, b = 0.75):
+  *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   tfn(t,d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+  *   score(d) = sum_t round6(round6(idf) * round6(tfn))
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-(document, term) BM25 partials:
+    * (idCol, term, tf, doc_freq, dl, score_micros) — score in integer
+    * micros (round6 x 1e6). Only documents containing at least one
+    * query term appear.
+    */
+  def bm25TermScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val matched = graft.util.Partitioning.ensureParallelism(docs).select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+      filter(TextAnalysis.tokens(col(textCol)),
+        t => t.isin(queryTerms: _*)).as("__qt"))
+    val stats = matched.agg(
+      count(lit(1)).cast("double").as("__n"),
+      stableRound6(avg(col("dl"))).as("__avgdl"))
+    val tf = matched
+      .select(col(idCol), col("dl"), explode(col("__qt")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val idf6 = stableRound6(log(lit(1d) +
+      (col("__n") - col("doc_freq") + lit(0.5d)) / (col("doc_freq") + lit(0.5d))))
+    val tfn6 = stableRound6(
+      col("tf") * lit(K1 + 1d) /
+        (col("tf") + lit(K1) * (lit(1d - B) + lit(B) * col("dl") / col("__avgdl"))))
+    tf.withColumn("doc_freq", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("tf"), col("doc_freq"), col("dl"),
+        floor(idf6 * tfn6 * lit(1e6) + lit(0.5d)).cast("long").as("score_micros"))
+  }
+
+  /** Top-`k` documents for the query-term bag:
+    * (rank, idCol, n_terms, dl, score) — score is the exact long-micros
+    * sum rendered back to a double; rank is total (micros desc, id asc)
+    * and computed over the k survivors only.
+    */
+  def bm25TopDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = bm25TermScores(docs, idCol, textCol, queryTerms)
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_micros")).as("__micros"))
+      .orderBy(col("__micros").desc, col(idCol).asc)
+      .limit(k)
+    val w = Window.orderBy(col("__micros").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(idCol), col("n_terms"), col("dl"),
+        (col("__micros").cast("double") / lit(1e6)).as("score"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Bpe, Chunking, Dedup, Retrieval}
+
+/** Specs for the round-10 corpus operators: BM25 retrieval, sliding
+  * chunking, SemDeDup keep-list assignment, and BPE pair statistics.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  test("bm25: hand-computed score on a three-doc corpus") {
+    // docs: d1 has the term twice of length 4, d2 once of length 2, d3 none
+    val docs = Seq(
+      (1L, "cat dog cat bird"),
+      (2L, "cat fish"),
+      (3L, "horse cow pig")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopDocs(docs, "doc_id", "text", Seq("cat"), k = 10)
+      .orderBy(col("rank")).collect()
+    // N=3, df=2 → idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    // avgdl = (4+2+3)/3 = 3.0
+    val idf = math.floor(math.log(1.6) * 1e6 + 0.5) / 1e6
+    def tfn(tf: Long, dl: Long): Double = {
+      val raw = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    def score(tf: Long, dl: Long): Double =
+      math.floor(idf * tfn(tf, dl) * 1e6 + 0.5) / 1e6
+    assert(out.length === 2) // d3 matches nothing, never appears
+    assert(out(0).getAs[Long]("doc_id") === 1L)
+    assert(out(0).getAs[Double]("score") === score(2, 4))
+    assert(out(1).getAs[Long]("doc_id") === 2L)
+    assert(out(1).getAs[Double]("score") === score(1, 2))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
+
+  test("bm25: rarer term outscores a common term at equal tf/dl") {
+    val docs = Seq(
+      (1L, "rare common x"), (2L, "common x y"), (3L, "common y z"),
+      (4L, "common z w")).toDF("doc_id", "text")
+    val scores = Retrieval.bm25TermScores(docs, "doc_id", "text",
+        Seq("rare", "common"))
+      .filter(col("doc_id") === 1L)
+      .select(col("term"), col("score_micros")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scores("rare") > scores("common"))
+  }
+
+  test("bm25: ties broken by ascending doc id and k respected") {
+    val docs = Seq(
+      (5L, "cat dog"), (2L, "cat dog"), (9L, "cat dog"), (7L, "bird"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopDocs(docs, "doc_id", "text", Seq("cat"), k = 2)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L, 5L))
+  }
+
+  // ---- Chunking ----
+
+  test("slidingChunks: exact windows, short tail, overlap") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    // chunk=4, overlap=1 → step=3 → starts 0,3,6
+    val out = Chunking.slidingChunks(docs, "doc_id", "text", 4, 1)
+      .orderBy(col("chunk_idx")).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Int]("start_token")).toSeq === Seq(0, 3, 6))
+    assert(out.map(_.getAs[Int]("n_tokens")).toSeq === Seq(4, 4, 1))
+    assert(out.map(_.getAs[String]("chunk_text")).toSeq ===
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6"))
+    assert(out.map(_.getAs[Int]("chunk_idx")).toSeq === Seq(0, 1, 2))
+  }
+
+  test("slidingChunks: doc shorter than one chunk emits one chunk; empty doc none") {
+    val docs = Seq((1L, "a b"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val out = Chunking.slidingChunks(docs, "doc_id", "text", 8, 2).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("doc_id") === 1L)
+    assert(out.head.getAs[Int]("n_tokens") === 2)
+    assert(out.head.getAs[String]("chunk_text") === "a b")
+  }
+
+  test("slidingChunks: zero overlap tiles the doc exactly; guards reject bad params") {
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.slidingChunks(docs, "doc_id", "text", 5, 0)
+      .orderBy(col("chunk_idx")).collect()
+    assert(out.map(_.getAs[Int]("start_token")).toSeq === Seq(0, 5))
+    assert(out.map(_.getAs[Int]("n_tokens")).toSeq === Seq(5, 5))
+    intercept[IllegalArgumentException] {
+      Chunking.slidingChunks(docs, "doc_id", "text", 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.slidingChunks(docs, "doc_id", "text", 0, 0)
+    }
+  }
+
+  // ---- Semantic dedup ----
+
+  test("semanticDedupAssignments: transitive cluster collapses to min id; singletons kept") {
+    val items = (1L to 6L).toDF("vec_id")
+    val pairs = Seq((2L, 3L), (3L, 5L), (4L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.semanticDedupAssignments(items.toDF(), "vec_id", pairs)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"),
+        r.getAs[Boolean]("kept")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 2L, false),
+      (4L, 4L, true), (5L, 2L, false), (6L, 4L, false)))
+  }
+
+  test("semanticDedupAssignments: kept set has exactly one representative per cluster") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    val out = Dedup.semanticDedupAssignments(emb, "vec_id", pairs).cache()
+    try {
+      val perRep = out.groupBy(col("rep_id"))
+        .agg(sum(when(col("kept"), 1).otherwise(0)).as("n_kept"))
+      assert(perRep.filter(col("n_kept") =!= 1).count() === 0)
+      assert(out.count() === emb.count())
+    } finally out.unpersist()
+  }
+
+  // ---- BPE pairs ----
+
+  test("pairStats: hand-counted frequencies with overlap and word weighting") {
+    // "aaa" x2 → pair "aa" twice per occurrence = 4; "ab" in "ab" x3 = 3
+    val docs = Seq((1L, "aaa ab ab"), (2L, "aaa ab x")).toDF("doc_id", "text")
+    val out = Bpe.pairStats(docs, "text", k = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("freq"),
+        r.getAs[Long]("n_words")))
+    // single-char word "x" contributes nothing
+    assert(out.toSeq === Seq(("aa", 4L, 1L), ("ab", 3L, 1L)))
+  }
+
+  test("pairStats: rank is total on (freq desc, pair asc)") {
+    val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
+    val out = Bpe.pairStats(docs, "text", k = 2).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[String]("pair"))
+    assert(out.toSeq === Seq("ab", "cd")) // ef tied with nothing; ab<cd at freq 2
+  }
+}
