@@ -155,4 +155,45 @@ class PlanShapeSpec extends SparkSpec {
     // exactness path: the anti-join on the 256-bit digest is still there
     assert(plan.contains("LeftAnti"), s"exact anti-join missing:\n$plan")
   }
+
+  test("q128 chunking is map-only: no exchange anywhere in the plan") {
+    val plan = planOf("q128_doc_chunks")
+    assert(!plan.contains("Exchange "),
+      s"chunking must not shuffle — generator expansion is per-row:\n$plan")
+    assert(plan.contains("Generate posexplode"),
+      s"expected posexplode generator:\n$plan")
+  }
+
+  test("q127 bm25: corpus stats broadcast, global top-k avoids a total sort") {
+    val plan = planOf("q127_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not sort+limit:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"single-row stats frame must broadcast into the scores:\n$plan")
+    // the term filter runs in the ARRAY domain before the generator:
+    // the explode consumes the pre-filtered __qt array (computed in the
+    // projection below it), so only query-term occurrences are emitted
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode(__qt"))
+    val qtIdx = lines.indexWhere(l =>
+      l.contains("IN (dup,key,window,join,batch)") && l.contains("AS __qt"))
+    assert(genIdx >= 0 && qtIdx > genIdx,
+      s"term filter must precede the generator (array domain):\n$plan")
+  }
+
+  test("q130 bpe pairs: corpus collapses to the word frame before pair explode") {
+    val plan = planOf("q130_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+    // two aggregate levels: word counts, then pair sums — the pair
+    // generator (explode over the substring transform) must sit ABOVE
+    // the finalized word-count aggregate, meaning it runs over the
+    // vocabulary, not the corpus token stream
+    val lines = plan.linesIterator.toSeq
+    val pairGenIdx = lines.indexWhere(_.contains("Generate explode(transform(sequence"))
+    val wordAggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate(keys=[w#") && l.contains("functions=[count(1)]"))
+    assert(pairGenIdx >= 0 && wordAggIdx > pairGenIdx,
+      s"pair explode must consume the aggregated word frame:\n$plan")
+  }
 }
