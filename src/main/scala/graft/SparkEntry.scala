@@ -1018,6 +1018,21 @@ object SparkEntry {
   private def q130(s: SparkSession, dir: String): DataFrame =
     graft.llmops.Bpe.pairStats(t(s, dir, "documents"), "text", k = 30)
 
+  /** X4+: model-based quality filter — fixed-weight logistic score over
+    * the per-row quality features, with decile bucket and keep flag.
+    * One codegen projection, no shuffle; the FineWeb-style
+    * classifier-filter stage as a first-class operator.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val p = TextAnalysis.logisticQualityScore(
+      col("text"), Seq("the", "a", "and", "of", "to"))
+    t(s, dir, "documents")
+      .withColumn("quality_p", p)
+      .select(col("doc_id"), col("quality_p"),
+        least(floor(col("quality_p") * 10), lit(9L)).cast("int").as("decile"),
+        (col("quality_p") >= 0.5).as("keep"))
+  }
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1863,6 +1878,7 @@ object SparkEntry {
     "q128_doc_chunks" -> (q128 _),
     "q129_semantic_dedup" -> (q129 _),
     "q130_bpe_pairs" -> (q130 _),
+    "q131_quality_logistic" -> (q131 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

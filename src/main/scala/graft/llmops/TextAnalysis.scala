@@ -55,6 +55,33 @@ object TextAnalysis {
     graft.util.Partitioning.stableRound6(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2)
   }
 
+  /** Model-based quality score in (0,1): a fixed-weight LOGISTIC model
+    * over the cheap per-row features — the FineWeb/CCNet-style
+    * classifier-filter stage, distinct from [[qualityScore]]'s
+    * hand-blended heuristic and [[gopherFilter]]'s hard gates. Weights
+    * here are engine constants standing in for trained coefficients; a
+    * caller with a trained linear model supplies the same features and
+    * its own weights — the execution shape (one codegen projection, no
+    * shuffle, no UDF) is the deliverable.
+    *
+    * Determinism contract: each feature is rounded to 1e-6 before the
+    * linear combination, the logit is rounded before the sigmoid, and
+    * the probability after — the DuckDB oracle states the identical
+    * arithmetic (float literals as e0 so both engines stay in DOUBLE).
+    */
+  def logisticQualityScore(text: Column, stopwords: Seq[String]): Column = {
+    import graft.util.Partitioning.stableRound6
+    val len = length(text).cast("double")
+    val ntok = tokenCount(text).cast("double")
+    val f1 = stableRound6(least(len / lit(500.0), lit(1.0)))          // length saturation
+    val f2 = stableRound6(len / greatest(ntok, lit(1.0)))             // mean word length
+    val f3 = stableRound6(punctCount(text).cast("double") / greatest(len, lit(1.0)))
+    val f4 = stableRound6(stopwordRatio(text, stopwords))
+    val z = stableRound6(lit(-1.5) + lit(2.0) * f1 + lit(0.15) * f2 +
+      lit(-4.0) * f3 + lit(3.0) * f4)
+    stableRound6(lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
   /** Gopher-style quality FILTER (Rae et al. 2021 §A1.1 shape): the
     * composite keep/reject decision the individual signals (q39 quality,
     * q71 repetition, q94 entropy) feed in a real curation pipeline, with

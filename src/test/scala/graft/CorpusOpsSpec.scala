@@ -136,6 +136,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("aa", 4L, 1L), ("ab", 3L, 1L)))
   }
 
+  // ---- Logistic quality ----
+
+  test("logisticQualityScore: hand-computed probability and monotone stopword effect") {
+    import graft.llmops.TextAnalysis
+    val sw = Seq("the", "a", "and", "of", "to")
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog"), // stopword-rich
+      (2L, "zxqw vbnm asdf ghjk qwer tyui")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.logisticQualityScore(col("text"), sw).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc 1 by hand: len=34, ntok=9, punct=0, stopwords(the,on?no) ->
+    // toks lower: the,cat,sat,on,the,mat,and,the,dog -> sw hits the(3)+and(1)=4/9
+    val f1 = r6(math.min(34.0 / 500.0, 1.0)); val f2 = r6(34.0 / 9.0)
+    val f3 = r6(0.0); val f4 = r6(4.0 / 9.0)
+    val z = r6(-1.5 + 2.0 * f1 + 0.15 * f2 + -4.0 * f3 + 3.0 * f4)
+    assert(out(1L) === r6(1.0 / (1.0 + math.exp(-z))))
+    assert(out(1L) > out(2L), "stopword-rich text must outscore gibberish")
+  }
+
   test("pairStats: rank is total on (freq desc, pair asc)") {
     val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
     val out = Bpe.pairStats(docs, "text", k = 2).collect()
