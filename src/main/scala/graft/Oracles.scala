@@ -2071,5 +2071,30 @@ SELECT doc_id, quality_p,
   CAST(least(floor(quality_p * 10), 9) AS INTEGER) AS decile,
   quality_p >= 0.5e0 AS keep
 FROM p""",
+
+    // chunk -> pack composite: the q128 chunk CTE feeding the q68
+    // cumulative-packing window, ordered (doc_id, chunk_idx) within
+    // 4 shards at a 256-token budget
+    "q132_chunk_pack" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS tc FROM tk WHERE len(toks) >= 1
+), ch AS (
+  SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+    CAST(least(64, tc - s) AS BIGINT) AS tokens
+  FROM (SELECT doc_id, tc, unnest(range(0, tc, 48)) AS s FROM d)
+), binned AS (
+  SELECT doc_id % 4 AS shard, doc_id, tokens,
+    CAST(floor((sum(tokens) OVER (PARTITION BY doc_id % 4
+      ORDER BY doc_id, chunk_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens) / 256.0) AS BIGINT) AS bin
+  FROM ch
+)
+SELECT shard, bin, count(*) AS n_chunks, CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+  count(DISTINCT doc_id) AS n_docs
+FROM binned GROUP BY 1, 2""",
   )
 }

@@ -1033,6 +1033,24 @@ object SparkEntry {
         (col("quality_p") >= 0.5).as("keep"))
   }
 
+  /** X9+X6 composite: end-to-end context-window prep — documents chunked
+    * into 64-token windows (q128's configuration) and the chunks packed
+    * into 256-token training bins (q68's deterministic cumulative
+    * packer, ordered by (doc, chunk) within 4 shards). Two map-side
+    * stages and ONE shard-window pass; the oracle chains the same two
+    * verified constructions.
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.llmops.Chunking.slidingChunks(
+      t(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
+    graft.llmops.Packing.packSequences(chunks, col("n_tokens"), budget = 256,
+        shardCol = pmod(col("doc_id"), lit(4)),
+        orderCols = Seq(col("doc_id"), col("chunk_idx")))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("tokens")).as("bin_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1879,6 +1897,7 @@ object SparkEntry {
     "q129_semantic_dedup" -> (q129 _),
     "q130_bpe_pairs" -> (q130 _),
     "q131_quality_logistic" -> (q131 _),
+    "q132_chunk_pack" -> (q132 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -157,6 +157,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) > out(2L), "stopword-rich text must outscore gibberish")
   }
 
+  test("chunk->pack composite: every bin within the streaming-packing bound") {
+    import graft.llmops.{Chunking, Packing}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = Chunking.slidingChunks(docs, "doc_id", "text", 64, 16)
+    val bins = Packing.packSequences(chunks, col("n_tokens"), budget = 256,
+        shardCol = pmod(col("doc_id"), lit(4)),
+        orderCols = Seq(col("doc_id"), col("chunk_idx")))
+      .groupBy(col("shard"), col("bin")).agg(sum(col("tokens")).as("t"))
+    // bound: budget + max single-chunk size (one straddling chunk)
+    assert(bins.filter(col("t") > 256 + 64).count() === 0)
+    // conservation: packed token total equals the chunk token total
+    val packed = bins.agg(sum(col("t"))).collect()(0).getLong(0)
+    val raw = chunks.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(packed === raw)
+  }
+
   test("pairStats: rank is total on (freq desc, pair asc)") {
     val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
     val out = Bpe.pairStats(docs, "text", k = 2).collect()
