@@ -144,4 +144,48 @@ class PropertySpec extends SparkSpec {
       assert(out.exceptAll(viaBounds).count() === 0, s"seed=$seed")
     }
   }
+
+  test("chunking: full coverage, dense indices, lossless reconstruction for any (chunk, overlap)") {
+    import graft.llmops.Chunking
+    val wordGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val docGen = for {
+      n <- Gen.choose(0, 120)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws
+    for (seed <- 1L to 5L) {
+      val docs = Gen.listOfN(8, docGen).apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      for ((ck, ov) <- Seq((16, 0), (16, 4), (7, 6), (1, 0))) {
+        val step = ck - ov
+        val rows = Chunking.slidingChunks(df, "doc_id", "text", ck, ov)
+          .collect().groupBy(_.getAs[Long]("doc_id"))
+        docs.zipWithIndex.foreach { case (ws, i) =>
+          val got = rows.getOrElse(i.toLong, Array.empty).sortBy(_.getAs[Int]("chunk_idx"))
+          if (ws.isEmpty) assert(got.isEmpty, s"seed=$seed ck=$ck ov=$ov doc=$i")
+          else {
+            // dense 0..n-1 indices at starts 0, step, 2*step, ... < tc
+            assert(got.map(_.getAs[Int]("chunk_idx")).toSeq === got.indices.toSeq)
+            assert(got.map(_.getAs[Int]("start_token")).toSeq ===
+              got.indices.map(_ * step), s"seed=$seed ck=$ck ov=$ov doc=$i")
+            // coverage: last chunk reaches the final token; every chunk
+            // non-empty and within the budget
+            val last = got.last
+            assert(last.getAs[Int]("start_token") + last.getAs[Int]("n_tokens") === ws.length)
+            assert(got.forall(r => {
+              val n = r.getAs[Int]("n_tokens"); n >= 1 && n <= ck
+            }), s"seed=$seed ck=$ck ov=$ov doc=$i")
+            // lossless reconstruction: drop each chunk's first `ov`
+            // tokens (except chunk 0) and re-concatenate
+            val rebuilt = got.zipWithIndex.flatMap { case (r, idx) =>
+              val toks = r.getAs[String]("chunk_text").split(" ").toSeq
+              if (idx == 0) toks else toks.drop(ov)
+            }
+            assert(rebuilt.toSeq === ws, s"seed=$seed ck=$ck ov=$ov doc=$i")
+          }
+        }
+      }
+    }
+  }
 }
