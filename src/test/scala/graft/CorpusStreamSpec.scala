@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Dedup, TextAnalysis}
+import graft.streaming.Pipelines
+
+/** Streaming twin of the corpus-curation surface: the llmops operators
+  * are ordinary Catalyst expressions, so the SAME quality gate and
+  * content-hash dedup run unchanged inside a Structured Streaming
+  * micro-batch pipeline — documents arrive as JSON, are gated on the
+  * q131 logistic quality score, deduplicated exactly within the
+  * watermark, and landed via the epoch-stamped parquet sink. The batch
+  * twin over the identical wire rows must match row for row.
+  */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to")
+
+  private def doc(id: Long, ts: String, text: String): String = {
+    val t = text.replace("\"", "")
+    s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+  }
+
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, ts TIMESTAMP, text STRING")
+
+  /** Shared curation expression chain — applied identically to the
+    * stream and the batch twin (the point of the spec).
+    */
+  private def curate(parsed: org.apache.spark.sql.DataFrame) =
+    parsed
+      .withColumn("quality_p",
+        TextAnalysis.logisticQualityScore(col("text"), Stopwords))
+      .filter(col("quality_p") >= 0.5)
+      .withColumn("id", Dedup.contentHash(col("text")))
+
+  test("streaming curation (quality gate + watermarked dedup + sink) == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_stream_").toString
+
+    // quality spread: stopword-rich docs pass the 0.5 gate, gibberish
+    // sinks under it (pinned by CorpusOpsSpec's hand-computed scores);
+    // epoch 1 carries an in-batch duplicate text, epoch 2 replays one
+    val good1 = "the quick brown fox jumps over the lazy dog and the cat sits on top of the mat again and again until the end of the story"
+    val good2 = "a little house of cards stands at the edge of the table and a gentle wind threatens to push it over the side of the world"
+    val bad = "zxqw vbnm asdf"
+    val epoch1 = Seq(
+      doc(1, "2024-11-15T14:30:00.000Z", good1),
+      doc(2, "2024-11-15T14:30:30.000Z", good1), // in-batch dup text
+      doc(3, "2024-11-15T14:31:00.000Z", bad),
+      doc(4, "2024-11-15T14:31:30.000Z", good2))
+    val epoch2 = Seq(
+      doc(5, "2024-11-15T14:32:00.000Z", good2), // cross-epoch replay
+      doc(6, "2024-11-15T14:32:30.000Z", good1 + " with a new twist at the end of it"))
+
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF()
+      .select(from_json(col("value"), schema).as("d")).select(col("d.*"))
+    val stream = Pipelines.dedupWithinWatermark(
+      curate(parsed).withWatermark("ts", "10 minutes"))
+    val q = Pipelines.start(
+      Pipelines.parquetSink(stream, s"$dir/out", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      mem.addData(epoch1: _*)
+      q.awaitTermination(120000)
+    } finally q.stop()
+    val q2 = Pipelines.start(
+      Pipelines.parquetSink(stream, s"$dir/out", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      mem.addData(epoch2: _*)
+      q2.awaitTermination(120000)
+    } finally q2.stop()
+
+    val sink = spark.read.parquet(s"$dir/out")
+    // 6 wire docs -> 3 kept: bad fails the gate; the dup text and the
+    // replay die in dropDuplicatesWithinWatermark (content-hash key,
+    // exactly-once across the restart via the checkpoint)
+    assert(sink.count() === 3, sink.collect().mkString("\n"))
+    assert(sink.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L, 6L))
+
+    // batch twin: identical expression chain + exact dedup first-by-ts
+    val twin = curate(
+      (epoch1 ++ epoch2).toDF("value")
+        .select(from_json(col("value"), schema).as("d")).select(col("d.*")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("ts"), col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val sinkN = sink.select(twin.columns.map(col): _*)
+    assert(sinkN.exceptAll(twin).count() === 0 && twin.exceptAll(sinkN).count() === 0)
+  }
+}
