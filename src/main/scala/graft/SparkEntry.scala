@@ -998,7 +998,7 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_idx"), col("start_token"),
         col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
 
-  /** X2/X3 composite: SemDeDup-style semantic dedup — exact-cosine
+  /** X10 (SURVEY §2.10): SemDeDup-style semantic dedup — exact-cosine
     * near-dup pairs (the q60 oracle-verified baseline) → connected
     * components → min-id representative, every vector marked
     * keep/drop. The oracle rebuilds the identical fixpoint with a
@@ -1011,14 +1011,14 @@ object SparkEntry {
     Dedup.semanticDedupAssignments(emb, "vec_id", pairs)
   }
 
-  /** X10: BPE merge-pair statistics — top-30 adjacent character pairs,
+  /** X11: BPE merge-pair statistics — top-30 adjacent character pairs,
     * word-frequency-weighted, counted over the distinct-word frame
     * (corpus collapses to vocabulary before any character work).
     */
   private def q130(s: SparkSession, dir: String): DataFrame =
     graft.llmops.Bpe.pairStats(t(s, dir, "documents"), "text", k = 30)
 
-  /** X4+: model-based quality filter — fixed-weight logistic score over
+  /** X12: model-based quality filter — fixed-weight logistic score over
     * the per-row quality features, with decile bucket and keep flag.
     * One codegen projection, no shuffle; the FineWeb-style
     * classifier-filter stage as a first-class operator.
@@ -1068,8 +1068,13 @@ object SparkEntry {
     * verified constructions.
     */
   private def q132(s: SparkSession, dir: String): DataFrame = {
+    // project chunk_text away BEFORE the packer's shard-window shuffle —
+    // the bin layout needs only (doc, chunk, n_tokens); carrying the
+    // rejoined text through the exchange+sort would move the whole
+    // corpus (plus overlap duplication) just to drop it in the groupBy
     val chunks = graft.llmops.Chunking.slidingChunks(
-      t(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
     graft.llmops.Packing.packSequences(chunks, col("n_tokens"), budget = 256,
         shardCol = pmod(col("doc_id"), lit(4)),
         orderCols = Seq(col("doc_id"), col("chunk_idx")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Byte-pair statistics over a corpus (north-star X10: the inner loop
+/** Byte-pair statistics over a corpus (north-star X11: the inner loop
   * of BPE tokenizer training — count every adjacent character pair,
   * weighted by word frequency; the most frequent pair is the next
   * merge a BPE trainer would perform). One call = one merge-selection

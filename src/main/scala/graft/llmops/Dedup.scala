@@ -469,7 +469,7 @@ object Dedup {
     increment.filter(!gate).unionByName(confirmedNew)
   }
 
-  /** X2/X3 composite: SemDeDup-style semantic dedup — collapse each
+  /** X10 (SURVEY §2.10): SemDeDup-style semantic dedup — collapse each
     * transitive cluster of the near-dup pair graph to one canonical
     * representative (min id) and mark every item keep/drop:
     * (idCol, rep_id, kept). Items in no pair are their own

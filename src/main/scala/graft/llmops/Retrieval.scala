@@ -53,11 +53,19 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // lazy-checkpointed: the projection below is consumed TWICE (the
+    // broadcast stats aggregate and the tf path), and Spark re-executes
+    // shared subplans per consumer — without the cut, the corpus would be
+    // scanned and tokenized twice. The checkpointed frame holds only
+    // (id, dl, matched-tokens) — tiny relative to the corpus — and is
+    // materialized by the stats broadcast job, so the scoring pass reads
+    // blocks, keeping the design at ONE corpus scan total.
     val matched = graft.util.Partitioning.ensureParallelism(docs).select(
       col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
       filter(TextAnalysis.tokens(col(textCol)),
         t => t.isin(queryTerms: _*)).as("__qt"))
+      .localCheckpoint(false)
     val stats = matched.agg(
       count(lit(1)).cast("double").as("__n"),
       stableRound6(avg(col("dl"))).as("__avgdl"))

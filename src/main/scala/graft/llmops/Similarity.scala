@@ -366,7 +366,13 @@ object Similarity {
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("score"))
+        // stableRound6, NOT round(_, 6): the exact twin
+        // (Dedup.embeddingNearDupPairs) rounds with floor(x*1e6+0.5)/1e6,
+        // and the q41/q133 precision verdicts (LSH ⊆ exact at the same
+        // threshold) are only STRUCTURAL if both sides place boundary
+        // cosines on the same side of minScore
+        graft.util.Partitioning.stableRound6(
+          dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("score"))
       .filter(col("score") >= minScore)
       .distinct()
   }

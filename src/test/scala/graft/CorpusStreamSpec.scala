@@ -79,19 +79,28 @@ class CorpusStreamSpec extends SparkSpec {
     val sink = spark.read.parquet(s"$dir/out")
     // 6 wire docs -> 3 kept: bad fails the gate; the dup text and the
     // replay die in dropDuplicatesWithinWatermark (content-hash key,
-    // exactly-once across the restart via the checkpoint)
+    // exactly-once across the restart via the checkpoint).
+    // dropDuplicatesWithinWatermark keeps the FIRST-PROCESSED row per
+    // key, and intra-batch processing order is not a documented
+    // guarantee — so assert which TEXTS survive (the operator's actual
+    // contract), not which of the two same-batch duplicate doc_ids won.
     assert(sink.count() === 3, sink.collect().mkString("\n"))
-    assert(sink.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L, 6L))
+    val kept = sink.select("doc_id").as[Long].collect().toSet
+    assert((kept & Set(1L, 2L)).size === 1, s"exactly one same-batch dup survives: $kept")
+    // the cross-epoch replay (doc 5) CANNOT win over doc 4: epoch 1's
+    // state commit happens-before epoch 2 processes
+    assert(kept.contains(4L) && !kept.contains(5L), s"epoch ordering violated: $kept")
+    assert(kept.contains(6L), s"novel text must land: $kept")
+    assert(!kept.contains(3L), "gibberish must fail the quality gate")
 
-    // batch twin: identical expression chain + exact dedup first-by-ts
+    // batch twin compared on content-keyed columns only (id = content
+    // hash, text, quality_p — all invariant to WHICH same-batch
+    // duplicate survived); one row per distinct kept text
     val twin = curate(
       (epoch1 ++ epoch2).toDF("value")
         .select(from_json(col("value"), schema).as("d")).select(col("d.*")))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("ts"), col("doc_id"))))
-      .filter(col("__rk") === 1).drop("__rk")
-    val sinkN = sink.select(twin.columns.map(col): _*)
+      .select(col("id"), col("text"), col("quality_p")).distinct()
+    val sinkN = sink.select(col("id"), col("text"), col("quality_p"))
     assert(sinkN.exceptAll(twin).count() === 0 && twin.exceptAll(sinkN).count() === 0)
   }
 }

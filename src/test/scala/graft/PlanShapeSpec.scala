@@ -170,15 +170,18 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must be TakeOrderedAndProject, not sort+limit:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"single-row stats frame must broadcast into the scores:\n$plan")
-    // the term filter runs in the ARRAY domain before the generator:
-    // the explode consumes the pre-filtered __qt array (computed in the
-    // projection below it), so only query-term occurrences are emitted
-    val lines = plan.linesIterator.toSeq
-    val genIdx = lines.indexWhere(_.contains("Generate explode(__qt"))
-    val qtIdx = lines.indexWhere(l =>
-      l.contains("IN (dup,key,window,join,batch)") && l.contains("AS __qt"))
-    assert(genIdx >= 0 && qtIdx > genIdx,
-      s"term filter must precede the generator (array domain):\n$plan")
+    // the term filter runs in the ARRAY domain before the generator: the
+    // explode consumes the pre-filtered __qt array. Since r10 the
+    // (id, dl, __qt) projection is lazy-checkpointed (both consumers —
+    // stats broadcast and tf path — read its blocks), so the final plan
+    // shows the generator over the checkpoint scan and NO FileScan at
+    // all: the one corpus scan lives inside the checkpointed lineage and
+    // executes exactly once.
+    assert(plan.contains("Generate explode(__qt"),
+      s"generator must consume the pre-filtered array:\n$plan")
+    assert(!plan.contains("FileScan"),
+      s"both consumers must read the checkpointed projection — a FileScan " +
+        s"here means the corpus is being re-scanned:\n$plan")
   }
 
   test("q130 bpe pairs: corpus collapses to the word frame before pair explode") {
