@@ -45,7 +45,14 @@ object DumpPlans {
       "q121_curation_v2" -> "capstone v2: gopher gate -> bloom-gated dedup -> decontaminate -> mixture; per-stage frames re-execute by design (materialize under caller lifecycle at corpus scale)",
       "q109_bloom_gated_dedup" -> "bloom gate: NOT-probe branch bypasses the join entirely; probe-pass branch alone feeds the digest anti-join",
       "q112_pq_knn" -> "product quantization: ADC table-lookup scoring over codes in codegen, bounded top-k shortlist, id-pruned exact re-rank join",
-      "q124_pii_redaction" -> "PII scrub: detection counts + 4-class redaction in ONE map-only codegen projection over the scan — no shuffle, no UDF")
+      "q124_pii_redaction" -> "PII scrub: detection counts + 4-class redaction in ONE map-only codegen projection over the scan — no shuffle, no UDF",
+      "q127_bm25" -> "BM25: array-domain term filter inside the lazy-checkpointed (id, dl, matched) projection (ONE corpus scan serves both consumers — no FileScan in the final plan), df window on the aggregated frame, broadcast stats, long-micros totals, TakeOrderedAndProject top-k",
+      "q128_doc_chunks" -> "sliding chunking: sequence -> slice -> posexplode, map-only — zero exchanges at any scale",
+      "q129_semantic_dedup" -> "semantic dedup: exact-cosine pair graph (oracle baseline) -> jumping CC (log-diameter rounds over the double-checkpointed edge mirror) -> one left join of the id universe",
+      "q130_bpe_pairs" -> "BPE pairs: corpus collapses to the word frame FIRST, pair explode over the vocabulary only, TakeOrderedAndProject",
+      "q131_quality_logistic" -> "logistic quality filter: rounded features -> logit -> sigmoid in one map-only codegen projection",
+      "q132_chunk_pack" -> "chunk->pack: text projected away before the packer's single shard-window exchange; bins aggregated over (shard, bin)",
+      "q133_lsh_autosized_recall" -> "auto-sized LSH recall gate: sizing-derived (planes, tables) candidates full-outer-joined once against the exact pair set, one verdict aggregate (q41's pattern at the corpus-path parameters)")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")
