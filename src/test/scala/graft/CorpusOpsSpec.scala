@@ -97,6 +97,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("null and empty text: bm25/chunking/bpe/quality degrade gracefully, never throw") {
+    import graft.llmops.TextAnalysis
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "cat dog"))
+      .toDF("doc_id", "text")
+    // bm25: null/empty docs contribute no matches and a null/zero dl to
+    // the stats; the one matching doc still scores
+    val bm = Retrieval.bm25TopDocs(docs, "doc_id", "text", Seq("cat"), 5).collect()
+    assert(bm.map(_.getAs[Long]("doc_id")).toSeq === Seq(4L))
+    // chunking: null and whitespace-only docs emit nothing
+    val ch = Chunking.slidingChunks(docs, "doc_id", "text", 4, 1).collect()
+    assert(ch.map(_.getAs[Long]("doc_id")).toSeq === Seq(4L))
+    // bpe: only real words contribute pairs
+    val bp = Bpe.pairStats(docs, "text", 10).collect()
+    assert(bp.map(_.getAs[String]("pair")).sorted.toSeq === Seq("at", "ca", "do", "og"))
+    // quality: null text yields a null probability, not an exception
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.logisticQualityScore(col("text"), Seq("the")).as("p")).collect()
+    assert(q.find(_.getLong(0) == 1L).exists(_.isNullAt(1)))
+    assert(q.find(_.getLong(0) == 4L).exists(!_.isNullAt(1)))
+  }
+
   // ---- Semantic dedup ----
 
   test("semanticDedupAssignments: transitive cluster collapses to min id; singletons kept") {
