@@ -129,6 +129,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.llmops.Pii.getClass.getName, "pii_redact"),
       GraftExtensions.piiRedactBuilder): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
+    // quality_score(text): the q131 fixed-weight logistic quality model
+    // as a SQL scalar — built from the SAME Column-API expression tree
+    // (TextAnalysis.logisticQualityScore), so the SQL surface cannot
+    // drift from the operator or its oracle contract
+    ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      new ExpressionInfo(graft.llmops.TextAnalysis.getClass.getName, "quality_score"),
+      GraftExtensions.qualityScoreBuilder): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
     ext.injectTableFunction((
       FunctionIdentifier("graft_tx"),
       new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx"),
@@ -146,6 +155,26 @@ object GraftExtensions {
     * spec asserts. Shared between [[GraftExtensions.apply]] and
     * test/query-side registry registration.
     */
+  /** The engine-standard stopword list the quality model scores against
+    * (q131's configuration; stated identically in the DuckDB oracles).
+    */
+  private val QualityStopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Scalar builder for `quality_score(text)` — delegates to the
+    * Column-API [[graft.llmops.TextAnalysis.logisticQualityScore]] via
+    * the bridge, so SQL and DataFrame callers share one expression tree
+    * (features → rounded logit → rounded sigmoid, no UDF).
+    */
+  private[graft] val qualityScoreBuilder: Seq[Expression] => Expression = {
+    case Seq(text) =>
+      // catalystExpression, not expression: the lazy ColumnNodeExpression
+      // wrapper is opaque to the analyzer inside a FunctionBuilder result
+      org.apache.spark.sql.graft.bridge.catalystExpression(
+        graft.llmops.TextAnalysis.logisticQualityScore(
+          org.apache.spark.sql.graft.bridge.column(text), QualityStopwords))
+    case _ => throw new IllegalArgumentException("quality_score(text)")
+  }
+
   private[graft] val piiRedactBuilder: Seq[Expression] => Expression = {
     case Seq(text) =>
       import org.apache.spark.sql.catalyst.expressions.{Literal => L, RegExpReplace}

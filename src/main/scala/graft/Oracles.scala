@@ -270,6 +270,39 @@ sh AS (
 )
 SELECT doc_a, doc_b, n_shared_bands, jaccard FROM scored WHERE jaccard >= 0.5"""
 
+  // shared by q131 (Column API) and q134 (SQL scalar surface) — the two
+  // entry points must stay oracle-identical by construction
+  private val qualityLogisticSql: String =
+    """WITH m AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS lc,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ntok,
+    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ltok,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) AS sw
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    floor(least(lc / 500e0, 1e0) * 1000000 + 0.5) / 1000000 AS f1,
+    floor((lc / greatest(ntok, 1e0)) * 1000000 + 0.5) / 1000000 AS f2,
+    floor((np / greatest(lc, 1e0)) * 1000000 + 0.5) / 1000000 AS f3,
+    floor((sw / greatest(ltok, 1e0)) * 1000000 + 0.5) / 1000000 AS f4
+  FROM m
+), zt AS (
+  SELECT doc_id,
+    floor((-1.5e0 + 2e0 * f1 + 0.15e0 * f2 + -4e0 * f3 + 3e0 * f4) * 1000000 + 0.5) / 1000000 AS z
+  FROM f
+), p AS (
+  SELECT doc_id,
+    floor((1e0 / (1e0 + exp(-z))) * 1000000 + 0.5) / 1000000 AS quality_p
+  FROM zt
+)
+SELECT doc_id, quality_p,
+  CAST(least(floor(quality_p * 10), 9) AS INTEGER) AS decile,
+  quality_p >= 0.5e0 AS keep
+FROM p"""
+
   val sql: Map[String, String] = Map(
     // ---- r7 bounded-error companions for the approximate operators ----
     // Each approximate query emits exact-side facts plus verdict booleans
@@ -2041,36 +2074,7 @@ FROM top""",
     // fixed-weight logistic quality model: features rounded to 1e-6
     // before the linear combination, logit rounded before the sigmoid,
     // probability after; e0 literals keep DuckDB in DOUBLE throughout
-    "q131_quality_logistic" ->
-      """WITH m AS (
-  SELECT doc_id,
-    CAST(length(text) AS DOUBLE) AS lc,
-    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ntok,
-    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
-    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ltok,
-    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) AS sw
-  FROM documents
-), f AS (
-  SELECT doc_id,
-    floor(least(lc / 500e0, 1e0) * 1000000 + 0.5) / 1000000 AS f1,
-    floor((lc / greatest(ntok, 1e0)) * 1000000 + 0.5) / 1000000 AS f2,
-    floor((np / greatest(lc, 1e0)) * 1000000 + 0.5) / 1000000 AS f3,
-    floor((sw / greatest(ltok, 1e0)) * 1000000 + 0.5) / 1000000 AS f4
-  FROM m
-), zt AS (
-  SELECT doc_id,
-    floor((-1.5e0 + 2e0 * f1 + 0.15e0 * f2 + -4e0 * f3 + 3e0 * f4) * 1000000 + 0.5) / 1000000 AS z
-  FROM f
-), p AS (
-  SELECT doc_id,
-    floor((1e0 / (1e0 + exp(-z))) * 1000000 + 0.5) / 1000000 AS quality_p
-  FROM zt
-)
-SELECT doc_id, quality_p,
-  CAST(least(floor(quality_p * 10), 9) AS INTEGER) AS decile,
-  quality_p >= 0.5e0 AS keep
-FROM p""",
+    "q131_quality_logistic" -> qualityLogisticSql,
 
     // chunk -> pack composite: the q128 chunk CTE feeding the q68
     // cumulative-packing window, ordered (doc_id, chunk_idx) within
@@ -2115,5 +2119,7 @@ FROM binned GROUP BY 1, 2""",
 SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
   count(*) AS n_exact_pairs, true AS recall_ok, true AS precision_ok
 FROM pairs""",
+
+    "q134_quality_sql" -> qualityLogisticSql,
   )
 }

@@ -1060,6 +1060,23 @@ object SparkEntry {
         (col("n_spurious") === 0).as("precision_ok"))
   }
 
+  /** X12 through the SQL surface: `quality_score(text)` registered as a
+    * SQL scalar (the q125 pattern) — q131's logistic model driven from
+    * `spark.sql`, pinned by the same oracle. The builder delegates to
+    * the Column-API expression tree, so SQL and DataFrame results are
+    * bit-identical by construction; this row proves the registration.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quality_score", GraftExtensions.qualityScoreBuilder, "scala_udf")
+    t(s, dir, "documents").createOrReplaceTempView("graft_q134_documents")
+    s.sql("""SELECT doc_id, quality_p,
+               CAST(least(floor(quality_p * 10), 9) AS INT) AS decile,
+               quality_p >= 0.5d AS keep
+             FROM (SELECT doc_id, quality_score(text) AS quality_p
+                   FROM graft_q134_documents)""")
+  }
+
   /** X9+X6 composite: end-to-end context-window prep — documents chunked
     * into 64-token windows (q128's configuration) and the chunks packed
     * into 256-token training bins (q68's deterministic cumulative
@@ -1931,6 +1948,7 @@ object SparkEntry {
     "q131_quality_logistic" -> (q131 _),
     "q132_chunk_pack" -> (q132 _),
     "q133_lsh_autosized_recall" -> (q133 _),
+    "q134_quality_sql" -> (q134 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

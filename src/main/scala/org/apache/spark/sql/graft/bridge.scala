@@ -17,6 +17,17 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert a Column's node tree into a CATALYST expression tree
+    * (UnresolvedFunction nodes and all), the same conversion the Dataset
+    * API applies during analysis. Needed by SQL FunctionBuilders that
+    * delegate to Column-API constructions: [[expression]]'s lazy
+    * `ColumnNodeExpression` wrapper is opaque to the analyzer in that
+    * position (codegen later fails with INTERNAL_ERROR), while this
+    * eager form re-enters normal function resolution.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a (resolved) logical plan as a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
