@@ -155,10 +155,6 @@ object GraftExtensions {
     * spec asserts. Shared between [[GraftExtensions.apply]] and
     * test/query-side registry registration.
     */
-  /** The engine-standard stopword list the quality model scores against
-    * (q131's configuration; stated identically in the DuckDB oracles).
-    */
-  private val QualityStopwords = Seq("the", "a", "and", "of", "to")
 
   /** Scalar builder for `quality_score(text)` — delegates to the
     * Column-API [[graft.llmops.TextAnalysis.logisticQualityScore]] via
@@ -171,7 +167,8 @@ object GraftExtensions {
       // wrapper is opaque to the analyzer inside a FunctionBuilder result
       org.apache.spark.sql.graft.bridge.catalystExpression(
         graft.llmops.TextAnalysis.logisticQualityScore(
-          org.apache.spark.sql.graft.bridge.column(text), QualityStopwords))
+          org.apache.spark.sql.graft.bridge.column(text),
+          graft.llmops.TextAnalysis.DefaultStopwords))
     case _ => throw new IllegalArgumentException("quality_score(text)")
   }
 

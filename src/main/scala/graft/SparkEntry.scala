@@ -1025,7 +1025,7 @@ object SparkEntry {
     */
   private def q131(s: SparkSession, dir: String): DataFrame = {
     val p = TextAnalysis.logisticQualityScore(
-      col("text"), Seq("the", "a", "and", "of", "to"))
+      col("text"), TextAnalysis.DefaultStopwords)
     t(s, dir, "documents")
       .withColumn("quality_p", p)
       .select(col("doc_id"), col("quality_p"),

@@ -51,11 +51,35 @@ object Components {
       edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    val bi = bidirectional(edges, aCol, bCol)
+    propagateToFixpoint(bidirectional(edges, aCol, bCol), maxIters,
+      "connectedComponents",
+      "(graph diameter exceeds the budget); raise maxIters or use " +
+        "connectedComponentsAlternating") { (bi, labels) =>
+      val msgs = bi.join(labels, bi("src") === labels("id"))
+        .select(bi("dst").as("id"), labels("label"))
+      (labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label")), Nil)
+    }
+  }
 
-    // round 0 folded into initialization: label = min(id, neighbors) is
-    // exactly the first propagation round, for one aggregate instead of
-    // a join + union + aggregate
+  /** Shared fixpoint driver for the label-propagation variants: init
+    * folds round 0 into one aggregate (label = min(id, neighbors)); each
+    * round's `step` builds the next label frame (plus any intermediates
+    * it lazily checkpointed) which is lazy-checkpointed here and
+    * materialized by the one checkSum convergence action per round — one
+    * job per round total. The previous round's label blocks (and the
+    * step's intermediates) are superseded the moment `next`
+    * materializes and are released immediately: checkpoint residue
+    * stays at one label table, not rounds× of them. (Residue is not
+    * free — in a shared JVM the leftover blocks squeeze memory for
+    * whatever runs next; r6 saw q73–q76, the queries right after this
+    * operator, inflate together.) Exhausting the round budget without
+    * the fixpoint would silently return min-of-k-hop labels — fail
+    * loudly instead.
+    */
+  private def propagateToFixpoint(
+      bi: DataFrame, maxIters: Int, variant: String, remedy: String)(
+      step: (DataFrame, DataFrame) => (DataFrame, Seq[DataFrame])): DataFrame = {
     var labels = bi.select(col("src").as("id"), col("dst"))
       .groupBy(col("id"))
       .agg(least(col("id"), min(col("dst"))).as("label"))
@@ -64,36 +88,20 @@ object Components {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val msgs = bi.join(labels, bi("src") === labels("id"))
-        .select(bi("dst").as("id"), labels("label"))
-      // lazy checkpoint: materialized by the checkSum action below —
-      // one job per round, not one for the checkpoint plus one to probe
-      val next = labels.select(col("id"), col("label")).union(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+      val (stepped, intermediates) = step(bi, labels)
+      val next = stepped.localCheckpoint(false)
       val sum = checkSum(next)
       converged = sum == prevSum
-      // the previous round's label blocks are superseded the moment
-      // `next` is materialized (by the checkSum action) — release them so
-      // checkpoint residue stays at one label table, not rounds× of them.
-      // Residue is not free: in a shared JVM (the bench) leftover blocks
-      // squeeze execution/storage memory for whatever runs next (r6 saw
-      // q73-q76, the queries right after this operator, inflate together).
       releaseCheckpoint(labels)
+      intermediates.foreach(releaseCheckpoint)
       prevSum = sum
       labels = next
       iter += 1
     }
     releaseCheckpoint(bi)
-    // Exhausting the round budget without reaching the fixpoint would
-    // return labels that are only min-of-(maxIters)-hop-neighborhood —
-    // silently wrong components. Fail loudly; the caller either raises
-    // maxIters or switches to the log-rounds alternating variant.
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          "(graph diameter exceeds the budget); raise maxIters or use " +
-          "connectedComponentsAlternating")
+        s"$variant did not converge in $maxIters rounds $remedy")
     labels
   }
 
@@ -268,15 +276,8 @@ object Components {
       edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    val bi = bidirectional(edges, aCol, bCol)
-    var labels = bi.select(col("src").as("id"), col("dst"))
-      .groupBy(col("id"))
-      .agg(least(col("id"), min(col("dst"))).as("label"))
-      .localCheckpoint(false)
-    var prevSum = checkSum(labels)
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
+    propagateToFixpoint(bidirectional(edges, aCol, bCol), maxIters,
+      "connectedComponentsJumping", "; raise maxIters") { (bi, labels) =>
       val msgs = bi.join(labels, bi("src") === labels("id"))
         .select(bi("dst").as("id"), labels("label"))
       // lazy-checkpointed so the two consumers below (join left side +
@@ -286,24 +287,11 @@ object Components {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
       val lut = prop.select(col("id").as("__jid"), col("label").as("__jlabel"))
-      val next = prop.join(lut, prop("label") === col("__jid"), "left")
+      (prop.join(lut, prop("label") === col("__jid"), "left")
         .select(prop("id"),
-          least(prop("label"), coalesce(col("__jlabel"), prop("label"))).as("label"))
-        .localCheckpoint(false)
-      val sum = checkSum(next)
-      converged = sum == prevSum
-      releaseCheckpoint(labels)
-      releaseCheckpoint(prop)
-      prevSum = sum
-      labels = next
-      iter += 1
+          least(prop("label"), coalesce(col("__jlabel"), prop("label"))).as("label")),
+        Seq(prop))
     }
-    releaseCheckpoint(bi)
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponentsJumping did not converge in $maxIters rounds; " +
-          "raise maxIters")
-    labels
   }
 
   /** Component-based near-duplicate removal: keep, per transitive

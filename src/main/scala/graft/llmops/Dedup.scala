@@ -482,8 +482,10 @@ object Dedup {
     * ([[minhashCandidatePairs]] or [[graft.functions.SrpBucket]]-banded
     * cosine pairs), which this function never needs to know about.
     *
-    * Scale shape: [[Components.connectedComponents]] over the pairs
-    * (one join+min shuffle per round, bounded rounds), then ONE
+    * Scale shape: [[Components.connectedComponentsJumping]] over the
+    * pairs (propagate + pointer-jump per round — ~1.5x the shuffle of
+    * plain min-propagation but O(log diameter) rounds, the right trade
+    * for chainy similarity graphs), then ONE
     * left join of the id universe against the component map — the
     * component side holds only ids that appear in a pair (usually a
     * tiny fraction of the corpus), so AQE turns it into a broadcast

@@ -17,16 +17,26 @@ import graft.util.Partitioning.stableRound6
   *     terms)`) BEFORE the generator, so explode emits only query-term
   *     occurrences — at most |docs| x |terms| rows enter the shuffle,
   *     never the corpus token stream;
-  *   - document length and the matched-token array come from the same
-  *     projection — one corpus scan total;
   *   - document frequency is a `count over (partition by term)` window
   *     on the already-aggregated (doc, term) frame (cardinality <=
   *     matching docs x |terms|), not a second corpus pass;
-  *   - corpus size N and average document length join in as a
-  *     broadcast single-row aggregate;
   *   - the final top-k is a global `orderBy.limit` —
   *     TakeOrderedAndProject, per-partition heaps, no single-partition
   *     window over the corpus; only the k survivors get ranked.
+  *
+  * Corpus statistics (N, avgdl) come in two forms, mirroring the
+  * `resampleFfill` precomputed-bounds precedent:
+  *   - the SELF-CONTAINED overloads compute them in-query: the
+  *     (id, dl, matched-tokens) projection is lazy-checkpointed so its
+  *     two consumers (stats aggregate + tf path) cost ONE corpus scan,
+  *     at the price of block-manager residue for the checkpoint's
+  *     lifetime (O(|docs|) ids/lengths + matched tokens — far below
+  *     corpus size, but pinned until GC; fine for a query, wasteful
+  *     inside a hot loop);
+  *   - the PRECOMPUTED overloads take (nDocs, avgdl) from the caller —
+  *     production keeps corpus stats as index metadata — and run a
+  *     single clean scan with NO checkpoint and NO residue. `avgdl`
+  *     must already be rounded to 1e-6 (it is re-rounded defensively).
   *
   * Determinism contract for the DuckDB oracle (same discipline as
   * [[Keywords.tfidfTopTerms]]): avgdl, idf, and the tf-normalization
@@ -44,34 +54,24 @@ object Retrieval {
   val K1 = 1.2
   val B = 0.75
 
-  /** Per-(document, term) BM25 partials:
-    * (idCol, term, tf, doc_freq, dl, score_micros) — score in integer
-    * micros (round6 x 1e6). Only documents containing at least one
-    * query term appear.
-    */
-  def bm25TermScores(
+  /** The (idCol, dl, __qt) projection both scoring paths start from. */
+  private def matchedProjection(
       docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String]): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    // lazy-checkpointed: the projection below is consumed TWICE (the
-    // broadcast stats aggregate and the tf path), and Spark re-executes
-    // shared subplans per consumer — without the cut, the corpus would be
-    // scanned and tokenized twice. The checkpointed frame holds only
-    // (id, dl, matched-tokens) — tiny relative to the corpus — and is
-    // materialized by the stats broadcast job, so the scoring pass reads
-    // blocks, keeping the design at ONE corpus scan total.
-    val matched = graft.util.Partitioning.ensureParallelism(docs).select(
+      queryTerms: Seq[String]): DataFrame =
+    graft.util.Partitioning.ensureParallelism(docs).select(
       col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
       filter(TextAnalysis.tokens(col(textCol)),
         t => t.isin(queryTerms: _*)).as("__qt"))
-      .localCheckpoint(false)
-    val stats = matched.agg(
-      count(lit(1)).cast("double").as("__n"),
-      stableRound6(avg(col("dl"))).as("__avgdl"))
-    val tf = matched
-      .select(col(idCol), col("dl"), explode(col("__qt")).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
+
+  /** Shared scoring tail over a frame carrying (idCol, dl, __qt, __n,
+    * __avgdl): explode matches, aggregate tf, window df, emit micros.
+    */
+  private def scoreMatched(withStats: DataFrame, idCol: String): DataFrame = {
+    val tf = withStats
+      .select(col(idCol), col("dl"), col("__n"), col("__avgdl"),
+        explode(col("__qt")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("__n"), col("__avgdl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val byTerm = Window.partitionBy(col("term"))
     val idf6 = stableRound6(log(lit(1d) +
@@ -80,9 +80,58 @@ object Retrieval {
       col("tf") * lit(K1 + 1d) /
         (col("tf") + lit(K1) * (lit(1d - B) + lit(B) * col("dl") / col("__avgdl"))))
     tf.withColumn("doc_freq", count(lit(1)).over(byTerm))
-      .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), col("tf"), col("doc_freq"), col("dl"),
         floor(idf6 * tfn6 * lit(1e6) + lit(0.5d)).cast("long").as("score_micros"))
+  }
+
+  /** Self-contained per-(document, term) BM25 partials:
+    * (idCol, term, tf, doc_freq, dl, score_micros) — score in integer
+    * micros (round6 x 1e6). Only documents containing at least one
+    * query term appear. Computes corpus stats in-query (see the object
+    * doc for the checkpoint trade).
+    */
+  def bm25TermScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val matched = matchedProjection(docs, idCol, textCol, queryTerms)
+      .localCheckpoint(false)
+    val stats = matched.agg(
+      count(lit(1)).cast("double").as("__n"),
+      stableRound6(avg(col("dl"))).as("__avgdl"))
+    scoreMatched(matched.crossJoin(broadcast(stats)), idCol)
+  }
+
+  /** Precomputed-stats form: corpus size and average document length
+    * supplied by the caller (index metadata at scale) — single scan,
+    * no checkpoint, no block residue.
+    */
+  def bm25TermScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], nDocs: Long, avgdl: Double): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    require(avgdl > 0, s"avgdl must be positive, got $avgdl")
+    scoreMatched(
+      matchedProjection(docs, idCol, textCol, queryTerms)
+        .withColumn("__n", lit(nDocs.toDouble))
+        .withColumn("__avgdl", stableRound6(lit(avgdl))),
+      idCol)
+  }
+
+  /** Shared top-k tail: per-document long-micros totals, global
+    * TakeOrderedAndProject, rank over the k survivors only.
+    */
+  private def topDocs(termScores: DataFrame, idCol: String, k: Int): DataFrame = {
+    val top = termScores
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_micros")).as("__micros"))
+      .orderBy(col("__micros").desc, col(idCol).asc)
+      .limit(k)
+    val w = Window.orderBy(col("__micros").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(idCol), col("n_terms"), col("dl"),
+        (col("__micros").cast("double") / lit(1e6)).as("score"))
   }
 
   /** Top-`k` documents for the query-term bag:
@@ -94,14 +143,14 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val top = bm25TermScores(docs, idCol, textCol, queryTerms)
-      .groupBy(col(idCol), col("dl"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("score_micros")).as("__micros"))
-      .orderBy(col("__micros").desc, col(idCol).asc)
-      .limit(k)
-    val w = Window.orderBy(col("__micros").desc, col(idCol).asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col(idCol), col("n_terms"), col("dl"),
-        (col("__micros").cast("double") / lit(1e6)).as("score"))
+    topDocs(bm25TermScores(docs, idCol, textCol, queryTerms), idCol, k)
+  }
+
+  /** Precomputed-stats form of [[bm25TopDocs]] — see the object doc. */
+  def bm25TopDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, nDocs: Long, avgdl: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    topDocs(bm25TermScores(docs, idCol, textCol, queryTerms, nDocs, avgdl), idCol, k)
   }
 }

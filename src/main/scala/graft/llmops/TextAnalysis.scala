@@ -55,6 +55,14 @@ object TextAnalysis {
     graft.util.Partitioning.stableRound6(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2)
   }
 
+  /** The engine-standard stopword list for the synthetic corpus — ONE
+    * definition shared by the quality model's Column API (q131), the
+    * SQL scalar registration (GraftExtensions), and the specs, so the
+    * surfaces cannot drift; the DuckDB oracles state the same five
+    * words as SQL literals and the q131/q134 rows pin the equality.
+    */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
   /** Model-based quality score in (0,1): a fixed-weight LOGISTIC model
     * over the cheap per-row features — the FineWeb/CCNet-style
     * classifier-filter stage, distinct from [[qualityScore]]'s

@@ -97,6 +97,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25: precomputed-stats overload == self-contained, row for row") {
+    import graft.llmops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("dup", "key", "window")
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      avg(TextAnalysis.tokenCount(col("text")).cast("long")).as("avgdl")).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = math.floor(stats.getDouble(1) * 1e6 + 0.5) / 1e6
+    val self = Retrieval.bm25TopDocs(docs, "doc_id", "text", terms, 10)
+    val pre = Retrieval.bm25TopDocs(docs, "doc_id", "text", terms, 10, n, avgdl)
+    assert(self.exceptAll(pre).count() === 0 && pre.exceptAll(self).count() === 0)
+  }
+
   test("null and empty text: bm25/chunking/bpe/quality degrade gracefully, never throw") {
     import graft.llmops.TextAnalysis
     val docs = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "cat dog"))

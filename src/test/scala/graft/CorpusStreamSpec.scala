@@ -17,8 +17,6 @@ import graft.streaming.Pipelines
 class CorpusStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Stopwords = Seq("the", "a", "and", "of", "to")
-
   private def doc(id: Long, ts: String, text: String): String = {
     val t = text.replace("\"", "")
     s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
@@ -33,7 +31,7 @@ class CorpusStreamSpec extends SparkSpec {
   private def curate(parsed: org.apache.spark.sql.DataFrame) =
     parsed
       .withColumn("quality_p",
-        TextAnalysis.logisticQualityScore(col("text"), Stopwords))
+        TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords))
       .filter(col("quality_p") >= 0.5)
       .withColumn("id", Dedup.contentHash(col("text")))
 
@@ -61,20 +59,19 @@ class CorpusStreamSpec extends SparkSpec {
       .select(from_json(col("value"), schema).as("d")).select(col("d.*"))
     val stream = Pipelines.dedupWithinWatermark(
       curate(parsed).withWatermark("ts", "10 minutes"))
+    // data lands BEFORE each query starts: Trigger.AvailableNow
+    // snapshots the source's end offset at query start, so addData after
+    // start races the snapshot and can process an empty batch
+    mem.addData(epoch1: _*)
     val q = Pipelines.start(
       Pipelines.parquetSink(stream, s"$dir/out", s"$dir/ckpt"),
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    try {
-      mem.addData(epoch1: _*)
-      q.awaitTermination(120000)
-    } finally q.stop()
+    try q.awaitTermination(120000) finally q.stop()
+    mem.addData(epoch2: _*)
     val q2 = Pipelines.start(
       Pipelines.parquetSink(stream, s"$dir/out", s"$dir/ckpt"),
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    try {
-      mem.addData(epoch2: _*)
-      q2.awaitTermination(120000)
-    } finally q2.stop()
+    try q2.awaitTermination(120000) finally q2.stop()
 
     val sink = spark.read.parquet(s"$dir/out")
     // 6 wire docs -> 3 kept: bad fails the gate; the dup text and the
