@@ -270,10 +270,12 @@ sh AS (
 )
 SELECT doc_a, doc_b, n_shared_bands, jaccard FROM scored WHERE jaccard >= 0.5"""
 
-  // shared by q131 (Column API) and q134 (SQL scalar surface) — the two
-  // entry points must stay oracle-identical by construction
-  private val qualityLogisticSql: String =
-    """WITH m AS (
+  // shared by q131 (Column API), q134 (SQL scalar surface), and q136's
+  // canonical-selection ranking — all entry points must stay
+  // oracle-identical by construction. The CTE chain ends in
+  // p(doc_id, quality_p) so composites can splice it.
+  private val qualityPCtes: String =
+    """m AS (
   SELECT doc_id,
     CAST(length(text) AS DOUBLE) AS lc,
     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ntok,
@@ -297,7 +299,10 @@ SELECT doc_a, doc_b, n_shared_bands, jaccard FROM scored WHERE jaccard >= 0.5"""
   SELECT doc_id,
     floor((1e0 / (1e0 + exp(-z))) * 1000000 + 0.5) / 1000000 AS quality_p
   FROM zt
-)
+)"""
+
+  private val qualityLogisticSql: String =
+    s"""WITH $qualityPCtes
 SELECT doc_id, quality_p,
   CAST(least(floor(quality_p * 10), 9) AS INTEGER) AS decile,
   quality_p >= 0.5e0 AS keep
@@ -2121,5 +2126,53 @@ SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
 FROM pairs""",
 
     "q134_quality_sql" -> qualityLogisticSql,
+
+    // leakage-safe split: q72's recursive closure gives the duplicate
+    // cluster, q75's md5-uniform on the CLUSTER id gives the side —
+    // near-dups can never straddle the 20% cut; singletons hash their
+    // own id (coalesce), identically to q67's row split
+    "q135_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT DISTINCT src AS id, src AS lab FROM bi
+  UNION
+  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
+), comp AS (
+  SELECT id, min(lab) AS grp FROM reach GROUP BY id
+), g AS (
+  SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, grp,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT)
+         / 1152921504606846976.0 < 0.2e0 THEN 'test' ELSE 'train' END AS split
+FROM g""",
+
+    // quality-canonical dedup: the q72 closure joined to the q131
+    // quality CTEs; rank inside each cluster on the identical
+    // pre-rounded probability (doc_id tie-break = a total order)
+    "q136_canonical_quality_dedup" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT DISTINCT src AS id, src AS lab FROM bi
+  UNION
+  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
+), comp AS (
+  SELECT id, min(lab) AS grp FROM reach GROUP BY id
+), $qualityPCtes, g AS (
+  SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), r AS (
+  SELECT g.doc_id, g.grp, p.quality_p,
+    row_number() OVER (PARTITION BY g.grp ORDER BY p.quality_p DESC, g.doc_id) AS rk
+  FROM g JOIN p ON g.doc_id = p.doc_id
+)
+SELECT doc_id, grp, quality_p, rk = 1 AS kept FROM r""",
   )
 }

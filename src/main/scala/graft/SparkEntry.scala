@@ -1100,6 +1100,44 @@ object SparkEntry {
         count_distinct(col("doc_id")).as("n_docs"))
   }
 
+  /** X2+X4 composite: LEAKAGE-SAFE train/test split — assignment by
+    * duplicate-CLUSTER hash, not row hash, so near-duplicates (q22's
+    * MinHash-LSH pair graph, q72's transitive closure) can never
+    * straddle the split; singletons fall back to the row-id hash,
+    * identically to q67. The oracle rebuilds the same fixpoint with the
+    * q72 recursive CTE and the q75 md5-uniform, so group identity AND
+    * the 20% cut are both pinned cross-engine.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    graft.llmops.Sampling.groupAwareSplit(
+        docs.select(col("doc_id")), pairs, "doc_id", "doc_a", "doc_b",
+        testFraction = 0.2)
+      .select(col("doc_id"), col("grp"), col("split"))
+  }
+
+  /** X2+X12 composite: QUALITY-CANONICAL near-dup dedup — within each
+    * duplicate cluster keep the copy with the highest q131 logistic
+    * quality score (ties → min doc_id), the RefinedWeb-style "keep the
+    * best copy" rule, vs q72's min-id representative. Emits every doc
+    * with its cluster and an auditable `kept` flag; the oracle chains
+    * the q72 recursive closure with the q131 quality CTEs and ranks on
+    * the identical pre-rounded doubles.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    graft.llmops.Components.keepBestPerComponent(
+        docs.select(col("doc_id"), col("text")), pairs,
+        "doc_id", "doc_a", "doc_b",
+        TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords))
+      .select(col("doc_id"), col("grp"),
+        TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords)
+          .as("quality_p"),
+        col("kept"))
+  }
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1949,6 +1987,8 @@ object SparkEntry {
     "q132_chunk_pack" -> (q132 _),
     "q133_lsh_autosized_recall" -> (q133 _),
     "q134_quality_sql" -> (q134 _),
+    "q135_leakage_safe_split" -> (q135 _),
+    "q136_canonical_quality_dedup" -> (q136 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
@@ -307,5 +307,45 @@ object Components {
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Every doc with its duplicate-cluster id: docs in some candidate
+    * pair carry their component's min doc id, docs in no pair are their
+    * own singleton group (`grp = idCol`). The seam the group-level
+    * curation ops build on ([[keepBestPerComponent]], group-aware
+    * splits): one CC fixpoint over the pair graph (tiny next to the
+    * corpus) plus a single broadcast-or-shuffle join back — the corpus
+    * itself is scanned once and never re-shuffled on text.
+    */
+  def componentGroups(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("label").as("grp"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("grp"), col(idCol)))
+  }
+
+  /** Quality-canonical near-dup selection: within each duplicate
+    * cluster keep the single best row by `score` (ties broken by
+    * `idCol` ascending, so the pick is total and engine-portable),
+    * rather than [[dedupByComponents]]'s min-id representative — the
+    * RefinedWeb-style "keep the highest-quality copy" curation rule.
+    * Returns every input row plus `grp` and a boolean `kept`, so the
+    * caller can audit the drops (or filter `kept` for the survivors).
+    *
+    * Scale shape: the rank window partitions by `grp` — duplicate
+    * clusters are small and hash-partition freely, no global sort. A
+    * pathological giant cluster serializes through one task, but such a
+    * cluster is itself the signal to fix upstream LSH thresholds.
+    */
+  def keepBestPerComponent(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(score.desc, col(idCol))
+    componentGroups(docs, pairs, idCol, aCol, bCol)
+      .withColumn("kept", row_number().over(w) === 1)
   }
 }

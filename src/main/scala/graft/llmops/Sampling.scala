@@ -59,6 +59,36 @@ object Sampling {
     (df.filter(u >= testFraction), df.filter(u < testFraction))
   }
 
+  /** LEAKAGE-SAFE train/test split: assignment is a pure function of
+    * the duplicate-CLUSTER id, not the row id, so two near-duplicate
+    * documents can never land on opposite sides of the split — the
+    * standard eval-contamination channel [[trainTestSplit]] leaves open
+    * (a test doc whose near-copy sits in train is a leaked answer).
+    * `pairs` is the near-dup candidate graph (MinHash-LSH q22 /
+    * SimHash q40 output); docs in no pair are singleton groups and
+    * split on their own id, identically to [[trainTestSplit]].
+    *
+    * Returns every row of `docs` plus `grp` (cluster id) and `split`
+    * ('train'/'test'). Deterministic, append-stable in the same sense
+    * as the other samplers EXCEPT that a new pair can merge two groups
+    * and move a whole group's assignment — inherent: group identity IS
+    * the unit of assignment.
+    *
+    * Scale shape: CC over the pair graph (small) + one join back to the
+    * corpus + a per-row hash predicate; the corpus never shuffles.
+    */
+  def groupAwareSplit(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String,
+      testFraction: Double): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0,1], got $testFraction")
+    Components.componentGroups(docs, pairs, idCol, aCol, bCol)
+      .withColumn("split",
+        when(hashUniform(col("grp")) < testFraction, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** EXACTLY `k` rows per stratum (or the whole stratum when smaller) —
     * balanced fixed-size subsets (eval slices, per-language probes)
     * where a fractional sample's size would drift with the stratum.

@@ -164,4 +164,29 @@ class ComponentsSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 99L))
   }
+
+  test("componentGroups: members carry the cluster min, singletons their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val g = Components.componentGroups(docs, pairs, "doc_id", "doc_a", "doc_b")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("grp")).toMap
+    assert(g === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 99L -> 99L))
+  }
+
+  test("keepBestPerComponent: highest score wins, score tie falls to min id, singletons kept") {
+    // cluster {1,2,3}: scores 0.5 / 0.9 / 0.9 -> tie between 2 and 3 -> 2
+    // cluster {4,5}:   0.1 / 0.7 -> 5;  singleton 99 always kept
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7), (99L, 0.0))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Components.keepBestPerComponent(
+        docs, pairs, "doc_id", "doc_a", "doc_b", col("score"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("grp"), r.getAs[Boolean]("kept")))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, false)), 5L -> ((4L, true)), 99L -> ((99L, true))))
+    // exactly one keeper per cluster, no rows lost
+    assert(out.size === 6 && out.values.count(_._2) === 3)
+  }
 }

@@ -87,4 +87,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
     assert(out.count() === 4)
   }
+
+  test("groupAwareSplit: no cluster straddles; singletons match the row split") {
+    import spark.implicits._
+    val docs = (1L to 50L).toDF("doc_id")
+    // clusters {1,2,3} and {4,5}; 6..50 singletons
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Sampling.groupAwareSplit(docs, pairs, "doc_id", "doc_a", "doc_b", 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"),
+        r.getAs[String]("split")))
+    assert(out.length === 50)
+    // every member of a cluster lands on the same side
+    out.groupBy(_._2).foreach { case (grp, rows) =>
+      assert(rows.map(_._3).toSet.size === 1, s"cluster $grp straddles the split")
+    }
+    // both sides populated at this fraction, and assignment is the
+    // group-id hash: singletons agree with plain trainTestSplit
+    assert(out.map(_._3).toSet === Set("train", "test"))
+    val (tr, te) = Sampling.trainTestSplit(docs, "doc_id", 0.5)
+    val trainIds = tr.as[Long].collect().toSet
+    out.filter(r => r._1 >= 6L).foreach { case (id, _, split) =>
+      assert((split == "train") === trainIds.contains(id),
+        s"singleton $id disagrees with trainTestSplit")
+    }
+  }
 }
