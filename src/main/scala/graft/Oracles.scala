@@ -2174,5 +2174,78 @@ bi AS (
   FROM g JOIN p ON g.doc_id = p.doc_id
 )
 SELECT doc_id, grp, quality_p, rk = 1 AS kept FROM r""",
+
+    // token-id encoding: top-16 frequency-rank vocab (freq desc, token
+    // asc — total), OOV -> 0; the id sequence is pinned by a 24-id head
+    // string + a position-weighted checksum (both order-sensitive),
+    // positions generated with the q132 unnest(range) pattern
+    "q137_token_ids" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), base AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 1),
+un AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS t
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM base)
+), vc AS (
+  SELECT t AS token, count(*) AS freq FROM un GROUP BY 1
+  ORDER BY freq DESC, token LIMIT 16
+), v AS (
+  SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS token_id FROM vc
+), enc AS (
+  SELECT un.doc_id, un.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS id
+  FROM un LEFT JOIN v ON un.t = v.token
+)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  string_agg(CASE WHEN pos <= 24 THEN CAST(id AS VARCHAR) END, ' ' ORDER BY pos)
+    AS ids_head,
+  CAST(sum(id * pos) AS BIGINT) AS ids_checksum
+FROM enc GROUP BY doc_id""",
+
+    // trainer-ready packing: the q132 chunk/pack layout with CONTENT
+    // pinned — per-chunk position-weighted id checksums (q137's vocab
+    // and encode CTEs; pos within chunk = corpus pos - chunk start)
+    // summed per bin alongside the count columns
+    "q138_token_pack" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS tc FROM tk WHERE len(toks) >= 1
+), un AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS t
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)
+), vc AS (
+  SELECT t AS token, count(*) AS freq FROM un GROUP BY 1
+  ORDER BY freq DESC, token LIMIT 16
+), v AS (
+  SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS token_id FROM vc
+), enc AS (
+  SELECT un.doc_id, un.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS id
+  FROM un LEFT JOIN v ON un.t = v.token
+), ch AS (
+  SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx, CAST(s AS BIGINT) AS s,
+    CAST(least(64, tc - s) AS BIGINT) AS tokens
+  FROM (SELECT doc_id, tc, unnest(range(0, tc, 48)) AS s FROM d)
+), chsum AS (
+  SELECT ch.doc_id, ch.chunk_idx, ch.tokens,
+    CAST(sum(e.id * (e.pos - ch.s)) AS BIGINT) AS chunk_sum
+  FROM ch JOIN enc e
+    ON e.doc_id = ch.doc_id AND e.pos > ch.s AND e.pos <= ch.s + 64
+  GROUP BY 1, 2, 3
+), binned AS (
+  SELECT doc_id % 4 AS shard, tokens, chunk_sum,
+    CAST(floor((sum(tokens) OVER (PARTITION BY doc_id % 4
+      ORDER BY doc_id, chunk_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens) / 256.0) AS BIGINT) AS bin
+  FROM chsum
+)
+SELECT shard, bin, count(*) AS n_chunks, CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+  CAST(sum(chunk_sum) AS BIGINT) AS bin_ids_checksum
+FROM binned GROUP BY 1, 2""",
   )
 }

@@ -1138,6 +1138,68 @@ object SparkEntry {
         col("kept"))
   }
 
+  /** X15: text→input_ids encoding — frequency-rank vocabulary (top-16
+    * so the synthetic corpus actually exercises OOV) applied by the
+    * native [[graft.functions.VocabEncodeExpr]] hash probe; zero
+    * shuffle after the vocab aggregate. Output pins the id sequence
+    * without array-valued cells (the driver compare cannot sort
+    * those): a 24-id head string plus a position-weighted checksum
+    * (sum of id×pos — order-sensitive, so a transposition cannot
+    * hash-collide).
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Tokenize
+    val docs = t(s, dir, "documents")
+    val vocab = Tokenize.vocabulary(docs, "text", vocabSize = 16)
+    val ids = col("ids")
+    // empty/null docs are dropped on the TOKEN count, not size(ids):
+    // the interpreted higher-order context re-evaluates whatever the
+    // filter references, and the token split is cheaper than a probe
+    // pass over the encoded array
+    Tokenize.encodeWithVocab(
+        docs.filter(size(TextAnalysis.tokens(col("text"))) >= 1), "text", vocab)
+      .select(
+        col("doc_id"),
+        size(ids).cast("long").as("n_tokens"),
+        size(filter(ids, x => x === 0L)).cast("long").as("n_oov"),
+        array_join(transform(slice(ids, 1, 24), _.cast("string")), " ")
+          .as("ids_head"),
+        aggregate(
+          zip_with(ids, sequence(lit(1L), size(ids).cast("long")),
+            (id, pos) => id * pos),
+          lit(0L), (acc, x) => acc + x).as("ids_checksum"))
+  }
+
+  /** X15+X9+ packing capstone: trainer-ready bins with CONTENT pinned,
+    * not just counts — q132 verified the chunk→pack LAYOUT (bin sizes);
+    * this runs the same 64/16 windows and 256-token packer over the
+    * ENCODED id sequences, so each bin row also carries the sum of its
+    * chunks' position-weighted id checksums. A vocab change, an OOV
+    * mapping bug, or a chunk/slice off-by-one now breaks the hash even
+    * when every bin count is right. Execution adds one map-side encode
+    * to q132's single shard-window exchange.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{Chunking, Packing, Tokenize}
+    val docs = t(s, dir, "documents")
+    val vocab = Tokenize.vocabulary(docs, "text", vocabSize = 16)
+    val chunks = Chunking.slidingChunks(
+      docs, "doc_id", "text", chunkTokens = 64, overlap = 16)
+    val ids = col("ids")
+    val enc = Tokenize.encodeWithVocab(chunks, "chunk_text", vocab)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        aggregate(
+          zip_with(ids, sequence(lit(1L), size(ids).cast("long")),
+            (id, pos) => id * pos),
+          lit(0L), (acc, x) => acc + x).as("chunk_sum"))
+    Packing.packSequences(enc, col("n_tokens"), budget = 256,
+        shardCol = pmod(col("doc_id"), lit(4)),
+        orderCols = Seq(col("doc_id"), col("chunk_idx")))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("tokens")).as("bin_tokens"),
+        sum(col("chunk_sum")).as("bin_ids_checksum"))
+  }
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -1989,6 +2051,8 @@ object SparkEntry {
     "q134_quality_sql" -> (q134 _),
     "q135_leakage_safe_split" -> (q135 _),
     "q136_canonical_quality_dedup" -> (q136 _),
+    "q137_token_ids" -> (q137 _),
+    "q138_token_pack" -> (q138 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -1,0 +1,79 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction and text→input_ids encoding — the step a
+  * training-data pipeline runs between curation and packing: turn each
+  * document into the integer id sequence the model trainer consumes
+  * (word-level here; the id space is frequency rank, the classic
+  * dictionary encoding — a caller with a trained subword vocab supplies
+  * its own (token, id) table to [[encodeWithVocab]] and gets the same
+  * execution shape).
+  *
+  * Scale design:
+  *   - [[vocabulary]] is the q130 two-level trick: corpus tokens
+  *     collapse to the distinct-word frame first (map-side combine),
+  *     the top-k is `orderBy.limit` (TakeOrderedAndProject — only k
+  *     rows ever reach the driver side of the sort), and the rank
+  *     window orders just those k survivors.
+  *   - [[encodeWithVocab]] ships the vocabulary INSIDE the plan (the
+  *     BloomGate/ADC literal transport) and encodes with
+  *     [[graft.functions.VocabEncodeExpr]] — an O(1) hash probe per
+  *     token inside whole-stage codegen. The corpus is scanned once,
+  *     ZERO shuffle: no explode, no join-back regroup, no window. The
+  *     alternative (explode → broadcast-join → re-assemble by (doc,
+  *     pos)) shuffles the entire token stream just to rebuild an order
+  *     the array already had.
+  *   - the vocabulary literal is byte-budgeted (`maxVocabBytes`,
+  *     default 16 MB ≈ a 100k-entry subword vocab with long tokens) —
+  *     the guard fails loudly with the remedy rather than silently
+  *     building a 100 MB task binary.
+  */
+object Tokenize {
+
+  /** Top-`vocabSize` corpus tokens by frequency: (token, freq,
+    * token_id) with token_id = rank (1-based; ties broken by token
+    * ascending so the rank is total and engine-portable). Id 0 is
+    * deliberately never assigned — it is the conventional OOV/UNK slot
+    * [[encodeWithVocab]] maps unknown tokens to.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val top = graft.util.Partitioning.ensureParallelism(docs)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(vocabSize)
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    top.withColumn("token_id", row_number().over(w).cast("long"))
+  }
+
+  /** Encode `textCol` to an `ids` ARRAY<LONG> column via the (token,
+    * token_id) vocabulary frame; tokens outside the vocabulary encode
+    * to `oovId` (keep it off the vocabulary's id range — [[vocabulary]]
+    * reserves 0). The vocabulary is collected to a plan literal under
+    * the `maxVocabBytes` budget; beyond it, shard the corpus or prune
+    * the vocab — do NOT raise the budget past executor task-binary
+    * comfort (~64 MB).
+    */
+  def encodeWithVocab(
+      docs: DataFrame, textCol: String, vocab: DataFrame,
+      oovId: Long = 0L, maxVocabBytes: Long = 16L << 20): DataFrame = {
+    val rows = vocab.select(col("token"), col("token_id")).collect()
+    var bytes = 0L
+    rows.foreach(r => bytes += r.getString(0).getBytes("UTF-8").length + 8L)
+    require(bytes <= maxVocabBytes,
+      s"vocabulary literal would be $bytes bytes > budget $maxVocabBytes; " +
+        "prune the vocabulary (or shard the corpus and encode per shard) " +
+        "rather than shipping a larger task binary")
+    val tokens = rows.map(_.getString(0))
+    val ids = rows.map(_.getLong(1))
+    require(!ids.contains(oovId),
+      s"oovId $oovId collides with an assigned vocabulary id")
+    docs.withColumn("ids",
+      graft.functions.VocabEncode.encode(
+        TextAnalysis.tokens(col(textCol)), tokens, ids, oovId))
+  }
+}

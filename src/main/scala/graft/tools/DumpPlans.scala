@@ -52,7 +52,9 @@ object DumpPlans {
       "q130_bpe_pairs" -> "BPE pairs: corpus collapses to the word frame FIRST, pair explode over the vocabulary only, TakeOrderedAndProject",
       "q131_quality_logistic" -> "logistic quality filter: rounded features -> logit -> sigmoid in one map-only codegen projection",
       "q132_chunk_pack" -> "chunk->pack: text projected away before the packer's single shard-window exchange; bins aggregated over (shard, bin)",
-      "q133_lsh_autosized_recall" -> "auto-sized LSH recall gate: sizing-derived (planes, tables) candidates full-outer-joined once against the exact pair set, one verdict aggregate (q41's pattern at the corpus-path parameters)")
+      "q133_lsh_autosized_recall" -> "auto-sized LSH recall gate: sizing-derived (planes, tables) candidates full-outer-joined once against the exact pair set, one verdict aggregate (q41's pattern at the corpus-path parameters)",
+      "q135_leakage_safe_split" -> "leakage-safe split: CC fixpoint over the (tiny) pair graph, ONE join back to the id universe, split = md5-uniform of the group id in the same projection — the corpus never shuffles",
+      "q137_token_ids" -> "token-id encode: native VocabEncodeExpr hash probe over the plan-literal vocab inside one codegen scan — the encode stage has zero exchanges; only the vocab build aggregates")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")

@@ -27,6 +27,9 @@ object ProbeScaling10 {
   def main(args: Array[String]): Unit = {
     val sf1Dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val outPath = args.lift(1).getOrElse("/tmp/scaling_sf1.json")
+    // optional explicit query list (args 2..): later-round additions
+    // reuse the same protocol/merge without editing `top`
+    val picks = if (args.length > 2) args.drop(2).toSeq else top
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,7 +45,7 @@ object ProbeScaling10 {
         val df = spark.read.parquet(s"$dir/$t.parquet")
         df.cache(); df.count()
       }
-      for (n <- top) {
+      for (n <- picks) {
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           graft.SparkEntry.queries(n)(spark, dir).collect()
@@ -53,13 +56,13 @@ object ProbeScaling10 {
       }
     }
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = top.map { n =>
+    val rows = picks.map { n =>
       val a = times((dirs(0), n)); val b = times((dirs(1), n))
       s""""$n":{"t1_r10":${f3(a)},"t10":${f3(b)},"exp10":${f3(math.log10(b / a))}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       rows.mkString("{\"queries\":{", ",", "}}").getBytes("UTF-8"))
-    val flagged = top.filter(n => math.log10(
+    val flagged = picks.filter(n => math.log10(
       times((dirs(1), n)) / times((dirs(0), n))) > 1.1)
     println(s"[scaling10] exp10 > 1.1: " +
       (if (flagged.isEmpty) "NONE" else flagged.mkString(", ")))
