@@ -199,4 +199,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(pairGenIdx >= 0 && wordAggIdx > pairGenIdx,
       s"pair explode must consume the aggregated word frame:\n$plan")
   }
+
+  test("q137 token encode: native probe in codegen, encode stage has zero exchanges") {
+    val plan = planOf("q137_token_ids")
+    // the vocab build runs as its own (collected) job inside the query
+    // builder; the plan under test is the ENCODE scan and must be
+    // map-only — one FileScan, no Exchange
+    assert(!plan.contains("Exchange "),
+      s"encode must not shuffle — the vocab ships as a plan literal:\n$plan")
+    // presence, not a codegen-star claim: the projection hosting the
+    // probe also tokenizes via ArrayFilter (a CodegenFallback
+    // higher-order function), which keeps that Project interpreted —
+    // the probe itself supports doGenCode and joins a span wherever its
+    // surrounding expressions are codegen-capable
+    assert(plan.toLowerCase.contains("vocabencodeexpr"),
+      s"native encode expression missing from plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"encode must be a single corpus scan:\n$plan")
+  }
+
+  test("q135 leakage-safe split: the corpus-side join back is broadcast, not sort-merge") {
+    val plan = planOf("q135_leakage_safe_split")
+    // the CC label frame (docs that appear in any pair — tiny next to
+    // the id universe) must broadcast onto the corpus ids; a
+    // SortMergeJoin here would shuffle the whole universe at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group labels must broadcast back onto the id universe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the id universe must not shuffle for the label join:\n$plan")
+  }
 }
