@@ -100,4 +100,48 @@ class CorpusStreamSpec extends SparkSpec {
     val sinkN = sink.select(col("id"), col("text"), col("quality_p"))
     assert(sinkN.exceptAll(twin).count() === 0 && twin.exceptAll(sinkN).count() === 0)
   }
+
+  test("token-id encode applies a statically-trained vocab inside a stream") {
+    // the production topology for X15: the vocabulary is built OFFLINE
+    // (a batch aggregate, collected into the plan literal once at query
+    // build), then the encode expression — stateless, codegen-capable —
+    // rides each micro-batch unchanged. No state store, no watermark.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_stream_").toString
+    val trainCorpus = Seq(
+      "the cat and the dog", "the end of the story").toDF("text")
+    val vocab = graft.llmops.Tokenize.vocabulary(trainCorpus, "text", 4)
+
+    val mem = MemoryStream[String]
+    val parsed = mem.toDF()
+      .select(from_json(col("value"), schema).as("d")).select(col("d.*"))
+    val ids = col("ids")
+    val enc = graft.llmops.Tokenize.encodeWithVocab(parsed, "text", vocab)
+      .select(col("doc_id"), col("ids"),
+        size(ids).cast("long").as("n_tokens"),
+        size(filter(ids, x => x === 0L)).cast("long").as("n_oov"))
+    val rows = Seq(
+      doc(1, "2024-11-15T14:30:00.000Z", "the dog and the unknown word"),
+      doc(2, "2024-11-15T14:30:30.000Z", "cat cat cat"))
+    mem.addData(rows: _*)
+    val q = Pipelines.start(
+      Pipelines.parquetSink(enc, s"$dir/out", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination(120000) finally q.stop()
+
+    val sink = spark.read.parquet(s"$dir/out")
+      .select(col("doc_id"), col("ids"), col("n_tokens"), col("n_oov"))
+    // batch twin over the identical wire rows, same vocab literal
+    val twin = graft.llmops.Tokenize.encodeWithVocab(
+        rows.toDF("value")
+          .select(from_json(col("value"), schema).as("d")).select(col("d.*")),
+        "text", vocab)
+      .select(col("doc_id"), col("ids"),
+        size(ids).cast("long").as("n_tokens"),
+        size(filter(ids, x => x === 0L)).cast("long").as("n_oov"))
+    assert(sink.exceptAll(twin).count() === 0 && twin.exceptAll(sink).count() === 0)
+    // and the encode really exercised both vocab hits and OOV
+    val d1 = sink.filter(col("doc_id") === 1L).collect()(0)
+    assert(d1.getAs[Long]("n_tokens") === 6L && d1.getAs[Long]("n_oov") >= 1L)
+  }
 }
