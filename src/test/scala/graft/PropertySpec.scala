@@ -188,4 +188,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("token encode: dense vocab ids, exact OOV positions, in-vocab round-trip") {
+    import graft.llmops.Tokenize
+    val wordGen = Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws
+    for (seed <- 1L to 5L) {
+      val docs = Gen.listOfN(10, docGen).apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val k = (seed % 4 + 1).toInt * 2 // vocab sizes 2..8 over an 8-word universe
+      val vocabDf = Tokenize.vocabulary(df, "text", k)
+      val rows = vocabDf.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      // ids dense 1..m (0 reserved); frequency non-increasing in id order
+      val byId = rows.sortBy(_._3)
+      assert(byId.map(_._3).toSeq === (1L to byId.length).toSeq, s"seed=$seed")
+      assert(byId.sliding(2).forall(w => w.length < 2 || w(0)._2 >= w(1)._2),
+        s"seed=$seed freq must be non-increasing down the rank")
+      val vocab = rows.map(r => r._1 -> r._3).toMap
+      val inv = vocab.map(_.swap)
+      val enc = Tokenize.encodeWithVocab(df, "text", vocabDf)
+        .select(col("doc_id"), col("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val ids = enc(i.toLong)
+        assert(ids.length === ws.length, s"seed=$seed doc=$i")
+        ws.zip(ids).foreach { case (w, id) =>
+          if (vocab.contains(w)) assert(inv(id) === w, s"seed=$seed doc=$i")
+          else assert(id === 0L, s"seed=$seed doc=$i OOV word $w got id $id")
+        }
+      }
+    }
+  }
+
+  test("groupAwareSplit: disjoint+exhaustive partition, grp-consistent, degenerate fractions") {
+    import graft.llmops.Sampling
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b)
+    for (seed <- 1L to 5L) {
+      val edges = Gen.listOfN(20, edgeGen).apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+      val docs = (0L to 40L).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val out = Sampling.groupAwareSplit(docs, pairs, "doc_id", "doc_a", "doc_b", 0.3)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("grp"),
+          r.getAs[String]("split")))
+      // exhaustive and disjoint: every doc exactly once, split total
+      assert(out.map(_._1).sorted.toSeq === (0L to 40L).toSeq, s"seed=$seed")
+      assert(out.forall(r => r._3 == "train" || r._3 == "test"), s"seed=$seed")
+      // one side per cluster
+      out.groupBy(_._2).foreach { case (grp, rs) =>
+        assert(rs.map(_._3).distinct.length === 1, s"seed=$seed grp=$grp straddles")
+      }
+      // degenerate fractions collapse to one side
+      val all0 = Sampling.groupAwareSplit(docs, pairs, "doc_id", "doc_a", "doc_b", 0.0)
+        .select("split").distinct().as[String].collect().toSet
+      val all1 = Sampling.groupAwareSplit(docs, pairs, "doc_id", "doc_a", "doc_b", 1.0)
+        .select("split").distinct().as[String].collect().toSet
+      assert(all0 === Set("train") && all1 === Set("test"), s"seed=$seed")
+    }
+  }
 }
