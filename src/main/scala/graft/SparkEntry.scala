@@ -1128,14 +1128,14 @@ object SparkEntry {
   private def q136(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    // quality computed ONCE as a named column; the canonical selector
+    // ranks on it and the projection reuses it (not a re-evaluation)
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords)
+        .as("quality_p"))
     graft.llmops.Components.keepBestPerComponent(
-        docs.select(col("doc_id"), col("text")), pairs,
-        "doc_id", "doc_a", "doc_b",
-        TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords))
-      .select(col("doc_id"), col("grp"),
-        TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords)
-          .as("quality_p"),
-        col("kept"))
+        scored, pairs, "doc_id", "doc_a", "doc_b", col("quality_p"))
+      .select(col("doc_id"), col("grp"), col("quality_p"), col("kept"))
   }
 
   /** X15: text→input_ids encoding — frequency-rank vocabulary (top-16

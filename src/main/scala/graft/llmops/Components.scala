@@ -320,6 +320,8 @@ object Components {
   def componentGroups(
       docs: DataFrame, pairs: DataFrame,
       idCol: String, aCol: String, bCol: String): DataFrame = {
+    require(!docs.columns.contains("grp"),
+      "docs already has a 'grp' column — componentGroups would silently shadow it")
     val comp = connectedComponents(pairs, aCol, bCol)
       .select(col("id").as(idCol), col("label").as("grp"))
     docs.join(comp, Seq(idCol), "left")
@@ -344,6 +346,8 @@ object Components {
       idCol: String, aCol: String, bCol: String,
       score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!docs.columns.contains("kept"),
+      "docs already has a 'kept' column — keepBestPerComponent would silently shadow it")
     val w = Window.partitionBy(col("grp")).orderBy(score.desc, col(idCol))
     componentGroups(docs, pairs, idCol, aCol, bCol)
       .withColumn("kept", row_number().over(w) === 1)

@@ -83,6 +83,8 @@ object Sampling {
       testFraction: Double): DataFrame = {
     require(testFraction >= 0 && testFraction <= 1,
       s"testFraction must be in [0,1], got $testFraction")
+    require(!docs.columns.contains("split"),
+      "docs already has a 'split' column — groupAwareSplit would silently shadow it")
     Components.componentGroups(docs, pairs, idCol, aCol, bCol)
       .withColumn("split",
         when(hashUniform(col("grp")) < testFraction, lit("test"))

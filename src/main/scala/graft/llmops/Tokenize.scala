@@ -68,6 +68,8 @@ object Tokenize {
       s"vocabulary literal would be $bytes bytes > budget $maxVocabBytes; " +
         "prune the vocabulary (or shard the corpus and encode per shard) " +
         "rather than shipping a larger task binary")
+    require(!docs.columns.contains("ids"),
+      "docs already has an 'ids' column — encodeWithVocab would silently shadow it")
     val tokens = rows.map(_.getString(0))
     val ids = rows.map(_.getLong(1))
     require(!ids.contains(oovId),
