@@ -2247,5 +2247,31 @@ FROM enc GROUP BY doc_id""",
 SELECT shard, bin, count(*) AS n_chunks, CAST(sum(tokens) AS BIGINT) AS bin_tokens,
   CAST(sum(chunk_sum) AS BIGINT) AS bin_ids_checksum
 FROM binned GROUP BY 1, 2""",
+
+    // vocab coverage curve at dyadic ranks: top-32 by (freq desc,
+    // token), running coverage = cumulative freq over the corpus token
+    // total, rounded 1e-6 before comparison
+    "q139_vocab_coverage" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM tk),
+vc AS (
+  SELECT t AS token, count(*) AS freq
+  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1
+  ORDER BY freq DESC, token LIMIT 32
+), v AS (
+  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM vc
+), cum AS (
+  SELECT rank, token, CAST(freq AS BIGINT) AS freq,
+    sum(freq) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+  FROM v
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, freq,
+  floor((CAST(cf AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000
+    AS coverage
+FROM cum CROSS JOIN tot
+WHERE rank IN (1, 2, 4, 8, 16, 32)""",
   )
 }

@@ -1200,6 +1200,19 @@ object SparkEntry {
         sum(col("chunk_sum")).as("bin_ids_checksum"))
   }
 
+  /** X15 sizing tool: vocabulary coverage curve at dyadic ranks — the
+    * measured answer to "how big a vocab do I need" (and the OOV rate
+    * q137 pays at any cutoff). One vocab build + one corpus-total scan
+    * broadcast back; the cumulative window orders only the 32
+    * survivors.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Tokenize
+    Tokenize.coverageCurve(t(s, dir, "documents"), "text", maxK = 32)
+      .filter(col("rank").isin(1L, 2L, 4L, 8L, 16L, 32L))
+      .select(col("rank"), col("token"), col("freq"), col("coverage"))
+  }
+
   /** W1+ composite: rolling z-score anomaly flags over each user's
     * event-value series — prior-20-row frame (a spike never normalizes
     * itself), null-z warm-up, exact flags.
@@ -2053,6 +2066,7 @@ object SparkEntry {
     "q136_canonical_quality_dedup" -> (q136 _),
     "q137_token_ids" -> (q137 _),
     "q138_token_pack" -> (q138 _),
+    "q139_vocab_coverage" -> (q139 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -50,6 +50,35 @@ object Tokenize {
     top.withColumn("token_id", row_number().over(w).cast("long"))
   }
 
+  /** Vocabulary COVERAGE curve — the tokenizer-sizing question: what
+    * fraction of all corpus token occurrences do the top-`maxK` vocab
+    * entries cover? Returns one row per rank with the running coverage
+    * (cumulative frequency / corpus token total, rounded 1e-6), so the
+    * caller reads off the k where the curve flattens and sizes
+    * [[vocabulary]] (and the OOV rate [[encodeWithVocab]] will pay)
+    * from measurement instead of folklore.
+    *
+    * Scale shape: the [[vocabulary]] build plus ONE extra per-row
+    * arithmetic scan for the corpus total (broadcast as a single-row
+    * frame — the q114 Zipf-profile construction); the rank window
+    * orders only the `maxK` survivors.
+    */
+  def coverageCurve(docs: DataFrame, textCol: String, maxK: Int): DataFrame = {
+    val top = vocabulary(docs, textCol, maxK)
+    val total = graft.util.Partitioning.ensureParallelism(docs)
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
+      .agg(sum(col("n")).as("total_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("token_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.join(broadcast(total))
+      .withColumn("cum_freq", sum(col("freq")).over(w))
+      .select(col("token_id").as("rank"), col("token"), col("freq"),
+        graft.util.Partitioning.stableRound6(
+          col("cum_freq").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+  }
+
   /** Encode `textCol` to an `ids` ARRAY<LONG> column via the (token,
     * token_id) vocabulary frame; tokens outside the vocabulary encode
     * to `oovId` (keep it off the vocabulary's id range — [[vocabulary]]

@@ -52,6 +52,19 @@ class TokenizeSpec extends SparkSpec {
     assert(ex.getMessage.contains("prune the vocabulary"))
   }
 
+  test("coverageCurve: monotone, bounded by 1, exact at full-vocab cutoff") {
+    val out = Tokenize.coverageCurve(corpus, "text", maxK = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // universe is {a, b, c, d} -> 4 rows even at maxK=10
+    assert(out.map(_._2).toSeq === Seq("a", "b", "c", "d"))
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq, "coverage must be monotone")
+    assert(out.forall(_._3 <= 1.0))
+    // a=4 of 9, +b=7 of 9, +c=8 of 9, +d=9 of 9
+    assert(out.last._3 === 1.0)
+    assert(math.abs(out.head._3 - 4.0 / 9) < 1e-6)
+  }
+
   test("caller-supplied (token, token_id) table works — trained-vocab path") {
     val custom = Seq(("b", 7L), ("d", 9L)).toDF("token", "token_id")
     val enc = Tokenize.encodeWithVocab(corpus, "text", custom)
