@@ -39,6 +39,22 @@ object Oracles {
 )"""
   }
 
+  /** Undirected-closure CTE pair shared by every connected-components
+    * oracle (q72/q129/q135/q136): `bi` mirrors the edge list both ways,
+    * `reach` is the recursive transitive closure; the caller appends its
+    * own `comp` aggregate (min reachable id per node) and naming. ONE
+    * definition so a closure fix cannot silently diverge across twins.
+    */
+  private def closureCtes(src: String, aCol: String, bCol: String): String =
+    s"""bi AS (
+  SELECT $aCol AS src, $bCol AS dst FROM $src
+  UNION ALL SELECT $bCol AS src, $aCol AS dst FROM $src
+), reach AS (
+  SELECT DISTINCT src AS id, src AS lab FROM bi
+  UNION
+  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
+)"""
+
   private val minhashPairsCte: String = minhashPairsCteOver("documents")
 
   /** Suffixed bands-only variant of [[minhashPairsCteOver]] for
@@ -308,6 +324,35 @@ SELECT doc_id, quality_p,
   quality_p >= 0.5e0 AS keep
 FROM p"""
 
+  /** Vocabulary + encode CTE chain shared by q137/q138/q139: tokenized
+    * corpus (`tk`), nonempty docs with counts (`nz`), positional token
+    * stream (`un`, q132's unnest(range) pattern), top-`k` vocabulary
+    * (`vc` — freq desc, token asc: total), ranked ids (`v`, id 0
+    * reserved for OOV), and the encoded stream (`enc`). ONE definition
+    * so a vocab tie-break or OOV change cannot diverge across twins;
+    * callers not referencing a CTE (q139 never reads `enc`) pay
+    * nothing — unreferenced CTEs are not executed.
+    */
+  private def vocabEncCtes(k: Int): String =
+    s"""tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), nz AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS tc FROM tk WHERE len(toks) >= 1
+), un AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS t
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM nz)
+), vc AS (
+  SELECT t AS token, count(*) AS freq FROM un GROUP BY 1
+  ORDER BY freq DESC, token LIMIT $k
+), v AS (
+  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS token_id FROM vc
+), enc AS (
+  SELECT un.doc_id, un.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS id
+  FROM un LEFT JOIN v ON un.t = v.token
+)"""
+
   val sql: Map[String, String] = Map(
     // ---- r7 bounded-error companions for the approximate operators ----
     // Each approximate query emits exact-side facts plus verdict booleans
@@ -547,14 +592,7 @@ GROUP BY 1, 2""",
     // propagation fixpoint
     "q72_dedup_groups" ->
       s"""WITH RECURSIVE $minhashPairsCte,
-bi AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
-), reach AS (
-  SELECT DISTINCT src AS id, src AS lab FROM bi
-  UNION
-  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
-), comp AS (
+${closureCtes("pairs", "doc_a", "doc_b")}, comp AS (
   SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
 )
 SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_members FROM comp""",
@@ -2032,7 +2070,7 @@ FROM st""",
     // exact-cosine pair list q60 verifies, every vector assigned its
     // component representative; singletons keep themselves
     "q129_semantic_dedup" ->
-      """WITH RECURSIVE e AS (
+      s"""WITH RECURSIVE e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -2042,14 +2080,7 @@ FROM st""",
       floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
     FROM e a JOIN e b ON a.vec_id < b.vec_id)
   WHERE score >= 0.4
-), bi AS (
-  SELECT id_a AS src, id_b AS dst FROM pr
-  UNION ALL SELECT id_b AS src, id_a AS dst FROM pr
-), reach AS (
-  SELECT DISTINCT src AS id, src AS lab FROM bi
-  UNION
-  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
-), comp AS (
+), ${closureCtes("pr", "id_a", "id_b")}, comp AS (
   SELECT id, min(lab) AS rep FROM reach GROUP BY id
 )
 SELECT v.vec_id, coalesce(c.rep, v.vec_id) AS rep_id,
@@ -2133,14 +2164,7 @@ FROM pairs""",
     // own id (coalesce), identically to q67's row split
     "q135_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashPairsCte,
-bi AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
-), reach AS (
-  SELECT DISTINCT src AS id, src AS lab FROM bi
-  UNION
-  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
-), comp AS (
+${closureCtes("pairs", "doc_a", "doc_b")}, comp AS (
   SELECT id, min(lab) AS grp FROM reach GROUP BY id
 ), g AS (
   SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS grp
@@ -2156,14 +2180,7 @@ FROM g""",
     // pre-rounded probability (doc_id tie-break = a total order)
     "q136_canonical_quality_dedup" ->
       s"""WITH RECURSIVE $minhashPairsCte,
-bi AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
-), reach AS (
-  SELECT DISTINCT src AS id, src AS lab FROM bi
-  UNION
-  SELECT bi.dst AS id, r.lab AS lab FROM reach r JOIN bi ON bi.src = r.id
-), comp AS (
+${closureCtes("pairs", "doc_a", "doc_b")}, comp AS (
   SELECT id, min(lab) AS grp FROM reach GROUP BY id
 ), $qualityPCtes, g AS (
   SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS grp
@@ -2180,23 +2197,7 @@ SELECT doc_id, grp, quality_p, rk = 1 AS kept FROM r""",
     // string + a position-weighted checksum (both order-sensitive),
     // positions generated with the q132 unnest(range) pattern
     "q137_token_ids" ->
-      """WITH tk AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
-  FROM documents
-), base AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 1),
-un AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS t
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM base)
-), vc AS (
-  SELECT t AS token, count(*) AS freq FROM un GROUP BY 1
-  ORDER BY freq DESC, token LIMIT 16
-), v AS (
-  SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS token_id FROM vc
-), enc AS (
-  SELECT un.doc_id, un.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS id
-  FROM un LEFT JOIN v ON un.t = v.token
-)
+      s"""WITH ${vocabEncCtes(16)}
 SELECT doc_id,
   count(*) AS n_tokens,
   CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
@@ -2210,27 +2211,10 @@ FROM enc GROUP BY doc_id""",
     // and encode CTEs; pos within chunk = corpus pos - chunk start)
     // summed per bin alongside the count columns
     "q138_token_pack" ->
-      """WITH tk AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
-  FROM documents
-), d AS (
-  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS tc FROM tk WHERE len(toks) >= 1
-), un AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS t
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)
-), vc AS (
-  SELECT t AS token, count(*) AS freq FROM un GROUP BY 1
-  ORDER BY freq DESC, token LIMIT 16
-), v AS (
-  SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS token_id FROM vc
-), enc AS (
-  SELECT un.doc_id, un.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS id
-  FROM un LEFT JOIN v ON un.t = v.token
-), ch AS (
+      s"""WITH ${vocabEncCtes(16)}, ch AS (
   SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx, CAST(s AS BIGINT) AS s,
     CAST(least(64, tc - s) AS BIGINT) AS tokens
-  FROM (SELECT doc_id, tc, unnest(range(0, tc, 48)) AS s FROM d)
+  FROM (SELECT doc_id, tc, unnest(range(0, tc, 48)) AS s FROM nz)
 ), chsum AS (
   SELECT ch.doc_id, ch.chunk_idx, ch.tokens,
     CAST(sum(e.id * (e.pos - ch.s)) AS BIGINT) AS chunk_sum
@@ -2252,20 +2236,11 @@ FROM binned GROUP BY 1, 2""",
     // token), running coverage = cumulative freq over the corpus token
     // total, rounded 1e-6 before comparison
     "q139_vocab_coverage" ->
-      """WITH tk AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
-  FROM documents
-), tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM tk),
-vc AS (
-  SELECT t AS token, count(*) AS freq
-  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1
-  ORDER BY freq DESC, token LIMIT 32
-), v AS (
-  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM vc
+      s"""WITH ${vocabEncCtes(32)}, tot AS (
+  SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM tk
 ), cum AS (
-  SELECT rank, token, CAST(freq AS BIGINT) AS freq,
-    sum(freq) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+  SELECT token_id AS rank, token, CAST(freq AS BIGINT) AS freq,
+    sum(freq) OVER (ORDER BY token_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
   FROM v
 )
 SELECT CAST(rank AS BIGINT) AS rank, token, freq,

@@ -1164,10 +1164,7 @@ object SparkEntry {
         size(filter(ids, x => x === 0L)).cast("long").as("n_oov"),
         array_join(transform(slice(ids, 1, 24), _.cast("string")), " ")
           .as("ids_head"),
-        aggregate(
-          zip_with(ids, sequence(lit(1L), size(ids).cast("long")),
-            (id, pos) => id * pos),
-          lit(0L), (acc, x) => acc + x).as("ids_checksum"))
+        Tokenize.positionChecksum(ids).as("ids_checksum"))
   }
 
   /** X15+X9+ packing capstone: trainer-ready bins with CONTENT pinned,
@@ -1188,10 +1185,7 @@ object SparkEntry {
     val ids = col("ids")
     val enc = Tokenize.encodeWithVocab(chunks, "chunk_text", vocab)
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
-        aggregate(
-          zip_with(ids, sequence(lit(1L), size(ids).cast("long")),
-            (id, pos) => id * pos),
-          lit(0L), (acc, x) => acc + x).as("chunk_sum"))
+        Tokenize.positionChecksum(ids).as("chunk_sum"))
     Packing.packSequences(enc, col("n_tokens"), budget = 256,
         shardCol = pmod(col("doc_id"), lit(4)),
         orderCols = Seq(col("doc_id"), col("chunk_idx")))

@@ -26,11 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * megabytes, fine as a task-broadcast literal; the byte budget is
   * enforced by the caller ([[graft.llmops.Tokenize.encodeWithVocab]]),
   * mirroring the ADC `maxAdcBytes` discipline.
+  *
+  * The vocabulary fields are Seq, not Array, DELIBERATELY: case-class
+  * equality over arrays is reference identity, which would make two
+  * content-identical encode expressions never `semanticEquals` — plan
+  * canonicalization, subexpression elimination, and exchange reuse
+  * would all silently miss. Seq equality is by content.
   */
 case class VocabEncodeExpr(
     child: Expression,
-    tokens: Array[String],
-    ids: Array[Long],
+    tokens: Seq[String],
+    ids: Seq[Long],
     oovId: Long)
   extends UnaryExpression {
 
@@ -50,11 +56,8 @@ case class VocabEncodeExpr(
 
   @transient private lazy val lut: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long](tokens.length * 2)
-    var i = 0
-    while (i < tokens.length) {
-      m.put(UTF8String.fromString(tokens(i)), java.lang.Long.valueOf(ids(i)))
-      i += 1
-    }
+    val ti = tokens.iterator; val ii = ids.iterator
+    while (ti.hasNext) m.put(UTF8String.fromString(ti.next()), java.lang.Long.valueOf(ii.next()))
     m
   }
 
@@ -93,7 +96,7 @@ object VocabEncode {
     * vocabulary; unknown tokens become `oovId`.
     */
   def encode(
-      tokenArray: Column, tokens: Array[String], ids: Array[Long],
+      tokenArray: Column, tokens: Seq[String], ids: Seq[Long],
       oovId: Long = 0L): Column =
     org.apache.spark.sql.graft.bridge.column(
       VocabEncodeExpr(

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,19 @@ object Tokenize {
     top.withColumn("token_id", row_number().over(w).cast("long"))
   }
 
+  /** Position-weighted checksum of an id sequence: Σ id×(1-based pos).
+    * Order-SENSITIVE (a transposition changes the sum), cheap, and
+    * portable — the DuckDB twins state `sum(id * pos)` over the same
+    * positions. The content-pinning contract q137 (per doc) and q138
+    * (per chunk, summed per bin) share; ONE definition so the two
+    * queries cannot drift to different weightings.
+    */
+  def positionChecksum(ids: Column): Column =
+    aggregate(
+      zip_with(ids, sequence(lit(1L), size(ids).cast("long")),
+        (id, pos) => id * pos),
+      lit(0L), (acc, x) => acc + x)
+
   /** Vocabulary COVERAGE curve — the tokenizer-sizing question: what
     * fraction of all corpus token occurrences do the top-`maxK` vocab
     * entries cover? Returns one row per rank with the running coverage
@@ -68,7 +81,6 @@ object Tokenize {
     val total = graft.util.Partitioning.ensureParallelism(docs)
       .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
       .agg(sum(col("n")).as("total_tokens"))
-    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("token_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.join(broadcast(total))
@@ -99,8 +111,8 @@ object Tokenize {
         "rather than shipping a larger task binary")
     require(!docs.columns.contains("ids"),
       "docs already has an 'ids' column — encodeWithVocab would silently shadow it")
-    val tokens = rows.map(_.getString(0))
-    val ids = rows.map(_.getLong(1))
+    val tokens = rows.map(_.getString(0)).toSeq
+    val ids = rows.map(_.getLong(1)).toSeq
     require(!ids.contains(oovId),
       s"oovId $oovId collides with an assigned vocabulary id")
     docs.withColumn("ids",
