@@ -65,6 +65,21 @@ class TokenizeSpec extends SparkSpec {
     assert(math.abs(out.head._3 - 4.0 / 9) < 1e-6)
   }
 
+  test("content-identical encode expressions are semantically equal (Seq fields)") {
+    // the reason VocabEncodeExpr stores Seq, not Array: array fields
+    // compare by reference, which would defeat semanticEquals — and
+    // with it CSE and exchange reuse between identical encodes
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val child = Literal.create(Seq("x", "q"), ArrayType(StringType))
+    val a = graft.functions.VocabEncodeExpr(child, Seq("x", "y"), Seq(1L, 2L), 0L)
+    val b = graft.functions.VocabEncodeExpr(child.copy(), Seq("x", "y").map(identity),
+      Seq(1L, 2L).map(identity), 0L)
+    assert(a.semanticEquals(b), "content-identical vocab literals must compare equal")
+    val c = graft.functions.VocabEncodeExpr(child, Seq("x", "z"), Seq(1L, 2L), 0L)
+    assert(!a.semanticEquals(c), "different vocabularies must not compare equal")
+  }
+
   test("caller-supplied (token, token_id) table works — trained-vocab path") {
     val custom = Seq(("b", 7L), ("d", 9L)).toDF("token", "token_id")
     val enc = Tokenize.encodeWithVocab(corpus, "text", custom)
