@@ -39,6 +39,12 @@ object GenScale {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // the text cipher is a rotation of the 26-letter alphabet: replica
+    // r and replica r+26 would get IDENTICAL ciphers, making 4/30ths of
+    // a factor-30 corpus exact cross-replica duplicates — precisely the
+    // blow-up the cipher exists to avoid. Fail loudly at the boundary.
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (alphabet rotation wraps at 26), got $factor")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "32")
