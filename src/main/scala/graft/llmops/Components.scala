@@ -337,14 +337,16 @@ object Components {
     * caller can audit the drops (or filter `kept` for the survivors).
     *
     * Scale shape: the rank window partitions by `grp` — duplicate
-    * clusters are small and hash-partition freely, no global sort, ONE
-    * shuffle. A pathological giant cluster (boilerplate-heavy corpora
-    * produce them) serializes its sort through one task; for that
-    * regime use [[keepBestPerComponentAggregated]] — measured ~25%
-    * slower on realistic cluster-size distributions (its keeper table
-    * pays a second shuffle for the join back), which is why it is the
-    * variant, not the default. Both forms are output-identical
-    * (equivalence property-pinned in ComponentsSpec).
+    * clusters hash-partition freely, no global sort, ONE shuffle of
+    * the universe. MEASURED (ProbeKeepBest, local[32]): the window
+    * wins BOTH probed regimes — many small clusters AND a star cluster
+    * holding half a 4M/32M universe (24.0 vs 41.4 s and 39.8 vs
+    * 50.3 s at 32M) — because the aggregated variant's keeper
+    * join-back re-shuffles the whole universe, while a giant cluster's
+    * single-task sort stays cheap until it spills. Reach for
+    * [[keepBestPerComponentAggregated]] only when one cluster's rows
+    * exceed task memory (the sort-spill regime a boilerplate-dominated
+    * corpus can hit); both forms are property-pinned output-identical.
     */
   def keepBestPerComponent(
       docs: DataFrame, pairs: DataFrame,
@@ -358,15 +360,18 @@ object Components {
       .withColumn("kept", row_number().over(w) === 1)
   }
 
-  /** Skew-safe form of [[keepBestPerComponent]]: an ARGMAX AGGREGATE —
-    * `max_by(id, struct(score, -id))` gets a map-side partial, so even
-    * a giant cluster collapses to one row per partition BEFORE the
-    * shuffle, where the window form would sort the whole cluster
-    * through a single task; the keeper table (one row per cluster)
-    * joins back on `grp`, where AQE skew handling applies. A null
-    * `score` sorts below every real score (an all-null cluster still
-    * keeps its min id) — identical to the window form's `desc` + id
-    * tie-break order.
+  /** Sort-spill-regime form of [[keepBestPerComponent]]: an ARGMAX
+    * AGGREGATE — `max_by(id, struct(score, -id))` gets a map-side
+    * partial, so even a giant cluster collapses to one row per
+    * partition BEFORE the shuffle, where the window form sorts the
+    * whole cluster through a single task. The keeper table (one row
+    * per cluster) joins back on `grp` — a SECOND full-universe
+    * shuffle, which is why the window form measures faster everywhere
+    * the giant cluster's sort still fits in task memory (see the
+    * default's doc); this variant exists for the regime where it does
+    * not. A null `score` sorts below every real score (an all-null
+    * cluster still keeps its min id) — identical to the window form's
+    * `desc` + id tie-break order.
     */
   def keepBestPerComponentAggregated(
       docs: DataFrame, pairs: DataFrame,
