@@ -152,7 +152,7 @@ object Components {
     */
   private def checkSum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
 
   /** One-action edge-set fingerprint for the alternating variant's
     * convergence probe: (count, Σ xxhash64(p, c)) in exact decimal (a
@@ -164,7 +164,7 @@ object Components {
     */
   private def edgeFingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
     val r = e.agg(count(lit(1)).as("n"),
-      sum(xxhash64(col("p"), col("c")).cast("decimal(38,0)")).as("h")).head
+      sum(xxhash64(col("p"), col("c")).cast("decimal(38,0)")).as("h")).head()
     (r.getLong(0), r.getDecimal(1))
   }
 

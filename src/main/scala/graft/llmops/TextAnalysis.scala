@@ -284,7 +284,7 @@ object TextAnalysis {
       s"oovPseudoCount must be > 0 (it feeds a log), got $oovPseudoCount")
     val toks = graft.util.Partitioning.ensureParallelism(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val probe = vocab.agg(count(lit(1)).as("n"), sum(col("c")).as("t")).head
+    val probe = vocab.agg(count(lit(1)).as("n"), sum(col("c")).as("t")).head()
     val vocabSize = probe.getLong(0)
     // empty vocab -> null sum; every token is then OOV at the pseudo-count
     val total = if (probe.isNullAt(1)) 1L else probe.getLong(1)

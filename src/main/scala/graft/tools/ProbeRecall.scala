@@ -14,15 +14,15 @@ object ProbeRecall {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    println(s"vecs=${emb.count()} dim=${emb.select(size(col("embedding"))).head.getInt(0)}")
+    println(s"vecs=${emb.count()} dim=${emb.select(size(col("embedding"))).head().getInt(0)}")
 
     // IVF recall@10 over a few fixed query vectors
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val (cent, assigned) = Similarity.ivfIndex(emb, "vec_id", "embedding", dim, nCells = 16)
     assigned.cache(); assigned.count()
     for (qid <- Seq(1L, 5L, 11L, 23L, 42L)) {
       val q = emb.filter(col("vec_id") === qid)
-        .select(Similarity.asDouble(col("embedding"))).head.getSeq[Double](0)
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
         .collect().map(_.getLong(0)).toSet
       for (nProbe <- Seq(2, 4, 8)) {

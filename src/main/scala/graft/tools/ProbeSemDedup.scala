@@ -88,7 +88,7 @@ object ProbeSemDedup {
         .groupBy(col("id"))
         .agg(least(col("id"), min(col("dst"))).as("label"))
         .localCheckpoint(false)
-      var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       println(f"[probe] $tag init ${(System.nanoTime() - t) / 1e9}%.3f s nparts=${labels.rdd.getNumPartitions}")
       var iter = 0; var converged = false
       while (iter < 25 && !converged) {
@@ -98,7 +98,7 @@ object ProbeSemDedup {
         val next = labels.select(col("id"), col("label")).union(msgs)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
           .localCheckpoint(false)
-        val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
         converged = s == prevSum
         prevSum = s; labels = next; iter += 1
         println(f"[probe] $tag round$iter ${(System.nanoTime() - t) / 1e9}%.3f s")
