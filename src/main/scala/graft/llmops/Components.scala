@@ -123,6 +123,19 @@ object Components {
     */
   private def bidirectional(
       edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // numeric node ids are a hard requirement of BOTH propagation
+    // variants, not a style choice: the convergence probes sum labels
+    // as decimal ([[checkSum]]/[[edgeFingerprint]]), and a non-numeric
+    // label casts to null there — the sums read null == null from
+    // round one and the loop would declare a FALSE fixpoint silently,
+    // returning min-of-1-hop labels on any graph with diameter > 1.
+    Seq(aCol, bCol).foreach { c =>
+      require(edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connected components requires numeric node ids: column '$c' is " +
+          edges.schema(c).dataType.catalogString +
+          " — a non-numeric label nulls the decimal convergence checksum and the " +
+          "fixpoint loop would terminate early with wrong labels; map ids to longs first")
+    }
     val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
@@ -369,9 +382,17 @@ object Components {
     * shuffle, which is why the window form measures faster everywhere
     * the giant cluster's sort still fits in task memory (see the
     * default's doc); this variant exists for the regime where it does
-    * not. A null `score` sorts below every real score (an all-null
-    * cluster still keeps its min id) — identical to the window form's
-    * `desc` + id tie-break order.
+    * not.
+    *
+    * Ordering parity with the window form, exactly (the equivalence is
+    * spec-pinned): the argmax key is `struct(score IS NOT NULL, score,
+    * -id)` — the leading flag reproduces `desc` NULLS LAST (a real
+    * score, including -Infinity, always beats null; an all-null
+    * cluster falls to the id tie-break), the score rides in its NATIVE
+    * type (no double cast — a decimal that differs only beyond double
+    * precision must still win), and `-id` maximizes to the minimum id.
+    * Numeric ids are required here for the negation — and at the CC
+    * layer for everyone (see [[bidirectional]]'s guard).
     */
   def keepBestPerComponentAggregated(
       docs: DataFrame, pairs: DataFrame,
@@ -379,9 +400,14 @@ object Components {
       score: Column): DataFrame = {
     require(!docs.columns.contains("kept"),
       "docs already has a 'kept' column — keepBestPerComponentAggregated would silently shadow it")
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestPerComponentAggregated requires a numeric $idCol for its -id argmax " +
+        "tie-break (got " + docs.schema(idCol).dataType.catalogString +
+        "); use keepBestPerComponent, whose window tie-break orders any orderable id")
     val g = componentGroups(docs, pairs, idCol, aCol, bCol)
     val ord = struct(
-      coalesce(score.cast("double"), lit(Double.NegativeInfinity)).as("s"),
+      score.isNotNull.cast("int").as("nn"),
+      score.as("s"),
       (-col(idCol)).as("nid"))
     val keepers = g.groupBy(col("grp"))
       .agg(max_by(col(idCol), ord).as("__keep_id"))

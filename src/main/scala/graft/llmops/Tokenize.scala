@@ -41,13 +41,21 @@ object Tokenize {
     */
   def vocabulary(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    val top = graft.util.Partitioning.ensureParallelism(docs)
+    rankTopK(tokenFreqs(docs, textCol), vocabSize)
+  }
+
+  /** Full (token, freq) aggregate over the corpus — the one expensive
+    * scan [[vocabulary]] and [[coverageCurve]] share.
+    */
+  private def tokenFreqs(docs: DataFrame, textCol: String): DataFrame =
+    graft.util.Partitioning.ensureParallelism(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token").asc)
-      .limit(vocabSize)
+
+  private def rankTopK(freqs: DataFrame, k: Int): DataFrame = {
     val w = Window.orderBy(col("freq").desc, col("token").asc)
-    top.withColumn("token_id", row_number().over(w).cast("long"))
+    freqs.orderBy(col("freq").desc, col("token").asc).limit(k)
+      .withColumn("token_id", row_number().over(w).cast("long"))
   }
 
   /** Position-weighted checksum of an id sequence: Σ id×(1-based pos).
@@ -71,16 +79,18 @@ object Tokenize {
     * [[vocabulary]] (and the OOV rate [[encodeWithVocab]] will pay)
     * from measurement instead of folklore.
     *
-    * Scale shape: the [[vocabulary]] build plus ONE extra per-row
-    * arithmetic scan for the corpus total (broadcast as a single-row
-    * frame — the q114 Zipf-profile construction); the rank window
-    * orders only the `maxK` survivors.
+    * Scale shape: ONE corpus tokenization. The full (token, freq)
+    * aggregate is lazy-checkpointed and serves BOTH consumers — the
+    * top-k ranking and the corpus-total denominator (= sum(freq) over
+    * the whole vocabulary, a frame orders of magnitude smaller than
+    * the corpus) — so the expensive regex tokenization scan runs
+    * exactly once (the q127 shared-projection pattern); the rank
+    * window orders only the `maxK` survivors.
     */
   def coverageCurve(docs: DataFrame, textCol: String, maxK: Int): DataFrame = {
-    val top = vocabulary(docs, textCol, maxK)
-    val total = graft.util.Partitioning.ensureParallelism(docs)
-      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
-      .agg(sum(col("n")).as("total_tokens"))
+    val freqs = tokenFreqs(docs, textCol).localCheckpoint(false)
+    val top = rankTopK(freqs, maxK)
+    val total = freqs.agg(sum(col("freq")).as("total_tokens"))
     val w = Window.orderBy(col("token_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.join(broadcast(total))

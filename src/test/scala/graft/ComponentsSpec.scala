@@ -212,4 +212,47 @@ class ComponentsSpec extends SparkSpec {
       assert(w.groupBy(_._2).forall(_._2.count(_._3) == 1), s"trial=$trial")
     }
   }
+
+  test("aggregated form edge parity: -Infinity beats null; decimal precision beyond double") {
+    // a real -Inf score must beat null under BOTH forms (window desc =
+    // NULLS LAST; aggregated = the leading not-null flag)
+    val docs = Seq(
+      (1L, Some(Double.NegativeInfinity)), (2L, None: Option[Double]))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    def keeper(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("kept")).select(col("doc_id")).as[Long].collect().head
+    assert(keeper(Components.keepBestPerComponent(
+      docs, pairs, "doc_id", "doc_a", "doc_b", col("score"))) === 1L)
+    assert(keeper(Components.keepBestPerComponentAggregated(
+      docs, pairs, "doc_id", "doc_a", "doc_b", col("score"))) === 1L)
+
+    // decimal scores that differ only beyond double precision: the
+    // native-type ordering must pick the true max (doc 2), which a
+    // double cast would collapse into a min-id tie-break (doc 1)
+    val dec = Seq((1L, BigDecimal("1.000000000000000001")),
+        (2L, BigDecimal("1.000000000000000002")))
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), col("score").cast("decimal(38,18)").as("score"))
+    assert(keeper(Components.keepBestPerComponent(
+      dec, pairs, "doc_id", "doc_a", "doc_b", col("score"))) === 2L)
+    assert(keeper(Components.keepBestPerComponentAggregated(
+      dec, pairs, "doc_id", "doc_a", "doc_b", col("score"))) === 2L)
+
+    // non-numeric ids refuse loudly in BOTH forms: the CC layer's
+    // decimal convergence checksum would null out on string labels and
+    // declare a false fixpoint on any diameter-2+ graph
+    val sdocs = Seq(("a", 0.1), ("b", 0.1)).toDF("doc_id", "score")
+    val spairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    val exW = intercept[IllegalArgumentException] {
+      Components.keepBestPerComponent(
+        sdocs, spairs, "doc_id", "doc_a", "doc_b", col("score")).collect()
+    }
+    assert(exW.getMessage.contains("numeric node ids"))
+    val exA = intercept[IllegalArgumentException] {
+      Components.keepBestPerComponentAggregated(
+        sdocs, spairs, "doc_id", "doc_a", "doc_b", col("score")).collect()
+    }
+    assert(exA.getMessage.contains("numeric"))
+  }
 }
