@@ -218,6 +218,28 @@ class PlanShapeSpec extends SparkSpec {
       s"encode must be a single corpus scan:\n$plan")
   }
 
+  test("q136 canonical dedup: label join-back broadcasts; one rank window over grp") {
+    val plan = planOf("q136_canonical_quality_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"CC labels must broadcast back onto the scored corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the label join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window ")) == 1,
+      s"exactly one rank window (partitioned by grp) expected:\n$plan")
+  }
+
+  test("q138 token pack: text is projected away before the shard-window exchange") {
+    val plan = planOf("q138_token_pack")
+    // the packer's window exchange must move only (doc, chunk, tokens,
+    // checksum) — if chunk_text survives into the exchange the whole
+    // (overlap-duplicated) corpus rides the shuffle just to be dropped
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0, s"expected the shard-window exchange:\n$plan")
+    assert(!lines(exIdx).contains("chunk_text"),
+      s"chunk_text must not ride the packer exchange:\n${lines(exIdx)}")
+  }
+
   test("q135 leakage-safe split: the corpus-side join back is broadcast, not sort-merge") {
     val plan = planOf("q135_leakage_safe_split")
     // the CC label frame (docs that appear in any pair — tiny next to
