@@ -317,6 +317,63 @@ class TxTableSpec extends SparkSpec {
     assert(TxParquetTable.snapshot(spark, path).count() === 80)
   }
 
+  test("reader at every version: concurrent three-writer history is fully navigable") {
+    // the roadmap's torture shape: after N writers race to a quiesced
+    // log, EVERY committed version must be readable via time travel and
+    // internally consistent — unique ids, values well-formed, row count
+    // non-decreasing (writers only upsert their own ranges, never
+    // delete), and the final version holds each writer's LAST round.
+    val path = freshPath()
+    val rounds = 3
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(base: Long, tag: String): Thread = new Thread(() => {
+      try {
+        (1 to rounds).foreach { round =>
+          val df = (base until base + 20L).map(id => (id, s"$tag$round")).toDF("id", "v")
+          var committed = false
+          while (!committed) {
+            try { TxParquetTable.upsert(df, path, "id"); committed = true }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val ws = Seq(writer(0L, "A"), writer(100L, "B"), writer(200L, "C"))
+    ws.foreach(_.start()); ws.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+
+    val latest = TxParquetTable.latestVersion(path)
+    assert(latest === 3L * rounds - 1, "every successful upsert is one contiguous version")
+    val valid = "([ABC])([0-9]+)".r
+    var prevCount = 0L
+    (0L to latest).foreach { v =>
+      val rows = TxParquetTable.snapshot(spark, path, Some(v))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.map(_._1).distinct.length === rows.length,
+        s"version $v has duplicate ids")
+      rows.foreach { case (id, value) =>
+        value match {
+          case valid(tag, round) =>
+            val expectBase = Map("A" -> 0L, "B" -> 100L, "C" -> 200L)(tag)
+            assert(id >= expectBase && id < expectBase + 20L,
+              s"version $v: id $id carries $tag's value")
+            assert(round.toInt >= 1 && round.toInt <= rounds)
+          case _ => fail(s"version $v: malformed value $value for id $id")
+        }
+      }
+      assert(rows.length >= prevCount,
+        s"version $v lost rows (${rows.length} < $prevCount) under append-free upserts")
+      prevCount = rows.length
+    }
+    val fin = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin.size === 60)
+    Seq(("A", 0L), ("B", 100L), ("C", 200L)).foreach { case (tag, base) =>
+      (base until base + 20L).foreach(id =>
+        assert(fin(id) === s"$tag$rounds", s"id=$id got ${fin(id)}"))
+    }
+  }
+
   test("the log's bucket scheme wins over a caller's mismatched bucket count") {
     val path = freshPath()
     TxParquetTable.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
