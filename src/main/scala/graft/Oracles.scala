@@ -2158,6 +2158,28 @@ FROM pairs""",
 
     "q134_quality_sql" -> qualityLogisticSql,
 
+    // IVF-PQ residual ANN: the oracle recomputes the exact top-10 side
+    // (q112's construction) and predicts the measured-margin recall
+    // verdict true — the row hash-matches iff the residual composite
+    // honors its pinned bound
+    "q140_ivfpq_knn" ->
+      """WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qv.qid, e.vec_id AS id,
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.qid
+),
+top AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+    FROM scored) WHERE rn <= 10)
+SELECT count(DISTINCT qid) AS n_queries, count(*) AS n_exact, true AS recall_ok
+FROM top""",
+
     // leakage-safe split: q72's recursive closure gives the duplicate
     // cluster, q75's md5-uniform on the CLUSTER id gives the side —
     // near-dups can never straddle the 20% cut; singletons hash their

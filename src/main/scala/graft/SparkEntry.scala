@@ -835,6 +835,36 @@ object SparkEntry {
         (col("n_hit") * 10 >= col("n_exact") * 7).as("recall_ok"))
   }
 
+  /** X3 scale path, one level deeper (roadmap item 28): IVF-PQ
+    * RESIDUAL ANN — coarse cells prune the scan (nProbe=8 of 16), PQ
+    * codes the residual v−centroid so the byte budget resolves what
+    * the coarse quantizer couldn't, ADC-shortlist → exact re-rank
+    * (q112's discipline). Verdict pinned from measurement (ProbeIvfPq:
+    * recall 0.66 sf0.01 / 0.76 sf0.1 at these parameters; gate ≥ 0.5
+    * with margin). Full-probe degeneracy (= exact, no threshold) is
+    * spec-pinned in AnnRecallSpec.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val (cents, codebook, codes) = Similarity.ivfPqIndex(
+      emb, "vec_id", "embedding", 64, nCells = 16, m = 16, ksub = 16,
+      lloydIters = 1, pqIters = 2)
+    val approx = Similarity.ivfPqRerankTopKBatch(cents, codebook, codes,
+      emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 10, shortlist = 200, nProbe = 8, excludeSelfId = true)
+      .select(col("qid"), col("id"))
+    val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, excludeSelfId = true)
+      .select(col("qid"), col("id"))
+    exact.join(approx.withColumn("in_ivfpq", lit(1)), Seq("qid", "id"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"),
+        count(col("in_ivfpq")).as("n_hit"))
+      .select(col("n_queries"), col("n_exact"),
+        (col("n_hit") * 2 >= col("n_exact")).as("recall_ok"))
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2061,6 +2091,7 @@ object SparkEntry {
     "q137_token_ids" -> (q137 _),
     "q138_token_pack" -> (q138 _),
     "q139_vocab_coverage" -> (q139 _),
+    "q140_ivfpq_knn" -> (q140 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -701,6 +701,133 @@ object Similarity {
         graft.util.Partitioning.stableRound6(col("e.score")).as("score"))
   }
 
+  /** IVF-PQ RESIDUAL index — the FAISS IVFPQ architecture (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search" §IV):
+    * a coarse IVF quantizer partitions the corpus into cells, and PQ
+    * codes the RESIDUAL (v − centroid(cell)) instead of the raw
+    * vector. Residuals concentrate near zero, so the same (m, ksub)
+    * budget spends its codes on the part of the vector the coarse
+    * quantizer could not explain — finer effective resolution at
+    * identical memory, plus cell-level pruning at query time.
+    *
+    * Build shape: the [[ivfIndex]] pass (one shuffle keyed by cell +
+    * bounded Lloyd collects), then the residual is a map-side
+    * `zip_with` against the flat centroid literal (cells renumbered
+    * densely via one broadcast join — no second corpus shuffle), then
+    * [[pqIndex]] on the residual frame; one id-keyed join attaches the
+    * cell to each code row for query-side pruning.
+    *
+    * Returns (centroids, codebook, codes) with codes carrying
+    * (id, codes, cell).
+    */
+  def ivfPqIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCells: Int, m: Int, ksub: Int,
+      lloydIters: Int = 1, pqIters: Int = 2): (DataFrame, PqCodebook, DataFrame) = {
+    val (centroids, assigned) = ivfIndex(embeddings, idCol, vecCol, dim, nCells, lloydIters)
+    val cents = collectCentroids(centroids).sortBy(_._1)
+    val flat: Array[Double] = cents.flatMap(_._2)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cidxDf = cents.map(_._1).zipWithIndex.toSeq.toDF("cell", "cidx")
+    val litFlat = lit(flat)
+    val withRes = assigned.join(broadcast(cidxDf), Seq("cell"))
+      .withColumn("rv",
+        zip_with(col("v"), slice(litFlat, col("cidx") * dim + 1, lit(dim)),
+          (a, b) => a - b))
+    val (codebook, codes) = pqIndex(
+      withRes.select(col("id"), col("rv")), "id", "rv", dim, m, ksub, pqIters)
+    (centroids, codebook,
+      codes.join(withRes.select(col("id"), col("cell")), Seq("id")))
+  }
+
+  /** IVF-PQ query: per query, probe the `nProbe` nearest cells and
+    * ADC-score ONLY their members' residual codes — the approximate
+    * inner product assembles as dot(q, centroid(cell)) (a driver-built
+    * per-(query, probed-cell) term, broadcast with the probe list) plus
+    * the residual partial-dot lookup tables ([[pqTopKBatch]]'s
+    * construction, byte-budgeted). The shortlist ranks on that inner
+    * product; the final top-k is EXACT cosine over shortlist×|queries|
+    * re-ranked rows, so ADC/probe error only matters at the shortlist
+    * boundary (the q112 discipline).
+    *
+    * Scale shape: the probe join discharges (nCells − nProbe)/nCells of
+    * the code scan per query before any scoring; the shuffle stays
+    * |queries|×shortlist via BoundedTopK; the float corpus is touched
+    * only for the re-rank id equi-join.
+    */
+  def ivfPqRerankTopKBatch(
+      centroids: DataFrame, codebook: PqCodebook, codes: DataFrame,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      k: Int, shortlist: Int, nProbe: Int,
+      excludeSelfId: Boolean = false, maxAdcBytes: Long = 64L << 20): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val m = codebook.m
+    val subDim = codebook.subDim
+    val cents = collectCentroids(centroids)
+    val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+    require(qRows.nonEmpty, "ivfPqRerankTopKBatch: empty query set")
+    val sizes = codebook.centroids.map(_.length)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val perQ = offsets.last
+    val adcBytes = qRows.length.toLong * perQ * 8L
+    require(adcBytes <= maxAdcBytes,
+      s"ivfPqRerankTopKBatch: ADC dot table is ${qRows.length} queries x $perQ " +
+        s"entries x 8 B = $adcBytes bytes, over maxAdcBytes=$maxAdcBytes — batch " +
+        "the queries across calls or raise the budget deliberately.")
+    val dotFlat: Array[Double] = qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      require(qv.length == codebook.dim,
+        s"ivfPqRerankTopKBatch: query dim ${qv.length} != codebook dim ${codebook.dim}")
+      codebook.centroids.zipWithIndex.flatMap { case (cs, j) =>
+        cs.map { cent =>
+          var s = 0.0; var i = 0
+          while (i < subDim) { s += qv(j * subDim + i) * cent(i); i += 1 }
+          s
+        }
+      }
+    }
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // probe list: (qid, qidx, probed cell, dot(q, centroid)) — |q|×nProbe
+    // rows, driver-built from the tiny centroid head, broadcast
+    val probeRows = qRows.zipWithIndex.flatMap { case (r, qi) =>
+      val qv = r.getSeq[Double](1).toArray
+      probeCells(cents, qv, nProbe).map { cid =>
+        val c = cents.find(_._1 == cid).get._2
+        var d = 0.0; var i = 0
+        while (i < qv.length) { d += qv(i) * c(i); i += 1 }
+        (r.getLong(0), qi, cid, d)
+      }
+    }.toSeq.toDF("qid", "qidx", "cell", "cdot")
+    val litDot = lit(dotFlat)
+    val resDot = (0 until m).map { j =>
+      element_at(litDot,
+        col("qidx") * perQ + lit(offsets(j)) + element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val cand = codes.join(broadcast(probeRows), Seq("cell"))
+      .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("id"), (col("cdot") + resDot).as("s"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(col("s"), col("id"), shortlist).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("e.id").as("id"))
+    val corpus = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val qs = queries.select(col(qidCol).as("qid"),
+      asDouble(col(qVecCol)).as("qv"), norm(asDouble(col(qVecCol))).as("qn"))
+    cand.join(corpus, Seq("id"))
+      .join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("qv")) / (norm(col("v")) * col("qn"))).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(col("score"), col("id"), k).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("e.id").as("id"),
+        graft.util.Partitioning.stableRound6(col("e.score")).as("score"))
+  }
+
   /** The production PQ query shape: ADC shortlist + exact re-rank. The
     * code scan ([[pqTopKBatch]]) nominates `shortlist` candidates per
     * query from compressed codes alone; only those |queries|×shortlist

@@ -156,4 +156,31 @@ class AnnRecallSpec extends SparkSpec {
       .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((exact & raw).size >= 10, s"raw ADC recall collapsed: ${(exact & raw).size}/50")
   }
+
+  test("IVF-PQ residual: full-probe + full-shortlist degenerates to EXACT top-k") {
+    // nProbe = nCells and shortlist >= corpus means no candidate is ever
+    // pruned, and the re-rank is exact cosine — the composite must equal
+    // brute force EXACTLY (no threshold, no wobble allowance): this pins
+    // the residual arithmetic, the cell routing, and the re-rank join
+    // all at once. The pruned-regime quality is q140's measured verdict.
+    val n = emb.count().toInt
+    val (cents, cb, codes) = Similarity.ivfPqIndex(
+      emb, "vec_id", "embedding", dim, nCells = 16, m = 16, ksub = 16,
+      lloydIters = 1, pqIters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val approx = Similarity.ivfPqRerankTopKBatch(cents, cb, codes,
+      emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 10, shortlist = n, nProbe = 16, excludeSelfId = true)
+      .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, excludeSelfId = true)
+      .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx === exact, "full-probe IVF-PQ must recover exact top-k identically")
+    // codes carry the cell for query-side pruning, and every corpus row
+    // is coded exactly once
+    assert(codes.columns.toSet === Set("id", "codes", "cell"))
+    assert(codes.count() === n.toLong)
+    assert(codes.select(col("id")).distinct().count() === n.toLong)
+  }
 }
