@@ -2270,5 +2270,118 @@ SELECT CAST(rank AS BIGINT) AS rank, token, freq,
     AS coverage
 FROM cum CROSS JOIN tot
 WHERE rank IN (1, 2, 4, 8, 16, 32)""",
+
+    // linear-interpolation resample: q116's grid/run construction both
+    // ways (asc run carries the previous print, desc run the next); the
+    // interpolation fraction is a ratio of exact BIGINT epoch-micros
+    // differences cast to double at the division, lerp pinned with the
+    // sr6 fixed-point floor
+    "q141_resample_linear" ->
+      """WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx FROM c GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS bucket_start
+  FROM b
+), j AS (
+  SELECT g.event_type, g.bucket_start, c.close
+  FROM grid g LEFT JOIN c
+    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start
+), runs AS (
+  SELECT event_type, bucket_start, close,
+    count(close) OVER (PARTITION BY event_type ORDER BY bucket_start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runf,
+    count(close) OVER (PARTITION BY event_type ORDER BY bucket_start DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runb
+  FROM j
+), nb AS (
+  SELECT event_type, bucket_start, close,
+    max(close) OVER (PARTITION BY event_type, runf) AS prev,
+    max(CASE WHEN close IS NOT NULL THEN epoch_us(bucket_start) END)
+      OVER (PARTITION BY event_type, runf) AS preve,
+    max(close) OVER (PARTITION BY event_type, runb) AS nxt,
+    max(CASE WHEN close IS NOT NULL THEN epoch_us(bucket_start) END)
+      OVER (PARTITION BY event_type, runb) AS nxte
+  FROM runs
+)
+SELECT event_type, bucket_start, round(close, 4) AS close,
+  floor((CASE WHEN close IS NOT NULL THEN close
+              WHEN prev IS NULL THEN nxt
+              WHEN nxt IS NULL THEN prev
+              ELSE prev + (nxt - prev) *
+                (CAST(epoch_us(bucket_start) - preve AS DOUBLE)
+                   / CAST(nxte - preve AS DOUBLE)) END) * 1000000 + 0.5) / 1000000
+    AS lerp,
+  CAST(close IS NULL AS INT) AS is_gap
+FROM nb""",
+
+    // temperature mixture: q81's budget arithmetic with the weight
+    // replaced by the micro-quantized sqrt of the source's token total
+    // (floor(sqrt·1e6) as BIGINT — exact integer share sums, and sqrt
+    // is correctly rounded in both engines)
+    "q142_temperature_mix" ->
+      """WITH toks AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok
+  FROM documents
+), tot AS (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS toks FROM toks GROUP BY source
+), wts AS (
+  SELECT source, toks,
+    CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM tot
+), rates AS (
+  SELECT source,
+    CASE WHEN toks = 0 THEN 1.0
+         ELSE LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM wts) AS DOUBLE)
+           * CAST(w AS DOUBLE)
+           / CAST((SELECT sum(w) FROM wts) AS DOUBLE)
+           / CAST(toks AS DOUBLE)) END AS rate
+  FROM wts
+)
+SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(COALESCE(CAST(t.doc_id AS VARCHAR), chr(0) || 'graft-null-id')), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < r.rate
+GROUP BY t.source""",
+
+    // purged k-fold: fold ids from the identical BIGINT epoch-micros
+    // arithmetic (one double division, floor, least-clamp at k-1); a
+    // row is purged for its neighbor fold when shifting its time by
+    // the embargo crosses the shared boundary; k-row spine so an empty
+    // middle fold cannot shift the lag/lead
+    "q143_purged_folds" ->
+      """WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+), f AS (
+  SELECT
+    CAST(LEAST(floor(CAST(epoch_us(ts) - mn AS DOUBLE) * 5 / CAST(mx - mn + 1 AS DOUBLE)), 4) AS INT) AS fold,
+    CAST(LEAST(floor(CAST(epoch_us(ts) + 86400000000 - mn AS DOUBLE) * 5 / CAST(mx - mn + 1 AS DOUBLE)), 4) AS INT) AS fhi,
+    CAST(LEAST(floor(CAST(epoch_us(ts) - 86400000000 - mn AS DOUBLE) * 5 / CAST(mx - mn + 1 AS DOUBLE)), 4) AS INT) AS flo
+  FROM events, b
+), agg AS (
+  SELECT fold, count(*) AS n_test,
+    CAST(sum(CASE WHEN fhi > fold AND fold < 4 THEN 1 ELSE 0 END) AS BIGINT) AS nhi,
+    CAST(sum(CASE WHEN flo < fold AND fold > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nlo
+  FROM f GROUP BY fold
+), spine AS (
+  SELECT CAST(unnest(range(5)) AS INT) AS fold
+), sj AS (
+  SELECT s.fold, COALESCE(a.n_test, 0) AS n_test,
+    COALESCE(a.nhi, 0) AS nhi, COALESCE(a.nlo, 0) AS nlo
+  FROM spine s LEFT JOIN agg a ON s.fold = a.fold
+), p AS (
+  SELECT fold, n_test,
+    COALESCE(lag(nhi) OVER (ORDER BY fold), 0) +
+      COALESCE(lead(nlo) OVER (ORDER BY fold), 0) AS n_purged,
+    CAST(sum(n_test) OVER () AS BIGINT) AS tot
+  FROM sj
+)
+SELECT fold, CAST(n_test AS BIGINT) AS n_test, CAST(n_purged AS BIGINT) AS n_purged,
+  CAST(tot - n_test - n_purged AS BIGINT) AS n_train
+FROM p""",
   )
 }

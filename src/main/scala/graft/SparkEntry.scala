@@ -865,6 +865,47 @@ object SparkEntry {
         (col("n_hit") * 2 >= col("n_exact")).as("recall_ok"))
   }
 
+  /** A1+ composite: fixed-cadence resample with LINEAR interpolation
+    * over the derived 5-minute candle closes — q116's ffill twin for
+    * slowly-varying series where a step function biases returns. Gaps
+    * carry the straight line between the surrounding prints; edges use
+    * the nearest known value. Rounding: close to 4 decimals (the q116
+    * convention), lerp via the sr6 fixed-point floor the oracle states
+    * identically.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleLinear(candles5m(s, dir), "key", "bucket_start", "close",
+        stepSeconds = 300L)
+      .select(col("key").as("event_type"), col("bucket_start"),
+        round(col("close"), 4).as("close"), sr6(col("lerp")).as("lerp"),
+        col("is_gap"))
+
+  /** X4+ mixing: temperature-scaled source mixture at α = 1/2 — budget
+    * shares ∝ sqrt(source tokens) instead of q81's fixed weights, the
+    * T5/PaLM flattening recipe. Micro-quantized integer weights keep
+    * the share normalization exact cross-engine (the X8 long-micros
+    * pattern). Output: per-source surviving docs and tokens.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    val docs = t(s, dir, "documents")
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    Sampling.temperatureMixtureSample(docs, "doc_id", "source", tok, 0.3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+  }
+
+  /** W+/J2-adjacent backtest hygiene: PURGED k-fold split summary with
+    * a 1-day embargo over the events stream — López de Prado's purged
+    * CV; training rows whose label horizon would overlap a test fold
+    * are counted out (purged), per fold. One corpus scan + a k-row
+    * frame; the oracle rebuilds every fold assignment bit-identically
+    * from the same BIGINT epoch-micros arithmetic.
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Validation.purgedTimeFolds(
+      t(s, dir, "events"), "ts", k = 5, embargoSeconds = 86400L)
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2092,6 +2133,9 @@ object SparkEntry {
     "q138_token_pack" -> (q138 _),
     "q139_vocab_coverage" -> (q139 _),
     "q140_ivfpq_knn" -> (q140 _),
+    "q141_resample_linear" -> (q141 _),
+    "q142_temperature_mix" -> (q142 _),
+    "q143_purged_folds" -> (q143 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

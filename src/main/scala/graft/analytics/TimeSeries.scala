@@ -363,4 +363,79 @@ object TimeSeries {
       .withColumn("is_gap", col(valueCol).isNull.cast("int"))
       .drop("__run")
   }
+
+  /** A1+: fixed-cadence resample with LINEAR interpolation — the other
+    * half of the gap-filling pair ([[resampleFfill]] carries the last
+    * print forward; this draws the straight line between the surrounding
+    * prints, the standard treatment for slowly-varying series like
+    * rates/marks where a step function biases downstream returns).
+    * Leading gaps (before the first observation) backfill from the next
+    * value; trailing gaps forward-fill from the previous — the
+    * nearest-known edge convention.
+    *
+    * Same grid construction and guard as [[resampleFfill]]. The
+    * neighbor lookup deliberately avoids `rowsBetween(currentRow,
+    * unboundedFollowing)` frames: Spark plans those as
+    * UnboundedFollowingWindowFunctionFrame, which RE-AGGREGATES the
+    * remaining frame for every row — O(grid²) per key. Instead both
+    * neighbors come from the run-group trick (count-of-non-nulls as a
+    * group id, one O(n) pass each way): an ascending run tags every row
+    * with its previous print, a descending run with its next. Two
+    * (key, bucket) sorts over the GRID frame — still linear, and the
+    * grid is bounded by span/step, never by row count.
+    *
+    * Determinism contract: the interpolation fraction is a ratio of
+    * exact BIGINT epoch-second differences, cast to double at the
+    * division — one correctly-rounded IEEE op per engine, so the oracle
+    * reproduces it bit-identically (round the OUTPUT, not the inputs).
+    *
+    * Output: (keyCol, bucketCol, valueCol — null in holes, `lerp`,
+    * `is_gap`).
+    */
+  def resampleLinear(
+      bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
+      stepSeconds: Long, maxGridPerKey: Long = 10000000L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val bounds = resampleBounds(bars, keyCol, bucketCol)
+    val slots = (unix_seconds(col("__mx")) - unix_seconds(col("__mn"))) / stepSeconds + 1
+    val guardedMn = when(slots > maxGridPerKey,
+      raise_error(concat(
+        lit(s"resampleLinear: a key's grid needs "), slots.cast("string"),
+        lit(s" slots > maxGridPerKey=$maxGridPerKey — the per-key sequence() array " +
+          "would not fit an executor. Use a coarser step, split the time range, " +
+          "or raise maxGridPerKey deliberately with executor memory to match."))
+      ).cast("timestamp")).otherwise(col("__mn"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(guardedMn, col("__mx"),
+        expr(s"interval $stepSeconds seconds"))).as(bucketCol))
+    val asc = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // micros, not seconds: the oracle's exact-BIGINT mirror is epoch_us
+    val e = unix_micros(col(bucketCol))
+    val known = when(col(valueCol).isNotNull, e)
+    val prevG = Window.partitionBy(col(keyCol), col("__runf"))
+    val nextG = Window.partitionBy(col(keyCol), col("__runb"))
+    grid.join(bars.select(col(keyCol), col(bucketCol), col(valueCol)),
+        Seq(keyCol, bucketCol), "left")
+      .withColumn("__runf", count(col(valueCol)).over(asc))
+      .withColumn("__runb", count(col(valueCol)).over(desc))
+      // each run group holds exactly one print (the row that bumped the
+      // count) — max() selects it without order dependence
+      .withColumn("__prev", max(col(valueCol)).over(prevG))
+      .withColumn("__preve", max(known).over(prevG))
+      .withColumn("__next", max(col(valueCol)).over(nextG))
+      .withColumn("__nexte", max(known).over(nextG))
+      .withColumn("lerp",
+        when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+          .when(col("__prev").isNull, col("__next").cast("double"))
+          .when(col("__next").isNull, col("__prev").cast("double"))
+          .otherwise(col("__prev") +
+            (col("__next") - col("__prev")) *
+              ((e - col("__preve")).cast("double") /
+                (col("__nexte") - col("__preve")).cast("double"))))
+      .withColumn("is_gap", col(valueCol).isNull.cast("int"))
+      .drop("__runf", "__runb", "__prev", "__preve", "__next", "__nexte")
+  }
 }

@@ -213,4 +213,55 @@ object Sampling {
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(hashUniform(col(idCol)) < col("__rate"))
   }
+
+  /** Temperature-scaled source mixing — the T5/PaLM/mT5 α-mixing recipe
+    * at α = 1/2: a source's budget share is proportional to
+    * sqrt(tokens(s)) rather than tokens(s), flattening the natural
+    * distribution so dominant sources are downsampled hard and rare
+    * sources keep (relatively) more of the budget. Same budget/clamp
+    * semantics as [[mixtureSample]]:
+    *
+    *   rate(s) = min(1, budgetFraction · T · w(s) / Σw / tokens(s)),
+    *   w(s) = floor(sqrt(tokens(s)) · 10^6)   (micro-quantized)
+    *
+    * α is FIXED at 1/2 by design, and the powered weight is quantized to
+    * integer MICRO-weights before the share normalization — both for the
+    * cross-engine determinism contract. sqrt is correctly rounded under
+    * IEEE 754 in every engine (pow(x, α) is not — a 1-ulp rate drift
+    * flips any row whose hash sits on the boundary), and Σ over
+    * irrational doubles is addition-order-dependent, so the sum runs
+    * over exact BIGINTs instead (the X8 long-micros pattern). Other
+    * temperatures need a rational-exponent construction to keep this
+    * contract; they are deliberately not offered.
+    *
+    * A zero-token source keeps everything (rate 1), matching
+    * [[mixtureSample]]'s convention — its share is vacuous either way.
+    *
+    * Scale shape: identical to [[mixtureSample]] — one |sources|-row
+    * aggregate (map-side partial), a window over that tiny frame, a
+    * broadcast join of rates back onto the corpus, a per-row hash
+    * predicate. One corpus scan, zero corpus shuffles.
+    */
+  def temperatureMixtureSample(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCount: Column,
+      budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0,1], got $budgetFraction")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val rates = df
+      .groupBy(col(sourceCol))
+      .agg(sum(tokenCount).as("__toks"))
+      .withColumn("__w",
+        floor(sqrt(col("__toks").cast("double")) * 1000000d).cast("long"))
+      .withColumn("__rate",
+        when(col("__toks") === 0L, lit(1.0)).otherwise(least(lit(1.0),
+          lit(budgetFraction) * sum(col("__toks")).over(all).cast("double")
+            * col("__w").cast("double")
+            / sum(col("__w")).over(all).cast("double")
+            / col("__toks").cast("double"))))
+      .select(col(sourceCol), col("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashUniform(col(idCol)) < col("__rate"))
+  }
 }

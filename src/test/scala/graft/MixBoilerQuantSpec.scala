@@ -80,6 +80,43 @@ class MixBoilerQuantSpec extends SparkSpec {
     assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
   }
 
+  test("temperatureMixtureSample: sqrt shares flatten the mixture; deterministic") {
+    // common is 10x rare by tokens; at alpha=1/2 its budget share is only
+    // sqrt(10)x, so its KEEP RATE must come out well below rare's
+    val docs = (0 until 2200).map { i =>
+      val src = if (i % 11 == 0) "rare" else "common"
+      (i.toLong, src, "tok " * 10)
+    }.toDF("doc_id", "source", "text")
+    val tok = graft.llmops.TextAnalysis.tokenCount(col("text")).cast("long")
+    val out = Sampling.temperatureMixtureSample(docs, "doc_id", "source", tok, 0.3)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rareRate = bySrc("rare").toDouble / 200
+    val commonRate = bySrc("common").toDouble / 2000
+    // closed form: T=22000, w ∝ sqrt(toks); rate(rare) ≈ min(1, .3*22000*sqrt(2000)
+    //   /(sqrt(2000)+sqrt(20000))/2000) ≈ .79; rate(common) ≈ .25
+    assert(rareRate > commonRate * 2, s"rare $rareRate vs common $commonRate")
+    assert(rareRate > 0.6 && rareRate < 1.0, rareRate)
+    assert(commonRate > 0.15 && commonRate < 0.4, commonRate)
+    // deterministic: identical sample on re-evaluation
+    val again = Sampling.temperatureMixtureSample(docs, "doc_id", "source", tok, 0.3)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
+  }
+
+  test("temperatureMixtureSample: zero-token source kept whole under ANSI") {
+    val docs = Seq(
+      (1L, "empty", ""), (2L, "empty", ""),
+      (3L, "full", "a b c d e f g h"), (4L, "full", "a b c d e f g h")
+    ).toDF("doc_id", "source", "text")
+    val tok = graft.llmops.TextAnalysis.tokenCount(col("text")).cast("long")
+    val out = Sampling.temperatureMixtureSample(docs, "doc_id", "source", tok, 1.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("empty") === 2)   // rate 1 by convention, not a div-by-zero
+    assert(bySrc.getOrElse("full", 0L) === 2)  // budget 1.0 -> keep all
+  }
+
   test("fuzzyMatchPairs: blocked edit-distance linkage finds typos, respects blocks") {
     val recs = Seq(
       (1L, "jon smith", "b1"),

@@ -151,6 +151,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("coarser step"), e.getMessage)
   }
 
+  test("resampleLinear: holes carry the straight line between the surrounding prints") {
+    val bars = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      // 10:05 and 10:10 missing — double-width hole, lerp 2.0 then 3.0
+      ("A", ts("2024-01-01 10:15:00"), 4.0),
+      ("A", ts("2024-01-01 10:20:00"), 5.0),
+      ("B", ts("2024-01-01 09:00:00"), 7.0)   // single bar: 1-slot grid
+    ).toDF("key", "bucket_start", "close")
+    val out = TimeSeries.resampleLinear(bars, "key", "bucket_start", "close", 300L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) -> r).toMap
+    assert(out.size === 6)                               // 5 A slots + 1 B slot
+    assert(out(("A", "2024-01-01 10:05:00.0")).getAs[Double]("lerp") === 2.0)
+    assert(out(("A", "2024-01-01 10:10:00.0")).getAs[Double]("lerp") === 3.0)
+    assert(out(("A", "2024-01-01 10:05:00.0")).getAs[Int]("is_gap") === 1)
+    // observed rows pass through unchanged
+    assert(out(("A", "2024-01-01 10:00:00.0")).getAs[Double]("lerp") === 1.0)
+    assert(out(("A", "2024-01-01 10:15:00.0")).getAs[Double]("lerp") === 4.0)
+    assert(out(("B", "2024-01-01 09:00:00.0")).getAs[Double]("lerp") === 7.0)
+  }
+
+  test("resampleLinear: null-valued prints fall back to the nearest known edge") {
+    // a null VALUE inside the bar frame exercises the edge branches the
+    // self-contained bounds otherwise make unreachable (grid min/max
+    // always hold a bar, but that bar's value may be null)
+    val bars = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Option.empty[Double]),  // leading null
+      ("A", ts("2024-01-01 10:05:00"), Some(2.0)),
+      ("A", ts("2024-01-01 10:15:00"), Some(4.0)),
+      ("A", ts("2024-01-01 10:20:00"), Option.empty[Double])   // trailing null
+    ).toDF("key", "bucket_start", "close")
+    val out = TimeSeries.resampleLinear(bars, "key", "bucket_start", "close", 300L)
+      .collect().map(r => r.getTimestamp(1).toString -> r).toMap
+    assert(out("2024-01-01 10:00:00.0").getAs[Double]("lerp") === 2.0)  // bfill edge
+    assert(out("2024-01-01 10:10:00.0").getAs[Double]("lerp") === 3.0)  // interior lerp
+    assert(out("2024-01-01 10:20:00.0").getAs[Double]("lerp") === 4.0)  // ffill edge
+    assert(out("2024-01-01 10:00:00.0").getAs[Int]("is_gap") === 1)
+  }
+
   test("resampleFfill: holes filled from the latest earlier bar, grid complete per key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val bars = Seq(
