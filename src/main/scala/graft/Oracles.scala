@@ -2383,5 +2383,62 @@ GROUP BY t.source""",
 SELECT fold, CAST(n_test AS BIGINT) AS n_test, CAST(n_purged AS BIGINT) AS n_purged,
   CAST(tot - n_test - n_purged AS BIGINT) AS n_train
 FROM p""",
+
+    // walk-forward splits: same slice/embargo arithmetic as q143; train
+    // is the running total of earlier slices minus the previous slice's
+    // embargo tail; slice 0 never tests
+    "q144_walk_forward" ->
+      """WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+), f AS (
+  SELECT
+    CAST(LEAST(floor(CAST(epoch_us(ts) - mn AS DOUBLE) * 5 / CAST(mx - mn + 1 AS DOUBLE)), 4) AS INT) AS fold,
+    CAST(LEAST(floor(CAST(epoch_us(ts) + 86400000000 - mn AS DOUBLE) * 5 / CAST(mx - mn + 1 AS DOUBLE)), 4) AS INT) AS fhi
+  FROM events, b
+), agg AS (
+  SELECT fold, count(*) AS n_test,
+    CAST(sum(CASE WHEN fhi > fold AND fold < 4 THEN 1 ELSE 0 END) AS BIGINT) AS nhi
+  FROM f GROUP BY fold
+), spine AS (
+  SELECT CAST(unnest(range(5)) AS INT) AS fold
+), sj AS (
+  SELECT s.fold, COALESCE(a.n_test, 0) AS n_test, COALESCE(a.nhi, 0) AS nhi
+  FROM spine s LEFT JOIN agg a ON s.fold = a.fold
+), p AS (
+  SELECT fold, n_test,
+    CAST(COALESCE(sum(n_test) OVER (ORDER BY fold
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+    COALESCE(lag(nhi) OVER (ORDER BY fold), 0) AS n_purged
+  FROM sj
+)
+SELECT fold, CAST(n_test AS BIGINT) AS n_test, CAST(n_purged AS BIGINT) AS n_purged,
+  CAST(cum - n_purged AS BIGINT) AS n_train
+FROM p WHERE fold >= 1""",
+
+    // underwater spells: running peak, spell id = count of at-peak rows
+    // so far (a refreshed peak opens a new spell; reaching the prior
+    // peak counts as recovery), per-spell underwater length and depth,
+    // then the per-series risk summary
+    "q145_underwater" ->
+      """WITH pk AS (
+  SELECT user_id, ts, event_id, value,
+    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM events WHERE value > 0
+), sp AS (
+  SELECT user_id, value, peak,
+    sum(CASE WHEN value = peak THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spell,
+    CAST(value < peak AS BIGINT) AS uw
+  FROM pk
+), g AS (
+  SELECT user_id, spell, CAST(sum(uw) AS BIGINT) AS uw_len,
+    min(value / peak - 1.0) AS depth
+  FROM sp GROUP BY 1, 2
+)
+SELECT user_id, count(CASE WHEN uw_len > 0 THEN 1 END) AS n_spells,
+  CAST(max(uw_len) AS BIGINT) AS max_underwater,
+  floor(min(depth) * 1000000 + 0.5) / 1000000 AS max_drawdown
+FROM g GROUP BY user_id""",
   )
 }

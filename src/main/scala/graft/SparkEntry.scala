@@ -906,6 +906,26 @@ object SparkEntry {
     graft.analytics.Validation.purgedTimeFolds(
       t(s, dir, "events"), "ts", k = 5, embargoSeconds = 86400L)
 
+  /** X18+ twin: WALK-FORWARD (anchored expanding-window) splits — fold f
+    * tests on slice f and trains on everything strictly before, minus
+    * the one-sided embargo tail; the other standard backtest protocol
+    * next to q143's purged k-fold. Slice 0 only trains → k−1 rows.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Validation.walkForwardFolds(
+      t(s, dir, "events"), "ts", k = 5, embargoSeconds = 86400L)
+
+  /** W5+ risk composite: underwater (drawdown-spell) statistics per
+    * series — spell count, longest recovery in rows, deepest trough;
+    * the recovery-TIME view q77's depth-only max drawdown misses. Two
+    * windows riding one (user, time) sort, then two co-partitioned
+    * aggregates — a single exchange.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.underwaterSpells(
+      t(s, dir, "events").filter(col("value") > 0),
+      "value", Seq("user_id"), Seq("ts", "event_id"))
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2136,6 +2156,8 @@ object SparkEntry {
     "q141_resample_linear" -> (q141 _),
     "q142_temperature_mix" -> (q142 _),
     "q143_purged_folds" -> (q143 _),
+    "q144_walk_forward" -> (q144 _),
+    "q145_underwater" -> (q145 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

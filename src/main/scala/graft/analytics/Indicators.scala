@@ -80,6 +80,45 @@ object Indicators {
         sr6(max(col("__peak"))).as("peak"))
   }
 
+  /** Underwater (drawdown-spell) statistics — the recovery-TIME view
+    * [[maxDrawdown]]'s depth-only summary misses: a spell opens when the
+    * running peak is refreshed and collects the rows strictly below that
+    * peak until the series recovers to it (ties with the prior peak count
+    * as recovery). Output per partition:
+    *   - `n_spells`: completed-or-open spells with ≥1 underwater row,
+    *   - `max_underwater`: the longest spell in ROWS (bars), the
+    *     "longest time to recover" statistic,
+    *   - `max_drawdown`: deepest relative trough (q77's metric, repeated
+    *     here so one call serves a risk report).
+    *
+    * Scale shape: two window expressions over ONE (partition, order)
+    * sort, then two hash aggregates that reuse the window's partitioning
+    * (clustered on partition ⊆ both group keys) — a single exchange
+    * total.
+    */
+  def underwaterSpells(
+      df: DataFrame, valueCol: String, partition: Seq[String],
+      order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol)
+    df.withColumn("__peak", max(v).over(w))
+      // spell id = how many at-peak rows precede (incl. this one): a row
+      // AT the running peak opens/continues the recovered state, so each
+      // refreshed peak starts a new spell for the rows under it
+      .withColumn("__spell",
+        sum(when(v === col("__peak"), 1L).otherwise(0L)).over(w))
+      .withColumn("__uw", (v < col("__peak")).cast("long"))
+      .groupBy((partition.map(col) :+ col("__spell")): _*)
+      .agg(sum(col("__uw")).as("__uw_len"),
+        min(v / col("__peak") - 1.0).as("__depth"))
+      .groupBy(partition.map(col): _*)
+      .agg(
+        count(when(col("__uw_len") > 0L, 1L)).as("n_spells"),
+        max(col("__uw_len")).as("max_underwater"),
+        sr6(min(col("__depth"))).as("max_drawdown"))
+  }
+
   /** Bollinger bands over the trailing `n` rows: SMA center line ±
     * `width` sample standard deviations, plus %B (where the value sits in
     * the band, 0 = lower, 1 = upper). Rows with an undefined band

@@ -49,6 +49,51 @@ object Validation {
     */
   def purgedTimeFolds(
       df: DataFrame, tsCol: String, k: Int, embargoSeconds: Long): DataFrame = {
+    val ord = Window.orderBy(col("fold"))
+    val all = Window.partitionBy()
+    sliceCounts(df, tsCol, k, embargoSeconds, "purgedTimeFolds")
+      .withColumn("__tot", sum(col("n_test")).over(all))
+      .withColumn("n_purged",
+        coalesce(lag(col("__nhi"), 1).over(ord), lit(0L)) +
+          coalesce(lead(col("__nlo"), 1).over(ord), lit(0L)))
+      .withColumn("n_train", col("__tot") - col("n_test") - col("n_purged"))
+      .select(col("fold"), col("n_test"), col("n_purged"), col("n_train"))
+  }
+
+  /** Walk-forward (anchored expanding-window) splits — the OTHER standard
+    * backtest protocol: fold f (1..k-1) tests on slice f and trains on
+    * everything strictly BEFORE it, minus the embargo tail of slice f−1
+    * (the same leakage channel [[purgedTimeFolds]] purges, one-sided
+    * here because the future is never trained on at all). Slice 0 only
+    * ever trains, so k slices yield k−1 rows:
+    * (fold, n_test, n_purged, n_train) with n_train + n_purged = all
+    * rows before the test slice.
+    *
+    * Same determinism contract, guard, and one-scan scale shape as
+    * [[purgedTimeFolds]].
+    */
+  def walkForwardFolds(
+      df: DataFrame, tsCol: String, k: Int, embargoSeconds: Long): DataFrame = {
+    val ord = Window.orderBy(col("fold"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    sliceCounts(df, tsCol, k, embargoSeconds, "walkForwardFolds")
+      .withColumn("__cum", coalesce(sum(col("n_test")).over(before), lit(0L)))
+      .withColumn("n_purged", coalesce(lag(col("__nhi"), 1).over(ord), lit(0L)))
+      .withColumn("n_train", col("__cum") - col("n_purged"))
+      .filter(col("fold") >= 1)
+      .select(col("fold"), col("n_test"), col("n_purged"), col("n_train"))
+  }
+
+  /** Shared slice machinery: per-slice row counts plus the two embargo
+    * boundary flags, joined onto a k-row spine (an empty middle slice
+    * must not shift the fold window arithmetic). Output:
+    * (fold, n_test, __nhi, __nlo) — __nhi rows sit within the embargo
+    * BEFORE the next boundary, __nlo within the embargo AFTER the
+    * previous one.
+    */
+  private def sliceCounts(
+      df: DataFrame, tsCol: String, k: Int, embargoSeconds: Long,
+      op: String): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(embargoSeconds >= 0, s"embargoSeconds must be >= 0, got $embargoSeconds")
     val embargoUs = embargoSeconds * 1000000L
@@ -59,7 +104,7 @@ object Validation {
     val bounds = bounds0.select(
       when(lit(k.toLong) * (embargoUs + 1L) > spanL,
         raise_error(concat(
-          lit(s"purgedTimeFolds: embargo ($embargoSeconds s) is not smaller than a "),
+          lit(s"$op: embargo ($embargoSeconds s) is not smaller than a "),
           lit(s"fold's width (span "), spanL.cast("string"),
           lit(s" us / k=$k) — purged rows two folds away would be silently " +
             "counted as training data. Use fewer folds or a shorter embargo."))))
@@ -80,20 +125,11 @@ object Validation {
       .groupBy(col("fold"))
       .agg(count(lit(1)).as("n_test"), sum(col("__hi")).as("__nhi"),
         sum(col("__lo")).as("__nlo"))
-    // k-row spine so an empty middle fold cannot shift the lag/lead
     val spine = df.sparkSession.range(k).select(col("id").cast("int").as("fold"))
-    val ord = Window.orderBy(col("fold"))
-    val all = Window.partitionBy()
     spine.join(perFold, Seq("fold"), "left")
       .select(col("fold"),
         coalesce(col("n_test"), lit(0L)).as("n_test"),
         coalesce(col("__nhi"), lit(0L)).as("__nhi"),
         coalesce(col("__nlo"), lit(0L)).as("__nlo"))
-      .withColumn("__tot", sum(col("n_test")).over(all))
-      .withColumn("n_purged",
-        coalesce(lag(col("__nhi"), 1).over(ord), lit(0L)) +
-          coalesce(lead(col("__nlo"), 1).over(ord), lit(0L)))
-      .withColumn("n_train", col("__tot") - col("n_test") - col("n_purged"))
-      .select(col("fold"), col("n_test"), col("n_purged"), col("n_train"))
   }
 }

@@ -54,7 +54,9 @@ object DumpPlans {
       "q132_chunk_pack" -> "chunk->pack: text projected away before the packer's single shard-window exchange; bins aggregated over (shard, bin)",
       "q133_lsh_autosized_recall" -> "auto-sized LSH recall gate: sizing-derived (planes, tables) candidates full-outer-joined once against the exact pair set, one verdict aggregate (q41's pattern at the corpus-path parameters)",
       "q135_leakage_safe_split" -> "leakage-safe split: CC fixpoint over the (tiny) pair graph, ONE join back to the id universe, split = md5-uniform of the group id in the same projection — the corpus never shuffles",
-      "q137_token_ids" -> "token-id encode: native VocabEncodeExpr hash probe over the plan-literal vocab inside one codegen scan — the encode stage has zero exchanges; only the vocab build aggregates")
+      "q137_token_ids" -> "token-id encode: native VocabEncodeExpr hash probe over the plan-literal vocab inside one codegen scan — the encode stage has zero exchanges; only the vocab build aggregates",
+      "q141_resample_linear" -> "linear-interp resample: run-group neighbor lookup BOTH ways (4 linear sorts, no moving unboundedFollowing frame — that plans O(grid²) per key); 2 agg exchanges + 1 broadcast, grid bounded by span/step",
+      "q143_purged_folds" -> "purged k-fold: 1-row bounds broadcast-cross onto the corpus, three codegen fold exprs, partial-count hash agg to k rows, lag/lead over the k-row spine — the corpus never shuffles")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")

@@ -43,6 +43,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.getAs[Double]("peak") === 20.0)
   }
 
+  test("underwaterSpells: spell opens under a refreshed peak, recovery at the prior peak closes it") {
+    // 10, 8, 9, 10, 12, 11, 12, 13: spell under peak 10 lasts 2 rows
+    // (depth -0.2), recovery at the tie; spell under peak 12 lasts 1 row
+    val out = Indicators.underwaterSpells(
+      series(10, 8, 9, 10, 12, 11, 12, 13), "px", Seq("sym"), Seq("seq"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_spells") === 2)
+    assert(out.head.getAs[Long]("max_underwater") === 2)
+    assert(out.head.getAs[Double]("max_drawdown") === -0.2)
+  }
+
+  test("underwaterSpells: monotone series never goes underwater") {
+    val out = Indicators.underwaterSpells(
+      series(1, 2, 3, 4), "px", Seq("sym"), Seq("seq")).collect()
+    assert(out.head.getAs[Long]("n_spells") === 0)
+    assert(out.head.getAs[Long]("max_underwater") === 0)
+    assert(out.head.getAs[Double]("max_drawdown") === 0.0)
+  }
+
   test("bollinger: value at mean has pct_b 0.5; constant window nulls pct_b") {
     val out = Indicators.bollinger(series(1, 3, 2), "px", Seq("sym"), Seq("seq"), 3)
       .orderBy("seq").collect()

@@ -250,4 +250,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the id universe must not shuffle for the label join:\n$plan")
   }
+
+  test("q141 linear resample: no moving unboundedFollowing frame (O(grid²) per key)") {
+    val plan = planOf("q141_resample_linear")
+    // the next-print lookup must come from the DESC run-group trick —
+    // a (currentRow, unboundedFollowing) frame re-aggregates the
+    // remaining frame for every row (UnboundedFollowingWindowFunctionFrame)
+    assert(!plan.contains("currentrow$(), unboundedfollowing$()"),
+      s"forward-looking moving frame leaked into the plan:\n$plan")
+    // two aggregate shuffles (bounds + bars) and one broadcast — nothing else
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 3, s"expected <=3 exchanges (2 agg + 1 broadcast), saw $exchanges:\n$plan")
+    // asc run, desc run, and one (key, run)-group sort per direction
+    val sorts = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Sort .*"""))
+    assert(sorts <= 4, s"neighbor lookups should ride 4 linear sorts, saw $sorts:\n$plan")
+  }
+
+  test("q142 temperature mix: per-source rates broadcast, corpus never shuffles pre-filter") {
+    val plan = planOf("q142_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"rates frame should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rates join must not sort-merge:\n$plan")
+  }
+
+  test("q143 purged folds: bounds broadcast onto the scan, fold counts partial map-side") {
+    val plan = planOf("q143_purged_folds")
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Cross"),
+      s"the 1-row bounds frame should broadcast-cross onto the corpus:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-fold counts should partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in this plan justifies a sort-merge join:\n$plan")
+  }
 }
