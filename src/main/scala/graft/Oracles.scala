@@ -2440,5 +2440,38 @@ SELECT user_id, count(CASE WHEN uw_len > 0 THEN 1 END) AS n_spells,
   CAST(max(uw_len) AS BIGINT) AS max_underwater,
   floor(min(depth) * 1000000 + 0.5) / 1000000 AS max_drawdown
 FROM g GROUP BY user_id""",
+
+    // interpolated bigram surprisal: Jelinek-Mercer λ=0.75 over adjacent
+    // token pairs; bigram/context/unigram tables from the same corpus
+    // (self-computed form — every pair in-vocabulary), surprisal rounded
+    // with the sr6 floor
+    "q146_bigram_surprisal" ->
+      """WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), pr AS (
+  SELECT doc_id, t[i] AS v, t[i+1] AS w
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+), bg AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS cbw FROM pr GROUP BY 1, 2
+), cx AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cv FROM pr GROUP BY 1
+), ug AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM ug
+)
+SELECT p.doc_id, count(*) AS n_bigrams,
+  floor(avg(-ln(0.75 * (CAST(b.cbw AS DOUBLE) / CAST(c.cv AS DOUBLE))
+      + 0.25 * CAST(u.c AS DOUBLE) / CAST(tot.t AS DOUBLE))) * 1000000 + 0.5) / 1000000
+    AS surprisal
+FROM pr p
+JOIN bg b ON p.v = b.v AND p.w = b.w
+JOIN cx c ON p.v = c.v
+JOIN ug u ON p.w = u.tok
+CROSS JOIN tot
+GROUP BY p.doc_id""",
   )
 }

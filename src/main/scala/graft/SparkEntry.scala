@@ -926,6 +926,14 @@ object SparkEntry {
       t(s, dir, "events").filter(col("value") > 0),
       "value", Seq("user_id"), Seq("ts", "event_id"))
 
+  /** X4+ depth: interpolated BIGRAM surprisal — q92's unigram filter
+    * upgraded to sequences (Jelinek–Mercer λ=0.75): shuffled word salad
+    * now scores high even when every WORD is common. Map-only pair
+    * expansion, three corpus-aggregate tables broadcast back.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2158,6 +2166,7 @@ object SparkEntry {
     "q143_purged_folds" -> (q143 _),
     "q144_walk_forward" -> (q144 _),
     "q145_underwater" -> (q145 _),
+    "q146_bigram_surprisal" -> (q146 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

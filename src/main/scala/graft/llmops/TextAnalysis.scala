@@ -275,6 +275,70 @@ object TextAnalysis {
       maxBroadcastVocab: Long): org.apache.spark.sql.DataFrame =
     unigramSurprisal(df, idCol, textCol, vocab, maxBroadcastVocab, 1.0)
 
+  /** Interpolated BIGRAM-LM surprisal per document — the two-gram upgrade
+    * of [[unigramSurprisal]] (Jelinek–Mercer interpolation, the classic
+    * n-gram smoothing): each adjacent token pair (v, w) scores
+    *
+    *   p = λ·c(v,w)/c(v,·) + (1−λ)·c(w)/T
+    *
+    * so a document of corpus-typical SEQUENCES (not just typical words)
+    * scores low — the signal that separates shuffled word salad from
+    * fluent text, which the unigram model cannot see. λ is fixed at a
+    * dyadic 0.75 (exact in doubles, bit-portable cross-engine). In this
+    * self-computed form every pair is in-vocabulary by construction; the
+    * coalesces only engage under a future precomputed-tables overload
+    * (OOV context → conditional term 0, OOV word → add-one floor).
+    * Documents with fewer than two tokens have no bigrams and are absent
+    * from the output, by construction in both engines.
+    *
+    * Scale shape: the pair expansion is ARRAY-level (two slices zipped,
+    * exploded — map-only, no per-doc window and the token array is NOT
+    * carried through the generator output); the bigram/context/unigram
+    * tables are corpus aggregates joined back — broadcast while the
+    * corpus token total (a conservative bound on every table's size,
+    * known from the one driver probe) is within `maxBroadcastVocab`,
+    * hash joins beyond. Lineage stays intact; at corpus scale precompute
+    * the three tables once under the caller's lifecycle (the
+    * [[unigramVocab]] artifact-reuse contract).
+    */
+  def bigramSurprisal(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75,
+      maxBroadcastVocab: Long = 10000000L): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val tk = tokens(col(textCol))
+    // ANSI: element_at over sequence(1, size-1) needs size >= 2 (a
+    // 1-token doc would generate the DESCENDING sequence [1,0] and an
+    // invalid index error, not an empty pair list)
+    val pairs = graft.util.Partitioning.ensureParallelism(df)
+      .filter(size(tk) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i), element_at(tk, i + 1)))).as("__p"))
+      .select(col(idCol), col("__p").getField("col1").as("__v"),
+        col("__p").getField("col2").as("__w"))
+    val bigrams = pairs.groupBy(col("__v"), col("__w")).agg(count(lit(1)).as("__cbw"))
+    val contexts = pairs.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val vocab = unigramVocab(df, textCol)
+      .select(col("tok").as("__w"), col("c").as("__c"))
+    val probe = vocab.agg(count(lit(1)).as("n"), sum(col("__c")).as("t")).head()
+    val total = if (probe.isNullAt(1)) 1L else probe.getLong(1)
+    // T bounds |bigrams|, |contexts|, |vocab| — one probe sizes all three
+    def side(t: org.apache.spark.sql.DataFrame) =
+      if (total <= maxBroadcastVocab) broadcast(t) else t
+    val p = lit(lambda) *
+      coalesce(col("__cbw").cast("double") / col("__cv").cast("double"), lit(0.0)) +
+      lit(1.0 - lambda) * coalesce(col("__c").cast("double"), lit(1.0)) /
+        lit(total.toDouble)
+    pairs
+      .join(side(bigrams), Seq("__v", "__w"), "left")
+      .join(side(contexts), Seq("__v"), "left")
+      .join(side(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.util.Partitioning.stableRound6(avg(-log(p))).as("surprisal"))
+  }
+
   def unigramSurprisal(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       vocab: org.apache.spark.sql.DataFrame,

@@ -10,6 +10,45 @@ import graft.llmops.{Bpe, Chunking, Dedup, Retrieval}
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- bigram surprisal ----
+
+  test("bigramSurprisal: hand-computed Jelinek-Mercer score; short docs absent") {
+    val docs = Seq(
+      (1L, "a b a b"),   // pairs (a,b)x2, (b,a)
+      (2L, "b a"),       // pair (b,a)
+      (3L, "x")          // one token: no bigrams -> absent
+    ).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2)
+    // corpus: c(a,b)=2, c(b,a)=2, c(a,.)=2, c(b,.)=2, unigrams a=3 b=3 T=7
+    // (doc 3's 'x' counts in T); every pair scores
+    // .75*(2/2) + .25*c(w)/T and both docs average the same two pair types
+    val pAB = 0.75 + 0.25 * 3.0 / 7.0
+    val expected = math.floor(-math.log(pAB) * 1e6 + 0.5) / 1e6
+    assert(out(1L).getAs[Long]("n_bigrams") === 3)
+    assert(out(2L).getAs[Long]("n_bigrams") === 1)
+    assert(out(1L).getAs[Double]("surprisal") === expected)
+    assert(out(2L).getAs[Double]("surprisal") === expected)
+  }
+
+  test("bigramSurprisal: scrambled word order scores higher than fluent repeats") {
+    val fluent = (0 until 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on sat cat the")) // same words, broken sequences
+    val out = graft.llmops.TextAnalysis.bigramSurprisal(
+      (fluent ++ salad).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("surprisal")).toMap
+    val fluentScore = out(0L)
+    assert(out(99L) > fluentScore,
+      s"salad ${out(99L)} should outscore fluent $fluentScore")
+    // every word is corpus-common — the unigram model cannot separate them
+    val uni = graft.llmops.TextAnalysis.unigramSurprisal(
+      (fluent ++ salad).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("surprisal")).toMap
+    assert(math.abs(uni(99L) - uni(0L)) < 1e-9,
+      s"unigram should be blind to order: ${uni(99L)} vs ${uni(0L)}")
+  }
+
   // ---- BM25 ----
 
   test("bm25: hand-computed score on a three-doc corpus") {
