@@ -2473,5 +2473,51 @@ JOIN cx c ON p.v = c.v
 JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
+
+    // triple-barrier labels: forward list frame, first-touch positions
+    // via list_position over the +1/-1/0 transform (0 when absent in
+    // both engines), vertical barrier -> label 0 / null touch
+    "q147_triple_barrier" ->
+      """WITH f AS (
+  SELECT event_id, user_id, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING) AS fwd
+  FROM events WHERE value > 0
+), t AS (
+  SELECT event_id, user_id,
+    COALESCE(list_position(list_transform(fwd,
+      x -> CASE WHEN x >= value * 1.25 THEN 1
+                WHEN x <= value * 0.75 THEN -1 ELSE 0 END), 1), 0) AS p1,
+    COALESCE(list_position(list_transform(fwd,
+      x -> CASE WHEN x >= value * 1.25 THEN 1
+                WHEN x <= value * 0.75 THEN -1 ELSE 0 END), -1), 0) AS pm
+  FROM f
+)
+SELECT event_id, user_id,
+  CASE WHEN p1 > 0 AND (pm = 0 OR p1 < pm) THEN 1
+       WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN -1
+       ELSE 0 END AS label,
+  CAST(CASE WHEN p1 > 0 AND (pm = 0 OR p1 < pm) THEN p1
+            WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN pm END AS BIGINT) AS t_touch
+FROM t""",
+
+    // volume bars: exclusive running volume -> bar = floor(cum/threshold)
+    // (a bar closes WITH the crossing row), OHLC via arg_min/arg_max on
+    // the event id, volume pinned with the sr6 floor
+    "q148_volume_bars" ->
+      """WITH c AS (
+  SELECT event_type, ts, event_id, value,
+    COALESCE(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumx
+  FROM events WHERE value > 0
+)
+SELECT event_type, CAST(floor(cumx / 2000.0) AS BIGINT) AS bar,
+  count(*) AS n_ticks,
+  round(arg_min(value, event_id), 4) AS open,
+  round(max(value), 4) AS high,
+  round(min(value), 4) AS low,
+  round(arg_max(value, event_id), 4) AS close,
+  floor(sum(value) * 1000000 + 0.5) / 1000000 AS volume
+FROM c GROUP BY 1, 2""",
   )
 }

@@ -934,6 +934,34 @@ object SparkEntry {
   private def q146(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
 
+  /** W+/X18-adjacent labeling: TRIPLE-BARRIER labels (first touch of
+    * ±25% barriers within a 20-row horizon) — the forward-looking label
+    * construction q143/q144's purging exists to protect. Bounded
+    * collect_list frame, one sort, no joins.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Labeling.tripleBarrierLabels(
+      t(s, dir, "events").filter(col("value") > 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "value", Seq("user_id"), Seq("ts", "event_id"),
+      horizon = 20, up = 0.25, down = 0.25)
+      .select(col("event_id"), col("user_id"), col("label"), col("t_touch"))
+
+  /** A1+ information-driven bars: VOLUME bars — re-bar each event-type
+    * series by cumulative value instead of wall-clock (quiet periods
+    * compress, bursts expand; information-per-bar ≈ constant). One
+    * exchange: the bar aggregate reuses the running sum's partitioning.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.volumeBars(
+      t(s, dir, "events").filter(col("value") > 0),
+      "event_type", Seq("ts", "event_id"), "value", "value", "event_id",
+      threshold = 2000.0)
+      .select(col("event_type"), col("bar"), col("n_ticks"),
+        round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+        round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+        sr6(col("volume")).as("volume"))
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2167,6 +2195,8 @@ object SparkEntry {
     "q144_walk_forward" -> (q144 _),
     "q145_underwater" -> (q145 _),
     "q146_bigram_surprisal" -> (q146 _),
+    "q147_triple_barrier" -> (q147 _),
+    "q148_volume_bars" -> (q148 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -364,6 +364,45 @@ object TimeSeries {
       .drop("__run")
   }
 
+  /** A1+ information-driven bars: re-bar a series by cumulative VOLUME
+    * instead of wall-clock (volume bars — López de Prado ch. 2, public
+    * methodology; with volume = price·qty these are dollar bars). Time
+    * bars oversample quiet periods and undersample bursts; volume bars
+    * hold information-per-bar roughly constant, which is what downstream
+    * indicators assume. A row joins bar `floor(cumExclusive / threshold)`
+    * — the bar its PRE-row cumulative lands in, so a bar closes with the
+    * row that crosses the threshold (each bar's volume is ≥ threshold
+    * except the final partial bar).
+    *
+    * Determinism contract: the running sum is evaluated in (order)
+    * sequence — the same addition order in any engine — and the bar id
+    * is one floor-division of that identical double; OHLC first/last use
+    * min_by/max_by on `seqCol` (the [[candles]] rule), never
+    * order-dependent first()/last().
+    *
+    * Scale shape: one (key, order) sort for the running sum; the bar
+    * aggregate reuses the window's key partitioning (clustered on key ⊆
+    * (key, bar)) — a single exchange end to end.
+    */
+  def volumeBars(
+      df: DataFrame, keyCol: String, order: Seq[String], priceCol: String,
+      volumeCol: String, seqCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(col(keyCol)).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__bar",
+        floor(coalesce(sum(col(volumeCol)).over(w), lit(0.0)) / lit(threshold))
+          .cast("long"))
+      .groupBy(col(keyCol), col("__bar").as("bar"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min_by(col(priceCol), col(seqCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(seqCol)).as("close"),
+        sum(col(volumeCol)).as("volume"))
+  }
+
   /** A1+: fixed-cadence resample with LINEAR interpolation — the other
     * half of the gap-filling pair ([[resampleFfill]] carries the last
     * print forward; this draws the straight line between the surrounding

@@ -151,6 +151,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("coarser step"), e.getMessage)
   }
 
+  test("volumeBars: a bar closes with the crossing row; OHLC by seq; partial tail bar kept") {
+    val ticks = Seq(
+      (1L, "A", 5.0), (2L, "A", 4.0), (3L, "A", 3.0),  // cumExcl 0,5,9 -> bar 0
+      (4L, "A", 6.0), (5L, "A", 2.0)                   // cumExcl 12,18 -> bar 1
+    ).toDF("seq", "sym", "v")
+    val out = TimeSeries.volumeBars(ticks, "sym", Seq("seq"), "v", "v", "seq", 10.0)
+      .collect().map(r => r.getAs[Long]("bar") -> r).toMap
+    assert(out.size === 2)
+    assert(out(0L).getAs[Long]("n_ticks") === 3)
+    assert(out(0L).getAs[Double]("open") === 5.0)
+    assert(out(0L).getAs[Double]("close") === 3.0)
+    assert(out(0L).getAs[Double]("volume") === 12.0)   // >= threshold: closed by row 3
+    assert(out(1L).getAs[Long]("n_ticks") === 2)
+    assert(out(1L).getAs[Double]("open") === 6.0)
+    assert(out(1L).getAs[Double]("low") === 2.0)
+    assert(out(1L).getAs[Double]("volume") === 8.0)    // partial final bar
+  }
+
   test("resampleLinear: holes carry the straight line between the surrounding prints") {
     val bars = Seq(
       ("A", ts("2024-01-01 10:00:00"), 1.0),
