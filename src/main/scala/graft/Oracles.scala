@@ -204,6 +204,23 @@ FROM s3"""
   // handling, rounding) lands in both oracles or neither. Dyadic 0.5^j
   // weights have exact short decimal renderings, so the string-cast
   // form is value-identical to the bare-CAST form it replaces.
+  // fractional differentiation: the weight recursion runs ONCE in
+  // driver doubles (Indicators.fracDiffWeights — the same values the
+  // Spark plan carries as literals) and lands here via the
+  // string-cast parse, so each lag term is bit-identical cross-engine;
+  // a null lag (series head) nulls the whole sum in both engines
+  private val q149FracDiffSql: String = {
+    val terms = graft.analytics.Indicators.fracDiffWeights(0.4, 10).zipWithIndex.map {
+      case (wk, k) =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"CAST('$wk' AS DOUBLE) * $x"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id,
+  floor(($terms) * 1000000 + 0.5) / 1000000 AS fd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+  }
+
   private val q83EwmaSql: String =
     s"""SELECT event_id, user_id,
   ${ewmaSqlExpr("value", 0.5, 10)} AS ewma
@@ -1903,6 +1920,8 @@ FROM g GROUP BY user_id""",
     // left-to-right summation order; alpha = 0.5 makes every weight an
     // exact dyadic rational, so both engines compute bit-equal doubles
     "q83_ewma" -> q83EwmaSql,
+
+    "q149_fracdiff" -> q149FracDiffSql,
 
     "q84_winsorize" ->
       """WITH b AS (

@@ -962,6 +962,17 @@ object SparkEntry {
         round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
         sr6(col("volume")).as("volume"))
 
+  /** W1+ quant feature: fixed-window FRACTIONAL differentiation at
+    * d=0.4 over 10 lags — stationarity without throwing away the level
+    * (returns do). Ten literal-weighted lag terms in one Window node,
+    * q83's plan shape; series heads (incomplete window) are null.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.fracDiff(
+      t(s, dir, "events"), "value", "fd", Seq("user_id"), Seq("ts", "event_id"),
+      d = 0.4, window = 10)
+      .select(col("event_id"), col("user_id"), col("fd"))
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2197,6 +2208,7 @@ object SparkEntry {
     "q146_bigram_surprisal" -> (q146 _),
     "q147_triple_barrier" -> (q147 _),
     "q148_volume_bars" -> (q148 _),
+    "q149_fracdiff" -> (q149 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

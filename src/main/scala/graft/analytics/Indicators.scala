@@ -177,6 +177,49 @@ object Indicators {
       when(col(valueCol).isNull, lit(null).cast("double")).otherwise(sr6(num / den)))
   }
 
+  /** Fixed-window FRACTIONAL differentiation (López de Prado ch. 5,
+    * public methodology): x̃_t = Σ_{k<window} w_k·x_{t−k} with the
+    * binomial-series weights of (1−B)^d —
+    *
+    *   w_0 = 1,  w_k = −w_{k−1}·(d−k+1)/k
+    *
+    * d ∈ (0,1) interpolates between the raw series (d=0, full memory,
+    * non-stationary) and first differences (d=1, stationary, memoryless)
+    * — the feature-engineering answer to "returns throw away the level".
+    * Fixed-window form: the first `window−1` rows of each series have an
+    * incomplete weight window and emit null (a null lag nulls the whole
+    * sum — SQL null propagation is the contract in both engines, no CASE
+    * scaffolding needed).
+    *
+    * Determinism contract: weights are computed once in driver doubles
+    * and ride into the plan as literals; the oracle states them as
+    * `CAST('<toString>' AS DOUBLE)` (string→double parse is correctly
+    * rounded — the q103 EWMA pattern), so each term is bit-identical.
+    *
+    * Scale shape: `window` lag terms in ONE Window node over one
+    * (partition, order) sort — q83's EWMA plan with different weights.
+    */
+  def fracDiff(
+      df: DataFrame, valueCol: String, out: String,
+      partition: Seq[String], order: Seq[String],
+      d: Double, window: Int): DataFrame = {
+    require(d > 0 && d < 1, s"d must be in (0,1), got $d")
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val weights = fracDiffWeights(d, window)
+    val sum = weights.zipWithIndex.map { case (wk, k) =>
+      val x = if (k == 0) col(valueCol) else lag(col(valueCol), k).over(w)
+      lit(wk) * x
+    }.reduce(_ + _)
+    df.withColumn(out, sr6(sum))
+  }
+
+  /** The (1−B)^d binomial weights, w_0..w_{window−1} — exposed so the
+    * oracle generator states the identical driver-computed doubles.
+    */
+  def fracDiffWeights(d: Double, window: Int): Seq[Double] =
+    (1 until window).scanLeft(1.0) { (prev, k) => -prev * (d - k + 1) / k }
+
   /** Rolling trend strength: Pearson correlation between the value and
     * its time RANK over the trailing `n` rows — +1 on a steady climb,
     * -1 on a steady fall, ~0 chopping sideways (the "correlation

@@ -233,4 +233,85 @@ object StatefulOps {
           }
       }
   }
+
+  // ---- Running peak / drawdown spells: q145's risk stats, streaming ----
+
+  final case class DrawdownState(
+      peak: Double, maxDrawdown: Double,
+      curUnderwater: Long, maxUnderwater: Long, nSpells: Long,
+      inSpell: Boolean, n: Long)
+
+  final case class DrawdownSnapshot(
+      ticker: String, peak: Double, maxDrawdown: Double,
+      maxUnderwater: Long, nSpells: Long, n: Long)
+
+  /** Fold ticks into the running underwater-spell state — the O(1)-per-
+    * tick streaming form of [[graft.analytics.Indicators.underwaterSpells]]
+    * (a batch window needs the whole series; the state needs ~48 bytes):
+    * a tick at or above the running peak refreshes it and closes any open
+    * spell; a tick below deepens the current spell (opening one if
+    * needed), tracking longest spell and deepest relative trough. Same
+    * in-batch tie discipline as [[emaFold]].
+    */
+  private[streaming] def drawdownFold(
+      st: Option[DrawdownState], ticks: Seq[TickerTick]): Option[DrawdownState] = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    sorted.foldLeft(st) { (acc, t) =>
+      val p = t.price.toDouble
+      acc match {
+        case None =>
+          Some(DrawdownState(p, 0.0, 0L, 0L, 0L, inSpell = false, 1L))
+        case Some(s) if p >= s.peak =>
+          Some(s.copy(peak = p, curUnderwater = 0L, inSpell = false, n = s.n + 1))
+        case Some(s) =>
+          val cur = s.curUnderwater + 1
+          Some(s.copy(
+            maxDrawdown = math.min(s.maxDrawdown, p / s.peak - 1.0),
+            curUnderwater = cur,
+            maxUnderwater = math.max(s.maxUnderwater, cur),
+            nSpells = s.nSpells + (if (s.inSpell) 0L else 1L),
+            inSpell = true, n = s.n + 1))
+      }
+    }
+  }
+
+  /** Streaming per-ticker underwater/drawdown monitor: one snapshot per
+    * key per micro-batch. Same state/timeout discipline as
+    * [[runningOhlc]].
+    */
+  def runningDrawdown(
+      ticks: Dataset[TickerTick],
+      idleTimeoutMs: Option[Long] = None): Dataset[DrawdownSnapshot] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[DrawdownState, DrawdownSnapshot](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[DrawdownState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val updated = drawdownFold(state.getOption, it.toSeq)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            updated.map(s => DrawdownSnapshot(
+              ticker, s.peak, s.maxDrawdown, s.maxUnderwater, s.nSpells, s.n)).iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[runningDrawdown]] for verification. */
+  def runningDrawdownBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick]): Dataset[DrawdownSnapshot] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .mapGroups { (ticker, it) =>
+        val s = drawdownFold(None, it.toSeq).get
+        DrawdownSnapshot(ticker, s.peak, s.maxDrawdown, s.maxUnderwater, s.nSpells, s.n)
+      }
+  }
 }

@@ -63,6 +63,20 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("max_drawdown") === 0.0)
   }
 
+  test("fracDiff: binomial weights exact for dyadic d; constant series scales by the weight sum") {
+    // d=0.5, window=4: w = 1, -1/2, -1/8, -1/16 (all dyadic -> exact)
+    assert(graft.analytics.Indicators.fracDiffWeights(0.5, 4) ===
+      Seq(1.0, -0.5, -0.125, -0.0625))
+    val out = graft.analytics.Indicators.fracDiff(
+        series(8, 8, 8, 8, 8, 8), "px", "fd", Seq("sym"), Seq("seq"),
+        d = 0.5, window = 4)
+      .orderBy("seq").select("fd").collect()
+    // incomplete windows (first 3 rows) are null — fixed-window contract
+    assert((0 until 3).forall(out(_).isNullAt(0)))
+    // full windows: 8 * (1 - 1/2 - 1/8 - 1/16) = 8 * 0.3125 = 2.5
+    assert((3 until 6).forall(out(_).getDouble(0) === 2.5))
+  }
+
   test("bollinger: value at mean has pct_b 0.5; constant window nulls pct_b") {
     val out = Indicators.bollinger(series(1, 3, 2), "px", Seq("sym"), Seq("seq"), 3)
       .orderBy("seq").collect()

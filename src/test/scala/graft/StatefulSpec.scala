@@ -174,4 +174,47 @@ class StatefulSpec extends SparkSpec {
       assert(streaming(("b", "b")) === 1L)   // the cross-batch chain specifically
     } finally q.stop()
   }
+
+  test("streaming drawdown carries spells across micro-batches and matches q145's batch stats") {
+    import graft.streaming.StatefulOps.DrawdownSnapshot
+    implicit val sqlCtx = spark.sqlContext
+    // 10, 8, 9, 10, 12, 11, 12, 13 — the underwaterSpells hand case,
+    // split MID-SPELL so the open spell must survive the batch boundary
+    val batch1 = Seq(
+      tick("A", "2024-01-01 10:00:00", 10f, 1),
+      tick("A", "2024-01-01 10:01:00", 8f, 1))    // spell 1 opens
+    val batch2 = Seq(
+      tick("A", "2024-01-01 10:02:00", 9f, 1),    // spell 1 continues
+      tick("A", "2024-01-01 10:03:00", 10f, 1),   // recovery at the tie
+      tick("A", "2024-01-01 10:04:00", 12f, 1),
+      tick("A", "2024-01-01 10:05:00", 11f, 1),   // spell 2
+      tick("A", "2024-01-01 10:06:00", 12f, 1),
+      tick("A", "2024-01-01 10:07:00", 13f, 1))
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.runningDrawdown(mem.toDS())
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val last = spark.table("dd_out").as[DrawdownSnapshot].collect()
+        .filter(_.ticker == "A").maxBy(_.n)
+      assert(last.n === 8L)
+      assert(last.nSpells === 2L)                      // the split spell counted ONCE
+      assert(last.maxUnderwater === 2L)
+      assert(last.maxDrawdown === 8.0 / 10.0 - 1.0)    // -0.2
+      assert(last.peak === 13.0)
+      // equality with the batch window form (q145's operator)
+      val df = (batch1 ++ batch2)
+        .map(t => (t.datetime, t.ticker, t.price.toDouble))
+        .toDF("ts", "sym", "px")
+      val w = graft.analytics.Indicators.underwaterSpells(df, "px", Seq("sym"), Seq("ts"))
+        .collect().head
+      assert(w.getAs[Long]("n_spells") === last.nSpells)
+      assert(w.getAs[Long]("max_underwater") === last.maxUnderwater)
+      assert(w.getAs[Double]("max_drawdown") ===
+        math.floor(last.maxDrawdown * 1e6 + 0.5) / 1e6)
+    } finally q.stop()
+  }
 }
