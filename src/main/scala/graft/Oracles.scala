@@ -2520,6 +2520,50 @@ SELECT event_id, user_id,
             WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN pm END AS BIGINT) AS t_touch
 FROM t""",
 
+    // PSI drift: reference-fitted fixed-width bins (first time-half),
+    // edge-bin clamping for out-of-range current values, Laplace
+    // smoothing so empty bins stay finite, sr6-pinned sum
+    "q150_psi_drift" ->
+      """WITH tb AS (
+  SELECT min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx FROM events
+), m AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+    epoch_us(ts) * 2 >= tmn + tmx AS cur
+  FROM events, tb
+), bd AS (
+  SELECT event_type, min(v) AS mn, max(v) AS mx
+  FROM m WHERE NOT cur GROUP BY 1
+), binned AS (
+  SELECT m.event_type,
+    CASE WHEN bd.mx = bd.mn THEN 0
+         ELSE CAST(GREATEST(LEAST(floor((m.v - bd.mn) * 10 / (bd.mx - bd.mn)), 9.0), 0.0) AS INT) END AS bin,
+    m.cur
+  FROM m JOIN bd ON m.event_type = bd.event_type
+), cnt AS (
+  SELECT event_type, bin,
+    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS rc,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM binned GROUP BY 1, 2
+), spine AS (
+  SELECT b.event_type, CAST(unnest(range(10)) AS INT) AS bin FROM bd b
+), filled AS (
+  SELECT s.event_type, s.bin, COALESCE(c.rc, 0) AS rc, COALESCE(c.cc, 0) AS cc
+  FROM spine s LEFT JOIN cnt c ON s.event_type = c.event_type AND s.bin = c.bin
+), tot AS (
+  SELECT event_type, rc, cc,
+    CAST(sum(rc) OVER (PARTITION BY event_type) AS BIGINT) AS rn,
+    CAST(sum(cc) OVER (PARTITION BY event_type) AS BIGINT) AS cn
+  FROM filled
+)
+SELECT event_type, CAST(max(rn) AS BIGINT) AS n_ref, CAST(max(cn) AS BIGINT) AS n_cur,
+  floor(sum(
+    (CAST(rc + 1 AS DOUBLE) / CAST(rn + 10 AS DOUBLE)
+       - CAST(cc + 1 AS DOUBLE) / CAST(cn + 10 AS DOUBLE))
+    * ln((CAST(rc + 1 AS DOUBLE) / CAST(rn + 10 AS DOUBLE))
+       / (CAST(cc + 1 AS DOUBLE) / CAST(cn + 10 AS DOUBLE)))) * 1000000 + 0.5) / 1000000
+    AS psi
+FROM tot GROUP BY event_type""",
+
     // volume bars: exclusive running volume -> bar = floor(cum/threshold)
     // (a bar closes WITH the crossing row), OHLC via arg_min/arg_max on
     // the event id, volume pinned with the sr6 floor

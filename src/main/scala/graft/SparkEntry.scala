@@ -973,6 +973,21 @@ object SparkEntry {
       d = 0.4, window = 10)
       .select(col("event_id"), col("user_id"), col("fd"))
 
+  /** ML-ops drift monitor: Population Stability Index of each event
+    * type's value distribution, second half of the stream vs the first
+    * (split at the exact integer midpoint of the epoch-micros range).
+    * Reference-fitted bins, edge-bin clamping, Laplace smoothing.
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val e = unix_micros(col("ts"))
+    val b = ev.agg(min(e).as("__tmn"), max(e).as("__tmx"))
+    val marked = ev.crossJoin(broadcast(b))
+      .withColumn("__cur", e * 2 >= col("__tmn") + col("__tmx"))
+    graft.analytics.Drift.populationStabilityIndex(
+      marked, "event_type", "value", col("__cur"), bins = 10)
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2209,6 +2224,7 @@ object SparkEntry {
     "q147_triple_barrier" -> (q147 _),
     "q148_volume_bars" -> (q148 _),
     "q149_fracdiff" -> (q149 _),
+    "q150_psi_drift" -> (q150 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

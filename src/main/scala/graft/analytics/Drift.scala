@@ -1,0 +1,75 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — the ML-ops guardrail between a served
+  * feature store (SURVEY §2.4's aggregates) and the models trained on
+  * it: has this feature's distribution moved since the reference period?
+  */
+object Drift {
+
+  /** Population Stability Index per key: fixed-width bins are fitted on
+    * the REFERENCE slice (`isCurrent` false), both slices are histogrammed
+    * into them (out-of-range current values clamp into the edge bins —
+    * drift INTO the tails must register, not vanish), and
+    *
+    *   PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i)
+    *
+    * with Laplace smoothing p_i = (c_i + 1)/(N + bins) so an empty bin
+    * contributes a finite term instead of ±∞. Standard reading: <0.1
+    * stable, 0.1–0.25 drifting, >0.25 shifted. Keys with no reference
+    * rows are absent (there is nothing to be stable against); a
+    * zero-width reference (constant feature) degenerates to one bin.
+    *
+    * Determinism contract: bin ids are one subtract/multiply/divide/floor
+    * over the identical parquet doubles (stated identically in the
+    * oracle); the PSI sum runs over exactly `bins` smoothed terms and is
+    * pinned with the sr6 floor.
+    *
+    * Scale shape: one aggregate over the reference for per-key bounds
+    * (broadcast back), one hash aggregate to (key, bin, period) counts,
+    * a bins-sized spine join so empty bins smooth correctly, and window
+    * totals over the tiny (key × bins) frame. The data is scanned once
+    * per slice and never shuffled beyond the count aggregate.
+    */
+  def populationStabilityIndex(
+      df: DataFrame, keyCol: String, valueCol: String, isCurrent: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(!isCurrent)
+      .groupBy(col(keyCol))
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    val bin = when(col("__mx") === col("__mn"), lit(0))
+      .otherwise(greatest(
+        least(floor((v - col("__mn")) * bins / (col("__mx") - col("__mn"))),
+          lit((bins - 1).toDouble)),
+        lit(0.0)).cast("int"))
+    val counts = df
+      .join(broadcast(bounds), Seq(keyCol))
+      .select(col(keyCol), bin.as("__bin"), isCurrent.as("__cur"))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(
+        sum(when(col("__cur"), 0L).otherwise(1L)).as("__rc"),
+        sum(when(col("__cur"), 1L).otherwise(0L)).as("__cc"))
+    val spine = bounds.select(col(keyCol))
+      .crossJoin(df.sparkSession.range(bins).select(col("id").cast("int").as("__bin")))
+    val perKey = Window.partitionBy(col(keyCol))
+    val filled = spine.join(counts, Seq(keyCol, "__bin"), "left")
+      .select(col(keyCol), col("__bin"),
+        coalesce(col("__rc"), lit(0L)).as("__rc"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      .withColumn("__rn", sum(col("__rc")).over(perKey))
+      .withColumn("__cn", sum(col("__cc")).over(perKey))
+    val p = (col("__rc") + 1L).cast("double") / (col("__rn") + bins).cast("double")
+    val q = (col("__cc") + 1L).cast("double") / (col("__cn") + bins).cast("double")
+    filled
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__rn")).as("n_ref"),
+        max(col("__cn")).as("n_cur"),
+        graft.util.Partitioning.stableRound6(sum((p - q) * log(p / q))).as("psi"))
+  }
+}

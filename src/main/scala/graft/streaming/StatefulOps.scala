@@ -314,4 +314,95 @@ object StatefulOps {
         DrawdownSnapshot(ticker, s.peak, s.maxDrawdown, s.maxUnderwater, s.nSpells, s.n)
       }
   }
+
+  // ---- Symmetric CUSUM filter: event-driven sampling, reset-on-trigger ----
+
+  final case class CusumState(ref: Double, sPos: Double, sNeg: Double, n: Long)
+
+  final case class CusumEvent(
+      ticker: String, ts: Timestamp, price: Double, direction: Int, n: Long)
+
+  /** Fold ticks through the symmetric CUSUM filter (López de Prado
+    * ch. 2's event-based sampling — public methodology):
+    *
+    *   S⁺ := max(0, S⁺ + Δx),  S⁻ := min(0, S⁻ + Δx)
+    *
+    * and an EVENT fires when S⁺ > h (up-move, direction +1) or S⁻ < −h
+    * (down-move, −1), after which BOTH accumulators reset — the filter
+    * samples the series only where cumulative change exceeds the
+    * threshold, suppressing flat stretches. The reset makes each output
+    * depend on every prior row through its own prior outputs — the
+    * recurrence class ([[emaFold]]'s note) that no bounded window frame
+    * can express and the reason this lives in keyed state rather than
+    * [[graft.analytics.Indicators]]. State is ~32 bytes per key; same
+    * in-batch tie discipline as [[emaFold]].
+    */
+  private[streaming] def cusumFold(
+      st: Option[CusumState], ticks: Seq[TickerTick],
+      h: Double): (Option[CusumState], Seq[(TickerTick, Int, Long)]) = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st
+    val out = Seq.newBuilder[(TickerTick, Int, Long)]
+    sorted.foreach { t =>
+      val p = t.price.toDouble
+      s match {
+        case None => s = Some(CusumState(p, 0.0, 0.0, 1L))
+        case Some(c) =>
+          val d = p - c.ref
+          var sp = math.max(0.0, c.sPos + d)
+          var sn = math.min(0.0, c.sNeg + d)
+          val dir = if (sp > h) 1 else if (sn < -h) -1 else 0
+          // n is the TRIGGERING tick's ordinal in the series — a
+          // batch-boundary-independent field, so the streaming and batch
+          // twins emit identical rows however the stream is chopped
+          if (dir != 0) { sp = 0.0; sn = 0.0; out += ((t, dir, c.n + 1)) }
+          s = Some(CusumState(p, sp, sn, c.n + 1))
+      }
+    }
+    (s, out.result())
+  }
+
+  /** Streaming symmetric CUSUM event filter: emits only the sampled
+    * events (ticker, ts, price, ±1). Same state/timeout discipline as
+    * [[runningOhlc]].
+    */
+  def cusumEvents(
+      ticks: Dataset[TickerTick], h: Double,
+      idleTimeoutMs: Option[Long] = None): Dataset[CusumEvent] = {
+    require(h > 0, s"threshold h must be positive, got $h")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[CusumState, CusumEvent](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, events) = cusumFold(state.getOption, it.toSeq, h)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            events.map { case (t, dir, ord) =>
+              CusumEvent(ticker, t.datetime, t.price.toDouble, dir, ord)
+            }.iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[cusumEvents]] for verification. */
+  def cusumEventsBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick], h: Double): Dataset[CusumEvent] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroups { (ticker, it) =>
+        val (_, events) = cusumFold(None, it.toSeq, h)
+        events.map { case (t, dir, ord) =>
+          CusumEvent(ticker, t.datetime, t.price.toDouble, dir, ord)
+        }.iterator
+      }
+  }
 }

@@ -217,4 +217,38 @@ class StatefulSpec extends SparkSpec {
         math.floor(last.maxDrawdown * 1e6 + 0.5) / 1e6)
     } finally q.stop()
   }
+
+  test("CUSUM filter samples threshold-crossing moves, accumulators carry across batches") {
+    import graft.streaming.StatefulOps.CusumEvent
+    implicit val sqlCtx = spark.sqlContext
+    // h=3: +event at 13.5 (climb 10->13.5), -event at 9.5 (fall 13.5->9.5
+    // after the reset); batch boundary lands MID-climb so S+ must carry
+    val batch1 = Seq(
+      tick("A", "2024-01-01 10:00:00", 10f, 1),
+      tick("A", "2024-01-01 10:01:00", 11f, 1),
+      tick("A", "2024-01-01 10:02:00", 12f, 1))     // S+ = 2 at the boundary
+    val batch2 = Seq(
+      tick("A", "2024-01-01 10:03:00", 13.5f, 1),   // S+ = 3.5 > 3 -> +1, reset
+      tick("A", "2024-01-01 10:04:00", 13f, 1),
+      tick("A", "2024-01-01 10:05:00", 12f, 1),
+      tick("A", "2024-01-01 10:06:00", 9.5f, 1),    // S- = -4 < -3 -> -1, reset
+      tick("A", "2024-01-01 10:07:00", 9f, 1))
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.cusumEvents(mem.toDS(), h = 3.0)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("cusum_out").as[CusumEvent].collect().sortBy(_.n)
+      assert(streaming.map(e => (e.price, e.direction, e.n)).toSeq ===
+        Seq((13.5, 1, 4L), (9.5, -1, 7L)))
+      // twin equality: same events however the stream was chopped
+      val batch = StatefulOps.cusumEventsBatch(spark, (batch1 ++ batch2).toDS(), 3.0)
+        .collect().sortBy(_.n)
+      assert(batch.map(e => (e.ticker, e.price, e.direction, e.n)).toSeq ===
+        streaming.map(e => (e.ticker, e.price, e.direction, e.n)).toSeq)
+    } finally q.stop()
+  }
 }
