@@ -56,7 +56,11 @@ object DumpPlans {
       "q135_leakage_safe_split" -> "leakage-safe split: CC fixpoint over the (tiny) pair graph, ONE join back to the id universe, split = md5-uniform of the group id in the same projection — the corpus never shuffles",
       "q137_token_ids" -> "token-id encode: native VocabEncodeExpr hash probe over the plan-literal vocab inside one codegen scan — the encode stage has zero exchanges; only the vocab build aggregates",
       "q141_resample_linear" -> "linear-interp resample: run-group neighbor lookup BOTH ways (4 linear sorts, no moving unboundedFollowing frame — that plans O(grid²) per key); 2 agg exchanges + 1 broadcast, grid bounded by span/step",
-      "q143_purged_folds" -> "purged k-fold: 1-row bounds broadcast-cross onto the corpus, three codegen fold exprs, partial-count hash agg to k rows, lag/lead over the k-row spine — the corpus never shuffles")
+      "q143_purged_folds" -> "purged k-fold: 1-row bounds broadcast-cross onto the corpus, three codegen fold exprs, partial-count hash agg to k rows, lag/lead over the k-row spine — the corpus never shuffles",
+      "q146_bigram_surprisal" -> "bigram surprisal: array-level pair expansion (no token-array carry through the generator), three corpus count tables broadcast back, per-doc aggregate",
+      "q147_triple_barrier" -> "triple-barrier labels: bounded collect_list(horizon) forward frame + array_position first-touch arithmetic — one sort, one exchange, no joins",
+      "q148_volume_bars" -> "volume bars: exclusive running sum -> floor(cum/threshold) bar id; the (key, bar) aggregate reuses the window's key partitioning — ONE exchange end to end",
+      "q150_psi_drift" -> "PSI drift: reference bounds broadcast onto the scan, (key, bin, period) partial counts, bins-spine join + window totals over the key×bins frame")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")

@@ -272,6 +272,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"rates join must not sort-merge:\n$plan")
   }
 
+  test("q145 underwater: both aggregates reuse the window's partitioning — one exchange") {
+    val plan = planOf("q145_underwater")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1,
+      s"spell and series aggs should ride the window's user_id exchange, saw $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join belongs in this plan:\n$plan")
+  }
+
+  test("q146 bigram surprisal: count tables broadcast back, corpus pairs never sort-merge") {
+    val plan = planOf("q146_bigram_surprisal")
+    assert(plan.contains("BroadcastHashJoin"), s"count tables should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"pair joins must not sort-merge:\n$plan")
+  }
+
+  test("q147 triple barrier: bounded forward frame, one sort, no joins") {
+    val plan = planOf("q147_triple_barrier")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"one user_id exchange expected, saw $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+    val sorts = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Sort .*"""))
+    assert(sorts <= 1, s"one (user, time) sort expected, saw $sorts:\n$plan")
+  }
+
+  test("q148 volume bars: bar aggregate reuses the running sum's partitioning — one exchange") {
+    val plan = planOf("q148_volume_bars")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"one event_type exchange expected, saw $exchanges:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"bar counts should partial-aggregate map-side:\n$plan")
+  }
+
+  test("q149 fracdiff: all lag terms in ONE window node over one exchange") {
+    val plan = planOf("q149_fracdiff")
+    val windows = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Window\b.*"""))
+    assert(windows === 1, s"ten lag terms must share one Window node, saw $windows:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"one user_id exchange expected, saw $exchanges:\n$plan")
+  }
+
+  test("q150 psi drift: reference bounds broadcast, no sort-merge join") {
+    val plan = planOf("q150_psi_drift")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds should broadcast onto the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"nothing here justifies a sort-merge:\n$plan")
+  }
+
   test("q143 purged folds: bounds broadcast onto the scan, fold counts partial map-side") {
     val plan = planOf("q143_purged_folds")
     assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Cross"),
