@@ -2564,23 +2564,29 @@ SELECT event_type, CAST(max(rn) AS BIGINT) AS n_ref, CAST(max(cn) AS BIGINT) AS 
     AS psi
 FROM tot GROUP BY event_type""",
 
-    // volume bars: exclusive running volume -> bar = floor(cum/threshold)
-    // (a bar closes WITH the crossing row), OHLC via arg_min/arg_max on
-    // the event id, volume pinned with the sr6 floor
+    // volume bars: per-row micro-quantized volumes (exact BIGINT running
+    // sum — a double cumsum under a floor would be association-order
+    // sensitive and the bar id is a GROUP BY key that cannot be rounded
+    // after the fact), exclusive cum -> bar = cum // threshold_micros (a
+    // bar closes WITH the crossing row), OHLC via arg_min/arg_max
     "q148_volume_bars" ->
       """WITH c AS (
   SELECT event_type, ts, event_id, value,
-    COALESCE(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumx
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
   FROM events WHERE value > 0
+), r AS (
+  SELECT event_type, ts, event_id, value,
+    COALESCE(sum(vu) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM c
 )
-SELECT event_type, CAST(floor(cumx / 2000.0) AS BIGINT) AS bar,
+SELECT event_type, CAST(cum // 2000000000 AS BIGINT) AS bar,
   count(*) AS n_ticks,
   round(arg_min(value, event_id), 4) AS open,
   round(max(value), 4) AS high,
   round(min(value), 4) AS low,
   round(arg_max(value, event_id), 4) AS close,
   floor(sum(value) * 1000000 + 0.5) / 1000000 AS volume
-FROM c GROUP BY 1, 2""",
+FROM r GROUP BY 1, 2""",
   )
 }

@@ -23,6 +23,14 @@ object Drift {
     * rows are absent (there is nothing to be stable against); a
     * zero-width reference (constant feature) degenerates to one bin.
     *
+    * Null handling, pinned CONSISTENTLY across the fit and the counts
+    * (fitting bounds on one population and histogramming another is
+    * silently wrong drift, the failure this operator exists to catch):
+    * a null `isCurrent` flag reads as reference (`coalesce(…, false)`)
+    * in BOTH places, and rows with a null feature value are excluded
+    * from both slices entirely (they have no bin; n_ref/n_cur count
+    * binned rows only).
+    *
     * Determinism contract: bin ids are one subtract/multiply/divide/floor
     * over the identical parquet doubles (stated identically in the
     * oracle); the PSI sum runs over exactly `bins` smoothed terms and is
@@ -39,7 +47,9 @@ object Drift {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val v = col(valueCol).cast("double")
-    val bounds = df.filter(!isCurrent)
+    val cur = coalesce(isCurrent, lit(false))
+    val rows = df.filter(v.isNotNull)
+    val bounds = rows.filter(!cur)
       .groupBy(col(keyCol))
       .agg(min(v).as("__mn"), max(v).as("__mx"))
     val bin = when(col("__mx") === col("__mn"), lit(0))
@@ -47,9 +57,9 @@ object Drift {
         least(floor((v - col("__mn")) * bins / (col("__mx") - col("__mn"))),
           lit((bins - 1).toDouble)),
         lit(0.0)).cast("int"))
-    val counts = df
+    val counts = rows
       .join(broadcast(bounds), Seq(keyCol))
-      .select(col(keyCol), bin.as("__bin"), isCurrent.as("__cur"))
+      .select(col(keyCol), bin.as("__bin"), cur.as("__cur"))
       .groupBy(col(keyCol), col("__bin"))
       .agg(
         sum(when(col("__cur"), 0L).otherwise(1L)).as("__rc"),

@@ -28,8 +28,14 @@ object Labeling {
     * Determinism contract: barrier levels are one double multiply of the
     * row's own value; touch detection is pure comparison and FIRST-index
     * arithmetic (`array_position`, 0 when absent — DuckDB's
-    * `list_position` agrees), so the oracle reproduces every label
-    * bit-identically.
+    * `list_position` agrees; its null-LIST case is coalesced in the
+    * oracle), so the oracle reproduces every label bit-identically. The
+    * forward window is collected as single-field STRUCTS, not bare
+    * values: `collect_list` silently drops null elements, which would
+    * shift every later position and break both the t_touch contract and
+    * the oracle parity — a null forward value must occupy its slot as a
+    * non-touch (both barrier comparisons are null → 0), identically to
+    * the oracle's CASE.
     *
     * Scale shape: one (partition, order) sort; the forward window is a
     * bounded `collect_list` frame of `horizon` values per row — state is
@@ -49,12 +55,12 @@ object Labeling {
       .orderBy(order.map(col): _*).rowsBetween(1, horizon)
     val v = col(valueCol)
     val touched = transform(col("__fwd"),
-      x => when(x >= v * lit(1.0 + up), 1)
-        .when(x <= v * lit(1.0 - down), -1)
+      x => when(x.getField("__v") >= v * lit(1.0 + up), 1)
+        .when(x.getField("__v") <= v * lit(1.0 - down), -1)
         .otherwise(0))
     val p1 = array_position(col("__t"), 1)
     val pm = array_position(col("__t"), -1)
-    df.withColumn("__fwd", collect_list(v).over(fwd))
+    df.withColumn("__fwd", collect_list(struct(v.as("__v"))).over(fwd))
       .withColumn("__t", touched)
       .withColumn("label",
         when(p1 > 0 && (pm === 0 || p1 < pm), 1)

@@ -337,22 +337,8 @@ object TimeSeries {
   def resampleFfill(
       bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
       stepSeconds: Long, maxGridPerKey: Long, bounds: DataFrame): DataFrame = {
-    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    // in-plan guard (the weightedSample raise_error pattern — no extra
-    // scan): sequence() materializes one span/step-length ARRAY per key
-    // before the explode, so a fine step over a long span is an executor
-    // OOM, not a big-but-streamable grid. Fail loudly with the remedy.
-    val slots = (unix_seconds(col("__mx")) - unix_seconds(col("__mn"))) / stepSeconds + 1
-    val guardedMn = when(slots > maxGridPerKey,
-      raise_error(concat(
-        lit(s"resampleFfill: a key's grid needs "), slots.cast("string"),
-        lit(s" slots > maxGridPerKey=$maxGridPerKey — the per-key sequence() array " +
-          "would not fit an executor. Use a coarser step, split the time range, " +
-          "or raise maxGridPerKey deliberately with executor memory to match."))
-      ).cast("timestamp")).otherwise(col("__mn"))
-    val grid = bounds.select(col(keyCol),
-      explode(sequence(guardedMn, col("__mx"),
-        expr(s"interval $stepSeconds seconds"))).as(bucketCol))
+    val grid = resampleGrid(bounds, keyCol, bucketCol, stepSeconds, maxGridPerKey,
+      "resampleFfill")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(bars.select(col(keyCol), col(bucketCol), col(valueCol)),
@@ -362,6 +348,30 @@ object TimeSeries {
         max(col(valueCol)).over(Window.partitionBy(col(keyCol), col("__run"))))
       .withColumn("is_gap", col(valueCol).isNull.cast("int"))
       .drop("__run")
+  }
+
+  /** Shared dense-grid construction for the resample pair: one
+    * (key, bucket) row per step across each key's [__mn, __mx] bounds,
+    * with the in-plan OOM guard (the weightedSample raise_error pattern —
+    * no extra scan): sequence() materializes one span/step-length ARRAY
+    * per key before the explode, so a fine step over a long span must
+    * fail loudly with the remedy, not OOM an executor.
+    */
+  private def resampleGrid(
+      bounds: DataFrame, keyCol: String, bucketCol: String,
+      stepSeconds: Long, maxGridPerKey: Long, op: String): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val slots = (unix_seconds(col("__mx")) - unix_seconds(col("__mn"))) / stepSeconds + 1
+    val guardedMn = when(slots > maxGridPerKey,
+      raise_error(concat(
+        lit(s"$op: a key's grid needs "), slots.cast("string"),
+        lit(s" slots > maxGridPerKey=$maxGridPerKey — the per-key sequence() array " +
+          "would not fit an executor. Use a coarser step, split the time range, " +
+          "or raise maxGridPerKey deliberately with executor memory to match."))
+      ).cast("timestamp")).otherwise(col("__mn"))
+    bounds.select(col(keyCol),
+      explode(sequence(guardedMn, col("__mx"),
+        expr(s"interval $stepSeconds seconds"))).as(bucketCol))
   }
 
   /** A1+ information-driven bars: re-bar a series by cumulative VOLUME
@@ -374,9 +384,18 @@ object TimeSeries {
     * row that crosses the threshold (each bar's volume is ≥ threshold
     * except the final partial bar).
     *
-    * Determinism contract: the running sum is evaluated in (order)
-    * sequence — the same addition order in any engine — and the bar id
-    * is one floor-division of that identical double; OHLC first/last use
+    * Determinism contract: volumes are micro-quantized per ROW
+    * (floor(v·10⁶+0.5) as BIGINT — one correctly-rounded step over the
+    * identical parquet double, the X8 long-micros pattern), so the
+    * running sum is EXACT integer arithmetic and the bar id an exact
+    * integer division — immune to the engine's window-sum association
+    * order, which a double running sum under a floor() would not be (a
+    * 1-ulp difference at a threshold multiple would move the crossing
+    * row into a different bar, and a GROUP BY key cannot be rounded
+    * after the fact). Negative volumes fail in-plan (integer division
+    * truncates toward zero in Spark but floors in DuckDB — the contract
+    * only holds on non-negative cumulative volume, which is also the
+    * only physically meaningful input). OHLC first/last use
     * min_by/max_by on `seqCol` (the [[candles]] rule), never
     * order-dependent first()/last().
     *
@@ -388,11 +407,18 @@ object TimeSeries {
       df: DataFrame, keyCol: String, order: Seq[String], priceCol: String,
       volumeCol: String, seqCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
+    val thresholdMicros = math.floor(threshold * 1000000d + 0.5d).toLong
+    require(thresholdMicros > 0, s"threshold too small to quantize: $threshold")
+    val vu = when(col(volumeCol) < 0,
+      raise_error(concat(lit("volumeBars: negative volume "),
+        col(volumeCol).cast("string"),
+        lit(" — cumulative-volume bars need non-negative volumes"))))
+      .otherwise(floor(col(volumeCol) * 1000000d + 0.5d).cast("long"))
     val w = Window.partitionBy(col(keyCol)).orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__bar",
-        floor(coalesce(sum(col(volumeCol)).over(w), lit(0.0)) / lit(threshold))
-          .cast("long"))
+    df.withColumn("__vu", vu)
+      .withColumn("__cum", coalesce(sum(col("__vu")).over(w), lit(0L)))
+      .withColumn("__bar", expr(s"__cum div ${thresholdMicros}L"))
       .groupBy(col(keyCol), col("__bar").as("bar"))
       .agg(
         count(lit(1)).as("n_ticks"),
@@ -424,29 +450,30 @@ object TimeSeries {
     * grid is bounded by span/step, never by row count.
     *
     * Determinism contract: the interpolation fraction is a ratio of
-    * exact BIGINT epoch-second differences, cast to double at the
-    * division — one correctly-rounded IEEE op per engine, so the oracle
-    * reproduces it bit-identically (round the OUTPUT, not the inputs).
+    * exact BIGINT epoch-MICROS differences (`unix_micros` ↔ the oracle's
+    * `epoch_us`), cast to double at the division — one correctly-rounded
+    * IEEE op per engine, so the oracle reproduces it bit-identically
+    * (round the OUTPUT, not the inputs).
     *
     * Output: (keyCol, bucketCol, valueCol — null in holes, `lerp`,
     * `is_gap`).
     */
   def resampleLinear(
       bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
-      stepSeconds: Long, maxGridPerKey: Long = 10000000L): DataFrame = {
-    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    val bounds = resampleBounds(bars, keyCol, bucketCol)
-    val slots = (unix_seconds(col("__mx")) - unix_seconds(col("__mn"))) / stepSeconds + 1
-    val guardedMn = when(slots > maxGridPerKey,
-      raise_error(concat(
-        lit(s"resampleLinear: a key's grid needs "), slots.cast("string"),
-        lit(s" slots > maxGridPerKey=$maxGridPerKey — the per-key sequence() array " +
-          "would not fit an executor. Use a coarser step, split the time range, " +
-          "or raise maxGridPerKey deliberately with executor memory to match."))
-      ).cast("timestamp")).otherwise(col("__mn"))
-    val grid = bounds.select(col(keyCol),
-      explode(sequence(guardedMn, col("__mx"),
-        expr(s"interval $stepSeconds seconds"))).as(bucketCol))
+      stepSeconds: Long, maxGridPerKey: Long = 10000000L): DataFrame =
+    resampleLinear(bars, keyCol, bucketCol, valueCol, stepSeconds, maxGridPerKey,
+      resampleBounds(bars, keyCol, bucketCol))
+
+  /** [[resampleLinear]] over precomputed per-key bounds — same
+    * [[resampleBounds]] artifact and STALENESS CONTRACT as the ffill
+    * overload: the bars frame is consumed once (join side only) instead
+    * of twice.
+    */
+  def resampleLinear(
+      bars: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
+      stepSeconds: Long, maxGridPerKey: Long, bounds: DataFrame): DataFrame = {
+    val grid = resampleGrid(bounds, keyCol, bucketCol, stepSeconds, maxGridPerKey,
+      "resampleLinear")
     val asc = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val desc = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).desc)

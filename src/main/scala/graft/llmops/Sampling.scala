@@ -184,8 +184,6 @@ object Sampling {
       weight: Column, budgetFraction: Double): DataFrame = {
     require(budgetFraction > 0 && budgetFraction <= 1,
       s"budgetFraction must be in (0,1], got $budgetFraction")
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy()
     val rates = df
       .groupBy(col(sourceCol))
       // min+max, not first(): first() is iterator-order-dependent, so a
@@ -203,12 +201,33 @@ object Sampling {
             lit(" (min "), col("__wmin").cast("string"),
             lit(", max "), col("__wmax").cast("string"), lit(")"))))
           .otherwise(col("__wmax")))
-      // a zero-token source (all-empty documents) would divide by zero
-      // under ANSI; its share is vacuous, so keep it whole (rate 1)
+    applyMixtureRates(df, idCol, sourceCol, rates, budgetFraction)
+  }
+
+  /** The mixture samplers' shared budget arithmetic: given the per-source
+    * frame (sourceCol, __toks: BIGINT, __w: numeric),
+    *
+    *   rate(s) = min(1, budgetFraction · T · w(s) / ΣW / toks(s))
+    *
+    * with the zero-token keep-whole convention (a zero-token source would
+    * divide by zero under ANSI; its share is vacuous, so rate 1),
+    * broadcast the rates back onto the corpus and keep rows by the
+    * [[hashUniform]] id predicate. One definition so a change to the
+    * clamp, the zero-token convention, or the hash predicate cannot
+    * drift between the samplers.
+    */
+  private def applyMixtureRates(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weighted: DataFrame, budgetFraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val rates = weighted
       .withColumn("__rate",
         when(col("__toks") === 0L, lit(1.0)).otherwise(least(lit(1.0),
-          lit(budgetFraction) * sum(col("__toks")).over(all).cast("double") * col("__w")
-            / sum(col("__w")).over(all) / col("__toks").cast("double"))))
+          lit(budgetFraction) * sum(col("__toks")).over(all).cast("double")
+            * col("__w").cast("double")
+            / sum(col("__w")).over(all).cast("double")
+            / col("__toks").cast("double"))))
       .select(col(sourceCol), col("__rate"))
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(hashUniform(col(idCol)) < col("__rate"))
@@ -247,21 +266,11 @@ object Sampling {
       budgetFraction: Double): DataFrame = {
     require(budgetFraction > 0 && budgetFraction <= 1,
       s"budgetFraction must be in (0,1], got $budgetFraction")
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy()
-    val rates = df
+    val weighted = df
       .groupBy(col(sourceCol))
       .agg(sum(tokenCount).as("__toks"))
       .withColumn("__w",
         floor(sqrt(col("__toks").cast("double")) * 1000000d).cast("long"))
-      .withColumn("__rate",
-        when(col("__toks") === 0L, lit(1.0)).otherwise(least(lit(1.0),
-          lit(budgetFraction) * sum(col("__toks")).over(all).cast("double")
-            * col("__w").cast("double")
-            / sum(col("__w")).over(all).cast("double")
-            / col("__toks").cast("double"))))
-      .select(col(sourceCol), col("__rate"))
-    df.join(broadcast(rates), Seq(sourceCol))
-      .filter(hashUniform(col(idCol)) < col("__rate"))
+    applyMixtureRates(df, idCol, sourceCol, weighted, budgetFraction)
   }
 }

@@ -26,6 +26,29 @@ class DriftSpec extends SparkSpec {
     assert(out("A").getAs[Long]("n_cur") === 4L)
   }
 
+  test("populationStabilityIndex: null flags read as reference in BOTH fit and counts; null values excluded") {
+    // base: ref 0..3 / cur 4x3.0 (the hand case). Adding null-flag rows
+    // must change the FIT and the counts together; null values vanish
+    val rows = Seq(
+      ("A", Some(0.0), Some(false)), ("A", Some(1.0), Some(false)),
+      ("A", Some(2.0), Some(false)), ("A", Some(3.0), Some(false)),
+      ("A", Some(3.0), Some(true)), ("A", Some(3.0), Some(true)),
+      ("A", Some(3.0), Some(true)), ("A", Some(3.0), Some(true)),
+      ("A", Some(2.0), Option.empty[Boolean]),  // null flag -> reference
+      ("A", Option.empty[Double], Some(true))   // null value -> excluded
+    ).toDF("k", "v", "cur")
+    val out = Drift.populationStabilityIndex(rows, "k", "v", col("cur"), bins = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_ref") === 5L)   // the null-flag row counted as ref
+    assert(out.getAs[Long]("n_cur") === 4L)   // the null-value row counted nowhere
+    // and the score equals an explicit-false encoding of the same rows
+    val explicit = rows.withColumn("cur2", coalesce(col("cur"), lit(false)))
+    val twin = Drift.populationStabilityIndex(
+      explicit.filter(col("v").isNotNull), "k", "v", col("cur2"), bins = 2)
+      .collect().head
+    assert(out.getAs[Double]("psi") === twin.getAs[Double]("psi"))
+  }
+
   test("populationStabilityIndex: identical slices score exactly zero; tails clamp") {
     val vals = (0 until 100).map(_.toDouble)
     val rows = (vals.map(("A", _, false)) ++ vals.map(("A", _, true)))

@@ -30,6 +30,20 @@ class LabelingSpec extends SparkSpec {
     assert(out(5L).isNullAt(out(5L).fieldIndex("t_touch")))
   }
 
+  test("tripleBarrierLabels: null forward values occupy their window slot as non-touches") {
+    // collect_list would silently drop the null and shift the touch from
+    // position 2 to 1 — the struct-carried window must keep it in place
+    val rows = Seq(
+      (1L, "u", Some(100.0)), (2L, "u", Option.empty[Double]), (3L, "u", Some(130.0))
+    ).toDF("seq", "uid", "v")
+    val out = Labeling.tripleBarrierLabels(
+        rows, "v", Seq("uid"), Seq("seq"), horizon = 2, up = 0.25, down = 0.25)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("label") === 1)
+    assert(out(1L).getAs[Long]("t_touch") === 2L)   // 130 sits at slot 2, not 1
+    assert(out(2L).getAs[Int]("label") === 0)       // null own value: no barriers
+  }
+
   test("tripleBarrierLabels: flat series never touches; labels deterministic under repartition") {
     val rows = (1 to 50).map(i => (i.toLong, "u", 100.0)).toDF("seq", "uid", "v")
     val out = Labeling.tripleBarrierLabels(

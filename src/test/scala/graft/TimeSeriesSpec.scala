@@ -169,6 +169,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("volume") === 8.0)    // partial final bar
   }
 
+  test("volumeBars: micro-quantized integer cumsum is immune to double rounding at the threshold") {
+    // ten ticks of volume 0.1 with threshold 0.5: the DOUBLE cumsum of
+    // five 0.1s is 0.5000000000000001 (> 0.5), which would leak the 6th
+    // tick into bar 0; the exact integer path puts exactly 5 ticks per bar
+    val ticks = (1 to 10).map(i => (i.toLong, "A", 1.0, 0.1))
+      .toDF("seq", "sym", "px", "vol")
+    val out = TimeSeries.volumeBars(ticks, "sym", Seq("seq"), "px", "vol", "seq", 0.5)
+      .collect().map(r => r.getAs[Long]("bar") -> r.getAs[Long]("n_ticks")).toMap
+    assert(out === Map(0L -> 5L, 1L -> 5L))
+  }
+
+  test("volumeBars: negative volume fails in-plan with the contract named") {
+    val ticks = Seq((1L, "A", 1.0, 5.0), (2L, "A", 1.0, -1.0))
+      .toDF("seq", "sym", "px", "vol")
+    val e = intercept[Exception] {
+      TimeSeries.volumeBars(ticks, "sym", Seq("seq"), "px", "vol", "seq", 10.0).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("negative volume"), msgs)
+  }
+
   test("resampleLinear: holes carry the straight line between the surrounding prints") {
     val bars = Seq(
       ("A", ts("2024-01-01 10:00:00"), 1.0),
