@@ -2520,6 +2520,112 @@ SELECT event_id, user_id,
             WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN pm END AS BIGINT) AS t_touch
 FROM t""",
 
+    // budget-constrained quality selection: q131's quality CTEs ->
+    // micro-quantized score levels -> per-level token totals -> one
+    // descending cum window finds full levels + the boundary level and
+    // remainder -> boundary taken in doc_id order
+    "q153_budget_select" ->
+      (s"""WITH $qualityPCtes, toks AS (
+  SELECT d.doc_id, d.source,
+    CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ntokens,
+    CAST(floor(p.quality_p * 1000000 + 0.5) AS BIGINT) AS su
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+), lv AS (
+  SELECT su, CAST(sum(ntokens) AS BIGINT) AS ltok FROM toks GROUP BY su
+), cum AS (
+  SELECT su, ltok,
+    CAST(sum(ltok) OVER (ORDER BY su DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumincl,
+    CAST(floor(0.3 * CAST((SELECT sum(ltok) FROM lv) AS DOUBLE)) AS BIGINT) AS b
+  FROM lv
+), sel AS (
+  SELECT su, cumincl <= b AS fullv,
+    (cumincl - ltok) < b AND cumincl > b AS partv,
+    b - (cumincl - ltok) AS rem
+  FROM cum WHERE cumincl <= b OR ((cumincl - ltok) < b AND cumincl > b)
+), fullr AS (
+  SELECT t.doc_id, t.source, t.ntokens
+  FROM toks t JOIN sel s ON t.su = s.su AND s.fullv
+), partr AS (
+  SELECT doc_id, source, ntokens FROM (
+    SELECT t.doc_id, t.source, t.ntokens, s.rem,
+      sum(t.ntokens) OVER (PARTITION BY t.su ORDER BY t.doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM toks t JOIN sel s ON t.su = s.su AND s.partv
+  ) WHERE run <= rem
+)
+SELECT source, count(*) AS n_docs, CAST(sum(ntokens) AS BIGINT) AS n_tokens
+FROM (SELECT * FROM fullr UNION ALL SELECT * FROM partr)
+GROUP BY source"""),
+
+    // rolling median: sorted bounded frame + lower-median element
+    // selection — pure indexing, no interpolation arithmetic
+    "q151_rolling_median" ->
+      """SELECT event_id, user_id,
+  (list_sort(lst))[CAST((len(lst) + 1) // 2 AS INT)] AS med21
+FROM (
+  SELECT event_id, user_id,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS lst
+  FROM events
+)""",
+
+    // average uniqueness: q147's span (touch or truncated horizon),
+    // coverage = filtered count over the previous-horizon (rn, L) pairs
+    // (a span can't reach further than the horizon), weight = mean
+    // reciprocal coverage over the own span's slice
+    "q152_label_uniqueness" ->
+      """WITH base AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE value > 0
+), lab AS (
+  SELECT event_id, user_id, ts, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING) AS fwd,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nn
+  FROM base
+), tt AS (
+  SELECT event_id, user_id, ts, rn, nn,
+    COALESCE(list_position(list_transform(fwd,
+      x -> CASE WHEN x >= value * 1.25 THEN 1
+                WHEN x <= value * 0.75 THEN -1 ELSE 0 END), 1), 0) AS p1,
+    COALESCE(list_position(list_transform(fwd,
+      x -> CASE WHEN x >= value * 1.25 THEN 1
+                WHEN x <= value * 0.75 THEN -1 ELSE 0 END), -1), 0) AS pm
+  FROM lab
+), ll AS (
+  SELECT event_id, user_id, ts, rn,
+    CASE WHEN p1 > 0 AND (pm = 0 OR p1 < pm) THEN 1
+         WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN -1
+         ELSE 0 END AS label,
+    CAST(CASE WHEN p1 > 0 AND (pm = 0 OR p1 < pm) THEN p1
+              WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN pm
+              ELSE LEAST(20, nn - rn) END AS BIGINT) AS label_span
+  FROM tt
+), cov AS (
+  SELECT event_id, user_id, ts, rn, label, label_span,
+    list(struct_pack(rn := rn, l := label_span)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS prev
+  FROM ll
+), cc AS (
+  SELECT event_id, user_id, ts, rn, label, label_span,
+    CASE WHEN prev IS NULL THEN 0
+         ELSE len(list_filter(prev, p -> p.l >= rn - p.rn)) END AS c
+  FROM cov
+), inv AS (
+  SELECT event_id, user_id, label, label_span,
+    list(CASE WHEN c = 0 THEN 0.0 ELSE 1.0 / c END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING) AS finv
+  FROM cc
+)
+SELECT event_id, user_id, label, label_span,
+  CASE WHEN label_span = 0 THEN NULL
+       ELSE floor((list_sum(finv[1:CAST(label_span AS INT)]) / label_span)
+              * 1000000 + 0.5) / 1000000 END AS uniqueness
+FROM inv""",
+
     // PSI drift: reference-fitted fixed-width bins (first time-half),
     // edge-bin clamping for out-of-range current values, Laplace
     // smoothing so empty bins stay finite, sr6-pinned sum

@@ -988,6 +988,45 @@ object SparkEntry {
       marked, "event_type", "value", col("__cur"), bins = 10)
   }
 
+  /** W1+ robust filter: rolling MEDIAN(21) per series — one outlier
+    * print moves an SMA by outlier/n but leaves the median untouched.
+    * Lower-median element selection: no arithmetic to drift
+    * cross-engine, pure sorted-frame indexing.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.rollingMedian(
+      t(s, dir, "events"), "value", "med21", Seq("user_id"), Seq("ts", "event_id"), 21)
+      .select(col("event_id"), col("user_id"), col("med21"))
+
+  /** X19+ sample weights: AVERAGE UNIQUENESS of the q147 triple-barrier
+    * labels — overlapping label spans make events non-IID; each event is
+    * weighted by the mean reciprocal concurrency over its span. All
+    * frames bounded by the horizon, one sort, no self-join.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Labeling.averageUniqueness(
+      t(s, dir, "events").filter(col("value") > 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "value", Seq("user_id"), Seq("ts", "event_id"),
+      horizon = 20, up = 0.25, down = 0.25)
+      .select(col("event_id"), col("user_id"), col("label"),
+        col("label_span"), col("uniqueness"))
+
+  /** X4+/X12 capstone: BUDGET-CONSTRAINED quality selection — the best
+    * documents that fit in 30% of the corpus tokens, ranked by the q131
+    * logistic score. Level-histogram threshold + broadcast verdicts +
+    * boundary-level id-ordered take; never a global corpus sort.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    val docs = t(s, dir, "documents")
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    val qp = TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords)
+    Sampling.budgetSelect(docs, "doc_id", tok, qp, 0.3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2225,6 +2264,9 @@ object SparkEntry {
     "q148_volume_bars" -> (q148 _),
     "q149_fracdiff" -> (q149 _),
     "q150_psi_drift" -> (q150 _),
+    "q151_rolling_median" -> (q151 _),
+    "q152_label_uniqueness" -> (q152 _),
+    "q153_budget_select" -> (q153 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

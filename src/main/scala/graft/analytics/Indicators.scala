@@ -177,6 +177,35 @@ object Indicators {
       when(col(valueCol).isNull, lit(null).cast("double")).otherwise(sr6(num / den)))
   }
 
+  /** Rolling MEDIAN over the trailing `n` rows (current row included) —
+    * the robust companion to the moving average: one outlier print moves
+    * an SMA by outlier/n but leaves the median untouched, so
+    * median-filtered series feed anomaly and indicator logic without
+    * flash-spike contamination. Series heads use the median of whatever
+    * rows exist. The LOWER median (element ⌈k/2⌉ of the sorted frame) is
+    * returned rather than the interpolated midpoint: it is an actual
+    * data value, so the cross-engine contract is pure element selection
+    * — no arithmetic to drift (`element_at(array_sort(...))` ↔ DuckDB
+    * `list_sort(...)[...]`).
+    *
+    * Scale shape: one (partition, order) sort; the frame materializes n
+    * values per row (O(n log n) per-row sort in the projection) — the
+    * exact-small-window regime. For large n, sketch-based quantiles are
+    * the scale path; a 100 TB series with n ≤ a few hundred stays exact.
+    */
+  def rollingMedian(
+      df: DataFrame, valueCol: String, out: String,
+      partition: Seq[String], order: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val frame = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*).rowsBetween(-(n - 1), 0)
+    val sorted = array_sort(collect_list(col(valueCol)).over(frame))
+    // all-null frame -> empty list -> index 0 is an ANSI error, not a null
+    df.withColumn(out,
+      when(size(sorted) === 0, lit(null).cast("double"))
+        .otherwise(element_at(sorted, ((size(sorted) + 1) / 2).cast("int"))))
+  }
+
   /** Fixed-window FRACTIONAL differentiation (López de Prado ch. 5,
     * public methodology): x̃_t = Σ_{k<window} w_k·x_{t−k} with the
     * binomial-series weights of (1−B)^d —

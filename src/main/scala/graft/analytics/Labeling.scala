@@ -70,4 +70,64 @@ object Labeling {
         when(col("label") === 1, p1).when(col("label") === -1, pm))
       .drop("__fwd", "__t")
   }
+
+  /** AVERAGE UNIQUENESS sample weights for triple-barrier labels (López
+    * de Prado ch. 4, public methodology): overlapping label windows make
+    * observations non-IID — an event whose horizon is shared with five
+    * concurrent events carries ~1/5 the information of an isolated one.
+    * Each event's label SPAN runs from the next row to its barrier touch
+    * (or the vertical horizon, truncated at the series end); with
+    * c_t = how many spans cover row t, the weight is
+    *
+    *   u_i = (1/L_i) Σ_{t ∈ span_i} 1/c_t     (null when L_i = 0).
+    *
+    * Output adds `label`, `label_span` (L_i) and `uniqueness`
+    * (sr6-pinned).
+    *
+    * Scale shape: everything rides ONE (partition, order) sort — the
+    * label frame, row numbers, and two further bounded frames: a
+    * backward collect of the previous `horizon` (rn, L) pairs (a span
+    * from further back cannot reach the current row, so coverage is a
+    * size-of-filter over that array — no self-join, no boundary-delta
+    * shuffle), and a forward collect of the next `horizon` coverage
+    * reciprocals sliced to the span. State is O(horizon) per row
+    * throughout.
+    */
+  def averageUniqueness(
+      df: DataFrame, valueCol: String, partition: Seq[String],
+      order: Seq[String], horizon: Int, up: Double, down: Double): DataFrame = {
+    import graft.util.Partitioning.{stableRound6 => sr6}
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val whole = Window.partitionBy(partition.map(col): _*)
+    val back = w.rowsBetween(-horizon, -1)
+    val fwd = w.rowsBetween(1, horizon)
+    val labeled = tripleBarrierLabels(df, valueCol, partition, order, horizon, up, down)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__nn", count(lit(1)).over(whole))
+      .withColumn("label_span",
+        coalesce(col("t_touch"),
+          least(lit(horizon.toLong), col("__nn") - col("__rn"))))
+    val rn = col("__rn")
+    val covered = labeled
+      .withColumn("__prev",
+        collect_list(struct(rn.as("__rn"), col("label_span").as("__l"))).over(back))
+      // spans never exceed `horizon`, so every span covering this row
+      // starts within the backward frame — coverage without a self-join
+      .withColumn("__c",
+        size(filter(col("__prev"),
+          p => p.getField("__l") >= rn - p.getField("__rn"))).cast("long"))
+      // rows inside any consulted span have __c >= 1 by construction;
+      // the 0 case exists only at never-consulted rows — keep the
+      // division ANSI-safe there
+      .withColumn("__cinv",
+        when(col("__c") === 0L, lit(0.0)).otherwise(lit(1.0) / col("__c")))
+    covered
+      .withColumn("__finv", collect_list(col("__cinv")).over(fwd))
+      .withColumn("uniqueness",
+        when(col("label_span") === 0L, lit(null).cast("double"))
+          .otherwise(sr6(
+            aggregate(slice(col("__finv"), lit(1), col("label_span").cast("int")),
+              lit(0.0), _ + _) / col("label_span"))))
+      .drop("__rn", "__nn", "__prev", "__c", "__cinv", "__finv")
+  }
 }

@@ -204,6 +204,62 @@ object Sampling {
     applyMixtureRates(df, idCol, sourceCol, rates, budgetFraction)
   }
 
+  /** BUDGET-CONSTRAINED quality selection — "the best documents that fit
+    * in N tokens", the final cut of a curation pipeline: rank by
+    * `score`, keep from the top until the token budget (budgetFraction
+    * of the corpus total) is exhausted; the boundary is taken in id
+    * order until the remainder runs out, so the cut is deterministic
+    * and engine-portable.
+    *
+    * Scale shape — deliberately NOT a global sort of the corpus: scores
+    * are micro-quantized to integer LEVELS (floor(score·10⁶ + 0.5); an
+    * sr6-rounded score has ≤10⁶+1 of them), the per-level token totals
+    * aggregate to a tiny frame, one descending window over THAT frame
+    * finds the full levels, the single boundary level, and its
+    * remainder, and the corpus is then filtered by broadcast level
+    * verdicts. The only per-row sort is the id-ordered running sum
+    * inside the boundary level (skew note: a corpus whose mass piles on
+    * one score level serializes that level's take through one task —
+    * inherent to exact boundary semantics; pre-thin with [[hashSample]]
+    * if a level is pathological). Corpus scanned twice in this
+    * self-contained form (level aggregate + filtered take) — precompute
+    * the level frame at corpus scale, the usual artifact-reuse contract.
+    */
+  def budgetSelect(
+      df: DataFrame, idCol: String, tokenCount: Column, score: Column,
+      budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0,1], got $budgetFraction")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__su", floor(score * 1000000d + 0.5d).cast("long"))
+      .withColumn("__tok", tokenCount.cast("long"))
+    val all = Window.partitionBy()
+    val desc = Window.orderBy(col("__su").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val levels = base.groupBy(col("__su")).agg(sum(col("__tok")).as("__ltok"))
+      .withColumn("__cumIncl", sum(col("__ltok")).over(desc))
+      .withColumn("__budget",
+        floor(lit(budgetFraction) * sum(col("__ltok")).over(all).cast("double"))
+          .cast("long"))
+      .withColumn("__cumAbove", col("__cumIncl") - col("__ltok"))
+    val sel = levels.select(col("__su"),
+        (col("__cumIncl") <= col("__budget")).as("__full"),
+        (col("__cumAbove") < col("__budget") && col("__cumIncl") > col("__budget"))
+          .as("__part"),
+        (col("__budget") - col("__cumAbove")).as("__rem"))
+      .filter(col("__full") || col("__part"))
+    val joined = base.join(broadcast(sel), Seq("__su"))
+    val wPart = Window.partitionBy(col("__su")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partRows = joined.filter(col("__part"))
+      .withColumn("__run", sum(col("__tok")).over(wPart))
+      .filter(col("__run") <= col("__rem"))
+      .drop("__run")
+    joined.filter(col("__full")).unionByName(partRows)
+      .drop("__su", "__tok", "__full", "__part", "__rem")
+  }
+
   /** The mixture samplers' shared budget arithmetic: given the per-source
     * frame (sourceCol, __toks: BIGINT, __w: numeric),
     *

@@ -63,6 +63,14 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("max_drawdown") === 0.0)
   }
 
+  test("rollingMedian: outlier-immune lower median, series head uses available rows") {
+    val out = Indicators.rollingMedian(
+        series(1, 100, 2, 3), "px", "med", Seq("sym"), Seq("seq"), 3)
+      .orderBy("seq").select("med").as[Double].collect()
+    // frames: [1] -> 1; [1,100] -> lower median 1; [1,100,2] -> 2; [100,2,3] -> 3
+    assert(out.toSeq === Seq(1.0, 1.0, 2.0, 3.0))
+  }
+
   test("fracDiff: binomial weights exact for dyadic d; constant series scales by the weight sum") {
     // d=0.5, window=4: w = 1, -1/2, -1/8, -1/16 (all dyadic -> exact)
     assert(graft.analytics.Indicators.fracDiffWeights(0.5, 4) ===

@@ -44,6 +44,28 @@ class LabelingSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("label") === 0)       // null own value: no barriers
   }
 
+  test("averageUniqueness: mean reciprocal concurrency over each span; last row null") {
+    // flat series, horizon 2, wide barriers -> no touches; spans:
+    // L1=2 (covers rows 2,3), L2=2 (3,4), L3=1 (4), L4=0.
+    // coverage: c2=1, c3=2, c4=2 -> u1=(1+1/2)/2=0.75, u2=0.5, u3=0.5
+    val rows = (1 to 4).map(i => (i.toLong, "u", 10.0)).toDF("seq", "uid", "v")
+    val out = Labeling.averageUniqueness(
+        rows, "v", Seq("uid"), Seq("seq"), horizon = 2, up = 0.5, down = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("label_span") === 2L)
+    assert(out(1L).getAs[Double]("uniqueness") === 0.75)
+    assert(out(2L).getAs[Double]("uniqueness") === 0.5)
+    assert(out(3L).getAs[Long]("label_span") === 1L)
+    assert(out(3L).getAs[Double]("uniqueness") === 0.5)
+    assert(out(4L).getAs[Long]("label_span") === 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("uniqueness")))
+    // an isolated event (its own user) is fully unique
+    val solo = Seq((1L, "s", 10.0), (2L, "s", 10.0)).toDF("seq", "uid", "v")
+    val u = Labeling.averageUniqueness(solo, "v", Seq("uid"), Seq("seq"), 2, 0.5, 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(u(1L).getAs[Double]("uniqueness") === 1.0)
+  }
+
   test("tripleBarrierLabels: flat series never touches; labels deterministic under repartition") {
     val rows = (1 to 50).map(i => (i.toLong, "u", 100.0)).toDF("seq", "uid", "v")
     val out = Labeling.tripleBarrierLabels(

@@ -7,6 +7,28 @@ import graft.util.Partitioning
 
 class SamplingSpec extends SparkSpec {
 
+  test("budgetSelect: full levels whole, boundary level in id order, budget never exceeded") {
+    import spark.implicits._
+    // levels: 0.9 -> docs 1,2 (10 tok each); 0.5 -> 3,4,5; 0.1 -> 6.
+    // budget = 0.5*60 = 30: level .9 full (20), level .5 partial rem 10
+    // -> doc 3 only; level .1 excluded
+    val docs = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L),
+      (3L, 0.5, 10L), (4L, 0.5, 10L), (5L, 0.5, 10L),
+      (6L, 0.1, 10L)
+    ).toDF("doc_id", "score", "ntok")
+    val kept = Sampling.budgetSelect(docs, "doc_id", col("ntok"), col("score"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+    // budget 1.0 keeps everything; determinism across repartition
+    val all = Sampling.budgetSelect(docs.repartition(5), "doc_id",
+      col("ntok"), col("score"), 1.0).count()
+    assert(all === 6L)
+    val again = Sampling.budgetSelect(docs.repartition(3), "doc_id",
+      col("ntok"), col("score"), 0.5).select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("weightedSamplePerStratum: heavy rows are strongly over-represented") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
