@@ -2559,14 +2559,23 @@ FROM (SELECT * FROM fullr UNION ALL SELECT * FROM partr)
 GROUP BY source"""),
 
     // rolling median: sorted bounded frame + lower-median element
-    // selection — pure indexing, no interpolation arithmetic
+    // selection — pure indexing, no interpolation arithmetic. NULLs are
+    // filtered from the frame before selection (Spark's collect_list
+    // drops them; DuckDB's list() keeps them and list_sort places them
+    // last — without the filter the two engines disagree on len and on
+    // the lower-median index whenever the frame holds a null); an
+    // all-null frame yields NULL, matching the operator's empty-list
+    // branch.
     "q151_rolling_median" ->
       """SELECT event_id, user_id,
-  (list_sort(lst))[CAST((len(lst) + 1) // 2 AS INT)] AS med21
+  CASE WHEN len(flt) = 0 THEN NULL
+       ELSE (list_sort(flt))[CAST((len(flt) + 1) // 2 AS INT)] END AS med21
 FROM (
   SELECT event_id, user_id,
-    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS lst
+    list_filter(
+      list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+      x -> x IS NOT NULL) AS flt
   FROM events
 )""",
 
@@ -2633,8 +2642,11 @@ FROM inv""",
       """WITH tb AS (
   SELECT min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx FROM events
 ), m AS (
+  -- NULL ts must land in the reference population in BOTH the bin fit
+  -- (bd's NOT cur) and the histogram (cnt's CASE) — Drift coalesces
+  -- NULL->false in both places, so the oracle pins the same flag once
   SELECT event_type, CAST(value AS DOUBLE) AS v,
-    epoch_us(ts) * 2 >= tmn + tmx AS cur
+    COALESCE(epoch_us(ts) * 2 >= tmn + tmx, FALSE) AS cur
   FROM events, tb
 ), bd AS (
   SELECT event_type, min(v) AS mn, max(v) AS mx
@@ -2694,5 +2706,42 @@ SELECT event_type, CAST(cum // 2000000000 AS BIGINT) AS bar,
   round(arg_max(value, event_id), 4) AS close,
   floor(sum(value) * 1000000 + 0.5) / 1000000 AS volume
 FROM r GROUP BY 1, 2""",
+
+    // symmetric CUSUM event filter (X23 batch twin): the reset-on-trigger
+    // recurrence — S+ := max(0, S+ + dx), S- := min(0, S- + dx), fire and
+    // zero both when |S| crosses h — is outside every window frame, so
+    // the oracle is a RECURSIVE CTE advancing all keys one row per
+    // iteration (iterations = max rows per key, not total rows). Prices
+    // take one float32 round (CAST AS REAL == Spark .cast("float")),
+    // then pure double arithmetic in program order — bit-identical to
+    // cusumFold. The 0-as-DOUBLE casts stop DuckDB typing the anchor's
+    // accumulators as DECIMAL (which the recursive arm cannot widen).
+    "q154_cusum_events" ->
+      """WITH RECURSIVE s AS (
+  SELECT user_id, ts, CAST(CAST(value AS REAL) AS DOUBLE) AS p,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, rn, ts, p, p AS ref,
+    CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn, 0 AS dir
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts, s.p, s.p AS ref,
+    CASE WHEN GREATEST(CAST(0 AS DOUBLE), r.sp + (s.p - r.ref)) > 100.0
+           OR LEAST(CAST(0 AS DOUBLE), r.sn + (s.p - r.ref)) < -100.0
+         THEN CAST(0 AS DOUBLE)
+         ELSE GREATEST(CAST(0 AS DOUBLE), r.sp + (s.p - r.ref)) END AS sp,
+    CASE WHEN GREATEST(CAST(0 AS DOUBLE), r.sp + (s.p - r.ref)) > 100.0
+           OR LEAST(CAST(0 AS DOUBLE), r.sn + (s.p - r.ref)) < -100.0
+         THEN CAST(0 AS DOUBLE)
+         ELSE LEAST(CAST(0 AS DOUBLE), r.sn + (s.p - r.ref)) END AS sn,
+    CASE WHEN GREATEST(CAST(0 AS DOUBLE), r.sp + (s.p - r.ref)) > 100.0 THEN 1
+         WHEN LEAST(CAST(0 AS DOUBLE), r.sn + (s.p - r.ref)) < -100.0 THEN -1
+         ELSE 0 END AS dir
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT CAST(user_id AS VARCHAR) AS ticker, ts, p AS price,
+  dir AS direction, rn AS n
+FROM rec WHERE dir <> 0""",
   )
 }

@@ -1027,6 +1027,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
   }
 
+  /** X23 oracle row: symmetric CUSUM event filter (batch twin of the
+    * streaming [[graft.streaming.StatefulOps.cusumEvents]]) — per-user
+    * value series sampled only where cumulative change exceeds h=100,
+    * both accumulators resetting on trigger. The reset recurrence makes
+    * each output depend on every prior row through prior outputs — no
+    * bounded window frame expresses it, so the oracle is a DuckDB
+    * RECURSIVE CTE advancing every key one row per iteration.
+    * Determinism: prices go through one float32 round (`CAST(value AS
+    * REAL)` ↔ `.cast("float")`, correctly rounded in both engines) and
+    * the recurrence is then pure double arithmetic in program order —
+    * bit-identical cross-engine. Ordering is (ts) alone: the harness
+    * events table has no per-user millisecond collisions at any SF
+    * (checked), so the fold's (millis, price, volume) tie-break never
+    * engages. StatefulSpec's chop-invariance property ties the streaming
+    * form to this oracle-checked batch twin.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"), lit(0).as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.cusumEventsBatch(s, ticks, h = 100.0).toDF()
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2267,6 +2293,7 @@ object SparkEntry {
     "q151_rolling_median" -> (q151 _),
     "q152_label_uniqueness" -> (q152 _),
     "q153_budget_select" -> (q153 _),
+    "q154_cusum_events" -> (q154 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

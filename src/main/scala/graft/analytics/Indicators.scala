@@ -186,7 +186,12 @@ object Indicators {
     * returned rather than the interpolated midpoint: it is an actual
     * data value, so the cross-engine contract is pure element selection
     * — no arithmetic to drift (`element_at(array_sort(...))` ↔ DuckDB
-    * `list_sort(...)[...]`).
+    * `list_sort(...)[...]`). The median is over the frame's NON-NULL
+    * values: collect_list silently drops nulls, so a null print shrinks
+    * the frame rather than occupying a sorted slot — the oracle pins the
+    * same semantic with an explicit list_filter (DuckDB's list() window
+    * keeps nulls and would otherwise disagree on both the length and the
+    * lower-median index); an all-null frame yields null.
     *
     * Scale shape: one (partition, order) sort; the frame materializes n
     * values per row (O(n log n) per-row sort in the projection) — the

@@ -19,6 +19,14 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
+  /** The optimized LOGICAL plan — for structural assertions (node
+    * counts, window-frame bounds) that must survive Spark upgrades:
+    * catalyst node classes and frame case objects are stable API, the
+    * executed plan's lowercase `currentrow$()` text rendering is not.
+    */
+  private def optimizedOf(name: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+
   test("q02 filter+project: predicate and pruned schema reach the parquet scan") {
     val plan = planOf("q02_filter_project")
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_returnflag), GreaterThanOrEqual(l_quantity"),
@@ -83,9 +91,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q83 ewma: all ten lag terms evaluate in ONE Window node over one shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val windows = optimizedOf("q83_ewma").collectWithSubqueries {
+      case w: LogicalWindow => w
+    }.size
+    assert(windows === 1, s"ewma lags must share one Window node, saw $windows")
     val plan = planOf("q83_ewma")
-    val windows = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Window .*"""))
-    assert(windows === 1, s"ewma lags must share one Window node, saw $windows:\n$plan")
     val exchanges = plan.linesIterator.count(_.contains("Exchange "))
     assert(exchanges <= 1, s"ewma should shuffle once on the series key, saw $exchanges:\n$plan")
   }
@@ -252,12 +263,25 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q141 linear resample: no moving unboundedFollowing frame (O(grid²) per key)") {
-    val plan = planOf("q141_resample_linear")
     // the next-print lookup must come from the DESC run-group trick —
-    // a (currentRow, unboundedFollowing) frame re-aggregates the
-    // remaining frame for every row (UnboundedFollowingWindowFunctionFrame)
-    assert(!plan.contains("currentrow$(), unboundedfollowing$()"),
-      s"forward-looking moving frame leaked into the plan:\n$plan")
+    // a frame whose UPPER bound is unboundedFollowing but whose lower
+    // bound moves re-aggregates the remaining frame for every row
+    // (UnboundedFollowingWindowFunctionFrame). Checked structurally on
+    // the optimized plan's frame case objects, not the executed plan's
+    // text rendering (which changes spelling across Spark versions and
+    // would silently stop guarding).
+    import org.apache.spark.sql.catalyst.expressions.{
+      SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding}
+    val logical = optimizedOf("q141_resample_linear")
+    val movingUF = logical.collectWithSubqueries {
+      case node => node.expressions.flatMap(_.collect {
+        case SpecifiedWindowFrame(_, lower, UnboundedFollowing)
+            if lower != UnboundedPreceding => lower
+      })
+    }.flatten
+    assert(movingUF.isEmpty,
+      s"forward-looking moving frame leaked into the plan (lower bounds: $movingUF):\n$logical")
+    val plan = planOf("q141_resample_linear")
     // two aggregate shuffles (bounds + bars) and one broadcast — nothing else
     val exchanges = plan.linesIterator.count(_.contains("Exchange "))
     assert(exchanges <= 3, s"expected <=3 exchanges (2 agg + 1 broadcast), saw $exchanges:\n$plan")
@@ -305,9 +329,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q149 fracdiff: all lag terms in ONE window node over one exchange") {
+    // count Window nodes structurally on the optimized plan (physical
+    // Window ops follow the logical nodes 1:1) — a text regex over the
+    // executed plan is tied to one Spark version's rendering and would
+    // hard-fail on a rename rather than on a real plan regression
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val windows = optimizedOf("q149_fracdiff").collectWithSubqueries {
+      case w: LogicalWindow => w
+    }.size
+    assert(windows === 1, s"ten lag terms must share one Window node, saw $windows")
     val plan = planOf("q149_fracdiff")
-    val windows = plan.linesIterator.count(_.trim.matches("""^[+:\-\s]*(\*\(\d+\)\s*)?Window\b.*"""))
-    assert(windows === 1, s"ten lag terms must share one Window node, saw $windows:\n$plan")
     val exchanges = plan.linesIterator.count(_.contains("Exchange "))
     assert(exchanges <= 1, s"one user_id exchange expected, saw $exchanges:\n$plan")
   }
