@@ -2493,6 +2493,41 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // bigram surprisal, precomputed-tables/OOV form: count tables from
+    // the even-doc_id half only, every doc scored with LEFT joins —
+    // unseen pair/context -> zero conditional term, OOV word -> add-one
+    // floor (c=1); the context table derives from the bigram table
+    // (sum over w), mirroring the operator
+    "q156_bigram_oov" ->
+      """WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), pr AS (
+  SELECT doc_id, t[i] AS v, t[i+1] AS w
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+), bg AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS cbw
+  FROM pr WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), cx AS (
+  SELECT v, CAST(sum(cbw) AS BIGINT) AS cv FROM bg GROUP BY 1
+), ug AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM tk WHERE doc_id % 2 = 0) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM ug
+)
+SELECT p.doc_id, count(*) AS n_bigrams,
+  floor(avg(-ln(0.75 * COALESCE(CAST(b.cbw AS DOUBLE) / CAST(c.cv AS DOUBLE), 0.0)
+      + 0.25 * COALESCE(CAST(u.c AS DOUBLE), 1.0) / CAST(tot.t AS DOUBLE)))
+    * 1000000 + 0.5) / 1000000 AS surprisal
+FROM pr p
+LEFT JOIN bg b ON p.v = b.v AND p.w = b.w
+LEFT JOIN cx c ON p.v = c.v
+LEFT JOIN ug u ON p.w = u.tok
+CROSS JOIN tot
+GROUP BY p.doc_id""",
+
     // triple-barrier labels: forward list frame, first-touch positions
     // via list_position over the +1/-1/0 transform (0 when absent in
     // both engines), vertical barrier -> label 0 / null touch

@@ -934,6 +934,25 @@ object SparkEntry {
   private def q146(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
 
+  /** X4+ artifact-reuse form of q146: bigram surprisal scored against
+    * PRECOMPUTED tables built from the even-doc_id half of the corpus —
+    * the cross-batch contract ([[TextAnalysis.bigramCounts]] +
+    * [[TextAnalysis.unigramVocab]] persisted once, any batch scored
+    * against them) with the OOV branches genuinely engaged: odd-half
+    * pairs whose context or word the reference half never saw take the
+    * zero-conditional / add-one-floor paths that are unreachable in the
+    * self-computed form (where every pair is in-vocabulary by
+    * construction).
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    TextAnalysis.bigramSurprisal(docs, "doc_id", "text",
+      TextAnalysis.bigramCounts(ref, "text"),
+      TextAnalysis.unigramVocab(ref, "text"),
+      lambda = 0.75, maxBroadcastVocab = 10000000L)
+  }
+
   /** W+/X18-adjacent labeling: TRIPLE-BARRIER labels (first touch of
     * ±25% barriers within a 20-row horizon) — the forward-looking label
     * construction q143/q144's purging exists to protect. Bounded
@@ -2294,6 +2313,7 @@ object SparkEntry {
     "q152_label_uniqueness" -> (q152 _),
     "q153_budget_select" -> (q153 _),
     "q154_cusum_events" -> (q154 _),
+    "q156_bigram_oov" -> (q156 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

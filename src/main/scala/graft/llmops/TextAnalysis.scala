@@ -304,24 +304,81 @@ object TextAnalysis {
   def bigramSurprisal(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75,
-      maxBroadcastVocab: Long = 10000000L): org.apache.spark.sql.DataFrame = {
-    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+      maxBroadcastVocab: Long = 10000000L): org.apache.spark.sql.DataFrame =
+    bigramSurprisal(df, idCol, textCol,
+      bigramCounts(df, textCol), unigramVocab(df, textCol),
+      lambda, maxBroadcastVocab)
+
+  /** Adjacent-pair counts over the corpus — (v, w, c), the bigram table
+    * of [[bigramSurprisal]], exposed for the artifact-reuse contract:
+    * persist this and [[unigramVocab]] once per corpus snapshot, score
+    * any number of batches against them. The context table c(v,·) is
+    * NOT a third artifact — it derives from this one by summing over w
+    * (a table-sized aggregate, not a corpus-sized one), so the overload
+    * rebuilds it on the fly.
+    */
+  def bigramCounts(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    bigramPairs(df, textCol, lit(0).as("__id"))
+      .groupBy(col("__v"), col("__w")).agg(count(lit(1)).as("c"))
+      .select(col("__v").as("v"), col("__w").as("w"), col("c"))
+
+  /** The map-only pair expansion shared by both [[bigramSurprisal]]
+    * forms: two array slices zipped and exploded — no per-doc window,
+    * and the token array does NOT ride through the generator output.
+    * ANSI: element_at over sequence(1, size-1) needs size >= 2 (a
+    * 1-token doc would generate the DESCENDING sequence [1,0] and an
+    * invalid index error, not an empty pair list).
+    */
+  private def bigramPairs(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      idExpr: Column): org.apache.spark.sql.DataFrame = {
     val tk = tokens(col(textCol))
-    // ANSI: element_at over sequence(1, size-1) needs size >= 2 (a
-    // 1-token doc would generate the DESCENDING sequence [1,0] and an
-    // invalid index error, not an empty pair list)
-    val pairs = graft.util.Partitioning.ensureParallelism(df)
+    graft.util.Partitioning.ensureParallelism(df)
       .filter(size(tk) >= 2)
-      .select(col(idCol),
+      .select(idExpr.as("__id"),
         explode(transform(sequence(lit(1), size(tk) - 1),
           i => struct(element_at(tk, i), element_at(tk, i + 1)))).as("__p"))
-      .select(col(idCol), col("__p").getField("col1").as("__v"),
+      .select(col("__id"), col("__p").getField("col1").as("__v"),
         col("__p").getField("col2").as("__w"))
-    val bigrams = pairs.groupBy(col("__v"), col("__w")).agg(count(lit(1)).as("__cbw"))
-    val contexts = pairs.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
-    val vocab = unigramVocab(df, textCol)
-      .select(col("tok").as("__w"), col("c").as("__c"))
-    val probe = vocab.agg(count(lit(1)).as("n"), sum(col("__c")).as("t")).head()
+  }
+
+  /** [[bigramSurprisal]] over PRECOMPUTED tables — `bigrams` as produced
+    * by [[bigramCounts]] ((v, w, c)) and `vocab` as produced by
+    * [[unigramVocab]] ((tok, c)), both persisted/read under the
+    * CALLER's lifecycle. This is the cross-batch form the self-computed
+    * overload delegates to (tables built from `df` itself), and the one
+    * where the OOV branches genuinely engage: a pair whose context v
+    * was never seen — or was seen but never followed by w — scores a
+    * ZERO conditional term (coalesce over the null ratio), and an
+    * out-of-vocabulary w falls to the add-one floor c=1 ("rarer than
+    * anything seen"); both via LEFT joins, since inner joins would
+    * silently DROP exactly the novel sequences this filter exists to
+    * flag. p stays positive — the interpolated unigram term is ≥
+    * (1−λ)/T even when both branches miss.
+    *
+    * Broadcast guard: the corpus token total (probed from `vocab` in
+    * one driver action, also the p denominator) bounds |bigrams|,
+    * |contexts| and |vocab|; all three sides broadcast under
+    * `maxBroadcastVocab` and hash-join beyond — output-identical either
+    * way (spec-pinned), only the join strategy moves.
+    */
+  def bigramSurprisal(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      bigrams: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame,
+      lambda: Double,
+      maxBroadcastVocab: Long): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val pairs = bigramPairs(df, textCol, col(idCol))
+    val bg = bigrams.select(col("v").as("__v"), col("w").as("__w"),
+      col("c").cast("long").as("__cbw"))
+    // c(v,·) = Σ_w c(v,w): derived over the bigram TABLE, not the
+    // corpus pair stream — the same number, a much smaller aggregate
+    val contexts = bg.groupBy(col("__v")).agg(sum(col("__cbw")).as("__cv"))
+    val vg = vocab.select(col("tok").as("__w"), col("c").cast("long").as("__c"))
+    val probe = vg.agg(count(lit(1)).as("n"), sum(col("__c")).as("t")).head()
     val total = if (probe.isNullAt(1)) 1L else probe.getLong(1)
     // T bounds |bigrams|, |contexts|, |vocab| — one probe sizes all three
     def side(t: org.apache.spark.sql.DataFrame) =
@@ -331,10 +388,10 @@ object TextAnalysis {
       lit(1.0 - lambda) * coalesce(col("__c").cast("double"), lit(1.0)) /
         lit(total.toDouble)
     pairs
-      .join(side(bigrams), Seq("__v", "__w"), "left")
+      .join(side(bg), Seq("__v", "__w"), "left")
       .join(side(contexts), Seq("__v"), "left")
-      .join(side(vocab), Seq("__w"), "left")
-      .groupBy(col(idCol))
+      .join(side(vg), Seq("__w"), "left")
+      .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         graft.util.Partitioning.stableRound6(avg(-log(p))).as("surprisal"))
   }

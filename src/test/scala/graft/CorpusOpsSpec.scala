@@ -49,6 +49,78 @@ class CorpusOpsSpec extends SparkSpec {
       s"unigram should be blind to order: ${uni(99L)} vs ${uni(0L)}")
   }
 
+  test("bigramSurprisal: hash-join regime (maxBroadcastVocab=1) is output-identical to broadcast") {
+    // the r10 verdict's untested path: every run to date stayed under
+    // the 10M-token broadcast guard, so the hash-join fallback had
+    // never executed. Force it and pin output identity — only the join
+    // STRATEGY may move, never a value.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val broad = graft.llmops.TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+    val a = broad.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // at sf0.001 the count tables are small enough that AQE re-broadcasts
+    // them at runtime even without the operator's hint — which is correct
+    // at scale but would leave the shuffle-join CODE PATH untested here;
+    // pin the thresholds off so the fallback genuinely executes
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val hashed = graft.llmops.TextAnalysis.bigramSurprisal(
+        docs, "doc_id", "text",
+        graft.llmops.TextAnalysis.bigramCounts(docs, "text"),
+        graft.llmops.TextAnalysis.unigramVocab(docs, "text"),
+        lambda = 0.75, maxBroadcastVocab = 1L)
+      val b = hashed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val plan = hashed.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard at 1 must disable the broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fallback regime should shuffle-join the count tables:\n$plan")
+      assert(a.sameElements(b), "join regimes disagree on output")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bigramSurprisal precomputed tables: OOV pair/context/word branches hand-checked") {
+    // reference corpus: "a b a b" -> c(a,b)=2, c(b,a)=1; contexts a=2,
+    // b=1; unigrams a=2, b=2, T=4
+    val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val bg = graft.llmops.TextAnalysis.bigramCounts(ref, "text")
+    val ug = graft.llmops.TextAnalysis.unigramVocab(ref, "text")
+    // scored batch: (a,b) fully known; (b,z) known context, unseen pair,
+    // OOV word; (z,a) unseen context, known word
+    val batch = Seq((10L, "a b z"), (11L, "z a")).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.bigramSurprisal(
+      batch, "doc_id", "text", bg, ug, lambda = 0.75, maxBroadcastVocab = 10000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val pAB = 0.75 * (2.0 / 2.0) + 0.25 * 2.0 / 4.0 // known pair
+    val pBZ = 0.25 * 1.0 / 4.0                      // unseen pair + OOV word floor
+    val pZA = 0.25 * 2.0 / 4.0                      // unseen context, known word
+    assert(out(10L).getAs[Long]("n_bigrams") === 2)
+    assert(out(10L).getAs[Double]("surprisal") ===
+      sr6((-math.log(pAB) - math.log(pBZ)) / 2.0))
+    assert(out(11L).getAs[Double]("surprisal") === sr6(-math.log(pZA)))
+  }
+
+  test("bigramSurprisal: self-computed form == precomputed form fed its own tables") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val self = graft.llmops.TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val pre = graft.llmops.TextAnalysis.bigramSurprisal(
+      docs, "doc_id", "text",
+      graft.llmops.TextAnalysis.bigramCounts(docs, "text"),
+      graft.llmops.TextAnalysis.unigramVocab(docs, "text"),
+      lambda = 0.75, maxBroadcastVocab = 10000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(self.sameElements(pre), "delegation must be exact")
+  }
+
   // ---- BM25 ----
 
   test("bm25: hand-computed score on a three-doc corpus") {
