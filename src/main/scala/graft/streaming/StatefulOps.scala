@@ -405,4 +405,88 @@ object StatefulOps {
         }.iterator
       }
   }
+
+  // ---- Information-driven (volume) bars: X20's streaming twin ----
+
+  final case class VolumeBarState(
+      cumVu: Long, bar: Long, nTicks: Long,
+      open: Float, high: Float, low: Float, close: Float, volume: Long)
+
+  final case class VolumeBar(
+      ticker: String, bar: Long, nTicks: Long,
+      open: Float, high: Float, low: Float, close: Float, volume: Long)
+
+  /** Fold ticks into the running volume-bar state, emitting each bar the
+    * moment a row lands PAST it. Same bar arithmetic as the batch
+    * [[graft.analytics.TimeSeries.volumeBars]] (q148's oracle-checked
+    * form): volumes micro-quantize per row (integer tick volumes are
+    * exact either way), a row's bar is its PRE-row cumulative div the
+    * quantized threshold — so a bar closes WITH the crossing row, and a
+    * single huge print can jump several bar ids (the skipped ids simply
+    * have no rows, in both forms). The reset-free running total is the
+    * same recurrence class as [[cusumFold]]: one Long of position, no
+    * window frame.
+    */
+  private[streaming] def volumeBarFold(
+      st: Option[VolumeBarState], ticks: Seq[TickerTick],
+      thresholdMicros: Long): (Option[VolumeBarState], Seq[VolumeBarState]) = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st
+    val closed = Seq.newBuilder[VolumeBarState]
+    sorted.foreach { t =>
+      require(t.volume >= 0,
+        s"volumeBarsStream: negative volume ${t.volume} — cumulative-volume bars need non-negative volumes")
+      val vu = t.volume.toLong * 1000000L
+      val cum = s.map(_.cumVu).getOrElse(0L)
+      val bar = cum / thresholdMicros
+      s match {
+        case Some(c) if c.bar == bar =>
+          s = Some(c.copy(cumVu = cum + vu, nTicks = c.nTicks + 1,
+            high = math.max(c.high, t.price), low = math.min(c.low, t.price),
+            close = t.price, volume = c.volume + t.volume))
+        case _ =>
+          s.foreach(closed += _)
+          s = Some(VolumeBarState(cum + vu, bar, 1L,
+            t.price, t.price, t.price, t.price, t.volume.toLong))
+      }
+    }
+    (s, closed.result())
+  }
+
+  /** Streaming information-driven (volume) bars: per-ticker bars of
+    * roughly constant traded volume, emitted as they COMPLETE (Append
+    * mode; the trailing partial bar stays in state — the batch twin
+    * emits it, so chop-invariance compares completed bars). Requires the
+    * usual in-order discipline of this file's recurrences: batches sort
+    * internally, but a row arriving in a LATER batch than a bar it
+    * belongs to cannot reopen the emitted bar. State is ~48 bytes/key.
+    * Same timeout discipline as [[runningOhlc]].
+    */
+  def volumeBarsStream(
+      ticks: Dataset[TickerTick], threshold: Double,
+      idleTimeoutMs: Option[Long] = None): Dataset[VolumeBar] = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val thresholdMicros = math.floor(threshold * 1000000d + 0.5d).toLong
+    require(thresholdMicros > 0, s"threshold too small to quantize: $threshold")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[VolumeBarState, VolumeBar](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[VolumeBarState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, closed) = volumeBarFold(state.getOption, it.toSeq, thresholdMicros)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            closed.map(c => VolumeBar(ticker, c.bar, c.nTicks,
+              c.open, c.high, c.low, c.close, c.volume)).iterator
+          }
+      }
+  }
 }

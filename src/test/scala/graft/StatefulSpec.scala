@@ -251,4 +251,61 @@ class StatefulSpec extends SparkSpec {
         streaming.map(e => (e.ticker, e.price, e.direction, e.n)).toSeq)
     } finally q.stop()
   }
+
+  test("volume bars stream: completed bars match the batch operator across a chopped boundary") {
+    import graft.streaming.StatefulOps.VolumeBar
+    implicit val sqlCtx = spark.sqlContext
+    // threshold 10: bar0 = three v=4 ticks (closes when cum_excl=12
+    // lands in bar 1), bar1 = one v=30 print whose size JUMPS the next
+    // row to bar 4 (ids 2-3 have no rows, in both forms), bar4 spans
+    // the batch boundary, bar5 stays partial (in state, not emitted)
+    val batch1 = Seq(
+      tick("A", "2024-01-01 10:00:00", 10f, 4),
+      tick("A", "2024-01-01 10:01:00", 11f, 4),
+      tick("A", "2024-01-01 10:02:00", 12f, 4),
+      tick("A", "2024-01-01 10:03:00", 9f, 30),
+      tick("A", "2024-01-01 10:04:00", 8f, 1),
+      tick("B", "2024-01-01 10:00:00", 5f, 12))
+    val batch2 = Seq(
+      tick("A", "2024-01-01 10:05:00", 13f, 5),
+      tick("A", "2024-01-01 10:06:00", 14f, 6),
+      tick("A", "2024-01-01 10:07:00", 15f, 10),
+      tick("B", "2024-01-01 10:05:00", 6f, 3))
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.volumeBarsStream(mem.toDS(), threshold = 10.0)
+      .writeStream.format("memory").queryName("vbar_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("vbar_out").as[VolumeBar].collect()
+        .map(b => (b.ticker, b.bar) -> b).toMap
+      // bar 4 spans the boundary: opened by batch1's last tick, fed by
+      // batch2, closed by the crossing row — state carried correctly
+      assert(streaming.keySet === Set(("A", 0L), ("A", 1L), ("A", 4L), ("B", 0L)))
+      assert(streaming(("A", 4L)).nTicks === 3L)
+      assert(streaming(("A", 4L)).open === 8f)
+      assert(streaming(("A", 4L)).close === 14f)
+      // equality with the batch operator (q148's oracle-checked form),
+      // completed bars only: the batch form also emits each key's
+      // trailing partial bar, which streaming holds in state
+      val df = (batch1 ++ batch2)
+        .map(t => (t.ticker, t.datetime, t.price.toDouble, t.volume))
+        .toDF("sym", "ts", "px", "vol")
+      val all = graft.analytics.TimeSeries.volumeBars(
+        df, "sym", Seq("ts"), "px", "vol", "ts", 10.0).collect()
+      val lastBar = all.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+      val completed = all.filter(r => r.getLong(1) < lastBar(r.getString(0)))
+        .map { r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)) }
+        .toMap
+      assert(completed.keySet === streaming.keySet)
+      completed.foreach { case (k, (n, o, h, l, c, v)) =>
+        val s = streaming(k)
+        assert((s.nTicks, s.open.toDouble, s.high.toDouble, s.low.toDouble, s.close.toDouble, s.volume) ===
+          ((n, o, h, l, c, v)), s"bar $k disagrees")
+      }
+    } finally q.stop()
+  }
 }
