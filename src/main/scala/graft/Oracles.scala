@@ -2493,6 +2493,61 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // curation capstone: the q131 quality CTEs gate the corpus, q21's
+    // min-id-per-sha256 removes exact copies, the q22 minhash pairs +
+    // q72 recursive closure over the SURVIVORS give clusters, q136's
+    // rank keeps the best copy, q135's grp-hash cuts the 20% test side,
+    // q142's sqrt-temperature rates mix the training tokens — one CTE
+    // chain, each fragment identical to its individually-verified twin
+    "q155_curation_capstone" ->
+      s"""WITH RECURSIVE $qualityPCtes, gate AS (
+  SELECT d.doc_id, d.source, d.text, p.quality_p
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+  WHERE p.quality_p >= 0.5e0
+), exact AS (
+  SELECT doc_id, source, text, quality_p FROM (
+    SELECT gate.*, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM gate
+  ) WHERE rn = 1
+), ${minhashPairsCteOver("exact")},
+${closureCtes("pairs", "doc_a", "doc_b")}, comp AS (
+  SELECT id, min(lab) AS grp FROM reach GROUP BY id
+), g AS (
+  SELECT e.doc_id, e.source, e.text, e.quality_p, coalesce(c.grp, e.doc_id) AS grp
+  FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
+), r AS (
+  SELECT g.*, row_number() OVER (PARTITION BY grp ORDER BY quality_p DESC, doc_id) AS rk
+  FROM g
+), train AS (
+  SELECT doc_id, source, text FROM r
+  WHERE rk = 1
+    AND CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 >= 0.2e0
+), toks AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok
+  FROM train
+), tot AS (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS toks FROM toks GROUP BY source
+), wts AS (
+  SELECT source, toks,
+    CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM tot
+), rates AS (
+  SELECT source,
+    CASE WHEN toks = 0 THEN 1.0
+         ELSE LEAST(1.0, CAST(0.3 AS DOUBLE) * CAST((SELECT sum(toks) FROM wts) AS DOUBLE)
+           * CAST(w AS DOUBLE)
+           / CAST((SELECT sum(w) FROM wts) AS DOUBLE)
+           / CAST(toks AS DOUBLE)) END AS rate
+  FROM wts
+)
+SELECT t.source, count(*) AS n_docs, CAST(sum(t.ntok) AS BIGINT) AS n_tokens
+FROM toks t JOIN rates r2 ON t.source = r2.source
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < r2.rate
+GROUP BY t.source""",
+
     // bigram surprisal, precomputed-tables/OOV form: count tables from
     // the even-doc_id half only, every doc scored with LEFT joins —
     // unseen pair/context -> zero conditional term, OOV word -> add-one

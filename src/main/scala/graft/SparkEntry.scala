@@ -1072,6 +1072,48 @@ object SparkEntry {
     StatefulOps.cusumEventsBatch(s, ticks, h = 100.0).toDF()
   }
 
+  /** END-TO-END CURATION CAPSTONE (r10 verdict item 6): the LLM-data
+    * operators chained as one pipeline the way a 100 TB run would wire
+    * them — quality gate (q131) → exact content-hash dedup (q21) →
+    * MinHash-LSH pair graph (q22) → quality-canonical keep-best per
+    * duplicate cluster (q136) → leakage-safe group split (q135) →
+    * temperature-mixed token budget (q142) → per-source report. Six
+    * oracle-verified stages, one DuckDB CTE chain as the single oracle.
+    *
+    * Composition economics (the point of the capstone, plan-pinned in
+    * PlanShapeSpec): the quality score is computed ONCE and reused by
+    * the gate and the canonical rank; the CC fixpoint runs ONCE —
+    * the split derives from the SAME `grp` labels keep-best already
+    * carries (`split(grp)` is a pure function of the cluster id, so a
+    * second `groupAwareSplit` fixpoint would be pure waste); the mix
+    * stage is a |sources|-row aggregate + broadcast rates. The corpus
+    * shuffles only where the parts individually shuffle: the exact-dedup
+    * hash window and the keep-best grp window — strictly no more than
+    * the sum of its parts.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{Components, Sampling}
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords)
+        .as("quality_p"))
+    val gated = scored.filter(col("quality_p") >= 0.5)
+    val exact = Ingest.dedupFirstBy(Seq("__h"), "doc_id")(
+      gated.withColumn("__h", Dedup.contentHash(col("text")))).drop("__h")
+    val pairs = Dedup.minhashCandidatePairs(exact, "doc_id", "text")
+    val best = Components.keepBestPerComponent(
+      exact, pairs, "doc_id", "doc_a", "doc_b", col("quality_p"))
+    val kept = best.filter(col("kept"))
+    // leakage-safe split from the keep-best grp labels: identical
+    // semantics to groupAwareSplit(testFraction=0.2) without re-running
+    // the CC fixpoint — train side only
+    val train = kept.filter(Sampling.hashUniform(col("grp")) >= 0.2)
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    Sampling.temperatureMixtureSample(train, "doc_id", "source", tok, 0.3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2313,6 +2355,7 @@ object SparkEntry {
     "q152_label_uniqueness" -> (q152 _),
     "q153_budget_select" -> (q153 _),
     "q154_cusum_events" -> (q154 _),
+    "q155_curation_capstone" -> (q155 _),
     "q156_bigram_oov" -> (q156 _),
   )
 

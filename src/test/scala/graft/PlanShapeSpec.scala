@@ -350,6 +350,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"nothing here justifies a sort-merge:\n$plan")
   }
 
+  test("q155 capstone: corpus shuffles = sum of parts; split branch REUSES the keep-best exchange") {
+    val plan = planOf("q155_curation_capstone")
+    // six chained stages, but the corpus-scale exchanges are exactly the
+    // ones the parts own individually: the exact-dedup __h window, the
+    // keep-best grp window, the mix-stage per-source aggregate and the
+    // final report aggregate (plus one pair-graph-sized exchange inside
+    // CC) — composition must not add universe shuffles
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(shuffles <= 6, s"capstone grew extra shuffles ($shuffles):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cluster labels and rates must broadcast, not sort-merge:\n$plan")
+    // the split branch derives from the SAME grp labels the keep-best
+    // window computed — Spark must see one subtree, not a recompute
+    assert(plan.contains("ReusedExchange"),
+      s"train split should reuse the keep-best exchange:\n$plan")
+  }
+
   test("q143 purged folds: bounds broadcast onto the scan, fold counts partial map-side") {
     val plan = planOf("q143_purged_folds")
     assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Cross"),
