@@ -50,7 +50,12 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev-only subset filter (unset in the driver), mirroring Verify's:
+    // SPARK_GRAFT_ONLY=q72_dedup_groups,q155_curation_capstone
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap).toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
       val times = (0 until math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
