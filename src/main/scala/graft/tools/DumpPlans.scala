@@ -60,7 +60,9 @@ object DumpPlans {
       "q146_bigram_surprisal" -> "bigram surprisal: array-level pair expansion (no token-array carry through the generator), three corpus count tables broadcast back, per-doc aggregate",
       "q147_triple_barrier" -> "triple-barrier labels: bounded collect_list(horizon) forward frame + array_position first-touch arithmetic — one sort, one exchange, no joins",
       "q148_volume_bars" -> "volume bars: exclusive running sum -> floor(cum/threshold) bar id; the (key, bar) aggregate reuses the window's key partitioning — ONE exchange end to end",
-      "q150_psi_drift" -> "PSI drift: reference bounds broadcast onto the scan, (key, bin, period) partial counts, bins-spine join + window totals over the key×bins frame")
+      "q150_psi_drift" -> "PSI drift: reference bounds broadcast onto the scan, (key, bin, period) partial counts, bins-spine join + window totals over the key×bins frame",
+      "q155_curation_capstone" -> "curation capstone: quality gate -> exact dedup -> LSH pairs -> keep-best -> group split -> temperature mix; quality scored once, ONE CC fixpoint, split branch reuses the keep-best grp exchange (ReusedExchange) — corpus shuffles = sum of parts",
+      "q156_bigram_oov" -> "bigram artifact reuse: precomputed count tables LEFT-joined back (OOV branches live), contexts derived from the bigram table not the corpus pair stream")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")
