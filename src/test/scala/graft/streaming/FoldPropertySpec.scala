@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulOps._
+
+/** Pure fold-level chop-invariance properties for the stateful
+  * recurrences — no SparkSession: the single-test chop in StatefulSpec
+  * pins one boundary placement; these sample hundreds of random series
+  * AND random chop points, so a state-carry bug that only shows at a
+  * particular boundary (mid-bar, exactly-on-trigger, first-row) cannot
+  * hide. Same manual fixed-seed sampling discipline as PropertySpec
+  * (the scalatestplus bridge is not in the offline cache).
+  */
+class FoldPropertySpec extends AnyFunSuite {
+
+  private val seriesGen: Gen[List[TickerTick]] = for {
+    n <- Gen.choose(0, 60)
+    prices <- Gen.listOfN(n, Gen.choose(1.0, 200.0))
+    vols <- Gen.listOfN(n, Gen.choose(0, 12))
+  } yield prices.zip(vols).zipWithIndex.map { case ((p, v), i) =>
+    TickerTick("K", new Timestamp(1700000000000L + i * 1000L), p.toFloat, v)
+  }
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(sys.error("gen failed"))
+
+  /** Chop `xs` at random points into 1..5 batches. */
+  private def chops(xs: List[TickerTick], seed: Long): List[List[TickerTick]] = {
+    if (xs.isEmpty) return List(Nil)
+    val nCuts = sample(Gen.choose(0, 4), seed)
+    val cuts = sample(Gen.listOfN(nCuts, Gen.choose(0, xs.size)), seed + 1).distinct.sorted
+    val bounds = (0 :: cuts) :+ xs.size
+    bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+  }
+
+  test("cusumFold: chopped fold emits exactly the whole-series events, any boundary") {
+    for (seed <- 1L to 200L) {
+      val series = sample(seriesGen, seed)
+      val h = sample(Gen.choose(5.0, 80.0), seed + 1000)
+      val (_, whole) = StatefulOps.cusumFold(None, series, h)
+      var st: Option[CusumState] = None
+      val emitted = List.newBuilder[(TickerTick, Int, Long)]
+      chops(series, seed + 2000).foreach { batch =>
+        val (s2, ev) = StatefulOps.cusumFold(st, batch, h)
+        st = s2; emitted ++= ev
+      }
+      assert(emitted.result() === whole.toList, s"seed=$seed h=$h")
+    }
+  }
+
+  test("volumeBarFold: chopped closed bars + final state == whole-series fold, any boundary") {
+    for (seed <- 1L to 200L) {
+      val series = sample(seriesGen, seed)
+      val thresholdMicros = sample(Gen.choose(1L, 40L), seed + 1000) * 1000000L
+      val (wholeState, wholeClosed) =
+        StatefulOps.volumeBarFold(None, series, thresholdMicros)
+      var st: Option[VolumeBarState] = None
+      val closed = List.newBuilder[VolumeBarState]
+      chops(series, seed + 2000).foreach { batch =>
+        val (s2, c) = StatefulOps.volumeBarFold(st, batch, thresholdMicros)
+        st = s2; closed ++= c
+      }
+      assert(closed.result() === wholeClosed.toList, s"seed=$seed t=$thresholdMicros")
+      assert(st === wholeState, s"seed=$seed t=$thresholdMicros")
+    }
+  }
+
+  test("volumeBarFold invariants: tick/volume conservation, every closed bar >= threshold") {
+    for (seed <- 1L to 200L) {
+      val series = sample(seriesGen, seed)
+      val thresholdMicros = sample(Gen.choose(1L, 40L), seed + 1000) * 1000000L
+      val (st, closed) = StatefulOps.volumeBarFold(None, series, thresholdMicros)
+      val all = closed ++ st.toList
+      assert(all.map(_.nTicks).sum === series.size, s"seed=$seed")
+      assert(all.map(_.volume).sum === series.map(_.volume.toLong).sum, s"seed=$seed")
+      // a bar only closes because a later row's pre-cum left it, so its
+      // volume reaches the threshold — EXCEPT a bar that was jumped
+      // into mid-range by an oversized print (bar id advanced by >1):
+      // such a bar holds the tail of the jump. Closed bars at id b
+      // starting exactly at b*threshold must therefore be >= threshold
+      // only when the NEXT bar is adjacent; the unconditional invariant
+      // is on ids: closed bar ids strictly increase.
+      assert(closed.map(_.bar) === closed.map(_.bar).sorted, s"seed=$seed")
+      assert(closed.map(_.bar).distinct.size === closed.size, s"seed=$seed")
+    }
+  }
+}
