@@ -2493,6 +2493,31 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // range-based realized volatility: q17's candle aggregate (unrounded)
+    // -> per-(series, day) Parkinson / Garman-Klass / Rogers-Satchell
+    // means; non-dyadic constants ride as string-cast doubles, each term
+    // is ratio->ln->product (one correctly-rounded op per step), floor
+    // rounding (no -0.0 on the sign-crossing GK/RS)
+    "q157_range_volatility" ->
+      s"""WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_min(value, event_id) AS op, max(value) AS hi,
+    min(value) AS lo, arg_max(value, event_id) AS cl
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+  count(*) AS n_bars,
+  floor((avg(ln(hi/lo) * ln(hi/lo)) / CAST('${graft.analytics.Indicators.ParkinsonDenom}' AS DOUBLE))
+    * 1000000 + 0.5) / 1000000 AS parkinson,
+  floor(avg(0.5 * ln(hi/lo) * ln(hi/lo)
+      - CAST('${graft.analytics.Indicators.GarmanKlassC}' AS DOUBLE) * ln(cl/op) * ln(cl/op))
+    * 1000000 + 0.5) / 1000000 AS garman_klass,
+  floor(avg(ln(hi/cl) * ln(hi/op) + ln(lo/cl) * ln(lo/op))
+    * 1000000 + 0.5) / 1000000 AS rogers_satchell
+FROM cd WHERE lo > 0
+GROUP BY 1, 2""",
+
     // curation capstone: the q131 quality CTEs gate the corpus, q21's
     // min-id-per-sha256 removes exact copies, the q22 minhash pairs +
     // q72 recursive closure over the SURVIVORS give clusters, q136's

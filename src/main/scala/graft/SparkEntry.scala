@@ -1114,6 +1114,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
   }
 
+  /** W1+/A1 composite: range-based realized-volatility trio (Parkinson /
+    * Garman-Klass / Rogers-Satchell) per (series, day) over the derived
+    * 5-minute candles — range estimators read the whole bar's excursion,
+    * not one close print; RS tolerates drift. Candle frame is tiny, one
+    * hash aggregate.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.rangeVolatility(
+      candles5m(s, dir)
+        .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd")),
+      "open", "high", "low", "close", Seq("key", "day"))
+      .withColumnRenamed("key", "event_type")
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2357,6 +2370,7 @@ object SparkEntry {
     "q154_cusum_events" -> (q154 _),
     "q155_curation_capstone" -> (q155 _),
     "q156_bigram_oov" -> (q156 _),
+    "q157_range_volatility" -> (q157 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

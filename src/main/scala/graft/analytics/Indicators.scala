@@ -431,4 +431,51 @@ object Indicators {
         coalesce((abs(col("z")) > threshold).cast("int"), lit(0)))
       .drop("__ma", "__sd")
   }
+
+  /** 4·ln2 and 2·ln2−1: the Parkinson/Garman-Klass constants, computed
+    * once in driver doubles and shipped to the oracle via the string-cast
+    * parse (q103's bit-portability pattern for non-dyadic constants).
+    */
+  val ParkinsonDenom: Double = 4.0 * math.log(2.0)
+  val GarmanKlassC: Double = 2.0 * math.log(2.0) - 1.0
+
+  /** Range-based realized-volatility estimators per group over an OHLC
+    * candle frame — the classical trio (public methodology):
+    *
+    *   - Parkinson (1980):        mean(ln(H/L)²) / (4·ln2)
+    *   - Garman–Klass (1980):     mean(0.5·ln(H/L)² − (2·ln2−1)·ln(C/O)²)
+    *   - Rogers–Satchell (1991):  mean(ln(H/C)·ln(H/O) + ln(L/C)·ln(L/O))
+    *
+    * Range estimators extract ~5-8× more information per bar than
+    * close-to-close variance (the whole bar's excursion, not one print);
+    * RS additionally tolerates nonzero drift, which biases the first
+    * two. Variance scale (not annualized, not square-rooted — the caller
+    * owns the horizon convention). Bars with a non-positive low are
+    * excluded (a log-price estimator is undefined there; O, C, H ≥ L > 0
+    * makes every ratio finite and positive).
+    *
+    * Determinism contract: each term is ratio→ln→product (one correctly
+    * rounded IEEE op per step in both engines), the averages floor-round
+    * at 1e-6 ([[graft.util.Partitioning.stableRound6]] — floor cannot
+    * emit −0.0, which matters because GK and RS can go negative), and
+    * the two non-dyadic constants ride to the oracle as string-cast
+    * doubles.
+    *
+    * Scale shape: one hash aggregate over the (already tiny) candle
+    * frame — partial map-side, single exchange on the group keys.
+    */
+  def rangeVolatility(
+      candles: DataFrame, openCol: String, highCol: String, lowCol: String,
+      closeCol: String, groupCols: Seq[String]): DataFrame = {
+    val o = col(openCol); val h = col(highCol); val l = col(lowCol); val c = col(closeCol)
+    val lhl = log(h / l)
+    val lco = log(c / o)
+    candles.filter(l > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sr6(avg(lhl * lhl) / lit(ParkinsonDenom)).as("parkinson"),
+        sr6(avg(lit(0.5) * lhl * lhl - lit(GarmanKlassC) * lco * lco)).as("garman_klass"),
+        sr6(avg(log(h / c) * log(h / o) + log(l / c) * log(l / o))).as("rogers_satchell"))
+  }
 }

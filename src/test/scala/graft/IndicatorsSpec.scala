@@ -266,4 +266,38 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(4L)._2 === 0)                   // in-distribution row does not
     assert(out(12L) === ((None, 0)))           // flat window: z undefined, flag 0
   }
+
+  test("rangeVolatility: hand-computed trio on one candle; non-positive low excluded; flat bar is zero") {
+    val candles = Seq(
+      ("A", "d1", 100.0, 110.0, 95.0, 105.0),  // hand-checked bar
+      ("B", "d1", 50.0, 50.0, 50.0, 50.0),     // flat bar: all terms 0
+      ("C", "d1", 1.0, 2.0, 0.0, 1.0)          // low=0: log-undefined, excluded
+    ).toDF("sym", "day", "open", "high", "low", "close")
+    val out = Indicators.rangeVolatility(
+        candles, "open", "high", "low", "close", Seq("sym", "day"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("C"), "non-positive low must be excluded")
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val lhl = math.log(110.0 / 95.0); val lco = math.log(105.0 / 100.0)
+    assert(out("A").getAs[Double]("parkinson") ===
+      sr6(lhl * lhl / Indicators.ParkinsonDenom))
+    assert(out("A").getAs[Double]("garman_klass") ===
+      sr6(0.5 * lhl * lhl - Indicators.GarmanKlassC * lco * lco))
+    assert(out("A").getAs[Double]("rogers_satchell") ===
+      sr6(math.log(110.0 / 105.0) * math.log(110.0 / 100.0)
+        + math.log(95.0 / 105.0) * math.log(95.0 / 100.0)))
+    Seq("parkinson", "garman_klass", "rogers_satchell").foreach { e =>
+      assert(out("B").getAs[Double](e) === 0.0, s"flat bar $e")
+    }
+    // a drift-only bar (opens at the low, closes at the high, monotone):
+    // RS is exactly zero — drift-independence, the estimator's defining
+    // property — while Parkinson reads the full range as variance
+    val drift = Seq(("D", "d1", 100.0, 120.0, 100.0, 120.0))
+      .toDF("sym", "day", "open", "high", "low", "close")
+    val d = Indicators.rangeVolatility(
+        drift, "open", "high", "low", "close", Seq("sym", "day"))
+      .collect().head
+    assert(d.getAs[Double]("rogers_satchell") === 0.0)
+    assert(d.getAs[Double]("parkinson") > 0.0)
+  }
 }
