@@ -2493,6 +2493,41 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // tick-imbalance bar closes: the q154 recursive-CTE pattern with an
+    // INTEGER state vector — tick-rule sign (previous sign carried on a
+    // zero change) accumulates into theta, |theta| >= 4 fires and
+    // resets both theta and the bar tick count; the only float op is
+    // the price comparison, so no rounding anywhere
+    "q158_imbalance_bars" ->
+      """WITH RECURSIVE s AS (
+  SELECT user_id, ts, CAST(CAST(value AS REAL) AS DOUBLE) AS p,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, rn, ts, p, p AS ref, 0 AS sgn,
+    CAST(0 AS BIGINT) AS theta, CAST(0 AS BIGINT) AS cnt,
+    0 AS dir, CAST(0 AS BIGINT) AS fth, CAST(0 AS BIGINT) AS fcnt
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts, s.p, s.p AS ref,
+    CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END AS sgn,
+    CASE WHEN abs(r.theta + (CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END)) >= 4
+         THEN CAST(0 AS BIGINT)
+         ELSE r.theta + (CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END) END AS theta,
+    CASE WHEN abs(r.theta + (CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END)) >= 4
+         THEN CAST(0 AS BIGINT) ELSE r.cnt + 1 END AS cnt,
+    CASE WHEN abs(r.theta + (CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END)) >= 4
+         THEN CASE WHEN r.theta + (CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END) > 0
+              THEN 1 ELSE -1 END
+         ELSE 0 END AS dir,
+    r.theta + (CASE WHEN s.p > r.ref THEN 1 WHEN s.p < r.ref THEN -1 ELSE r.sgn END) AS fth,
+    r.cnt + 1 AS fcnt
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT CAST(user_id AS VARCHAR) AS ticker, ts, dir AS direction,
+  fth AS theta, fcnt AS n_ticks, rn AS n
+FROM rec WHERE dir <> 0""",
+
     // range-based realized volatility: q17's candle aggregate (unrounded)
     // -> per-(series, day) Parkinson / Garman-Klass / Rogers-Satchell
     // means; non-dyadic constants ride as string-cast doubles, each term

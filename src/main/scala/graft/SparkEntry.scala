@@ -1127,6 +1127,25 @@ object SparkEntry {
       "open", "high", "low", "close", Seq("key", "day"))
       .withColumnRenamed("key", "event_type")
 
+  /** X20+ sibling: TICK-IMBALANCE bar closes (batch twin of the
+    * streaming [[graft.streaming.StatefulOps.tickImbalanceBars]]) — the
+    * tick rule signs each print (previous sign carried on a zero
+    * change), a bar closes when |running signed-tick imbalance| ≥ 4.
+    * Same reset-recurrence class as q154; θ is exact integer
+    * arithmetic, the only float op is the price comparison (identical
+    * cross-engine on the same float32 values), so the DuckDB
+    * recursive-CTE oracle is bit-exact with no rounding at all.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"), lit(0).as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.tickImbalanceBarsBatch(s, ticks, threshold = 4L).toDF()
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2371,6 +2390,7 @@ object SparkEntry {
     "q155_curation_capstone" -> (q155 _),
     "q156_bigram_oov" -> (q156 _),
     "q157_range_volatility" -> (q157 _),
+    "q158_imbalance_bars" -> (q158 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -406,6 +406,97 @@ object StatefulOps {
       }
   }
 
+  // ---- Tick-imbalance bars: the tick-rule sibling of CUSUM/volume bars ----
+
+  final case class ImbalanceState(ref: Double, sgn: Int, theta: Long, cnt: Long, n: Long)
+
+  final case class ImbalanceEvent(
+      ticker: String, ts: Timestamp, direction: Int, theta: Long, n_ticks: Long, n: Long)
+
+  /** Fold ticks through the TICK-IMBALANCE bar recurrence (López de
+    * Prado ch. 2, public methodology): the tick rule signs each trade —
+    * b_t = +1 on an uptick, −1 on a downtick, the PREVIOUS sign carried
+    * on a zero change — and a bar closes when the running signed-tick
+    * imbalance |θ| reaches the threshold, after which θ and the bar's
+    * tick count reset. Where volume bars hold work-per-bar constant,
+    * imbalance bars close FASTER under one-sided flow — the
+    * order-flow-toxicity sampling idea. The first tick of a series
+    * carries no sign (no prior print) and is not counted.
+    *
+    * Reset recurrence class ([[cusumFold]]): every output depends on
+    * all prior rows through prior resets AND the carried sign — no
+    * bounded window frame expresses it. θ is exact integer arithmetic;
+    * the only float op is the price comparison, identical cross-engine
+    * on the same float32 values.
+    */
+  private[streaming] def imbalanceFold(
+      st: Option[ImbalanceState], ticks: Seq[TickerTick],
+      threshold: Long): (Option[ImbalanceState], Seq[ImbalanceEvent]) = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st
+    val out = Seq.newBuilder[(TickerTick, Int, Long, Long, Long)]
+    sorted.foreach { t =>
+      val p = t.price.toDouble
+      s match {
+        case None => s = Some(ImbalanceState(p, 0, 0L, 0L, 1L))
+        case Some(c) =>
+          val sign = if (p > c.ref) 1 else if (p < c.ref) -1 else c.sgn
+          var theta = c.theta + sign
+          var cnt = c.cnt + 1
+          if (math.abs(theta) >= threshold) {
+            out += ((t, if (theta > 0) 1 else -1, theta, cnt, c.n + 1))
+            theta = 0L; cnt = 0L
+          }
+          s = Some(ImbalanceState(p, sign, theta, cnt, c.n + 1))
+      }
+    }
+    (s, out.result().map { case (t, dir, th, cnt, ord) =>
+      ImbalanceEvent("", t.datetime, dir, th, cnt, ord)
+    })
+  }
+
+  /** Streaming tick-imbalance bar closes: emits one row per closed bar
+    * (direction, closing imbalance, ticks in the bar, the closing tick's
+    * series ordinal). Same state/timeout discipline as [[cusumEvents]];
+    * ~40 bytes per key.
+    */
+  def tickImbalanceBars(
+      ticks: Dataset[TickerTick], threshold: Long,
+      idleTimeoutMs: Option[Long] = None): Dataset[ImbalanceEvent] = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[ImbalanceState, ImbalanceEvent](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[ImbalanceState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, events) = imbalanceFold(state.getOption, it.toSeq, threshold)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            events.map(_.copy(ticker = ticker)).iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[tickImbalanceBars]] for verification. */
+  def tickImbalanceBarsBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick],
+      threshold: Long): Dataset[ImbalanceEvent] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroups { (ticker, it) =>
+        val (_, events) = imbalanceFold(None, it.toSeq, threshold)
+        events.map(_.copy(ticker = ticker)).iterator
+      }
+  }
+
   // ---- Information-driven (volume) bars: X20's streaming twin ----
 
   final case class VolumeBarState(

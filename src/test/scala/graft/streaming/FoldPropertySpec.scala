@@ -70,6 +70,36 @@ class FoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  // coarse prices from a 6-value grid: repeated prints are common, so
+  // the tick rule's zero-change sign-carry branch exercises for real
+  private val coarseSeriesGen: Gen[List[TickerTick]] = for {
+    n <- Gen.choose(0, 60)
+    prices <- Gen.listOfN(n, Gen.choose(1, 6))
+  } yield prices.zipWithIndex.map { case (p, i) =>
+    TickerTick("K", new Timestamp(1700000000000L + i * 1000L), p.toFloat, 1)
+  }
+
+  test("imbalanceFold: chopped fold emits exactly the whole-series bar closes, any boundary") {
+    for (seed <- 1L to 200L) {
+      val series = sample(coarseSeriesGen, seed)
+      val threshold = sample(Gen.choose(1L, 8L), seed + 1000)
+      val (wholeState, whole) = StatefulOps.imbalanceFold(None, series, threshold)
+      var st: Option[ImbalanceState] = None
+      val emitted = List.newBuilder[ImbalanceEvent]
+      chops(series, seed + 2000).foreach { batch =>
+        val (s2, ev) = StatefulOps.imbalanceFold(st, batch, threshold)
+        st = s2; emitted ++= ev
+      }
+      assert(emitted.result() === whole.toList, s"seed=$seed t=$threshold")
+      assert(st === wholeState, s"seed=$seed t=$threshold")
+      // every close carries |theta| >= threshold with the matching sign
+      whole.foreach { e =>
+        assert(math.abs(e.theta) >= threshold && e.direction == (if (e.theta > 0) 1 else -1),
+          s"seed=$seed event=$e")
+      }
+    }
+  }
+
   test("volumeBarFold invariants: tick/volume conservation, every closed bar >= threshold") {
     for (seed <- 1L to 200L) {
       val series = sample(seriesGen, seed)
