@@ -142,6 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tx"),
       new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx"),
       GraftExtensions.graftTxBuilder))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_tx_changes"),
+      new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx_changes"),
+      GraftExtensions.graftTxChangesBuilder))
   }
 }
 
@@ -222,5 +227,33 @@ object GraftExtensions {
     graft.sources.TxParquetTable
       .snapshot(org.apache.spark.sql.SparkSession.active, path, version)
       .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `graft_tx_changes(path, fromV, toV,
+    * idCol)` — the [[graft.sources.TxParquetTable.changes]] CDC read as
+    * a SQL relation, same literal-argument discipline as `graft_tx`.
+    */
+  private[graft] val graftTxChangesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+    def strArg(e: Expression, name: String): String = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_tx_changes: $name must be a string literal, got: $other")
+    }
+    def longArg(e: Expression, name: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_tx_changes: $name must be an integer literal, got: $other")
+    }
+    args match {
+      case Seq(p, from, to, id) =>
+        graft.sources.TxParquetTable.changes(
+            org.apache.spark.sql.SparkSession.active, strArg(p, "path"),
+            longArg(from, "fromVersion"), longArg(to, "toVersion"), strArg(id, "idCol"))
+          .queryExecution.analyzed
+      case _ => throw new IllegalArgumentException(
+        "graft_tx_changes(path, fromVersion, toVersion, idCol)")
+    }
   }
 }

@@ -2493,6 +2493,21 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // Tx CDC read: the change sets are predictable straight from orders
+    // — v0 holds the pre-1997 slice, v1 upserts year>=1996 at doubled
+    // price, so 1996 rows are updates (value moved), post-1996 rows are
+    // inserts, and nothing deletes; images are post-change
+    "q159_tx_changes" ->
+      """SELECT * FROM (
+  SELECT 'update' AS change_type, year(o_orderdate) AS order_year,
+    count(*) AS n, round(sum(o_totalprice * 2), 2) AS total
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 2
+  UNION ALL
+  SELECT 'insert' AS change_type, year(o_orderdate) AS order_year,
+    count(*) AS n, round(sum(o_totalprice * 2), 2) AS total
+  FROM orders WHERE year(o_orderdate) > 1996 GROUP BY 2
+)""",
+
     // tick-imbalance bar closes: the q154 recursive-CTE pattern with an
     // INTEGER state vector — tick-rule sign (previous sign carried on a
     // zero change) accumulates into theta, |theta| >= 4 fires and

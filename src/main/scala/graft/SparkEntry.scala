@@ -2232,6 +2232,34 @@ object SparkEntry {
     } finally deleteRecursively(path)
   }
 
+  /** S8+ CDC read: row-level changes BETWEEN Tx versions — v0 appends
+    * the pre-1997 orders, v1 upserts the 1996+ slice at doubled price,
+    * `changes(0→1)` classifies: 1996 rows (present both sides, value
+    * moved) are updates, post-1996 rows are inserts, and the unchanged
+    * pre-1996 rows that rode along in rewritten buckets are joined out.
+    * The read is LOG-PRUNED — only files that entered or left the live
+    * set are scanned, never the table. Oracle predicts the change sets
+    * directly from `orders`.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q159_cdc")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      val v0 = TxParquetTable.append(src.filter(col("order_year") <= 1996), path.toString)
+      val v1 = TxParquetTable.upsert(
+        src.filter(col("order_year") >= 1996)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        path.toString, "id")
+      val ch = TxParquetTable.changes(s, path.toString, v0, v1, "id")
+        .groupBy(col("change_type"), col("order_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      s.createDataFrame(java.util.Arrays.asList(ch.collect(): _*), ch.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2391,6 +2419,7 @@ object SparkEntry {
     "q156_bigram_oov" -> (q156 _),
     "q157_range_volatility" -> (q157 _),
     "q158_imbalance_bars" -> (q158 _),
+    "q159_tx_changes" -> (q159 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -274,6 +274,76 @@ object TxParquetTable {
       .parquet(files.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
   }
 
+  /** Row-level CHANGES between two committed versions (CDC read) —
+    * classify every row that differs between `fromVersion` and
+    * `toVersion` as `insert` / `update` / `delete`, with the post-image
+    * for inserts and updates and the pre-image for deletes, plus a
+    * `change_type` column.
+    *
+    * The log does the heavy lifting: only files that ENTERED or LEFT
+    * the live set between the two versions are read — a version step
+    * that rewrote k of n buckets scans 2k bucket files, never the
+    * table. That is sound because a row can only change by its file
+    * being replaced (parquet files are immutable here): any row whose
+    * value differs between the versions necessarily lives in the
+    * symmetric difference of the live sets. Rewritten-but-identical
+    * rows (an upsert rewrites whole buckets) are joined out as
+    * `unchanged` via the null-safe struct comparison. `fromVersion >
+    * toVersion` is legal and produces the reverse diff (inserts and
+    * deletes swap) — a useful rollback preview.
+    *
+    * Contract: `idCol` unique within each version (the [[upsert]] key
+    * contract); schema evolution is additive-only, and a column absent
+    * on one side compares as null there. Scale shape: one keyed join
+    * of the two CHANGED-file sets — at a k-bucket rewrite that is
+    * 2k files regardless of table size.
+    */
+  def changes(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = state(path, Some(fromVersion))
+    val b = state(path, Some(toVersion))
+    val aNames = a.live.map(_.name).toSet
+    val bNames = b.live.map(_.name).toSet
+    val aOnly = a.live.filterNot(f => bNames.contains(f.name))
+    val bOnly = b.live.filterNot(f => aNames.contains(f.name))
+    val missing = (aOnly ++ bOnly).filterNot(f => new File(dataDir(path), f.name).exists())
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"changes($fromVersion -> $toVersion) of $path needs vacuumed files " +
+        s"(first missing: ${missing.head.name}). Pin versions at or above " +
+        "the last vacuum's retainVersion.")
+    def readFiles(files: Seq[AddFile]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+    if (aOnly.isEmpty && bOnly.isEmpty) {
+      val base = snapshot(spark, path, Some(toVersion))
+      val cols = col(idCol) +: base.columns.filter(_ != idCol).map(col).toSeq
+      return base.select(cols: _*)
+        .withColumn("change_type", lit("")).filter(lit(false))
+    }
+    val oldDf = if (aOnly.isEmpty) readFiles(bOnly).filter(lit(false)) else readFiles(aOnly)
+    val newDf = if (bOnly.isEmpty) readFiles(aOnly).filter(lit(false)) else readFiles(bOnly)
+    val allCols = (oldDf.columns ++ newDf.columns).distinct.filter(_ != idCol).toSeq
+    def side(df: DataFrame, as: String) = {
+      val aligned = allCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      aligned.select(col(idCol).as("__id"), struct(allCols.map(col): _*).as(as))
+    }
+    val joined = side(oldDf, "__old").join(side(newDf, "__new"), Seq("__id"), "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .when(col("__old") <=> col("__new"), lit("unchanged"))
+          .otherwise(lit("update")))
+      .filter(col("change_type") =!= "unchanged")
+    // row-level image pick (never per-column coalesce: an update that
+    // nulls a column must surface that null, not the pre-image value)
+    val img = when(col("change_type") === "delete", col("__old")).otherwise(col("__new"))
+    joined.select(
+      (col("__id").as(idCol) +: allCols.map(c => img.getField(c).as(c))) :+
+        col("change_type"): _*)
+  }
+
   // ---- writing ----
 
   /** Stage `df` as parquet files under data/. When `bucketOf` is set,

@@ -35,6 +35,60 @@ class TxTableSpec extends SparkSpec {
     assert(past === Map(1L -> "old1", 2L -> "old2", 3L -> "old3"))
   }
 
+  test("changes: insert/update classified, rewritten-but-identical rows joined out, reverse diff flips") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(
+      Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "v"), path)
+    // the upsert rewrites whole buckets: id 1 and 3 ride along UNCHANGED
+    // in whichever buckets 2/9 land in — they must not appear as changes
+    val v1 = TxParquetTable.upsert(
+      Seq((2L, "NEW2"), (9L, "NEW9")).toDF("id", "v"), path, "id", buckets = 2)
+    val fwd = TxParquetTable.changes(spark, path, v0, v1, "id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(fwd === Map(2L -> (("NEW2", "update")), 9L -> (("NEW9", "insert"))))
+    // reverse diff: the rollback preview — inserts become deletes with
+    // the PRE-image (which from v1's perspective is the post-image of v0)
+    val rev = TxParquetTable.changes(spark, path, v1, v0, "id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rev === Map(2L -> (("old2", "update")), 9L -> (("NEW9", "delete"))))
+    // same-version diff: empty, with the change_type column present
+    val none = TxParquetTable.changes(spark, path, v1, v1, "id")
+    assert(none.count() === 0 && none.columns.contains("change_type"))
+  }
+
+  test("changes: an update that nulls a column surfaces the null, not the pre-image") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(
+      Seq((1L, Some("x")), (2L, Some("y"))).toDF("id", "v"), path)
+    val v1 = TxParquetTable.upsert(
+      Seq((1L, Option.empty[String])).toDF("id", "v"), path, "id")
+    val ch = TxParquetTable.changes(spark, path, v0, v1, "id").collect()
+    assert(ch.length === 1)
+    assert(ch.head.getLong(0) === 1L && ch.head.isNullAt(1)
+      && ch.head.getString(2) === "update")
+  }
+
+  test("changes is log-pruned: a one-bucket upsert on a 16-bucket table scans only the touched files") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(
+      (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v"), path)
+    // establish the 16-bucket scheme, then touch ONE id
+    val v1 = TxParquetTable.upsert(
+      Seq((999L, "seed")).toDF("id", "v"), path, "id", buckets = 16)
+    val v2 = TxParquetTable.upsert(
+      Seq((7L, "TOUCHED")).toDF("id", "v"), path, "id", buckets = 16)
+    val ch = TxParquetTable.changes(spark, path, v1, v2, "id")
+    val scannedFiles = ch.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    val totalLive = TxParquetTable.snapshot(spark, path).inputFiles.length
+    assert(scannedFiles < totalLive,
+      s"CDC should scan only changed buckets ($scannedFiles vs $totalLive live)")
+    assert(ch.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((7L, "TOUCHED", "update")))
+  }
+
   test("stale upsert is rejected: interloping commit after the read snapshot") {
     val path = freshPath()
     TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
@@ -519,5 +573,24 @@ class TxTableSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_tx(concat('$path', id))").collect()
     }
     assert(e.getMessage.contains("string literal") || e.getMessage.contains("graft_tx"))
+  }
+
+  test("graft_tx_changes SQL table function: CDC between versions composes as a relation") {
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        TxParquetTable.getClass.getName, "graft_tx_changes"),
+      GraftExtensions.graftTxChangesBuilder)
+
+    val path = freshPath()
+    val v0 = TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val v1 = TxParquetTable.upsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), path, "id")
+
+    val ch = spark.sql(
+      s"""SELECT change_type, count(*) AS n
+          FROM graft_tx_changes('$path', $v0, $v1, 'id')
+          GROUP BY change_type ORDER BY change_type""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch === Seq(("insert", 1L), ("update", 1L)))
   }
 }
