@@ -2493,6 +2493,64 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // VPIN: tick-rule sign with non-zero-change carry (last_value IGNORE
+    // NULLS — a gap-fill, not a recurrence), 50-tick buckets, per-bucket
+    // |net|/n and the rolling ratio-of-integer-sums form
+    "q160_vpin" ->
+      """WITH s AS (
+  SELECT event_type, value - lag(value) OVER w AS d,
+    CAST(row_number() OVER w AS BIGINT) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), sg AS (
+  SELECT event_type, rn,
+    COALESCE(last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY rn
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sgn
+  FROM s
+), b AS (
+  SELECT event_type, CAST((rn - 1) // 50 AS BIGINT) AS bucket,
+    count(*) AS n_ticks, CAST(sum(sgn) AS BIGINT) AS net
+  FROM sg GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_ticks, net,
+  floor((CAST(abs(net) AS DOUBLE) / CAST(n_ticks AS DOUBLE)) * 1000000 + 0.5) / 1000000
+    AS vpin,
+  floor((CAST(sum(abs(net)) OVER bw AS DOUBLE) / CAST(sum(n_ticks) OVER bw AS DOUBLE))
+    * 1000000 + 0.5) / 1000000 AS vpin_roll
+FROM b
+WINDOW bw AS (PARTITION BY event_type ORDER BY bucket
+  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+
+    // Kyle lambda + Roll spread: within-(series, day) windows feed one
+    // hash aggregate; denominators guarded in the projection (the ANSI
+    // trap note); pair-null covar semantics are the SQL standard in
+    // both engines
+    "q161_kyle_roll" ->
+      """WITH s AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id, value,
+    value - lag(value) OVER w AS d
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id)
+), s2 AS (
+  SELECT event_type, day, d, lag(d) OVER w2 AS dprev,
+    COALESCE(last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+      OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) * value AS sv
+  FROM s
+  WINDOW w2 AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+), g AS (
+  SELECT event_type, day, CAST(count(d) AS BIGINT) AS n_changes,
+    covar_samp(d, sv) AS cds, var_samp(sv) AS vs, covar_samp(d, dprev) AS c1
+  FROM s2 GROUP BY 1, 2
+)
+SELECT event_type, day, n_changes,
+  CASE WHEN vs IS NULL OR vs = 0 THEN NULL
+       ELSE floor((cds / vs) * 1000000 + 0.5) / 1000000 END AS kyle_lambda,
+  CASE WHEN c1 < 0 THEN floor((2 * sqrt(-c1)) * 1000000 + 0.5) / 1000000
+       ELSE NULL END AS roll_spread
+FROM g""",
+
     // Tx CDC read: the change sets are predictable straight from orders
     // — v0 holds the pre-1997 slice, v1 upserts year>=1996 at doubled
     // price, so 1996 rows are updates (value moved), post-1996 rows are

@@ -1146,6 +1146,27 @@ object SparkEntry {
     StatefulOps.tickImbalanceBarsBatch(s, ticks, threshold = 4L).toDF()
   }
 
+  /** Microstructure: VPIN over 50-tick buckets per series — absolute
+    * net tick-rule imbalance per bucket and the rolling Σ|net|/Σn form
+    * (exact integer sums, one final division). The sign carry is a
+    * window gap-fill (`last ignoreNulls`), not a recurrence — the whole
+    * construction is frame algebra, unlike the q154/q158 reset family.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Microstructure.vpin(
+      t(s, dir, "events"), "event_type", Seq("ts", "event_id"), "value",
+      bucketTicks = 50, window = 10)
+
+  /** Microstructure: Kyle's lambda (price impact — slope of Δp on the
+    * signed flow proxy) and Roll's implicit spread (2·√−cov(Δp, Δp₋₁),
+    * null when the serial covariance is non-negative) per (series, day).
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Microstructure.kyleRoll(
+      t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      Seq("event_type", "day"), Seq("ts", "event_id"), "value")
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2420,6 +2441,8 @@ object SparkEntry {
     "q157_range_volatility" -> (q157 _),
     "q158_imbalance_bars" -> (q158 _),
     "q159_tx_changes" -> (q159 _),
+    "q160_vpin" -> (q160 _),
+    "q161_kyle_roll" -> (q161 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

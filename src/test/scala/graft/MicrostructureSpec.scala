@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Microstructure
+
+class MicrostructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+
+  test("vpin: hand-computed bucket — zero-change carry, unclassified head, exact net") {
+    // prices 10, 10, 11, 11, 9 -> signs 0 (first), 0 (no prior change),
+    // +1, +1 (carried through the zero change), -1 => net = 1
+    val df = Seq(10.0, 10.0, 11.0, 11.0, 9.0).zipWithIndex
+      .map { case (p, i) => ("A", i.toLong, p) }.toDF("sym", "seq", "px")
+    val out = Microstructure.vpin(df, "sym", Seq("seq"), "px",
+      bucketTicks = 5, window = 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_ticks") === 5L && r.getAs[Long]("net") === 1L)
+    assert(r.getAs[Double]("vpin") === 0.2)
+    assert(r.getAs[Double]("vpin_roll") === 0.2)
+  }
+
+  test("vpin rolling form is the ratio of integer sums across buckets, partial bucket kept") {
+    // 7 monotone-up ticks, buckets of 3: nets 2 (first sign is 0), 3, 1;
+    // rolling over 2 buckets: 2/3, 5/6, 4/4
+    val df = (1 to 7).map(i => ("A", i.toLong, i.toDouble)).toDF("sym", "seq", "px")
+    val out = Microstructure.vpin(df, "sym", Seq("seq"), "px", 3, 2)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("net")).toSeq === Seq(2L, 3L, 1L))
+    assert(out.map(_.getAs[Double]("vpin_roll")).toSeq ===
+      Seq(sr6(2.0 / 3.0), sr6(5.0 / 6.0), 1.0))
+  }
+
+  test("kyleRoll: bid-ask bounce yields the Roll spread; trend yields zero lambda") {
+    // alternating +-0.5 around a flat mid: d alternates -1, +1 ->
+    // covar_samp over the 4 (d, dprev) pairs = -4/3
+    val bounce = Seq(10.5, 9.5, 10.5, 9.5, 10.5, 9.5).zipWithIndex
+      .map { case (p, i) => ("B", "d1", i.toLong, p) }
+    // monotone trend: d constant 1 -> cov(d, flow) = 0 -> lambda 0; and
+    // d_prev serial cov = 0 (not negative) -> roll null
+    val trend = (1 to 6).map(i => ("T", "d1", i.toLong, i.toDouble))
+    val out = Microstructure.kyleRoll(
+        (bounce ++ trend).toDF("sym", "day", "seq", "px"),
+        Seq("sym", "day"), Seq("seq"), "px")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("B").getAs[Double]("roll_spread") === sr6(2.0 * math.sqrt(4.0 / 3.0)))
+    assert(out("T").getAs[Double]("kyle_lambda") === 0.0)
+    assert(out("T").isNullAt(out("T").fieldIndex("roll_spread")))
+    // flat series: flow proxy has zero variance -> lambda undefined
+    val flat = Seq.fill(5)(7.0).zipWithIndex.map { case (p, i) => ("F", "d1", i.toLong, p) }
+    val f = Microstructure.kyleRoll(flat.toDF("sym", "day", "seq", "px"),
+      Seq("sym", "day"), Seq("seq"), "px").collect().head
+    assert(f.isNullAt(f.fieldIndex("kyle_lambda")))
+  }
+}
