@@ -2493,6 +2493,15 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // PCA whitening: verdict row (q28/q41 approximate-operator pattern)
+    // — eigenvector sign/rotation freedom makes values unpinnable, but
+    // whitened-cov==I, zero means, and descending positive eigenvalues
+    // hold for ANY correct implementation; the oracle predicts true
+    "q162_pca_whitening" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, 16 AS k,
+  true AS mean_zero_ok, true AS whitened_cov_ok, true AS ev_monotone_ok
+FROM embeddings""",
+
     // VPIN: tick-rule sign with non-zero-change carry (last_value IGNORE
     // NULLS — a gap-fill, not a recurrence), 50-tick buckets, per-bucket
     // |net|/n and the rolling ratio-of-integer-sums form

@@ -1167,6 +1167,17 @@ object SparkEntry {
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
       Seq("event_type", "day"), Seq("ts", "event_id"), "value")
 
+  /** X3+ preprocessing: PCA WHITENING of the embedding corpus (k=16) —
+    * distributed covariance (treeAggregate, d-bounded state), driver
+    * eig, literal-matrix projection in codegen. Eigenvectors carry
+    * sign/rotation freedom no oracle can pin, so the row ships VERDICTS
+    * (q28/q41 pattern): whitened covariance == I_k, whitened means == 0,
+    * eigenvalues positive-descending; DuckDB predicts all true.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Whitening.whitenReport(
+      t(s, dir, "embeddings"), "embedding", k = 16)
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2443,6 +2454,7 @@ object SparkEntry {
     "q159_tx_changes" -> (q159 _),
     "q160_vpin" -> (q160 _),
     "q161_kyle_roll" -> (q161 _),
+    "q162_pca_whitening" -> (q162 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
