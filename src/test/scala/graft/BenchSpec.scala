@@ -34,11 +34,21 @@ class BenchSpec extends AnyFunSuite {
     val fallback = """{"metric":"total","queries_artifact":"docs/bench/last_run.json","value":1.0}"""
     assert(Bench.stdoutLine("x" * 1999, fallback) === "x" * 1999)
     assert(Bench.stdoutLine("x" * 2000, fallback) === fallback)
-    val typicalEntry = "\"q101\":0.52,".length
-    val overhead = """{"metric":"total","unit":"sec","sf":"/root/testdata/sf0.1","iters":2,"queries":{},"oracle_total":99999.999,"value":99999.999}""".length
-    assert(SparkEntry.queries.size * typicalEntry + overhead < 2000,
-      "typical-width line no longer fits the tail window — per-query stdout is now fallback-only; " +
-        "check the driver still receives per-query numbers via docs/bench/last_run.json")
+    // r11: the suite (162 queries) crossed the 2000-char typical-width
+    // budget, the transition this test's predecessor existed to force a
+    // decision on. Decision: the stdout map is BEST-EFFORT (printed only
+    // when the realized line fits); the authoritative per-query numbers
+    // are the committed docs/bench/last_run.json artifact. What must
+    // hold by construction from here on: the fallback line is always
+    // tail-window-safe and still carries the scalar contract keys plus
+    // the artifact pointer.
+    val realisticFallback =
+      """{"metric":"total","unit":"sec","sf":"/root/testdata/sf0.1","iters":2,"queries":{},""" +
+        """"queries_artifact":"docs/bench/last_run.json","oracle_total":99999.999,"value":99999.999}"""
+    assert(realisticFallback.length < 2000)
+    Seq("\"metric\"", "\"value\"", "\"oracle_total\"", "queries_artifact").foreach { k =>
+      assert(realisticFallback.contains(k), s"fallback line must carry $k")
+    }
   }
 
   test("f2t trims trailing zeros, keeps locale-pinned dots, never emits a bare dot") {
