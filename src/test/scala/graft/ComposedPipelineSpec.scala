@@ -90,4 +90,47 @@ class ComposedPipelineSpec extends SparkSpec {
     assert(last("AAPL") === java.sql.Timestamp.from(java.time.Instant.parse("2024-11-15T14:36:00Z")))
     assert(last("MSFT") === java.sql.Timestamp.from(java.time.Instant.parse("2024-11-15T14:37:00Z")))
   }
+
+  test("stream -> Tx sink -> CDC between epoch versions: replay is invisible, only new bars surface") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream_").toString
+    val sink = s"$dir/table"
+    val ck = s"$dir/ck"
+    val epoch1 = Seq(
+      bar("AAPL", "2024-11-15T14:30:00.000Z", 100, 1.5),
+      bar("MSFT", "2024-11-15T14:32:00.000Z", 200, 2.5))
+    val epoch2 = Seq(
+      bar("AAPL", "2024-11-15T14:36:00.000Z", 120, 1.9), // genuinely new
+      bar("AAPL", "2024-11-15T14:30:00.000Z", 100, 1.5), // exact replay of epoch 1
+      bar("MSFT", "2024-11-15T14:32:00.000Z", 200, 2.9)) // same id (ticker|datetime), revised close
+    val mem = MemoryStream[String]
+    val q = Pipelines.start(Pipelines.txUpsertParquetSink(
+      Pipelines.dedupWithinWatermark(Pipelines.barsFromJson(mem.toDF())),
+      sink, ck, idCol = "id", buckets = 4))
+    val (v1, v2) = try {
+      mem.addData(epoch1: _*)
+      q.processAllAvailable()
+      val a = graft.sources.TxParquetTable.latestVersion(sink)
+      mem.addData(epoch2: _*)
+      q.processAllAvailable()
+      (a, graft.sources.TxParquetTable.latestVersion(sink))
+    } finally q.stop()
+    assert(v2 > v1)
+    // the CDC read between the per-epoch versions is the exactly-once
+    // claim at the DATA level: the replayed wire row upserted an
+    // IDENTICAL row (its bucket's other rows rode along unchanged) —
+    // all joined out — and the REVISED close never lands at all: its id
+    // is sha2(ticker|datetime), so the watermark dedup swallows it as a
+    // duplicate of epoch 1's bar (first-write-wins within the
+    // watermark, the D1 contract). Only the genuinely-new bar surfaces.
+    val ch = graft.sources.TxParquetTable.changes(spark, sink, v1, v2, "id")
+      .select(col("ticker"), col("datetime"), col("change_type")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString, r.getString(2)))
+      .toSet
+    assert(ch === Set(("AAPL", "2024-11-15T14:36:00Z", "insert")))
+    // the sink still holds epoch 1's close for the revised-id bar
+    val msft = graft.sources.TxParquetTable.snapshot(spark, sink)
+      .filter(col("ticker") === "MSFT").select(col("close")).collect()
+    assert(msft.map(_.getFloat(0)).toSeq === Seq(2.5f))
+  }
 }
