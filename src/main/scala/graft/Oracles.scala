@@ -2493,6 +2493,25 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // incremental curation: the CDC increment is the odd-doc_id half by
+    // construction; quality-gate it (q131 CTEs), drop docs whose text
+    // digest already exists in the even-half history (q109's exact
+    // semantics — the bloom is a pre-filter, not a semantic), report
+    "q163_incremental_curation" ->
+      s"""WITH $qualityPCtes, hist AS (
+  SELECT DISTINCT sha256(text) AS ch FROM documents WHERE doc_id % 2 = 0
+), inc AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+  WHERE d.doc_id % 2 = 1 AND p.quality_p >= 0.5e0
+)
+SELECT i.source, count(*) AS n_docs,
+  CAST(sum(len(list_filter(regexp_split_to_array(i.text, '\\s+'), x -> len(x) > 0))) AS BIGINT)
+    AS n_tokens
+FROM inc i LEFT JOIN hist h ON sha256(i.text) = h.ch
+WHERE h.ch IS NULL
+GROUP BY i.source""",
+
     // PCA whitening: verdict row (q28/q41 approximate-operator pattern)
     // — eigenvector sign/rotation freedom makes values unpinnable, but
     // whitened-cov==I, zero means, and descending positive eigenvalues

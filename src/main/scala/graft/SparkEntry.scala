@@ -2292,6 +2292,37 @@ object SparkEntry {
     } finally deleteRecursively(path)
   }
 
+  /** X28+X1+X12 composite: INCREMENTAL curation over a CDC increment —
+    * the 100 TB operating mode (pipelines re-process the delta, never
+    * the corpus). v0 holds the even-doc_id half as the curated history;
+    * v1 upserts the odd half; `changes(v0→v1)` yields the increment,
+    * which alone flows through the quality gate and the bloom-gated
+    * exact dedup AGAINST THE HISTORY SNAPSHOT (q109's construction:
+    * bloom pre-filter, digest anti-join only for might-contain rows).
+    * The history is never re-curated — it contributes one digest frame
+    * and one bloom build.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q163_inc")
+    try {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val v0 = TxParquetTable.append(docs.filter(col("doc_id") % 2 === 0), path.toString)
+      val v1 = TxParquetTable.upsert(docs.filter(col("doc_id") % 2 === 1), path.toString, "doc_id")
+      val inc = TxParquetTable.changes(s, path.toString, v0, v1, "doc_id")
+        .filter(col("change_type") === "insert")
+        .select(col("doc_id"), col("source"), col("text"))
+      val hist = TxParquetTable.snapshot(s, path.toString, Some(v0))
+      val gated = inc.filter(
+        TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords) >= 0.5)
+      val fresh = Dedup.bloomGatedNewDocs(gated, hist, "text", expectedItems = docs.count())
+      val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+      val out = fresh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2455,6 +2486,7 @@ object SparkEntry {
     "q160_vpin" -> (q160 _),
     "q161_kyle_roll" -> (q161 _),
     "q162_pca_whitening" -> (q162 _),
+    "q163_incremental_curation" -> (q163 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
