@@ -2493,6 +2493,15 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // zone-map range read: the 1995-1996 slice predicted straight from
+    // orders; pruned_ok is the engine-side claim (scanned files < live
+    // files) the oracle predicts true, q28's verdict pattern
+    "q164_zone_map_read" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n,
+  round(sum(o_totalprice), 2) AS total, true AS pruned_ok
+FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+GROUP BY 1""",
+
     // incremental curation: the CDC increment is the odd-doc_id half by
     // construction; quality-gate it (q131 CTEs), drop docs whose text
     // digest already exists in the even-half history (q109's exact

@@ -2323,6 +2323,40 @@ object SparkEntry {
     } finally deleteRecursively(path)
   }
 
+  /** S8+ data skipping: ZONE-MAP range read — orders land as three
+    * year-sliced appends with write-time min/max stats in the log;
+    * `snapshotRange(1995..1996)` scans ONLY the middle slice's files
+    * (the out-of-range slices prune from the log without touching
+    * data), the residual filter keeps the boundary exact, and the
+    * `pruned_ok` verdict pins that pruning actually happened (scanned
+    * file count < live file count — the q28-style engine-side claim the
+    * oracle predicts true).
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q164_zone")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      TxParquetTable.append(src.filter(col("order_year") <= 1994), path.toString,
+        statsColumns = Seq("order_year"))
+      TxParquetTable.append(
+        src.filter(col("order_year") >= 1995 && col("order_year") <= 1996),
+        path.toString, statsColumns = Seq("order_year"))
+      TxParquetTable.append(src.filter(col("order_year") >= 1997), path.toString,
+        statsColumns = Seq("order_year"))
+      val ranged = TxParquetTable.snapshotRange(
+        s, path.toString, "order_year", Some(1995), Some(1996))
+      val scanned = ranged.inputFiles.length
+      val live = TxParquetTable.snapshot(s, path.toString).inputFiles.length
+      val agg = ranged.groupBy(col("order_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("pruned_ok", lit(scanned < live))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2487,6 +2521,7 @@ object SparkEntry {
     "q161_kyle_roll" -> (q161 _),
     "q162_pca_whitening" -> (q162 _),
     "q163_incremental_curation" -> (q163 _),
+    "q164_zone_map_read" -> (q164 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -60,7 +60,17 @@ object TxParquetTable {
   private def logDir(path: String) = new File(path, "_graft_log")
   private def dataDir(path: String) = new File(path, "data")
 
-  private case class AddFile(name: String, buckets: Seq[Int])
+  /** Per-file, per-column min/max recorded at WRITE time (zone maps /
+    * Delta-style data skipping). `t` tags the comparison domain: "long"
+    * (integers, dates-as-days, timestamps-as-micros), "double", or
+    * "string"; `mn`/`mx` are the bounds serialized as strings — exact
+    * round-trips for longs and strings, and `Double.toString`/`parse`
+    * is exact for doubles. Legacy files (no stats) are never pruned.
+    */
+  private[sources] case class ColStats(t: String, mn: String, mx: String)
+
+  private case class AddFile(name: String, buckets: Seq[Int],
+    stats: Map[String, ColStats] = Map.empty)
   // `columns`: the writer's view of the table's column set AFTER its
   // commit — folded by UNION in state() (columns are additive-only per
   // the evolution contract, so union is correct under any concurrent
@@ -93,6 +103,15 @@ object TxParquetTable {
       o.put("name", f.name)
       val b = o.putArray("buckets")
       f.buckets.foreach(b.add)
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        // sorted for deterministic checkpoint bytes (maybeCheckpoint
+        // relies on racing writers rendering identical content)
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+          val n = st.putObject(c)
+          n.put("t", s.t); n.put("mn", s.mn); n.put("mx", s.mx)
+        }
+      }
     }
 
   private def renderCommit(c: Commit): String = {
@@ -121,7 +140,19 @@ object TxParquetTable {
     (0 until n.size()).map { i =>
       val o = n.get(i)
       val bs = o.get("buckets")
-      AddFile(o.get("name").asText(), (0 until bs.size()).map(bs.get(_).asInt()))
+      val stats = Option(o.get("stats")).map { st =>
+        val it = st.fields()
+        val m = scala.collection.mutable.Map.empty[String, ColStats]
+        while (it.hasNext) {
+          val e = it.next()
+          m += e.getKey -> ColStats(
+            e.getValue.get("t").asText(),
+            e.getValue.get("mn").asText(),
+            e.getValue.get("mx").asText())
+        }
+        m.toMap
+      }.getOrElse(Map.empty[String, ColStats])
+      AddFile(o.get("name").asText(), (0 until bs.size()).map(bs.get(_).asInt()), stats)
     }
 
   private def parseCommit(s: String): Commit = {
@@ -274,6 +305,64 @@ object TxParquetTable {
       .parquet(files.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
   }
 
+  /** Range read with FILE-LEVEL data skipping: rows of the snapshot
+    * where `column ∈ [lower, upper]` (either bound open via None), but
+    * only files whose write-time zone map can intersect the range are
+    * scanned — the log prunes the rest without touching data, the same
+    * lever Delta's file statistics provide. Files carrying no stats for
+    * the column (legacy appends, all-null files) are conservatively
+    * kept; the residual row filter makes the result exact regardless of
+    * how coarse the pruning was, so correctness never depends on stats.
+    *
+    * Bounds are compared in the column's recorded domain: integers /
+    * dates(days) / timestamps(unix micros) as Long, float/double as
+    * Double, strings lexicographic. Pass timestamp bounds as
+    * `java.sql.Timestamp` (converted to exact micros for pruning, used
+    * as-is in the residual filter).
+    */
+  def snapshotRange(spark: SparkSession, path: String, column: String,
+      lower: Option[Any], upper: Option[Any],
+      version: Option[Long] = None): DataFrame = {
+    require(lower.isDefined || upper.isDefined,
+      "snapshotRange with no bounds is snapshot() — call that instead")
+    val st = state(path, version)
+    def cmp(tag: String, a: String, b: String): Int = tag match {
+      case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+      case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b)
+    }
+    def boundStr(v: Any): String = v match {
+      case t: java.sql.Timestamp =>
+        // exact micros: getTime()*1000 would truncate sub-millisecond
+        // precision DOWNWARD, which for an upper bound prunes files
+        // still holding in-range rows
+        (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString
+      case other => other.toString
+    }
+    val kept = st.live.filter { f =>
+      f.stats.get(column) match {
+        case None => true // no zone map -> cannot prune
+        case Some(s) =>
+          val belowAll = upper.exists(u => cmp(s.t, s.mn, boundStr(u)) > 0)
+          val aboveAll = lower.exists(l => cmp(s.t, s.mx, boundStr(l)) < 0)
+          !(belowAll || aboveAll)
+      }
+    }
+    val missing = kept.filterNot(f => new File(dataDir(path), f.name).exists())
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"snapshotRange version ${version.map(_.toString).getOrElse(s"latest(${st.version})")} " +
+        s"of $path is no longer fully present (first missing: ${missing.head.name}). " +
+        "Pin a version at or above the last vacuum's retainVersion.")
+    val base =
+      if (kept.isEmpty) snapshot(spark, path, version).filter(lit(false))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+    val c = col(column)
+    val residual = (lower.map(l => c >= lit(l)) ++ upper.map(u => c <= lit(u)))
+      .reduce(_ && _)
+    base.filter(residual)
+  }
+
   /** Row-level CHANGES between two committed versions (CDC read) —
     * classify every row that differs between `fromVersion` and
     * `toVersion` as `insert` / `update` / `delete`, with the post-image
@@ -353,23 +442,74 @@ object TxParquetTable {
     * bookkeeping columns OUT of the persisted schema: appended and
     * rewritten files stay schema-identical.
     */
+  /** The stats domain tag for a column's Spark type, or None for types
+    * zone maps deliberately do not cover (decimal narrowing to double
+    * would prune incorrectly at the precision edge; binary/complex have
+    * no total order worth recording).
+    */
+  private def statsTag(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType => Some("long")
+      case FloatType | DoubleType => Some("double")
+      case StringType => Some("string")
+      case TimestampType | TimestampNTZType => Some("long") // unix micros
+      case _ => None
+    }
+  }
+
+  private def statsExpr(dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
+      case DateType => c.cast("int")
+      case FloatType => c.cast("double")
+      case ByteType | ShortType | IntegerType => c.cast("long")
+      case _ => c
+    }
+  }
+
   private def stage(df: DataFrame, path: String,
-      bucketOf: Option[org.apache.spark.sql.Column]): Seq[AddFile] = {
+      bucketOf: Option[org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Seq.empty): Seq[AddFile] = {
     dataDir(path).mkdirs()
     val spark = df.sparkSession
     val tmp = new File(path, s".stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val statted = statsCols.flatMap { c =>
+      val dt = df.schema(c).dataType
+      statsTag(dt).map(tag => (c, dt, tag))
+    }
+    require(statted.size == statsCols.distinct.size,
+      s"statsColumns ${statsCols.mkString(",")} include a type zone maps do not " +
+        "cover (decimal/binary/complex) — record stats only on " +
+        "integer/date/timestamp/float/double/string columns")
     val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
     val adds = parts.map { p =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       val target = new File(dataDir(path), name)
       Files.move(p.toPath, target.toPath)
+      lazy val fileDf = spark.read.parquet(target.getAbsolutePath)
       val buckets = bucketOf match {
-        case Some(c) => spark.read.parquet(target.getAbsolutePath)
+        case Some(c) => fileDf
           .select(c.cast("int")).distinct().collect().map(_.getInt(0)).toSeq.sorted
         case None => Seq.empty
       }
-      AddFile(name, buckets)
+      val stats = if (statted.isEmpty) Map.empty[String, ColStats] else {
+        val aggs = statted.flatMap { case (c, dt, _) =>
+          val e = statsExpr(dt, org.apache.spark.sql.functions.col(c))
+          Seq(min(e), max(e))
+        }
+        val row = fileDf.agg(aggs.head, aggs.tail: _*).head()
+        statted.zipWithIndex.flatMap { case ((c, _, tag), i) =>
+          // an all-null file has null bounds: record no stats for the
+          // column (conservative: the file is never pruned on it)
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+          else Some(c -> ColStats(tag, row.get(2 * i).toString, row.get(2 * i + 1).toString))
+        }.toMap
+      }
+      AddFile(name, buckets, stats)
     }
     tmp.listFiles().foreach(_.delete()); tmp.delete()
     adds
@@ -480,12 +620,17 @@ object TxParquetTable {
     doomed.count(_.delete())
   }
 
-  /** Atomic append — never conflicts. Returns the committed version. */
-  def append(df: DataFrame, path: String): Long = {
+  /** Atomic append — never conflicts. Returns the committed version.
+    * `statsColumns`: record per-file min/max zone maps for these columns
+    * in the log (consumed by [[snapshotRange]]'s file pruning).
+    */
+  def append(df: DataFrame, path: String,
+      statsColumns: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(path)
     val snap = if (v < 0) Snapshot(-1L, Seq.empty, None) else state(path, Some(v))
     val cols = (tableColumns(df.sparkSession, path, snap) ++ df.columns).distinct
-    publish(path, stage(df, path, None), Seq.empty, Seq.empty, v, columns = cols)
+    publish(path, stage(df, path, None, statsColumns), Seq.empty, Seq.empty, v,
+      columns = cols)
   }
 
   /** Compaction (the OPTIMIZE shape): rewrite the current snapshot into

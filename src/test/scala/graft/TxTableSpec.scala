@@ -89,6 +89,52 @@ class TxTableSpec extends SparkSpec {
       Seq((7L, "TOUCHED", "update")))
   }
 
+  test("snapshotRange: zone maps prune whole files from the log; residual filter keeps it exact") {
+    val path = freshPath()
+    // three disjoint year slices, stats recorded at write time
+    TxParquetTable.append(
+      Seq((1L, 1995, "a"), (2L, 1995, "b")).toDF("id", "yr", "v").coalesce(1),
+      path, statsColumns = Seq("yr"))
+    TxParquetTable.append(
+      Seq((3L, 1996, "c")).toDF("id", "yr", "v").coalesce(1),
+      path, statsColumns = Seq("yr"))
+    TxParquetTable.append(
+      Seq((4L, 1997, "d"), (5L, 1998, "e")).toDF("id", "yr", "v").coalesce(1),
+      path, statsColumns = Seq("yr"))
+    val total = TxParquetTable.snapshot(spark, path).inputFiles.length
+    assert(total === 3)
+    val pruned = TxParquetTable.snapshotRange(spark, path, "yr", Some(1996), Some(1996))
+    assert(pruned.inputFiles.length === 1, "only the 1996 file may be scanned")
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // half-open ranges prune too; the residual keeps the boundary exact
+    val ge97 = TxParquetTable.snapshotRange(spark, path, "yr", Some(1997), None)
+    assert(ge97.inputFiles.length === 1)
+    assert(ge97.collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+    // a range matching nothing reads no data files at all
+    val none = TxParquetTable.snapshotRange(spark, path, "yr", Some(2005), None)
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+    // equality with the unpruned filter, always
+    val full = TxParquetTable.snapshot(spark, path)
+      .filter(col("yr") >= 1996 && col("yr") <= 1997).collect().map(_.getLong(0)).sorted
+    val rp = TxParquetTable.snapshotRange(spark, path, "yr", Some(1996), Some(1997))
+      .collect().map(_.getLong(0)).sorted
+    assert(full.toSeq === rp.toSeq)
+  }
+
+  test("snapshotRange: stat-less files are conservatively kept, never pruned") {
+    val path = freshPath()
+    TxParquetTable.append(
+      Seq((1L, 1995, "a")).toDF("id", "yr", "v").coalesce(1), path) // NO stats
+    TxParquetTable.append(
+      Seq((2L, 2001, "b")).toDF("id", "yr", "v").coalesce(1),
+      path, statsColumns = Seq("yr"))
+    val pruned = TxParquetTable.snapshotRange(spark, path, "yr", Some(1990), Some(1999))
+    // the stat-less file must be scanned (it might hold in-range rows —
+    // and here it does); the 2001 file is pruned by its zone map
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("stale upsert is rejected: interloping commit after the read snapshot") {
     val path = freshPath()
     TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
