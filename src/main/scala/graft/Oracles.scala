@@ -2493,6 +2493,27 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // MAD outlier profile: exact interpolated medians (quantile_cont ==
+    // percentile, the q33/q58 contract), one pinned association order
+    // for the modified z, string-cast 0.6745, MAD=0 -> NULL disposition
+    "q165_mad_outliers" ->
+      """WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_type, e.value, m.med FROM events e JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type,
+  floor(max(d.med) * 1000000 + 0.5) / 1000000 AS med,
+  floor(max(md.mad) * 1000000 + 0.5) / 1000000 AS mad,
+  CAST(count(*) AS BIGINT) AS n,
+  CASE WHEN max(md.mad) = 0 THEN NULL
+       ELSE CAST(sum(CASE WHEN abs(CAST('0.6745' AS DOUBLE) * (d.value - d.med) / md.mad) > 3.5
+                          THEN 1 ELSE 0 END) AS BIGINT) END AS n_outliers
+FROM d JOIN md ON d.event_type = md.event_type
+GROUP BY d.event_type""",
+
     // zone-map range read: the 1995-1996 slice predicted straight from
     // orders; pruned_ok is the engine-side claim (scanned files < live
     // files) the oracle predicts true, q28's verdict pattern

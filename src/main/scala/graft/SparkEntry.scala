@@ -1178,6 +1178,14 @@ object SparkEntry {
     graft.llmops.Whitening.whitenReport(
       t(s, dir, "embeddings"), "embedding", k = 16)
 
+  /** Robust-stats gate: per-series MEDIAN/MAD outlier profile
+    * (Iglewicz–Hoaglin modified z at 3.5) — the 50%-breakdown companion
+    * to q122's rolling z and q84's winsorization. Two tiny grouped
+    * percentiles + broadcast joins; NULL outlier count when MAD = 0.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Robust.madOutliers(t(s, dir, "events"), "event_type", "value")
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2522,6 +2530,7 @@ object SparkEntry {
     "q162_pca_whitening" -> (q162 _),
     "q163_incremental_curation" -> (q163 _),
     "q164_zone_map_read" -> (q164 _),
+    "q165_mad_outliers" -> (q165 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -41,6 +41,50 @@ object Robust {
       .drop("lo", "hi")
   }
 
+  /** Per-group MEDIAN/MAD robust outlier profile (Iglewicz–Hoaglin
+    * modified z-score, public methodology): med = exact median, MAD =
+    * median(|v − med|), a row is an outlier when
+    * |0.6745·(v − med)/MAD| > `threshold` (3.5 is the standard cut).
+    * Mean/stddev z-scores let one fat tail move its own yardstick; the
+    * median/MAD pair is 50%-breakdown robust — the numeric gate that
+    * actually survives log-spam value columns.
+    *
+    * Output per group: (group, med, mad, n, n_outliers) — n_outliers
+    * NULL when MAD = 0 (≥ half the group is a single value; the
+    * modified z is undefined, a disposition, not a zero).
+    *
+    * Determinism contract: both medians are exact interpolated
+    * percentiles (`percentile` ↔ `quantile_cont`, the verified q33/q58
+    * contract); the z expression is written in ONE association order —
+    * (c·(v−med))/mad — in both engines, and the 0.6745 constant ships
+    * string-cast. med/mad floor-round at 1e-6 for display; the outlier
+    * comparison uses the UNROUNDED values.
+    *
+    * Scale shape: two tiny grouped aggregates (each needs a per-group
+    * sort for the exact percentile — swap approx_percentile at 100 TB,
+    * same plan) + two broadcast joins of |groups|-row frames + one
+    * final count aggregate. The data shuffles only for its own
+    * group-by; with pre-partitioned input even that collapses.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    val z = abs(lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        graft.util.Partitioning.stableRound6(max(col("__med"))).as("med"),
+        graft.util.Partitioning.stableRound6(max(col("__mad"))).as("mad"),
+        count(lit(1)).as("n"),
+        when(max(col("__mad")) === 0.0, lit(null).cast("long"))
+          .otherwise(sum((z > threshold).cast("long"))).as("n_outliers"))
+  }
+
   /** Equi-width histogram: assign each row to `floor(value / width)` and
     * count per (group, bin). Pure arithmetic binning — portable, and the
     * only shuffle is the final (group, bin) count.
