@@ -497,6 +497,86 @@ object StatefulOps {
       }
   }
 
+  // ---- Streaming VPIN: X29's per-bucket emission form ----
+
+  final case class VpinState(ref: Double, sgn: Int, bucket: Long, cnt: Long,
+      net: Long, recent: List[(Long, Long)])
+
+  final case class VpinBucket(ticker: String, bucket: Long, n_ticks: Long,
+      net: Long, vpin: Double, vpin_roll: Double)
+
+  /** Fold ticks through the streaming VPIN recurrence: tick-rule sign
+    * (previous sign carried on a zero change, first tick signs 0),
+    * fixed-tick buckets; a bucket EMITS the moment it fills, carrying
+    * |net|/n and the rolling Σ|net|/Σn over the trailing `window`
+    * COMPLETED buckets. State is the open bucket plus a bounded
+    * (window−1)-deep deque of completed (|net|, n) pairs — ~(16·window)
+    * bytes per key. Same emission semantics as the batch
+    * [[graft.analytics.Microstructure.vpin]] restricted to FULL buckets
+    * (the batch form also reports the trailing partial; streaming holds
+    * it in state), so chop-invariance compares completed buckets.
+    */
+  private[streaming] def vpinFold(
+      st: Option[VpinState], ticks: Seq[TickerTick],
+      bucketTicks: Int, window: Int): (Option[VpinState], Seq[VpinBucket]) = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st
+    val out = Seq.newBuilder[VpinBucket]
+    sorted.foreach { t =>
+      val p = t.price.toDouble
+      val (sign, prior) = s match {
+        case None => (0, VpinState(p, 0, 0L, 0L, 0L, Nil))
+        case Some(c) =>
+          val sg = if (p > c.ref) 1 else if (p < c.ref) -1 else c.sgn
+          (sg, c)
+      }
+      var net = prior.net + sign
+      var cnt = prior.cnt + 1
+      var bucket = prior.bucket
+      var recent = prior.recent
+      if (cnt == bucketTicks) {
+        val rollNum = math.abs(net) + recent.map(_._1).sum
+        val rollDen = cnt + recent.map(_._2).sum
+        out += VpinBucket("", bucket, cnt, net,
+          math.floor(math.abs(net).toDouble / cnt * 1e6 + 0.5) / 1e6,
+          math.floor(rollNum.toDouble / rollDen * 1e6 + 0.5) / 1e6)
+        recent = ((math.abs(net), cnt) :: recent).take(window - 1)
+        net = 0L; cnt = 0L; bucket += 1
+      }
+      s = Some(VpinState(p, sign, bucket, cnt, net, recent))
+    }
+    (s, out.result())
+  }
+
+  /** Streaming VPIN over fixed-tick buckets: one [[VpinBucket]] row per
+    * COMPLETED bucket. Same state/timeout discipline as [[cusumEvents]].
+    */
+  def vpinStream(
+      ticks: Dataset[TickerTick], bucketTicks: Int, window: Int,
+      idleTimeoutMs: Option[Long] = None): Dataset[VpinBucket] = {
+    require(bucketTicks >= 1, s"bucketTicks must be >= 1, got $bucketTicks")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[VpinState, VpinBucket](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[VpinState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, buckets) = vpinFold(state.getOption, it.toSeq, bucketTicks, window)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            buckets.map(_.copy(ticker = ticker)).iterator
+          }
+      }
+  }
+
   // ---- Information-driven (volume) bars: X20's streaming twin ----
 
   final case class VolumeBarState(

@@ -121,6 +121,38 @@ class TxTableSpec extends SparkSpec {
     assert(full.toSeq === rp.toSeq)
   }
 
+  test("snapshotRange == snapshot+filter for randomized slices and bounds (20 seeds)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val path = freshPath()
+      // random number of appends, each a random contiguous value slice
+      // (some slices overlap, some files get no stats)
+      val nApp = 1 + rnd.nextInt(4)
+      (0 until nApp).foreach { _ =>
+        val lo = rnd.nextInt(50)
+        val hi = lo + rnd.nextInt(30)
+        val rows = (lo to hi).map(v => (rnd.nextLong(), v, s"v$v"))
+        val withStats = rnd.nextBoolean()
+        TxParquetTable.append(rows.toDF("id", "x", "v").coalesce(1), path,
+          statsColumns = if (withStats) Seq("x") else Seq.empty)
+      }
+      val (bl, bu) = (rnd.nextInt(80), rnd.nextInt(80))
+      val (lo, hi) = (math.min(bl, bu), math.max(bl, bu))
+      val bounds = rnd.nextInt(3) match {
+        case 0 => (Some(lo), Some(hi))
+        case 1 => (Some(lo), None)
+        case _ => (None, Some(hi))
+      }
+      val ranged = TxParquetTable.snapshotRange(spark, path, "x", bounds._1, bounds._2)
+        .select(col("x")).collect().map(_.getInt(0)).sorted.toSeq
+      val full = TxParquetTable.snapshot(spark, path)
+        .filter(bounds._1.map(l => col("x") >= l).getOrElse(lit(true)) &&
+          bounds._2.map(u => col("x") <= u).getOrElse(lit(true)))
+        .select(col("x")).collect().map(_.getInt(0)).sorted.toSeq
+      assert(ranged === full, s"trial=$trial bounds=$bounds")
+    }
+  }
+
   test("snapshotRange: stat-less files are conservatively kept, never pruned") {
     val path = freshPath()
     TxParquetTable.append(

@@ -100,6 +100,26 @@ class FoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vpinFold: chopped fold emits exactly the whole-series buckets, any boundary") {
+    for (seed <- 1L to 200L) {
+      val series = sample(coarseSeriesGen, seed)
+      val bucketTicks = 1 + sample(Gen.choose(0, 7), seed + 1000)
+      val window = 1 + sample(Gen.choose(0, 4), seed + 1500)
+      val (wholeState, whole) = StatefulOps.vpinFold(None, series, bucketTicks, window)
+      var st: Option[VpinState] = None
+      val emitted = List.newBuilder[VpinBucket]
+      chops(series, seed + 2000).foreach { batch =>
+        val (s2, b) = StatefulOps.vpinFold(st, batch, bucketTicks, window)
+        st = s2; emitted ++= b
+      }
+      assert(emitted.result() === whole.toList, s"seed=$seed bt=$bucketTicks w=$window")
+      assert(st === wholeState, s"seed=$seed")
+      // every emitted bucket is exactly full and ids are dense from 0
+      assert(whole.forall(_.n_ticks == bucketTicks), s"seed=$seed")
+      assert(whole.map(_.bucket).toList === whole.indices.map(_.toLong).toList, s"seed=$seed")
+    }
+  }
+
   test("volumeBarFold invariants: tick/volume conservation, every closed bar >= threshold") {
     for (seed <- 1L to 200L) {
       val series = sample(seriesGen, seed)
