@@ -62,7 +62,9 @@ object DumpPlans {
       "q148_volume_bars" -> "volume bars: exclusive running sum -> floor(cum/threshold) bar id; the (key, bar) aggregate reuses the window's key partitioning — ONE exchange end to end",
       "q150_psi_drift" -> "PSI drift: reference bounds broadcast onto the scan, (key, bin, period) partial counts, bins-spine join + window totals over the key×bins frame",
       "q155_curation_capstone" -> "curation capstone: quality gate -> exact dedup -> LSH pairs -> keep-best -> group split -> temperature mix; quality scored once, ONE CC fixpoint, split branch reuses the keep-best grp exchange (ReusedExchange) — corpus shuffles = sum of parts",
-      "q156_bigram_oov" -> "bigram artifact reuse: precomputed count tables LEFT-joined back (OOV branches live), contexts derived from the bigram table not the corpus pair stream")
+      "q156_bigram_oov" -> "bigram artifact reuse: precomputed count tables LEFT-joined back (OOV branches live), contexts derived from the bigram table not the corpus pair stream",
+      "q160_vpin" -> "VPIN: sign carry via last-ignoreNulls gap-fill + bucket hash agg + tiny bucket-frame window — one (key, order) sort end to end, no recurrence",
+      "q165_mad_outliers" -> "MAD outliers: two |groups|-row percentile aggregates broadcast back, one final count agg — the corpus shuffles once on its own group-by")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")
