@@ -663,7 +663,14 @@ object TxParquetTable {
     val df = spark.read.option("mergeSchema", "true").parquet(
         snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
       .repartition(targetFiles, bucketOf)
-    val adds = stage(df, path, Some(bucketOf))
+    // zone maps survive compaction: re-record stats for every column ANY
+    // live file tracked (inferred from the log — the caller declared
+    // them once at append time and never repeats itself), dropping
+    // columns the rewrite no longer carries (defensive: additive-only
+    // evolution should make that impossible)
+    val inheritedStats = snap.live.flatMap(_.stats.keys).distinct
+      .filter(df.columns.contains)
+    val adds = stage(df, path, Some(bucketOf), inheritedStats)
     // columnsReset: df.columns came from a mergeSchema read of EVERY live
     // file, and all of them are removed by this commit — the union with
     // the log's (possibly incomplete) record is a fresh complete baseline
@@ -732,9 +739,14 @@ object TxParquetTable {
     val domain =
       if (affectedFiles.exists(_.buckets.isEmpty)) (0 until n).toSeq
       else (affected ++ affectedFiles.flatMap(_.buckets)).distinct.sorted
+    // zone maps survive the rewrite: re-record stats for every column
+    // any live file tracked (log-inferred, as in compact)
+    val inheritedStats = snap.live.flatMap(_.stats.keys).distinct
+      .filter(incoming.columns.contains)
     val (adds, removes) =
       if (affectedFiles.isEmpty)
-        (stage(incoming, path, Some(bucketOf(col(idCol)))), Seq.empty[String])
+        (stage(incoming, path, Some(bucketOf(col(idCol))), inheritedStats),
+          Seq.empty[String])
       else {
         // mergeSchema + allowMissingColumns: survivors and the incoming
         // batch may sit on either side of a schema evolution (narrow old
@@ -754,7 +766,8 @@ object TxParquetTable {
         // genuinely new columns.
         val rewrite = survivors.unionByName(incoming, allowMissingColumns = true)
           .localCheckpoint(true)
-        (stage(rewrite, path, Some(bucketOf(col(idCol)))), affectedFiles.map(_.name))
+        (stage(rewrite, path, Some(bucketOf(col(idCol))), inheritedStats),
+          affectedFiles.map(_.name))
       }
     publish(path, adds, removes, domain, readVersion, Some(n),
       columns = (tableCols ++ incoming.columns).distinct)

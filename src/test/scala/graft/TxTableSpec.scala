@@ -153,6 +153,51 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("zone maps survive upsert and compact: stats columns inherited from the log") {
+    val path = freshPath()
+    TxParquetTable.append(
+      Seq((1L, 1995, "a"), (2L, 1996, "b")).toDF("id", "yr", "v").coalesce(1),
+      path, statsColumns = Seq("yr"))
+    // the upsert rewrites (stat-less input would previously drop stats)
+    TxParquetTable.upsert(
+      Seq((3L, 2001, "c")).toDF("id", "yr", "v"), path, "id", buckets = 2)
+    TxParquetTable.append(
+      Seq((4L, 2010, "d")).toDF("id", "yr", "v").coalesce(1),
+      path, statsColumns = Seq("yr"))
+    TxParquetTable.compact(spark, path, "id", targetFiles = 1)
+    // compact folded to one file per target; stats must still exist so a
+    // disjoint range reads nothing
+    val none = TxParquetTable.snapshotRange(spark, path, "yr", Some(1800), Some(1900))
+    assert(none.inputFiles.isEmpty,
+      "post-compact files must carry inherited zone maps")
+    val all = TxParquetTable.snapshotRange(spark, path, "yr", Some(1995), Some(2010))
+    assert(all.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("zone maps on timestamps: exact-micros bounds, no sub-millisecond truncation") {
+    val path = freshPath()
+    def ts(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // one file entirely at 10:00:00.000500-000900 (sub-millisecond band)
+    TxParquetTable.append(
+      Seq((1L, ts(1700000000000500L)), (2L, ts(1700000000000900L)))
+        .toDF("id", "t").coalesce(1),
+      path, statsColumns = Seq("t"))
+    // an upper bound INSIDE the band but below its min at millis
+    // resolution: truncating bound micros downward would prune the file
+    // and lose row 1
+    val r = TxParquetTable.snapshotRange(spark, path, "t",
+      None, Some(ts(1700000000000600L)))
+    assert(r.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // and a bound strictly below the band prunes it entirely
+    val none = TxParquetTable.snapshotRange(spark, path, "t",
+      None, Some(ts(1700000000000400L)))
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+  }
+
   test("snapshotRange: stat-less files are conservatively kept, never pruned") {
     val path = freshPath()
     TxParquetTable.append(
