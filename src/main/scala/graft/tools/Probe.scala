@@ -1,33 +1,35 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Similarity, Whitening}
 
 object Probe {
   def main(args: Array[String]): Unit = {
-    val dir = "/tmp/graft_sf20"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def joins(name: String): Unit = {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
-      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      val bnl = plan.linesIterator.count(_.contains("BroadcastNestedLoop"))
-      println(s"[probe] $name smj=$smj bhj=$bhj bnl=$bnl")
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+      val model = Whitening.fit(emb, "embedding", k = 32)
+      val wh = Whitening.transform(emb, "embedding", "wv", model)
+        .select(col("vec_id"), col("wv")).localCheckpoint(true)
+      val queries = wh.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("wv").as("qv"))
+      val (codebook, codes) = Similarity.pqIndex(wh, "vec_id", "wv", 32, m = 8, ksub = 16)
+      val pq = Similarity.pqRerankTopKBatch(codebook, codes, wh, "vec_id", "wv",
+        queries, "qid", "qv", k = 10, shortlist = 200, excludeSelfId = true)
+        .select(col("qid"), col("id"))
+      val exact = Similarity.cosineTopKBatch(wh, "vec_id", "wv",
+        queries, "qid", "qv", k = 10, excludeSelfId = true)
+        .select(col("qid"), col("id"))
+      val hit = exact.join(pq, Seq("qid", "id")).count()
+      val tot = exact.count()
+      println(s"[probe] $dir recall=${hit.toDouble / tot} ($hit/$tot)")
     }
-    println("[probe] == no cache ==")
-    joins("q100_curation_extended"); joins("q121_curation_v2")
-    println("[probe] == cached ==")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("orders", "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try { val df = spark.read.parquet(s"$dir/$t.parquet"); df.cache(); df.count() }
-      catch { case _: Throwable => () }
-    }
-    joins("q100_curation_extended"); joins("q121_curation_v2")
     spark.stop()
   }
 }
