@@ -35,8 +35,13 @@ object Whitening {
   final case class WhitenModel(mean: Array[Double], eigenvalues: Array[Double],
       w: Array[Array[Double]])
 
-  /** Fit the PCA-whitening model: one distributed covariance pass +
-    * driver-side eig. `eps` regularizes near-zero eigenvalues (a
+  /** Fit the PCA-whitening model: TWO distributed passes total (column
+    * stats for the mean, then the covariance treeAggregate) and a
+    * driver-side breeze `eigSym` of the d×d matrix — deliberately NOT
+    * MLlib's `computePrincipalComponents`, which recomputes the
+    * covariance internally and would make it three data passes; the
+    * direct eig also yields the eigenvalues themselves instead of
+    * fractions-of-trace. `eps` regularizes near-zero eigenvalues (a
     * rank-deficient direction would otherwise blow up the scale).
     */
   def fit(df: DataFrame, vecCol: String, k: Int, eps: Double = 1e-12): WhitenModel = {
@@ -50,11 +55,15 @@ object Whitening {
     require(k <= d, s"k=$k exceeds embedding dimension $d")
     val mean = mat.computeColumnSummaryStatistics().mean.toArray
     val cov = mat.computeCovariance()
-    val trace = (0 until d).map(i => cov(i, i)).sum
-    val (pc, evFrac) = mat.computePrincipalComponentsAndExplainedVariance(k)
-    val lambda = evFrac.toArray.map(_ * trace)
+    // both mllib and breeze store column-major; symmetric anyway
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix[Double](d, d, cov.toArray))
+    // eigSym returns ascending eigenvalues; take the top k, descending,
+    // index tie-break for a total (deterministic) order
+    val topIdx = (0 until d).sortBy(i => (-es.eigenvalues(i), i)).take(k)
+    val lambda = topIdx.map(es.eigenvalues(_)).toArray
     val w = Array.tabulate(k, d) { (i, j) =>
-      pc(j, i) / math.sqrt(lambda(i) + eps)
+      es.eigenvectors(j, topIdx(i)) / math.sqrt(lambda(i) + eps)
     }
     WhitenModel(mean, lambda, w)
   }
