@@ -2503,6 +2503,48 @@ GROUP BY p.doc_id""",
   CAST(count(*) * 10 AS BIGINT) AS n_exact, true AS recall_ok
 FROM embeddings WHERE vec_id < 5""",
 
+    // autocorrelation: Pearson over aligned (x_t, x_{t-l}) pairs — corr's
+    // pair-null semantics (first l rows of each series drop out of that
+    // lag only) are the SQL standard in both engines; NaN-vs-NULL on
+    // degenerate series normalized Spark-side
+    "q167_autocorrelation" ->
+      """WITH s AS (
+  SELECT user_id, value,
+    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+    lag(value, 5) OVER w AS l5, lag(value, 10) OVER w AS l10
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+  floor(corr(value, l1) * 1000000 + 0.5) / 1000000 AS acf_1,
+  floor(corr(value, l2) * 1000000 + 0.5) / 1000000 AS acf_2,
+  floor(corr(value, l5) * 1000000 + 0.5) / 1000000 AS acf_5,
+  floor(corr(value, l10) * 1000000 + 0.5) / 1000000 AS acf_10
+FROM s GROUP BY 1""",
+
+    // variance ratio VR(5): overlapping diff variances, sample form; the
+    // z constant 3q/(2(2q-1)(q-1)) rides as the literal 15/72 with the
+    // multiplication order mirrored from the Column expression
+    "q168_variance_ratio" ->
+      """WITH s AS (
+  SELECT user_id, value,
+    value - lag(value, 1) OVER w AS d1,
+    value - lag(value, 5) OVER w AS dq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, CAST(count(dq) AS BIGINT) AS n_q,
+    var_samp(d1) AS v1, var_samp(dq) AS vq
+  FROM s GROUP BY 1
+)
+SELECT user_id, n_q,
+  CASE WHEN v1 IS NULL OR v1 = 0 OR vq IS NULL THEN NULL
+       ELSE floor((vq / (5.0 * v1)) * 1000000 + 0.5) / 1000000 END AS vr,
+  CASE WHEN v1 IS NULL OR v1 = 0 OR vq IS NULL THEN NULL
+       ELSE floor(((vq / (5.0 * v1)) - 1.0) * sqrt(15.0 * n_q / 72.0)
+         * 1000000 + 0.5) / 1000000 END AS z_stat
+FROM g""",
+
     // MAD outlier profile: exact interpolated medians (quantile_cont ==
     // percentile, the q33/q58 contract), one pinned association order
     // for the modified z, string-cast 0.6745, MAD=0 -> NULL disposition

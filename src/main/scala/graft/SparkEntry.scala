@@ -1223,6 +1223,27 @@ object SparkEntry {
         (col("n_hit") * 10 >= col("n_exact") * 7).as("recall_ok"))
   }
 
+  /** W1+ diagnostic: sample AUTOCORRELATION of each user's value series
+    * at lags 1/2/5/10 — the memory read behind momentum-vs-reversion
+    * calls. Pearson over aligned pairs (regression convention, portable
+    * `corr` aggregate); all four lag columns share ONE Window node, then
+    * one hash aggregate. NaN (constant/short series) normalized to the
+    * SQL NULL convention.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.autocorrelation(
+      t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"),
+      lags = Seq(1, 2, 5, 10))
+
+  /** W1+ test statistic: Lo–MacKinlay VARIANCE RATIO VR(5) per user
+    * series — overlapping 5-period vs 1-period diff variances (sample
+    * form) with the homoscedastic-null z. Both lags in one Window node,
+    * one hash aggregate; NaN var_samp (n=1) folded into the null guard.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.varianceRatio(
+      t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"), q = 5)
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2569,6 +2590,8 @@ object SparkEntry {
     "q164_zone_map_read" -> (q164 _),
     "q165_mad_outliers" -> (q165 _),
     "q166_whitened_pq" -> (q166 _),
+    "q167_autocorrelation" -> (q167 _),
+    "q168_variance_ratio" -> (q168 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -478,4 +478,99 @@ object Indicators {
         sr6(avg(lit(0.5) * lhl * lhl - lit(GarmanKlassC) * lco * lco)).as("garman_klass"),
         sr6(avg(log(h / c) * log(h / o) + log(l / c) * log(l / o))).as("rogers_satchell"))
   }
+
+  /** Sample autocorrelation of `valueCol` at each of `lags` per series —
+    * the memory/mean-reversion diagnostic behind every momentum vs
+    * mean-reversion call (and the order-flow persistence read when fed
+    * signed flow). ACF(ℓ) here is the Pearson correlation of the ALIGNED
+    * pairs (x_t, x_{t−ℓ}) — the regression convention (two means, two
+    * variances over the overlap), not the Box–Jenkins single-mean
+    * estimator; chosen because `corr` is a portable SQL aggregate with
+    * identical pair-null semantics in both engines (rows whose lag is
+    * null — the first ℓ of each series — drop out of that lag's
+    * aggregate only).
+    *
+    * Output: one row per series, `n` plus one `acf_ℓ` column per lag
+    * (wide — the lag set is a compile-time parameter list, not data).
+    * Null when the overlap has < 2 rows or either side is constant.
+    *
+    * Scale shape: all lag columns ride ONE Window node (same spec →
+    * Catalyst collapses them into a single sort pass), then one
+    * hash aggregate. A million series = a million independent window
+    * groups; nothing global.
+    */
+  def autocorrelation(
+      df: DataFrame, valueCol: String,
+      partition: Seq[String], order: Seq[String], lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val withLags = lags.foldLeft(df) { (d, l) =>
+      d.withColumn(s"__lag_$l", lag(col(valueCol), l).over(w))
+    }
+    // Built from guarded covar_samp/stddev_samp components rather than
+    // corr(): under ANSI mode Spark's corr THROWS (divide-by-zero) on a
+    // constant side, where the SQL convention — and DuckDB's corr — is
+    // NULL. The stddevs are restricted to the ALIGNED pairs (rows whose
+    // lag exists), matching corr's pairwise semantics exactly.
+    val x = col(valueCol)
+    val compAggs = lags.flatMap { l =>
+      val lg = col(s"__lag_$l")
+      Seq(
+        covar_samp(x, lg).as(s"__c_$l"),
+        stddev_samp(when(lg.isNotNull, x)).as(s"__sx_$l"),
+        stddev_samp(when(x.isNotNull, lg)).as(s"__sl_$l"))
+    }
+    val aggs = count(x).as("n") +: compAggs
+    val g = withLags.groupBy(partition.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def bad(c: Column): Column = c.isNull || c.isNaN || c === 0.0
+    lags.foldLeft(g) { (d, l) =>
+      val c = col(s"__c_$l"); val sx = col(s"__sx_$l"); val sl = col(s"__sl_$l")
+      d.withColumn(s"acf_$l",
+        when(bad(sx) || bad(sl) || c.isNull || c.isNaN, lit(null).cast("double"))
+          .otherwise(sr6(c / (sx * sl))))
+    }.drop(lags.flatMap(l => Seq(s"__c_$l", s"__sx_$l", s"__sl_$l")): _*)
+  }
+
+  /** Lo–MacKinlay variance-ratio statistic per series: VR(q) =
+    * Var(x_t − x_{t−q}) / (q · Var(x_t − x_{t−1})) over OVERLAPPING
+    * q-period differences — the canonical random-walk test (VR ≈ 1 under
+    * a random walk; > 1 momentum, < 1 mean reversion). This is the
+    * plain sample-variance form (var_samp on both diffs, no
+    * heteroscedasticity correction — documented, portable); the z
+    * statistic ships under the homoscedastic null:
+    * z = (VR − 1) · √(3 q n / (2 (2q − 1)(q − 1))).
+    *
+    * Null when either diff population has < 2 rows or the 1-period
+    * variance is 0 (a constant series has no random-walk question).
+    *
+    * Scale shape: both lag columns in one Window node (one sort per
+    * series), one hash aggregate; z is a scalar projection over the
+    * per-series row.
+    */
+  def varianceRatio(
+      df: DataFrame, valueCol: String,
+      partition: Seq[String], order: Seq[String], q: Int): DataFrame = {
+    require(q >= 2, s"variance ratio needs q >= 2, got $q")
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val d1 = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dq = col(valueCol) - lag(col(valueCol), q).over(w)
+    val g = df.withColumn("__d1", d1).withColumn("__dq", dq)
+      .groupBy(partition.map(col): _*)
+      .agg(
+        count(col("__dq")).as("n_q"),
+        var_samp(col("__d1")).as("__v1"),
+        var_samp(col("__dq")).as("__vq"))
+    // var_samp is NaN at n = 1 in Spark but NULL in SQL engines — fold
+    // NaN into the null guard alongside the zero-variance case.
+    val vr = when(col("__v1").isNull || col("__v1").isNaN || col("__v1") === 0.0 ||
+          col("__vq").isNull || col("__vq").isNaN,
+        lit(null).cast("double"))
+      .otherwise(col("__vq") / (lit(q.toDouble) * col("__v1")))
+    g.withColumn("__vr", vr)
+      .withColumn("vr", sr6(col("__vr")))
+      .withColumn("z_stat",
+        sr6((col("__vr") - 1.0) *
+          sqrt(lit(3.0 * q) * col("n_q") / lit(2.0 * (2 * q - 1) * (q - 1)))))
+      .drop("__v1", "__vq", "__vr")
+  }
 }

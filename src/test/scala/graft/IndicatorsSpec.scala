@@ -300,4 +300,54 @@ class IndicatorsSpec extends SparkSpec {
     assert(d.getAs[Double]("rogers_satchell") === 0.0)
     assert(d.getAs[Double]("parkinson") > 0.0)
   }
+
+  test("autocorrelation: linear series is +1 at every lag, alternating is -1 at lag 1; degenerate cases null") {
+    val lin = Indicators.autocorrelation(
+      series(1, 2, 3, 4, 5, 6, 7, 8), "px", Seq("sym"), Seq("seq"), Seq(1, 2))
+      .collect().head
+    assert(lin.getAs[Double]("acf_1") === 1.0)
+    assert(lin.getAs[Double]("acf_2") === 1.0)
+
+    val alt = Indicators.autocorrelation(
+      series(1, -1, 1, -1, 1, -1), "px", Seq("sym"), Seq("seq"), Seq(1, 2))
+      .collect().head
+    assert(alt.getAs[Double]("acf_1") === -1.0)
+    assert(alt.getAs[Double]("acf_2") === 1.0)
+
+    // constant series: Pearson undefined (NaN in Spark) -> SQL NULL
+    val const = Indicators.autocorrelation(
+      series(5, 5, 5, 5), "px", Seq("sym"), Seq("seq"), Seq(1)).collect().head
+    assert(const.isNullAt(const.fieldIndex("acf_1")))
+    // lag longer than the series: zero aligned pairs -> NULL
+    val short = Indicators.autocorrelation(
+      series(1, 2, 3), "px", Seq("sym"), Seq("seq"), Seq(5)).collect().head
+    assert(short.isNullAt(short.fieldIndex("acf_5")))
+  }
+
+  test("varianceRatio: matches a scalar replication; zero-variance and short series null") {
+    val vals = Seq(0.0, 1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0)
+    val q = 5
+    val out = Indicators.varianceRatio(
+      series(vals: _*), "px", Seq("sym"), Seq("seq"), q).collect().head
+    def varSamp(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val d1 = vals.sliding(2).map(p => p(1) - p(0)).toSeq
+    val dq = vals.indices.drop(q).map(i => vals(i) - vals(i - q))
+    val expVr = varSamp(dq) / (q * varSamp(d1))
+    assert(out.getAs[Long]("n_q") === dq.size.toLong)
+    assert(math.abs(out.getAs[Double]("vr") - expVr) < 1e-6)
+    val expZ = (expVr - 1.0) * math.sqrt(3.0 * q * dq.size / (2.0 * (2 * q - 1) * (q - 1)))
+    assert(math.abs(out.getAs[Double]("z_stat") - expZ) < 1e-6)
+
+    // linear series: d1 variance is 0 -> no random-walk question, NULL
+    val lin = Indicators.varianceRatio(
+      series(1, 2, 3, 4, 5, 6, 7), "px", Seq("sym"), Seq("seq"), q).collect().head
+    assert(lin.isNullAt(lin.fieldIndex("vr")))
+    // two rows: a single 1-period diff has NaN var_samp -> folded to NULL
+    val short = Indicators.varianceRatio(
+      series(1, 4), "px", Seq("sym"), Seq("seq"), q).collect().head
+    assert(short.isNullAt(short.fieldIndex("vr")))
+  }
 }
