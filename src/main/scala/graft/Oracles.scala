@@ -2522,6 +2522,83 @@ SELECT user_id, CAST(count(value) AS BIGINT) AS n,
   floor(corr(value, l10) * 1000000 + 0.5) / 1000000 AS acf_10
 FROM s GROUP BY 1""",
 
+    // cross-sectional z: BIGINT micro-sum daily signal (identical doubles
+    // both engines), quantile_cont == percentile fences, winsorized
+    // moments per day, percent_rank over the (value, id) total order
+    "q169_cross_sectional_z" ->
+      """WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+      AS uval
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT day, quantile_cont(uval, 0.05) AS lo, quantile_cont(uval, 0.95) AS hi
+  FROM daily GROUP BY 1
+), c AS (
+  SELECT d.user_id, d.day, d.uval,
+    CASE WHEN d.uval < f.lo THEN f.lo
+         WHEN d.uval > f.hi THEN f.hi ELSE d.uval END AS wv
+  FROM daily d JOIN f ON d.day = f.day
+), m AS (
+  SELECT day, avg(wv) AS mu, stddev_samp(wv) AS sd FROM c GROUP BY 1
+)
+SELECT c.day, c.user_id, floor(c.uval * 1000000 + 0.5) / 1000000 AS uval,
+  CASE WHEN m.sd IS NULL OR m.sd = 0 THEN NULL
+       ELSE floor(((c.wv - m.mu) / m.sd + 0.0) * 1000000 + 0.5) / 1000000 END AS z,
+  floor(percent_rank() OVER (PARTITION BY c.day ORDER BY c.uval, c.user_id)
+    * 1000000 + 0.5) / 1000000 AS pct_rank
+FROM c JOIN m ON c.day = m.day""",
+
+    // Amihud illiquidity: q157's candle CTE -> day frame (last close by
+    // bucket, summed volume) -> |ret|/volume scaled 1e6 and its trailing
+    // 5-day mean (avg skips null days, the literature's valid-day mean)
+    "q170_amihud" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl, sum(value) AS vol
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+    arg_max(cl, bucket_start) AS cl, sum(vol) AS volume,
+    CAST(count(*) AS BIGINT) AS n_bars
+  FROM cd GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, n_bars, volume,
+    cl / lag(cl) OVER w - 1.0 AS ret
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), i AS (
+  SELECT *, CASE WHEN ret IS NULL OR volume IS NULL OR volume <= 0 THEN NULL
+       ELSE abs(ret) / volume END AS illiq_raw
+  FROM r
+)
+SELECT event_type, day, n_bars,
+  floor(volume * 1000000 + 0.5) / 1000000 AS volume,
+  floor((ret + 0.0) * 1000000 + 0.5) / 1000000 AS ret,
+  floor(illiq_raw * 1000000 * 1000000 + 0.5) / 1000000 AS illiq,
+  floor(avg(illiq_raw * 1000000) OVER
+    (PARTITION BY event_type ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    * 1000000 + 0.5) / 1000000 AS illiq_roll
+FROM i""",
+
+    // seasonality: (key, hour) aggregate + overall per-key mean; t is the
+    // one-sample statistic with the zero-variance bucket null
+    "q171_seasonality" ->
+      """WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+    CAST(count(value) AS BIGINT) AS n,
+    avg(value) AS mh, stddev_samp(value) AS sd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT event_type, avg(value) AS ma FROM events GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.n,
+  floor(mh * 1000000 + 0.5) / 1000000 AS mean_h,
+  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+       ELSE floor(((mh - ma) / (sd / sqrt(CAST(n AS DOUBLE))) + 0.0)
+         * 1000000 + 0.5) / 1000000 END AS t_stat
+FROM h JOIN o ON h.event_type = o.event_type""",
+
     // variance ratio VR(5): overlapping diff variances, sample form; the
     // z constant 3q/(2(2q-1)(q-1)) rides as the literal 15/72 with the
     // multiplication order mirrored from the Column expression

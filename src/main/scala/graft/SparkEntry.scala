@@ -1244,6 +1244,48 @@ object SparkEntry {
     graft.analytics.Indicators.varianceRatio(
       t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"), q = 5)
 
+  /** Factor preprocessing: CROSS-SECTIONAL winsorized z-score +
+    * percentile rank of each user's daily total within the day — the
+    * standard per-rebalance-date standardization before neutralization
+    * or portfolio sorts. The daily signal is a BIGINT micro-quantized
+    * sum (q142's exactness trick) so the fences see identical doubles
+    * in both engines; two tiny per-day aggregates broadcast back, the
+    * corpus shuffles once for the rank window.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg((sum(floor(col("value") * 1000000d + 0.5d).cast("long")).cast("double")
+        / 1000000d).as("uval"))
+    graft.analytics.CrossSection.standardize(daily, "day", "user_id", "uval")
+      .select(col("day"), col("user_id"), sr6(col("uval")).as("uval"),
+        col("z"), col("pct_rank"))
+  }
+
+  /** Microstructure: AMIHUD illiquidity per (series, day) over the
+    * derived 5-minute candles — |daily return| per traded unit and its
+    * trailing 5-day mean. Day frame built in one hash aggregate; the
+    * return/rolling windows ride the tiny |keys|×|days| frame.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Microstructure.amihud(
+      candles5m(s, dir)
+        .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd")),
+      Seq("key"), "day", "bucket_start", "close", "volume", rollDays = 5)
+      .withColumnRenamed("key", "event_type")
+      .select(col("event_type"), col("day"), col("n_bars"),
+        sr6(col("volume")).as("volume"), col("ret"), col("illiq"), col("illiq_roll"))
+
+  /** Behavior diagnostic: HOUR-OF-DAY seasonality profile per event
+    * type — bucket n/mean plus the one-sample t of the bucket mean
+    * against the series' overall mean. One (key, hour) hash aggregate
+    * plus a broadcast |keys|-row join; no sorts.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Behavior.seasonalityProfile(
+      t(s, dir, "events"), "event_type", "ts", "value")
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2592,6 +2634,9 @@ object SparkEntry {
     "q166_whitened_pq" -> (q166 _),
     "q167_autocorrelation" -> (q167 _),
     "q168_variance_ratio" -> (q168 _),
+    "q169_cross_sectional_z" -> (q169 _),
+    "q170_amihud" -> (q170 _),
+    "q171_seasonality" -> (q171 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

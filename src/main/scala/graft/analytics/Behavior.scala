@@ -201,4 +201,37 @@ object Behavior {
         max(col("__gap_us")).as("max_gap_us"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Hour-of-day SEASONALITY profile of `valueCol` per key: each bucket's
+    * n/mean/stddev plus the one-sample t statistic of the bucket mean
+    * against the key's OVERALL mean — the intraday-effect screen (is the
+    * 14:00 bucket genuinely different, or noise?). t is null when the
+    * bucket can't support it (n < 2 or zero variance).
+    *
+    * Scale shape: one (key, hour) hash aggregate over the event frame,
+    * one |keys|-row aggregate broadcast back — the 24-bucket profile
+    * frame is tiny at any corpus size; no windows, no sorts.
+    */
+  def seasonalityProfile(
+      events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import graft.util.Partitioning.{stableRound6 => sr6}
+    val byHour = events
+      .withColumn("hour", hour(col(tsCol)))
+      .groupBy(col(keyCol), col("hour"))
+      .agg(
+        count(col(valueCol)).as("n"),
+        avg(col(valueCol)).as("__mean_h"),
+        stddev_samp(col(valueCol)).as("__sd_h"))
+    val overall = events.groupBy(col(keyCol))
+      .agg(avg(col(valueCol)).as("__mean_all"))
+    byHour.join(broadcast(overall), Seq(keyCol))
+      .withColumn("mean_h", sr6(col("__mean_h")))
+      .withColumn("t_stat",
+        when(col("__sd_h").isNull || col("__sd_h").isNaN || col("__sd_h") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(sr6((col("__mean_h") - col("__mean_all")) /
+            (col("__sd_h") / sqrt(col("n").cast("double"))) + lit(0.0))))
+      .drop("__mean_h", "__sd_h", "__mean_all")
+  }
 }

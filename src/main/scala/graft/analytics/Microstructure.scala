@@ -104,4 +104,43 @@ object Microstructure {
           .otherwise(lit(null).cast("double")))
       .drop("__cds", "__vs", "__c1")
   }
+
+  /** Amihud (2002) illiquidity over a day-level frame: per (key, day)
+    * the price-impact-per-traded-unit read |ret_d| / volume_d, plus its
+    * trailing `rollDays`-day mean (the paper's ILLIQ average). The
+    * day frame is built here from intraday bars in ONE hash aggregate
+    * (close = last print by the order column, volume = Σ), then the
+    * return and the rolling mean ride one tiny per-key window over
+    * DAYS — at any corpus size the windowed frame is |keys|×|days|,
+    * never the tick count.
+    *
+    * Nulls: the first day of a key has no previous close (ret null);
+    * a zero/absent-volume day has no impact-per-unit reading (illiq
+    * null); null illiq days drop out of the rolling mean (avg skips
+    * nulls — the literature's convention of averaging over valid days).
+    */
+  def amihud(
+      bars: DataFrame, keyCols: Seq[String], dayCol: String,
+      orderCol: String, closeCol: String, volumeCol: String,
+      rollDays: Int): DataFrame = {
+    val daily = bars.groupBy((keyCols :+ dayCol).map(col): _*)
+      .agg(
+        max_by(col(closeCol), col(orderCol)).as("__cl"),
+        sum(col(volumeCol)).as("volume"),
+        count(lit(1)).as("n_bars"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(dayCol))
+    val ret = col("__cl") / lag(col("__cl"), 1).over(w) - 1.0
+    val withRet = daily.withColumn("__ret", ret)
+      .withColumn("__illiq",
+        when(col("__ret").isNull || col("volume").isNull || col("volume") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(abs(col("__ret")) / col("volume")))
+    withRet
+      .withColumn("ret", sr6(col("__ret") + lit(0.0)))
+      .withColumn("illiq", sr6(col("__illiq") * lit(1.0e6)))
+      .withColumn("illiq_roll",
+        sr6(avg(col("__illiq") * lit(1.0e6))
+          .over(w.rowsBetween(-(rollDays - 1), 0))))
+      .drop("__cl", "__ret", "__illiq")
+  }
 }

@@ -153,4 +153,27 @@ class BehaviorSpec extends SparkSpec {
     assert(out.toMap === Map("a>b>c" -> 2L, "b>c>d" -> 1L))
     assert(!out.map(_._1).exists(p => p.contains("d>a"))) // no cross-session span
   }
+
+  test("seasonalityProfile: bucket t vs overall mean; constant bucket t null") {
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val events = Seq(
+      // key K: hour 10 has values 1,2,3 (mean 2, sd 1); hour 11 has 8,8
+      // (constant -> t null). Overall mean = 22/5 = 4.4
+      (1L, "K", "2024-01-01 10:00:00", 1.0),
+      (2L, "K", "2024-01-01 10:15:00", 2.0),
+      (3L, "K", "2024-01-02 10:30:00", 3.0),
+      (4L, "K", "2024-01-01 11:00:00", 8.0),
+      (5L, "K", "2024-01-02 11:30:00", 8.0)
+    ).toDF("event_id", "k", "ts0", "v")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val out = Behavior.seasonalityProfile(events, "k", "ts", "v")
+      .collect().map(r => r.getAs[Int]("hour") -> r).toMap
+    val h10 = out(10)
+    assert(h10.getAs[Long]("n") === 3L && h10.getAs[Double]("mean_h") === 2.0)
+    assert(h10.getAs[Double]("t_stat") ===
+      sr6((2.0 - 4.4) / (1.0 / math.sqrt(3.0))))
+    val h11 = out(11)
+    assert(h11.getAs[Double]("mean_h") === 8.0)
+    assert(h11.isNullAt(h11.fieldIndex("t_stat"))) // zero variance bucket
+  }
 }

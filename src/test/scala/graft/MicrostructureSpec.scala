@@ -55,4 +55,32 @@ class MicrostructureSpec extends SparkSpec {
       Seq("sym", "day"), Seq("seq"), "px").collect().head
     assert(f.isNullAt(f.fieldIndex("kyle_lambda")))
   }
+
+  test("amihud: last close by order, summed volume, first day and zero-volume day null") {
+    val bars = Seq(
+      // (sym, day, bucket, close, volume) — d1 has two bars: close must
+      // come from the LATER bucket (101), volume sums to 10
+      ("A", "d1", 1L, 99.0, 4.0), ("A", "d1", 2L, 101.0, 6.0),
+      ("A", "d2", 3L, 111.1, 20.0),
+      ("A", "d3", 4L, 100.0, 0.0),   // zero volume: no per-unit reading
+      ("B", "d1", 1L, 50.0, 5.0)
+    ).toDF("sym", "day", "bucket", "close", "volume")
+    val out = Microstructure.amihud(bars, Seq("sym"), "day", "bucket",
+      "close", "volume", rollDays = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val d1 = out(("A", "d1"))
+    assert(d1.getAs[Long]("n_bars") === 2L && d1.getAs[Double]("volume") === 10.0)
+    assert(d1.isNullAt(d1.fieldIndex("ret")))        // no previous close
+    assert(d1.isNullAt(d1.fieldIndex("illiq")))
+    assert(d1.isNullAt(d1.fieldIndex("illiq_roll"))) // all-null frame
+    val d2 = out(("A", "d2"))
+    val expRet = 111.1 / 101.0 - 1.0
+    assert(d2.getAs[Double]("ret") === sr6(expRet))
+    val expIlliq = math.abs(expRet) / 20.0 * 1e6
+    assert(d2.getAs[Double]("illiq") === sr6(expIlliq))
+    assert(d2.getAs[Double]("illiq_roll") === sr6(expIlliq)) // d1 null skipped
+    val d3 = out(("A", "d3"))
+    assert(d3.isNullAt(d3.fieldIndex("illiq")))      // zero volume
+    assert(d3.getAs[Double]("illiq_roll") === sr6(expIlliq)) // still only d2 valid
+  }
 }
