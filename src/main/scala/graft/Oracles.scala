@@ -2599,6 +2599,66 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // KS two-sample: ECDFs at distinct values (full tied mass jumps
+    // before comparison), exact integer running counts, one division per
+    // ECDF read -> bit-identical D; c(0.05) ships string-cast and the
+    // drifted verdict compares the RAW doubles in both engines
+    "q172_ks_drift" ->
+      s"""WITH b AS (
+  SELECT min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx FROM events
+), s AS (
+  SELECT event_type, value,
+    COALESCE(epoch_us(ts) * 2 >= tmn + tmx, FALSE) AS cur
+  FROM events, b WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, value AS v,
+    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS rc,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM s GROUP BY 1, 2
+), r AS (
+  SELECT event_type,
+    sum(rc) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rrun,
+    sum(cc) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crun,
+    sum(rc) OVER (PARTITION BY event_type) AS rn,
+    sum(cc) OVER (PARTITION BY event_type) AS cn
+  FROM c
+), g AS (
+  SELECT event_type, CAST(max(rn) AS BIGINT) AS n_ref,
+    CAST(max(cn) AS BIGINT) AS n_cur,
+    max(abs(CAST(rrun AS DOUBLE) / CAST(rn AS DOUBLE)
+      - CAST(crun AS DOUBLE) / CAST(cn AS DOUBLE))) AS d
+  FROM r WHERE rn > 0 AND cn > 0 GROUP BY 1
+)
+SELECT event_type, n_ref, n_cur,
+  floor(d * 1000000 + 0.5) / 1000000 AS ks_d,
+  floor((CAST('${graft.analytics.Drift.ksCriticalC(0.05)}' AS DOUBLE)
+      * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+        / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))))
+    * 1000000 + 0.5) / 1000000 AS crit,
+  d > CAST('${graft.analytics.Drift.ksCriticalC(0.05)}' AS DOUBLE)
+      * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+        / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))) AS drifted
+FROM g""",
+
+    // per-source cap: q131's quality CTEs feed a (source)-partitioned
+    // rank over the (quality desc, id) total order; floored quality_p is
+    // already bit-identical cross-engine so the cut is exact
+    "q173_source_cap" ->
+      s"""WITH $qualityPCtes, r AS (
+  SELECT d.doc_id, d.source, d.text, p.quality_p,
+    row_number() OVER (PARTITION BY d.source
+      ORDER BY p.quality_p DESC, d.doc_id) AS rk
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN rk <= 50
+    THEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))
+    END) AS BIGINT) AS kept_tokens
+FROM r GROUP BY 1""",
+
     // variance ratio VR(5): overlapping diff variances, sample form; the
     // z constant 3q/(2(2q-1)(q-1)) rides as the literal 15/72 with the
     // multiplication order mirrored from the Column expression

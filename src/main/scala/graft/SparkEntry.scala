@@ -1286,6 +1286,41 @@ object SparkEntry {
     graft.analytics.Behavior.seasonalityProfile(
       t(s, dir, "events"), "event_type", "ts", "value")
 
+  /** ML-ops drift, nonparametric: exact two-sample KOLMOGOROV–SMIRNOV
+    * per event type, second half of the stream vs the first (q150's
+    * split) — where PSI bins, KS compares the full ECDFs at every
+    * distinct value and reports the supremum gap + the α=0.05 verdict.
+    * One (key, value) hash aggregate, one per-key sort over distincts.
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val e = unix_micros(col("ts"))
+    val b = ev.agg(min(e).as("__tmn"), max(e).as("__tmx"))
+    val marked = ev.crossJoin(broadcast(b))
+      .withColumn("__cur", e * 2 >= col("__tmn") + col("__tmx"))
+    graft.analytics.Drift.ksTwoSample(marked, "event_type", "value", col("__cur"))
+  }
+
+  /** X12+ curation stage: PER-SOURCE CAP — at most 50 documents per
+    * source, keeping the highest q131 quality scores (the C4/RefinedWeb
+    * per-domain cap), reported per source. One stratum-keyed rank
+    * window; the cut is a total order (score desc, id), so the report
+    * is deterministic in both engines.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Sampling
+    val docs = t(s, dir, "documents")
+    val qp = TextAnalysis.logisticQualityScore(col("text"), TextAnalysis.DefaultStopwords)
+    val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+    Sampling.capPerStratum(docs.withColumn("__qp", qp), "source", "doc_id",
+      col("__qp"), cap = 50)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), tok)).as("kept_tokens"))
+  }
+
   /** X4 diagnostic: Zipf rank-frequency profile — top-30 tokens with
     * the rank×count invariant and cumulative occurrence coverage; the
     * rank window sorts 30 rows, never the vocabulary.
@@ -2637,6 +2672,8 @@ object SparkEntry {
     "q169_cross_sectional_z" -> (q169 _),
     "q170_amihud" -> (q170 _),
     "q171_seasonality" -> (q171 _),
+    "q172_ks_drift" -> (q172 _),
+    "q173_source_cap" -> (q173 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -82,4 +82,73 @@ object Drift {
         max(col("__cn")).as("n_cur"),
         graft.util.Partitioning.stableRound6(sum((p - q) * log(p / q))).as("psi"))
   }
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV statistic per key — the
+    * nonparametric companion to [[populationStabilityIndex]]: where PSI
+    * bins (and so depends on a bin count), KS compares the two empirical
+    * CDFs at every DISTINCT observed value and reports the supremum gap
+    * D = sup_v |F_ref(v) − F_cur(v)|, plus the classical large-sample
+    * rejection read at `alpha`: drifted ⇔ D > c(α)·√((n₁+n₂)/(n₁·n₂)),
+    * c(α) = √(−ln(α/2)/2).
+    *
+    * Evaluating at distinct values (grouping first) rather than per row
+    * makes tie handling exact — both ECDFs jump by their full tied mass
+    * before the comparison — and removes any intra-value ordering
+    * dependence. Null flag reads as reference, null values are excluded
+    * (the PSI contract); keys missing either sample are absent from the
+    * output (nothing to compare — the PSI missing-reference contract).
+    *
+    * Determinism: the running counts are exact integer sums; each ECDF
+    * value is ONE correctly-rounded division, the gap one subtraction —
+    * bit-identical cross-engine, so the drifted comparison runs on raw
+    * doubles and c(α) ships to the oracle as a string-cast literal.
+    * The ratio under the root casts to double BEFORE multiplying
+    * (n₁·n₂ as integers would overflow at ~10¹⁰-row samples).
+    *
+    * Scale shape: one (key, value) hash aggregate collapses the corpus
+    * to distinct values, one per-key sort window over those, one final
+    * aggregate. The sort is per-key and distributed; nothing global.
+    */
+  /** c(α) = √(−ln(α/2)/2) — the classical KS rejection constant, shared
+    * with the oracle via the string-cast parse (q103's portability
+    * pattern for non-dyadic constants).
+    */
+  def ksCriticalC(alpha: Double): Double = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+
+  def ksTwoSample(
+      df: DataFrame, keyCol: String, valueCol: String, isCurrent: Column,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val v = col(valueCol).cast("double")
+    val cur = coalesce(isCurrent, lit(false))
+    val counts = df.filter(v.isNotNull)
+      .groupBy(col(keyCol), v.as("__v"))
+      .agg(
+        sum(when(cur, 0L).otherwise(1L)).as("__rc"),
+        sum(when(cur, 1L).otherwise(0L)).as("__cc"))
+    val perKey = Window.partitionBy(col(keyCol))
+    val running = perKey.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gap = abs(
+      sum(col("__rc")).over(running).cast("double") / col("__rn").cast("double") -
+      sum(col("__cc")).over(running).cast("double") / col("__cn").cast("double"))
+    val cAlpha = ksCriticalC(alpha)
+    counts
+      .withColumn("__rn", sum(col("__rc")).over(perKey))
+      .withColumn("__cn", sum(col("__cc")).over(perKey))
+      .filter(col("__rn") > 0 && col("__cn") > 0)
+      .withColumn("__gap", gap)
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__rn")).as("n_ref"),
+        max(col("__cn")).as("n_cur"),
+        max(col("__gap")).as("__d"))
+      .withColumn("__crit", lit(cAlpha) * sqrt(
+        (col("n_ref").cast("double") + col("n_cur").cast("double")) /
+        (col("n_ref").cast("double") * col("n_cur").cast("double"))))
+      .withColumn("ks_d", graft.util.Partitioning.stableRound6(col("__d")))
+      .withColumn("crit", graft.util.Partitioning.stableRound6(col("__crit")))
+      .withColumn("drifted", col("__d") > col("__crit"))
+      .drop("__d", "__crit")
+  }
 }

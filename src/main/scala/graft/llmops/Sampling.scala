@@ -117,6 +117,32 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-stratum CAP by priority — the C4/RefinedWeb "at most N documents
+    * per domain" stage: within each stratum rank by `priority` DESC
+    * (id-tiebroken — a total order, so the cut is deterministic in both
+    * engines) and flag the top `cap` as kept. Unlike
+    * [[sampleExactPerStratum]] this keeps the BEST rows, not a uniform
+    * draw, and returns the whole corpus with auditable `take_rank`/`kept`
+    * columns instead of dropping rows — the curation-report shape
+    * (q136's keep-best convention).
+    *
+    * Scale shape: one stratum-keyed shuffle + per-partition rank window.
+    * Strata are domains — many and individually small, so the window
+    * hash-partitions freely; a pathological mega-stratum is exactly the
+    * q153 boundary-level situation and takes the same remedy (pre-filter
+    * by a priority floor before ranking).
+    */
+  def capPerStratum(
+      df: DataFrame, strataCol: String, idCol: String, priority: Column,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(priority.desc, col(idCol).asc)
+    df.withColumn("take_rank", row_number().over(w))
+      .withColumn("kept", col("take_rank") <= cap)
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample dominant languages,
     * keep rare ones whole). Strata absent from `fractions` fall back to
     * `default`. One codegen'd CASE over the strata map — no shuffle.

@@ -65,4 +65,33 @@ class DriftSpec extends SparkSpec {
     assert(s.getAs[Long]("n_cur") === 100L)
     assert(s.getAs[Double]("psi") > 1.0, s.toString) // everything in the top bin
   }
+
+  test("ksTwoSample: hand-computed supremum gap; identical samples zero; one-sample keys absent") {
+    // ref {1,2,3,4} vs cur {3,4,5,6}: D = 0.5 (at v=2..4); crit at
+    // n=4,4 is c*sqrt(8/16) ~ 0.96 -> not drifted
+    val rows = (Seq(1, 2, 3, 4).map(v => ("A", v.toDouble, false)) ++
+      Seq(3, 4, 5, 6).map(v => ("A", v.toDouble, true)) ++
+      Seq(1, 2).map(v => ("REFONLY", v.toDouble, false)))
+      .toDF("k", "v", "cur")
+    val out = Drift.ksTwoSample(rows, "k", "v", col("cur")).collect()
+    assert(out.map(_.getString(0)).toSet === Set("A")) // one-sample key absent
+    val a = out.head
+    assert(a.getAs[Long]("n_ref") === 4L && a.getAs[Long]("n_cur") === 4L)
+    assert(a.getAs[Double]("ks_d") === 0.5)
+    val expCrit = Drift.ksCriticalC(0.05) * math.sqrt(8.0 / 16.0)
+    assert(math.abs(a.getAs[Double]("crit") - expCrit) < 1e-6)
+    assert(!a.getAs[Boolean]("drifted"))
+
+    // identical samples: every ECDF gap is zero, including at ties
+    val same = (Seq(1, 1, 2).map(v => ("B", v.toDouble, false)) ++
+      Seq(1, 1, 2).map(v => ("B", v.toDouble, true))).toDF("k", "v", "cur")
+    val b = Drift.ksTwoSample(same, "k", "v", col("cur")).collect().head
+    assert(b.getAs[Double]("ks_d") === 0.0 && !b.getAs[Boolean]("drifted"))
+
+    // disjoint supports: D = 1, always drifted at these sizes
+    val dis = (Seq(1, 2, 3, 4, 5).map(v => ("C", v.toDouble, false)) ++
+      Seq(11, 12, 13, 14, 15).map(v => ("C", v.toDouble, true))).toDF("k", "v", "cur")
+    val c = Drift.ksTwoSample(dis, "k", "v", col("cur")).collect().head
+    assert(c.getAs[Double]("ks_d") === 1.0 && c.getAs[Boolean]("drifted"))
+  }
 }

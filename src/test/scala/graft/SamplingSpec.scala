@@ -133,4 +133,19 @@ class SamplingSpec extends SparkSpec {
         s"singleton $id disagrees with trainTestSplit")
     }
   }
+
+  test("capPerStratum: keeps the top-cap by priority with id tiebreak; small strata whole") {
+    val df = Seq(
+      ("x", 1L, 0.9), ("x", 2L, 0.5), ("x", 3L, 0.5), ("x", 4L, 0.1),
+      ("y", 9L, 0.2)
+    ).toDF("s", "id", "p")
+    val out = Sampling.capPerStratum(df, "s", "id", col("p"), cap = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("take_rank"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(1L) === ((1, true)))
+    assert(out(2L) === ((2, true)))   // tie at 0.5: lower id wins the cap
+    assert(out(3L) === ((3, false)))
+    assert(out(4L) === ((4, false)))
+    assert(out(9L) === ((1, true)))   // under-cap stratum kept whole
+  }
 }
