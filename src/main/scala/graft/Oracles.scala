@@ -2599,6 +2599,16 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // cluster-by compaction: the band aggregate is plain SQL; the three
+    // layout booleans are structural (unsorted appends span the full
+    // range -> no pruning; range-clustered rewrite -> strict-subset
+    // scan; rewrite preserves content)
+    "q174_cluster_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total,
+  true AS before_full_scan, true AS after_pruned, true AS content_stable
+FROM orders WHERE o_totalprice BETWEEN 50000 AND 80000""",
+
     // KS two-sample: ECDFs at distinct values (full tied mass jumps
     // before comparison), exact integer running counts, one division per
     // ECDF read -> bit-identical D; c(0.05) ships string-cast and the

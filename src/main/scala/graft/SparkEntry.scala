@@ -2500,6 +2500,46 @@ object SparkEntry {
     } finally deleteRecursively(path)
   }
 
+  /** X33+ layout: CLUSTER-BY compaction — the 1-D Z-ORDER. Three
+    * unsorted appends leave every file spanning the full price range
+    * (zone maps prune nothing); one `compact(clusterBy)` rewrite
+    * range-partitions + sorts, making the per-file price spans tight
+    * and disjoint, and the same band read then scans a strict subset
+    * of the live files. Verdict row: band aggregate (DuckDB-checked)
+    * + structural booleans (full scan before, pruned after, identical
+    * row count across the rewrite).
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q174_cluster")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      (0 until 3).foreach { k =>
+        TxParquetTable.append(src.filter(pmod(col("id"), lit(3)) === k),
+          path.toString, statsColumns = Seq("o_totalprice"))
+      }
+      val lo = 50000.0; val hi = 80000.0
+      val before = TxParquetTable.snapshotRange(
+        s, path.toString, "o_totalprice", Some(lo), Some(hi))
+      val scannedBefore = before.inputFiles.length
+      val liveBefore = TxParquetTable.snapshot(s, path.toString).inputFiles.length
+      val nBefore = before.count()
+      TxParquetTable.compact(s, path.toString, "id", targetFiles = 8,
+        clusterBy = Some("o_totalprice"))
+      val after = TxParquetTable.snapshotRange(
+        s, path.toString, "o_totalprice", Some(lo), Some(hi))
+      val scannedAfter = after.inputFiles.length
+      val liveAfter = TxParquetTable.snapshot(s, path.toString).inputFiles.length
+      val agg = after
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("before_full_scan", lit(scannedBefore == liveBefore))
+        .withColumn("after_pruned", lit(scannedAfter < liveAfter))
+        .withColumn("content_stable", lit(nBefore == after.count()))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2674,6 +2714,7 @@ object SparkEntry {
     "q171_seasonality" -> (q171 _),
     "q172_ks_drift" -> (q172 _),
     "q173_source_cap" -> (q173 _),
+    "q174_cluster_compact" -> (q174 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

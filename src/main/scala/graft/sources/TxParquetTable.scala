@@ -634,9 +634,11 @@ object TxParquetTable {
   }
 
   /** Compaction (the OPTIMIZE shape): rewrite the current snapshot into
-    * at most `targetFiles` files, clustered on the id's hash bucket, in
-    * ONE atomic commit. Logical content is unchanged — only the file
-    * layout. Removing files means declaring the FULL bucket domain, so a
+    * at most `targetFiles` files — hash-clustered on the id bucket by
+    * default, or RANGE-clustered + sorted on `clusterBy` (the 1-D
+    * Z-ORDER: tight, disjoint zone maps on that column, so range reads
+    * prune to the files that can match) — in ONE atomic commit. Logical
+    * content is unchanged — only the file layout. Removing files means declaring the FULL bucket domain, so a
     * concurrent upsert or append conflicts cleanly (either could
     * otherwise race the rewrite and double-materialize rows); retry
     * compaction in a quiet moment, it is never urgent. Streaming ingest
@@ -647,11 +649,12 @@ object TxParquetTable {
     * version (or the read version if already compact).
     */
   def compact(spark: SparkSession, path: String, idCol: String,
-      buckets: Int = 16, targetFiles: Int = 4): Long = {
+      buckets: Int = 16, targetFiles: Int = 4,
+      clusterBy: Option[String] = None): Long = {
     val readVersion = latestVersion(path)
     if (readVersion < 0) return readVersion
     val snap = state(path, Some(readVersion))
-    if (snap.live.length <= targetFiles) return readVersion
+    if (snap.live.length <= targetFiles && clusterBy.isEmpty) return readVersion
     // the table's established bucket scheme always wins over the
     // parameter (see upsert) — stats and domains must share one modulus
     val n = snap.bucketCount.getOrElse(buckets)
@@ -660,15 +663,30 @@ object TxParquetTable {
     // wide files; a plain read could resolve the NARROW schema and the
     // rewrite would silently DROP the evolved column from the whole
     // table (the removes make it permanent after vacuum)
-    val df = spark.read.option("mergeSchema", "true").parquet(
+    val base = spark.read.option("mergeSchema", "true").parquet(
         snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
-      .repartition(targetFiles, bucketOf)
+    // layout choice — the Delta OPTIMIZE dichotomy, 1-D:
+    //   None:      hash-cluster on the id bucket (upsert locality — a
+    //              one-bucket upsert rewrites one file's worth of rows)
+    //   Some(col): RANGE-cluster on `col` and sort within partitions —
+    //              zone maps on that column become tight and disjoint,
+    //              so a range read prunes to O(selectivity · files)
+    //              instead of scanning every file. The declared cost:
+    //              each clustered file now spans MANY id buckets, so a
+    //              later single-bucket upsert rewrites more files —
+    //              cluster read-mostly tables, hash-cluster churny ones.
+    val df = clusterBy match {
+      case Some(c) =>
+        base.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
+      case None => base.repartition(targetFiles, bucketOf)
+    }
     // zone maps survive compaction: re-record stats for every column ANY
     // live file tracked (inferred from the log — the caller declared
     // them once at append time and never repeats itself), dropping
     // columns the rewrite no longer carries (defensive: additive-only
-    // evolution should make that impossible)
-    val inheritedStats = snap.live.flatMap(_.stats.keys).distinct
+    // evolution should make that impossible). A clusterBy column joins
+    // the tracked set — clustering without its zone map would be mute.
+    val inheritedStats = (snap.live.flatMap(_.stats.keys) ++ clusterBy).distinct
       .filter(df.columns.contains)
     val adds = stage(df, path, Some(bucketOf), inheritedStats)
     // columnsReset: df.columns came from a mergeSchema read of EVERY live

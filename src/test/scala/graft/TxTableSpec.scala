@@ -611,6 +611,40 @@ class TxTableSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === before)
   }
 
+  test("clusterBy compact: content preserved, zone maps tighten so a band read prunes, upsert still works") {
+    val path = freshPath()
+    // interleaved appends: every file spans the whole value range
+    (0 until 3).foreach { k =>
+      val rows = (0 until 300).filter(_ % 3 == k)
+        .map(i => (i.toLong, i.toDouble))
+      // one file per append (a local Seq would otherwise split into
+      // ordered partitions whose files are ALREADY range-contiguous)
+      TxParquetTable.append(rows.toDF("id", "price").repartition(1), path,
+        statsColumns = Seq("price"))
+    }
+    def band() = TxParquetTable.snapshotRange(
+      spark, path, "price", Some(100.0), Some(120.0))
+    val live0 = TxParquetTable.snapshot(spark, path).inputFiles.length
+    assert(band().inputFiles.length === live0, "interleaved appends must not prune")
+    val before = band().collect().map(_.getLong(0)).toSet
+
+    TxParquetTable.compact(spark, path, "id", targetFiles = 4,
+      clusterBy = Some("price"))
+    val liveAfter = TxParquetTable.snapshot(spark, path).inputFiles.length
+    assert(liveAfter <= 4)
+    assert(band().inputFiles.length < liveAfter,
+      "range-clustered layout must prune the band read")
+    assert(band().collect().map(_.getLong(0)).toSet === before)
+    // full content identical across the rewrite
+    assert(TxParquetTable.snapshot(spark, path).count() === 300L)
+    // a later keyed upsert on the clustered layout stays correct (it
+    // rewrites more files — the documented cost — but not wrongly)
+    TxParquetTable.upsert(Seq((150L, -1.0)).toDF("id", "price"), path, "id")
+    val after = TxParquetTable.snapshot(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after(150L) === -1.0 && after.size === 300)
+  }
+
   test("racing appends from multiple threads all land with distinct versions") {
     val path = freshPath()
     val threads = (0 until 4).map { i =>
