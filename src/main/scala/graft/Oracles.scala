@@ -221,6 +221,100 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
   }
 
+  private val q175CapstoneSql: String = {
+    val terms = graft.analytics.Indicators.fracDiffWeights(0.4, 10).zipWithIndex.map {
+      case (wk, k) =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"CAST('$wk' AS DOUBLE) * $x"
+    }.mkString(" + ")
+    s"""WITH base AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE value > 0
+), med AS (
+  SELECT event_id, user_id, ts, value,
+    CASE WHEN len(flt) = 0 THEN NULL
+         ELSE (list_sort(flt))[CAST((len(flt) + 1) // 2 AS INT)] END AS med21
+  FROM (
+    SELECT event_id, user_id, ts, value,
+      list_filter(
+        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+        x -> x IS NOT NULL) AS flt
+    FROM base)
+), fdc AS (
+  SELECT event_id, user_id, ts, med21,
+    floor(($terms) * 1000000 + 0.5) / 1000000 AS fd
+  FROM med
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), lab AS (
+  SELECT event_id, user_id, ts, med21, fd,
+    list(med21) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING) AS fwd,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nn
+  FROM fdc
+), tt AS (
+  SELECT event_id, user_id, ts, fd, rn, nn,
+    COALESCE(list_position(list_transform(fwd,
+      x -> CASE WHEN x >= med21 * 1.25 THEN 1
+                WHEN x <= med21 * 0.75 THEN -1 ELSE 0 END), 1), 0) AS p1,
+    COALESCE(list_position(list_transform(fwd,
+      x -> CASE WHEN x >= med21 * 1.25 THEN 1
+                WHEN x <= med21 * 0.75 THEN -1 ELSE 0 END), -1), 0) AS pm
+  FROM lab
+), ll AS (
+  SELECT event_id, user_id, ts, fd, rn,
+    CASE WHEN p1 > 0 AND (pm = 0 OR p1 < pm) THEN 1
+         WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN -1
+         ELSE 0 END AS label,
+    CAST(CASE WHEN p1 > 0 AND (pm = 0 OR p1 < pm) THEN p1
+              WHEN pm > 0 AND (p1 = 0 OR pm < p1) THEN pm
+              ELSE LEAST(20, nn - rn) END AS BIGINT) AS label_span
+  FROM tt
+), cov AS (
+  SELECT event_id, user_id, ts, fd, rn, label, label_span,
+    list(struct_pack(rn := rn, l := label_span)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS prev
+  FROM ll
+), cc AS (
+  SELECT event_id, user_id, ts, fd, rn, label, label_span,
+    CASE WHEN prev IS NULL THEN 0
+         ELSE len(list_filter(prev, p -> p.l >= rn - p.rn)) END AS c
+  FROM cov
+), inv AS (
+  SELECT event_id, user_id, ts, fd, label, label_span,
+    list(CASE WHEN c = 0 THEN 0.0 ELSE 1.0 / c END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING) AS finv
+  FROM cc
+), u AS (
+  SELECT event_id, user_id, ts, fd, label,
+    CASE WHEN label_span = 0 THEN NULL
+         ELSE floor((list_sum(finv[1:CAST(label_span AS INT)]) / label_span)
+                * 1000000 + 0.5) / 1000000 END AS uniq
+  FROM inv
+), bnd AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM base
+), f AS (
+  SELECT u.label, u.uniq, u.fd,
+    CAST(LEAST(floor(CAST(epoch_us(u.ts) - mn AS DOUBLE) * 4
+      / CAST(mx - mn + 1 AS DOUBLE)), 3) AS INT) AS fold,
+    CAST(LEAST(floor(CAST(epoch_us(u.ts) + 86400000000 - mn AS DOUBLE) * 4
+      / CAST(mx - mn + 1 AS DOUBLE)), 3) AS INT) AS fhi,
+    CAST(LEAST(floor(CAST(epoch_us(u.ts) - 86400000000 - mn AS DOUBLE) * 4
+      / CAST(mx - mn + 1 AS DOUBLE)), 3) AS INT) AS flo
+  FROM u, bnd
+)
+SELECT fold, label, CAST(count(*) AS BIGINT) AS n,
+  floor(sum(uniq) * 1000000 + 0.5) / 1000000 AS w_sum,
+  floor(avg(fd) * 1000000 + 0.5) / 1000000 AS fd_mean,
+  CAST(sum(CASE WHEN fhi > fold AND fold < 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_embargo_hi,
+  CAST(sum(CASE WHEN flo < fold AND fold > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_embargo_lo
+FROM f GROUP BY 1, 2"""
+  }
+
   private val q83EwmaSql: String =
     s"""SELECT event_id, user_id,
   ${ewmaSqlExpr("value", 0.5, 10)} AS ewma
@@ -2598,6 +2692,13 @@ SELECT h.event_type, h.hour, h.n,
        ELSE floor(((mh - ma) / (sd / sqrt(CAST(n AS DOUBLE))) + 0.0)
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
+
+    // finance research capstone: q151's median -> q149's fracdiff ->
+    // q147/q152's labels + uniqueness ON the denoised series -> q143's
+    // fold/embargo slice rule per row -> per-(fold, label) summary.
+    // Every fragment is copied verbatim from its individually-verified
+    // twin with only the label input switched to med21
+    "q175_research_capstone" -> q175CapstoneSql,
 
     // cluster-by compaction: the band aggregate is plain SQL; the three
     // layout booleans are structural (unsorted appends span the full

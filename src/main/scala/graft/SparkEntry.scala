@@ -2540,6 +2540,53 @@ object SparkEntry {
     } finally deleteRecursively(path)
   }
 
+  /** FINANCE RESEARCH CAPSTONE — the labeled-dataset pipeline a quant
+    * training run actually wires, as ONE query (the q155 pattern on the
+    * finance side): robust denoise (q151 rolling median) → stationarity
+    * feature (q149 fracdiff on the raw series) → triple-barrier labels
+    * ON THE DENOISED series + average-uniqueness weights (q147/q152) →
+    * purged-fold assignment with embargo flags (q143's slice rule,
+    * per-row) → per-(fold, label) training summary.
+    *
+    * Composition economics (the capstone's point): the median, fracdiff,
+    * label, and uniqueness windows all share ONE (user_id; ts, event_id)
+    * sort — the corpus shuffles once; the fold stage is a broadcast
+    * two-value join + projection; the summary is one tiny hash
+    * aggregate. Five verified stages, one DuckDB CTE chain.
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.{Indicators, Labeling}
+    val ticks = t(s, dir, "events").filter(col("value") > 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val med = Indicators.rollingMedian(
+      ticks, "value", "med21", Seq("user_id"), Seq("ts", "event_id"), 21)
+    val fdf = Indicators.fracDiff(
+      med, "value", "fd", Seq("user_id"), Seq("ts", "event_id"), d = 0.4, window = 10)
+    val au = Labeling.averageUniqueness(
+      fdf, "med21", Seq("user_id"), Seq("ts", "event_id"),
+      horizon = 20, up = 0.25, down = 0.25)
+    val k = 4
+    val embargoUs = 86400000000L
+    val e = unix_micros(col("ts"))
+    val b = ticks.agg(min(e).as("__mn"), max(e).as("__mx"))
+    val span = (col("__mx") - col("__mn") + 1L).cast("double")
+    def foldOf(tc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(floor((tc - col("__mn")).cast("double") * k / span),
+        lit((k - 1).toDouble)).cast("int")
+    val g = foldOf(e)
+    au.crossJoin(broadcast(b))
+      .withColumn("fold", g)
+      .withColumn("__hi", ((foldOf(e + embargoUs) > g) && (g < k - 1)).cast("long"))
+      .withColumn("__lo", ((foldOf(e - embargoUs) < g) && (g > 0)).cast("long"))
+      .groupBy(col("fold"), col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sr6(sum(col("uniqueness"))).as("w_sum"),
+        sr6(avg(col("fd"))).as("fd_mean"),
+        sum(col("__hi")).as("n_embargo_hi"),
+        sum(col("__lo")).as("n_embargo_lo"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2715,6 +2762,7 @@ object SparkEntry {
     "q172_ks_drift" -> (q172 _),
     "q173_source_cap" -> (q173 _),
     "q174_cluster_compact" -> (q174 _),
+    "q175_research_capstone" -> (q175 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -368,6 +368,24 @@ class PlanShapeSpec extends SparkSpec {
       s"train split should reuse the keep-best exchange:\n$plan")
   }
 
+  test("q175 research capstone: median/fracdiff/label/uniqueness share one series exchange") {
+    val plan = planOf("q175_research_capstone")
+    // the whole five-stage chain owns exactly TWO hash exchanges: the
+    // (user_id) series shuffle every window stage shares, and the final
+    // tiny (fold, label) aggregate; the fold bounds broadcast-cross on
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(shuffles <= 2, s"capstone grew extra shuffles ($shuffles):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bounds frame should broadcast-cross onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in this plan justifies a sort-merge join:\n$plan")
+    // one sort pass per series feeds every window stage: the sort count
+    // must stay far below the number of window nodes
+    val sorts = plan.linesIterator.count(_.trim.startsWith("Sort "))
+    assert(sorts <= 3, s"window stages must share the series sort ($sorts):\n$plan")
+  }
+
   test("q143 purged folds: bounds broadcast onto the scan, fold counts partial map-side") {
     val plan = planOf("q143_purged_folds")
     assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Cross"),
