@@ -64,7 +64,11 @@ object DumpPlans {
       "q155_curation_capstone" -> "curation capstone: quality gate -> exact dedup -> LSH pairs -> keep-best -> group split -> temperature mix; quality scored once, ONE CC fixpoint, split branch reuses the keep-best grp exchange (ReusedExchange) — corpus shuffles = sum of parts",
       "q156_bigram_oov" -> "bigram artifact reuse: precomputed count tables LEFT-joined back (OOV branches live), contexts derived from the bigram table not the corpus pair stream",
       "q160_vpin" -> "VPIN: sign carry via last-ignoreNulls gap-fill + bucket hash agg + tiny bucket-frame window — one (key, order) sort end to end, no recurrence",
-      "q165_mad_outliers" -> "MAD outliers: two |groups|-row percentile aggregates broadcast back, one final count agg — the corpus shuffles once on its own group-by")
+      "q165_mad_outliers" -> "MAD outliers: two |groups|-row percentile aggregates broadcast back, one final count agg — the corpus shuffles once on its own group-by",
+      "q167_autocorrelation" -> "ACF: four lag columns in ONE Window node over one series exchange, guarded covar/stddev components in a single hash agg (ANSI-safe Pearson)",
+      "q169_cross_sectional_z" -> "cross-sectional z: two tiny per-day aggregates broadcast back, corpus shuffles once for the rank window",
+      "q172_ks_drift" -> "KS drift: (key, value) hash agg to distincts, one per-key sort over distinct values, final per-key max aggregate — integer running counts",
+      "q175_research_capstone" -> "research capstone: median/fracdiff/label/uniqueness windows share ONE (user_id) exchange and sort; fold bounds broadcast-cross; (fold, label) summary is the only other shuffle")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")
