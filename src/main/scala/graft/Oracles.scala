@@ -2693,6 +2693,120 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // Corwin-Schultz: day ranges -> 2-day beta/gamma -> alpha -> spread;
+    // K = 3 - 2*sqrt(2) string-cast, every op mirrored in order; first
+    // day of a key nulls through beta
+    "q176_corwin_schultz" -> {
+      val k = s"CAST('${graft.analytics.Microstructure.CorwinSchultzK}' AS DOUBLE)"
+      s"""WITH p AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+    max(value) AS high, min(value) AS low, CAST(count(*) AS BIGINT) AS n_ticks
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), l AS (
+  SELECT *, lag(high) OVER w AS hp, lag(low) OVER w AS lp
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), c AS (
+  SELECT event_type, day, high, low, n_ticks,
+    ln(high / low) * ln(high / low) + ln(hp / lp) * ln(hp / lp) AS beta,
+    ln(greatest(high, hp) / least(low, lp))
+      * ln(greatest(high, hp) / least(low, lp)) AS gamma
+  FROM l
+), al AS (
+  SELECT event_type, day, high, low, n_ticks,
+    (sqrt(2.0 * beta) - sqrt(beta)) / $k - sqrt(gamma / $k) AS alpha
+  FROM c
+), sp AS (
+  SELECT event_type, day, high, low, n_ticks,
+    2.0 * (exp(alpha) - 1.0) / (exp(alpha) + 1.0) AS sv
+  FROM al
+)
+SELECT event_type, day, high, low, n_ticks,
+  floor((sv + 0.0) * 1000000 + 0.5) / 1000000 AS spread_raw,
+  CASE WHEN sv IS NULL THEN NULL
+       ELSE floor(greatest(sv, 0.0) * 1000000 + 0.5) / 1000000 END AS spread
+FROM sp"""
+    },
+
+    // Hurst from the VR scaling law: four VRs, log-log closed-form
+    // slope with every x-side constant driver-computed and string-cast;
+    // association order parenthesized to mirror the Column expression
+    "q177_hurst" -> {
+      import graft.analytics.Indicators.{HurstX, HurstSumX, HurstDenom}
+      def xc(i: Int) = s"CAST('${HurstX(i)}' AS DOUBLE)"
+      val sy = "(((ln(vr2) + ln(vr4)) + ln(vr8)) + ln(vr16))"
+      val sxy = s"(((${xc(0)} * ln(vr2) + ${xc(1)} * ln(vr4)) + ${xc(2)} * ln(vr8)) + ${xc(3)} * ln(vr16))"
+      s"""WITH s AS (
+  SELECT user_id, value,
+    value - lag(value, 1) OVER w AS d1,
+    value - lag(value, 2) OVER w AS d2,
+    value - lag(value, 4) OVER w AS d4,
+    value - lag(value, 8) OVER w AS d8,
+    value - lag(value, 16) OVER w AS d16
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, CAST(count(d16) AS BIGINT) AS n_q,
+    var_samp(d1) AS v1, var_samp(d2) AS v2, var_samp(d4) AS v4,
+    var_samp(d8) AS v8, var_samp(d16) AS v16
+  FROM s GROUP BY 1
+), vr AS (
+  SELECT user_id, n_q,
+    CASE WHEN v1 IS NULL OR v1 = 0 OR v2 IS NULL THEN NULL
+         ELSE v2 / (2.0 * v1) END AS vr2,
+    CASE WHEN v1 IS NULL OR v1 = 0 OR v4 IS NULL THEN NULL
+         ELSE v4 / (4.0 * v1) END AS vr4,
+    CASE WHEN v1 IS NULL OR v1 = 0 OR v8 IS NULL THEN NULL
+         ELSE v8 / (8.0 * v1) END AS vr8,
+    CASE WHEN v1 IS NULL OR v1 = 0 OR v16 IS NULL THEN NULL
+         ELSE v16 / (16.0 * v1) END AS vr16
+  FROM g
+)
+SELECT user_id, n_q,
+  floor(vr2 * 1000000 + 0.5) / 1000000 AS vr_2,
+  floor(vr4 * 1000000 + 0.5) / 1000000 AS vr_4,
+  floor(vr8 * 1000000 + 0.5) / 1000000 AS vr_8,
+  floor(vr16 * 1000000 + 0.5) / 1000000 AS vr_16,
+  CASE WHEN vr2 IS NULL OR vr2 <= 0 OR vr4 IS NULL OR vr4 <= 0
+         OR vr8 IS NULL OR vr8 <= 0 OR vr16 IS NULL OR vr16 <= 0 THEN NULL
+       ELSE floor(((1.0 + (4.0 * $sxy
+           - CAST('$HurstSumX' AS DOUBLE) * $sy)
+           / CAST('$HurstDenom' AS DOUBLE)) / 2.0)
+         * 1000000 + 0.5) / 1000000 END AS hurst
+FROM vr"""
+    },
+
+    // centroid silhouette: per-dimension means floored BEFORE distance
+    // math, list_sum folds left-to-right (the q24/q82 contract), so
+    // a/b are bit-identical and b < a is exact
+    "q178_class_separation" ->
+      """WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+    CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, floor(avg(v) * 1000000 + 0.5) / 1000000 AS c
+  FROM ex GROUP BY 1, 2
+), cl AS (
+  SELECT label AS lab, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+), d AS (
+  SELECT e.vec_id, e.label, c.lab,
+    sqrt(list_sum(list_transform(range(len(c.cv)),
+      i -> (CAST(e.embedding[i + 1] AS DOUBLE) - c.cv[i + 1])
+         * (CAST(e.embedding[i + 1] AS DOUBLE) - c.cv[i + 1])))) AS dist
+  FROM embeddings e CROSS JOIN cl c
+), ab AS (
+  SELECT vec_id, label,
+    min(CASE WHEN lab = label THEN dist END) AS a,
+    min(CASE WHEN lab <> label THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+  floor((avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END) + 0.0)
+    * 1000000 + 0.5) / 1000000 AS silhouette,
+  CAST(sum(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+FROM ab GROUP BY 1""",
+
     // finance research capstone: q151's median -> q149's fracdiff ->
     // q147/q152's labels + uniqueness ON the denoised series -> q143's
     // fold/embargo slice rule per row -> per-(fold, label) summary.

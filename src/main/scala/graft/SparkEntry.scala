@@ -2587,6 +2587,36 @@ object SparkEntry {
         sum(col("__lo")).as("n_embargo_lo"))
   }
 
+  /** Microstructure: CORWIN–SCHULTZ high-low spread per (series, day)
+    * — the bid-ask spread backed out of two consecutive days' ranges;
+    * works on bars where q161's tick-level Δp is gone. One (key, day)
+    * hash aggregate, then lag arithmetic over the tiny day frame.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Microstructure.corwinSchultz(
+      t(s, dir, "events").withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      Seq("event_type"), "day", "value")
+
+  /** W1+ long-memory diagnostic: HURST EXPONENT per user series from
+    * the variance-ratio scaling law (VR(q) ∝ q^(2H−1), q ∈ {2,4,8,16};
+    * closed-form log-log regression with driver-computed x constants).
+    * Five lag columns in ONE Window node, one hash aggregate, pure
+    * projection arithmetic.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Indicators.hurstExponent(
+      t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"))
+
+  /** X32+ diagnostic: centroid-silhouette CLASS-SEPARATION report over
+    * the labeled embeddings — mean (b−a)/max(a,b) per label plus the
+    * closer-to-a-foreign-centroid confusion count. Centroids are
+    * floored to 1e-6 then re-enter the plan as literals, so the corpus
+    * is ONE map-only codegen scan plus a |labels|-row aggregate.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Embeddings.classSeparation(
+      t(s, dir, "embeddings"), "embedding", "label")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2763,6 +2793,9 @@ object SparkEntry {
     "q173_source_cap" -> (q173 _),
     "q174_cluster_compact" -> (q174 _),
     "q175_research_capstone" -> (q175 _),
+    "q176_corwin_schultz" -> (q176 _),
+    "q177_hurst" -> (q177 _),
+    "q178_class_separation" -> (q178 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -143,4 +143,61 @@ object Microstructure {
           .over(w.rowsBetween(-(rollDays - 1), 0))))
       .drop("__cl", "__ret", "__illiq")
   }
+
+  /** 3 − 2√2, the Corwin–Schultz denominator — driver-computed once,
+    * string-cast portable to the oracle (the q103/q157 pattern).
+    */
+  val CorwinSchultzK: Double = 3.0 - 2.0 * math.sqrt(2.0)
+
+  /** Corwin–Schultz (2012) HIGH-LOW spread estimator per (key, period):
+    * the bid-ask spread backed out of two consecutive periods' ranges —
+    * the true range carries over both periods while the spread is paid
+    * in each, so
+    *
+    *   β = ln(H₁/L₁)² + ln(H₂/L₂)²   (sum over the 2-period window)
+    *   γ = ln(max(H)/min(L))²         (the 2-period range)
+    *   α = (√(2β) − √β)/(3−2√2) − √(γ/(3−2√2))
+    *   S = 2(e^α − 1)/(1 + e^α)
+    *
+    * Complements [[kyleRoll]]'s serial-covariance spread: CS needs only
+    * (H, L) per period — it works on bars where tick-level Δp is gone.
+    * Output: `spread_raw` (sr6, −0.0-proofed) and the conventional
+    * floored `spread` = max(0, raw) (negative estimates read as zero
+    * spread, the paper's treatment); the first period of a key (no
+    * previous range) and non-positive lows are null.
+    *
+    * Scale shape: one (key, period) hash aggregate for the period
+    * frame, then lag/greatest/least over the tiny per-key period window
+    * — the tick stream aggregates before anything sorts.
+    */
+  def corwinSchultz(
+      df: DataFrame, keyCols: Seq[String], periodCol: String,
+      priceCol: String): DataFrame = {
+    val per = df.filter(col(priceCol) > 0)
+      .groupBy((keyCols :+ periodCol).map(col): _*)
+      .agg(max(col(priceCol)).as("high"), min(col(priceCol)).as("low"),
+        count(lit(1)).as("n_ticks"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(periodCol))
+    val hPrev = lag(col("high"), 1).over(w)
+    val lPrev = lag(col("low"), 1).over(w)
+    val lhl = log(col("high") / col("low"))
+    val lhlPrev = log(hPrev / lPrev)
+    val beta = lhl * lhl + lhlPrev * lhlPrev
+    val gamma = {
+      val g = log(greatest(col("high"), hPrev) / least(col("low"), lPrev))
+      g * g
+    }
+    val k = lit(CorwinSchultzK)
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / k - sqrt(gamma / k)
+    val spreadRaw = lit(2.0) * (exp(alpha) - 1.0) / (exp(alpha) + 1.0)
+    per
+      .withColumn("__s", spreadRaw)
+      .withColumn("spread_raw", sr6(col("__s") + lit(0.0)))
+      // explicit null guard: Spark's greatest SKIPS nulls (first row of
+      // a key would read as spread 0 instead of "no estimate")
+      .withColumn("spread",
+        when(col("__s").isNull, lit(null).cast("double"))
+          .otherwise(sr6(greatest(col("__s"), lit(0.0)))))
+      .drop("__s")
+  }
 }

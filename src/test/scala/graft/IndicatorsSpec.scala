@@ -350,4 +350,41 @@ class IndicatorsSpec extends SparkSpec {
       series(1, 4), "px", Seq("sym"), Seq("seq"), q).collect().head
     assert(short.isNullAt(short.fieldIndex("vr")))
   }
+
+  test("hurstExponent: matches a scalar replication on a seeded walk; degenerate series null") {
+    val rng = new scala.util.Random(7)
+    val vals = Iterator.iterate(100.0)(_ + rng.nextGaussian()).take(200).toSeq
+    val out = Indicators.hurstExponent(
+      series(vals: _*), "px", Seq("sym"), Seq("seq")).collect().head
+
+    def varSamp(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    def diffs(q: Int): Seq[Double] =
+      vals.indices.drop(q).map(i => vals(i) - vals(i - q))
+    val v1 = varSamp(diffs(1))
+    val vrs = Indicators.HurstLags.map(q => varSamp(diffs(q)) / (q * v1))
+    val ys = vrs.map(math.log)
+    val sxy = Indicators.HurstX.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (4.0 * sxy - Indicators.HurstSumX * ys.sum) / Indicators.HurstDenom
+    val expH = (1.0 + slope) / 2.0
+    assert(math.abs(out.getAs[Double]("hurst") - expH) < 1e-5, s"got $out want $expH")
+    // a gaussian walk should read near 0.5
+    assert(math.abs(out.getAs[Double]("hurst") - 0.5) < 0.25)
+    Indicators.HurstLags.foreach { q =>
+      assert(math.abs(out.getAs[Double](s"vr_$q") - vrs(Indicators.HurstLags.indexOf(q))) < 1e-6)
+    }
+
+    // linear trend: zero 1-period variance -> null
+    val lin = Indicators.hurstExponent(
+      series((1 to 40).map(_.toDouble): _*), "px", Seq("sym"), Seq("seq"))
+      .collect().head
+    assert(lin.isNullAt(lin.fieldIndex("hurst")))
+    // alternating series: even-lag diffs are constant (VR = 0) -> null
+    val alt = Indicators.hurstExponent(
+      series(Seq.fill(20)(Seq(1.0, 2.0)).flatten: _*), "px", Seq("sym"), Seq("seq"))
+      .collect().head
+    assert(alt.isNullAt(alt.fieldIndex("hurst")))
+  }
 }

@@ -83,4 +83,35 @@ class MicrostructureSpec extends SparkSpec {
     assert(d3.isNullAt(d3.fieldIndex("illiq")))      // zero volume
     assert(d3.getAs[Double]("illiq_roll") === sr6(expIlliq)) // still only d2 valid
   }
+
+  test("corwinSchultz: scalar replication on two days; first day null; negative estimate floors to 0") {
+    val ticks = Seq(
+      // identical consecutive day ranges: beta = 2r², gamma = r² with
+      // r = ln(102/98) -> alpha reduces to exactly r > 0, positive spread
+      ("A", "d1", 98.0), ("A", "d1", 102.0),
+      ("A", "d2", 98.0), ("A", "d2", 102.0),
+      // key B: disjoint day ranges (big 2-day range vs daily ranges)
+      // -> gamma dominates, alpha < 0, spread clamps to 0
+      ("B", "d1", 100.0), ("B", "d1", 100.5),
+      ("B", "d2", 130.0), ("B", "d2", 130.5)
+    ).toDF("sym", "day", "px")
+    val out = Microstructure.corwinSchultz(ticks, Seq("sym"), "day", "px")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("A", "d1")).isNullAt(out(("A", "d1")).fieldIndex("spread")))
+
+    def cs(h1: Double, l1: Double, h2: Double, l2: Double): Double = {
+      val beta = math.pow(math.log(h2 / l2), 2) + math.pow(math.log(h1 / l1), 2)
+      val g = math.log(math.max(h2, h1) / math.min(l2, l1))
+      val k = Microstructure.CorwinSchultzK
+      val alpha = (math.sqrt(2 * beta) - math.sqrt(beta)) / k - math.sqrt(g * g / k)
+      2.0 * (math.exp(alpha) - 1.0) / (math.exp(alpha) + 1.0)
+    }
+    val a2 = out(("A", "d2"))
+    assert(math.abs(a2.getAs[Double]("spread_raw") - cs(102, 98, 102, 98)) < 1e-6)
+    assert(a2.getAs[Double]("spread_raw") > 0.0)
+    assert(a2.getAs[Double]("spread") === a2.getAs[Double]("spread_raw"))
+    val b2 = out(("B", "d2"))
+    assert(b2.getAs[Double]("spread_raw") < 0.0, b2.toString)
+    assert(b2.getAs[Double]("spread") === 0.0)
+  }
 }
