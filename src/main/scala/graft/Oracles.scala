@@ -2693,6 +2693,65 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // order-flow persistence: q160's sign gap-fill CTE feeding q167's
+    // ACF shape — corr over the integer sign series and its lags
+    "q179_flow_persistence" ->
+      """WITH s AS (
+  SELECT event_type, ts, event_id, value - lag(value) OVER w AS d
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), sg AS (
+  SELECT event_type, ts, event_id,
+    COALESCE(last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sgn
+  FROM s
+), l AS (
+  SELECT event_type, sgn,
+    lag(sgn, 1) OVER w2 AS l1, lag(sgn, 2) OVER w2 AS l2,
+    lag(sgn, 5) OVER w2 AS l5, lag(sgn, 10) OVER w2 AS l10
+  FROM sg
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, CAST(count(sgn) AS BIGINT) AS n,
+  floor(corr(sgn, l1) * 1000000 + 0.5) / 1000000 AS acf_1,
+  floor(corr(sgn, l2) * 1000000 + 0.5) / 1000000 AS acf_2,
+  floor(corr(sgn, l5) * 1000000 + 0.5) / 1000000 AS acf_5,
+  floor(corr(sgn, l10) * 1000000 + 0.5) / 1000000 AS acf_10
+FROM l GROUP BY 1""",
+
+    // event study: micro-sum day frame, cross-sectional mean broadcast
+    // back, row-relative CAR window, anchored means (null skip = the
+    // SQL convention in both engines at every stage)
+    "q180_event_study_car" ->
+      """WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+      AS uval,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS anchor
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, uval - lag(uval) OVER (PARTITION BY user_id ORDER BY day) AS rr
+  FROM daily
+), mkt AS (
+  SELECT day, avg(rr) AS m FROM r GROUP BY 1
+), a AS (
+  SELECT r.user_id, r.day, r.anchor, r.rr - mkt.m AS ar
+  FROM r JOIN mkt ON r.day = mkt.day
+), c AS (
+  SELECT user_id, day, anchor, ar,
+    sum(ar) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS car
+  FROM a
+)
+SELECT user_id,
+  CAST(count(CASE WHEN anchor = 1 THEN 1 END) AS BIGINT) AS n_events,
+  floor((avg(CASE WHEN anchor = 1 THEN car END) + 0.0) * 1000000 + 0.5) / 1000000
+    AS mean_car,
+  floor((avg(CASE WHEN anchor = 1 THEN ar END) + 0.0) * 1000000 + 0.5) / 1000000
+    AS mean_ar0
+FROM c GROUP BY 1""",
+
     // Corwin-Schultz: day ranges -> 2-day beta/gamma -> alpha -> spread;
     // K = 3 - 2*sqrt(2) string-cast, every op mirrored in order; first
     // day of a key nulls through beta

@@ -2617,6 +2617,28 @@ object SparkEntry {
     graft.llmops.Embeddings.classSeparation(
       t(s, dir, "embeddings"), "embedding", "label")
 
+  /** Microstructure×W1 composite: ORDER-FLOW PERSISTENCE — the ACF of
+    * the tick-rule signed flow per series (the long-memory-of-order-flow
+    * read; buy begets buy). Cross-module composition: q160's sign
+    * gap-fill feeds q167's ACF, every window sharing ONE series sort.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val sg = graft.analytics.Microstructure.tickSigns(
+      t(s, dir, "events"), Seq("event_type"), Seq("ts", "event_id"), "value")
+    graft.analytics.Indicators.autocorrelation(
+      sg, "sgn", Seq("event_type"), Seq("ts", "event_id"), Seq(1, 2, 5, 10))
+  }
+
+  /** EVENT STUDY: per-user cumulative abnormal move over purchase days
+    * and the 3 following observed days, vs the cross-sectional daily
+    * mean (MacKinlay's CAR shape). Day frame via the q169 micro-sum;
+    * market mean broadcast back; one per-user day window.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.EventStudy.carDaily(
+      t(s, dir, "events"), "user_id", "ts", "value",
+      anchor = col("event_type") === "purchase", horizonDays = 3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2796,6 +2818,8 @@ object SparkEntry {
     "q176_corwin_schultz" -> (q176 _),
     "q177_hurst" -> (q177 _),
     "q178_class_separation" -> (q178 _),
+    "q179_flow_persistence" -> (q179 _),
+    "q180_event_study_car" -> (q180 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

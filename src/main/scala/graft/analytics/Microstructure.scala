@@ -29,6 +29,21 @@ object Microstructure {
     coalesce(last(raw, ignoreNulls = true).over(runningW), lit(0))
   }
 
+  /** The tick-rule sign as a PUBLIC column on the frame — +1 uptick,
+    * −1 downtick, previous non-zero-change sign carried, 0 before the
+    * first change. Exposed so the sign series composes with the other
+    * series operators (order-flow persistence = [[graft.analytics.Indicators.autocorrelation]]
+    * over this column); shares the same (key, order) sort as any window
+    * stage stacked on top.
+    */
+  def tickSigns(
+      df: DataFrame, keyCols: Seq[String], order: Seq[String],
+      priceCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order.map(col): _*)
+    val runningW = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("sgn", tickSign(priceCol, w, runningW))
+  }
+
   /** VPIN over fixed-tick-count buckets: per bucket the absolute net
     * tick-rule imbalance over the bucket size, and the ROLLING form —
     * Σ|net| / Σn over the trailing `window` buckets (the literature's
