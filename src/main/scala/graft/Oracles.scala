@@ -2693,6 +2693,66 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // historical VaR/ES: quantile_cont == percentile over exact 1-step
+    // diffs; tail membership compares identical doubles, only the means
+    // round
+    "q181_historical_var" ->
+      """WITH d AS (
+  SELECT user_id, value - lag(value) OVER w AS r
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), dd AS (
+  SELECT user_id, r FROM d WHERE r IS NOT NULL
+), v AS (
+  SELECT user_id, quantile_cont(r, 0.05) AS va FROM dd GROUP BY 1
+)
+SELECT dd.user_id, CAST(count(*) AS BIGINT) AS n,
+  floor((max(va) + 0.0) * 1000000 + 0.5) / 1000000 AS var_a,
+  CAST(count(CASE WHEN r <= va THEN 1 END) AS BIGINT) AS n_tail,
+  floor((avg(CASE WHEN r <= va THEN r END) + 0.0) * 1000000 + 0.5) / 1000000
+    AS es_a
+FROM dd JOIN v ON dd.user_id = v.user_id
+GROUP BY 1""",
+
+    // rolling beta: raw window sums (a windowed covar would divide on
+    // the 1-row head frame), guarded projection division, pairwise-null
+    // drop in every sum
+    "q182_rolling_beta" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, bucket_start,
+    CASE WHEN lag(cl) OVER w = 0 THEN NULL
+         ELSE cl / lag(cl) OVER w - 1.0 END AS ret
+  FROM cd
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+), m AS (
+  SELECT bucket_start, avg(ret) AS mkt FROM r GROUP BY 1
+), j AS (
+  SELECT r.event_type, r.bucket_start, r.ret, m.mkt
+  FROM r JOIN m ON r.bucket_start = m.bucket_start
+), wnd AS (
+  SELECT event_type, bucket_start,
+    CAST(count(CASE WHEN ret IS NOT NULL AND mkt IS NOT NULL THEN 1 END)
+      OVER f AS DOUBLE) AS n,
+    sum(CASE WHEN ret IS NOT NULL AND mkt IS NOT NULL THEN ret END) OVER f AS sx,
+    sum(CASE WHEN ret IS NOT NULL AND mkt IS NOT NULL THEN mkt END) OVER f AS sy,
+    sum(CASE WHEN ret IS NOT NULL AND mkt IS NOT NULL THEN ret * mkt END)
+      OVER f AS sxy,
+    sum(CASE WHEN ret IS NOT NULL AND mkt IS NOT NULL THEN mkt * mkt END)
+      OVER f AS syy
+  FROM j
+  WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_start,
+  CASE WHEN n < 2 OR (n * syy - sy * sy) <= 0 THEN NULL
+       ELSE floor(((n * sxy - sx * sy) / (n * syy - sy * sy) + 0.0)
+         * 1000000 + 0.5) / 1000000 END AS beta50
+FROM wnd""",
+
     // order-flow persistence: q160's sign gap-fill CTE feeding q167's
     // ACF shape — corr over the integer sign series and its lags
     "q179_flow_persistence" ->

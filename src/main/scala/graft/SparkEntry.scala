@@ -2639,6 +2639,37 @@ object SparkEntry {
       t(s, dir, "events"), "user_id", "ts", "value",
       anchor = col("event_type") === "purchase", horizonDays = 3)
 
+  /** Risk: historical VaR(5%) + expected shortfall per user series over
+    * 1-step changes — exact interpolated quantile (the q33/q58/q165
+    * percentile contract), tail mean on identical doubles. One per-key
+    * sort, one percentile aggregate, one keyed join back.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Risk.historicalVaR(
+      t(s, dir, "events"), "value", Seq("user_id"), Seq("ts", "event_id"),
+      alpha = 0.05)
+
+  /** W1+ pairs/beta: ROLLING OLS beta(50) of each candle series' return
+    * on the cross-sectional mean return — the time-varying hedge ratio.
+    * Raw window sums with the division guarded in the projection (a
+    * windowed covar/corr would throw on ANSI head frames); one Window
+    * node carries all five sums.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val cd = candles5m(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_start"))
+    val lagC = lag(col("close"), 1).over(w)
+    val rets = cd.withColumn("__ret",
+      when(lagC === 0.0, lit(null).cast("double"))
+        .otherwise(col("close") / lagC - 1.0))
+    val mkt = rets.groupBy(col("bucket_start")).agg(avg(col("__ret")).as("__mkt"))
+    graft.analytics.Indicators.rollingBeta(
+      rets.join(broadcast(mkt), Seq("bucket_start")), "__ret", "__mkt",
+      "beta50", Seq("key"), Seq("bucket_start"), 50)
+      .select(col("key").as("event_type"), col("bucket_start"), col("beta50"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2820,6 +2851,8 @@ object SparkEntry {
     "q178_class_separation" -> (q178 _),
     "q179_flow_persistence" -> (q179 _),
     "q180_event_study_car" -> (q180 _),
+    "q181_historical_var" -> (q181 _),
+    "q182_rolling_beta" -> (q182 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

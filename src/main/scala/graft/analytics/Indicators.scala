@@ -574,6 +574,46 @@ object Indicators {
       .drop("__v1", "__vq", "__vr")
   }
 
+  /** ROLLING OLS BETA of `xCol` on `yCol` over the trailing `n` rows —
+    * the pairs-trading hedge ratio / time-varying market beta (the
+    * rolling twin of [[betaToBenchmark]]). Built from raw window sums,
+    * NOT windowed covar/corr aggregates: window expressions evaluate
+    * unconditionally, and the moment aggregates divide internally —
+    * a 1-row head frame would throw under ANSI where the SQL answer is
+    * NULL. With plain sums the division happens once, in the guarded
+    * projection: β = (nΣxy − ΣxΣy)/(nΣy² − (Σy)²), null when the
+    * pairwise count < 2 or the benchmark has no variance in the frame.
+    *
+    * Pairwise semantics: rows missing either side drop out of every
+    * sum (the corr convention). One Window node carries all five
+    * sums — one sort per series.
+    */
+  def rollingBeta(
+      df: DataFrame, xCol: String, yCol: String, out: String,
+      partition: Seq[String], order: Seq[String], n: Int): DataFrame = {
+    require(n >= 2, s"rollingBeta needs n >= 2, got $n")
+    val frame = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*).rowsBetween(-(n - 1), 0)
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val px = when(both, col(xCol))
+    val py = when(both, col(yCol))
+    val cnt = count(px).over(frame).cast("double")
+    val sx = sum(px).over(frame)
+    val sy = sum(py).over(frame)
+    val sxy = sum(when(both, col(xCol) * col(yCol))).over(frame)
+    val syy = sum(when(both, col(yCol) * col(yCol))).over(frame)
+    df.withColumn("__n", cnt)
+      .withColumn("__sx", sx).withColumn("__sy", sy)
+      .withColumn("__sxy", sxy).withColumn("__syy", syy)
+      .withColumn(out, {
+        val den = col("__n") * col("__syy") - col("__sy") * col("__sy")
+        when(col("__n") < 2.0 || den <= 0.0, lit(null).cast("double"))
+          .otherwise(sr6((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            / den + lit(0.0)))
+      })
+      .drop("__n", "__sx", "__sy", "__sxy", "__syy")
+  }
+
   /** The lag set and regression constants of [[hurstExponent]] — public
     * so the oracle states the identical string-cast literals.
     */

@@ -387,4 +387,32 @@ class IndicatorsSpec extends SparkSpec {
       .collect().head
     assert(alt.isNullAt(alt.fieldIndex("hurst")))
   }
+
+  test("rollingBeta: exact slope on a linear pair; ANSI-safe head frame; flat benchmark null") {
+    val df = Seq(
+      ("A", 1L, 2.0, 1.0), ("A", 2L, 4.0, 2.0),
+      ("A", 3L, 6.0, 3.0), ("A", 4L, 8.0, 4.0),
+      ("B", 1L, 1.0, 5.0), ("B", 2L, 7.0, 5.0), ("B", 3L, 3.0, 5.0)
+    ).toDF("sym", "seq", "x", "y")
+    val out = Indicators.rollingBeta(df, "x", "y", "beta",
+      Seq("sym"), Seq("seq"), n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // x = 2y exactly: beta = 2 wherever the frame holds >= 2 pairs
+    assert(out(("A", 1L)).isNullAt(out(("A", 1L)).fieldIndex("beta"))) // 1-row head: no throw, null
+    assert(out(("A", 2L)).getAs[Double]("beta") === 2.0)
+    assert(out(("A", 4L)).getAs[Double]("beta") === 2.0)
+    // flat benchmark: zero variance at every frame
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(out(("B", i)).isNullAt(out(("B", i)).fieldIndex("beta")))
+    }
+    // a null on either side drops the pair from the frame
+    val withNull = Seq(
+      ("C", 1L, Some(2.0), Some(1.0)), ("C", 2L, None, Some(9.0)),
+      ("C", 3L, Some(6.0), Some(3.0))
+    ).toDF("sym", "seq", "x", "y")
+    val c = Indicators.rollingBeta(withNull, "x", "y", "beta",
+      Seq("sym"), Seq("seq"), n = 3)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(c(3L).getAs[Double]("beta") === 2.0) // pairs (2,1) and (6,3) only
+  }
 }
