@@ -147,6 +147,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tx_changes"),
       new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx_changes"),
       GraftExtensions.graftTxChangesBuilder))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_tx_range"),
+      new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx_range"),
+      GraftExtensions.graftTxRangeBuilder))
   }
 }
 
@@ -255,5 +260,51 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "graft_tx_changes(path, fromVersion, toVersion, idCol)")
     }
+  }
+
+  /** Table-function builder for `graft_tx_range(path, column, lower,
+    * upper[, version])` — the [[graft.sources.TxParquetTable.snapshotRange]]
+    * zone-map-pruned read as a SQL relation: whole files outside the
+    * [lower, upper] band are skipped from the LOG alone, the residual
+    * filter keeps exactness. Pass SQL NULL for an open bound (exactly
+    * one may be open). Bounds are int/long/double/string literals —
+    * matching the zone-map stat domains (X33).
+    */
+  private[graft] val graftTxRangeBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+    def strArg(e: Expression, name: String): String = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_tx_range: $name must be a string literal, got: $other")
+    }
+    def boundArg(e: Expression, name: String): Option[Any] = e match {
+      case Literal(null, _) => None
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Float, _) => Some(v.toDouble)
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft_tx_range: $name must be a numeric/string literal or NULL, got: $other")
+    }
+    def longArg(e: Expression, name: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_tx_range: $name must be an integer literal, got: $other")
+    }
+    val (path, column, lo, hi, version) = args match {
+      case Seq(p, c, l, u) =>
+        (strArg(p, "path"), strArg(c, "column"),
+          boundArg(l, "lower"), boundArg(u, "upper"), None)
+      case Seq(p, c, l, u, v) =>
+        (strArg(p, "path"), strArg(c, "column"),
+          boundArg(l, "lower"), boundArg(u, "upper"), Some(longArg(v, "version")))
+      case _ => throw new IllegalArgumentException(
+        "graft_tx_range(path, column, lower, upper[, version])")
+    }
+    graft.sources.TxParquetTable
+      .snapshotRange(org.apache.spark.sql.SparkSession.active, path, column, lo, hi, version)
+      .queryExecution.analyzed
   }
 }

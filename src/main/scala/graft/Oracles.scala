@@ -2693,6 +2693,15 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // graft_tx_range SQL surface: band aggregate is plain SQL over
+    // orders; pruned_ok is structural (cluster-compacted layout must
+    // scan a strict subset for the band)
+    "q183_tx_range_sql" ->
+      """SELECT year(o_orderdate) AS order_year, CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total, true AS pruned_ok
+FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
+GROUP BY 1""",
+
     // historical VaR/ES: quantile_cont == percentile over exact 1-step
     // diffs; tail membership compares identical doubles, only the means
     // round

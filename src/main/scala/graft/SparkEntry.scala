@@ -2670,6 +2670,41 @@ object SparkEntry {
       .select(col("key").as("event_type"), col("bucket_start"), col("beta50"))
   }
 
+  /** X33/X42 SQL surface: `graft_tx_range` — the zone-map-pruned band
+    * read as a SQL TABLE function over a cluster-compacted table (the
+    * q126/q159 seam for X33's reader). Structural verdict: the SQL
+    * relation scans a strict subset of the live files; the band
+    * aggregate itself is DuckDB-checked.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx_range"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        TxParquetTable.getClass.getName, "graft_tx_range"),
+      GraftExtensions.graftTxRangeBuilder)
+    val path = java.nio.file.Files.createTempDirectory("q183_range")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      TxParquetTable.append(src, path.toString, statsColumns = Seq("o_totalprice"))
+      TxParquetTable.compact(s, path.toString, "id", targetFiles = 8,
+        clusterBy = Some("o_totalprice"))
+      val p = path.toString.replace("'", "''")
+      val band = s.sql(
+        s"""SELECT order_year, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM graft_tx_range('$p', 'o_totalprice', 100000.0D, 150000.0D)
+GROUP BY order_year""")
+      val scanned = s.sql(
+        s"SELECT * FROM graft_tx_range('$p', 'o_totalprice', 100000.0D, 150000.0D)")
+        .inputFiles.length
+      val live = TxParquetTable.snapshot(s, path.toString).inputFiles.length
+      val agg = band.withColumn("pruned_ok", lit(scanned < live))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2853,6 +2888,7 @@ object SparkEntry {
     "q180_event_study_car" -> (q180 _),
     "q181_historical_var" -> (q181 _),
     "q182_rolling_beta" -> (q182 _),
+    "q183_tx_range_sql" -> (q183 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

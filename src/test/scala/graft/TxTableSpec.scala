@@ -732,6 +732,48 @@ class TxTableSpec extends SparkSpec {
     assert(e.getMessage.contains("string literal") || e.getMessage.contains("graft_tx"))
   }
 
+  test("graft_tx_range SQL table function: pruned band read, open bound, version pin") {
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx_range"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        TxParquetTable.getClass.getName, "graft_tx_range"),
+      GraftExtensions.graftTxRangeBuilder)
+
+    val path = freshPath()
+    (0 until 3).foreach { k =>
+      val rows = (0 until 300).filter(_ % 3 == k).map(i => (i.toLong, i.toDouble))
+      TxParquetTable.append(rows.toDF("id", "price").repartition(1), path,
+        statsColumns = Seq("price"))
+    }
+    val preVersion = TxParquetTable.latestVersion(path)
+    TxParquetTable.compact(spark, path, "id", targetFiles = 4,
+      clusterBy = Some("price"))
+
+    val band = spark.sql(
+      s"SELECT id FROM graft_tx_range('$path', 'price', 100.0D, 120.0D) ORDER BY id")
+    assert(band.collect().map(_.getLong(0)).toSeq === (100L to 120L))
+    assert(band.inputFiles.length <
+      TxParquetTable.snapshot(spark, path).inputFiles.length)
+
+    // open lower bound: everything at or below 10
+    val open = spark.sql(
+      s"SELECT count(*) AS n FROM graft_tx_range('$path', 'price', NULL, 10.0D)")
+      .collect().head.getLong(0)
+    assert(open === 11L)
+
+    // version pin: the pre-compaction (unclustered) snapshot still reads
+    val past = spark.sql(
+      s"SELECT count(*) AS n FROM graft_tx_range('$path', 'price', 100.0D, 120.0D, $preVersion)")
+      .collect().head.getLong(0)
+    assert(past === 21L)
+
+    // both bounds NULL is snapshot() — rejected with the operator's message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_tx_range('$path', 'price', NULL, NULL)").collect()
+    }
+    assert(e.getMessage.contains("snapshot"), e.getMessage)
+  }
+
   test("graft_tx_changes SQL table function: CDC between versions composes as a relation") {
     spark.sessionState.tableFunctionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx_changes"),
