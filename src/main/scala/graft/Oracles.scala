@@ -2693,6 +2693,50 @@ SELECT h.event_type, h.hour, h.n,
          * 1000000 + 0.5) / 1000000 END AS t_stat
 FROM h JOIN o ON h.event_type = o.event_type""",
 
+    // online PSI: first 256 float32-rounded values per key are the
+    // sealed reference (q154's ordering disposition — ts alone, no
+    // per-user collisions); bins/clamp/Laplace are q150's exact
+    // arithmetic; the 10-term sum floors at 1e-6 on both sides
+    "q184_online_psi" ->
+      """WITH s AS (
+  SELECT user_id, CAST(CAST(value AS REAL) AS DOUBLE) AS p,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+  FROM events
+), tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1
+), b AS (
+  SELECT user_id, min(p) AS mn, max(p) AS mx FROM s WHERE rn <= 256 GROUP BY 1
+), binned AS (
+  SELECT s.user_id, s.rn > 256 AS cur,
+    CAST(CASE WHEN b.mx = b.mn THEN 0
+      ELSE least(greatest(floor((s.p - b.mn) * 10 / (b.mx - b.mn)), 0), 9)
+    END AS INT) AS bin
+  FROM s JOIN b ON s.user_id = b.user_id
+), cnt AS (
+  SELECT user_id, bin,
+    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS rc,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM binned GROUP BY 1, 2
+), spine AS (
+  SELECT t.user_id, CAST(unnest(range(10)) AS INT) AS bin FROM tot t
+), filled AS (
+  SELECT sp.user_id, sp.bin, COALESCE(c.rc, 0) AS rc, COALESCE(c.cc, 0) AS cc
+  FROM spine sp LEFT JOIN cnt c ON sp.user_id = c.user_id AND sp.bin = c.bin
+), pq AS (
+  SELECT f.user_id, f.bin, f.rc, f.cc, t.n,
+    LEAST(t.n, 256) AS nref, GREATEST(t.n - 256, 0) AS ncur
+  FROM filled f JOIN tot t ON f.user_id = t.user_id
+)
+SELECT CAST(user_id AS VARCHAR) AS ticker,
+  CAST(max(nref) AS BIGINT) AS n_ref, CAST(max(ncur) AS BIGINT) AS n_cur,
+  CASE WHEN max(n) < 256 THEN NULL
+       ELSE floor(sum((CAST(rc + 1 AS DOUBLE) / CAST(nref + 10 AS DOUBLE)
+              - CAST(cc + 1 AS DOUBLE) / CAST(ncur + 10 AS DOUBLE))
+            * ln((CAST(rc + 1 AS DOUBLE) / CAST(nref + 10 AS DOUBLE))
+              / (CAST(cc + 1 AS DOUBLE) / CAST(ncur + 10 AS DOUBLE))))
+          * 1000000 + 0.5) / 1000000 END AS psi
+FROM pq GROUP BY user_id""",
+
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)

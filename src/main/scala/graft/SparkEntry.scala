@@ -2705,6 +2705,23 @@ GROUP BY order_year""")
     } finally deleteRecursively(path)
   }
 
+  /** X22 streaming twin's oracle row: ONLINE PSI — the first 256 values
+    * of each series are the sealed reference, everything after drifts
+    * against it (the production deployment shape of q150's monitor;
+    * `StatefulOps.psiDriftStream` holds exactly this state per key).
+    * Batch twin emits one final snapshot per key; StatefulSpec pins the
+    * streaming form to it across chopped boundaries.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"), lit(0).as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.psiDriftBatch(s, ticks, refCount = 256, bins = 10).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2889,6 +2906,7 @@ GROUP BY order_year""")
     "q181_historical_var" -> (q181 _),
     "q182_rolling_beta" -> (q182 _),
     "q183_tx_range_sql" -> (q183 _),
+    "q184_online_psi" -> (q184 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -660,4 +660,121 @@ object StatefulOps {
           }
       }
   }
+
+  // ---- Streaming PSI drift: the X22 monitor as keyed online state ----
+
+  final case class PsiDriftState(
+      nRef: Long, nCur: Long, refVals: Seq[Double], mn: Double, mx: Double,
+      refHist: Seq[Long], curHist: Seq[Long])
+
+  final case class PsiSnapshot(
+      ticker: String, n_ref: Long, n_cur: Long, psi: Option[Double])
+
+  private def psiBinOf(v: Double, mn: Double, mx: Double, bins: Int): Int =
+    if (mx == mn) 0
+    else math.min(math.max(math.floor((v - mn) * bins / (mx - mn)), 0.0),
+      (bins - 1).toDouble).toInt
+
+  /** Fold ticks through the ONLINE PSI monitor: the first `refCount`
+    * values of each key ARE the reference (buffered, then sealed into
+    * fixed bounds + a histogram — the buffer is the only state that
+    * grows, and it is capped at `refCount`); every later value lands in
+    * the current histogram. PSI itself is [[graft.analytics.Drift]]'s
+    * exact arithmetic — reference-fitted fixed-width bins, edge-bin
+    * clamping, Laplace smoothing, the identical (v−mn)·bins/(mx−mn)
+    * bin expression — evaluated over the two histograms at emission
+    * time and floored at 1e-6 (the histogram state is exact integers,
+    * so however the stream is chopped the sealed reference and the
+    * final PSI are identical — chop-invariance by construction).
+    *
+    * This is the streaming deployment shape of the X22 guardrail: fit
+    * the reference on the first window of production traffic, then
+    * watch every key's live distribution drift against it with ~(2·bins
+    * longs + refCount buffered doubles, transient) of state per key.
+    */
+  private[streaming] def psiFold(
+      st: Option[PsiDriftState], ticks: Seq[TickerTick],
+      refCount: Int, bins: Int): Option[PsiDriftState] = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st.getOrElse(PsiDriftState(0L, 0L, Vector.empty, 0.0, 0.0,
+      Seq.empty, Seq.fill(bins)(0L)))
+    sorted.foreach { t =>
+      val p = t.price.toDouble
+      if (s.nRef < refCount) {
+        val rv = s.refVals :+ p
+        s = s.copy(nRef = s.nRef + 1, refVals = rv)
+        if (s.nRef == refCount) {
+          val mn = rv.min; val mx = rv.max
+          val h = Array.fill(bins)(0L)
+          rv.foreach(v => h(psiBinOf(v, mn, mx, bins)) += 1L)
+          s = s.copy(refVals = Vector.empty, mn = mn, mx = mx, refHist = h.toSeq)
+        }
+      } else {
+        val h = s.curHist.toArray
+        h(psiBinOf(p, s.mn, s.mx, bins)) += 1L
+        s = s.copy(nCur = s.nCur + 1, curHist = h.toSeq)
+      }
+    }
+    Some(s)
+  }
+
+  private[streaming] def psiOf(s: PsiDriftState, refCount: Int, bins: Int): Option[Double] =
+    if (s.nRef < refCount) None
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < bins) {
+        val p = (s.refHist(i) + 1L).toDouble / (s.nRef + bins).toDouble
+        val q = (s.curHist(i) + 1L).toDouble / (s.nCur + bins).toDouble
+        acc += (p - q) * math.log(p / q)
+        i += 1
+      }
+      // floored here, not at the consumer: the bin sum is the one
+      // non-integer accumulation, and DuckDB's aggregate order differs
+      Some(math.floor(acc * 1000000d + 0.5d) / 1000000d)
+    }
+
+  /** Streaming PSI drift monitor: one [[PsiSnapshot]] per key per
+    * micro-batch (null psi until the reference seals). Same state and
+    * timeout discipline as [[runningOhlc]].
+    */
+  def psiDriftStream(
+      ticks: Dataset[TickerTick], refCount: Int = 256, bins: Int = 10,
+      idleTimeoutMs: Option[Long] = None): Dataset[PsiSnapshot] = {
+    require(refCount >= 2 && bins >= 2, s"need refCount/bins >= 2, got $refCount/$bins")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[PsiDriftState, PsiSnapshot](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[PsiDriftState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val updated = psiFold(state.getOption, it.toSeq, refCount, bins)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            updated.map(s =>
+              PsiSnapshot(ticker, s.nRef, s.nCur, psiOf(s, refCount, bins))).iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[psiDriftStream]] for verification — one final
+    * snapshot per key over the whole series.
+    */
+  def psiDriftBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick],
+      refCount: Int = 256, bins: Int = 10): Dataset[PsiSnapshot] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .mapGroups { (ticker, it) =>
+        val s = psiFold(None, it.toSeq, refCount, bins).get
+        PsiSnapshot(ticker, s.nRef, s.nCur, psiOf(s, refCount, bins))
+      }
+  }
 }

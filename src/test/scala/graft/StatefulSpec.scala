@@ -308,4 +308,48 @@ class StatefulSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("PSI drift stream: reference seals across a chopped boundary, final snapshot matches batch") {
+    import graft.streaming.StatefulOps.PsiSnapshot
+    implicit val sqlCtx = spark.sqlContext
+    // refCount=4, bins=2: A's reference is 1,2,3,4 (mn=1, mx=4 ->
+    // refHist [2,2]); the boundary lands MID-REFERENCE (after two
+    // values) so the unsealed buffer must carry; both current prints
+    // land in bin 1 -> curHist [0,2]. Hand PSI with Laplace smoothing:
+    //   p=(3/6, 3/6), q=(1/4, 3/4)
+    //   (0.5-0.25)ln(2) + (0.5-0.75)ln(2/3) = 0.274653 (floored 1e-6)
+    // B never reaches refCount -> psi stays null.
+    val batch1 = Seq(
+      tick("A", "2024-01-01 10:00:00", 1f, 1),
+      tick("A", "2024-01-01 10:01:00", 2f, 1),
+      tick("B", "2024-01-01 10:00:00", 7f, 1))
+    val batch2 = Seq(
+      tick("A", "2024-01-01 10:02:00", 3f, 1),
+      tick("A", "2024-01-01 10:03:00", 4f, 1),
+      tick("A", "2024-01-01 10:04:00", 4f, 1),
+      tick("A", "2024-01-01 10:05:00", 4f, 1),
+      tick("B", "2024-01-01 10:01:00", 8f, 1))
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.psiDriftStream(mem.toDS(), refCount = 4, bins = 2)
+      .writeStream.format("memory").queryName("psi_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("psi_out").as[PsiSnapshot].collect()
+      // first micro-batch: A mid-reference -> psi null
+      assert(snaps.exists(s => s.ticker == "A" && s.n_ref == 2L && s.psi.isEmpty))
+      val aFinal = snaps.filter(_.ticker == "A").maxBy(s => s.n_ref + s.n_cur)
+      assert(aFinal.n_ref === 4L && aFinal.n_cur === 2L)
+      assert(aFinal.psi === Some(0.274653))
+      val bFinal = snaps.filter(_.ticker == "B").maxBy(s => s.n_ref + s.n_cur)
+      assert(bFinal.n_ref === 2L && bFinal.psi.isEmpty)
+      // twin equality: same final snapshots however the stream was chopped
+      val batch = StatefulOps.psiDriftBatch(spark, (batch1 ++ batch2).toDS(), refCount = 4, bins = 2)
+        .collect().map(s => s.ticker -> s).toMap
+      assert(batch("A") === aFinal)
+      assert(batch("B") === bFinal)
+    } finally q.stop()
+  }
 }
