@@ -2737,6 +2737,49 @@ SELECT CAST(user_id AS VARCHAR) AS ticker,
           * 1000000 + 0.5) / 1000000 END AS psi
 FROM pq GROUP BY user_id""",
 
+    // tear sheet: daily arg-max close frame, simple returns with the
+    // zero-denominator guard, running-max drawdown on exact doubles;
+    // every ratio built from UNROUNDED moments in one expression and
+    // sr6-floored at emission (the engine's exact arithmetic)
+    "q185_tear_sheet" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT user_id, day, close,
+    CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS ret,
+    CASE WHEN max(close) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 THEN NULL
+         ELSE close / max(close) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
+    END AS dd
+  FROM d
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
+  CAST(count(ret) AS BIGINT) AS n_rets,
+  floor(avg(ret) * 252.0 * 1000000 + 0.5) / 1000000 + 0.0 AS ann_ret,
+  CASE WHEN count(ret) < 2 THEN NULL
+       ELSE floor(stddev_samp(ret) * sqrt(252.0) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS ann_vol,
+  CASE WHEN count(ret) < 2 OR stddev_samp(ret) = 0 THEN NULL
+       ELSE floor(avg(ret) * 252.0 / (stddev_samp(ret) * sqrt(252.0))
+         * 1000000 + 0.5) / 1000000 + 0.0
+  END AS sharpe,
+  CASE WHEN count(ret) < 2
+         OR sum(least(ret, 0.0) * least(ret, 0.0)) = 0 THEN NULL
+       ELSE floor(avg(ret) * 252.0
+           / (sqrt(sum(least(ret, 0.0) * least(ret, 0.0))
+               / CAST(count(ret) - 1 AS DOUBLE)) * sqrt(252.0))
+         * 1000000 + 0.5) / 1000000 + 0.0
+  END AS sortino,
+  floor(min(dd) * 1000000 + 0.5) / 1000000 + 0.0 AS max_drawdown,
+  CASE WHEN min(dd) < 0
+       THEN floor(avg(ret) * 252.0 / -min(dd) * 1000000 + 0.5) / 1000000 + 0.0
+       ELSE NULL END AS calmar
+FROM e GROUP BY user_id""",
+
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)

@@ -2722,6 +2722,21 @@ GROUP BY order_year""")
     StatefulOps.psiDriftBatch(s, ticks, refCount = 256, bins = 10).toDF()
   }
 
+  /** Performance TEAR SHEET per user series: annualized return/vol,
+    * Sharpe, Sortino, max drawdown, Calmar over the daily-close frame.
+    * The tick stream collapses to |users|×|days| in ONE hash aggregate
+    * (arg-max close by ts); every window and the final aggregate ride
+    * that tiny frame — the q169/q180 day-frame discipline.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    graft.analytics.Risk.performanceSummary(
+      daily, "close", Seq("user_id"), Seq("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2907,6 +2922,7 @@ GROUP BY order_year""")
     "q182_rolling_beta" -> (q182 _),
     "q183_tx_range_sql" -> (q183 _),
     "q184_online_psi" -> (q184 _),
+    "q185_tear_sheet" -> (q185 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

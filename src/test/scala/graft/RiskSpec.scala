@@ -27,4 +27,48 @@ class RiskSpec extends SparkSpec {
     assert(out.getAs[Long]("n_tail") === 7L) // every zero diff sits AT the quantile
     assert(out.getAs[Double]("es_a") === 0.0)
   }
+
+  test("performanceSummary: hand-computed tear sheet, drawdown from the running max") {
+    // closes 100 -> 110 -> 99 -> 108.9: rets +0.10, -0.10, +0.10
+    // running max 100, 110, 110, 110 -> dd 0, 0, -0.1, -0.01
+    val df = Seq(("A", 0L, 100.0), ("A", 1L, 110.0), ("A", 2L, 99.0), ("A", 3L, 108.9))
+      .toDF("sym", "seq", "close")
+    val out = Risk.performanceSummary(df, "close", Seq("sym"), Seq("seq"),
+      periodsPerYear = 4.0).collect().head
+    assert(out.getAs[Long]("n_periods") === 4L)
+    assert(out.getAs[Long]("n_rets") === 3L)
+    val mu = (0.10 - 0.10 + (108.9 / 99.0 - 1.0)) / 3.0
+    assert(math.abs(out.getAs[Double]("ann_ret") - mu * 4.0) < 1e-6)
+    val sd = math.sqrt(((0.10 - mu) * (0.10 - mu) + (-0.10 - mu) * (-0.10 - mu)
+      + ((108.9 / 99.0 - 1.0) - mu) * ((108.9 / 99.0 - 1.0) - mu)) / 2.0)
+    assert(math.abs(out.getAs[Double]("ann_vol") - sd * 2.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("sharpe") - mu * 4.0 / (sd * 2.0)) < 1e-6)
+    // downside: only the -0.10 return
+    val dn = math.sqrt(0.01 / 2.0)
+    assert(math.abs(out.getAs[Double]("sortino") - mu * 4.0 / (dn * 2.0)) < 1e-6)
+    assert(out.getAs[Double]("max_drawdown") === -0.1)
+    assert(math.abs(out.getAs[Double]("calmar") - mu * 4.0 / 0.1) < 1e-6)
+  }
+
+  test("performanceSummary edge cases: single row, all-gains sortino, zero close guard") {
+    val df = Seq(
+      ("ONE", 0L, 50.0),                      // single period: everything null
+      ("UP", 0L, 10.0), ("UP", 1L, 11.0), ("UP", 2L, 12.1),  // no losses
+      ("Z", 0L, 0.0), ("Z", 1L, 5.0), ("Z", 2L, 10.0))       // zero first close
+      .toDF("sym", "seq", "close")
+    val rows = Risk.performanceSummary(df, "close", Seq("sym"), Seq("seq"))
+      .collect().map(r => r.getAs[String]("sym") -> r).toMap
+    val one = rows("ONE")
+    assert(one.getAs[Long]("n_rets") === 0L)
+    assert(one.isNullAt(one.fieldIndex("ann_ret")))
+    assert(one.isNullAt(one.fieldIndex("ann_vol")))
+    assert(one.isNullAt(one.fieldIndex("sharpe")))
+    assert(one.isNullAt(one.fieldIndex("calmar"))) // dd = 0, never negative
+    val up = rows("UP")
+    assert(up.isNullAt(up.fieldIndex("sortino")))  // zero downside
+    assert(up.getAs[Double]("max_drawdown") === 0.0)
+    val z = rows("Z")
+    // return off the zero close is null, not infinite; drawdown guard too
+    assert(z.getAs[Long]("n_rets") === 1L)
+  }
 }
