@@ -2780,6 +2780,31 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
        ELSE NULL END AS calmar
 FROM e GROUP BY user_id""",
 
+    // local-level Kalman: the recursive CTE replays the engine's exact
+    // recurrence (pPred = p+q; k = pPred/(pPred+r); x' = x+k(z−x);
+    // p' = (1−k)pPred) on bit-identical doubles — fixed IEEE op order,
+    // so NO rounding anywhere (the q154/q158 discipline); seed x=z1,
+    // p=r, gain 1
+    "q186_kalman_filter" ->
+      """WITH RECURSIVE s AS (
+  SELECT user_id, ts, CAST(CAST(value AS REAL) AS DOUBLE) AS z,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, rn, ts, z, z AS x, CAST(10.0 AS DOUBLE) AS p,
+    CAST(1.0 AS DOUBLE) AS k
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts, s.z,
+    r.x + ((r.p + 1.0) / ((r.p + 1.0) + 10.0)) * (s.z - r.x) AS x,
+    (1.0 - (r.p + 1.0) / ((r.p + 1.0) + 10.0)) * (r.p + 1.0) AS p,
+    (r.p + 1.0) / ((r.p + 1.0) + 10.0) AS k
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT CAST(user_id AS VARCHAR) AS ticker, ts AS datetime, z, x AS x_hat,
+  k AS k_gain, rn AS n
+FROM rec""",
+
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)

@@ -2737,6 +2737,23 @@ GROUP BY order_year""")
       daily, "close", Seq("user_id"), Seq("day"))
   }
 
+  /** Online DENOISING: local-level Kalman filter over each user's tick
+    * series (q=1, r=10 — steady-state gain ≈ 0.27). The oracle replays
+    * the recurrence as a recursive CTE on bit-identical doubles — the
+    * q154/q158 reset-recurrence discipline; `StatefulOps
+    * .kalmanFilterStream` is the deployment form (two doubles of state
+    * per key), chop-invariance spec-pinned.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"), lit(0).as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.kalmanFilterBatch(s, ticks, qVar = 1.0, rVar = 10.0).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2923,6 +2940,7 @@ GROUP BY order_year""")
     "q183_tx_range_sql" -> (q183 _),
     "q184_online_psi" -> (q184 _),
     "q185_tear_sheet" -> (q185 _),
+    "q186_kalman_filter" -> (q186 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -777,4 +777,104 @@ object StatefulOps {
         PsiSnapshot(ticker, s.nRef, s.nCur, psiOf(s, refCount, bins))
       }
   }
+
+  // ---- Kalman local-level filter: online denoising as keyed state ----
+
+  final case class KalmanState(x: Double, p: Double, n: Long)
+
+  final case class KalmanPoint(
+      ticker: String, datetime: Timestamp, z: Double, x_hat: Double,
+      k_gain: Double, n: Long)
+
+  /** Fold ticks through the LOCAL-LEVEL Kalman filter (random-walk
+    * level + observation noise — the textbook one-dimensional model):
+    * per observation z,
+    * {{{
+    *   pPred = p + qVar
+    *   k     = pPred / (pPred + rVar)
+    *   x'    = x + k * (z − x)
+    *   p'    = (1 − k) * pPred
+    * }}}
+    * seeded at the first print with x = z, p = rVar (gain reported as
+    * 1 — the filter follows the first observation entirely). Unlike the
+    * EWMA (fixed α), the gain ADAPTS: it starts high while the level
+    * estimate is uncertain and settles to the steady-state ratio — the
+    * right smoother when series start mid-stream or pause.
+    *
+    * Reset-recurrence class ([[cusumFold]]): state threads through
+    * every prior row, no bounded frame expresses it. Every operation
+    * is +, −, ×, / on doubles in a FIXED order, so the trajectory is
+    * bit-identical in any IEEE engine evaluating the same expressions —
+    * the DuckDB oracle replays the recurrence verbatim (q186), no
+    * rounding needed anywhere.
+    */
+  private[streaming] def kalmanFold(
+      st: Option[KalmanState], ticks: Seq[TickerTick],
+      qVar: Double, rVar: Double): (Option[KalmanState], Seq[(TickerTick, Double, Double, Long)]) = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st
+    val out = Seq.newBuilder[(TickerTick, Double, Double, Long)]
+    sorted.foreach { t =>
+      val z = t.price.toDouble
+      s match {
+        case None =>
+          s = Some(KalmanState(z, rVar, 1L))
+          out += ((t, z, 1.0, 1L))
+        case Some(c) =>
+          val pPred = c.p + qVar
+          val k = pPred / (pPred + rVar)
+          val x = c.x + k * (z - c.x)
+          val p = (1.0 - k) * pPred
+          s = Some(KalmanState(x, p, c.n + 1))
+          out += ((t, x, k, c.n + 1))
+      }
+    }
+    (s, out.result())
+  }
+
+  /** Streaming local-level Kalman filter: one [[KalmanPoint]] per input
+    * tick (observation, filtered level, gain, series ordinal). State is
+    * two doubles + a counter per key; same timeout discipline as
+    * [[runningOhlc]].
+    */
+  def kalmanFilterStream(
+      ticks: Dataset[TickerTick], qVar: Double, rVar: Double,
+      idleTimeoutMs: Option[Long] = None): Dataset[KalmanPoint] = {
+    require(qVar > 0 && rVar > 0, s"need positive variances, got q=$qVar r=$rVar")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[KalmanState, KalmanPoint](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[KalmanState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, points) = kalmanFold(state.getOption, it.toSeq, qVar, rVar)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            points.map { case (t, x, k, ord) =>
+              KalmanPoint(ticker, t.datetime, t.price.toDouble, x, k, ord)
+            }.iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[kalmanFilterStream]] for verification. */
+  def kalmanFilterBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick],
+      qVar: Double, rVar: Double): Dataset[KalmanPoint] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroups { (ticker, it) =>
+        val (_, points) = kalmanFold(None, it.toSeq, qVar, rVar)
+        points.map { case (t, x, k, ord) =>
+          KalmanPoint(ticker, t.datetime, t.price.toDouble, x, k, ord)
+        }.iterator
+      }
+  }
 }

@@ -352,4 +352,46 @@ class StatefulSpec extends SparkSpec {
       assert(batch("B") === bFinal)
     } finally q.stop()
   }
+
+  test("Kalman filter stream: gain recurrence carries across a chopped boundary, matches batch") {
+    import graft.streaming.StatefulOps.KalmanPoint
+    implicit val sqlCtx = spark.sqlContext
+    // q=1, r=10. Seed x=10, p=10, k=1. Second obs z=20:
+    //   pPred=11, k=11/21, x=10+(11/21)*10, p=(10/21)*11
+    // the boundary lands between obs 2 and 3, so (x, p) must carry.
+    val batch1 = Seq(
+      tick("A", "2024-01-01 10:00:00", 10f, 1),
+      tick("A", "2024-01-01 10:01:00", 20f, 1))
+    val batch2 = Seq(
+      tick("A", "2024-01-01 10:02:00", 15f, 1),
+      tick("A", "2024-01-01 10:03:00", 12f, 1))
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.kalmanFilterStream(mem.toDS(), qVar = 1.0, rVar = 10.0)
+      .writeStream.format("memory").queryName("kf_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("kf_out").as[KalmanPoint].collect().sortBy(_.n)
+      assert(streaming.length === 4)
+      assert(streaming(0).x_hat === 10.0 && streaming(0).k_gain === 1.0)
+      val k2 = 11.0 / 21.0
+      val x2 = 10.0 + k2 * 10.0
+      assert(streaming(1).x_hat === x2 && streaming(1).k_gain === k2)
+      // third point exercises the carried (x, p): p2 = (1-k2)*11
+      val p2 = (1.0 - k2) * 11.0
+      val k3 = (p2 + 1.0) / ((p2 + 1.0) + 10.0)
+      val x3 = x2 + k3 * (15.0 - x2)
+      assert(streaming(2).x_hat === x3 && streaming(2).k_gain === k3)
+      // gain DECAYS toward steady state as uncertainty resolves
+      assert(streaming(1).k_gain > streaming(2).k_gain)
+      assert(streaming(2).k_gain > streaming(3).k_gain)
+      // twin equality, bit-exact: same trajectory however chopped
+      val batch = StatefulOps.kalmanFilterBatch(
+        spark, (batch1 ++ batch2).toDS(), qVar = 1.0, rVar = 10.0)
+        .collect().sortBy(_.n)
+      assert(batch.toSeq === streaming.toSeq)
+    } finally q.stop()
+  }
 }
