@@ -2805,6 +2805,56 @@ SELECT CAST(user_id AS VARCHAR) AS ticker, ts AS datetime, z, x AS x_hat,
   k AS k_gain, rn AS n
 FROM rec""",
 
+    // pairs cointegration screen: q170's daily close frame, pair cross
+    // on the day, OLS beta/alpha sr6-ROUNDED before the spread pass so
+    // the per-row spread arithmetic is identical cross-engine; AR(1)
+    // rho over the spreads, half-life on the unrounded rho with -ln2
+    // string-cast
+    "q187_pairs_screen" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+    arg_max(cl, bucket_start) AS close
+  FROM cd GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type AS k1, b.event_type AS k2, a.day AS t,
+    a.close AS x, b.close AS y
+  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+), fit AS (
+  SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_periods,
+    CASE WHEN count(*) < 2 OR var_samp(x) = 0 THEN NULL
+         ELSE floor(covar_samp(y, x) / var_samp(x) * 1000000 + 0.5) / 1000000 + 0.0
+    END AS beta,
+    avg(x) AS mx, avg(y) AS my
+  FROM p GROUP BY 1, 2
+), fit2 AS (
+  SELECT k1, k2, n_periods, beta,
+    floor((my - beta * mx) * 1000000 + 0.5) / 1000000 + 0.0 AS alpha
+  FROM fit
+), sp AS (
+  SELECT p.k1, p.k2, p.t, p.y - (f.alpha + f.beta * p.x) AS s
+  FROM p JOIN fit2 f ON p.k1 = f.k1 AND p.k2 = f.k2
+), ar AS (
+  SELECT k1, k2, s, lag(s) OVER (PARTITION BY k1, k2 ORDER BY t) AS sl
+  FROM sp
+), rho AS (
+  SELECT k1, k2,
+    CASE WHEN var_samp(sl) IS NULL OR var_samp(sl) = 0 THEN NULL
+         ELSE covar_samp(s, sl) / var_samp(sl) END AS r
+  FROM ar GROUP BY 1, 2
+)
+SELECT f.k1, f.k2, f.n_periods, f.beta, f.alpha,
+  CASE WHEN rho.r IS NULL THEN NULL
+       ELSE floor(rho.r * 1000000 + 0.5) / 1000000 + 0.0 END AS rho,
+  CASE WHEN rho.r > 0 AND rho.r < 1
+       THEN floor(-CAST('0.6931471805599453' AS DOUBLE) / ln(rho.r)
+         * 1000000 + 0.5) / 1000000 + 0.0
+       ELSE NULL END AS half_life
+FROM fit2 f JOIN rho ON f.k1 = rho.k1 AND f.k2 = rho.k2""",
+
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)

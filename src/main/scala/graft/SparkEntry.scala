@@ -2754,6 +2754,21 @@ GROUP BY order_year""")
     StatefulOps.kalmanFilterBatch(s, ticks, qVar = 1.0, rVar = 10.0).toDF()
   }
 
+  /** PAIRS screen: Engle–Granger cointegration candidates over every
+    * event-type pair — OLS hedge β/α on day-aligned closes, AR(1) ρ of
+    * the residual spread, mean-reversion half-life. The tick stream
+    * collapses to the keys×days close frame before the pair cross ever
+    * happens (the q170 day-frame discipline); the cross itself touches
+    * only that tiny frame.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val d = candles5m(s, dir)
+      .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd"))
+      .groupBy(col("key"), col("day"))
+      .agg(max_by(col("close"), col("bucket_start")).as("close"))
+    graft.analytics.Pairs.cointegrationScreen(d, "key", "day", "close")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2941,6 +2956,7 @@ GROUP BY order_year""")
     "q184_online_psi" -> (q184 _),
     "q185_tear_sheet" -> (q185 _),
     "q186_kalman_filter" -> (q186 _),
+    "q187_pairs_screen" -> (q187 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

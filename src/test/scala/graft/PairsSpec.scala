@@ -1,0 +1,72 @@
+package graft
+
+import graft.analytics.Pairs
+
+class PairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cointegrationScreen recovers the hedge fit and AR(1) of a constructed pair") {
+    // y = 1 + 2x + s where s is a fixed residual path; expected values
+    // hand-rolled with the same sample-moment formulas
+    val x = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0)
+    val sRes = Seq(0.4, -0.2, 0.3, 0.1, -0.4, 0.2, -0.1, -0.3)
+    val y = x.zip(sRes).map { case (xi, si) => 1.0 + 2.0 * xi + si }
+    val rows = x.indices.flatMap { i =>
+      Seq(("X", i.toLong, x(i)), ("Y", i.toLong, y(i)))
+    }
+    val out = Pairs.cointegrationScreen(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close")
+      .collect().map(r => (r.getAs[String]("k1"), r.getAs[String]("k2")) -> r).toMap
+    assert(out.keySet === Set(("X", "Y")))
+    val r = out(("X", "Y"))
+    assert(r.getAs[Long]("n_periods") === 8L)
+
+    def mean(v: Seq[Double]) = v.sum / v.length
+    def covS(a: Seq[Double], b: Seq[Double]) = {
+      val (ma, mb) = (mean(a), mean(b))
+      a.zip(b).map { case (ai, bi) => (ai - ma) * (bi - mb) }.sum / (a.length - 1)
+    }
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val beta = sr6(covS(y, x) / covS(x, x))
+    val alpha = sr6(mean(y) - beta * mean(x))
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-9)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-9)
+    // AR(1) over the spreads the ROUNDED fit produces
+    val s = x.zip(y).map { case (xi, yi) => yi - (alpha + beta * xi) }
+    val rho = covS(s.tail, s.init) / covS(s.init, s.init)
+    assert(math.abs(r.getAs[Double]("rho") - sr6(rho)) < 1e-9)
+    if (rho > 0 && rho < 1)
+      assert(math.abs(r.getAs[Double]("half_life") - sr6(-math.log(2.0) / math.log(rho))) < 1e-9)
+    else assert(r.isNullAt(r.fieldIndex("half_life")))
+  }
+
+  test("cointegrationScreen guards: exact linear pair and constant leg") {
+    // P = exactly 3 + 0.5x (zero spread -> var(lagged spread)=0 -> rho null);
+    // C is constant (var x side = 0 when C is the x leg -> beta null)
+    val x = Seq(10.0, 12.0, 11.0, 14.0, 13.0)
+    val rows = x.indices.flatMap { i =>
+      Seq(("A", i.toLong, x(i)), ("B", i.toLong, 3.0 + 0.5 * x(i)),
+        ("C", i.toLong, 7.0), ("D", i.toLong, x(i) * x(i)))
+    }
+    val out = Pairs.cointegrationScreen(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close")
+      .collect().map(r => (r.getAs[String]("k1"), r.getAs[String]("k2")) -> r).toMap
+    assert(out.size === 6)
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Double]("beta") === 0.5)
+    assert(ab.getAs[Double]("alpha") === 3.0)
+    assert(ab.isNullAt(ab.fieldIndex("rho")))        // zero spread variance
+    assert(ab.isNullAt(ab.fieldIndex("half_life")))
+    // C as the y leg of (A, C): y constant -> beta = 0, zero spread variance
+    val ac = out(("A", "C"))
+    assert(ac.getAs[Double]("beta") === 0.0)
+    assert(ac.getAs[Double]("alpha") === 7.0)
+    assert(ac.isNullAt(ac.fieldIndex("rho")))
+    // C as the x leg of (C, D): constant x -> null beta chain end-to-end
+    val cd = out(("C", "D"))
+    assert(cd.isNullAt(cd.fieldIndex("beta")))
+    assert(cd.isNullAt(cd.fieldIndex("alpha")))
+    assert(cd.isNullAt(cd.fieldIndex("rho")))
+    assert(cd.isNullAt(cd.fieldIndex("half_life")))
+  }
+}
