@@ -2855,6 +2855,52 @@ SELECT f.k1, f.k2, f.n_periods, f.beta, f.alpha,
        ELSE NULL END AS half_life
 FROM fit2 f JOIN rho ON f.k1 = rho.k1 AND f.k2 = rho.k2""",
 
+    // momentum backtest: daily close frame, 5-day momentum signal
+    // LAGGED one day, quintiles over the (sig DESC, user_id) total
+    // order; the spread floor-rounds to BIGINT micro-units before the
+    // cumulative sum so compounding is exact integer arithmetic
+    // (DuckDB's windowed double sum uses segment-tree addition order)
+    "q188_momentum_backtest" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, day,
+    CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS ret,
+    CASE WHEN lag(close, 5) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close, 5) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS mom
+  FROM d
+), s AS (
+  SELECT user_id, day, ret,
+    lag(mom) OVER (PARTITION BY user_id ORDER BY day) AS sig
+  FROM r
+), b AS (
+  SELECT user_id, day, ret,
+    ntile(5) OVER (PARTITION BY day ORDER BY sig DESC, user_id) AS bkt
+  FROM s WHERE sig IS NOT NULL AND ret IS NOT NULL
+), p AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_universe,
+    avg(CASE WHEN bkt = 1 THEN ret END) AS lr,
+    avg(CASE WHEN bkt = 5 THEN ret END) AS sr
+  FROM b GROUP BY day
+), q AS (
+  SELECT day, n_universe,
+    floor(lr * 1000000 + 0.5) / 1000000 + 0.0 AS long_ret,
+    floor(sr * 1000000 + 0.5) / 1000000 + 0.0 AS short_ret,
+    CASE WHEN lr IS NOT NULL AND sr IS NOT NULL
+         THEN CAST(floor((lr - sr) * 1000000 + 0.5) AS BIGINT) END AS ls_micro
+  FROM p
+)
+SELECT day, n_universe, long_ret, short_ret,
+  CAST(ls_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ls_ret,
+  CAST(CAST(sum(ls_micro) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+    / CAST(1000000 AS DOUBLE) AS cum_ls
+FROM q""",
+
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)

@@ -2769,6 +2769,21 @@ GROUP BY order_year""")
     graft.analytics.Pairs.cointegrationScreen(d, "key", "day", "close")
   }
 
+  /** BACKTEST capstone: cross-sectional 5-day momentum long–short over
+    * the per-user daily close frame — signal lagged one day (no
+    * look-ahead), quintile legs, spread compounded in exact micro-unit
+    * BIGINTs. Composes the q09 returns, q48 ranking, and q185 day-frame
+    * primitives as one query.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    graft.analytics.Backtest.crossSectionalMomentum(
+      daily, "user_id", "day", "close", lookback = 5, buckets = 5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2957,6 +2972,7 @@ GROUP BY order_year""")
     "q185_tear_sheet" -> (q185 _),
     "q186_kalman_filter" -> (q186 _),
     "q187_pairs_screen" -> (q187 _),
+    "q188_momentum_backtest" -> (q188 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Partitioning.{stableRound6 => sr6}
+
+/** Vectorized portfolio backtests over keyed period-close frames — the
+  * capstone consumers of the returns/ranking/tear-sheet primitives.
+  */
+object Backtest {
+
+  /** CROSS-SECTIONAL MOMENTUM long–short backtest (the Jegadeesh–Titman
+    * shape): each period, rank the universe by its `lookback`-period
+    * trailing return AS OF THE PRIOR period (signal lagged one period —
+    * no look-ahead), go long the top `buckets`-tile and short the
+    * bottom, both equal-weighted; the period's spread return is
+    * long − short. Emits one row per period: universe size, long/short
+    * leg returns, the spread, and its cumulative sum.
+    *
+    * Determinism: leg returns are cross-member averages (engine-order
+    * accumulation → sr6 at emission); the spread is floor-rounded to
+    * exact MICRO-UNITS (BIGINT) before compounding, so the cumulative
+    * sum is exact integer arithmetic — order-free and bit-identical
+    * cross-engine (the q142/q169 micro-quantization trick; a double
+    * running sum would inherit DuckDB's segment-tree addition order).
+    * Bucket assignment is `ntile` over the TOTAL order
+    * (signal desc, key) — tie-safe.
+    *
+    * Scale shape: the caller collapses ticks to the keys×periods close
+    * frame first; per-key windows ride that frame partitioned by key,
+    * the ranking window re-partitions it by period, and the final
+    * cumulative window runs on the |periods|-row frame (single
+    * partition, trivially small). Nothing touches raw ticks.
+    */
+  def crossSectionalMomentum(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      lookback: Int = 5, buckets: Int = 5): DataFrame = {
+    require(lookback >= 1 && buckets >= 2,
+      s"need lookback >= 1 and buckets >= 2, got $lookback/$buckets")
+    val wK = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val lag1 = lag(col(closeCol), 1).over(wK)
+    val lagN = lag(col(closeCol), lookback).over(wK)
+    val enriched = df
+      .withColumn("__ret",
+        when(lag1 === 0.0, lit(null).cast("double"))
+          .otherwise(col(closeCol) / lag1 - 1.0))
+      .withColumn("__mom",
+        when(lagN === 0.0, lit(null).cast("double"))
+          .otherwise(col(closeCol) / lagN - 1.0))
+      .withColumn("__sig", lag(col("__mom"), 1).over(wK))
+    val base = enriched
+      .filter(col("__sig").isNotNull && col("__ret").isNotNull)
+    val wD = Window.partitionBy(col(timeCol))
+      .orderBy(col("__sig").desc, col(keyCol))
+    val perDay = base
+      .withColumn("__b", ntile(buckets).over(wD))
+      .groupBy(col(timeCol))
+      .agg(
+        count(lit(1)).as("n_universe"),
+        avg(when(col("__b") === 1, col("__ret"))).as("__lr"),
+        avg(when(col("__b") === buckets, col("__ret"))).as("__sr"))
+      .withColumn("__ls_micro",
+        when(col("__lr").isNotNull && col("__sr").isNotNull,
+          floor((col("__lr") - col("__sr")) * lit(1000000d) + lit(0.5d))
+            .cast("long")))
+    val wT = Window.orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.select(
+      col(timeCol),
+      col("n_universe"),
+      sr6(col("__lr") + lit(0.0)).as("long_ret"),
+      sr6(col("__sr") + lit(0.0)).as("short_ret"),
+      (col("__ls_micro").cast("double") / lit(1000000d)).as("ls_ret"),
+      (sum(col("__ls_micro")).over(wT).cast("double") / lit(1000000d))
+        .as("cum_ls"))
+  }
+}

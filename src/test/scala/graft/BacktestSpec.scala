@@ -1,0 +1,53 @@
+package graft
+
+import graft.analytics.Backtest
+
+class BacktestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crossSectionalMomentum: lagged signal ranks, equal-weight legs, exact compounding") {
+    // geometric movers: A +10%/day, B +5%, C -5%, D -10% -> momentum
+    // ranks are constant, long {A,B} short {C,D} with ntile(2)
+    val growth = Map("A" -> 1.10, "B" -> 1.05, "C" -> 0.95, "D" -> 0.90)
+    val rows = for {
+      (k, g) <- growth.toSeq
+      d <- 0 until 5
+    } yield (k, f"2024-01-${d + 1}%02d", 100.0 * math.pow(g, d))
+    val out = Backtest.crossSectionalMomentum(
+      rows.toDF("sym", "day", "close"), "sym", "day", "close",
+      lookback = 1, buckets = 2)
+      .collect().sortBy(_.getAs[String]("day"))
+    // sig needs mom at d-1 which needs a close at d-2: first emitted day index 2
+    assert(out.map(_.getAs[String]("day")).toSeq ===
+      Seq("2024-01-03", "2024-01-04", "2024-01-05"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_universe") === 4L)
+      assert(math.abs(r.getAs[Double]("long_ret") - 0.075) < 1e-9)
+      assert(math.abs(r.getAs[Double]("short_ret") - -0.075) < 1e-9)
+      assert(math.abs(r.getAs[Double]("ls_ret") - 0.15) < 1e-9)
+    }
+    // exact micro-unit compounding: 0.15, 0.30, 0.45 with no FP drift
+    assert(out.map(_.getAs[Double]("cum_ls")).toSeq === Seq(0.15, 0.30, 0.45))
+  }
+
+  test("crossSectionalMomentum: an empty bottom bucket yields a null spread, cum carries") {
+    // only 3 names with 5 buckets: ntile assigns 1..3, bucket 5 empty
+    val growth = Map("A" -> 1.10, "B" -> 1.00, "C" -> 0.90)
+    val rows = for {
+      (k, g) <- growth.toSeq
+      d <- 0 until 4
+    } yield (k, f"2024-01-${d + 1}%02d", 100.0 * math.pow(g, d))
+    val out = Backtest.crossSectionalMomentum(
+      rows.toDF("sym", "day", "close"), "sym", "day", "close",
+      lookback = 1, buckets = 5)
+      .collect().sortBy(_.getAs[String]("day"))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_universe") === 3L)
+      assert(math.abs(r.getAs[Double]("long_ret") - 0.10) < 1e-9) // bucket 1 = A
+      assert(r.isNullAt(r.fieldIndex("short_ret")))
+      assert(r.isNullAt(r.fieldIndex("ls_ret")))
+      assert(r.isNullAt(r.fieldIndex("cum_ls"))) // no non-null spread yet
+    }
+  }
+}
