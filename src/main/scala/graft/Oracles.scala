@@ -2904,6 +2904,15 @@ FROM q""",
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)
+    // stream-txn exactly-once: the engine ingests orders as two batches
+    // with batch 0 REPLAYED; the txn id drops the duplicate, so the
+    // aggregate equals plain orders (a double-add would double the
+    // even-year rows)
+    "q189_stream_txn" ->
+      """SELECT year(o_orderdate) AS order_year, CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1""",
+
     "q183_tx_range_sql" ->
       """SELECT year(o_orderdate) AS order_year, CAST(count(*) AS BIGINT) AS n,
   round(sum(o_totalprice), 2) AS total, true AS pruned_ok

@@ -2784,6 +2784,36 @@ GROUP BY order_year""")
       daily, "user_id", "day", "close", lookback = 5, buckets = 5)
   }
 
+  /** X56 oracle row: EXACTLY-ONCE streaming append by stream txn id —
+    * the table ingests two "micro-batches" with batch 0 REPLAYED (the
+    * crash-recovery shape); the (appId, batchId) recorded in the commit
+    * log drops the duplicate, so the year aggregate matches the plain
+    * orders oracle. A double-add would double every even-year count.
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q189_txn")
+    try {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      val b0 = src.filter(col("order_year") % 2 === 0)
+      val b1 = src.filter(col("order_year") % 2 === 1)
+      val p = path.toString
+      TxParquetTable.append(b0, p, statsColumns = Seq("o_totalprice"),
+        txn = Some(("q189-ingest", 0L)))
+      // recovery replays batch 0: the log must drop it
+      TxParquetTable.append(b0, p, statsColumns = Seq("o_totalprice"),
+        txn = Some(("q189-ingest", 0L)))
+      TxParquetTable.append(b1, p, statsColumns = Seq("o_totalprice"),
+        txn = Some(("q189-ingest", 1L)))
+      val agg = TxParquetTable.snapshot(s, p)
+        .groupBy(col("order_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -2973,6 +3003,7 @@ GROUP BY order_year""")
     "q186_kalman_filter" -> (q186 _),
     "q187_pairs_screen" -> (q187 _),
     "q188_momentum_backtest" -> (q188 _),
+    "q189_stream_txn" -> (q189 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -84,16 +84,21 @@ object TxParquetTable {
   // Without it a single legacy commit would pin columnsComplete=false
   // forever, re-imposing the O(#live files) footer pass compact was
   // supposed to clear (r7 advice).
+  // `txn`: Delta-style stream transaction id (appId, version) — a
+  // writer that retries the same micro-batch carries the same pair, and
+  // append() / publish() drop the duplicate instead of double-adding
+  // its files. Folded into Snapshot.txns as max-version-per-app.
   private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String],
     buckets: Seq[Int], bucketCount: Option[Int], columns: Seq[String] = Seq.empty,
-    columnsReset: Boolean = false)
+    columnsReset: Boolean = false, txn: Option[(String, Long)] = None)
   // `columnsComplete`: every file-ADDING commit folded into this snapshot
   // carried a columns record. Only then may the schema guard trust the
   // log's column set — one legacy commit in the history could have added
   // files whose columns the log never saw, and trusting a stale union
   // would let a narrow upsert batch slip past the additive-only guard.
   private case class Snapshot(version: Long, live: Seq[AddFile], bucketCount: Option[Int],
-    columns: Seq[String] = Seq.empty, columnsComplete: Boolean = true)
+    columns: Seq[String] = Seq.empty, columnsComplete: Boolean = true,
+    txns: Map[String, Long] = Map.empty)
 
   // ---- log serialization (jackson tree API — bundled with Spark) ----
 
@@ -128,6 +133,10 @@ object TxParquetTable {
       c.columns.foreach(cols.add)
     }
     if (c.columnsReset) root.put("columnsReset", true)
+    c.txn.foreach { case (app, ver) =>
+      val t = root.putObject("txn")
+      t.put("app", app); t.put("ver", ver)
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -166,7 +175,8 @@ object TxParquetTable {
       (0 until bk.size()).map(bk.get(_).asInt()),
       Option(root.get("bucketCount")).map(_.asInt()),
       parseColumns(root),
-      Option(root.get("columnsReset")).exists(_.asBoolean()))
+      Option(root.get("columnsReset")).exists(_.asBoolean()),
+      Option(root.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())))
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -181,6 +191,11 @@ object TxParquetTable {
       val cols = root.putArray("columns")
       s.columns.foreach(cols.add)
     }
+    if (s.txns.nonEmpty) {
+      val t = root.putObject("txns")
+      // sorted for deterministic checkpoint bytes (see addArray)
+      s.txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -190,9 +205,15 @@ object TxParquetTable {
     val cols = parseColumns(root)
     // renderSnapshot omits columns unless the folded history was
     // complete, so live files + no columns record = legacy/incomplete
+    val txns = Option(root.get("txns")).map { t =>
+      val it = t.fields()
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asLong() }
+      m.toMap
+    }.getOrElse(Map.empty[String, Long])
     Snapshot(root.get("version").asLong(), live,
       Option(root.get("bucketCount")).map(_.asInt()),
-      cols, columnsComplete = cols.nonEmpty || live.isEmpty)
+      cols, columnsComplete = cols.nonEmpty || live.isEmpty, txns = txns)
   }
 
   // ---- log reading ----
@@ -241,6 +262,8 @@ object TxParquetTable {
     val columns = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.columns.foreach(columns += _)
     var complete = ckpt.columnsComplete
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    ckpt.txns.foreach { case (a, tv) => txns += a -> tv }
     commitFiles(path).filter { case (cv, _) => cv > ckpt.version && cv <= target }
       .foreach { case (cv, f) =>
         val c = parseCommit(read(f))
@@ -253,9 +276,12 @@ object TxParquetTable {
         if (c.columnsReset) { columns.clear(); complete = true }
         c.columns.foreach(columns += _)
         if (c.add.nonEmpty && c.columns.isEmpty) complete = false
+        c.txn.foreach { case (a, tv) =>
+          txns += a -> math.max(txns.getOrElse(a, Long.MinValue), tv)
+        }
         v = cv
       }
-    Snapshot(v, live.values.toSeq, bucketCount, columns.toSeq, complete)
+    Snapshot(v, live.values.toSeq, bucketCount, columns.toSeq, complete, txns.toMap)
   }
 
   /** The table's column set: from the LOG when every file-adding commit
@@ -540,12 +566,23 @@ object TxParquetTable {
       path: String, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int],
       readVersion: Long, bucketCount: Option[Int] = None,
       columns: Seq[String] = Seq.empty, columnsReset: Boolean = false,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, txn: Option[(String, Long)] = None): Long = {
     logDir(path).mkdirs()
     var attempt = 0
     while (attempt < maxRetries) {
       val cf = commitFiles(path)
       val interlopers = cf.filter(_._1 > readVersion).map { case (_, f) => parseCommit(read(f)) }
+      // a racing retry of the SAME stream batch may have landed after
+      // our read version: committing would double-add its files. The
+      // caller pre-checked txns <= readVersion against the snapshot, so
+      // interlopers close the window.
+      txn.foreach { case (app, ver) =>
+        interlopers.find(i => i.txn.exists(t => t._1 == app && t._2 >= ver))
+          .foreach { winner =>
+            add.foreach(f => new File(dataDir(path), f.name).delete())
+            return winner.version
+          }
+      }
       if (buckets.nonEmpty && interlopers.exists(i =>
           i.buckets.isEmpty || i.buckets.intersect(buckets).nonEmpty)) {
         add.foreach(f => new File(dataDir(path), f.name).delete())
@@ -558,7 +595,7 @@ object TxParquetTable {
       val tmp = Files.write(
         Paths.get(path, s".commit-${java.util.UUID.randomUUID()}.tmp"),
         renderCommit(Commit(next, add, remove, buckets, bucketCount, columns,
-          columnsReset)).getBytes(StandardCharsets.UTF_8))
+          columnsReset, txn)).getBytes(StandardCharsets.UTF_8))
       try {
         // createLink is the atomic CREATE-IF-ABSENT primitive: link(2)
         // fails if the target exists. (rename(2)/Files.move+ATOMIC_MOVE
@@ -623,14 +660,26 @@ object TxParquetTable {
   /** Atomic append — never conflicts. Returns the committed version.
     * `statsColumns`: record per-file min/max zone maps for these columns
     * in the log (consumed by [[snapshotRange]]'s file pruning).
+    * `txn`: Delta-style stream transaction id (appId, batchVersion) — an
+    * append carrying a (appId, ver) the log has already recorded at ≥ ver
+    * is a RETRY and becomes a no-op (returns the version where the
+    * original landed, or the current version when pre-checked), making
+    * foreachBatch appends exactly-once under Structured Streaming's
+    * batch-replay recovery. The pre-check reads the snapshot (log-only);
+    * the commit-time interloper check in publish() closes the race with
+    * a concurrent retry of the same batch.
     */
   def append(df: DataFrame, path: String,
-      statsColumns: Seq[String] = Seq.empty): Long = {
+      statsColumns: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val v = latestVersion(path)
     val snap = if (v < 0) Snapshot(-1L, Seq.empty, None) else state(path, Some(v))
+    txn.foreach { case (app, ver) =>
+      if (snap.txns.get(app).exists(_ >= ver)) return snap.version
+    }
     val cols = (tableColumns(df.sparkSession, path, snap) ++ df.columns).distinct
     publish(path, stage(df, path, None, statsColumns), Seq.empty, Seq.empty, v,
-      columns = cols)
+      columns = cols, txn = txn)
   }
 
   /** Compaction (the OPTIMIZE shape): rewrite the current snapshot into

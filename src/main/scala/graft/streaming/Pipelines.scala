@@ -215,6 +215,29 @@ object Pipelines {
     * conflict detection with bounded retry) and time travel. Use when
     * more than one pipeline lands in the same table.
     */
+  /** Streaming APPEND into a [[graft.sources.TxParquetTable]] — the
+    * lakehouse ingest mode for append-only series: every micro-batch
+    * lands as one atomic commit carrying zone-map stats for
+    * `statsColumns`, CDC-readable per increment (`changes(v, v')` ==
+    * the batch) and range-prunable (`snapshotRange`). EXACTLY-ONCE by
+    * stream transaction id: the commit records (appId, batchId), and a
+    * replayed batch after recovery is dropped by the log — the Delta
+    * `txn` action, not a hope that foreachBatch never retries. Pair
+    * with periodic `compact(clusterBy)` to fold the small per-batch
+    * files into a clustered layout.
+    */
+  def txAppendParquetSink(df: DataFrame, path: String, checkpoint: String,
+      appId: String, statsColumns: Seq[String] = Seq.empty)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.TxParquetTable.append(
+          batch, path, statsColumns, txn = Some((appId, batchId)))
+        ()
+      }
+
   def txUpsertParquetSink(df: DataFrame, path: String, checkpoint: String,
       idCol: String = "id", buckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

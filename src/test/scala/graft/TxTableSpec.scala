@@ -255,6 +255,76 @@ class TxTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream txn ids: a retried append is a no-op, progress and other apps still commit") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(
+      Seq((1L, "a")).toDF("id", "v"), path, txn = Some(("app1", 0L)))
+    // the retry of batch 0 (crash-recovery replay): dropped by the log
+    val vRetry = TxParquetTable.append(
+      Seq((1L, "a")).toDF("id", "v"), path, txn = Some(("app1", 0L)))
+    assert(vRetry === v0)
+    assert(TxParquetTable.snapshot(spark, path).count() === 1)
+    // a STALE batch id is also dropped (recorded max wins, not equality)
+    TxParquetTable.append(
+      Seq((9L, "stale")).toDF("id", "v"), path, txn = Some(("app1", -1L)))
+    assert(TxParquetTable.snapshot(spark, path).count() === 1)
+    // batch 1 commits; a different app's batch 0 commits too
+    TxParquetTable.append(Seq((2L, "b")).toDF("id", "v"), path, txn = Some(("app1", 1L)))
+    TxParquetTable.append(Seq((3L, "c")).toDF("id", "v"), path, txn = Some(("app2", 0L)))
+    assert(TxParquetTable.snapshot(spark, path).count() === 3)
+    // un-txn'd appends never dedupe
+    TxParquetTable.append(Seq((4L, "d")).toDF("id", "v"), path)
+    TxParquetTable.append(Seq((4L, "d")).toDF("id", "v"), path)
+    assert(TxParquetTable.snapshot(spark, path).count() === 5)
+  }
+
+  test("stream txn ids survive a log checkpoint") {
+    val path = freshPath()
+    // 12 txn'd appends -> versions 0..11, checkpoint at 10; the dedupe
+    // check on a replay of batch 3 must resolve THROUGH the checkpoint
+    (0 until 12).foreach { i =>
+      TxParquetTable.append(
+        Seq((i.toLong, s"b$i")).toDF("id", "v"), path, txn = Some(("app", i.toLong)))
+    }
+    assert(new java.io.File(path, "_graft_log").listFiles()
+      .exists(_.getName.endsWith(".ckpt.json")), "expected a checkpoint")
+    TxParquetTable.append(
+      Seq((3L, "b3")).toDF("id", "v"), path, txn = Some(("app", 3L)))
+    assert(TxParquetTable.snapshot(spark, path).count() === 12)
+  }
+
+  test("streaming tx append sink: batches are CDC increments with zone maps, txn-stamped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = freshPath()
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().select(col("_1").as("id"), col("_2").as("px"))
+    val q = graft.streaming.Pipelines.txAppendParquetSink(
+      stream, path, freshPath() + "/ckpt", appId = "ingest-1",
+      statsColumns = Seq("px")).start()
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      mem.addData((3L, 30.0))
+      q.processAllAvailable()
+      assert(TxParquetTable.latestVersion(path) === 1L)
+      assert(TxParquetTable.snapshot(spark, path).count() === 3)
+      // CDC: the second increment is exactly batch 1
+      val inc = TxParquetTable.changes(spark, path, 0L, 1L, "id")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("change_type")))
+      assert(inc.toSeq === Seq((3L, "insert")))
+      // zone maps recorded at write time: a band read prunes to one file
+      val band = TxParquetTable.snapshotRange(spark, path, "px", Some(25.0), None)
+      assert(band.collect().map(_.getAs[Long]("id")).toSeq === Seq(3L))
+      assert(band.inputFiles.length === 1)
+      // recovery replay of an already-committed batch: no-op by txn id
+      TxParquetTable.append(
+        Seq((3L, 30.0)).toDF("id", "px"), path,
+        statsColumns = Seq("px"), txn = Some(("ingest-1", 1L)))
+      assert(TxParquetTable.snapshot(spark, path).count() === 3)
+    } finally q.stop()
+  }
+
   test("log checkpointing: replay starts from the checkpoint, history stays readable") {
     val path = freshPath()
     // 13 upserts of the same key -> versions 0..12, checkpoints at 10
