@@ -2904,6 +2904,57 @@ FROM q""",
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)
+    // risk attribution: q187's daily close frame -> returns -> full
+    // pairwise covariance matrix, each entry quantized to pico-unit
+    // BIGINTs so row sums / the grand total are exact integers and
+    // var_p / mcr / risk_share are identical doubles with NO emission
+    // rounding
+    "q190_risk_contrib" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+    arg_max(cl, bucket_start) AS close
+  FROM cd GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, ret FROM (
+    SELECT event_type, day,
+      CASE WHEN lag(close) OVER (PARTITION BY event_type ORDER BY day) = 0 THEN NULL
+           ELSE close / lag(close) OVER (PARTITION BY event_type ORDER BY day) - 1.0
+      END AS ret
+    FROM d
+  ) WHERE ret IS NOT NULL
+), p AS (
+  SELECT a.event_type AS ki, b.event_type AS kj,
+    covar_samp(a.ret, b.ret) AS c
+  FROM r a JOIN r b ON a.day = b.day GROUP BY 1, 2
+), q AS (
+  SELECT ki, kj,
+    CAST(floor(c * CAST(1000000000000 AS DOUBLE) + 0.5) AS BIGINT) AS cp
+  FROM p
+), rs AS (
+  SELECT ki, CAST(sum(cp) AS BIGINT) AS rsum, CAST(count(*) AS BIGINT) AS nk
+  FROM q GROUP BY 1
+), t AS (
+  SELECT ki, rsum, nk, CAST(sum(rsum) OVER () AS BIGINT) AS tot FROM rs
+)
+SELECT ki AS event_type, nk AS n_keys,
+  (CAST(tot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+    / CAST(nk * nk AS DOUBLE) AS var_p,
+  CASE WHEN (CAST(tot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+         / CAST(nk * nk AS DOUBLE) > 0
+       THEN ((CAST(rsum AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+           / CAST(nk * nk AS DOUBLE))
+         / sqrt((CAST(tot AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+           / CAST(nk * nk AS DOUBLE))
+       ELSE NULL END AS mcr,
+  CASE WHEN tot <> 0
+       THEN CAST(rsum AS DOUBLE) / CAST(tot AS DOUBLE)
+       ELSE NULL END AS risk_share
+FROM t""",
+
     // stream-txn exactly-once: the engine ingests orders as two batches
     // with batch 0 REPLAYED; the txn id drops the duplicate, so the
     // aggregate equals plain orders (a double-add would double the

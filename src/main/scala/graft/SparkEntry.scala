@@ -2814,6 +2814,21 @@ GROUP BY order_year""")
     } finally deleteRecursively(path)
   }
 
+  /** RISK ATTRIBUTION: equal-weight portfolio variance over the
+    * event-type daily return matrix, with per-series marginal
+    * contribution and risk share (shares sum to 1). Covariance entries
+    * quantize to exact pico-unit BIGINTs so every downstream number is
+    * identical cross-engine with no emission rounding.
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val d = candles5m(s, dir)
+      .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd"))
+      .groupBy(col("key"), col("day"))
+      .agg(max_by(col("close"), col("bucket_start")).as("close"))
+    graft.analytics.Risk.riskContributions(d, "key", "day", "close")
+      .withColumnRenamed("key", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3004,6 +3019,7 @@ GROUP BY order_year""")
     "q187_pairs_screen" -> (q187 _),
     "q188_momentum_backtest" -> (q188 _),
     "q189_stream_txn" -> (q189 _),
+    "q190_risk_contrib" -> (q190 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

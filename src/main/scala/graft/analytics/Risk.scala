@@ -109,4 +109,71 @@ object Risk {
         when(minDd < 0.0, sr6(mu * py / -minDd + lit(0.0)))
           .otherwise(lit(null).cast("double")).as("calmar"))
   }
+
+  /** Equal-weight PORTFOLIO RISK DECOMPOSITION over a keyed
+    * period-close frame: the full return covariance matrix (pairwise,
+    * time-aligned), portfolio variance wᵀΣw, each series' MARGINAL
+    * contribution to risk (Σw)ᵢ/σₚ · wᵢ and its RISK SHARE — the
+    * numbers a risk report attributes portfolio volatility with (risk
+    * shares sum to 1). Emits one row per series: n_keys, var_p, mcr,
+    * risk_share.
+    *
+    * Determinism: each covariance entry quantizes to exact PICO-UNITS
+    * (×10¹² BIGINT) the moment it leaves the aggregate, so every
+    * row-sum and the grand total are order-free integer arithmetic and
+    * var_p / mcr / risk_share are computed from identical doubles in
+    * identical expression order — NO rounding at emission (the q188
+    * micro-unit idea, three more digits because return covariances sit
+    * at 1e-4 scale). Pairs with fewer than two common periods have a
+    * null covariance and contribute ZERO (both engines' sum skips
+    * nulls); a pair with no overlap at all contributes no row — the
+    * operator assumes a shared calendar, which the caller's period
+    * frame provides.
+    *
+    * Scale shape: the pair cross touches only the keys×periods close
+    * frame (the q187 discipline); the matrix, row sums, and the
+    * single-partition total all live on keys²-row frames — trivial
+    * beside the tick collapse the caller already did. Past thousands
+    * of keys, block the matrix (factor-model or sector blocks) before
+    * this screen.
+    */
+  def riskContributions(
+      df: DataFrame, keyCol: String, timeCol: String,
+      closeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val lagC = lag(col(closeCol), 1).over(w)
+    val rets = df
+      .withColumn("__r",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col(closeCol) / lagC - 1.0))
+      .filter(col("__r").isNotNull)
+      .select(col(keyCol), col(timeCol), col("__r"))
+    val a = rets.select(col(keyCol).as("__ki"), col(timeCol).as("__t"),
+      col("__r").as("__ri"))
+    val b = rets.select(col(keyCol).as("__kj"), col(timeCol).as("__t"),
+      col("__r").as("__rj"))
+    val cov = a.join(b, Seq("__t"))
+      .groupBy(col("__ki"), col("__kj"))
+      .agg(covar_samp(col("__ri"), col("__rj")).as("__c"))
+      .withColumn("__cp",
+        floor(col("__c") * lit(1.0e12) + lit(0.5d)).cast("long"))
+    val rows = cov.groupBy(col("__ki").as(keyCol))
+      .agg(sum(col("__cp")).as("__rs"), count(lit(1)).as("__nk"))
+    val wAll = Window.partitionBy()
+    val nkSq = (col("__nk") * col("__nk")).cast("double")
+    val varP = (col("__tot").cast("double") / lit(1.0e12)) / nkSq
+    rows
+      .withColumn("__tot", sum(col("__rs")).over(wAll))
+      .withColumn("n_keys", col("__nk"))
+      .withColumn("var_p", varP)
+      .withColumn("mcr",
+        when(varP > 0.0,
+          ((col("__rs").cast("double") / lit(1.0e12)) / nkSq) / sqrt(varP))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("risk_share",
+        when(col("__tot") =!= 0L,
+          col("__rs").cast("double") / col("__tot").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select(keyCol, "n_keys", "var_p", "mcr", "risk_share")
+  }
 }

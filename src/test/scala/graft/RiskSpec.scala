@@ -71,4 +71,53 @@ class RiskSpec extends SparkSpec {
     // return off the zero close is null, not infinite; drawdown guard too
     assert(z.getAs[Long]("n_rets") === 1L)
   }
+
+  test("riskContributions: shares sum to 1 and match the hand-built covariance matrix") {
+    // closes -> returns: A (0.10, -0.10, 0.10), B (0.05, 0.05, -0.05), C = 2x A's
+    val closes = Map(
+      "A" -> Seq(100.0, 110.0, 99.0, 108.9),
+      "B" -> Seq(100.0, 105.0, 110.25, 104.7375),
+      "C" -> Seq(50.0, 60.0, 48.0, 57.6))
+    val rows = closes.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.map { case (c, i) => (k, i.toLong, c) }
+    }
+    val out = Risk.riskContributions(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close")
+      .collect().map(r => r.getAs[String]("sym") -> r).toMap
+    assert(out.size === 3)
+    // hand covariance in the same pico-quantized arithmetic
+    val rets = closes.view.mapValues(cs =>
+      cs.sliding(2).map(p => p(1) / p(0) - 1.0).toSeq).toMap
+    def covS(a: Seq[Double], b: Seq[Double]) = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / (a.length - 1)
+    }
+    val keys = Seq("A", "B", "C")
+    val cp = for (i <- keys; j <- keys)
+      yield (i, j) -> math.floor(covS(rets(i), rets(j)) * 1e12 + 0.5).toLong
+    val m = cp.toMap
+    val tot = m.values.sum
+    val varP = (tot.toDouble / 1e12) / 9.0
+    keys.foreach { k =>
+      val rsum = keys.map(j => m((k, j))).sum
+      val r = out(k)
+      assert(r.getAs[Long]("n_keys") === 3L)
+      assert(r.getAs[Double]("var_p") === varP)
+      assert(r.getAs[Double]("risk_share") === rsum.toDouble / tot.toDouble)
+      assert(r.getAs[Double]("mcr") === ((rsum.toDouble / 1e12) / 9.0) / math.sqrt(varP))
+    }
+    assert(math.abs(keys.map(out(_).getAs[Double]("risk_share")).sum - 1.0) < 1e-12)
+  }
+
+  test("riskContributions: a flat universe yields zero variance and null attributions") {
+    val rows = for (k <- Seq("A", "B"); i <- 0 until 4) yield (k, i.toLong, 10.0)
+    val out = Risk.riskContributions(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("var_p") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("mcr")))
+      assert(r.isNullAt(r.fieldIndex("risk_share")))
+    }
+  }
 }
