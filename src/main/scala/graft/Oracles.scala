@@ -2904,6 +2904,69 @@ FROM q""",
     // graft_tx_range SQL surface: band aggregate is plain SQL over
     // orders; pruned_ok is structural (cluster-compacted layout must
     // scan a strict subset for the band)
+    // Newey-West: candle returns, five lag columns, every gamma_j
+    // expanded to pair sums; Bartlett weights are the same IEEE
+    // expression (1 - j/6) both engines; the lrv fold is left-assoc in
+    // the identical order; moment sums -> sr6 at emission
+    "q191_newey_west" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, bucket_start, ret FROM (
+    SELECT event_type, bucket_start,
+      CASE WHEN lag(cl) OVER (PARTITION BY event_type ORDER BY bucket_start) = 0 THEN NULL
+           ELSE cl / lag(cl) OVER (PARTITION BY event_type ORDER BY bucket_start) - 1.0
+      END AS ret
+    FROM cd
+  ) WHERE ret IS NOT NULL
+), lg AS (
+  SELECT event_type, ret,
+    lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2,
+    lag(ret, 3) OVER w AS l3, lag(ret, 4) OVER w AS l4,
+    lag(ret, 5) OVER w AS l5
+  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+), a AS (
+  SELECT event_type, CAST(count(ret) AS BIGINT) AS n, avg(ret) AS mu,
+    sum(ret * ret) AS sxx,
+    sum(ret * l1) AS sxy1, sum(CASE WHEN l1 IS NOT NULL THEN ret END) AS sx1,
+    sum(l1) AS sy1, CAST(count(l1) AS BIGINT) AS np1,
+    sum(ret * l2) AS sxy2, sum(CASE WHEN l2 IS NOT NULL THEN ret END) AS sx2,
+    sum(l2) AS sy2, CAST(count(l2) AS BIGINT) AS np2,
+    sum(ret * l3) AS sxy3, sum(CASE WHEN l3 IS NOT NULL THEN ret END) AS sx3,
+    sum(l3) AS sy3, CAST(count(l3) AS BIGINT) AS np3,
+    sum(ret * l4) AS sxy4, sum(CASE WHEN l4 IS NOT NULL THEN ret END) AS sx4,
+    sum(l4) AS sy4, CAST(count(l4) AS BIGINT) AS np4,
+    sum(ret * l5) AS sxy5, sum(CASE WHEN l5 IS NOT NULL THEN ret END) AS sx5,
+    sum(l5) AS sy5, CAST(count(l5) AS BIGINT) AS np5
+  FROM lg GROUP BY 1
+), m AS (
+  SELECT event_type, n, mu,
+    (sxx - CAST(n AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE) AS g0,
+    (sxy1 - mu * (sx1 + sy1) + CAST(np1 AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE) AS g1,
+    (sxy2 - mu * (sx2 + sy2) + CAST(np2 AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE) AS g2,
+    (sxy3 - mu * (sx3 + sy3) + CAST(np3 AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE) AS g3,
+    (sxy4 - mu * (sx4 + sy4) + CAST(np4 AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE) AS g4,
+    (sxy5 - mu * (sx5 + sy5) + CAST(np5 AS DOUBLE) * (mu * mu)) / CAST(n AS DOUBLE) AS g5
+  FROM a
+), v AS (
+  SELECT event_type, n, mu, g0,
+    g0 + 2.0 * (1.0 - 1.0 / 6.0) * g1 + 2.0 * (1.0 - 2.0 / 6.0) * g2
+       + 2.0 * (1.0 - 3.0 / 6.0) * g3 + 2.0 * (1.0 - 4.0 / 6.0) * g4
+       + 2.0 * (1.0 - 5.0 / 6.0) * g5 AS lrv
+  FROM m
+)
+SELECT event_type, n,
+  floor(mu * 1000000 + 0.5) / 1000000 + 0.0 AS mean,
+  CASE WHEN n <= 5 OR NOT (g0 > 0) THEN NULL
+       ELSE floor(mu / sqrt(g0 / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS t_iid,
+  CASE WHEN n <= 5 OR NOT (lrv > 0) THEN NULL
+       ELSE floor(mu / sqrt(lrv / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS t_nw
+FROM v""",
+
     // risk attribution: q187's daily close frame -> returns -> full
     // pairwise covariance matrix, each entry quantized to pico-unit
     // BIGINTs so row sums / the grand total are exact integers and

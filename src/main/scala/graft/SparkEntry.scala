@@ -2829,6 +2829,26 @@ GROUP BY order_year""")
       .withColumnRenamed("key", "event_type")
   }
 
+  /** Econometrics: NEWEY–WEST robust t of the mean 5-minute return per
+    * event type (Bartlett kernel, L=5) next to the iid t — the
+    * serial-correlation-priced significance read. One Window node
+    * carries all five lags, one hash aggregate collects every moment.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val cd = candles5m(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_start"))
+    val lagC = lag(col("close"), 1).over(w)
+    val rets = cd
+      .withColumn("__ret",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col("close") / lagC - 1.0))
+      .filter(col("__ret").isNotNull)
+    graft.analytics.Indicators.neweyWestTStat(
+      rets, "__ret", Seq("key"), Seq("bucket_start"), maxLag = 5)
+      .withColumnRenamed("key", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3020,6 +3040,7 @@ GROUP BY order_year""")
     "q188_momentum_backtest" -> (q188 _),
     "q189_stream_txn" -> (q189 _),
     "q190_risk_contrib" -> (q190 _),
+    "q191_newey_west" -> (q191 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

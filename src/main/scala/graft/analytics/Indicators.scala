@@ -676,4 +676,69 @@ object Indicators {
       d.withColumn(s"vr_$q", sr6(col(s"__vr_$q")))
     }.drop(((1 +: HurstLags).map(l => s"__v_$l") ++ HurstLags.map(q => s"__vr_$q")): _*)
   }
+
+  /** NEWEY–WEST autocorrelation-robust t-statistic of the series mean:
+    * is the average return distinguishable from zero once serial
+    * correlation is priced in? The long-run variance is
+    * γ₀ + 2·Σⱼ (1 − j/(L+1))·γⱼ (Bartlett kernel), with
+    * γⱼ = (1/n)·Σ_{t>j} (x_t − μ)(x_{t−j} − μ) over the aligned pairs
+    * and μ the FULL-sample mean (the standard estimator). Emits per
+    * series: n, the mean, the iid t (μ/√(γ₀/n)) and the NW t
+    * (μ/√(lrv/n)) — positive autocorrelation deflates t_nw below
+    * t_iid, the classic overlapping-returns correction.
+    *
+    * Each γⱼ expands to pair sums the one hash aggregate collects
+    * (Σx·xⱼ, Σx, Σxⱼ, count over the overlap): γⱼ =
+    * (sxyⱼ − μ·(sxⱼ + syⱼ) + nⱼ·μ²)/n. Bartlett weights are the same
+    * IEEE expression (1 − j/(L+1)) both engines. Null t when the
+    * variance side degenerates (constant series, n ≤ L, or a
+    * non-positive long-run variance — possible in sample, guarded).
+    * Moment sums accumulate in engine order → sr6 at emission.
+    *
+    * Scale shape: all L lag columns ride ONE Window node (one sort per
+    * series), then one hash aggregate — the q167/q168 plan shape.
+    */
+  def neweyWestTStat(
+      df: DataFrame, valueCol: String,
+      partition: Seq[String], order: Seq[String], maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    val lags = 1 to maxLag
+    val withLags = lags.foldLeft(df) { (d, l) =>
+      d.withColumn(s"__lag_$l", lag(col(valueCol), l).over(w))
+    }
+    val x = col(valueCol)
+    val pairAggs = lags.flatMap { l =>
+      val lg = col(s"__lag_$l")
+      Seq(
+        sum(x * lg).as(s"__sxy_$l"),
+        sum(when(lg.isNotNull, x)).as(s"__sx_$l"),
+        sum(when(x.isNotNull, lg)).as(s"__sy_$l"),
+        count(when(x.isNotNull, lg)).as(s"__np_$l"))
+    }
+    val aggs = Seq(
+      count(x).as("n"), avg(x).as("__mu"),
+      sum(x * x).as("__sxx")) ++ pairAggs
+    val g = withLags.groupBy(partition.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    val mu = col("__mu")
+    // gamma_0 = (sum x^2 - n mu^2) / n
+    val g0 = (col("__sxx") - n * (mu * mu)) / n
+    val gammas = lags.map { l =>
+      val sxy = col(s"__sxy_$l"); val sx = col(s"__sx_$l")
+      val sy = col(s"__sy_$l"); val np = col(s"__np_$l").cast("double")
+      l -> ((sxy - mu * (sx + sy) + np * (mu * mu)) / n)
+    }
+    val lrv = gammas.foldLeft(g0) { case (acc, (l, gl)) =>
+      acc + lit(2.0) * lit(1.0 - l.toDouble / (maxLag + 1).toDouble) * gl
+    }
+    g.select(
+      (partition.map(col) ++ Seq(
+        col("n"),
+        sr6(mu + lit(0.0)).as("mean"),
+        when(col("n") <= maxLag || !(g0 > 0.0), lit(null).cast("double"))
+          .otherwise(sr6(mu / sqrt(g0 / n) + lit(0.0))).as("t_iid"),
+        when(col("n") <= maxLag || !(lrv > 0.0), lit(null).cast("double"))
+          .otherwise(sr6(mu / sqrt(lrv / n) + lit(0.0))).as("t_nw"))): _*)
+  }
 }

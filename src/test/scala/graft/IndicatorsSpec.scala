@@ -415,4 +415,40 @@ class IndicatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r).toMap
     assert(c(3L).getAs[Double]("beta") === 2.0) // pairs (2,1) and (6,3) only
   }
+
+  test("neweyWestTStat matches the hand-rolled Bartlett long-run variance") {
+    val xs = Seq(0.03, -0.01, 0.02, 0.04, -0.02, 0.01, 0.03, -0.01, 0.02, 0.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) }
+      .toDF("sym", "seq", "r")
+    val maxLag = 3
+    val out = Indicators.neweyWestTStat(df, "r", Seq("sym"), Seq("seq"), maxLag)
+      .collect().head
+    val n = xs.length
+    val mu = xs.sum / n
+    def gamma(j: Int) =
+      (j until n).map(t => (xs(t) - mu) * (xs(t - j) - mu)).sum / n
+    val lrv = gamma(0) + (1 to maxLag)
+      .map(j => 2.0 * (1.0 - j.toDouble / (maxLag + 1)) * gamma(j)).sum
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(out.getAs[Long]("n") === n.toLong)
+    assert(math.abs(out.getAs[Double]("mean") - sr6(mu)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("t_iid") - sr6(mu / math.sqrt(gamma(0) / n))) < 1e-6)
+    assert(math.abs(out.getAs[Double]("t_nw") - sr6(mu / math.sqrt(lrv / n))) < 1e-6)
+    // positive autocorrelation must deflate the robust t below iid here?
+    // not asserted in general — sign depends on the sample ACF; the
+    // relationship IS pinned: lrv vs gamma0 ordering drives it
+    assert((out.getAs[Double]("t_nw") < out.getAs[Double]("t_iid")) === (lrv > gamma(0)))
+  }
+
+  test("neweyWestTStat guards: constant series and too-short series yield null t") {
+    val df = (Seq.fill(8)(0.5).zipWithIndex.map { case (v, i) => ("C", i.toLong, v) }
+      ++ Seq(0.1, 0.2, 0.3).zipWithIndex.map { case (v, i) => ("S", i.toLong, v) })
+      .toDF("sym", "seq", "r")
+    val out = Indicators.neweyWestTStat(df, "r", Seq("sym"), Seq("seq"), maxLag = 5)
+      .collect().map(r => r.getAs[String]("sym") -> r).toMap
+    val c = out("C") // constant: gamma0 = 0
+    assert(c.isNullAt(c.fieldIndex("t_iid")) && c.isNullAt(c.fieldIndex("t_nw")))
+    val s = out("S") // n = 3 <= maxLag
+    assert(s.isNullAt(s.fieldIndex("t_iid")) && s.isNullAt(s.fieldIndex("t_nw")))
+  }
 }
