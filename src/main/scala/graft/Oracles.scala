@@ -708,6 +708,26 @@ ${closureCtes("pairs", "doc_a", "doc_b")}, comp AS (
 )
 SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_members FROM comp""",
 
+    // dedup yield telemetry: q72's pair graph + closure -> cluster-size
+    // distribution; singletons (docs in no pair) appear as size 1;
+    // n_dropped = what keep-one-per-cluster would cut
+    "q192_dedup_yield" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+${closureCtes("pairs", "doc_a", "doc_b")}, comp AS (
+  SELECT id, min(lab) AS component FROM reach GROUP BY id
+), sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1
+), dist AS (
+  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+    CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters
+)
+SELECT cluster_size, n_clusters,
+  cluster_size * n_clusters AS n_docs,
+  (cluster_size - 1) * n_clusters AS n_dropped
+FROM dist""",
+
     // TF-IDF: df via count-over-term window on the (doc, term) frame,
     // idf rounded to 1e-6 before the tf multiply (both engines rank on
     // identical doubles), row_number is total (term unique per doc)

@@ -2849,6 +2849,33 @@ GROUP BY order_year""")
       .withColumnRenamed("key", "event_type")
   }
 
+  /** Curation TELEMETRY: near-dup cluster-size distribution + dedup
+    * YIELD — per cluster size: how many clusters, how many documents
+    * they hold, and how many a keep-one-per-cluster pass drops
+    * (singletons included as size 1). The report an operator reads
+    * before committing a dedup run; rides the q72 pair graph + CC.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Components
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val dist = comp.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = docs
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    dist.select(col("cluster_size"), col("n_clusters"))
+      .unionByName(singles)
+      .select(
+        col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3041,6 +3068,7 @@ GROUP BY order_year""")
     "q189_stream_txn" -> (q189 _),
     "q190_risk_contrib" -> (q190 _),
     "q191_newey_west" -> (q191 _),
+    "q192_dedup_yield" -> (q192 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
