@@ -68,7 +68,12 @@ object DumpPlans {
       "q167_autocorrelation" -> "ACF: four lag columns in ONE Window node over one series exchange, guarded covar/stddev components in a single hash agg (ANSI-safe Pearson)",
       "q169_cross_sectional_z" -> "cross-sectional z: two tiny per-day aggregates broadcast back, corpus shuffles once for the rank window",
       "q172_ks_drift" -> "KS drift: (key, value) hash agg to distincts, one per-key sort over distinct values, final per-key max aggregate — integer running counts",
-      "q175_research_capstone" -> "research capstone: median/fracdiff/label/uniqueness windows share ONE (user_id) exchange and sort; fold bounds broadcast-cross; (fold, label) summary is the only other shuffle")
+      "q175_research_capstone" -> "research capstone: median/fracdiff/label/uniqueness windows share ONE (user_id) exchange and sort; fold bounds broadcast-cross; (fold, label) summary is the only other shuffle",
+      "q185_tear_sheet" -> "tear sheet: tick stream collapses to the keys×days close frame in ONE hash agg; lag/running-max windows and the final moment aggregate ride that tiny frame",
+      "q187_pairs_screen" -> "pairs screen: pair cross touches only the tiny close frame (equi-join on the day), fit pass then spread pass; sr6-rounded beta/alpha make the spread arithmetic portable",
+      "q188_momentum_backtest" -> "momentum backtest: per-key windows share one (key) sort, ONE day re-partition for the ranking window, cumulative window on the |days|-row frame (single tiny partition by construction)",
+      "q190_risk_contrib" -> "risk decomposition: covariance matrix over the pair cross of the close frame; pico-unit BIGINT quantization makes row sums/total exact integers — matrix/row/total stages all keys²-row frames",
+      "q191_newey_west" -> "Newey-West: five lag columns in ONE Window node over one series exchange, 23 moment columns in a single hash agg, lrv/t as scalar projection")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")
