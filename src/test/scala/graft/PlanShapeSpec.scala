@@ -395,4 +395,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"nothing in this plan justifies a sort-merge join:\n$plan")
   }
+
+  test("q188 momentum backtest: per-key windows share one sort; cumulative window on the day frame only") {
+    val plan = planOf("q188_momentum_backtest")
+    // the whole chain owns exactly FOUR exchanges: (user, day) close
+    // frame agg, (user) window shuffle, (day) ranking re-partition, and
+    // the SinglePartition cumulative over the |days|-row frame — the
+    // last is safe precisely BECAUSE the frame is tiny by then
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(shuffles <= 4, s"backtest grew extra exchanges ($shuffles):\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
+      s"exactly one single-partition exchange (the day-frame cumulative):\n$plan")
+    // ret/mom/sig lag windows must ride the one (user, day) sort
+    val sorts = plan.linesIterator.count(_.trim.matches("\\*?\\(?\\d*\\)? ?\\+?-? ?Sort .*|Sort .*"))
+    assert(sorts <= 3, s"lag windows must share the series sort ($sorts):\n$plan")
+  }
+
+  test("q191 Newey-West: all five lags in one Window node, one hash aggregate") {
+    val opt = optimizedOf("q191_newey_west")
+    // structural: lag terms collapse into a single Window over the
+    // returns frame (plus the one computing the returns themselves)
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length <= 2, s"lag columns split across windows:\n$opt")
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.length <= 2, s"moments split across aggregates:\n$opt")
+    val plan = planOf("q191_newey_west")
+    assert(plan.contains("partial_sum") || plan.contains("partial_avg"),
+      s"moment sums should partial-aggregate map-side:\n$plan")
+  }
+
+  test("q190 risk decomposition: covariance cross stays on the close frame, no corpus re-shuffle") {
+    val plan = planOf("q190_risk_contrib")
+    // the pair cross joins the tiny close frame to itself on the day —
+    // whatever join Catalyst picks, the EVENTS scan must appear exactly
+    // twice (candle build is re-executed per side by design), and no
+    // exchange may carry raw event rows after the candle aggregate
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"pair cross must touch only the close frame ($scans scans):\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
+      s"exactly one single-partition exchange (the keys-row total):\n$plan")
+  }
 }
