@@ -3038,6 +3038,30 @@ SELECT ki AS event_type, nk AS n_keys,
        ELSE NULL END AS risk_share
 FROM t""",
 
+    // incremental moments: the engine merges base-snapshot state with a
+    // CDC-increment read and must reproduce the full recompute; the
+    // oracle IS the full recompute, in the engine's merge formula
+    // (n, s1, s2 sums -> mean, textbook vol) so only sum order differs
+    "q193_incremental_moments" ->
+      """WITH m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(floor(value * value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+)
+SELECT user_id, n,
+  floor(CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+    * 1000000 + 0.5) / 1000000 + 0.0 AS mean,
+  CASE WHEN n < 2 THEN NULL
+       ELSE floor(sqrt(
+           (CAST(s2 AS DOUBLE) / 1000000.0
+             - (CAST(s1 AS DOUBLE) / 1000000.0) * (CAST(s1 AS DOUBLE) / 1000000.0)
+               / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0))
+         * 1000000 + 0.5) / 1000000 + 0.0
+  END AS vol
+FROM m""",
+
     // stream-txn exactly-once: the engine ingests orders as two batches
     // with batch 0 REPLAYED; the txn id drops the duplicate, so the
     // aggregate equals plain orders (a double-add would double the

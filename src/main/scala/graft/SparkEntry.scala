@@ -2876,6 +2876,58 @@ GROUP BY order_year""")
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
   }
 
+  /** INCREMENTAL analytics maintenance (the 100 TB operating mode the
+    * X28 CDC read exists for): per-user moment state (n, Σx, Σx²) is
+    * computed once over the base snapshot, the SECOND ingest batch is
+    * read as a CDC increment ONLY, and the merged state reproduces the
+    * full-recompute mean/vol exactly — the oracle computes over all of
+    * events, the engine never re-reads the base rows after v0. At scale
+    * the base state is a persisted table and each increment merge costs
+    * O(increment + keys), never O(corpus).
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q193_inc")
+    try {
+      val p = path.toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id").as("id"), col("user_id"), col("value"),
+          col("ts"))
+      val b0 = ev.filter(date_format(col("ts"), "yyyy-MM-dd") < "2024-01-21")
+      val b1 = ev.filter(date_format(col("ts"), "yyyy-MM-dd") >= "2024-01-21")
+      val v0 = TxParquetTable.append(b0, p, txn = Some(("q193-ingest", 0L)))
+      val v1 = TxParquetTable.append(b1, p, txn = Some(("q193-ingest", 1L)))
+      // per-row micro-quantization (BIGINT) makes the state sums exact
+      // integers — merging order can never move a rounding boundary
+      // (the q188/q190 discipline; a raw double s1 hit exactly the
+      // .5-ulp floor boundary between engines at sf0.01)
+      def moments(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__n"),
+          sum(floor(col("value") * lit(1000000d) + lit(0.5d)).cast("long"))
+            .as("__s1"),
+          sum(floor(col("value") * col("value") * lit(1000000d) + lit(0.5d))
+            .cast("long")).as("__s2"))
+      val state0 = moments(TxParquetTable.snapshot(s, p, Some(v0)))
+      val inc = moments(TxParquetTable.changes(s, p, v0, v1, "id")
+        .filter(col("change_type") === "insert"))
+      val n = col("n").cast("double")
+      val s1d = col("s1").cast("double") / lit(1000000d)
+      val s2d = col("s2").cast("double") / lit(1000000d)
+      val merged = state0.unionByName(inc)
+        .groupBy(col("user_id"))
+        .agg(sum(col("__n")).as("n"), sum(col("__s1")).as("s1"),
+          sum(col("__s2")).as("s2"))
+        .select(
+          col("user_id"), col("n"),
+          sr6(s1d / n + lit(0.0)).as("mean"),
+          when(col("n") < 2, lit(null).cast("double"))
+            .otherwise(sr6(
+              sqrt((s2d - s1d * s1d / n) / (n - lit(1.0))) + lit(0.0)))
+            .as("vol"))
+      s.createDataFrame(java.util.Arrays.asList(merged.collect(): _*), merged.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3069,6 +3121,7 @@ GROUP BY order_year""")
     "q190_risk_contrib" -> (q190 _),
     "q191_newey_west" -> (q191 _),
     "q192_dedup_yield" -> (q192 _),
+    "q193_incremental_moments" -> (q193 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
