@@ -3038,6 +3038,49 @@ SELECT ki AS event_type, nk AS n_keys,
        ELSE NULL END AS risk_share
 FROM t""",
 
+    // leg turnover: q188's CTE chain through the bucket frame, top-leg
+    // membership, dense-ranked day index, consecutive-book self-join;
+    // all counts exact integers, one deterministic division
+    "q194_leg_turnover" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, day,
+    CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS ret,
+    CASE WHEN lag(close, 5) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close, 5) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS mom
+  FROM d
+), s AS (
+  SELECT user_id, day, ret,
+    lag(mom) OVER (PARTITION BY user_id ORDER BY day) AS sig
+  FROM r
+), b AS (
+  SELECT user_id, day,
+    ntile(5) OVER (PARTITION BY day ORDER BY sig DESC, user_id) AS bkt
+  FROM s WHERE sig IS NOT NULL AND ret IS NOT NULL
+), mem AS (
+  SELECT user_id, day FROM b WHERE bkt = 1
+), days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) AS BIGINT) AS idx
+  FROM (SELECT DISTINCT day FROM mem)
+), m AS (
+  SELECT mem.user_id, mem.day, days.idx FROM mem JOIN days ON mem.day = days.day
+), j AS (
+  SELECT m.day, m.idx,
+    CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS held
+  FROM m LEFT JOIN m p ON p.user_id = m.user_id AND p.idx = m.idx - 1
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_long,
+  CAST(sum(held) AS BIGINT) AS n_stay,
+  CASE WHEN idx = 1 THEN NULL
+       ELSE 1.0 - CAST(sum(held) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+  END AS churn
+FROM j GROUP BY day, idx""",
+
     // incremental moments: the engine merges base-snapshot state with a
     // CDC-increment read and must reproduce the full recompute; the
     // oracle IS the full recompute, in the engine's merge formula

@@ -2928,6 +2928,19 @@ GROUP BY order_year""")
     } finally deleteRecursively(path)
   }
 
+  /** BACKTEST OPS: long-leg membership turnover of the q188 momentum
+    * book — per day, how much of the leg is new (rebalancing cost).
+    * Exact integer counts; the one division is deterministic.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    graft.analytics.Backtest.legTurnover(
+      daily, "user_id", "day", "close", lookback = 5, buckets = 5, leg = 1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3122,6 +3135,7 @@ GROUP BY order_year""")
     "q191_newey_west" -> (q191 _),
     "q192_dedup_yield" -> (q192 _),
     "q193_incremental_moments" -> (q193 _),
+    "q194_leg_turnover" -> (q194 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -34,7 +34,14 @@ object Backtest {
     * cumulative window runs on the |periods|-row frame (single
     * partition, trivially small). Nothing touches raw ticks.
     */
-  def crossSectionalMomentum(
+  /** The signal/bucket frame [[crossSectionalMomentum]] trades on —
+    * exposed so membership diagnostics (turnover, leg overlap) read the
+    * SAME book the backtest held: per (key, period) the realized
+    * period return `__ret`, the lagged momentum signal `__sig`, and the
+    * `__b` ∈ [1, buckets] tile over the (signal desc, key) total order.
+    * Rows without a tradable signal or realized return are dropped.
+    */
+  def momentumBuckets(
       df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
       lookback: Int = 5, buckets: Int = 5): DataFrame = {
     require(lookback >= 1 && buckets >= 2,
@@ -54,8 +61,13 @@ object Backtest {
       .filter(col("__sig").isNotNull && col("__ret").isNotNull)
     val wD = Window.partitionBy(col(timeCol))
       .orderBy(col("__sig").desc, col(keyCol))
-    val perDay = base
-      .withColumn("__b", ntile(buckets).over(wD))
+    base.withColumn("__b", ntile(buckets).over(wD))
+  }
+
+  def crossSectionalMomentum(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      lookback: Int = 5, buckets: Int = 5): DataFrame = {
+    val perDay = momentumBuckets(df, keyCol, timeCol, closeCol, lookback, buckets)
       .groupBy(col(timeCol))
       .agg(
         count(lit(1)).as("n_universe"),
@@ -75,5 +87,41 @@ object Backtest {
       (col("__ls_micro").cast("double") / lit(1000000d)).as("ls_ret"),
       (sum(col("__ls_micro")).over(wT).cast("double") / lit(1000000d))
         .as("cum_ls"))
+  }
+
+  /** Membership TURNOVER of one leg of the [[momentumBuckets]] book:
+    * per period, how much of the leg is NEW — n_long, n_stay (members
+    * also held the previous period), churn = 1 − n_stay/n_long. The
+    * number that prices the strategy's rebalancing cost; churn is null
+    * on the first period (no prior book). All counts are exact
+    * integers; the one division is deterministic cross-engine.
+    *
+    * Scale shape: membership is a filter of the bucket frame; the
+    * period index is a dense_rank over the DISTINCT periods (a
+    * |periods|-row single-partition window — trivially small); the
+    * stay-join is an equi-join of consecutive books on (key, idx).
+    */
+  def legTurnover(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      lookback: Int = 5, buckets: Int = 5, leg: Int = 1): DataFrame = {
+    require(leg >= 1 && leg <= buckets, s"leg must be in [1, $buckets], got $leg")
+    val members = momentumBuckets(df, keyCol, timeCol, closeCol, lookback, buckets)
+      .filter(col("__b") === leg)
+      .select(col(keyCol), col(timeCol))
+    val days = members.select(col(timeCol)).distinct()
+      .withColumn("__idx", dense_rank().over(Window.orderBy(col(timeCol))))
+    val m = members.join(days, Seq(timeCol))
+    val prev = m.select(col(keyCol), (col("__idx") + 1).as("__idx"),
+      lit(1L).as("__held"))
+    m.join(prev, Seq(keyCol, "__idx"), "left")
+      .groupBy(col(timeCol), col("__idx"))
+      .agg(count(lit(1)).as("n_long"), sum(col("__held")).as("__stay"))
+      .select(
+        col(timeCol),
+        col("n_long"),
+        coalesce(col("__stay"), lit(0L)).as("n_stay"),
+        when(col("__idx") === 1, lit(null).cast("double"))
+          .otherwise(lit(1.0) - coalesce(col("__stay"), lit(0L)).cast("double")
+            / col("n_long").cast("double")).as("churn"))
   }
 }

@@ -50,4 +50,28 @@ class BacktestSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("cum_ls"))) // no non-null spread yet
     }
   }
+
+  test("legTurnover: a stable book has zero churn; a flip shows up as full turnover") {
+    // days 0-2: A,B lead; from day 3 C,D's momentum takes over (signal
+    // lags one day, so the book flips on day 4's signal = day 3's mom)
+    def px(g1: Double, g2: Double, flipAt: Int)(d: Int): Double =
+      100.0 * math.pow(g1, math.min(d, flipAt)) * math.pow(g2, math.max(0, d - flipAt))
+    val series = Map(
+      "A" -> px(1.10, 0.90, 3) _, "B" -> px(1.05, 0.95, 3) _,
+      "C" -> px(0.95, 1.05, 3) _, "D" -> px(0.90, 1.10, 3) _)
+    val rows = for ((k, f) <- series.toSeq; d <- 0 until 7)
+      yield (k, f"2024-01-${d + 1}%02d", f(d))
+    val out = graft.analytics.Backtest.legTurnover(
+      rows.toDF("sym", "day", "close"), "sym", "day", "close",
+      lookback = 1, buckets = 2, leg = 1)
+      .collect().sortBy(_.getAs[String]("day"))
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("n_long"),
+        r.getAs[Long]("n_stay"), Option(r.get(r.fieldIndex("churn")))))
+    // first emitted day: churn null (no prior book)
+    assert(out.head._4.isEmpty && out.head._2 === 2L)
+    // stable stretch: same members, churn 0; the flip day: churn 1
+    val churns = out.tail.map(_._4.get.asInstanceOf[Double])
+    assert(churns.contains(1.0), s"expected a full-turnover day: $out")
+    assert(churns.count(_ == 0.0) >= 2, s"expected stable days: $out")
+  }
 }
