@@ -3038,6 +3038,59 @@ SELECT ki AS event_type, nk AS n_keys,
        ELSE NULL END AS risk_share
 FROM t""",
 
+    // risk parity: vol rounds before inversion, 1/vol quantizes to
+    // micro-unit BIGINTs (order-free normalizing sum -> identical
+    // weight ratios); realized portfolio vol over complete days only,
+    // engine-order aggregates -> sr6 at emission
+    "q195_risk_parity" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+    arg_max(cl, bucket_start) AS close
+  FROM cd GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, ret FROM (
+    SELECT event_type, day,
+      CASE WHEN lag(close) OVER (PARTITION BY event_type ORDER BY day) = 0 THEN NULL
+           ELSE close / lag(close) OVER (PARTITION BY event_type ORDER BY day) - 1.0
+      END AS ret
+    FROM d
+  ) WHERE ret IS NOT NULL
+), v AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rets, stddev_samp(ret) AS sd
+  FROM r GROUP BY 1
+), v2 AS (
+  SELECT event_type, n_rets,
+    CASE WHEN n_rets < 2 OR isnan(sd) OR sd <= 0 THEN NULL
+         ELSE floor(sd * 1000000 + 0.5) / 1000000 + 0.0 END AS vol
+  FROM v
+), v3 AS (
+  SELECT event_type, n_rets, vol,
+    CASE WHEN vol IS NOT NULL
+         THEN CAST(floor(1.0 / vol * 1000000 + 0.5) AS BIGINT) END AS im
+  FROM v2
+), wts AS (
+  SELECT event_type, n_rets, vol,
+    CASE WHEN im IS NOT NULL
+         THEN CAST(im AS DOUBLE) / CAST(CAST(sum(im) OVER () AS BIGINT) AS DOUBLE)
+    END AS weight
+  FROM v3
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS nbook FROM wts WHERE weight IS NOT NULL
+), pr AS (
+  SELECT r.day, sum(w.weight * r.ret) AS pr, CAST(count(*) AS BIGINT) AS np
+  FROM r JOIN wts w ON r.event_type = w.event_type AND w.weight IS NOT NULL
+  GROUP BY 1
+), pv AS (
+  SELECT floor(stddev_samp(pr) * 1000000 + 0.5) / 1000000 + 0.0 AS port_vol
+  FROM pr, nb WHERE np = nbook
+)
+SELECT w.event_type, w.n_rets, w.vol, w.weight, pv.port_vol
+FROM wts w CROSS JOIN pv""",
+
     // leg turnover: q188's CTE chain through the bucket frame, top-leg
     // membership, dense-ranked day index, consecutive-book self-join;
     // all counts exact integers, one deterministic division

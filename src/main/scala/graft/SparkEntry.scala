@@ -2941,6 +2941,21 @@ GROUP BY order_year""")
       daily, "user_id", "day", "close", lookback = 5, buckets = 5, leg = 1)
   }
 
+  /** PORTFOLIO CONSTRUCTION: inverse-volatility (naive risk parity)
+    * weights over the event-type daily return frame + the realized
+    * portfolio vol on complete days — the risk-balanced benchmark book
+    * beside q190's equal-weight decomposition. Weights are exact
+    * micro-unit ratios; only the realized-vol aggregates round.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val d = candles5m(s, dir)
+      .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd"))
+      .groupBy(col("key"), col("day"))
+      .agg(max_by(col("close"), col("bucket_start")).as("close"))
+    graft.analytics.Risk.riskParity(d, "key", "day", "close")
+      .withColumnRenamed("key", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3136,6 +3151,7 @@ GROUP BY order_year""")
     "q192_dedup_yield" -> (q192 _),
     "q193_incremental_moments" -> (q193 _),
     "q194_leg_turnover" -> (q194 _),
+    "q195_risk_parity" -> (q195 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

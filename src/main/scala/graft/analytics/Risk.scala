@@ -110,6 +110,71 @@ object Risk {
           .otherwise(lit(null).cast("double")).as("calmar"))
   }
 
+  /** INVERSE-VOLATILITY (naive risk parity) portfolio construction
+    * over a keyed period-close frame: per series the return volatility,
+    * the weight wᵢ ∝ 1/σᵢ, and the resulting portfolio's realized
+    * volatility — the simplest risk-balanced book and the standard
+    * benchmark against equal weight. Emits one row per series: n_rets,
+    * vol, weight, port_vol (the portfolio column repeats per row).
+    *
+    * Determinism: σᵢ rounds (sr6) BEFORE inversion; 1/σᵢ then
+    * quantizes to exact MICRO-UNIT BIGINTs, so the normalizing sum is
+    * order-free integer arithmetic and every weight is the identical
+    * double ratio in both engines. The realized portfolio volatility
+    * is var over the per-period weighted sums on COMPLETE periods only
+    * (periods where every series has a return — a partial period would
+    * make the book's weights lie); those aggregates accumulate in
+    * engine order → sr6 at emission. Zero/degenerate σ (constant
+    * series) excludes the series from the book: its weight is null and
+    * the remaining weights renormalize by construction.
+    *
+    * Scale shape: everything rides the keys×periods close frame — one
+    * per-key window for returns, one keys-row vol aggregate, one
+    * broadcast of the (tiny) weight table back onto the return frame,
+    * one per-period sum. Nothing touches raw ticks.
+    */
+  def riskParity(
+      df: DataFrame, keyCol: String, timeCol: String,
+      closeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val lagC = lag(col(closeCol), 1).over(w)
+    val rets = df
+      .withColumn("__r",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col(closeCol) / lagC - 1.0))
+      .filter(col("__r").isNotNull)
+      .select(col(keyCol), col(timeCol), col("__r"))
+    val vols = rets.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rets"), stddev_samp(col("__r")).as("__sd"))
+      .withColumn("vol",
+        when(col("n_rets") < 2 || col("__sd").isNaN || col("__sd") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(sr6(col("__sd") + lit(0.0))))
+      .withColumn("__inv_micro",
+        when(col("vol").isNotNull,
+          floor(lit(1.0) / col("vol") * lit(1000000d) + lit(0.5d)).cast("long")))
+    val wAll = Window.partitionBy()
+    val weighted = vols
+      .withColumn("__tot_inv", sum(col("__inv_micro")).over(wAll))
+      .withColumn("weight",
+        when(col("__inv_micro").isNotNull,
+          col("__inv_micro").cast("double") / col("__tot_inv").cast("double")))
+    val nBook = weighted.filter(col("weight").isNotNull)
+      .select(count(lit(1)).as("__n_book"))
+    val port = rets
+      .join(broadcast(weighted.select(col(keyCol), col("weight")))
+        .filter(col("weight").isNotNull), Seq(keyCol))
+      .groupBy(col(timeCol))
+      .agg(sum(col("weight") * col("__r")).as("__pr"),
+        count(lit(1)).as("__np"))
+      .crossJoin(broadcast(nBook))
+      .filter(col("__np") === col("__n_book"))
+      .agg(stddev_samp(col("__pr")).as("__psd"))
+      .select(sr6(col("__psd") + lit(0.0)).as("port_vol"))
+    weighted.crossJoin(broadcast(port))
+      .select(keyCol, "n_rets", "vol", "weight", "port_vol")
+  }
+
   /** Equal-weight PORTFOLIO RISK DECOMPOSITION over a keyed
     * period-close frame: the full return covariance matrix (pairwise,
     * time-aligned), portfolio variance wᵀΣw, each series' MARGINAL

@@ -109,6 +109,38 @@ class RiskSpec extends SparkSpec {
     assert(math.abs(keys.map(out(_).getAs[Double]("risk_share")).sum - 1.0) < 1e-12)
   }
 
+  test("riskParity: weights are inverse-vol micro-unit ratios; a constant series sits out") {
+    // A alternates +-10% (high vol), B +-5% (half), C constant (no book)
+    def mk(k: String, up: Double): Seq[(String, Long, Double)] = {
+      var px = 100.0
+      (0L until 9L).map { i =>
+        val r = if (i == 0) (k, i, px)
+        else { px = if (i % 2 == 1) px * (1 + up) else px * (1 - up); (k, i, px) }
+        r
+      }
+    }
+    val rows = mk("A", 0.10) ++ mk("B", 0.05) ++ (0L until 9L).map(i => ("C", i, 50.0))
+    val out = Risk.riskParity(rows.toDF("sym", "t", "close"), "sym", "t", "close")
+      .collect().map(r => r.getAs[String]("sym") -> r).toMap
+    val c = out("C")
+    assert(c.isNullAt(c.fieldIndex("vol")) && c.isNullAt(c.fieldIndex("weight")))
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def volOf(up: Double): Double = {
+      val rets = (1 until 9).map(i => if (i % 2 == 1) up else -up)
+      val mu = rets.sum / rets.length
+      sr6(math.sqrt(rets.map(r => (r - mu) * (r - mu)).sum / (rets.length - 1)))
+    }
+    val (va, vb) = (volOf(0.10), volOf(0.05))
+    val (ia, ib) = (math.floor(1.0 / va * 1e6 + 0.5).toLong, math.floor(1.0 / vb * 1e6 + 0.5).toLong)
+    assert(out("A").getAs[Double]("vol") === va)
+    assert(out("A").getAs[Double]("weight") === ia.toDouble / (ia + ib).toDouble)
+    assert(out("B").getAs[Double]("weight") === ib.toDouble / (ia + ib).toDouble)
+    // lower vol -> bigger weight; weights of the book sum to 1
+    assert(out("B").getAs[Double]("weight") > out("A").getAs[Double]("weight"))
+    assert(math.abs(out("A").getAs[Double]("weight") + out("B").getAs[Double]("weight") - 1.0) < 1e-12)
+    assert(out("A").getAs[Double]("port_vol") > 0.0)
+  }
+
   test("riskContributions: a flat universe yields zero variance and null attributions") {
     val rows = for (k <- Seq("A", "B"); i <- 0 until 4) yield (k, i.toLong, 10.0)
     val out = Risk.riskContributions(
