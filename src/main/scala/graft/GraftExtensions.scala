@@ -152,6 +152,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tx_range"),
       new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx_range"),
       GraftExtensions.graftTxRangeBuilder))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_tx_history"),
+      new ExpressionInfo(graft.sources.TxParquetTable.getClass.getName, "graft_tx_history"),
+      GraftExtensions.graftTxHistoryBuilder))
   }
 }
 
@@ -306,5 +311,26 @@ object GraftExtensions {
     graft.sources.TxParquetTable
       .snapshotRange(org.apache.spark.sql.SparkSession.active, path, column, lo, hi, version)
       .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `graft_tx_history(path)` — the commit
+    * log as a SQL relation (DESCRIBE HISTORY): version, files
+    * added/removed, compaction flag, stream transaction id. Log-only —
+    * no data file is opened.
+    */
+  private[graft] val graftTxHistoryBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+    def strArg(e: Expression, name: String): String = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_tx_history: $name must be a string literal, got: $other")
+    }
+    args match {
+      case Seq(p) =>
+        graft.sources.TxParquetTable
+          .history(org.apache.spark.sql.SparkSession.active, strArg(p, "path"))
+          .queryExecution.analyzed
+      case _ => throw new IllegalArgumentException("graft_tx_history(path)")
+    }
   }
 }

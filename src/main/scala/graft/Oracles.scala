@@ -3162,6 +3162,24 @@ FROM m""",
     // with batch 0 REPLAYED; the txn id drops the duplicate, so the
     // aggregate equals plain orders (a double-add would double the
     // even-year rows)
+    // tx history: three deterministic single-file appends -> the log
+    // relation is fully pinned (versions, file counts, txn ids), and
+    // each version's row count is data-derived from orders
+    "q196_tx_history_sql" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+ev AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE year(o_orderdate) % 2 = 0),
+hi AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_totalprice >= 300000)
+SELECT CAST(0 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_added,
+  CAST(0 AS BIGINT) AS n_removed, false AS is_compact,
+  'q196-ingest' AS txn_app, CAST(0 AS BIGINT) AS txn_ver, ev.n AS n_rows
+FROM ev
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), false,
+  'q196-ingest', CAST(1 AS BIGINT), a.n FROM a
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), false,
+  'q196-ingest', CAST(2 AS BIGINT), a.n + hi.n FROM a, hi""",
+
     "q189_stream_txn" ->
       """SELECT year(o_orderdate) AS order_year, CAST(count(*) AS BIGINT) AS n,
   round(sum(o_totalprice), 2) AS total

@@ -2956,6 +2956,43 @@ GROUP BY order_year""")
       .withColumnRenamed("key", "event_type")
   }
 
+  /** X63 oracle row: `graft_tx_history` — the commit log as a SQL
+    * relation (DESCRIBE HISTORY). Three single-file txn-stamped appends
+    * give a fully determined history; each version's row count joins in
+    * from time travel, so the oracle pins log metadata AND content.
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tx_history"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        TxParquetTable.getClass.getName, "graft_tx_history"),
+      GraftExtensions.graftTxHistoryBuilder)
+    val path = java.nio.file.Files.createTempDirectory("q196_hist")
+    try {
+      val p = path.toString
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      TxParquetTable.append(src.filter(col("order_year") % 2 === 0).repartition(1),
+        p, txn = Some(("q196-ingest", 0L)))
+      TxParquetTable.append(src.filter(col("order_year") % 2 === 1).repartition(1),
+        p, txn = Some(("q196-ingest", 1L)))
+      TxParquetTable.append(src.filter(col("o_totalprice") >= 300000.0).repartition(1),
+        p, txn = Some(("q196-ingest", 2L)))
+      val esc = p.replace("'", "''")
+      val hist = s.sql(s"SELECT * FROM graft_tx_history('$esc')")
+      import s.implicits._
+      val counts = (0L to 2L).map(v =>
+        (v, TxParquetTable.snapshot(s, p, Some(v)).count()))
+        .toDF("version", "n_rows")
+      val out = hist.join(counts, Seq("version"))
+        .select(col("version"), col("n_added"), col("n_removed"),
+          col("is_compact"), col("txn_app"), col("txn_ver"), col("n_rows"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3152,6 +3189,7 @@ GROUP BY order_year""")
     "q193_incremental_moments" -> (q193 _),
     "q194_leg_turnover" -> (q194 _),
     "q195_risk_parity" -> (q195 _),
+    "q196_tx_history_sql" -> (q196 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -614,6 +614,34 @@ object TxParquetTable {
     throw new IllegalStateException(s"gave up publishing after $maxRetries races at $path")
   }
 
+  /** DESCRIBE-HISTORY surface: one row per commit, straight from the
+    * log — version, files added/removed, whether the commit was a
+    * compaction baseline, and the stream transaction id if the commit
+    * carried one. LOG-ONLY: no data file is opened, so the call is
+    * O(#commits) driver work at any table size (the same budget every
+    * snapshot resolution already pays). SQL twin: `graft_tx_history`.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows: Seq[Row] = commitFiles(path).map { case (_, f) =>
+      val c = parseCommit(read(f))
+      Row(c.version, c.add.length.toLong, c.remove.length.toLong,
+        c.columnsReset, c.txn.map(_._1).orNull,
+        c.txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_added", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false),
+      StructField("is_compact", BooleanType, nullable = false),
+      StructField("txn_app", StringType, nullable = true),
+      StructField("txn_ver", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Default vacuum retention: 7 days, the Delta-paper default. */
   val defaultRetentionMs: Long = 7L * 24 * 3600 * 1000
 

@@ -325,6 +325,27 @@ class TxTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("history: one log-derived row per commit with compaction and txn metadata") {
+    val path = freshPath()
+    TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1),
+      path, txn = Some(("app", 0L)))
+    TxParquetTable.upsert(Seq((1L, "A2")).toDF("id", "v"), path, "id")
+    TxParquetTable.compact(spark, path, "id", targetFiles = 1)
+    val h = TxParquetTable.history(spark, path)
+      .collect().map(r => r.getAs[Long]("version") -> r).toMap
+    assert(h.keySet === Set(0L, 1L, 2L))
+    val v0 = h(0L)
+    assert(v0.getAs[Long]("n_added") === 1L && v0.getAs[Long]("n_removed") === 0L)
+    assert(!v0.getAs[Boolean]("is_compact"))
+    assert(v0.getAs[String]("txn_app") === "app" && v0.getAs[Long]("txn_ver") === 0L)
+    val v1 = h(1L) // upsert rewrites the bucket holding id 1: adds and removes
+    assert(v1.getAs[Long]("n_added") >= 1L && v1.getAs[Long]("n_removed") >= 1L)
+    assert(v1.isNullAt(v1.fieldIndex("txn_app")))
+    val v2 = h(2L)
+    assert(v2.getAs[Boolean]("is_compact"))
+    assert(v2.getAs[Long]("n_removed") >= 1L)
+  }
+
   test("log checkpointing: replay starts from the checkpoint, history stays readable") {
     val path = freshPath()
     // 13 upserts of the same key -> versions 0..12, checkpoints at 10
