@@ -917,6 +917,16 @@ GROUP BY event_type""",
 FROM documents
 GROUP BY sha256(text)""",
 
+    // canonicalized dedup: the SAME normalize chain (lower -> strip
+    // non-alphanumerics -> collapse whitespace -> trim) then sha256;
+    // DuckDB regexp_replace needs the 'g' flag Spark implies
+    "q197_canon_dedup" ->
+      """SELECT sha256(trim(regexp_replace(
+    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+    AS canon_hash,
+  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1""",
+
     "q22_near_dup_pairs" -> q22MinhashSql,
 
     "q23_token_stats" ->
@@ -3037,6 +3047,31 @@ SELECT ki AS event_type, nk AS n_keys,
        THEN CAST(rsum AS DOUBLE) / CAST(tot AS DOUBLE)
        ELSE NULL END AS risk_share
 FROM t""",
+
+    // participation curve: candle volumes, day-window share, (key,
+    // slot) mean/sd of the share; engine-order aggregates -> sr6
+    "q198_participation_curve" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    sum(value) AS volume
+  FROM events GROUP BY 1, 2
+), sh AS (
+  SELECT event_type,
+    strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+    strftime(bucket_start, '%H:%M') AS slot,
+    CASE WHEN sum(volume) OVER (PARTITION BY event_type,
+           date_trunc('day', bucket_start)) = 0 THEN NULL
+         ELSE volume / sum(volume) OVER (PARTITION BY event_type,
+           date_trunc('day', bucket_start))
+    END AS share
+  FROM cd
+)
+SELECT event_type, slot, CAST(count(share) AS BIGINT) AS n_days,
+  floor(avg(share) * 1000000 + 0.5) / 1000000 + 0.0 AS mean_share,
+  CASE WHEN count(share) < 2 THEN NULL
+       ELSE floor(stddev_samp(share) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS sd_share
+FROM sh GROUP BY 1, 2""",
 
     // risk parity: vol rounds before inversion, 1/vol quantizes to
     // micro-unit BIGINTs (order-free normalizing sum -> identical

@@ -2993,6 +2993,47 @@ GROUP BY order_year""")
     } finally deleteRecursively(path)
   }
 
+  /** X1+ canonicalized exact dedup (the C4 normalization stage): hash
+    * AFTER lowercase → strip non-alphanumerics → collapse whitespace,
+    * so trivially-reformatted copies (case, punctuation, spacing)
+    * collapse to one group that q21's byte-exact hash misses. Same
+    * map-only groupBy shape as q21; ASCII-conservative classes keep
+    * the regex semantics identical cross-engine.
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    t(s, dir, "documents")
+      .groupBy(sha2(canon, 256).as("canon_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** EXECUTION scheduling: intraday VOLUME PARTICIPATION curve — per
+    * (event type, 5-minute time-of-day slot) the mean and dispersion of
+    * that slot's share of the day's volume, the weights a VWAP/POV
+    * execution schedule follows. One day-partitioned window on the
+    * candle frame + one (key, slot) aggregate; nothing touches ticks
+    * after the candle collapse.
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val cd = candles5m(s, dir)
+      .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd"))
+      .withColumn("slot", date_format(col("bucket_start"), "HH:mm"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("day"))
+    val shares = cd
+      .withColumn("__dv", sum(col("volume")).over(wD))
+      .withColumn("__share",
+        when(col("__dv") === 0.0, lit(null).cast("double"))
+          .otherwise(col("volume") / col("__dv")))
+    shares.groupBy(col("key").as("event_type"), col("slot"))
+      .agg(
+        count(col("__share")).as("n_days"),
+        sr6(avg(col("__share")) + lit(0.0)).as("mean_share"),
+        when(count(col("__share")) < 2, lit(null).cast("double"))
+          .otherwise(sr6(stddev_samp(col("__share")) + lit(0.0))).as("sd_share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3190,6 +3231,8 @@ GROUP BY order_year""")
     "q194_leg_turnover" -> (q194 _),
     "q195_risk_parity" -> (q195 _),
     "q196_tx_history_sql" -> (q196 _),
+    "q197_canon_dedup" -> (q197 _),
+    "q198_participation_curve" -> (q198 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
