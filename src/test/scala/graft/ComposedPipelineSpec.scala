@@ -19,6 +19,48 @@ import graft.streaming.Pipelines
 class ComposedPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("wire trades -> streaming APPEND sink: txn-stamped history, zone-map band read, replay-proof") {
+    import graft.sources.TxParquetTable
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_composed_app_").toString
+    val sink = s"$dir/table"
+    def trade(sym: String, tMillis: Long, p: Double) =
+      s"""{"c":[],"p":$p,"s":"$sym","t":$tMillis,"v":5}"""
+    val base = 1731680000000L
+    val mem = MemoryStream[String]
+    val stream = Pipelines.tradesFromJson(mem.toDF())
+    val q = Pipelines.txAppendParquetSink(
+      stream, sink, s"$dir/ck", appId = "trades-ingest",
+      statsColumns = Seq("last_price")).start()
+    try {
+      mem.addData(trade("AAPL", base, 10.0), trade("MSFT", base + 1000, 20.0))
+      q.processAllAvailable()
+      mem.addData(trade("AAPL", base + 2000, 30.0))
+      q.processAllAvailable()
+      // one atomic commit per micro-batch, each carrying the stream txn
+      val hist = TxParquetTable.history(spark, sink)
+        .collect().map(r => r.getAs[Long]("version") -> r).toMap
+      assert(hist.keySet === Set(0L, 1L))
+      assert(hist.values.forall(_.getAs[String]("txn_app") === "trades-ingest"))
+      assert(hist(0L).getAs[Long]("txn_ver") === 0L)
+      assert(hist(1L).getAs[Long]("txn_ver") === 1L)
+      // zone maps recorded at write time: the band read prunes batch 0's file
+      val band = TxParquetTable.snapshotRange(
+        spark, sink, "last_price", Some(25.0), None)
+      assert(band.collect().map(_.getAs[Float]("last_price")).toSeq === Seq(30.0f))
+      assert(band.inputFiles.length <
+        TxParquetTable.snapshot(spark, sink).inputFiles.length)
+      // crash-recovery replay of batch 1: dropped by the txn id
+      val replay = spark.read.parquet(
+        TxParquetTable.snapshot(spark, sink).inputFiles.head)
+        .limit(0) // schema-only frame is enough: append short-circuits first
+      TxParquetTable.append(replay, sink, statsColumns = Seq("last_price"),
+        txn = Some(("trades-ingest", 1L)))
+      assert(TxParquetTable.latestVersion(sink) === 1L)
+      assert(TxParquetTable.snapshot(spark, sink).count() === 3L)
+    } finally q.stop()
+  }
+
   private def bar(ticker: String, dt: String, vol: Int, close: Double = 1.5): String =
     s"""{"Datetime":"$dt","Open":1.0,"High":2.0,"Low":0.5,"Close":$close,"Adj Close":$close,"Volume":$vol,"Dividends":0.0,"Stock Splits":0.0,"ticker":"$ticker"}"""
 
