@@ -3126,6 +3126,62 @@ FROM sh GROUP BY 1, 2""",
 SELECT w.event_type, w.n_rets, w.vol, w.weight, pv.port_vol
 FROM wts w CROSS JOIN pv""",
 
+    // risk-report capstone: q185's tear-sheet moments + q181's VaR/ES
+    // (over daily-close 1-step moves) + full-sample beta to the
+    // cross-sectional mean, all on ONE daily close frame
+    "q199_risk_report" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT user_id, day, close,
+    CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS ret,
+    CASE WHEN max(close) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 THEN NULL
+         ELSE close / max(close) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
+    END AS dd,
+    close - lag(close) OVER (PARTITION BY user_id ORDER BY day) AS mv
+  FROM d
+), tear AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
+    CASE WHEN count(ret) < 2 THEN NULL
+         ELSE floor(stddev_samp(ret) * sqrt(252.0) * 1000000 + 0.5) / 1000000 + 0.0
+    END AS ann_vol,
+    CASE WHEN count(ret) < 2 OR stddev_samp(ret) = 0 THEN NULL
+         ELSE floor(avg(ret) * 252.0 / (stddev_samp(ret) * sqrt(252.0))
+           * 1000000 + 0.5) / 1000000 + 0.0
+    END AS sharpe,
+    floor(min(dd) * 1000000 + 0.5) / 1000000 + 0.0 AS max_drawdown
+  FROM e GROUP BY 1
+), mvd AS (
+  SELECT user_id, mv FROM e WHERE mv IS NOT NULL
+), vq AS (
+  SELECT user_id, quantile_cont(mv, 0.05) AS va FROM mvd GROUP BY 1
+), varx AS (
+  SELECT mvd.user_id,
+    floor((max(va) + 0.0) * 1000000 + 0.5) / 1000000 AS var_5,
+    floor((avg(CASE WHEN mv <= va THEN mv END) + 0.0) * 1000000 + 0.5) / 1000000
+      AS es_5
+  FROM mvd JOIN vq ON mvd.user_id = vq.user_id GROUP BY 1
+), r AS (
+  SELECT user_id, day, ret FROM e WHERE ret IS NOT NULL
+), mkt AS (
+  SELECT day, avg(ret) AS m FROM r GROUP BY 1
+), beta AS (
+  SELECT r.user_id,
+    CASE WHEN var_samp(mkt.m) IS NULL OR var_samp(mkt.m) = 0 THEN NULL
+         ELSE floor(covar_samp(r.ret, mkt.m) / var_samp(mkt.m)
+           * 1000000 + 0.5) / 1000000 + 0.0 END AS beta
+  FROM r JOIN mkt ON r.day = mkt.day GROUP BY 1
+)
+SELECT t.user_id, t.n_periods, t.ann_vol, t.sharpe, t.max_drawdown,
+  v.var_5, v.es_5, b.beta
+FROM tear t JOIN varx v ON t.user_id = v.user_id
+JOIN beta b ON t.user_id = b.user_id""",
+
     // leg turnover: q188's CTE chain through the bucket frame, top-leg
     // membership, dense-ranked day index, consecutive-book self-join;
     // all counts exact integers, one deterministic division

@@ -3034,6 +3034,45 @@ GROUP BY order_year""")
           .otherwise(sr6(stddev_samp(col("__share")) + lit(0.0))).as("sd_share"))
   }
 
+  /** RISK-REPORT capstone (the X26/X43 composition pattern, risk side):
+    * the morning sheet a risk desk opens — per user series, tear-sheet
+    * vol/Sharpe/drawdown (q185's operator), historical VaR/ES on the
+    * 1-step moves (q181's operator), and full-sample beta to the
+    * cross-sectional mean return — three individually-verified stages
+    * joined on the SAME daily close frame as ONE query with one CTE
+    * oracle. All stage frames are keys-sized after the day collapse.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    val tear = graft.analytics.Risk.performanceSummary(
+      daily, "close", Seq("user_id"), Seq("day"))
+      .select(col("user_id"), col("n_periods"), col("ann_vol"),
+        col("sharpe"), col("max_drawdown"))
+    val varEs = graft.analytics.Risk.historicalVaR(
+      daily, "close", Seq("user_id"), Seq("day"), alpha = 0.05)
+      .select(col("user_id"), col("var_a").as("var_5"), col("es_a").as("es_5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val lagC = lag(col("close"), 1).over(w)
+    val rets = daily
+      .withColumn("__r",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col("close") / lagC - 1.0))
+      .filter(col("__r").isNotNull)
+    val mkt = rets.groupBy(col("day")).agg(avg(col("__r")).as("__mkt"))
+    val beta = rets.join(broadcast(mkt), Seq("day"))
+      .groupBy(col("user_id"))
+      .agg(covar_samp(col("__r"), col("__mkt")).as("__c"),
+        var_samp(col("__mkt")).as("__v"))
+      .select(col("user_id"),
+        when(col("__v").isNull || col("__v") === 0.0, lit(null).cast("double"))
+          .otherwise(sr6(col("__c") / col("__v") + lit(0.0))).as("beta"))
+    tear.join(varEs, Seq("user_id")).join(beta, Seq("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3233,6 +3272,7 @@ GROUP BY order_year""")
     "q196_tx_history_sql" -> (q196 _),
     "q197_canon_dedup" -> (q197 _),
     "q198_participation_curve" -> (q198 _),
+    "q199_risk_report" -> (q199 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
