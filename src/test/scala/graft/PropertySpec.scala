@@ -256,4 +256,30 @@ class PropertySpec extends SparkSpec {
       assert(all0 === Set("train") && all1 === Set("test"), s"seed=$seed")
     }
   }
+
+  test("tear sheet is scale-invariant: c * closes leaves returns-derived numbers unchanged") {
+    import graft.analytics.Risk
+    for (seed <- 1L to 5L) {
+      val rows = sample(80, seed).map { case (seq, key, v, _) =>
+        (key, seq, 100.0 + math.abs(v)) // positive closes
+      }.distinct
+      val base = Risk.performanceSummary(
+        rows.toDF("sym", "t", "close"), "close", Seq("sym"), Seq("t"))
+        .collect().map(r => r.getAs[String]("sym") -> r).toMap
+      val scaled = Risk.performanceSummary(
+        rows.map { case (k, t, c) => (k, t, c * 4.0) } // 4.0: exact scaling
+          .toDF("sym", "t", "close"), "close", Seq("sym"), Seq("t"))
+        .collect().map(r => r.getAs[String]("sym") -> r).toMap
+      base.keySet.foreach { k =>
+        val (b, s) = (base(k), scaled(k))
+        // returns, drawdowns and every ratio built from them are
+        // homogeneous of degree zero in the price level
+        Seq("ann_ret", "ann_vol", "sharpe", "sortino", "max_drawdown", "calmar")
+          .foreach { c =>
+            assert(b.get(b.fieldIndex(c)) === s.get(s.fieldIndex(c)),
+              s"seed=$seed sym=$k col=$c not scale-invariant")
+          }
+      }
+    }
+  }
 }

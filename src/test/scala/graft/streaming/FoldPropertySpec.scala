@@ -139,4 +139,27 @@ class FoldPropertySpec extends AnyFunSuite {
       assert(closed.map(_.bar).distinct.size === closed.size, s"seed=$seed")
     }
   }
+
+  test("kalmanFold: chopped fold reproduces the whole-series trajectory bit-exactly, any chops") {
+    for (seed <- 1L to 200L) {
+      val ticks = sample(seriesGen, seed)
+      val (wholeState, wholePts) = StatefulOps.kalmanFold(None, ticks, 1.0, 10.0)
+      val batches = chops(ticks, seed + 7000)
+      var st: Option[StatefulOps.KalmanState] = None
+      val pts = List.newBuilder[(TickerTick, Double, Double, Long)]
+      batches.foreach { b =>
+        val (s2, out) = StatefulOps.kalmanFold(st, b, 1.0, 10.0)
+        st = s2
+        pts ++= out
+      }
+      // bit-exact: the recurrence is pure IEEE arithmetic in fixed order
+      assert(st === wholeState, s"seed=$seed state diverged")
+      assert(pts.result() === wholePts, s"seed=$seed trajectory diverged")
+      // gain is a deterministic, price-independent sequence converging
+      // to the steady state: strictly decreasing after the seed row
+      val gains = wholePts.map(_._3)
+      if (gains.length > 2)
+        assert(gains.tail.sliding(2).forall(w => w(1) <= w(0)), s"seed=$seed gain not decaying")
+    }
+  }
 }
