@@ -962,6 +962,65 @@ WHERE vec_id <> 0
 ORDER BY score DESC, vec_id
 LIMIT 10""",
 
+    // hybrid retrieval: q127's BM25 leg (k=50) + q24's cosine leg
+    // (k=50), fused by reciprocal rank — ranks are exact integers both
+    // sides so the rrf double is identical with no rounding; a missing
+    // leg contributes 0 via the same coalesce both engines
+    "q200_hybrid_retrieval" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    list_filter(toks, t -> t IN ('dup', 'key', 'window', 'join', 'batch')) AS qt
+  FROM tk
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    floor(avg(dl) * 1000000 + 0.5) / 1000000 AS avgdl
+  FROM d
+), tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(qt) AS t FROM d)
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT doc_id, dl, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+), sc AS (
+  SELECT doc_id,
+    floor(ln(1e0 + (n - df + 0.5e0) / (df + 0.5e0)) * 1000000 + 0.5) / 1000000 AS idf,
+    floor(tf * 2.2e0 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) * 1000000 + 0.5) / 1000000 AS tfn
+  FROM w CROSS JOIN stats
+), perdoc AS (
+  SELECT doc_id,
+    CAST(sum(CAST(floor(idf * tfn * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS sm
+  FROM sc GROUP BY 1
+), bm AS (
+  SELECT doc_id AS id,
+    CAST(row_number() OVER (ORDER BY sm DESC, doc_id) AS BIGINT) AS rb
+  FROM (SELECT * FROM perdoc ORDER BY sm DESC, doc_id LIMIT 50)
+), qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT vec_id AS id, round(dp / (na * nb), 6) AS score
+  FROM (
+    SELECT e.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE))) AS dp,
+      sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+    FROM embeddings e, qv
+  ) WHERE vec_id <> 0
+), cr AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rc
+  FROM (SELECT * FROM cs ORDER BY score DESC, id LIMIT 50)
+), fused AS (
+  SELECT COALESCE(bm.id, cr.id) AS id, bm.rb, cr.rc,
+    coalesce(1.0 / (60.0 + CAST(bm.rb AS DOUBLE)), 0.0)
+      + coalesce(1.0 / (60.0 + CAST(cr.rc AS DOUBLE)), 0.0) AS rrf
+  FROM bm FULL OUTER JOIN cr ON bm.id = cr.id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
+  id, rb AS bm25_rank, rc AS cos_rank, rrf
+FROM (SELECT * FROM fused ORDER BY rrf DESC, id LIMIT 10)""",
+
     "q25_fingerprint" ->
       """SELECT doc_id,
   list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> md5(substr(text, i, 8)))) AS fingerprint,

@@ -3073,6 +3073,46 @@ GROUP BY order_year""")
     tear.join(varEs, Seq("user_id")).join(beta, Seq("user_id"))
   }
 
+  /** X67: HYBRID retrieval — BM25 lexical candidates (q127's leg) and
+    * embedding-cosine candidates (q24's leg, doc_id == vec_id) fused by
+    * RECIPROCAL RANK FUSION: rrf = Σ 1/(60 + rank), a missing leg
+    * contributing 0 — the standard lexical+dense fusion for retrieval /
+    * hard-negative mining. Ranks are exact integers in both legs (BM25
+    * long-micros totals; cosine rounded-6 with id tie-breaks), so the
+    * fused score is the identical double cross-engine with no rounding.
+    * Each leg keeps its own top-50; fusion touches only those 100 rows.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Similarity
+    val bm = graft.llmops.Retrieval.bm25TopDocs(
+      t(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = 50)
+      .select(col("doc_id").as("id"), col("rank").as("__rb"))
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cs").desc, col("id"))
+    val cos = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        round(Similarity.dot(Similarity.asDouble(col("embedding")), col("qv")) /
+          (Similarity.norm(Similarity.asDouble(col("embedding"))) * Similarity.norm(col("qv"))), 6)
+          .as("__cs"))
+      .filter(col("id") =!= 0)
+      .orderBy(col("__cs").desc, col("id")).limit(50)
+      .withColumn("__rc", row_number().over(wCos).cast("long"))
+      .select(col("id"), col("__rc"))
+    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("__rb").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("__rc").cast("double")), lit(0.0))
+    val fused = bm.join(cos, Seq("id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("id")).limit(10)
+    fused.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf").desc, col("id"))).cast("long").as("rank"),
+      col("id"), col("__rb").as("bm25_rank"), col("__rc").as("cos_rank"),
+      col("rrf"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3273,6 +3313,7 @@ GROUP BY order_year""")
     "q197_canon_dedup" -> (q197 _),
     "q198_participation_curve" -> (q198 _),
     "q199_risk_report" -> (q199 _),
+    "q200_hybrid_retrieval" -> (q200 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
