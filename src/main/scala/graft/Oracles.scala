@@ -3132,6 +3132,83 @@ SELECT event_type, slot, CAST(count(share) AS BIGINT) AS n_days,
   END AS sd_share
 FROM sh GROUP BY 1, 2""",
 
+    // lead-lag CCF: q187's pair frame on RETURNS, all shifts per pair,
+    // guarded covar/stddev Pearson restricted to aligned pairs (q167's
+    // ANSI disposition), sr6 at emission
+    "q201_lead_lag" ->
+      """WITH cd AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+    arg_max(value, event_id) AS cl
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, strftime(date_trunc('day', bucket_start), '%Y-%m-%d') AS day,
+    arg_max(cl, bucket_start) AS close
+  FROM cd GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, ret FROM (
+    SELECT event_type, day,
+      CASE WHEN lag(close) OVER (PARTITION BY event_type ORDER BY day) = 0 THEN NULL
+           ELSE close / lag(close) OVER (PARTITION BY event_type ORDER BY day) - 1.0
+      END AS ret
+    FROM d
+  ) WHERE ret IS NOT NULL
+), p AS (
+  SELECT a.event_type AS k1, b.event_type AS k2, a.day AS t,
+    a.ret AS x, b.ret AS y
+  FROM r a JOIN r b ON a.day = b.day AND a.event_type < b.event_type
+), sh AS (
+  SELECT k1, k2, x,
+    y AS s_0,
+    lag(y, 3) OVER w AS s_m3, lag(y, 1) OVER w AS s_m1,
+    lead(y, 1) OVER w AS s_p1, lead(y, 3) OVER w AS s_p3
+  FROM p WINDOW w AS (PARTITION BY k1, k2 ORDER BY t)
+), g AS (
+  SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_periods,
+    covar_samp(x, s_0) AS c_0,
+    stddev_samp(CASE WHEN s_0 IS NOT NULL THEN x END) AS sx_0,
+    stddev_samp(CASE WHEN x IS NOT NULL THEN s_0 END) AS sy_0,
+    covar_samp(x, s_m3) AS c_m3,
+    stddev_samp(CASE WHEN s_m3 IS NOT NULL THEN x END) AS sx_m3,
+    stddev_samp(CASE WHEN x IS NOT NULL THEN s_m3 END) AS sy_m3,
+    covar_samp(x, s_m1) AS c_m1,
+    stddev_samp(CASE WHEN s_m1 IS NOT NULL THEN x END) AS sx_m1,
+    stddev_samp(CASE WHEN x IS NOT NULL THEN s_m1 END) AS sy_m1,
+    covar_samp(x, s_p1) AS c_p1,
+    stddev_samp(CASE WHEN s_p1 IS NOT NULL THEN x END) AS sx_p1,
+    stddev_samp(CASE WHEN x IS NOT NULL THEN s_p1 END) AS sy_p1,
+    covar_samp(x, s_p3) AS c_p3,
+    stddev_samp(CASE WHEN s_p3 IS NOT NULL THEN x END) AS sx_p3,
+    stddev_samp(CASE WHEN x IS NOT NULL THEN s_p3 END) AS sy_p3
+  FROM sh GROUP BY 1, 2
+)
+SELECT k1, k2, n_periods,
+  CASE WHEN sx_0 IS NULL OR isnan(sx_0) OR sx_0 = 0
+         OR sy_0 IS NULL OR isnan(sy_0) OR sy_0 = 0
+         OR c_0 IS NULL OR isnan(c_0) THEN NULL
+       ELSE floor(c_0 / (sx_0 * sy_0) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS ccf_0,
+  CASE WHEN sx_m3 IS NULL OR isnan(sx_m3) OR sx_m3 = 0
+         OR sy_m3 IS NULL OR isnan(sy_m3) OR sy_m3 = 0
+         OR c_m3 IS NULL OR isnan(c_m3) THEN NULL
+       ELSE floor(c_m3 / (sx_m3 * sy_m3) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS ccf_m3,
+  CASE WHEN sx_m1 IS NULL OR isnan(sx_m1) OR sx_m1 = 0
+         OR sy_m1 IS NULL OR isnan(sy_m1) OR sy_m1 = 0
+         OR c_m1 IS NULL OR isnan(c_m1) THEN NULL
+       ELSE floor(c_m1 / (sx_m1 * sy_m1) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS ccf_m1,
+  CASE WHEN sx_p1 IS NULL OR isnan(sx_p1) OR sx_p1 = 0
+         OR sy_p1 IS NULL OR isnan(sy_p1) OR sy_p1 = 0
+         OR c_p1 IS NULL OR isnan(c_p1) THEN NULL
+       ELSE floor(c_p1 / (sx_p1 * sy_p1) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS ccf_p1,
+  CASE WHEN sx_p3 IS NULL OR isnan(sx_p3) OR sx_p3 = 0
+         OR sy_p3 IS NULL OR isnan(sy_p3) OR sy_p3 = 0
+         OR c_p3 IS NULL OR isnan(c_p3) THEN NULL
+       ELSE floor(c_p3 / (sx_p3 * sy_p3) * 1000000 + 0.5) / 1000000 + 0.0
+  END AS ccf_p3
+FROM g""",
+
     // risk parity: vol rounds before inversion, 1/vol quantizes to
     // micro-unit BIGINTs (order-free normalizing sum -> identical
     // weight ratios); realized portfolio vol over complete days only,

@@ -3113,6 +3113,20 @@ GROUP BY order_year""")
       col("rrf"))
   }
 
+  /** PAIRS diagnostic: LEAD-LAG cross-correlation of daily returns at
+    * lags ±1 and ±3 for every event-type pair — who moves first. One
+    * pair cross of the tiny return frame; every shift in ONE Window
+    * node (the q167 wide convention).
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val d = candles5m(s, dir)
+      .withColumn("day", date_format(col("bucket_start"), "yyyy-MM-dd"))
+      .groupBy(col("key"), col("day"))
+      .agg(max_by(col("close"), col("bucket_start")).as("close"))
+    graft.analytics.Pairs.leadLagCorrelation(
+      d, "key", "day", "close", lags = Seq(-3, -1, 1, 3))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3314,6 +3328,7 @@ GROUP BY order_year""")
     "q198_participation_curve" -> (q198 _),
     "q199_risk_report" -> (q199 _),
     "q200_hybrid_retrieval" -> (q200 _),
+    "q201_lead_lag" -> (q201 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

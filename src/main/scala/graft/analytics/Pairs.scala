@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,5 +81,69 @@ object Pairs {
         when(col("__rho") > 0.0 && col("__rho") < 1.0,
           sr6(lit(-math.log(2.0)) / log(col("__rho")) + lit(0.0)))
           .otherwise(lit(null).cast("double")).as("half_life"))
+  }
+
+  /** LEAD-LAG cross-correlation screen: for every unordered key pair,
+    * the Pearson correlation of (x_t, y_{t+ℓ}) RETURNS at each lag ℓ —
+    * who moves first. A peak at ℓ > 0 means the FIRST key leads (its
+    * move today correlates with the second's move ℓ periods later);
+    * ℓ < 0 the reverse; ℓ = 0 is plain contemporaneous correlation.
+    * Output is wide: one row per pair, `ccf_m⟨ℓ⟩`/`ccf_0`/`ccf_p⟨ℓ⟩`
+    * columns (the q167 wide-ACF convention).
+    *
+    * Pearson is built from guarded covar/stddev components restricted
+    * to the aligned pairs (ANSI corr throws on a constant side —
+    * q167's disposition); moment sums accumulate in engine order →
+    * sr6 at emission. Null when the overlap has < 2 rows or either
+    * side is constant over it.
+    *
+    * Scale shape: returns per key (one window), ONE pair cross of the
+    * tiny return frame (the q187 discipline), every lead/lag column in
+    * ONE Window node over the pair frame, one hash aggregate.
+    */
+  def leadLagCorrelation(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ != 0), s"lags must be non-zero: $lags")
+    val wK = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val lagC = lag(col(closeCol), 1).over(wK)
+    val rets = df
+      .withColumn("__r",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col(closeCol) / lagC - 1.0))
+      .filter(col("__r").isNotNull)
+    val a = rets.select(col(keyCol).as("k1"), col(timeCol).as("__t"),
+      col("__r").as("__x"))
+    val b = rets.select(col(keyCol).as("k2"), col(timeCol).as("__t"),
+      col("__r").as("__y"))
+    val pairs = a.join(b, Seq("__t")).filter(col("k1") < col("k2"))
+    val wP = Window.partitionBy(col("k1"), col("k2")).orderBy(col("__t"))
+    def tag(l: Int): String = if (l < 0) s"m${-l}" else if (l == 0) "0" else s"p$l"
+    val allLags = 0 +: lags
+    val withShifts = allLags.foldLeft(pairs) { (d, l) =>
+      val shifted = if (l > 0) lead(col("__y"), l).over(wP)
+        else if (l < 0) lag(col("__y"), -l).over(wP)
+        else col("__y")
+      d.withColumn(s"__s_${tag(l)}", shifted)
+    }
+    val x = col("__x")
+    val compAggs = allLags.flatMap { l =>
+      val sc = col(s"__s_${tag(l)}")
+      Seq(
+        covar_samp(x, sc).as(s"__c_${tag(l)}"),
+        stddev_samp(when(sc.isNotNull, x)).as(s"__sx_${tag(l)}"),
+        stddev_samp(when(x.isNotNull, sc)).as(s"__sy_${tag(l)}"))
+    }
+    val aggs = count(lit(1)).as("n_periods") +: compAggs
+    val g = withShifts.groupBy(col("k1"), col("k2")).agg(aggs.head, aggs.tail: _*)
+    def bad(c: Column): Column = c.isNull || c.isNaN || c === 0.0
+    allLags.foldLeft(g) { (d, l) =>
+      val c = col(s"__c_${tag(l)}")
+      val sx = col(s"__sx_${tag(l)}"); val sy = col(s"__sy_${tag(l)}")
+      d.withColumn(s"ccf_${tag(l)}",
+        when(bad(sx) || bad(sy) || c.isNull || c.isNaN, lit(null).cast("double"))
+          .otherwise(sr6(c / (sx * sy) + lit(0.0))))
+    }.drop(allLags.flatMap(l =>
+      Seq(s"__c_${tag(l)}", s"__sx_${tag(l)}", s"__sy_${tag(l)}")): _*)
   }
 }

@@ -69,4 +69,28 @@ class PairsSpec extends SparkSpec {
     assert(cd.isNullAt(cd.fieldIndex("rho")))
     assert(cd.isNullAt(cd.fieldIndex("half_life")))
   }
+
+  test("leadLagCorrelation: a one-period echo peaks at exactly that lead") {
+    // B's return today = A's return yesterday -> A LEADS B by one
+    // period: corr(x_t, y_{t+1}) = 1, and contemporaneous corr is just
+    // the sample autocorrelation of the return path (not 1)
+    val rA = Seq(0.05, -0.03, 0.08, -0.01, 0.04, -0.06, 0.02, 0.07, -0.04, 0.03)
+    def closes(rets: Seq[Double]): Seq[Double] =
+      rets.scanLeft(100.0)((p, r) => p * (1 + r))
+    val cA = closes(rA)                       // returns r_1..r_10
+    val cB = closes(0.0 +: rA.init)           // B echoes A one period late
+    val rows = cA.zipWithIndex.map { case (c, i) => ("A", i.toLong, c) } ++
+      cB.zipWithIndex.map { case (c, i) => ("B", i.toLong, c) }
+    val out = Pairs.leadLagCorrelation(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close", lags = Seq(-1, 1))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("k1") === "A" && r.getAs[String]("k2") === "B")
+    assert(math.abs(r.getAs[Double]("ccf_p1") - 1.0) < 1e-6,
+      s"echo lead not detected: $r")
+    // the echo direction is asymmetric: y_{t-1} vs x_t is NOT the peak
+    assert(r.getAs[Double]("ccf_m1") < 0.99)
+    assert(r.getAs[Double]("ccf_0") < 0.99)
+  }
 }
