@@ -2869,6 +2869,38 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
        ELSE NULL END AS calmar
 FROM e GROUP BY user_id""",
 
+    // running OHLC twin: final snapshot per key — argmin/argmax by
+    // event time (ts unique per user, the q154 disposition), float32
+    // prices
+    "q202_running_ohlc" ->
+      """SELECT CAST(user_id AS VARCHAR) AS ticker,
+  arg_min(CAST(value AS REAL), ts) AS open,
+  max(CAST(value AS REAL)) AS high,
+  min(CAST(value AS REAL)) AS low,
+  arg_max(CAST(value AS REAL), ts) AS close,
+  CAST(sum(event_id % 1000) AS BIGINT) AS volume,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1""",
+
+    // running Wilder EMA twin: alpha = 0.25 exactly dyadic, the
+    // recursive CTE replays alpha*z + (1-alpha)*e on bit-identical
+    // doubles — no rounding (q186's discipline)
+    "q203_running_ema" ->
+      """WITH RECURSIVE s AS (
+  SELECT user_id, CAST(CAST(value AS REAL) AS DOUBLE) AS z,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, rn, z AS e FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, 0.25 * s.z + 0.75 * r.e AS e
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+), lastn AS (
+  SELECT user_id, CAST(max(rn) AS BIGINT) AS n FROM s GROUP BY 1
+)
+SELECT CAST(r.user_id AS VARCHAR) AS ticker, r.e AS ema, l.n AS n
+FROM rec r JOIN lastn l ON r.user_id = l.user_id AND r.rn = l.n""",
+
     // local-level Kalman: the recursive CTE replays the engine's exact
     // recurrence (pPred = p+q; k = pPred/(pPred+r); x' = x+k(z−x);
     // p' = (1−k)pPred) on bit-identical doubles — fixed IEEE op order,

@@ -3127,6 +3127,37 @@ GROUP BY order_year""")
       d, "key", "day", "close", lags = Seq(-3, -1, 1, 3))
   }
 
+  /** T-suite oracle row: the running-OHLC stateful twin's final
+    * snapshot per key — open/close by event-time argmin/argmax, sum
+    * volume, count (StatefulSpec pins the streaming form equal to this
+    * batch twin; this row puts the twin itself under the DuckDB gate,
+    * the q154/q184/q186 closing pattern).
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"),
+        (col("event_id") % 1000).cast("int").as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.runningOhlcBatch(s, ticks).toDF()
+  }
+
+  /** T-suite oracle row: the running Wilder-EMA twin (α=0.25, exact
+    * dyadic) — the recursive-CTE oracle replays `αz + (1−α)e` on
+    * bit-identical doubles, no rounding (the q186 discipline).
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"), lit(0).as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.runningEmaBatch(s, ticks, alpha = 0.25).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3329,6 +3360,8 @@ GROUP BY order_year""")
     "q199_risk_report" -> (q199 _),
     "q200_hybrid_retrieval" -> (q200 _),
     "q201_lead_lag" -> (q201 _),
+    "q202_running_ohlc" -> (q202 _),
+    "q203_running_ema" -> (q203 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
