@@ -3350,6 +3350,66 @@ SELECT t.user_id, t.n_periods, t.ann_vol, t.sharpe, t.max_drawdown,
 FROM tear t JOIN varx v ON t.user_id = v.user_id
 JOIN beta b ON t.user_id = b.user_id""",
 
+    // rank IC: per (horizon, day) Spearman via exact integer rank sums
+    // — one BIGINT division, no rounding; the cross-day mean/t window
+    // accumulates in engine order -> sr6
+    "q204_rank_ic" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, day, close,
+    CASE WHEN lag(close, 5) OVER w = 0 THEN NULL
+         ELSE close / lag(close, 5) OVER w - 1.0 END AS sig,
+    CASE WHEN close = 0 THEN NULL
+         ELSE lead(close, 1) OVER w / close - 1.0 END AS f1,
+    CASE WHEN close = 0 THEN NULL
+         ELSE lead(close, 3) OVER w / close - 1.0 END AS f3,
+    CASE WHEN close = 0 THEN NULL
+         ELSE lead(close, 5) OVER w / close - 1.0 END AS f5
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), r1 AS (
+  SELECT 1 AS horizon, day,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY sig, user_id) AS BIGINT) AS ra,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY f1, user_id) AS BIGINT) AS rb
+  FROM b WHERE sig IS NOT NULL AND f1 IS NOT NULL
+), r3 AS (
+  SELECT 3 AS horizon, day,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY sig, user_id) AS BIGINT) AS ra,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY f3, user_id) AS BIGINT) AS rb
+  FROM b WHERE sig IS NOT NULL AND f3 IS NOT NULL
+), r5 AS (
+  SELECT 5 AS horizon, day,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY sig, user_id) AS BIGINT) AS ra,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY f5, user_id) AS BIGINT) AS rb
+  FROM b WHERE sig IS NOT NULL AND f5 IS NOT NULL
+), u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r5
+), g AS (
+  SELECT horizon, day, CAST(count(*) AS BIGINT) AS n_universe,
+    CAST(sum(ra * rb) AS BIGINT) AS s12,
+    CAST(sum(ra) AS BIGINT) AS s1,
+    CAST(sum(ra * ra) AS BIGINT) AS sq
+  FROM u GROUP BY 1, 2
+), ic AS (
+  SELECT horizon, day, n_universe,
+    CASE WHEN n_universe < 2 THEN NULL
+         ELSE CAST(n_universe * s12 - s1 * s1 AS DOUBLE)
+            / CAST(n_universe * sq - s1 * s1 AS DOUBLE) END AS ic
+  FROM g
+)
+SELECT horizon, day, n_universe, ic,
+  floor(avg(ic) OVER (PARTITION BY horizon) * 1000000 + 0.5) / 1000000 + 0.0
+    AS mean_ic,
+  CASE WHEN count(ic) OVER (PARTITION BY horizon) < 2
+         OR stddev_samp(ic) OVER (PARTITION BY horizon) = 0 THEN NULL
+       ELSE floor(avg(ic) OVER (PARTITION BY horizon)
+           / (stddev_samp(ic) OVER (PARTITION BY horizon)
+             / sqrt(CAST(count(ic) OVER (PARTITION BY horizon) AS DOUBLE)))
+         * 1000000 + 0.5) / 1000000 + 0.0
+  END AS t_ic
+FROM ic""",
+
     // leg turnover: q188's CTE chain through the bucket frame, top-leg
     // membership, dense-ranked day index, consecutive-book self-join;
     // all counts exact integers, one deterministic division

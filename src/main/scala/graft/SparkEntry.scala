@@ -3158,6 +3158,21 @@ GROUP BY order_year""")
     StatefulOps.runningEmaBatch(s, ticks, alpha = 0.25).toDF()
   }
 
+  /** SIGNAL EVALUATION: rank IC (Spearman) of 5-day momentum against
+    * 1/3/5-day forward returns per day, with the per-horizon mean IC
+    * and t — the alphalens-style decay read. Each day's IC is ONE
+    * division of exact integer rank sums (bit-identical, no rounding);
+    * only the cross-day summary rounds.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    graft.analytics.Backtest.rankInformationCoefficient(
+      daily, "user_id", "day", "close", lookback = 5, horizons = Seq(1, 3, 5))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3362,6 +3377,7 @@ GROUP BY order_year""")
     "q201_lead_lag" -> (q201 _),
     "q202_running_ohlc" -> (q202 _),
     "q203_running_ema" -> (q203 _),
+    "q204_rank_ic" -> (q204 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

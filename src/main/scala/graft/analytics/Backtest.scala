@@ -89,6 +89,73 @@ object Backtest {
         .as("cum_ls"))
   }
 
+  /** RANK INFORMATION COEFFICIENT (Spearman IC) of the momentum signal
+    * against forward returns, per period and per horizon — the
+    * standard signal-evaluation read (does today's ranking predict the
+    * next h periods?), with the horizon axis showing signal DECAY.
+    * Emits one row per (horizon, period): universe size, the period's
+    * IC, and the horizon's mean IC and t-stat (repeated per row).
+    *
+    * Determinism: both rankings are row_number over TOTAL orders
+    * ((signal, key) and (forward return, key)), so each period's rank
+    * vectors are exact integer permutations of 1..n and the IC
+    * collapses to the classic integer-sum form
+    * (n·Σr₁r₂ − (Σr₁)²) / (n·Σr₁² − (Σr₁)²) — ONE division of exact
+    * BIGINTs, bit-identical cross-engine with no rounding. Only the
+    * cross-period mean/t aggregates accumulate in engine order → sr6.
+    *
+    * Scale shape: everything rides the keys×periods close frame; per
+    * horizon, two ranking windows re-partition it by period and one
+    * hash aggregate reduces to the periods-row IC frame; the summary
+    * window runs per horizon on that tiny frame.
+    */
+  def rankInformationCoefficient(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      lookback: Int = 5, horizons: Seq[Int] = Seq(1, 3, 5)): DataFrame = {
+    require(lookback >= 1 && horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"need lookback >= 1 and positive horizons, got $lookback/$horizons")
+    val wK = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val lagN = lag(col(closeCol), lookback).over(wK)
+    val base = df.withColumn("__sig",
+      when(lagN === 0.0, lit(null).cast("double"))
+        .otherwise(col(closeCol) / lagN - 1.0))
+    val perHorizon = horizons.map { h =>
+      val leadC = lead(col(closeCol), h).over(wK)
+      val withF = base.withColumn("__f",
+        when(col(closeCol) === 0.0, lit(null).cast("double"))
+          .otherwise(leadC / col(closeCol) - 1.0))
+        .filter(col("__sig").isNotNull && col("__f").isNotNull)
+      val wSig = Window.partitionBy(col(timeCol))
+        .orderBy(col("__sig"), col(keyCol))
+      val wF = Window.partitionBy(col(timeCol))
+        .orderBy(col("__f"), col(keyCol))
+      val n = col("n_universe")
+      val num = n * col("__s12") - col("__s1") * col("__s1")
+      val den = n * col("__sq") - col("__s1") * col("__s1")
+      withF
+        .withColumn("__r1", row_number().over(wSig).cast("long"))
+        .withColumn("__r2", row_number().over(wF).cast("long"))
+        .groupBy(col(timeCol))
+        .agg(count(lit(1)).as("n_universe"),
+          sum(col("__r1") * col("__r2")).as("__s12"),
+          sum(col("__r1")).as("__s1"),
+          sum(col("__r1") * col("__r1")).as("__sq"))
+        .select(lit(h).as("horizon"), col(timeCol), col("n_universe"),
+          when(n < 2, lit(null).cast("double"))
+            .otherwise(num.cast("double") / den.cast("double")).as("ic"))
+    }
+    val all = perHorizon.reduce(_ unionByName _)
+    val wH = Window.partitionBy(col("horizon"))
+    val cnt = count(col("ic")).over(wH)
+    val mean = avg(col("ic")).over(wH)
+    val sd = stddev_samp(col("ic")).over(wH)
+    all
+      .withColumn("mean_ic", sr6(mean + lit(0.0)))
+      .withColumn("t_ic",
+        when(cnt < 2 || sd.isNull || sd.isNaN || sd === 0.0, lit(null).cast("double"))
+          .otherwise(sr6(mean / (sd / sqrt(cnt.cast("double"))) + lit(0.0))))
+  }
+
   /** Membership TURNOVER of one leg of the [[momentumBuckets]] book:
     * per period, how much of the leg is NEW — n_long, n_stay (members
     * also held the previous period), churn = 1 − n_stay/n_long. The

@@ -51,6 +51,30 @@ class BacktestSpec extends SparkSpec {
     }
   }
 
+  test("rankInformationCoefficient: a persistent universe has IC exactly 1 at every horizon") {
+    // constant per-key growth: momentum ranking == forward-return
+    // ranking on every day -> Spearman IC is exactly 1.0 (integer rank
+    // arithmetic, no tolerance needed)
+    val growth = Map("A" -> 1.08, "B" -> 1.04, "C" -> 0.97, "D" -> 0.92)
+    val rows = for ((k, g) <- growth.toSeq; d <- 0 until 12)
+      yield (k, f"2024-01-${d + 1}%02d", 100.0 * math.pow(g, d))
+    val out = graft.analytics.Backtest.rankInformationCoefficient(
+      rows.toDF("sym", "day", "close"), "sym", "day", "close",
+      lookback = 2, horizons = Seq(1, 3))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_universe") === 4L)
+      assert(r.getAs[Double]("ic") === 1.0, s"IC must be exactly 1: $r")
+      assert(r.getAs[Double]("mean_ic") === 1.0)
+      // constant ICs across days: sd = 0 -> t null by the guard
+      assert(r.isNullAt(r.fieldIndex("t_ic")))
+    }
+    // horizon 3 has fewer usable days than horizon 1 (lead runs off)
+    val byH = out.groupBy(_.getAs[Int]("horizon")).view.mapValues(_.length).toMap
+    assert(byH(3) < byH(1))
+  }
+
   test("legTurnover: a stable book has zero churn; a flip shows up as full turnover") {
     // days 0-2: A,B lead; from day 3 C,D's momentum takes over (signal
     // lags one day, so the book flips on day 4's signal = day 3's mom)
