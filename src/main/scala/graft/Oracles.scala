@@ -3350,6 +3350,85 @@ SELECT t.user_id, t.n_periods, t.ann_vol, t.sharpe, t.max_drawdown,
 FROM tear t JOIN varx v ON t.user_id = v.user_id
 JOIN beta b ON t.user_id = b.user_id""",
 
+    // net backtest: q188's spread minus 10 bps x (churn of both legs,
+    // q194's construction; first book pays full cost); the net
+    // re-quantizes to BIGINT micro-units before the cumulative sum
+    "q205_net_backtest" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, day,
+    CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS ret,
+    CASE WHEN lag(close, 5) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close, 5) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS mom
+  FROM d
+), s AS (
+  SELECT user_id, day, ret,
+    lag(mom) OVER (PARTITION BY user_id ORDER BY day) AS sig
+  FROM r
+), b AS (
+  SELECT user_id, day, ret,
+    ntile(5) OVER (PARTITION BY day ORDER BY sig DESC, user_id) AS bkt
+  FROM s WHERE sig IS NOT NULL AND ret IS NOT NULL
+), p AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_universe,
+    avg(CASE WHEN bkt = 1 THEN ret END) AS lr,
+    avg(CASE WHEN bkt = 5 THEN ret END) AS sr
+  FROM b GROUP BY day
+), q AS (
+  SELECT day, n_universe,
+    CASE WHEN lr IS NOT NULL AND sr IS NOT NULL
+         THEN CAST(floor((lr - sr) * 1000000 + 0.5) AS BIGINT) END AS ls_micro
+  FROM p
+), mem1 AS (SELECT user_id, day FROM b WHERE bkt = 1),
+days1 AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) AS BIGINT) AS idx
+  FROM (SELECT DISTINCT day FROM mem1)
+), m1 AS (
+  SELECT mem1.user_id, mem1.day, days1.idx FROM mem1 JOIN days1 ON mem1.day = days1.day
+), t1 AS (
+  SELECT day,
+    CASE WHEN max(idx) = 1 THEN NULL
+         ELSE 1.0 - CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) END AS churn_top
+  FROM (SELECT m.day, m.idx, p.user_id IS NOT NULL AS held
+        FROM m1 m LEFT JOIN m1 p ON p.user_id = m.user_id AND p.idx = m.idx - 1)
+  GROUP BY day
+), mem5 AS (SELECT user_id, day FROM b WHERE bkt = 5),
+days5 AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) AS BIGINT) AS idx
+  FROM (SELECT DISTINCT day FROM mem5)
+), m5 AS (
+  SELECT mem5.user_id, mem5.day, days5.idx FROM mem5 JOIN days5 ON mem5.day = days5.day
+), t5 AS (
+  SELECT day,
+    CASE WHEN max(idx) = 1 THEN NULL
+         ELSE 1.0 - CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) END AS churn_bot
+  FROM (SELECT m.day, m.idx, p.user_id IS NOT NULL AS held
+        FROM m5 m LEFT JOIN m5 p ON p.user_id = m.user_id AND p.idx = m.idx - 1)
+  GROUP BY day
+), j AS (
+  SELECT q.day, q.n_universe,
+    CAST(q.ls_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ls_ret,
+    t1.churn_top, t5.churn_bot,
+    CASE WHEN q.ls_micro IS NOT NULL
+         THEN CAST(floor((CAST(q.ls_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             - 0.001 * (coalesce(t1.churn_top, 1.0) + coalesce(t5.churn_bot, 1.0)))
+           * 1000000 + 0.5) AS BIGINT) END AS net_micro
+  FROM q LEFT JOIN t1 ON q.day = t1.day LEFT JOIN t5 ON q.day = t5.day
+)
+SELECT day, n_universe, ls_ret, churn_top, churn_bot,
+  CAST(net_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS net_ls,
+  CAST(CAST(sum(net_micro) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+    / CAST(1000000 AS DOUBLE) AS cum_net
+FROM j""",
+
     // rank IC: per (horizon, day) Spearman via exact integer rank sums
     // — one BIGINT division, no rounding; the cross-day mean/t window
     // accumulates in engine order -> sr6

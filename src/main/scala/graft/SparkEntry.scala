@@ -3173,6 +3173,47 @@ GROUP BY order_year""")
       daily, "user_id", "day", "close", lookback = 5, horizons = Seq(1, 3, 5))
   }
 
+  /** BACKTEST capstone, NET OF COSTS: q188's gross momentum spread
+    * charged 10 bps per unit of leg turnover (q194's churn, both
+    * legs; the first book pays full establishment cost via
+    * coalesce(churn, 1)). The net spread re-quantizes to micro-unit
+    * BIGINTs before compounding — same exactness discipline as the
+    * gross leg. The first question a PM asks of any gross backtest.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Backtest
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    val gross = Backtest.crossSectionalMomentum(
+      daily, "user_id", "day", "close", lookback = 5, buckets = 5)
+      .select(col("day"), col("n_universe"), col("ls_ret"))
+    val tTop = Backtest.legTurnover(
+      daily, "user_id", "day", "close", 5, 5, leg = 1)
+      .select(col("day"), col("churn").as("churn_top"))
+    val tBot = Backtest.legTurnover(
+      daily, "user_id", "day", "close", 5, 5, leg = 5)
+      .select(col("day"), col("churn").as("churn_bot"))
+    val cost = lit(0.001) *
+      (coalesce(col("churn_top"), lit(1.0)) + coalesce(col("churn_bot"), lit(1.0)))
+    val j = gross
+      .join(tTop, Seq("day"), "left")
+      .join(tBot, Seq("day"), "left")
+      .withColumn("__net_micro",
+        when(col("ls_ret").isNotNull,
+          floor((col("ls_ret") - cost) * lit(1000000d) + lit(0.5d)).cast("long")))
+    val wT = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    j.select(
+      col("day"), col("n_universe"), col("ls_ret"),
+      col("churn_top"), col("churn_bot"),
+      (col("__net_micro").cast("double") / lit(1000000d)).as("net_ls"),
+      (sum(col("__net_micro")).over(wT).cast("double") / lit(1000000d))
+        .as("cum_net"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3378,6 +3419,7 @@ GROUP BY order_year""")
     "q202_running_ohlc" -> (q202 _),
     "q203_running_ema" -> (q203 _),
     "q204_rank_ic" -> (q204 _),
+    "q205_net_backtest" -> (q205 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
