@@ -3350,6 +3350,64 @@ SELECT t.user_id, t.n_periods, t.ann_vol, t.sharpe, t.max_drawdown,
 FROM tear t JOIN varx v ON t.user_id = v.user_id
 JOIN beta b ON t.user_id = b.user_id""",
 
+    // bootstrap Sharpe: non-overlapping 5-blocks of the market return
+    // series, draws are md5("b:k")-uniform block picks (the q67
+    // convention) — a pure function, so both engines draw the SAME
+    // resamples; replicate moments -> engine-order -> sr6; percentile
+    // is the exact interpolated contract. NB integer division is //
+    // (DuckDB / on integers yields DOUBLE and CAST rounds, not
+    // truncates)
+    "q206_bootstrap_sharpe" ->
+      """WITH d AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, day,
+    CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY day) = 0 THEN NULL
+         ELSE close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0
+    END AS ret
+  FROM d
+), mkt AS (
+  SELECT day, avg(ret) AS m FROM r WHERE ret IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT m, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM mkt
+), blk AS (
+  SELECT (i - 1) // 5 AS b_id, m FROM idx
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks
+  FROM (SELECT b_id, count(*) AS c FROM blk GROUP BY 1) WHERE c = 5
+), comp AS (
+  SELECT blk.b_id, blk.m FROM blk, nb WHERE blk.b_id < nb.n_blocks
+), pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, avg(m) AS mm, stddev_samp(m) AS ms
+  FROM comp
+), draws AS (
+  SELECT g1.b, g2.k,
+    CAST(floor(
+      (CAST(('0x' || substr(md5(CAST(g1.b AS VARCHAR) || ':' || CAST(g2.k AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0)
+      * CAST(nb.n_blocks AS DOUBLE)) AS BIGINT) AS b_id
+  FROM nb, generate_series(1, 200) AS g1(b),
+       generate_series(1, 1000) AS g2(k)
+  WHERE g2.k <= nb.n_blocks
+), reps AS (
+  SELECT b,
+    CASE WHEN count(*) < 2 OR stddev_samp(m) = 0 THEN NULL
+         ELSE avg(m) / stddev_samp(m) END AS sh
+  FROM draws JOIN comp ON draws.b_id = comp.b_id
+  GROUP BY b
+), ci AS (
+  SELECT CAST(count(sh) AS BIGINT) AS b_resamples,
+    floor(quantile_cont(sh, 0.025) * 1000000 + 0.5) / 1000000 + 0.0 AS ci_lo,
+    floor(quantile_cont(sh, 0.975) * 1000000 + 0.5) / 1000000 + 0.0 AS ci_hi
+  FROM reps
+)
+SELECT pt.n_days, nb.n_blocks,
+  CASE WHEN pt.n_days < 2 OR pt.ms = 0 THEN NULL
+       ELSE floor(pt.mm / pt.ms * 1000000 + 0.5) / 1000000 + 0.0 END AS sharpe,
+  ci.b_resamples, ci.ci_lo, ci.ci_hi
+FROM pt, nb, ci""",
+
     // net backtest: q188's spread minus 10 bps x (churn of both legs,
     // q194's construction; first book pays full cost); the net
     // re-quantizes to BIGINT micro-units before the cumulative sum

@@ -3214,6 +3214,31 @@ GROUP BY order_year""")
         .as("cum_net"))
   }
 
+  /** STATISTICAL RIGOR: deterministic block-bootstrap 95% CI for the
+    * Sharpe of the cross-sectional mean daily return — hash-derived
+    * draws (md5 of "b:k", the q67 uniform convention) make the whole
+    * bootstrap a pure function, reproducible cross-engine with no seed
+    * state. Ticks collapse to the days-long market series first; the
+    * draw grid is B × nblocks rows over that tiny frame.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val lagC = lag(col("close"), 1).over(w)
+    val mkt = daily
+      .withColumn("__r",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col("close") / lagC - 1.0))
+      .filter(col("__r").isNotNull)
+      .groupBy(col("day")).agg(avg(col("__r")).as("m"))
+    graft.analytics.Risk.bootstrapSharpe(
+      mkt, "m", "day", blockLen = 5, nResamples = 200)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3420,6 +3445,7 @@ GROUP BY order_year""")
     "q203_running_ema" -> (q203 _),
     "q204_rank_ic" -> (q204 _),
     "q205_net_backtest" -> (q205 _),
+    "q206_bootstrap_sharpe" -> (q206 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -110,6 +110,75 @@ object Risk {
           .otherwise(lit(null).cast("double")).as("calmar"))
   }
 
+  /** DETERMINISTIC block-bootstrap confidence interval for a SHARPE
+    * ratio: resample the return series in non-overlapping blocks of
+    * `blockLen` (dependence-preserving), `nResamples` replicates, and
+    * read the CI off the exact interpolated percentiles of the
+    * replicate Sharpes — "is the Sharpe real" with serial correlation
+    * respected. The trailing partial block is dropped (documented
+    * standard simplification).
+    *
+    * Randomness is HASH-DERIVED, not drawn: replicate b's k-th draw is
+    * block ⌊u·nblocks⌋ with u the md5-uniform of "b:k" (the q67/X13
+    * id-hash convention) — a pure function of (b, k), so the entire
+    * bootstrap is reproducible cross-engine and cross-run with no seed
+    * state. Replicate moments accumulate in engine order → sr6 at
+    * emission; the percentile is the exact interpolated q33/q58
+    * contract over the replicate Sharpes.
+    *
+    * Scale shape: the caller collapses to a periods-long return series
+    * FIRST (ticks never reach this operator); the draw grid is
+    * nResamples × nblocks rows over that tiny frame — independent of
+    * tick volume — and the block join is an equi-join on the block id.
+    */
+  def bootstrapSharpe(
+      df: DataFrame, valueCol: String, orderCol: String,
+      blockLen: Int = 5, nResamples: Int = 200): DataFrame = {
+    require(blockLen >= 1 && nResamples >= 10,
+      s"need blockLen >= 1 and nResamples >= 10, got $blockLen/$nResamples")
+    val wAll = Window.orderBy(col(orderCol))
+    val indexed = df
+      .withColumn("__i", row_number().over(wAll).cast("long"))
+      .withColumn("__blk", ((col("__i") - 1L) / lit(blockLen.toLong)).cast("long"))
+      .select(col("__blk"), col(valueCol).cast("double").as("__r"))
+    val meta = indexed.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") === blockLen) // complete blocks only
+      .agg(count(lit(1)).as("n_blocks"))
+    val complete = indexed
+      .crossJoin(broadcast(meta))
+      .filter(col("__blk") < col("n_blocks"))
+    val point = complete
+      .agg(count(lit(1)).as("n_days"), avg(col("__r")).as("__m"),
+        stddev_samp(col("__r")).as("__s"))
+      .select(col("n_days"),
+        when(col("n_days") < 2 || col("__s").isNaN || col("__s") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(sr6(col("__m") / col("__s") + lit(0.0))).as("sharpe"))
+    val u = conv(substring(md5(
+      concat(col("__b").cast("string"), lit(":"), col("__k").cast("string"))),
+      1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0d)
+    val draws = meta
+      .select(explode(sequence(lit(1), lit(nResamples))).as("__b"), col("n_blocks"))
+      .select(col("__b"), explode(sequence(lit(1L), col("n_blocks"))).as("__k"),
+        col("n_blocks"))
+      .withColumn("__blk", floor(u * col("n_blocks").cast("double")).cast("long"))
+      .select(col("__b"), col("__blk"))
+    val reps = draws.join(complete.select(col("__blk"), col("__r")), Seq("__blk"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__rn"), avg(col("__r")).as("__rm"),
+        stddev_samp(col("__r")).as("__rs"))
+      .select(col("__b"),
+        when(col("__rn") < 2 || col("__rs").isNaN || col("__rs") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(col("__rm") / col("__rs")).as("__sh"))
+    val ci = reps.agg(
+      count(col("__sh")).as("b_resamples"),
+      sr6(percentile(col("__sh"), lit(0.025)) + lit(0.0)).as("ci_lo"),
+      sr6(percentile(col("__sh"), lit(0.975)) + lit(0.0)).as("ci_hi"))
+    point.crossJoin(broadcast(meta)).crossJoin(broadcast(ci))
+      .select("n_days", "n_blocks", "sharpe", "b_resamples", "ci_lo", "ci_hi")
+  }
+
   /** INVERSE-VOLATILITY (naive risk parity) portfolio construction
     * over a keyed period-close frame: per series the return volatility,
     * the weight wᵢ ∝ 1/σᵢ, and the resulting portfolio's realized

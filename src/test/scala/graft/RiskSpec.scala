@@ -141,6 +141,34 @@ class RiskSpec extends SparkSpec {
     assert(out("A").getAs[Double]("port_vol") > 0.0)
   }
 
+  test("bootstrapSharpe: hash-derived draws are reproducible; CI brackets a stable Sharpe") {
+    // 23 returns -> 4 complete 5-blocks (trailing partial dropped)
+    val rets = Seq(0.012, -0.004, 0.009, 0.015, -0.007, 0.011, 0.002, -0.009,
+      0.013, 0.006, -0.002, 0.010, 0.004, -0.006, 0.014, 0.001, 0.008,
+      -0.003, 0.007, 0.012, -0.001, 0.005, 0.009)
+    val df = rets.zipWithIndex.map { case (r, i) => (i.toLong, r) }.toDF("t", "r")
+    val run1 = Risk.bootstrapSharpe(df, "r", "t", blockLen = 5, nResamples = 50)
+      .collect().head
+    val run2 = Risk.bootstrapSharpe(df, "r", "t", blockLen = 5, nResamples = 50)
+      .collect().head
+    assert(run1 === run2) // pure function of the data: no seed state
+    assert(run1.getAs[Long]("n_days") === 20L)  // 4 complete blocks
+    assert(run1.getAs[Long]("n_blocks") === 4L)
+    assert(run1.getAs[Long]("b_resamples") === 50L)
+    val (lo, hi) = (run1.getAs[Double]("ci_lo"), run1.getAs[Double]("ci_hi"))
+    assert(lo < hi)
+    // the point estimate from the same 20 rows
+    val used = rets.take(20)
+    val mu = used.sum / used.length
+    val sd = math.sqrt(used.map(r => (r - mu) * (r - mu)).sum / (used.length - 1))
+    assert(math.abs(run1.getAs[Double]("sharpe") - math.floor(mu / sd * 1e6 + 0.5) / 1e6) < 1e-9)
+    // a constant series has no Sharpe
+    val flat = (0 until 15).map(i => (i.toLong, 0.01)).toDF("t", "r")
+    val f = Risk.bootstrapSharpe(flat, "r", "t", blockLen = 5, nResamples = 20)
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("sharpe")))
+  }
+
   test("riskContributions: a flat universe yields zero variance and null attributions") {
     val rows = for (k <- Seq("A", "B"); i <- 0 until 4) yield (k, i.toLong, 10.0)
     val out = Risk.riskContributions(
