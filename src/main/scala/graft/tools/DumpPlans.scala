@@ -73,7 +73,9 @@ object DumpPlans {
       "q187_pairs_screen" -> "pairs screen: pair cross touches only the tiny close frame (equi-join on the day), fit pass then spread pass; sr6-rounded beta/alpha make the spread arithmetic portable",
       "q188_momentum_backtest" -> "momentum backtest: per-key windows share one (key) sort, ONE day re-partition for the ranking window, cumulative window on the |days|-row frame (single tiny partition by construction)",
       "q190_risk_contrib" -> "risk decomposition: covariance matrix over the pair cross of the close frame; pico-unit BIGINT quantization makes row sums/total exact integers — matrix/row/total stages all keys²-row frames",
-      "q191_newey_west" -> "Newey-West: five lag columns in ONE Window node over one series exchange, 23 moment columns in a single hash agg, lrv/t as scalar projection")
+      "q191_newey_west" -> "Newey-West: five lag columns in ONE Window node over one series exchange, 23 moment columns in a single hash agg, lrv/t as scalar projection",
+      "q204_rank_ic" -> "rank IC: per horizon, two ranking windows re-partition the day frame by period, one hash agg reduces to integer rank sums; summary window on the periods frame",
+      "q206_bootstrap_sharpe" -> "bootstrap Sharpe: ticks collapse to the market series; the hash-derived draw grid explodes from a 1-row block-count frame and equi-joins blocks — B tiny replicate aggregates, data-size-independent")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")
