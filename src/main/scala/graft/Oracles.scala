@@ -2869,6 +2869,40 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
        ELSE NULL END AS calmar
 FROM e GROUP BY user_id""",
 
+    // expanding z-score anomalies: exclusive running BIGINT sums of
+    // the micro-quantized value/square (exact integers — the window's
+    // addition order cannot matter), mean/sd/z in the engine's fixed
+    // IEEE order -> bit-identical z, no rounding
+    "q207_zscore_stream" ->
+      """WITH s AS (
+  SELECT user_id, ts, CAST(CAST(value AS REAL) AS DOUBLE) AS p,
+    CAST(row_number() OVER w AS BIGINT) AS rn,
+    CAST(sum(CAST(floor(CAST(CAST(value AS REAL) AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS s1,
+    CAST(sum(CAST(floor(CAST(CAST(value AS REAL) AS DOUBLE)
+        * CAST(CAST(value AS REAL) AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), z AS (
+  SELECT user_id, ts, p, rn - 1 AS n_prior,
+    (p - (CAST(s1 AS DOUBLE) / 1000000.0) / CAST(rn - 1 AS DOUBLE))
+      / sqrt(((CAST(s2 AS DOUBLE) / 1000000.0)
+          - (CAST(s1 AS DOUBLE) / 1000000.0) * (CAST(s1 AS DOUBLE) / 1000000.0)
+            / CAST(rn - 1 AS DOUBLE))
+        / (CAST(rn - 1 AS DOUBLE) - 1.0)) AS zv,
+    ((CAST(s2 AS DOUBLE) / 1000000.0)
+      - (CAST(s1 AS DOUBLE) / 1000000.0) * (CAST(s1 AS DOUBLE) / 1000000.0)
+        / CAST(rn - 1 AS DOUBLE))
+      / (CAST(rn - 1 AS DOUBLE) - 1.0) AS varr
+  FROM s WHERE rn - 1 >= 5
+)
+SELECT CAST(user_id AS VARCHAR) AS ticker, ts AS datetime, p AS price,
+  zv AS z, n_prior
+FROM z WHERE varr > 0 AND abs(zv) >= 3.0""",
+
     // running OHLC twin: final snapshot per key — argmin/argmax by
     // event time (ts unique per user, the q154 disposition), float32
     // prices

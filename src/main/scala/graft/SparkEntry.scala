@@ -3239,6 +3239,22 @@ GROUP BY order_year""")
       mkt, "m", "day", blockLen = 5, nResamples = 200)
   }
 
+  /** Streaming anomaly twin's oracle row: EXPANDING z-score events —
+    * each tick scored against everything before it (leakage-free), the
+    * state exact integer micro-sums so the stream is chop-invariant
+    * EXACTLY and the oracle (exclusive running BIGINT window sums)
+    * reproduces every emitted z bit-for-bit, no rounding.
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ticks = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("ticker"), col("ts").as("datetime"),
+        col("value").cast("float").as("price"), lit(0).as("volume"))
+      .as[StatefulOps.TickerTick]
+    StatefulOps.zScoreAnomaliesBatch(s, ticks, threshold = 3.0, minPrior = 5).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3446,6 +3462,7 @@ GROUP BY order_year""")
     "q204_rank_ic" -> (q204 _),
     "q205_net_backtest" -> (q205 _),
     "q206_bootstrap_sharpe" -> (q206 _),
+    "q207_zscore_stream" -> (q207 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -877,4 +877,95 @@ object StatefulOps {
         }.iterator
       }
   }
+
+  // ---- Running z-score anomaly stream: exact-integer expanding state ----
+
+  final case class ZScoreState(n: Long, s1Micro: Long, s2Micro: Long)
+
+  final case class AnomalyEvent(
+      ticker: String, datetime: Timestamp, price: Double, z: Double, n_prior: Long)
+
+  /** Fold ticks through the EXPANDING z-score anomaly detector: each
+    * tick is scored against the statistics of everything BEFORE it
+    * (leakage-free by construction), then folded into the state. An
+    * event fires when |z| ≥ `threshold` with at least `minPrior` prior
+    * observations.
+    *
+    * The state is exact INTEGERS — per-tick micro-quantized value and
+    * square (⌊p·10⁶+0.5⌋, ⌊p²·10⁶+0.5⌋ as BIGINTs, the q193
+    * discipline) — so however the stream is chopped the state is
+    * IDENTICAL (integer addition commutes), and mean/sd/z derive from
+    * those integers in a fixed IEEE order: the emitted z is
+    * bit-identical cross-engine and the DuckDB oracle (exclusive
+    * running BIGINT window sums) needs no rounding anywhere.
+    */
+  private[streaming] def zScoreFold(
+      st: Option[ZScoreState], ticks: Seq[TickerTick],
+      threshold: Double, minPrior: Int): (Option[ZScoreState], Seq[AnomalyEvent]) = {
+    val sorted = ticks.sortBy(t => (t.datetime.getTime, t.price, t.volume))
+    var s = st.getOrElse(ZScoreState(0L, 0L, 0L))
+    val out = Seq.newBuilder[AnomalyEvent]
+    sorted.foreach { t =>
+      val p = t.price.toDouble
+      if (s.n >= minPrior) {
+        val nD = s.n.toDouble
+        val s1d = s.s1Micro.toDouble / 1000000.0
+        val s2d = s.s2Micro.toDouble / 1000000.0
+        val mean = s1d / nD
+        val varr = (s2d - s1d * s1d / nD) / (nD - 1.0)
+        if (varr > 0.0) {
+          val z = (p - mean) / math.sqrt(varr)
+          if (math.abs(z) >= threshold)
+            out += AnomalyEvent("", t.datetime, p, z, s.n)
+        }
+      }
+      s = ZScoreState(
+        s.n + 1,
+        s.s1Micro + math.floor(p * 1000000.0 + 0.5).toLong,
+        s.s2Micro + math.floor(p * p * 1000000.0 + 0.5).toLong)
+    }
+    (Some(s), out.result())
+  }
+
+  /** Streaming expanding z-score anomaly detector: emits only the
+    * anomalous ticks. ~24 bytes of exact-integer state per key; same
+    * timeout discipline as [[runningOhlc]].
+    */
+  def zScoreAnomalies(
+      ticks: Dataset[TickerTick], threshold: Double = 3.0, minPrior: Int = 5,
+      idleTimeoutMs: Option[Long] = None): Dataset[AnomalyEvent] = {
+    require(threshold > 0 && minPrior >= 2,
+      s"need threshold > 0 and minPrior >= 2, got $threshold/$minPrior")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState[ZScoreState, AnomalyEvent](OutputMode.Append, timeoutConf) {
+        (ticker: String, it: Iterator[TickerTick], state: GroupState[ZScoreState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (updated, events) = zScoreFold(state.getOption, it.toSeq, threshold, minPrior)
+            updated.foreach { s =>
+              state.update(s)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            events.map(_.copy(ticker = ticker)).iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[zScoreAnomalies]] for verification. */
+  def zScoreAnomaliesBatch(
+      spark: SparkSession, ticks: Dataset[TickerTick],
+      threshold: Double = 3.0, minPrior: Int = 5): Dataset[AnomalyEvent] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroups { (ticker, it) =>
+        val (_, events) = zScoreFold(None, it.toSeq, threshold, minPrior)
+        events.map(_.copy(ticker = ticker)).iterator
+      }
+  }
 }

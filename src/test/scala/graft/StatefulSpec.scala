@@ -394,4 +394,34 @@ class StatefulSpec extends SparkSpec {
       assert(batch.toSeq === streaming.toSeq)
     } finally q.stop()
   }
+
+  test("z-score anomaly stream: prior-only scoring, integer state carries across the boundary") {
+    import graft.streaming.StatefulOps.AnomalyEvent
+    implicit val sqlCtx = spark.sqlContext
+    // five quiet ticks seed the state in batch 1; batch 2 opens with a
+    // spike that must be scored against the CARRIED prior stats (its
+    // own value excluded), then a second quiet tick that must not fire
+    val batch1 = (0 until 5).map(i =>
+      tick("A", f"2024-01-01 10:0$i%01d:00", 10f + (i % 2), 1))
+    val batch2 = Seq(
+      tick("A", "2024-01-01 10:05:00", 50f, 1),   // z >> 3 vs prior 10-11
+      tick("A", "2024-01-01 10:06:00", 10.5f, 1)) // quiet (variance now wide)
+    val mem = MemoryStream[TickerTick]
+    val q = StatefulOps.zScoreAnomalies(mem.toDS(), threshold = 3.0, minPrior = 5)
+      .writeStream.format("memory").queryName("z_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("z_out").as[AnomalyEvent].collect()
+      assert(streaming.length === 1)
+      assert(streaming.head.price === 50.0 && streaming.head.n_prior === 5L)
+      assert(streaming.head.z > 3.0)
+      // bit-exact twin equality across the chop
+      val batch = StatefulOps.zScoreAnomaliesBatch(
+        spark, (batch1 ++ batch2).toDS(), threshold = 3.0, minPrior = 5).collect()
+      assert(batch.toSeq === streaming.toSeq)
+    } finally q.stop()
+  }
 }

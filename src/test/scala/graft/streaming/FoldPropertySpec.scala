@@ -162,4 +162,23 @@ class FoldPropertySpec extends AnyFunSuite {
         assert(gains.tail.sliding(2).forall(w => w(1) <= w(0)), s"seed=$seed gain not decaying")
     }
   }
+
+  test("zScoreFold: chopped fold emits exactly the whole-series events — integer state commutes") {
+    for (seed <- 1L to 200L) {
+      val ticks = sample(seriesGen, seed)
+      val (wholeState, wholeEv) = StatefulOps.zScoreFold(None, ticks, 2.0, 3)
+      val batches = chops(ticks, seed + 9000)
+      var st: Option[StatefulOps.ZScoreState] = None
+      val evs = List.newBuilder[StatefulOps.AnomalyEvent]
+      batches.foreach { b =>
+        val (s2, out) = StatefulOps.zScoreFold(st, b, 2.0, 3)
+        st = s2
+        evs ++= out
+      }
+      assert(st === wholeState, s"seed=$seed state diverged")
+      assert(evs.result() === wholeEv, s"seed=$seed events diverged")
+      // leakage-free: no event before minPrior observations exist
+      assert(wholeEv.forall(_.n_prior >= 3), s"seed=$seed early event")
+    }
+  }
 }
