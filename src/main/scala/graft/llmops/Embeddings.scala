@@ -44,8 +44,13 @@ object Embeddings {
       .agg(sort_array(collect_list(struct(col("__pos"), col("__c")))).as("__s"))
       .select(col("__lab"), transform(col("__s"), _.getField("__c")).as("__cv"))
       .collect()
-    val centroids: Seq[(Int, Seq[Double])] =
-      rows.map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    // label read GENERICALLY: the API contract is (DataFrame, String) for
+    // any equality-comparable label column — r.getInt would throw a raw
+    // ClassCastException on long/string labels (r11 advice). The sort is
+    // only for deterministic literal-array order in the plan, so the
+    // string rendering is a fine total order for any label type.
+    val centroids: Seq[(Any, Seq[Double])] =
+      rows.map(r => r.get(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1.toString)
     require(centroids.nonEmpty, "classSeparation: no labeled vectors")
     val bytes = centroids.map(_._2.length.toLong * 8L).sum
     require(bytes <= maxCentroidBytes,

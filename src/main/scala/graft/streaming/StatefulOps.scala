@@ -919,10 +919,14 @@ object StatefulOps {
             out += AnomalyEvent("", t.datetime, p, z, s.n)
         }
       }
+      // addExact: the micro-quantized square grows ~p²·10⁶ per tick, so
+      // a price near 3000 overflows a Long after ~10⁶ ticks per key —
+      // fail LOUDLY there instead of silently corrupting every z the
+      // "exact integer state" contract emits afterwards (r11 advice)
       s = ZScoreState(
         s.n + 1,
-        s.s1Micro + math.floor(p * 1000000.0 + 0.5).toLong,
-        s.s2Micro + math.floor(p * p * 1000000.0 + 0.5).toLong)
+        Math.addExact(s.s1Micro, math.floor(p * 1000000.0 + 0.5).toLong),
+        Math.addExact(s.s2Micro, math.floor(p * p * 1000000.0 + 0.5).toLong))
     }
     (Some(s), out.result())
   }

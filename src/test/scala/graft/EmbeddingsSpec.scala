@@ -24,6 +24,23 @@ class EmbeddingsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("silhouette") < out(1).getAs[Double]("silhouette"))
   }
 
+  test("classSeparation: non-integer label columns work (generic read, r11 advice)") {
+    // same geometry as the misassignment test, labels as STRINGS — the
+    // previous getInt(0) threw a raw ClassCastException here
+    val vecs = Seq(
+      (1L, "lo", Array(0.0f, 0.0f)), (2L, "lo", Array(1.0f, 0.0f)),
+      (3L, "lo", Array(0.0f, 1.0f)),
+      (4L, "hi", Array(10.0f, 10.0f)), (5L, "hi", Array(11.0f, 10.0f)),
+      (6L, "hi", Array(10.0f, 11.0f)),
+      (7L, "lo", Array(10.5f, 10.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Embeddings.classSeparation(vecs, "embedding", "label")
+      .collect().map(r => r.getAs[String]("label") -> r).toMap
+    assert(out.keySet === Set("lo", "hi"))
+    assert(out("lo").getAs[Long]("n_misassigned") === 1L)
+    assert(out("hi").getAs[Long]("n_misassigned") === 0L)
+  }
+
   test("classSeparation: scalar replication of one silhouette value") {
     // label 0 centroid = (0.5, 0); label 1 centroid = (4, 0) exactly
     val vecs = Seq(

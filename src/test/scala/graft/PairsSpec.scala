@@ -93,4 +93,48 @@ class PairsSpec extends SparkSpec {
     assert(r.getAs[Double]("ccf_m1") < 0.99)
     assert(r.getAs[Double]("ccf_0") < 0.99)
   }
+
+  test("blockedPairSource: return-identical keys share a block; range is [0, 2^bits)") {
+    // closes of B = 2 x closes of A -> identical RETURN vectors -> every
+    // SRP projection term is identical -> same block, by construction
+    // (the operator hashes returns, not prices). C is an independent
+    // path; its block merely has to be in range.
+    val cA = Seq(100.0, 103.0, 99.0, 104.0, 108.0, 102.0, 107.0, 111.0)
+    val cC = Seq(50.0, 48.0, 53.0, 47.0, 52.0, 55.0, 49.0, 51.0)
+    val rows = cA.zipWithIndex.flatMap { case (c, i) =>
+      Seq(("A", i.toLong, c), ("B", i.toLong, 2.0 * c), ("C", i.toLong, cC(i)))
+    }
+    val blocks = Pairs.blockedPairSource(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close", bits = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(blocks.keySet === Set("A", "B", "C"))
+    assert(blocks("A") === blocks("B"), s"identical returns split blocks: $blocks")
+    blocks.values.foreach(b => assert(b >= 0 && b < 16, s"block out of range: $blocks"))
+  }
+
+  test("blocked cointegrationScreen: within-block pairs equal the full screen, cross-block pairs and unblocked keys are absent") {
+    val paths = Map(
+      "A" -> Seq(100.0, 103.0, 99.0, 104.0, 108.0, 102.0),
+      "B" -> Seq(201.0, 207.0, 199.0, 209.0, 217.0, 205.0),
+      "C" -> Seq(50.0, 48.0, 53.0, 47.0, 52.0, 55.0),
+      "D" -> Seq(75.0, 77.0, 74.0, 78.0, 73.0, 79.0),
+      "E" -> Seq(10.0, 11.0, 10.5, 11.5, 12.0, 11.0))
+    val rows = paths.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.map { case (c, i) => (k, i.toLong, c) }
+    }
+    val df = rows.toDF("sym", "t", "close")
+    // manual sector map (any two-column (key, block) frame works):
+    // {A,B} | {C,D}; E deliberately unblocked -> excluded by contract
+    val sectors = Seq(("A", 0), ("B", 0), ("C", 1), ("D", 1)).toDF("sym", "blk")
+    val full = Pairs.cointegrationScreen(df, "sym", "t", "close")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val blocked = Pairs.cointegrationScreen(df, "sym", "t", "close", Some(sectors))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(full.keySet.size === 10) // C(5,2)
+    assert(blocked.keySet === Set(("A", "B"), ("C", "D")),
+      s"blocked universe wrong: ${blocked.keySet}")
+    blocked.foreach { case (k, row) =>
+      assert(row === full(k), s"blocked row for $k diverges from the full screen")
+    }
+  }
 }

@@ -169,6 +169,20 @@ class RiskSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("sharpe")))
   }
 
+  test("bootstrapSharpe: input shorter than one block yields zero resamples, not spurious draws") {
+    // n_blocks = 0 -> sequence(1, 0) would be the DESCENDING [1, 0] and
+    // fabricate draw rows (r11 advice); the guard empties the grid
+    val tiny = Seq((0L, 0.01), (1L, -0.02), (2L, 0.015)).toDF("t", "r")
+    val out = Risk.bootstrapSharpe(tiny, "r", "t", blockLen = 5, nResamples = 20)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_blocks") === 0L)
+    assert(r.getAs[Long]("b_resamples") === 0L)
+    assert(r.isNullAt(r.fieldIndex("sharpe")))
+    assert(r.isNullAt(r.fieldIndex("ci_lo")) && r.isNullAt(r.fieldIndex("ci_hi")))
+  }
+
   test("riskContributions: a flat universe yields zero variance and null attributions") {
     val rows = for (k <- Seq("A", "B"); i <- 0 until 4) yield (k, i.toLong, 10.0)
     val out = Risk.riskContributions(

@@ -883,4 +883,71 @@ class TxTableSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(ch === Seq(("insert", 1L), ("update", 1L)))
   }
+
+  test("rowCount reads exact counts from the log through append/upsert/compact/checkpoint/vacuum") {
+    val path = freshPath()
+    // 12 commits -> crosses the version-10 checkpoint, so the folded
+    // snapshot's numRecords must survive checkpoint serialization
+    val versions = (0 until 12).map { i =>
+      if (i % 3 == 2)
+        TxParquetTable.upsert(Seq((i.toLong, s"u$i"), (999L, s"k$i")).toDF("id", "v"),
+          path, "id")
+      else
+        TxParquetTable.append(Seq((100L + i, s"a$i"), (200L + i, s"b$i"))
+          .toDF("id", "v"), path)
+    }
+    versions.foreach { v =>
+      val fromLog = TxParquetTable.rowCount(path, Some(v))
+      val scanned = TxParquetTable.snapshot(spark, path, Some(v)).count()
+      assert(fromLog === Some(scanned), s"log count diverges at version $v")
+    }
+    // compact rewrites every file; counts stay exact afterwards
+    val vc = TxParquetTable.compact(spark, path, "id", targetFiles = 2)
+    assert(TxParquetTable.rowCount(path, Some(vc)) ===
+      Some(TxParquetTable.snapshot(spark, path, Some(vc)).count()))
+    // vacuum deletes pre-compaction DATA; the log-only count still answers
+    TxParquetTable.vacuum(path, retainVersion = vc, retentionMs = 0L)
+    assert(TxParquetTable.rowCount(path) ===
+      Some(TxParquetTable.snapshot(spark, path).count()))
+    // history's n_records names each commit's added-row mass from the log
+    val h = TxParquetTable.history(spark, path)
+      .collect().map(r => r.getAs[Long]("version") -> r).toMap
+    assert(h(0L).getAs[Long]("n_records") === 2L)
+    assert(h(vc).getAs[Long]("n_records") ===
+      TxParquetTable.snapshot(spark, path, Some(vc)).count())
+  }
+
+  test("snapshotRange coerces bounds per stats domain: fractional/Date bounds on long-tagged columns") {
+    val path = freshPath()
+    val df = Seq(
+      (1L, 1994, java.sql.Date.valueOf("1994-03-01")),
+      (2L, 1995, java.sql.Date.valueOf("1995-06-15")),
+      (3L, 1996, java.sql.Date.valueOf("1996-09-30")),
+      (4L, 1997, java.sql.Date.valueOf("1997-12-31"))).toDF("id", "y", "d")
+    (0 until 4).foreach { i =>
+      TxParquetTable.append(df.filter(col("id") === (i + 1).toLong), path,
+        statsColumns = Seq("y", "d"))
+    }
+    // fractional Double bound against the integer column: rows with
+    // y in [1994.5, 1996.5] are exactly {1995, 1996} — no raw
+    // NumberFormatException at prune time (r11 advice)
+    val frac = TxParquetTable.snapshotRange(spark, path, "y",
+      Some(1994.5), Some(1996.5))
+      .collect().map(_.getAs[Int]("y")).sorted
+    assert(frac === Array(1995, 1996))
+    // java.sql.Date bound against the date column (stats domain: epoch
+    // days): the same two middle rows
+    val dates = TxParquetTable.snapshotRange(spark, path, "d",
+      Some(java.sql.Date.valueOf("1995-01-01")),
+      Some(java.sql.Date.valueOf("1996-12-31")))
+      .collect().map(_.getAs[Int]("y")).sorted
+    assert(dates === Array(1995, 1996))
+    // an un-coercible bound fails with the named-domain message, not a
+    // raw parse exception
+    val e = intercept[IllegalArgumentException] {
+      TxParquetTable.snapshotRange(spark, path, "y", Some("nineteen-ninety"), None)
+        .collect()
+    }
+    assert(e.getMessage.contains("stats domain"), e.getMessage)
+  }
 }

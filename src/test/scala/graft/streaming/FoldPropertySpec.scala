@@ -181,4 +181,14 @@ class FoldPropertySpec extends AnyFunSuite {
       assert(wholeEv.forall(_.n_prior >= 3), s"seed=$seed early event")
     }
   }
+
+  test("zScoreFold: micro-sum overflow fails loudly instead of corrupting state (r11 advice)") {
+    // a state one tick below Long overflow in s2Micro: the next fold
+    // must throw (Math.addExact), never wrap silently
+    val nearMax = StatefulOps.ZScoreState(10L, 0L, Long.MaxValue - 1L)
+    val tick = TickerTick("T", new Timestamp(0L), 3000.0f, 1)
+    intercept[ArithmeticException] {
+      StatefulOps.zScoreFold(Some(nearMax), Seq(tick), 2.0, 3)
+    }
+  }
 }
