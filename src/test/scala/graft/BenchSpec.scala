@@ -19,9 +19,23 @@ class BenchSpec extends AnyFunSuite {
     assert(names.forall(_.matches("q\\d+.*")), "query names must start with qNN")
   }
 
-  test("every oracleSql key names a query (oracle_total sums real entries)") {
+  test("every oracleSql key names a query (oracle_covered_total sums real entries)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql keys without a query: ${orphans.mkString(", ")}")
+  }
+
+  test("scaling.json is self-contained: every registered query has a row (r11 item 6)") {
+    // the artifact alone must answer "is anything super-linear": each
+    // query carries measured decade endpoints and/or a machine-readable
+    // `disposition` naming why endpoints would mis-measure it (tx-build
+    // flat-by-construction, tiny-frame, O(n^2) oracle anchor). A new
+    // query without a row fails here until its probe (ProbeScaling10 +
+    // merge) or disposition lands.
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/bench/scaling.json")), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(n => raw.contains("\"" + n + "\""))
+    assert(missing.isEmpty,
+      s"queries with no scaling.json row: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
   test("stdout line is tail-window-safe by construction: map while it fits, artifact pointer beyond") {
@@ -44,9 +58,9 @@ class BenchSpec extends AnyFunSuite {
     // the artifact pointer.
     val realisticFallback =
       """{"metric":"total","unit":"sec","sf":"/root/testdata/sf0.1","iters":2,"queries":{},""" +
-        """"queries_artifact":"docs/bench/last_run.json","oracle_total":99999.999,"value":99999.999}"""
+        """"queries_artifact":"docs/bench/last_run.json","oracle_covered_total":99999.999,"value":99999.999}"""
     assert(realisticFallback.length < 2000)
-    Seq("\"metric\"", "\"value\"", "\"oracle_total\"", "queries_artifact").foreach { k =>
+    Seq("\"metric\"", "\"value\"", "\"oracle_covered_total\"", "queries_artifact").foreach { k =>
       assert(realisticFallback.contains(k), s"fallback line must carry $k")
     }
   }

@@ -440,4 +440,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
       s"exactly one single-partition exchange (the keys-row total):\n$plan")
   }
+
+  test("every partition-less window in every registered query rides a reduced frame (r11 item 5)") {
+    // The "rides the |periods|/|blocks| frame" comments on
+    // Window.orderBy sites (Risk.bootstrapSharpe, Backtest cumulative
+    // windows, budget-select boundary sort, …) become a CHECKED
+    // invariant here: for each of the suite's optimized logical plans,
+    // every Window with an empty partitionSpec must have a reducing
+    // node — Aggregate, limit, or a literal/local relation — on EVERY
+    // root-to-leaf path beneath it, so the single-partition sort never
+    // sees an unaggregated corpus. A join of a reduced frame with a raw
+    // scan fails (children.forall), not just plans with no aggregate
+    // anywhere.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation |
+          _: OneRowRelation | _: Range => true
+      case other => other.children.nonEmpty && other.children.forall(reduced)
+    }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: Window if w.partitionSpec.isEmpty && !reduced(w.child) => name
+      }.distinct
+    }
+    assert(violations.isEmpty,
+      s"partition-less windows over unreduced frames in: ${violations.mkString(", ")}")
+  }
 }
