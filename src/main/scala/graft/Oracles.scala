@@ -3066,6 +3066,60 @@ SELECT kb.pair_block, kb.n_keys,
   floor(CAST(bt.bp AS DOUBLE) / CAST(tot.full_pairs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS candidate_reduction
 FROM kb LEFT JOIN per USING (pair_block), tot, bt""",
 
+    // blocked lead-lag: identical block machinery to q208; the pair
+    // overlap counts on the RETURN frame (first month per key drops),
+    // n_match is engine-side blocked==full equality over every ccf
+    // column, oracle-predicted = n_pairs. The ccf math itself is
+    // q201's oracle-pinned construction.
+    "q209_blocked_leadlag" ->
+      """WITH d AS (
+  SELECT l_suppkey AS k, strftime(l_shipdate, '%Y-%m') AS month,
+    max(l_extendedprice) AS close
+  FROM lineitem WHERE l_suppkey <= 100 GROUP BY 1, 2
+), r AS (
+  SELECT k, month,
+    CASE WHEN lag(close) OVER w = 0 THEN NULL
+         ELSE close / lag(close) OVER w - 1.0 END AS ret
+  FROM d WINDOW w AS (PARTITION BY k ORDER BY month)
+), sg AS (
+  SELECT k,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':0'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s0,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':1'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s1,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':2'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s2
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+), blk AS (
+  SELECT k, CASE WHEN s0 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN s1 > 0 THEN 2 ELSE 0 END
+          + CASE WHEN s2 > 0 THEN 4 ELSE 0 END AS pair_block
+  FROM sg
+), p AS (
+  SELECT ba.pair_block, a.k AS k1, b.k AS k2
+  FROM r a JOIN r b ON a.month = b.month AND a.k < b.k
+  JOIN blk ba ON ba.k = a.k
+  JOIN blk bb ON bb.k = b.k AND bb.pair_block = ba.pair_block
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+), pb AS (
+  SELECT pair_block, k1, k2, CAST(count(*) AS BIGINT) AS np FROM p GROUP BY 1, 2, 3
+), per AS (
+  SELECT pair_block, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(count(*) AS BIGINT) AS n_match,
+    CAST(sum(np) AS BIGINT) AS sum_n_periods
+  FROM pb GROUP BY 1
+), kb AS (
+  SELECT pair_block, CAST(count(*) AS BIGINT) AS n_keys FROM blk GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS full_pairs FROM blk
+), bt AS (
+  SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS bp FROM per
+)
+SELECT kb.pair_block, kb.n_keys,
+  CAST(coalesce(per.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(per.n_match, 0) AS BIGINT) AS n_match,
+  CAST(coalesce(per.sum_n_periods, 0) AS BIGINT) AS sum_n_periods,
+  tot.full_pairs,
+  floor(CAST(bt.bp AS DOUBLE) / CAST(tot.full_pairs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS candidate_reduction
+FROM kb LEFT JOIN per USING (pair_block), tot, bt""",
+
     // momentum backtest: daily close frame, 5-day momentum signal
     // LAGGED one day, quintiles over the (sig DESC, user_id) total
     // order; the spread floor-rounds to BIGINT micro-units before the

@@ -3348,6 +3348,59 @@ GROUP BY order_year""")
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("candidate_reduction"))
   }
 
+  /** X74 second screen: the LEAD-LAG cross-correlation screen fed
+    * through the same blocked pair universe — q208's verdict shape
+    * (per-block counts, engine-side blocked ≡ full equality over every
+    * ccf column, global candidate reduction), with the pair overlap
+    * counted on the RETURN frame (one fewer period per key than the
+    * close frame q208 counts). Together the two rows make "feed each
+    * screen through the blocked source" literal: the same `blocks`
+    * frame drives both screens unchanged.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Pairs
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 100)
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("l_suppkey"), col("month"))
+      .agg(max(col("l_extendedprice")).as("close"))
+      .localCheckpoint(true) // q208's pinning: ~a dozen references below
+    val blocks = Pairs.blockedPairSource(d, "l_suppkey", "month", "close", bits = 3)
+      .localCheckpoint(true)
+    val full = Pairs.leadLagCorrelation(d, "l_suppkey", "month", "close", Seq(-1, 1))
+    val blocked = Pairs.leadLagCorrelation(d, "l_suppkey", "month", "close",
+      Seq(-1, 1), Some(blocks))
+    val fullR = full.select(col("k1"), col("k2"),
+      col("n_periods").as("f_np"), col("ccf_m1").as("f_m1"),
+      col("ccf_0").as("f_0"), col("ccf_p1").as("f_p1"))
+      .localCheckpoint(true)
+    val cmp = blocked
+      .join(fullR, Seq("k1", "k2"))
+      .join(broadcast(blocks.withColumnRenamed("l_suppkey", "k1")), Seq("k1"))
+      .withColumn("__m",
+        (col("n_periods") <=> col("f_np") && col("ccf_m1") <=> col("f_m1") &&
+          col("ccf_0") <=> col("f_0") && col("ccf_p1") <=> col("f_p1")).cast("long"))
+    val perBlock = cmp.groupBy(col("pair_block"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__m")).as("n_match"),
+        sum(col("n_periods")).as("sum_n_periods"))
+      .localCheckpoint(true)
+    val keysPerBlock = blocks.groupBy(col("pair_block"))
+      .agg(count(lit(1)).as("n_keys"))
+    val totals = blocks.agg(count(lit(1)).as("__nk"))
+      .select((col("__nk") * (col("__nk") - lit(1L)) / lit(2L)).cast("long")
+        .as("full_pairs"))
+    val blockedTotal = perBlock.agg(sum(col("n_pairs")).as("__bp"))
+    keysPerBlock.join(perBlock, Seq("pair_block"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(blockedTotal))
+      .select(col("pair_block"), col("n_keys"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        coalesce(col("sum_n_periods"), lit(0L)).as("sum_n_periods"),
+        col("full_pairs"),
+        (floor(col("__bp").cast("double") / col("full_pairs").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("candidate_reduction"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -3557,6 +3610,7 @@ GROUP BY order_year""")
     "q206_bootstrap_sharpe" -> (q206 _),
     "q207_zscore_stream" -> (q207 _),
     "q208_blocked_pairs" -> (q208 _),
+    "q209_blocked_leadlag" -> (q209 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -276,7 +276,14 @@ object Risk {
     */
   def riskContributions(
       df: DataFrame, keyCol: String, timeCol: String,
-      closeCol: String): DataFrame = {
+      closeCol: String, blocks: Option[DataFrame] = None): DataFrame = {
+    // `blocks` (a (key, block) frame — sector map or
+    // Pairs.blockedPairSource): decompose PER BLOCK instead of one
+    // global book — the |keys|² covariance cross becomes Σ|block|²
+    // within-block entries (the X74 scale path), and each block is its
+    // own equal-weight sub-portfolio (sector risk buckets). Keys absent
+    // from `blocks` are excluded, the Pairs contract. Output gains the
+    // block column in that mode; RiskSpec pins blocked ≡ per-block runs.
     val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
     val lagC = lag(col(closeCol), 1).over(w)
     val rets = df
@@ -289,14 +296,23 @@ object Risk {
       col("__r").as("__ri"))
     val b = rets.select(col(keyCol).as("__kj"), col(timeCol).as("__t"),
       col("__r").as("__rj"))
-    val cov = a.join(b, Seq("__t"))
-      .groupBy(col("__ki"), col("__kj"))
+    val (aJ, bJ, joinKeys, blockCols) = blocks match {
+      case None => (a, b, Seq("__t"), Seq.empty[String])
+      case Some(bl) =>
+        val Seq(bk, bb) = bl.columns.toSeq
+        val b1 = broadcast(bl.select(col(bk).as("__ki"), col(bb).as("pair_block")))
+        val b2 = broadcast(bl.select(col(bk).as("__kj"), col(bb).as("pair_block")))
+        (a.join(b1, Seq("__ki")), b.join(b2, Seq("__kj")),
+          Seq("__t", "pair_block"), Seq("pair_block"))
+    }
+    val cov = aJ.join(bJ, joinKeys)
+      .groupBy((blockCols.map(col) :+ col("__ki")) :+ col("__kj"): _*)
       .agg(covar_samp(col("__ri"), col("__rj")).as("__c"))
       .withColumn("__cp",
         floor(col("__c") * lit(1.0e12) + lit(0.5d)).cast("long"))
-    val rows = cov.groupBy(col("__ki").as(keyCol))
+    val rows = cov.groupBy(blockCols.map(col) :+ col("__ki").as(keyCol): _*)
       .agg(sum(col("__cp")).as("__rs"), count(lit(1)).as("__nk"))
-    val wAll = Window.partitionBy()
+    val wAll = Window.partitionBy(blockCols.map(col): _*)
     val nkSq = (col("__nk") * col("__nk")).cast("double")
     val varP = (col("__tot").cast("double") / lit(1.0e12)) / nkSq
     rows
@@ -311,6 +327,7 @@ object Risk {
         when(col("__tot") =!= 0L,
           col("__rs").cast("double") / col("__tot").cast("double"))
           .otherwise(lit(null).cast("double")))
-      .select(keyCol, "n_keys", "var_p", "mcr", "risk_share")
+      .select((blockCols ++ Seq(keyCol, "n_keys", "var_p", "mcr", "risk_share"))
+        .map(col): _*)
   }
 }

@@ -183,6 +183,34 @@ class RiskSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("ci_lo")) && r.isNullAt(r.fieldIndex("ci_hi")))
   }
 
+  test("blocked riskContributions equals independent per-block runs; unblocked keys excluded") {
+    val paths = Map(
+      "A" -> Seq(100.0, 103.0, 99.0, 104.0, 108.0, 102.0),
+      "B" -> Seq(201.0, 207.0, 199.0, 209.0, 217.0, 205.0),
+      "C" -> Seq(50.0, 48.0, 53.0, 47.0, 52.0, 55.0),
+      "D" -> Seq(75.0, 77.0, 74.0, 78.0, 73.0, 79.0),
+      "E" -> Seq(10.0, 11.0, 10.5, 11.5, 12.0, 11.0))
+    def frame(keys: Set[String]) = paths.toSeq
+      .filter(p => keys.contains(p._1))
+      .flatMap { case (k, cs) => cs.zipWithIndex.map { case (c, i) => (k, i.toLong, c) } }
+      .toDF("sym", "t", "close")
+    val sectors = Seq(("A", 0), ("B", 0), ("C", 1), ("D", 1)).toDF("sym", "blk")
+    val blocked = Risk.riskContributions(
+      frame(paths.keySet), "sym", "t", "close", Some(sectors))
+      .collect().map(r => (r.getAs[Int]("pair_block"), r.getAs[String]("sym")) -> r.toSeq.drop(1)).toMap
+    assert(blocked.keySet ===
+      Set((0, "A"), (0, "B"), (1, "C"), (1, "D"))) // E excluded by contract
+    // each block must reproduce a standalone decomposition of its keys
+    Seq(0 -> Set("A", "B"), 1 -> Set("C", "D")).foreach { case (blk, keys) =>
+      val solo = Risk.riskContributions(frame(keys), "sym", "t", "close")
+        .collect().map(r => r.getAs[String]("sym") -> r.toSeq).toMap
+      keys.foreach { k =>
+        assert(blocked((blk, k)) === solo(k),
+          s"block $blk key $k diverges from the standalone run")
+      }
+    }
+  }
+
   test("riskContributions: a flat universe yields zero variance and null attributions") {
     val rows = for (k <- Seq("A", "B"); i <- 0 until 4) yield (k, i.toLong, 10.0)
     val out = Risk.riskContributions(
