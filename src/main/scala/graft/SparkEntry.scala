@@ -3348,6 +3348,26 @@ GROUP BY order_year""")
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("candidate_reduction"))
   }
 
+  /** X75: Engle–Granger STEP 2 — the Dickey–Fuller t-stat of each
+    * pair's hedge-fit residual spread, run through the X74 blocked
+    * universe (the production shape: block first, test within blocks).
+    * Unlike q208/q209's count-verdict form, this oracle replicates the
+    * ENTIRE stat chain in DuckDB — hedge fit, spread, Δs-on-s₋₁
+    * regression, residual SSE, the t — per within-block pair, on top of
+    * the q208 block machinery.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Pairs
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 100)
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("l_suppkey"), col("month"))
+      .agg(max(col("l_extendedprice")).as("close"))
+      .localCheckpoint(true) // the q208 pinning
+    val blocks = Pairs.blockedPairSource(d, "l_suppkey", "month", "close", bits = 3)
+    Pairs.dickeyFullerScreen(d, "l_suppkey", "month", "close", Some(blocks))
+  }
+
   /** X74 second screen: the LEAD-LAG cross-correlation screen fed
     * through the same blocked pair universe — q208's verdict shape
     * (per-block counts, engine-side blocked ≡ full equality over every
@@ -3611,6 +3631,7 @@ GROUP BY order_year""")
     "q207_zscore_stream" -> (q207 _),
     "q208_blocked_pairs" -> (q208 _),
     "q209_blocked_leadlag" -> (q209 _),
+    "q210_dickey_fuller" -> (q210 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

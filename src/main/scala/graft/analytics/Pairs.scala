@@ -115,16 +115,25 @@ object Pairs {
     * materialize (q208 pins blocked ≡ full on the surviving pairs plus
     * the measured candidate reduction).
     */
-  def cointegrationScreen(
-      df: DataFrame, keyCol: String, timeCol: String,
-      closeCol: String, blocks: Option[DataFrame] = None): DataFrame = {
+  /** The (k1, k2, __t, __x, __y) aligned pair frame for a keyed close
+    * frame, optionally block-restricted.
+    */
+  private def alignedPairs(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      blocks: Option[DataFrame]): DataFrame = {
     val a = df.select(col(keyCol).as("k1"), col(timeCol).as("__t"),
       col(closeCol).cast("double").as("__x"))
     val b = df.select(col(keyCol).as("k2"), col(timeCol).as("__t"),
       col(closeCol).cast("double").as("__y"))
-    val pairs = pairCross(a, b, blocks)
+    pairCross(a, b, blocks)
+  }
 
-    val fit = pairs.groupBy(col("k1"), col("k2"))
+  /** Per-pair OLS hedge fit y = α + βx over the aligned pair frame:
+    * (k1, k2, n_periods, beta, alpha) with the q187 rounding contract —
+    * β and α round (sr6) BEFORE any spread math built on them.
+    */
+  private def hedgeFit(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("k1"), col("k2"))
       .agg(
         count(lit(1)).as("n_periods"),
         covar_samp(col("__y"), col("__x")).as("__cxy"),
@@ -138,6 +147,11 @@ object Pairs {
         sr6(col("__my") - col("beta") * col("__mx") + lit(0.0)))
       .select("k1", "k2", "n_periods", "beta", "alpha")
 
+  def cointegrationScreen(
+      df: DataFrame, keyCol: String, timeCol: String,
+      closeCol: String, blocks: Option[DataFrame] = None): DataFrame = {
+    val pairs = alignedPairs(df, keyCol, timeCol, closeCol, blocks)
+    val fit = hedgeFit(pairs)
     val sp = pairs.join(fit, Seq("k1", "k2"))
       .withColumn("__s", col("__y") - (col("alpha") + col("beta") * col("__x")))
     val w = Window.partitionBy(col("k1"), col("k2")).orderBy(col("__t"))
@@ -159,6 +173,76 @@ object Pairs {
         when(col("__rho") > 0.0 && col("__rho") < 1.0,
           sr6(lit(-math.log(2.0)) / log(col("__rho")) + lit(0.0)))
           .otherwise(lit(null).cast("double")).as("half_life"))
+  }
+
+  /** Engle–Granger STEP 2 proper: the Dickey–Fuller t-statistic of the
+    * hedge-fit residual spread — the number the cointegration decision
+    * actually tests (compare against the Engle–Granger critical values,
+    * e.g. −3.34 at 5% for one fitted regressor), where
+    * [[cointegrationScreen]]'s AR(1) ρ only RANKS candidates. Per pair:
+    * regress Δs_t = α_df + γ·s_{t−1} (no augmentation lags — the
+    * monthly/daily close frames this screens have little serial
+    * structure left after the hedge fit; γ < 0 with a large |t| means
+    * the spread mean-reverts), emit (k1, k2, n_periods, beta, alpha,
+    * gamma, df_tstat).
+    *
+    * Determinism: β/α and then γ/α_df round (sr6) BEFORE the pass that
+    * consumes them, so per-row spreads, diffs, and residuals are
+    * identical doubles in both engines; SSE / Σ(x−x̄)² accumulate in
+    * engine order → the t-stat rounds (sr6) once at emission — exactly
+    * the ρ discipline. Guards: null β (degenerate fit) nulls the whole
+    * chain; m < 4 regression rows (se needs m−2 > 1), zero lagged-spread
+    * variance, or a zero-residual perfect fit (se = 0) → null t.
+    *
+    * Scale shape: same aligned pair cross as the other screens (pass
+    * `blocks` past hundreds of keys — q210 runs exactly that), then
+    * three per-pair hash aggregates (hedge fit, γ fit, residual
+    * moments) and one keyed window for the lag. Nothing touches ticks.
+    */
+  def dickeyFullerScreen(
+      df: DataFrame, keyCol: String, timeCol: String,
+      closeCol: String, blocks: Option[DataFrame] = None): DataFrame = {
+    val pairs = alignedPairs(df, keyCol, timeCol, closeCol, blocks)
+    val fit = hedgeFit(pairs)
+    val w = Window.partitionBy(col("k1"), col("k2")).orderBy(col("__t"))
+    val sp = pairs.join(fit, Seq("k1", "k2"))
+      .withColumn("__s", col("__y") - (col("alpha") + col("beta") * col("__x")))
+      .withColumn("__sl", lag(col("__s"), 1).over(w))
+      .filter(col("__sl").isNotNull)
+      .withColumn("__ds", col("__s") - col("__sl"))
+    val gfit = sp.groupBy(col("k1"), col("k2"))
+      .agg(
+        count(lit(1)).as("__m"),
+        covar_samp(col("__ds"), col("__sl")).as("__cdx"),
+        var_samp(col("__sl")).as("__vl"),
+        avg(col("__ds")).as("__md"),
+        avg(col("__sl")).as("__ml"))
+      .withColumn("gamma",
+        when(col("__m") < 4 || col("__vl").isNull || col("__vl") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(sr6(col("__cdx") / col("__vl") + lit(0.0))))
+      .withColumn("__adf", sr6(col("__md") - col("gamma") * col("__ml") + lit(0.0)))
+      .select("k1", "k2", "__m", "gamma", "__adf")
+    val res = sp.join(gfit, Seq("k1", "k2"))
+      .withColumn("__e",
+        col("__ds") - (col("__adf") + col("gamma") * col("__sl")))
+      .groupBy(col("k1"), col("k2"))
+      .agg(
+        sum(col("__e") * col("__e")).as("__sse"),
+        var_samp(col("__sl")).as("__vl2"),
+        count(lit(1)).as("__m2"))
+      .withColumn("__sxx", col("__vl2") * (col("__m2") - lit(1L)).cast("double"))
+      .select("k1", "k2", "__sse", "__sxx")
+    fit.join(gfit.select("k1", "k2", "__m", "gamma"), Seq("k1", "k2"))
+      .join(res, Seq("k1", "k2"))
+      .select(
+        col("k1"), col("k2"), col("n_periods"), col("beta"), col("alpha"),
+        col("gamma"),
+        when(col("gamma").isNull || col("__m") < 4 || col("__sxx") <= 0.0 ||
+          col("__sse") <= 0.0, lit(null).cast("double"))
+          .otherwise(sr6(col("gamma") /
+            sqrt((col("__sse") / (col("__m") - lit(2L)).cast("double")) / col("__sxx"))
+            + lit(0.0))).as("df_tstat"))
   }
 
   /** LEAD-LAG cross-correlation screen: for every unordered key pair,

@@ -94,6 +94,63 @@ class PairsSpec extends SparkSpec {
     assert(r.getAs[Double]("ccf_0") < 0.99)
   }
 
+  test("dickeyFullerScreen: scalar replication of gamma and the DF t-stat") {
+    // same constructed pair as the cointegration test: y = 1 + 2x + s
+    val x = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0)
+    val sRes = Seq(0.4, -0.2, 0.3, 0.1, -0.4, 0.2, -0.1, -0.3)
+    val y = x.zip(sRes).map { case (xi, si) => 1.0 + 2.0 * xi + si }
+    val rows = x.indices.flatMap { i =>
+      Seq(("X", i.toLong, x(i)), ("Y", i.toLong, y(i)))
+    }
+    val out = Pairs.dickeyFullerScreen(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close").collect()
+    assert(out.length === 1)
+    val r = out.head
+
+    def mean(v: Seq[Double]) = v.sum / v.length
+    def covS(a: Seq[Double], b: Seq[Double]) = {
+      val (ma, mb) = (mean(a), mean(b))
+      a.zip(b).map { case (ai, bi) => (ai - ma) * (bi - mb) }.sum / (a.length - 1)
+    }
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val beta = sr6(covS(y, x) / covS(x, x))
+    val alpha = sr6(mean(y) - beta * mean(x))
+    val s = x.zip(y).map { case (xi, yi) => yi - (alpha + beta * xi) }
+    val sl = s.init; val ds = s.tail.zip(s.init).map { case (a, b) => a - b }
+    val gamma = sr6(covS(ds, sl) / covS(sl, sl))
+    val adf = sr6(mean(ds) - gamma * mean(sl))
+    val e = ds.zip(sl).map { case (d, l) => d - (adf + gamma * l) }
+    val m = ds.length
+    val sse = e.map(v => v * v).sum
+    val sxx = covS(sl, sl) * (m - 1)
+    val t = sr6(gamma / math.sqrt((sse / (m - 2)) / sxx))
+    assert(r.getAs[Long]("n_periods") === 8L)
+    assert(math.abs(r.getAs[Double]("gamma") - gamma) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df_tstat") - t) < 1e-9)
+    // the constructed spread mean-reverts hard: gamma < 0 and t well negative
+    assert(gamma < 0 && t < -1.0)
+  }
+
+  test("dickeyFullerScreen guards: zero-residual pair and constant leg yield null t") {
+    val x = Seq(10.0, 12.0, 11.0, 14.0, 13.0, 15.0)
+    val rows = x.indices.flatMap { i =>
+      Seq(("A", i.toLong, x(i)), ("B", i.toLong, 3.0 + 0.5 * x(i)),
+        ("C", i.toLong, 7.0))
+    }
+    val out = Pairs.dickeyFullerScreen(
+      rows.toDF("sym", "t", "close"), "sym", "t", "close")
+      .collect().map(r => (r.getAs[String]("k1"), r.getAs[String]("k2")) -> r).toMap
+    // A-B: exact linear fit -> zero spread everywhere -> zero lagged
+    // variance -> null gamma and null t (never a 0/0)
+    val ab = out(("A", "B"))
+    assert(ab.isNullAt(ab.fieldIndex("gamma")))
+    assert(ab.isNullAt(ab.fieldIndex("df_tstat")))
+    // A-C: constant y leg -> beta 0, spread constant -> same null chain
+    val ac = out(("A", "C"))
+    assert(ac.isNullAt(ac.fieldIndex("gamma")))
+    assert(ac.isNullAt(ac.fieldIndex("df_tstat")))
+  }
+
   test("blockedPairSource: return-identical keys share a block; range is [0, 2^bits)") {
     // closes of B = 2 x closes of A -> identical RETURN vectors -> every
     // SRP projection term is identical -> same block, by construction
