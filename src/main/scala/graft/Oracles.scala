@@ -3066,6 +3066,139 @@ SELECT kb.pair_block, kb.n_keys,
   floor(CAST(bt.bp AS DOUBLE) / CAST(tot.full_pairs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS candidate_reduction
 FROM kb LEFT JOIN per USING (pair_block), tot, bt""",
 
+    // pairs-desk capstone: q210's full DF chain -> top-20 by t (sr6
+    // ties broken by keys) -> expanding-z spread backtest. The z is
+    // bit-identical cross-engine (exact BIGINT prefix sums, one fixed
+    // IEEE derivation — the q207 discipline), so positions and the
+    // centi-unit integer P&L replicate with NO rounding in the
+    // backtest leg.
+    "q212_pairs_backtest" ->
+      """WITH d AS (
+  SELECT l_suppkey AS k, strftime(l_shipdate, '%Y-%m') AS month,
+    max(l_extendedprice) AS close
+  FROM lineitem WHERE l_suppkey <= 100 GROUP BY 1, 2
+), r AS (
+  SELECT k, month,
+    CASE WHEN lag(close) OVER w = 0 THEN NULL
+         ELSE close / lag(close) OVER w - 1.0 END AS ret
+  FROM d WINDOW w AS (PARTITION BY k ORDER BY month)
+), sg AS (
+  SELECT k,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':0'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s0,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':1'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s1,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':2'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s2
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+), blk AS (
+  SELECT k, CASE WHEN s0 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN s1 > 0 THEN 2 ELSE 0 END
+          + CASE WHEN s2 > 0 THEN 4 ELSE 0 END AS pair_block
+  FROM sg
+), p AS (
+  SELECT a.k AS k1, b.k AS k2, a.month AS t, a.close AS x, b.close AS y
+  FROM d a JOIN d b ON a.month = b.month AND a.k < b.k
+  JOIN blk ba ON ba.k = a.k
+  JOIN blk bb ON bb.k = b.k AND bb.pair_block = ba.pair_block
+), fit AS (
+  SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_periods,
+    CASE WHEN count(*) < 2 OR var_samp(x) = 0 THEN NULL
+         ELSE floor(covar_samp(y, x) / var_samp(x) * 1000000 + 0.5) / 1000000 + 0.0
+    END AS beta,
+    avg(x) AS mx, avg(y) AS my
+  FROM p GROUP BY 1, 2
+), fit2 AS (
+  SELECT k1, k2, n_periods, beta,
+    floor((my - beta * mx) * 1000000 + 0.5) / 1000000 + 0.0 AS alpha
+  FROM fit
+), sp AS (
+  SELECT p.k1, p.k2, p.t, p.y - (f.alpha + f.beta * p.x) AS s
+  FROM p JOIN fit2 f ON p.k1 = f.k1 AND p.k2 = f.k2
+), dd AS (
+  SELECT k1, k2, t, s - slag AS ds, slag FROM (
+    SELECT k1, k2, t, s, lag(s) OVER (PARTITION BY k1, k2 ORDER BY t) AS slag
+    FROM sp)
+  WHERE slag IS NOT NULL
+), g AS (
+  SELECT k1, k2, CAST(count(*) AS BIGINT) AS m,
+    CASE WHEN count(*) < 4 OR var_samp(slag) IS NULL OR var_samp(slag) = 0 THEN NULL
+         ELSE floor(covar_samp(ds, slag) / var_samp(slag) * 1000000 + 0.5) / 1000000 + 0.0
+    END AS gamma,
+    avg(ds) AS md, avg(slag) AS ml
+  FROM dd GROUP BY 1, 2
+), g2 AS (
+  SELECT k1, k2, m, gamma,
+    floor((md - gamma * ml) * 1000000 + 0.5) / 1000000 + 0.0 AS adf
+  FROM g
+), res AS (
+  SELECT dd.k1, dd.k2,
+    sum((ds - (g2.adf + g2.gamma * slag)) * (ds - (g2.adf + g2.gamma * slag))) AS sse,
+    var_samp(slag) * (count(*) - 1) AS sxx
+  FROM dd JOIN g2 ON dd.k1 = g2.k1 AND dd.k2 = g2.k2
+  GROUP BY 1, 2
+), tst AS (
+  SELECT f.k1, f.k2, f.beta, f.alpha,
+    CASE WHEN g2.gamma IS NULL OR g2.m < 4 OR res.sxx <= 0 OR res.sse <= 0 THEN NULL
+         ELSE floor(g2.gamma / sqrt((res.sse / (g2.m - 2)) / res.sxx)
+           * 1000000 + 0.5) / 1000000 + 0.0 END AS df_tstat
+  FROM fit2 f
+  JOIN g2 ON f.k1 = g2.k1 AND f.k2 = g2.k2
+  JOIN res ON f.k1 = res.k1 AND f.k2 = res.k2
+), sel AS (
+  SELECT k1, k2, beta, alpha, df_tstat FROM (
+    SELECT *, row_number() OVER (ORDER BY df_tstat ASC, k1, k2) AS rk
+    FROM tst WHERE df_tstat < -3.34)
+  WHERE rk <= 20
+), bt AS (
+  SELECT sel.k1, sel.k2, sel.beta, sel.alpha, sel.df_tstat, p.t,
+    CAST(floor((p.y - (sel.alpha + sel.beta * p.x)) * 100 + 0.5) AS BIGINT) AS sc
+  FROM p JOIN sel ON p.k1 = sel.k1 AND p.k2 = sel.k2
+), zz AS (
+  SELECT *, count(sc) OVER wp AS n,
+    CAST(sum(sc) OVER wp AS BIGINT) AS ps1,
+    CAST(sum(sc * sc) OVER wp AS BIGINT) AS ps2,
+    lead(sc) OVER w AS nxt
+  FROM bt
+  WINDOW w AS (PARTITION BY k1, k2 ORDER BY t),
+    wp AS (PARTITION BY k1, k2 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), sig AS (
+  SELECT k1, k2, beta, alpha, df_tstat,
+    CASE WHEN z > 2.0 THEN -1 WHEN z < -2.0 THEN 1 ELSE 0 END AS pos,
+    nxt - sc AS dsc
+  FROM (
+    SELECT *, CASE WHEN n >= 5 AND
+        (CAST(ps2 AS DOUBLE) - CAST(ps1 AS DOUBLE) * CAST(ps1 AS DOUBLE) / n) / (n - 1) > 0.0
+      THEN (CAST(sc AS DOUBLE) - CAST(ps1 AS DOUBLE) / n)
+        / sqrt((CAST(ps2 AS DOUBLE) - CAST(ps1 AS DOUBLE) * CAST(ps1 AS DOUBLE) / n) / (n - 1))
+      ELSE NULL END AS z
+    FROM zz)
+)
+SELECT k1, k2, beta, alpha, df_tstat,
+  CAST(count(*) AS BIGINT) AS n_obs,
+  CAST(sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_signals,
+  CAST(coalesce(sum(CASE WHEN pos * dsc > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+  CAST(coalesce(sum(pos * dsc), 0) AS BIGINT) AS total_pnl_centi
+FROM sig GROUP BY 1, 2, 3, 4, 5""",
+
+    // Tx RESTORE: each stage's content predicted from the source table
+    // (v1 = low-year rows + doubled high-year rows; restored = v0);
+    // restore_exact is the engine-side symmetric-exceptAll verdict the
+    // oracle predicts true. Doubling before or after the sum is exact
+    // (x2 is an exponent bump); round(.,2) absorbs engine-order ULPs.
+    "q211_tx_restore" ->
+      """WITH lo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS t
+  FROM orders WHERE year(o_orderdate) <= 1997
+), hi AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) * 2 AS t
+  FROM orders WHERE year(o_orderdate) >= 1998
+)
+SELECT 'v0' AS stage, lo.n, lo.t AS total, true AS restore_exact FROM lo
+UNION ALL
+SELECT 'v1', lo.n + hi.n,
+  round((SELECT sum(o_totalprice) FROM orders WHERE year(o_orderdate) <= 1997) + hi.t, 2),
+  true FROM lo, hi
+UNION ALL
+SELECT 'restored', lo.n, lo.t, true FROM lo""",
+
     // blocked Dickey-Fuller: q208's block machinery + q187's hedge-fit
     // chain, then the DF regression replicated IN FULL — gamma and the
     // DF intercept round (sr6) before the residual pass (identical

@@ -3368,6 +3368,76 @@ GROUP BY order_year""")
     Pairs.dickeyFullerScreen(d, "l_suppkey", "month", "close", Some(blocks))
   }
 
+  /** X76: Tx RESTORE — Delta-style rollback-as-a-new-commit,
+    * metadata-only (no data read or rewritten; O(#files) driver work at
+    * any table size). v0 appends the low-year orders, v1 upserts the
+    * high-year slice with doubled prices, restore(v0) rolls the table
+    * back; the output aggregates each stage's content PLUS an
+    * engine-side `restore_exact` verdict (symmetric exceptAll between
+    * the restored snapshot and the v0 snapshot is empty — the q164
+    * pruned_ok pattern: the oracle predicts true). v1 stays
+    * time-travelable after the restore, which its stage row proves.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q211_restore")
+    try {
+      val p = path.toString
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      val v0 = TxParquetTable.append(src.filter(col("order_year") <= 1997), p)
+      val v1 = TxParquetTable.upsert(
+        src.filter(col("order_year") >= 1998)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), p, "id")
+      val v2 = TxParquetTable.restore(p, v0)
+      require(v2 > v1, s"restore must commit a new version (got $v2 after $v1)")
+      val v0Df = TxParquetTable.snapshot(s, p, Some(v0))
+      val restored = TxParquetTable.snapshot(s, p)
+      val exact = restored.exceptAll(v0Df).count() == 0 &&
+        v0Df.exceptAll(restored).count() == 0
+      def stage(df: DataFrame, name: String) = df
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(name).as("stage"), col("n"), col("total"),
+          lit(exact).as("restore_exact"))
+      val out = stage(v0Df, "v0")
+        .unionByName(stage(TxParquetTable.snapshot(s, p, Some(v1)), "v1"))
+        .unionByName(stage(restored, "restored"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(path)
+  }
+
+  /** X77 capstone: the full pairs-desk chain — SRP blocks (X74) → DF
+    * cointegration test (X75) → top-20 most-negative t below the 5%
+    * Engle–Granger critical value (−3.34) → expanding-z spread backtest
+    * (X77): fade |z| > 2 dislocations, earn next period's spread move.
+    * Positions are BIT-IDENTICAL cross-engine (exact integer prefix
+    * sums → fixed-order IEEE z, the q207 discipline) and the P&L is
+    * pure centi-unit integer arithmetic, so the oracle needs no
+    * rounding in the entire backtest leg.
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Pairs
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 100)
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("l_suppkey"), col("month"))
+      .agg(max(col("l_extendedprice")).as("close"))
+      .localCheckpoint(true) // the q208 pinning
+    val blocks = Pairs.blockedPairSource(d, "l_suppkey", "month", "close", bits = 3)
+      .localCheckpoint(true)
+    val screen = Pairs.dickeyFullerScreen(d, "l_suppkey", "month", "close", Some(blocks))
+    val sel = screen.filter(col("df_tstat") < -3.34)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("df_tstat").asc, col("k1"), col("k2"))))
+      .filter(col("__rk") <= 20)
+      .select("k1", "k2", "beta", "alpha", "df_tstat")
+      .localCheckpoint(true) // 20 rows, broadcast into the backtest
+    Pairs.spreadZBacktest(d, "l_suppkey", "month", "close", sel,
+      entryZ = 2.0, minPrior = 5)
+  }
+
   /** X74 second screen: the LEAD-LAG cross-correlation screen fed
     * through the same blocked pair universe — q208's verdict shape
     * (per-block counts, engine-side blocked ≡ full equality over every
@@ -3632,6 +3702,8 @@ GROUP BY order_year""")
     "q208_blocked_pairs" -> (q208 _),
     "q209_blocked_leadlag" -> (q209 _),
     "q210_dickey_fuller" -> (q210 _),
+    "q211_tx_restore" -> (q211 _),
+    "q212_pairs_backtest" -> (q212 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -245,6 +245,71 @@ object Pairs {
             + lit(0.0))).as("df_tstat"))
   }
 
+  /** SPREAD Z-SCORE BACKTEST over screened pairs — the step after the
+    * cointegration test: for each pair the screen selected (a frame
+    * carrying k1, k2, beta, alpha, plus any ranking columns to carry
+    * through), rebuild the hedge spread s_t = y − (α + βx), score each
+    * period against the EXPANDING history (leakage-free: mean/sd of
+    * s_1..t−1 only, ≥ `minPrior` priors), take position −sign(z) when
+    * |z| > `entryZ` (fade the dislocation), and earn next period's
+    * spread move. Emits one row per pair: the carried screen columns +
+    * n_obs, n_signals, n_hits, total_pnl_centi.
+    *
+    * Determinism (the q207/q188 EXACT-PREFIX discipline): the spread
+    * quantizes to CENTI-unit BIGINTs (⌊s·100+0.5⌋ — micro would
+    * overflow the squared sums at price-scale spreads); the expanding
+    * n/Σs/Σs² are integer window sums (order-free, exact), and
+    * mean/var/z derive from them in one fixed IEEE order — the z, hence
+    * every position, is bit-identical cross-engine with no rounding
+    * anywhere. P&L is position·Δ(centi-spread): pure integer arithmetic
+    * end to end.
+    *
+    * Scale shape: the screen output broadcasts onto the close frame
+    * (two filtered scans, no pair cross), one keyed window per pair for
+    * the prefix sums and the next-period move, one |pairs|-row
+    * aggregate.
+    */
+  def spreadZBacktest(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      screened: DataFrame, entryZ: Double = 2.0, minPrior: Int = 5): DataFrame = {
+    require(entryZ > 0 && minPrior >= 2,
+      s"need entryZ > 0 and minPrior >= 2, got $entryZ/$minPrior")
+    val carried = screened.columns.toSeq
+    require(Seq("k1", "k2", "beta", "alpha").forall(carried.contains),
+      s"screened frame must carry k1, k2, beta, alpha; has ${carried.mkString(",")}")
+    val aa = df.select(col(keyCol).as("k1"), col(timeCol).as("__t"),
+      col(closeCol).cast("double").as("__x"))
+    val bb = df.select(col(keyCol).as("k2"), col(timeCol).as("__t"),
+      col(closeCol).cast("double").as("__y"))
+    val pr = broadcast(screened).join(aa, Seq("k1")).join(bb, Seq("k2", "__t"))
+      .withColumn("__s", col("__y") - (col("alpha") + col("beta") * col("__x")))
+      .withColumn("__sc", floor(col("__s") * lit(100.0) + lit(0.5)).cast("long"))
+    val w = Window.partitionBy(col("k1"), col("k2")).orderBy(col("__t"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val n = count(col("__sc")).over(wPrev)
+    val s1 = sum(col("__sc")).over(wPrev)
+    val s2 = sum(col("__sc") * col("__sc")).over(wPrev)
+    val nD = n.cast("double")
+    val s1d = s1.cast("double"); val s2d = s2.cast("double")
+    val mean = s1d / nD
+    val varr = (s2d - s1d * s1d / nD) / (nD - lit(1.0))
+    val z = (col("__sc").cast("double") - mean) / sqrt(varr)
+    val scored = pr
+      .withColumn("__z",
+        when(n >= minPrior.toLong && varr > 0.0, z).otherwise(lit(null).cast("double")))
+      .withColumn("__pos",
+        when(col("__z") > entryZ, lit(-1L))
+          .when(col("__z") < -entryZ, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__pnl",
+        col("__pos") * (lead(col("__sc"), 1).over(w) - col("__sc")))
+    scored.groupBy(carried.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum((col("__pos") =!= 0L).cast("long")).as("n_signals"),
+        coalesce(sum((col("__pnl") > 0L).cast("long")), lit(0L)).as("n_hits"),
+        coalesce(sum(col("__pnl")), lit(0L)).as("total_pnl_centi"))
+  }
+
   /** LEAD-LAG cross-correlation screen: for every unordered key pair,
     * the Pearson correlation of (x_t, y_{t+ℓ}) RETURNS at each lag ℓ —
     * who moves first. A peak at ℓ > 0 means the FIRST key leads (its

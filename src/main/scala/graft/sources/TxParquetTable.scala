@@ -94,9 +94,15 @@ object TxParquetTable {
   // writer that retries the same micro-batch carries the same pair, and
   // append() / publish() drop the duplicate instead of double-adding
   // its files. Folded into Snapshot.txns as max-version-per-app.
+  // `op`: the commit's operation name for DESCRIBE-HISTORY ("compact",
+  // "restore"; absent for plain appends/upserts and for legacy logs) —
+  // needed because restore() also sets columnsReset (its post-state is a
+  // complete column baseline) and history would otherwise misreport
+  // restores as compactions.
   private case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String],
     buckets: Seq[Int], bucketCount: Option[Int], columns: Seq[String] = Seq.empty,
-    columnsReset: Boolean = false, txn: Option[(String, Long)] = None)
+    columnsReset: Boolean = false, txn: Option[(String, Long)] = None,
+    op: Option[String] = None)
   // `columnsComplete`: every file-ADDING commit folded into this snapshot
   // carried a columns record. Only then may the schema guard trust the
   // log's column set — one legacy commit in the history could have added
@@ -144,6 +150,7 @@ object TxParquetTable {
       val t = root.putObject("txn")
       t.put("app", app); t.put("ver", ver)
     }
+    c.op.foreach(root.put("op", _))
     mapper.writeValueAsString(root)
   }
 
@@ -184,7 +191,8 @@ object TxParquetTable {
       Option(root.get("bucketCount")).map(_.asInt()),
       parseColumns(root),
       Option(root.get("columnsReset")).exists(_.asBoolean()),
-      Option(root.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())))
+      Option(root.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())),
+      Option(root.get("op")).map(_.asText()))
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -626,7 +634,13 @@ object TxParquetTable {
       path: String, add: Seq[AddFile], remove: Seq[String], buckets: Seq[Int],
       readVersion: Long, bucketCount: Option[Int] = None,
       columns: Seq[String] = Seq.empty, columnsReset: Boolean = false,
-      maxRetries: Int = 20, txn: Option[(String, Long)] = None): Long = {
+      maxRetries: Int = 20, txn: Option[(String, Long)] = None,
+      op: Option[String] = None, ownsAddedFiles: Boolean = true): Long = {
+    // ownsAddedFiles = false: the caller's `add` entries reference files
+    // ALREADY OWNED by the log (restore re-adds a past version's files);
+    // failure cleanup must never delete them — they back history.
+    def cleanup(): Unit =
+      if (ownsAddedFiles) add.foreach(f => new File(dataDir(path), f.name).delete())
     logDir(path).mkdirs()
     var attempt = 0
     while (attempt < maxRetries) {
@@ -639,13 +653,13 @@ object TxParquetTable {
       txn.foreach { case (app, ver) =>
         interlopers.find(i => i.txn.exists(t => t._1 == app && t._2 >= ver))
           .foreach { winner =>
-            add.foreach(f => new File(dataDir(path), f.name).delete())
+            cleanup()
             return winner.version
           }
       }
       if (buckets.nonEmpty && interlopers.exists(i =>
           i.buckets.isEmpty || i.buckets.intersect(buckets).nonEmpty)) {
-        add.foreach(f => new File(dataDir(path), f.name).delete())
+        cleanup()
         throw new java.util.ConcurrentModificationException(
           s"tx conflict on buckets ${buckets.mkString(",")} at $path " +
             s"(concurrent commits: ${interlopers.map(_.version).mkString(",")})")
@@ -655,7 +669,7 @@ object TxParquetTable {
       val tmp = Files.write(
         Paths.get(path, s".commit-${java.util.UUID.randomUUID()}.tmp"),
         renderCommit(Commit(next, add, remove, buckets, bucketCount, columns,
-          columnsReset, txn)).getBytes(StandardCharsets.UTF_8))
+          columnsReset, txn, op)).getBytes(StandardCharsets.UTF_8))
       try {
         // createLink is the atomic CREATE-IF-ABSENT primitive: link(2)
         // fails if the target exists. (rename(2)/Files.move+ATOMIC_MOVE
@@ -670,7 +684,7 @@ object TxParquetTable {
           Files.deleteIfExists(tmp); attempt += 1 // lost the race; re-read and retry
       }
     }
-    add.foreach(f => new File(dataDir(path), f.name).delete())
+    cleanup()
     throw new IllegalStateException(s"gave up publishing after $maxRetries races at $path")
   }
 
@@ -692,9 +706,14 @@ object TxParquetTable {
       val added =
         if (c.add.exists(_.numRecords < 0)) null
         else java.lang.Long.valueOf(c.add.map(_.numRecords).sum)
+      // restore() also sets columnsReset; only a named "compact" (or a
+      // legacy pre-`op` reset commit, which could only be a compact)
+      // reports as one
+      val isCompact = c.op.contains("compact") || (c.op.isEmpty && c.columnsReset)
       Row(c.version, c.add.length.toLong, c.remove.length.toLong,
-        c.columnsReset, c.txn.map(_._1).orNull,
-        c.txn.map(t => java.lang.Long.valueOf(t._2)).orNull, added)
+        isCompact, c.txn.map(_._1).orNull,
+        c.txn.map(t => java.lang.Long.valueOf(t._2)).orNull, added,
+        c.op.orNull)
     }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -703,7 +722,8 @@ object TxParquetTable {
       StructField("is_compact", BooleanType, nullable = false),
       StructField("txn_app", StringType, nullable = true),
       StructField("txn_ver", LongType, nullable = true),
-      StructField("n_records", LongType, nullable = true)))
+      StructField("n_records", LongType, nullable = true),
+      StructField("op", StringType, nullable = true)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
@@ -859,7 +879,53 @@ object TxParquetTable {
     // file, and all of them are removed by this commit — the union with
     // the log's (possibly incomplete) record is a fresh complete baseline
     publish(path, adds, snap.live.map(_.name), (0 until n), readVersion, Some(n),
-      columns = (snap.columns ++ df.columns).distinct, columnsReset = true)
+      columns = (snap.columns ++ df.columns).distinct, columnsReset = true,
+      op = Some("compact"))
+  }
+
+  /** Delta-style RESTORE: make the table's CURRENT state equal its
+    * state at `toVersion`, published as a NEW commit — history is
+    * preserved, so the pre-restore versions stay time-travelable (and
+    * auditable) until vacuumed, and a bad restore is itself restorable.
+    * METADATA-ONLY: the commit re-adds the target version's live files
+    * and removes the current ones; no data is read or rewritten, so the
+    * call is O(#files) driver work at any table size. Files the target
+    * version needs must still exist (vacuum below `toVersion` breaks
+    * restorability) — checked loudly, never a silent partial table.
+    *
+    * Concurrency: the commit declares the FULL bucket domain (it
+    * replaces the whole live set), so any concurrent upsert conflicts
+    * cleanly, exactly like compact; `columnsReset` marks the restored
+    * column set as a complete baseline — a restore across an additive
+    * schema evolution correctly NARROWS the table's column record.
+    * Returns the committed version (or the read version when already
+    * at the target state).
+    */
+  def restore(path: String, toVersion: Long): Long = {
+    val readVersion = latestVersion(path)
+    require(toVersion >= 0 && toVersion <= readVersion,
+      s"restore target $toVersion outside the committed range [0, $readVersion] at $path")
+    val target = state(path, Some(toVersion))
+    val cur = state(path, Some(readVersion))
+    val curNames = cur.live.map(_.name).toSet
+    val targetNames = target.live.map(_.name).toSet
+    if (curNames == targetNames) return readVersion
+    val missing = target.live.filterNot(f => new File(dataDir(path), f.name).exists())
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"restore($toVersion) of $path needs vacuumed files " +
+        s"(first missing: ${missing.head.name}); only versions at or above " +
+        "the last vacuum's retainVersion are restorable.")
+    val adds = target.live.filterNot(f => curNames.contains(f.name))
+    val removes = cur.live.map(_.name).filterNot(targetNames.contains)
+    val n = cur.bucketCount.orElse(target.bucketCount).getOrElse(16)
+    // ownsAddedFiles = false: the re-added files belong to history —
+    // a lost conflict race must NOT delete them (they back time travel
+    // and possibly the current snapshot)
+    publish(path, adds, removes, (0 until n), readVersion,
+      bucketCount = cur.bucketCount.orElse(target.bucketCount),
+      columns = target.columns,
+      columnsReset = target.columnsComplete, op = Some("restore"),
+      ownsAddedFiles = false)
   }
 
   /** Transactional keyed upsert: replaces whole hash-buckets of rows.

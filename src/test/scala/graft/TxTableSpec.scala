@@ -884,6 +884,56 @@ class TxTableSpec extends SparkSpec {
     assert(ch === Seq(("insert", 1L), ("update", 1L)))
   }
 
+  test("restore: metadata-only rollback as a new commit; history and forward versions survive") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val v1 = TxParquetTable.upsert(Seq((2L, "B2"), (9L, "c")).toDF("id", "v"), path, "id")
+    val v2 = TxParquetTable.append(Seq((5L, "d")).toDF("id", "v"), path)
+    val v3 = TxParquetTable.restore(path, v0)
+    assert(v3 === v2 + 1)
+    def content(ver: Long) = TxParquetTable.snapshot(spark, path, Some(ver))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // current state == v0; the rolled-back versions stay time-travelable
+    assert(content(v3) === Map(1L -> "a", 2L -> "b"))
+    assert(content(v1) === Map(1L -> "a", 2L -> "B2", 9L -> "c"))
+    assert(content(v2) === Map(1L -> "a", 2L -> "B2", 9L -> "c", 5L -> "d"))
+    // log-only row count agrees across the restore
+    assert(TxParquetTable.rowCount(path) === Some(2L))
+    // history: restore is its own op, never a compact
+    val h = TxParquetTable.history(spark, path)
+      .collect().map(r => r.getAs[Long]("version") -> r).toMap
+    assert(h.keySet === Set(0L, 1L, 2L, 3L))
+    assert(h(v3).getAs[String]("op") === "restore")
+    assert(!h(v3).getAs[Boolean]("is_compact"))
+    // restore FORWARD to v2 (re-adds files the first restore removed)
+    val v4 = TxParquetTable.restore(path, v2)
+    assert(content(v4) === content(v2))
+    // restoring to the current state is a no-op
+    assert(TxParquetTable.restore(path, v4) === v4)
+    // vacuum away everything below the current state: a restore whose
+    // target files are gone must fail LOUDLY, never publish a commit
+    // pointing at missing data
+    TxParquetTable.vacuum(path, retainVersion = v4, retentionMs = 0L)
+    val e = intercept[IllegalStateException] {
+      TxParquetTable.restore(path, v0)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("restore narrows a schema evolution and conflicts with concurrent writes by full domain") {
+    val path = freshPath()
+    val v0 = TxParquetTable.append(Seq((1L, "a")).toDF("id", "v"), path)
+    TxParquetTable.append(Seq((2L, "b", 7.5)).toDF("id", "v", "extra"), path)
+    assert(TxParquetTable.snapshot(spark, path).columns.toSet === Set("id", "v", "extra"))
+    val v2 = TxParquetTable.restore(path, v0)
+    // the evolved column is gone from the restored state's schema
+    assert(TxParquetTable.snapshot(spark, path).columns.toSet === Set("id", "v"))
+    // and the schema guard accepts an upsert WITHOUT the rolled-back column
+    TxParquetTable.upsert(Seq((1L, "a2")).toDF("id", "v"), path, "id")
+    assert(TxParquetTable.snapshot(spark, path).collect().map(_.getString(1)).toSeq === Seq("a2"))
+    assert(v2 > v0)
+  }
+
   test("rowCount reads exact counts from the log through append/upsert/compact/checkpoint/vacuum") {
     val path = freshPath()
     // 12 commits -> crosses the version-10 checkpoint, so the folded
