@@ -75,7 +75,9 @@ object DumpPlans {
       "q190_risk_contrib" -> "risk decomposition: covariance matrix over the pair cross of the close frame; pico-unit BIGINT quantization makes row sums/total exact integers — matrix/row/total stages all keys²-row frames",
       "q191_newey_west" -> "Newey-West: five lag columns in ONE Window node over one series exchange, 23 moment columns in a single hash agg, lrv/t as scalar projection",
       "q204_rank_ic" -> "rank IC: per horizon, two ranking windows re-partition the day frame by period, one hash agg reduces to integer rank sums; summary window on the periods frame",
-      "q206_bootstrap_sharpe" -> "bootstrap Sharpe: ticks collapse to the market series; the hash-derived draw grid explodes from a 1-row block-count frame and equi-joins blocks — B tiny replicate aggregates, data-size-independent")
+      "q206_bootstrap_sharpe" -> "bootstrap Sharpe: ticks collapse to the market series; the hash-derived draw grid explodes from a 1-row block-count frame and equi-joins blocks — B tiny replicate aggregates, data-size-independent",
+      "q208_blocked_pairs" -> "blocked pair universe: the |keys|-row block frame BROADCASTS onto both pair sides and pair_block joins the equi-join keys — cross-block pairs never materialize; the close frame is localCheckpoint-pinned so its scan+aggregate runs once across blocks + both screens",
+      "q212_pairs_backtest" -> "pairs-desk capstone: the 20-row screened frame broadcasts onto the close frame (no pair cross in the trading leg); exact integer prefix sums + lead share ONE (k1,k2) sort; one |pairs|-row aggregate closes it")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")

@@ -441,6 +441,41 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one single-partition exchange (the keys-row total):\n$plan")
   }
 
+  test("blocked pair screen: block frame broadcasts, pair_block rides the equi-join keys — never a post-join filter") {
+    // The X74 contract at plan level: with a blocks frame supplied, the
+    // pair cross must be an equi-join that INCLUDES the block id in its
+    // keys (cross-block pairs never materialize), with the |keys|-row
+    // block frame on the broadcast side. A regression to "full cross
+    // then filter by block" would still be CORRECT (q208's equivalence
+    // would pass) but quadratic — exactly what this pin exists to catch.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = for (k <- 0 until 6; t <- 0 until 8)
+      yield (s"K$k", t.toLong, 100.0 + k + 0.7 * t + (t % 3))
+    val df = rows.toDF("sym", "t", "close")
+    val blocks = Seq(("K0", 0), ("K1", 0), ("K2", 1), ("K3", 1), ("K4", 2), ("K5", 2))
+      .toDF("sym", "blk")
+    val screened = graft.analytics.Pairs.cointegrationScreen(
+      df, "sym", "t", "close", Some(blocks))
+    // logical pin: some equi-join carries the block column in its keys
+    val joins = screened.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val blockKeyed = joins.exists(_.condition.exists(
+      _.references.exists(_.name.startsWith("__blk"))))
+    assert(blockKeyed,
+      s"no join keys on the block id:\n${screened.queryExecution.optimizedPlan}")
+    // physical pin: the block frame rides a broadcast, and the pair join
+    // is never a cartesian
+    screened.collect()
+    val plan = screened.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"block frame should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked pair cross must not plan a cartesian:\n$plan")
+  }
+
   test("every partition-less window in every registered query rides a reduced frame (r11 item 5)") {
     // The "rides the |periods|/|blocks| frame" comments on
     // Window.orderBy sites (Risk.bootstrapSharpe, Backtest cumulative
