@@ -30,7 +30,10 @@ object Pairs {
     * MICRO-UNIT BIGINT (⌊r·(u−½)·10⁶+0.5⌋, the q193 discipline) so the
     * per-key sum is order-free integer arithmetic and the sign — hence
     * the block id — is bit-identical in any engine. Sign convention:
-    * bit b set iff the summed projection is strictly positive.
+    * bit b set iff the summed projection is strictly positive. The
+    * period enters the hash as `timeCol.cast(string)` — for an oracle
+    * to replicate block ids, render periods as strings ("yyyy-MM" etc.)
+    * BEFORE calling, so both engines hash identical bytes.
     *
     * Scale shape: one per-key window for returns, ONE hash aggregate
     * (all `bits` projections as map-side partial sums in a single
@@ -79,6 +82,9 @@ object Pairs {
     blocks match {
       case None => a.join(b, Seq("__t")).filter(col("k1") < col("k2"))
       case Some(bl) =>
+        require(bl.columns.length == 2,
+          s"blocks must be a two-column (key, block) frame — got " +
+            s"(${bl.columns.mkString(", ")}); select the two columns first")
         val Seq(bk, bb) = bl.columns.toSeq
         val bl1 = broadcast(bl.select(col(bk).as("k1"), col(bb).as("__blk")))
         val bl2 = broadcast(bl.select(col(bk).as("k2"), col(bb).as("__blk")))
@@ -257,7 +263,9 @@ object Pairs {
     *
     * Determinism (the q207/q188 EXACT-PREFIX discipline): the spread
     * quantizes to CENTI-unit BIGINTs (⌊s·100+0.5⌋ — micro would
-    * overflow the squared sums at price-scale spreads); the expanding
+    * overflow the squared sums at price-scale spreads; centi keeps
+    * Σ(sc²) in Long up to |spread| ≈ 10⁷ over 10⁴ periods, and past
+    * that ANSI mode fails LOUDLY rather than wrapping); the expanding
     * n/Σs/Σs² are integer window sums (order-free, exact), and
     * mean/var/z derive from them in one fixed IEEE order — the z, hence
     * every position, is bit-identical cross-engine with no rounding

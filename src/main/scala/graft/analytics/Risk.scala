@@ -299,6 +299,9 @@ object Risk {
     val (aJ, bJ, joinKeys, blockCols) = blocks match {
       case None => (a, b, Seq("__t"), Seq.empty[String])
       case Some(bl) =>
+        require(bl.columns.length == 2,
+          s"blocks must be a two-column (key, block) frame — got " +
+            s"(${bl.columns.mkString(", ")}); select the two columns first")
         val Seq(bk, bb) = bl.columns.toSeq
         val b1 = broadcast(bl.select(col(bk).as("__ki"), col(bb).as("pair_block")))
         val b2 = broadcast(bl.select(col(bk).as("__kj"), col(bb).as("pair_block")))
