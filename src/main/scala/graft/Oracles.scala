@@ -3272,8 +3272,8 @@ SELECT f.k1, f.k2, f.n_periods, f.beta, f.alpha, g2.gamma,
        ELSE floor(g2.gamma / sqrt((res.sse / (g2.m - 2)) / res.sxx)
          * 1000000 + 0.5) / 1000000 + 0.0 END AS df_tstat
 FROM fit2 f
-JOIN g2 ON f.k1 = g2.k1 AND f.k2 = g2.k2
-JOIN res ON f.k1 = res.k1 AND f.k2 = res.k2""",
+LEFT JOIN g2 ON f.k1 = g2.k1 AND f.k2 = g2.k2
+LEFT JOIN res ON f.k1 = res.k1 AND f.k2 = res.k2""",
 
     // blocked lead-lag: identical block machinery to q208; the pair
     // overlap counts on the RETURN frame (first month per key drops),

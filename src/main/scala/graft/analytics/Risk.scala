@@ -298,11 +298,17 @@ object Risk {
       col("__r").as("__rj"))
     val (aJ, bJ, joinKeys, blockCols) = blocks match {
       case None => (a, b, Seq("__t"), Seq.empty[String])
-      case Some(bl) =>
-        require(bl.columns.length == 2,
+      case Some(bl0) =>
+        require(bl0.columns.length == 2,
           s"blocks must be a two-column (key, block) frame — got " +
-            s"(${bl.columns.mkString(", ")}); select the two columns first")
-        val Seq(bk, bb) = bl.columns.toSeq
+            s"(${bl0.columns.mkString(", ")}); select the two columns first")
+        val Seq(bk, bb) = bl0.columns.toSeq
+        // keys must map to ONE block (r12 advice): a duplicated key
+        // would duplicate its covariance rows and the per-block sums
+        // would silently merge across blocks — same in-plan loud guard
+        // as Pairs.pairCross
+        val bl = graft.util.Guards.requireUniquePerKey(
+          bl0, Seq(bk), "riskContributions blocks frame")
         val b1 = broadcast(bl.select(col(bk).as("__ki"), col(bb).as("pair_block")))
         val b2 = broadcast(bl.select(col(bk).as("__kj"), col(bb).as("pair_block")))
         (a.join(b1, Seq("__ki")), b.join(b2, Seq("__kj")),

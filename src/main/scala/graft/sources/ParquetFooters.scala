@@ -33,12 +33,21 @@ object ParquetFooters {
 
   /** Exact row count of a parquet table path (file or directory):
     * the sum of per-file footer counts over every `*.parquet` under it.
+    *
+    * PLAIN tables only — pointed at a [[TxParquetTable]] root the
+    * recursive walk would also sum removed-but-not-vacuumed files under
+    * `data/` and overstate the count, so a `_graft_log` directory fails
+    * loudly with a pointer to the log-only counter (r12 advice).
     */
   def tableRowCount(spark: SparkSession, dir: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     if (fs.getFileStatus(p).isFile) return fileRowCount(conf, p.toString)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(p, TxParquetTable.LogDirName)),
+      s"$dir is a TxParquetTable root (has ${TxParquetTable.LogDirName}/) — " +
+        "a recursive footer walk would count removed-but-not-vacuumed " +
+        "files; use TxParquetTable.rowCount, which reads only the log")
     val it = fs.listFiles(p, true)
     var total = 0L
     while (it.hasNext) {

@@ -57,7 +57,13 @@ object TxParquetTable {
 
   private val mapper = new ObjectMapper()
 
-  private def logDir(path: String) = new File(path, "_graft_log")
+  /** The commit-log directory name under a table root — public so
+    * plain-parquet paths ([[ParquetFooters.tableRowCount]]) can detect
+    * a Tx root and refuse to mis-count it.
+    */
+  val LogDirName = "_graft_log"
+
+  private def logDir(path: String) = new File(path, LogDirName)
   private def dataDir(path: String) = new File(path, "data")
 
   /** Per-file, per-column min/max recorded at WRITE time (zone maps /

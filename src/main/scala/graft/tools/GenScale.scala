@@ -19,17 +19,19 @@ import org.apache.spark.sql.functions._
   *     constant), ts/event_type/value/props untouched so calendar
   *     windows get 10× density, the aggregation scale axis.
   *   - documents: doc_id offset; text passed through a PER-REPLICA
-  *     Caesar cipher (`translate` over a rotated alphabet) for r>0 —
-  *     length-preserving and bijective, so WITHIN-replica
-  *     shingle/minhash/simhash similarity structure is preserved
-  *     (near-dup pairs, dup groups, containment pairs scale ≈×factor)
-  *     while CROSS-replica character shingles all differ (Jaccard 0).
-  *     The first cut suffixed each word with `x<r>` instead; that
-  *     leaves within-word 8-char shingles intact, cross-replica
-  *     Jaccard lands ~0.3+, and LSH candidate pairs measured 59× at
-  *     factor 10 — a quadratic-ish blow-up no real 10× corpus has,
-  *     same failure mode as replicating verbatim (every doc a 10-way
-  *     exact dup).
+  *     substitution cipher (`translate` over a seeded full-alphabet
+  *     permutation; r=0 is identity) — length-preserving and
+  *     bijective, so WITHIN-replica shingle/minhash/simhash similarity
+  *     structure is preserved (near-dup pairs, dup groups, containment
+  *     pairs scale ≈×factor) while CROSS-replica character shingles
+  *     all differ (Jaccard ≈ 0). Earlier forms, both rejected: a
+  *     per-word `x<r>` suffix leaves within-word 8-char shingles
+  *     intact (cross-replica Jaccard ~0.3+, LSH candidates 59× at
+  *     factor 10 — a quadratic-ish blow-up no real 10× corpus has);
+  *     a Caesar ROTATION caps the factor at 26 because replica r and
+  *     r+26 would share a cipher (exact cross-replica dups) — the
+  *     seeded-permutation space (26!) lifts that cap to the ×100
+  *     decade the r12 verdict asks for (item 6).
   *   - embeddings: vec_id offset; dimensions circularly rotated by r
   *     (norms and within-replica pairwise dots exactly preserved;
   *     cross-replica dots decorrelate), labels untouched.
@@ -39,12 +41,11 @@ object GenScale {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    // the text cipher is a rotation of the 26-letter alphabet: replica
-    // r and replica r+26 would get IDENTICAL ciphers, making 4/30ths of
-    // a factor-30 corpus exact cross-replica duplicates — precisely the
-    // blow-up the cipher exists to avoid. Fail loudly at the boundary.
-    require(factor >= 1 && factor <= 26,
-      s"factor must be in [1, 26] (alphabet rotation wraps at 26), got $factor")
+    // permutation ciphers are seeded per replica (26! >> any factor),
+    // so the old rotation-wrap cap at 26 is gone; 200 bounds the when-
+    // chain the cipher column compiles to (and this box's disk)
+    require(factor >= 1 && factor <= 200,
+      s"factor must be in [1, 200], got $factor")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "32")
@@ -86,11 +87,16 @@ object GenScale {
     val maxD = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+    // deterministic per-replica permutation of the alphabet: seeded
+    // Fisher–Yates, distinct seed per replica (collision odds across
+    // 200 replicas of a 26!-space are nil)
+    def perm(r: Int): String =
+      new scala.util.Random(9176L + r).shuffle(lower.toSeq).mkString
     val ciphered = (1 until factor).foldLeft(
         when(col("r") === 0, col("text"))) { (acc, r) =>
+      val p = perm(r)
       acc.when(col("r") === r,
-        translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r)))
+        translate(col("text"), lower + upper, p + p.toUpperCase))
     }.otherwise(col("text"))
     withReplica(docs).select(
         (col("doc_id") + col("r") * lit(maxD)).as("doc_id"),

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-plan loud-failure guards — the house convention (volumeBarFold's
+  * magnitude `require`, zScoreFold's `Math.addExact`) extended to
+  * DataFrame-shaped contracts that can't be checked at call time
+  * without forcing an eager action on the caller's (lazy) plan.
+  */
+object Guards {
+
+  /** Fail LOUDLY (named message, not silent corruption) if any key
+    * group in `df` has more than one row — evaluated IN-PLAN, so the
+    * caller's laziness is preserved and the check costs one Window
+    * over the (small) frame it protects. Used on broadcast-side
+    * contract frames: a pair screen's (key, block) map (r12 advice:
+    * a key in two blocks duplicates its pair rows and the downstream
+    * groupBy silently merges across blocks) and a backtest's screened
+    * (k1, k2) frame (duplicate pairs double-count P&L within each
+    * carried-column group).
+    *
+    * Mechanics: the guard rides the first non-key column — any key
+    * group with count > 1 turns that column into `raise_error`, which
+    * fires the moment the plan executes. `raise_error` is NullType and
+    * coerces to the guarded column's type.
+    */
+  def requireUniquePerKey(
+      df: DataFrame, keyCols: Seq[String], context: String): DataFrame = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"$context: key columns ${keyCols.mkString(", ")} must exist in " +
+        s"(${df.columns.mkString(", ")})")
+    val target = df.columns.filterNot(keyCols.contains).headOption
+      .getOrElse(df.columns.head)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val msg = format_string(
+      s"$context: key (%s) maps to %s rows — (${keyCols.mkString(", ")}) " +
+        "must be unique (duplicates would silently multiply downstream " +
+        "per-key rows); dedup the frame before passing it",
+      concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+      col("__dup_n").cast("string"))
+    df.withColumn("__dup_n", count(lit(1)).over(w))
+      .withColumn(target,
+        when(col("__dup_n") > 1L, raise_error(msg)).otherwise(col(target)))
+      .drop("__dup_n")
+  }
+}

@@ -211,6 +211,20 @@ class RiskSpec extends SparkSpec {
     }
   }
 
+  test("riskContributions: a key in two blocks fails loudly, not silently (r12 advice)") {
+    val rows = for (k <- Seq("A", "B"); i <- 0 until 5)
+      yield (k, i.toLong, 10.0 + i * (if (k == "A") 1.0 else 2.0))
+    val dup = Seq(("A", 0), ("A", 1), ("B", 0)).toDF("sym", "blk")
+    val e = intercept[Exception] {
+      Risk.riskContributions(
+        rows.toDF("sym", "t", "close"), "sym", "t", "close", Some(dup)).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("riskContributions blocks frame"),
+      s"expected the named uniqueness error, got: $chain")
+  }
+
   test("riskContributions: a flat universe yields zero variance and null attributions") {
     val rows = for (k <- Seq("A", "B"); i <- 0 until 4) yield (k, i.toLong, 10.0)
     val out = Risk.riskContributions(

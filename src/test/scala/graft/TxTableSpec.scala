@@ -20,6 +20,20 @@ class TxTableSpec extends SparkSpec {
     assert(TxParquetTable.snapshot(spark, path).count() === 3)
   }
 
+  test("ParquetFooters.tableRowCount refuses a Tx table root with a pointer to the log-only counter (r12 advice)") {
+    val path = freshPath()
+    TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // an upsert leaves a removed-but-not-vacuumed file: the naive
+    // recursive footer walk would double-count exactly that
+    TxParquetTable.upsert(Seq((2L, "b2")).toDF("id", "v"), path, "id")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.ParquetFooters.tableRowCount(spark, path)
+    }
+    assert(e.getMessage.contains("TxParquetTable.rowCount"),
+      s"expected a pointer to the log-only counter, got: ${e.getMessage}")
+    assert(TxParquetTable.rowCount(path) === Some(2L))
+  }
+
   test("upsert replaces by id, keeps others, and time travel sees the past") {
     val path = freshPath()
     val v0 = TxParquetTable.append(
