@@ -3178,6 +3178,117 @@ SELECT k1, k2, beta, alpha, df_tstat,
   CAST(coalesce(sum(pos * dsc), 0) AS BIGINT) AS total_pnl_centi
 FROM sig GROUP BY 1, 2, 3, 4, 5""",
 
+    // OR-amplified blocked-recall verdict: the planted factor universe
+    // (exact micro-unit group walk + idio noise), the full DF chain
+    // (q210's machinery, no blocks), the top-20 by |t|, and the
+    // 9-hyperplane block assignment (h = table*3 + bit; table 0 is the
+    // single-table id) all replicated — survival is block equality in
+    // ANY table, so recall is pure set arithmetic on the block frame.
+    "q213_blocked_recall" ->
+      """WITH d AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k, m,
+    printf('m%02d', m) AS month,
+    100.0 + (sum(CAST(floor((CAST(('0x' || substr(md5('f:' || (s_suppkey % 10) || ':' || m), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY s_suppkey ORDER BY m)
+             + CAST(floor((CAST(('0x' || substr(md5('e:' || s_suppkey || ':' || m), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 200000.0 + 0.5) AS BIGINT)
+            )::DOUBLE / 1000000.0 AS close
+  FROM supplier, range(1, 49) t(m)
+  WHERE s_suppkey <= 100
+), r AS (
+  SELECT k, month,
+    CASE WHEN lag(close) OVER w = 0 THEN NULL
+         ELSE close / lag(close) OVER w - 1.0 END AS ret
+  FROM d WINDOW w AS (PARTITION BY k ORDER BY month)
+), sg AS (
+  SELECT k,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':0'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s0,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':1'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s1,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':2'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s2,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':3'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s3,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':4'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s4,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':5'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s5,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':6'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s6,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':7'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s7,
+    sum(CAST(floor(ret * (CAST(('0x' || substr(md5(month || ':8'), 1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5) * 1000000 + 0.5) AS BIGINT)) AS s8
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+), blk AS (
+  SELECT k,
+    CASE WHEN s0 > 0 THEN 1 ELSE 0 END + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s2 > 0 THEN 4 ELSE 0 END AS b0,
+    CASE WHEN s3 > 0 THEN 1 ELSE 0 END + CASE WHEN s4 > 0 THEN 2 ELSE 0 END + CASE WHEN s5 > 0 THEN 4 ELSE 0 END AS b1,
+    CASE WHEN s6 > 0 THEN 1 ELSE 0 END + CASE WHEN s7 > 0 THEN 2 ELSE 0 END + CASE WHEN s8 > 0 THEN 4 ELSE 0 END AS b2
+  FROM sg
+), p AS (
+  SELECT a.k AS k1, b.k AS k2, a.month AS t, a.close AS x, b.close AS y
+  FROM d a JOIN d b ON a.month = b.month AND a.k < b.k
+), fit AS (
+  SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_periods,
+    CASE WHEN count(*) < 2 OR var_samp(x) = 0 THEN NULL
+         ELSE floor(covar_samp(y, x) / var_samp(x) * 1000000 + 0.5) / 1000000 + 0.0
+    END AS beta,
+    avg(x) AS mx, avg(y) AS my
+  FROM p GROUP BY 1, 2
+), fit2 AS (
+  SELECT k1, k2, n_periods, beta,
+    floor((my - beta * mx) * 1000000 + 0.5) / 1000000 + 0.0 AS alpha
+  FROM fit
+), sp AS (
+  SELECT p.k1, p.k2, p.t, p.y - (f.alpha + f.beta * p.x) AS s
+  FROM p JOIN fit2 f ON p.k1 = f.k1 AND p.k2 = f.k2
+), dd AS (
+  SELECT k1, k2, t, s - slag AS ds, slag FROM (
+    SELECT k1, k2, t, s, lag(s) OVER (PARTITION BY k1, k2 ORDER BY t) AS slag
+    FROM sp)
+  WHERE slag IS NOT NULL
+), g AS (
+  SELECT k1, k2, CAST(count(*) AS BIGINT) AS m,
+    CASE WHEN count(*) < 4 OR var_samp(slag) IS NULL OR var_samp(slag) = 0 THEN NULL
+         ELSE floor(covar_samp(ds, slag) / var_samp(slag) * 1000000 + 0.5) / 1000000 + 0.0
+    END AS gamma,
+    avg(ds) AS md, avg(slag) AS ml
+  FROM dd GROUP BY 1, 2
+), g2 AS (
+  SELECT k1, k2, m, gamma,
+    floor((md - gamma * ml) * 1000000 + 0.5) / 1000000 + 0.0 AS adf
+  FROM g
+), res AS (
+  SELECT dd.k1, dd.k2,
+    sum((ds - (g2.adf + g2.gamma * slag)) * (ds - (g2.adf + g2.gamma * slag))) AS sse,
+    var_samp(slag) * (count(*) - 1) AS sxx
+  FROM dd JOIN g2 ON dd.k1 = g2.k1 AND dd.k2 = g2.k2
+  GROUP BY 1, 2
+), tst AS (
+  SELECT f.k1, f.k2,
+    CASE WHEN g2.gamma IS NULL OR g2.m < 4 OR res.sxx <= 0 OR res.sse <= 0 THEN NULL
+         ELSE floor(g2.gamma / sqrt((res.sse / (g2.m - 2)) / res.sxx)
+           * 1000000 + 0.5) / 1000000 + 0.0 END AS df_tstat
+  FROM fit2 f
+  LEFT JOIN g2 ON f.k1 = g2.k1 AND f.k2 = g2.k2
+  LEFT JOIN res ON f.k1 = res.k1 AND f.k2 = res.k2
+), top20 AS (
+  SELECT k1, k2 FROM (
+    SELECT k1, k2, row_number() OVER (ORDER BY abs(df_tstat) DESC, k1, k2) AS rk
+    FROM tst WHERE df_tstat IS NOT NULL)
+  WHERE rk <= 20
+), cand1 AS (
+  SELECT a.k AS k1, b.k AS k2 FROM blk a JOIN blk b
+  ON a.k < b.k AND a.b0 = b.b0
+), cand3 AS (
+  SELECT a.k AS k1, b.k AS k2 FROM blk a JOIN blk b
+  ON a.k < b.k AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+)
+SELECT 3 AS bits, 1 AS tables,
+  (SELECT count(*) FROM cand1) AS candidates,
+  CAST(20 AS BIGINT) AS topk,
+  (SELECT count(*) FROM top20 t JOIN cand1 c ON t.k1 = c.k1 AND t.k2 = c.k2) AS survived,
+  (SELECT count(*) FROM top20 t JOIN cand1 c ON t.k1 = c.k1 AND t.k2 = c.k2) / 20.0 AS recall
+UNION ALL
+SELECT 3 AS bits, 3 AS tables,
+  (SELECT count(*) FROM cand3) AS candidates,
+  CAST(20 AS BIGINT) AS topk,
+  (SELECT count(*) FROM top20 t JOIN cand3 c ON t.k1 = c.k1 AND t.k2 = c.k2) AS survived,
+  (SELECT count(*) FROM top20 t JOIN cand3 c ON t.k1 = c.k1 AND t.k2 = c.k2) / 20.0 AS recall
+ORDER BY tables""",
+
     // Tx RESTORE: each stage's content predicted from the source table
     // (v1 = low-year rows + doubled high-year rows; restored = v0);
     // restore_exact is the engine-side symmetric-exceptAll verdict the

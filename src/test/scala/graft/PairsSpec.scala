@@ -261,6 +261,37 @@ class PairsSpec extends SparkSpec {
       s"faded dislocation should earn exactly the reversion move: $r")
   }
 
+  test("multi-table blocks (OR-amplification): candidates dedup across tables — stats match the full screen exactly") {
+    // A and B have identical return vectors -> they share a block in
+    // EVERY table; the OR path must still count their periods ONCE
+    // (a double-counted pair would double n_periods). C is independent.
+    val cA = Seq(100.0, 103.0, 99.0, 104.0, 108.0, 102.0, 107.0, 111.0)
+    val cC = Seq(50.0, 48.0, 53.0, 47.0, 52.0, 55.0, 49.0, 51.0)
+    val rows = cA.zipWithIndex.flatMap { case (c, i) =>
+      Seq(("A", i.toLong, c), ("B", i.toLong, 2.0 * c), ("C", i.toLong, cC(i)))
+    }
+    val df = rows.toDF("sym", "t", "close")
+    val blocks = Pairs.blockedPairSource(df, "sym", "t", "close", bits = 2, tables = 4)
+    assert(blocks.columns.toSeq === Seq("sym", "pair_table", "pair_block"))
+    assert(blocks.count() === 12) // 3 keys x 4 tables
+    val full = Pairs.cointegrationScreen(df, "sym", "t", "close")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val blocked = Pairs.cointegrationScreen(df, "sym", "t", "close", Some(blocks))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(blocked.contains(("A", "B")),
+      s"identical-return pair must survive every table: ${blocked.keySet}")
+    blocked.foreach { case (k, row) =>
+      assert(row === full(k), s"OR-amplified row for $k diverges from the full screen")
+    }
+    // table 0 of the multi-table source IS the single-table assignment
+    // (hyperplane index h = t*bits + b), so existing oracles replicate it
+    val single = Pairs.blockedPairSource(df, "sym", "t", "close", bits = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val t0 = blocks.filter(org.apache.spark.sql.functions.col("pair_table") === 0)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(t0 === single, "table 0 must reproduce the single-table block ids")
+  }
+
   test("blocked cointegrationScreen: within-block pairs equal the full screen, cross-block pairs and unblocked keys are absent") {
     val paths = Map(
       "A" -> Seq(100.0, 103.0, 99.0, 104.0, 108.0, 102.0),
