@@ -123,6 +123,16 @@ object Pipelines {
     * the join state (right rows are dropped once the left watermark passes
     * their ts + windowSec). The batch twin is
     * [[graft.analytics.TimeSeries.boundedRangeJoin]].
+    *
+    * COST CAVEAT (measured, r13 — tools/DrivePairJoin): the hash join
+    * keys on `key` ALONE; the time range is a post-probe filter, so each
+    * micro-batch does ~(rows-per-key)² work per key. Fine for sparse
+    * per-key streams (the asof/tolerance use case this exists for); at
+    * bar-dense timestamps with few keys it degenerates — 20 keys ×
+    * 5000 rows/key never finished its first batch. For EXACT co-arrival
+    * alignment, equi-join on (key, ts) directly instead: the
+    * watermarked event time in the join keys both indexes the probe and
+    * lets Spark evict join state (the StreamSoak pair_spread segment).
     */
   def streamIntervalJoin(
       left: DataFrame, right: DataFrame, key: String,
