@@ -108,11 +108,23 @@ object GenScale {
     val emb = graft.Tables.load(spark, srcDir, "embeddings")
     val maxV = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // circular rotation by r mod dim, sign-flipped on the second wrap:
+    // 2*dim distinct norm-preserving transforms (a rotation past dim
+    // would repeat, making cross-replica exact duplicates — the exact
+    // blow-up the per-replica transform exists to avoid)
+    require(factor <= 2 * dim,
+      s"embeddings support at most ${2 * dim} distinct replicas " +
+        s"(rotation x sign at dim=$dim), got factor=$factor")
+    val rot = pmod(col("r"), lit(dim))
+    val sign = when(pmod(floor(col("r") / lit(dim)).cast("int"), lit(2)) === 1,
+      lit(-1.0f)).otherwise(lit(1.0f))
+    val rotated = when(rot === 0, col("embedding")).otherwise(
+      concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
+        slice(col("embedding"), lit(1), rot)))
     withReplica(emb).select(
         (col("vec_id") + col("r") * lit(maxV)).as("vec_id"),
-        when(col("r") === 0, col("embedding")).otherwise(
-          concat(slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
-            slice(col("embedding"), lit(1), col("r")))).as("embedding"),
+        when(col("r") < lit(dim), rotated)
+          .otherwise(transform(rotated, v => v * sign)).as("embedding"),
         col("label"))
       .repartition(32)
       .write.parquet(s"$outDir/embeddings.parquet")
