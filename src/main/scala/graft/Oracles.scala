@@ -3289,6 +3289,80 @@ SELECT 3 AS bits, 3 AS tables,
   (SELECT count(*) FROM top20 t JOIN cand3 c ON t.k1 = c.k1 AND t.k2 = c.k2) / 20.0 AS recall
 ORDER BY tables""",
 
+    // repeated n-gram spans: word_ngrams semantics (lowercase, \s+
+    // split, 8-token windows joined by one space) replicated as list
+    // slices; duplication is a cross-doc distinct count; the span merge
+    // (windows within 7 positions coalesce) is the same lag/cumsum
+    // arithmetic in both engines — all-integer output, zero rounding.
+    "q214_repeated_spans" ->
+      """WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS gram
+  FROM tk, LATERAL (SELECT unnest(range(0, len(t) - 7)) AS i) r
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), mk AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+), sp AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 7 THEN 1 ELSE 0 END AS brk
+  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp2 AS (
+  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM sp
+), spans AS (
+  SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi FROM sp2 GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(sum(hi - lo + 8) AS BIGINT) AS covered_tokens
+  FROM spans GROUP BY 1
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+), dupc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM mk GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams, d.n_dup_grams, p.n_spans, p.covered_tokens
+FROM tot t JOIN dupc d USING (doc_id) JOIN per p USING (doc_id)""",
+
+    // DSIR importance weights: per-token log terms are pure functions
+    // of exact integer counts (identical IEEE both engines); the group
+    // sum accumulates engine-order -> the weight rounds (sr6) once at
+    // emission and the top-20 ranks on the ROUNDED value with doc_id
+    // ties (the q146 surprisal discipline).
+    "q215_dsir_weights" ->
+      """WITH tk AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt, unnest(t) AS tok FROM tk
+), stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS sc,
+    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(sc) AS BIGINT) AS sN, CAST(sum(tc) AS BIGINT) AS tN,
+    CAST(count(*) AS BIGINT) AS V
+  FROM stats
+), pt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), wts AS (
+  SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_tokens,
+    floor((sum(CAST(p.c AS DOUBLE) * (ln(CAST(s.tc AS DOUBLE) + 1.0) - ln(CAST(s.sc AS DOUBLE) + 1.0)))
+      + CAST(sum(p.c) AS BIGINT) * (ln(CAST(tot.sN AS DOUBLE) + CAST(tot.V AS DOUBLE)) - ln(CAST(tot.tN AS DOUBLE) + CAST(tot.V AS DOUBLE))))
+      * 1000000 + 0.5) / 1000000 + 0.0 AS dsir_weight
+  FROM pt p JOIN stats s USING (tok) CROSS JOIN tot
+  GROUP BY p.doc_id, tot.sN, tot.tN, tot.V
+)
+SELECT doc_id, n_tokens, dsir_weight, rank FROM (
+  SELECT doc_id, n_tokens, dsir_weight,
+    CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS INT) AS rank
+  FROM wts)
+WHERE rank <= 20""",
+
     // Tx RESTORE: each stage's content predicted from the source table
     // (v1 = low-year rows + doubled high-year rows; restored = v0);
     // restore_exact is the engine-side symmetric-exceptAll verdict the

@@ -3507,6 +3507,33 @@ GROUP BY order_year""")
     config(1).unionByName(config(3)).orderBy(col("tables"))
   }
 
+  /** X79: cross-document repeated n-gram SPANS — the substring-dedup
+    * axis (Lee et al. 2022) document-level dedup misses: per document,
+    * every 8-token window that also appears in another document, with
+    * overlapping windows merged into maximal spans (the unit a
+    * substring-dedup pass would cut). All-integer output; the oracle
+    * replicates tokenization, windowing, the cross-doc gram group-by,
+    * and the span merge exactly.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.SpanDedup.repeatedNgramSpans(
+      t(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+
+  /** X80: DSIR importance weights (Xie et al. 2023) — rank raw
+    * documents by how target-like their word-unigram distribution is
+    * (target = English docs), add-1 smoothed log-likelihood ratio.
+    * Top-20 by the sr6-rounded weight (rank ties broken by doc_id so
+    * the cut is deterministic cross-engine).
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("dsir_weight").desc, col("doc_id"))
+    graft.llmops.Sampling.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+  }
+
   /** X74 second screen: the LEAD-LAG cross-correlation screen fed
     * through the same blocked pair universe — q208's verdict shape
     * (per-block counts, engine-side blocked ≡ full equality over every
@@ -3774,6 +3801,8 @@ GROUP BY order_year""")
     "q211_tx_restore" -> (q211 _),
     "q212_pairs_backtest" -> (q212 _),
     "q213_blocked_recall" -> (q213 _),
+    "q214_repeated_spans" -> (q214 _),
+    "q215_dsir_weights" -> (q215 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -355,4 +355,56 @@ object Sampling {
         floor(sqrt(col("__toks").cast("double")) * 1000000d).cast("long"))
     applyMixtureRates(df, idCol, sourceCol, weighted, budgetFraction)
   }
+
+  /** DSIR-style IMPORTANCE WEIGHTS — "which raw documents look most
+    * like the target domain" (Data Selection via Importance Resampling,
+    * Xie et al. 2023): per document, the log-likelihood ratio of its
+    * word-unigram features under the TARGET distribution (documents
+    * where `targetPred` holds) vs the RAW corpus distribution, add-1
+    * smoothed over the corpus vocabulary V:
+    *
+    *   w(doc) = Σ_tok c_tok(doc)·[ln(tc_tok+1) − ln(sc_tok+1)]
+    *            + n_tokens(doc)·[ln(sN+V) − ln(tN+V)]
+    *
+    * Positive = target-like. Emits (doc_id, n_tokens, dsir_weight)
+    * with the weight sr6-rounded at emission — each per-token term is
+    * identical IEEE in both engines (logs of exact integer counts), the
+    * group sum accumulates in engine order, the q146-surprisal
+    * discipline.
+    *
+    * Scale shape: one scan explodes |tokens| rows; vocabulary stats are
+    * ONE hash group-by (map-side partial counts); per-(doc, token)
+    * counts group on the same exploded frame; the totals row broadcasts.
+    * Nothing quadratic, no driver-side vocabulary.
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+      explode(graft.functions.WordNgrams.wordNgrams(col(textCol), 1)).as("tok"))
+    val stats = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("__sc"),
+      sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__tc"))
+    val tot = stats.agg(
+      sum(col("__sc")).as("__sN"), sum(col("__tc")).as("__tN"),
+      count(lit(1)).as("__V"))
+    val perTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("__c"))
+    import graft.util.Partitioning.{stableRound6 => sr6}
+    perTok.join(stats, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        sum(col("__c").cast("double") *
+          (log(col("__tc").cast("double") + lit(1.0)) -
+            log(col("__sc").cast("double") + lit(1.0)))).as("__a"),
+        max(col("__sN")).as("__sN"), max(col("__tN")).as("__tN"),
+        max(col("__V")).as("__V"))
+      .select(col("doc_id"), col("n_tokens"),
+        sr6(col("__a") + col("n_tokens").cast("double") *
+          (log(col("__sN").cast("double") + col("__V").cast("double")) -
+            log(col("__tN").cast("double") + col("__V").cast("double"))) + lit(0.0))
+          .as("dsir_weight"))
+  }
 }

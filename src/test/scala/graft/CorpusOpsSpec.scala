@@ -326,4 +326,67 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.getAs[String]("pair"))
     assert(out.toSeq === Seq("ab", "cd")) // ef tied with nothing; ab<cd at freq 2
   }
+
+  test("repeatedNgramSpans: shared passage found case-insensitively, overlapping windows merge into one span") {
+    // A and B share a 9-token passage (B's copy uppercased — the
+    // word_ngrams lowercase contract must still match it); C is
+    // unrelated. At n=8 the passage yields two overlapping duplicated
+    // windows per doc, which must merge into ONE span covering 9 tokens.
+    val common = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$common onlyA1 onlyA2"),
+      (2L, s"onlyB0 ${common.toUpperCase}"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val out = graft.llmops.SpanDedup
+      .repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 2L), s"only the sharing docs appear: $out")
+    assert(out(1L) === ((4L, 2L, 1L, 9L)),
+      s"A: 4 windows, 2 duplicated, 1 merged span covering 9 tokens: ${out(1L)}")
+    assert(out(2L) === ((3L, 2L, 1L, 9L)), s"B: ${out(2L)}")
+  }
+
+  test("repeatedNgramSpans: disjoint repeats stay separate spans") {
+    // two shared 8-token passages separated by >7 unique tokens must
+    // NOT merge (span break at gap > n-1 positions)
+    val p1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val p2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 9).map(i => s"gA$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 $gap $p2"),
+      (2L, s"$p1 zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 $p2")).toDF("doc_id", "text")
+    val out = graft.llmops.SpanDedup
+      .repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((2L, 16L)), s"two 8-token spans, 16 tokens covered: $out")
+    assert(out(2L) === ((2L, 16L)), s"two 8-token spans, 16 tokens covered: $out")
+  }
+
+  test("dsirWeights: hand-computed log-likelihood ratio; target-like doc ranks above off-target") {
+    // target docs use {aa, bb}; raw-only docs use {zz}. Weight formula
+    // replicated by hand: w = sum c*(ln(tc+1)-ln(sc+1)) + n*(ln(sN+V)-ln(tN+V))
+    val docs = Seq(
+      (1L, "aa bb aa", "en"),
+      (2L, "zz zz zz", "xx"),
+      (3L, "aa zz", "xx")).toDF("doc_id", "text", "lang")
+    val out = graft.llmops.Sampling
+      .dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: aa sc=3 tc=2 (doc1); bb sc=1 tc=1; zz sc=4 tc=0
+    // sN=8, tN=3, V=3
+    def sr6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val k = math.log(8.0 + 3.0) - math.log(3.0 + 3.0)
+    val w1 = 2.0 * (math.log(3.0) - math.log(4.0)) +
+      1.0 * (math.log(2.0) - math.log(2.0)) + 3.0 * k
+    val w2 = 3.0 * (math.log(1.0) - math.log(5.0)) + 3.0 * k
+    val w3 = 1.0 * (math.log(3.0) - math.log(4.0)) +
+      1.0 * (math.log(1.0) - math.log(5.0)) + 2.0 * k
+    assert(out(1L)._1 === 3L && out(2L)._1 === 3L && out(3L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - sr6(w1)) < 1e-9, s"doc1: ${out(1L)} vs $w1")
+    assert(math.abs(out(2L)._2 - sr6(w2)) < 1e-9, s"doc2: ${out(2L)} vs $w2")
+    assert(math.abs(out(3L)._2 - sr6(w3)) < 1e-9, s"doc3: ${out(3L)} vs $w3")
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"target-likeness must order the docs: $out")
+  }
 }
