@@ -3289,6 +3289,18 @@ SELECT 3 AS bits, 3 AS tables,
   (SELECT count(*) FROM top20 t JOIN cand3 c ON t.k1 = c.k1 AND t.k2 = c.k2) / 20.0 AS recall
 ORDER BY tables""",
 
+    // 2-D Z-order compaction: content predicted from orders per
+    // predicate; pruned_ok is the engine-side scanned<live verdict the
+    // Z-curve layout must earn on BOTH dimensions (the q164 pattern).
+    "q216_zorder_compact" ->
+      """SELECT 'year_1995' AS predicate, CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total, true AS pruned_ok
+FROM orders WHERE year(o_orderdate) = 1995
+UNION ALL
+SELECT 'price_ge_400k', CAST(count(*) AS BIGINT),
+  round(sum(o_totalprice), 2), true
+FROM orders WHERE o_totalprice >= 400000.0""",
+
     // repeated n-gram spans: word_ngrams semantics (lowercase, \s+
     // split, 8-token windows joined by one space) replicated as list
     // slices; duplication is a cross-doc distinct count; the span merge

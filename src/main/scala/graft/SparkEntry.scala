@@ -3507,6 +3507,49 @@ GROUP BY order_year""")
     config(1).unionByName(config(3)).orderBy(col("tables"))
   }
 
+  /** X81: 2-D Z-ORDER compaction — Delta's OPTIMIZE ZORDER BY on the
+    * Tx table (X42 covered the 1-D range layout, which prunes on ONE
+    * lucky column): both columns min-max scale to 16 bits, interleave
+    * into a Z-value, and files are contiguous Z-ranges, so a
+    * single-value predicate on EITHER dimension intersects ~√files.
+    * The query appends orders in three year slices, Z-orders on
+    * (order_year, o_totalprice), then reads a one-year slice AND a
+    * price band through snapshotRange — each row carries the q164
+    * `pruned_ok` verdict (files scanned < files live) the oracle
+    * predicts true, plus content the oracle recomputes from orders.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q216_zorder")
+    try {
+      val p = path.toString
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"))
+      TxParquetTable.append(src.filter(col("order_year") <= 1994), p,
+        statsColumns = Seq("order_year", "o_totalprice"))
+      TxParquetTable.append(
+        src.filter(col("order_year") >= 1995 && col("order_year") <= 1996), p,
+        statsColumns = Seq("order_year", "o_totalprice"))
+      TxParquetTable.append(src.filter(col("order_year") >= 1997), p,
+        statsColumns = Seq("order_year", "o_totalprice"))
+      TxParquetTable.compact(s, p, "id", targetFiles = 16,
+        zorderBy = Some(("order_year", "o_totalprice")))
+      val live = TxParquetTable.snapshot(s, p).inputFiles.length
+      def verdict(name: String, df: DataFrame, scanned: Int) = df
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(name).as("predicate"), col("n"), col("total"),
+          lit(scanned < live).as("pruned_ok"))
+      val byYear = TxParquetTable.snapshotRange(
+        s, p, "order_year", Some(1995), Some(1995))
+      val byPrice = TxParquetTable.snapshotRange(
+        s, p, "o_totalprice", Some(400000.0), None)
+      val out = verdict("year_1995", byYear, byYear.inputFiles.length)
+        .unionByName(verdict("price_ge_400k", byPrice, byPrice.inputFiles.length))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(path)
+  }
+
   /** X79: cross-document repeated n-gram SPANS — the substring-dedup
     * axis (Lee et al. 2022) document-level dedup misses: per document,
     * every 8-token window that also appears in another document, with
@@ -3803,6 +3846,7 @@ GROUP BY order_year""")
     "q213_blocked_recall" -> (q213 _),
     "q214_repeated_spans" -> (q214 _),
     "q215_dsir_weights" -> (q215 _),
+    "q216_zorder_compact" -> (q216 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

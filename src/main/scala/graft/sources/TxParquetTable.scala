@@ -7,7 +7,7 @@ import java.nio.file.{Files, Paths}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ArrayNode
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Transactional parquet table: a commit log (`_graft_log/`) over plain
@@ -842,11 +842,15 @@ object TxParquetTable {
     */
   def compact(spark: SparkSession, path: String, idCol: String,
       buckets: Int = 16, targetFiles: Int = 4,
-      clusterBy: Option[String] = None): Long = {
+      clusterBy: Option[String] = None,
+      zorderBy: Option[(String, String)] = None): Long = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "pass clusterBy (1-D range) or zorderBy (2-D Z-curve), not both")
     val readVersion = latestVersion(path)
     if (readVersion < 0) return readVersion
     val snap = state(path, Some(readVersion))
-    if (snap.live.length <= targetFiles && clusterBy.isEmpty) return readVersion
+    if (snap.live.length <= targetFiles && clusterBy.isEmpty && zorderBy.isEmpty)
+      return readVersion
     // the table's established bucket scheme always wins over the
     // parameter (see upsert) — stats and domains must share one modulus
     val n = snap.bucketCount.getOrElse(buckets)
@@ -857,28 +861,63 @@ object TxParquetTable {
     // table (the removes make it permanent after vacuum)
     val base = spark.read.option("mergeSchema", "true").parquet(
         snap.live.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
-    // layout choice — the Delta OPTIMIZE dichotomy, 1-D:
-    //   None:      hash-cluster on the id bucket (upsert locality — a
-    //              one-bucket upsert rewrites one file's worth of rows)
-    //   Some(col): RANGE-cluster on `col` and sort within partitions —
-    //              zone maps on that column become tight and disjoint,
-    //              so a range read prunes to O(selectivity · files)
-    //              instead of scanning every file. The declared cost:
-    //              each clustered file now spans MANY id buckets, so a
-    //              later single-bucket upsert rewrites more files —
-    //              cluster read-mostly tables, hash-cluster churny ones.
-    val df = clusterBy match {
-      case Some(c) =>
+    // layout choice — the Delta OPTIMIZE dichotomy, extended 2-D:
+    //   None:        hash-cluster on the id bucket (upsert locality — a
+    //                one-bucket upsert rewrites one file's worth of rows)
+    //   clusterBy:   RANGE-cluster on `col` and sort within partitions —
+    //                zone maps on that column become tight and disjoint,
+    //                so a range read prunes to O(selectivity · files)
+    //                instead of scanning every file. The declared cost:
+    //                each clustered file now spans MANY id buckets, so a
+    //                later single-bucket upsert rewrites more files —
+    //                cluster read-mostly tables, hash-cluster churny ones.
+    //   zorderBy:    Delta's OPTIMIZE ZORDER BY (c1, c2): each column
+    //                min-max scales to 16 bits (bounds from one agg over
+    //                the live set; degenerate constant columns scale to
+    //                0), the two bit-strings INTERLEAVE into a 32-bit
+    //                Z-value, and files are contiguous Z-ranges. A
+    //                single-value predicate on EITHER dimension then
+    //                intersects ~√files of the layout (the Z-curve
+    //                guarantee) instead of choosing one lucky column —
+    //                both columns' zone maps prune, at the same
+    //                upsert-locality cost as clusterBy. Min-max scaling
+    //                is deliberate (rank/ntile would need a global sort
+    //                per column); heavy value skew makes Z-cells uneven
+    //                — acceptable for a compaction-time layout choice.
+    val df = (clusterBy, zorderBy) match {
+      case (Some(c), _) =>
         base.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case None => base.repartition(targetFiles, bucketOf)
+      case (_, Some((c1, c2))) =>
+        require(base.columns.contains(c1) && base.columns.contains(c2),
+          s"zorderBy columns ($c1, $c2) must exist in (${base.columns.mkString(", ")})")
+        val bounds = base.agg(
+          min(col(c1).cast("double")), max(col(c1).cast("double")),
+          min(col(c2).cast("double")), max(col(c2).cast("double"))).collect()(0)
+        def scale16(c: Column, mn: Double, mx: Double): Column =
+          if (!(mx > mn)) lit(0L)
+          else least(lit(65535L),
+            floor((c.cast("double") - lit(mn)) / lit(mx - mn) * lit(65536.0)).cast("long"))
+        val x = scale16(col(c1), bounds.getDouble(0), bounds.getDouble(1))
+        val y = scale16(col(c2), bounds.getDouble(2), bounds.getDouble(3))
+        val z = (0 until 16).map { b =>
+          shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+            .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+        }.reduce(_ bitwiseOR _)
+        base.withColumn("__z", z)
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case _ => base.repartition(targetFiles, bucketOf)
     }
     // zone maps survive compaction: re-record stats for every column ANY
     // live file tracked (inferred from the log — the caller declared
     // them once at append time and never repeats itself), dropping
     // columns the rewrite no longer carries (defensive: additive-only
-    // evolution should make that impossible). A clusterBy column joins
-    // the tracked set — clustering without its zone map would be mute.
-    val inheritedStats = (snap.live.flatMap(_.stats.keys) ++ clusterBy).distinct
+    // evolution should make that impossible). A clusterBy/zorderBy
+    // column joins the tracked set — clustering without its zone map
+    // would be mute.
+    val inheritedStats = (snap.live.flatMap(_.stats.keys) ++ clusterBy ++
+        zorderBy.toSeq.flatMap(p => Seq(p._1, p._2))).distinct
       .filter(df.columns.contains)
     val adds = stage(df, path, Some(bucketOf), inheritedStats)
     // columnsReset: df.columns came from a mergeSchema read of EVERY live

@@ -750,6 +750,56 @@ class TxTableSpec extends SparkSpec {
     assert(after(150L) === -1.0 && after.size === 300)
   }
 
+  test("zorderBy compact: BOTH dimensions prune after the rewrite; content exact; 1-D clusterBy would sacrifice one") {
+    val path = freshPath()
+    // a 32x32 grid of (xv, yv) cells, shuffled by id so every appended
+    // file spans the full range of both columns (nothing prunes before)
+    val rows = (0 until 1024).map { i =>
+      val cell = (i * 2654435761L % 1024).toInt // Knuth-hash scramble
+      (i.toLong, (cell % 32).toDouble, (cell / 32).toDouble)
+    }
+    (0 until 4).foreach { k =>
+      TxParquetTable.append(
+        rows.filter(_._1 % 4 == k).toDF("id", "xv", "yv").repartition(1),
+        path, statsColumns = Seq("xv", "yv"))
+    }
+    def bandX() = TxParquetTable.snapshotRange(spark, path, "xv", Some(10.0), Some(11.0))
+    def bandY() = TxParquetTable.snapshotRange(spark, path, "yv", Some(20.0), Some(21.0))
+    val live0 = TxParquetTable.snapshot(spark, path).inputFiles.length
+    assert(bandX().inputFiles.length === live0 && bandY().inputFiles.length === live0,
+      "shuffled appends must not prune on either dimension")
+    val beforeX = bandX().collect().map(_.getLong(0)).toSet
+    val beforeY = bandY().collect().map(_.getLong(0)).toSet
+
+    TxParquetTable.compact(spark, path, "id", targetFiles = 16,
+      zorderBy = Some(("xv", "yv")))
+    val live = TxParquetTable.snapshot(spark, path).inputFiles.length
+    // the Z-curve guarantee: a narrow band on EITHER dimension
+    // intersects ~sqrt(files) of the layout, not all of it
+    assert(bandX().inputFiles.length < live,
+      s"x band must prune (${bandX().inputFiles.length} of $live)")
+    assert(bandY().inputFiles.length < live,
+      s"y band must prune (${bandY().inputFiles.length} of $live)")
+    assert(bandX().collect().map(_.getLong(0)).toSet === beforeX)
+    assert(bandY().collect().map(_.getLong(0)).toSet === beforeY)
+    assert(TxParquetTable.snapshot(spark, path).count() === 1024L)
+  }
+
+  test("zorderBy compact: a constant column degenerates gracefully to 1-D layout") {
+    val path = freshPath()
+    val rows = (0 until 200).map(i => (i.toLong, 7.0, (i % 50).toDouble))
+    TxParquetTable.append(rows.toDF("id", "xv", "yv").repartition(1), path,
+      statsColumns = Seq("xv", "yv"))
+    TxParquetTable.compact(spark, path, "id", targetFiles = 4,
+      zorderBy = Some(("xv", "yv")))
+    // constant xv scales to 0 everywhere: the layout is effectively a
+    // range cluster on yv, and a yv band must still prune
+    val live = TxParquetTable.snapshot(spark, path).inputFiles.length
+    val band = TxParquetTable.snapshotRange(spark, path, "yv", Some(0.0), Some(10.0))
+    assert(band.inputFiles.length < live)
+    assert(TxParquetTable.snapshot(spark, path).count() === 200L)
+  }
+
   test("racing appends from multiple threads all land with distinct versions") {
     val path = freshPath()
     val threads = (0 until 4).map { i =>
