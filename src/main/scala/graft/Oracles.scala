@@ -3289,6 +3289,40 @@ SELECT 3 AS bits, 3 AS tables,
   (SELECT count(*) FROM top20 t JOIN cand3 c ON t.k1 = c.k1 AND t.k2 = c.k2) / 20.0 AS recall
 ORDER BY tables""",
 
+    // matryoshka truncation recall: both rankings exact SQL (sliced
+    // dot products, q24's left-to-right list_sum order and rounded-
+    // score ranking with vec_id ties), so the recall NUMBER itself is
+    // oracle-checked — no verdict bit needed.
+    "q217_matryoshka_recall" ->
+      """WITH qv AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+), pairs AS (
+  SELECT q.qid, e.vec_id AS nid, q.qe, e.embedding AS ne
+  FROM qv q, embeddings e WHERE e.vec_id <> q.qid
+), scored AS (
+  SELECT qid, nid, d,
+    floor(dp / (na * nb) * 1000000 + 0.5) / 1000000 + 0.0 AS s
+  FROM (
+    SELECT qid, nid, d,
+      list_sum(list_transform(range(1, d + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))) AS dp,
+      sqrt(list_sum(list_transform(range(1, d + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) AS na,
+      sqrt(list_sum(list_transform(range(1, d + 1), i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)))) AS nb
+    FROM pairs, (SELECT unnest([64, 32, 16]) AS d))
+), ranked AS (
+  SELECT qid, nid, d,
+    row_number() OVER (PARTITION BY d, qid ORDER BY s DESC, nid) AS rk
+  FROM scored
+), tops AS (
+  SELECT qid, nid, d FROM ranked WHERE rk <= 10
+)
+SELECT t.d AS trunc_dim, CAST(50 AS BIGINT) AS topk_total,
+  CAST(count(f.nid) AS BIGINT) AS matched,
+  CAST(count(f.nid) AS BIGINT) / 50.0 AS recall
+FROM (SELECT * FROM tops WHERE d <> 64) t
+LEFT JOIN (SELECT * FROM tops WHERE d = 64) f
+  ON t.qid = f.qid AND t.nid = f.nid
+GROUP BY t.d""",
+
     // 2-D Z-order compaction: content predicted from orders per
     // predicate; pruned_ok is the engine-side scanned<live verdict the
     // Z-curve layout must earn on BOTH dimensions (the q164 pattern).

@@ -3550,6 +3550,50 @@ GROUP BY order_year""")
     } finally deleteRecursively(path)
   }
 
+  /** X82: MATRYOSHKA truncation-recall report — the modern embedding
+    * cost lever (MRL, Kusupati et al. 2022): serve the first d′ of d
+    * dimensions and pay top-k recall for the 1/(d/d′) memory/compute
+    * cut. Per truncation (32, 16 of 64), exact cosine top-10 over the
+    * truncated vectors vs the full-dim top-10 for the same 5 query
+    * vectors; the whole report — both rankings and the overlap — is
+    * exact SQL both engines (slice + dot; scores rank sr6-rounded with
+    * vec_id ties, the q24 discipline), so unlike the q133/q166 gates
+    * the oracle checks the recall NUMBER itself, not a verdict bit.
+    * On THIS corpus the measured recall is low (0.22 at d/2) because
+    * the synthetic embeddings are iid random — no trained matryoshka
+    * nesting — which is exactly the report a data team needs before
+    * flipping truncation on: the operator measures the tradeoff, it
+    * does not assume it.
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.Similarity
+    import graft.util.Partitioning.{stableRound6 => sr6}
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    def topk(dim: Int): DataFrame = {
+      val (qe, ne) =
+        if (dim >= 64) (col("qe"), col("ne"))
+        else (slice(col("qe"), 1, dim), slice(col("ne"), 1, dim))
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .withColumn("__s", sr6(Similarity.cosine(qe, ne) + lit(0.0)))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("__s").desc, col("nid"))))
+        .filter(col("__rk") <= 10)
+        .select("qid", "nid")
+    }
+    val full = topk(64).localCheckpoint(true) // 50 rows, reused per truncation
+    Seq(32, 16).map { d =>
+      full.join(topk(d), Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("matched"))
+        .select(lit(d).as("trunc_dim"), lit(50L).as("topk_total"),
+          col("matched"),
+          (col("matched").cast("double") / lit(50.0)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** X79: cross-document repeated n-gram SPANS — the substring-dedup
     * axis (Lee et al. 2022) document-level dedup misses: per document,
     * every 8-token window that also appears in another document, with
@@ -3847,6 +3891,7 @@ GROUP BY order_year""")
     "q214_repeated_spans" -> (q214 _),
     "q215_dsir_weights" -> (q215 _),
     "q216_zorder_compact" -> (q216 _),
+    "q217_matryoshka_recall" -> (q217 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
