@@ -3289,6 +3289,26 @@ SELECT 3 AS bits, 3 AS tables,
   (SELECT count(*) FROM top20 t JOIN cand3 c ON t.k1 = c.k1 AND t.k2 = c.k2) / 20.0 AS recall
 ORDER BY tables""",
 
+    // dead-letter lanes: the corruption injection is deterministic
+    // arithmetic on o_orderkey, so every lane's count and volume total
+    // is predictable WITHOUT parsing — the oracle checks that the
+    // engine's parse/route actually lands each payload where the
+    // construction says it must (same CASE precedence both sides).
+    "q218_dead_letters" ->
+      """WITH r AS (
+  SELECT o_orderkey % 13 AS m, o_orderkey % 50 AS v FROM orders
+), lanes AS (
+  SELECT CASE WHEN m = 0 THEN 'malformed_json'
+              WHEN m = 1 THEN 'missing_key'
+              WHEN v = 0 THEN 'gate_volume'
+              ELSE 'good' END AS lane,
+    CASE WHEN m = 0 THEN NULL ELSE v END AS vol
+  FROM r
+)
+SELECT lane, CAST(count(*) AS BIGINT) AS n,
+  CAST(coalesce(sum(vol), 0) AS BIGINT) AS total_volume
+FROM lanes GROUP BY 1""",
+
     // matryoshka truncation recall: both rankings exact SQL (sliced
     // dot products, q24's left-to-right list_sum order and rounded-
     // score ranking with vec_id ties), so the recall NUMBER itself is

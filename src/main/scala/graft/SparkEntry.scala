@@ -3550,6 +3550,44 @@ GROUP BY order_year""")
     } finally deleteRecursively(path)
   }
 
+  /** X83: dead-letter ingest accounting — the reference's PERMISSIVE
+    * parse nulls malformed payloads and the quality gate silently drops
+    * them; this lane-routes every payload exactly once (malformed /
+    * unkeyable / gate-failed / good, in that precedence) with the raw
+    * bytes preserved for replay. The wire stream is constructed from
+    * orders with DETERMINISTIC corruption injection (every 13th payload
+    * truncated mid-string, every 13th+1 missing its ticker, volume 0
+    * every 50th key), so the oracle predicts each lane's count and
+    * volume total from the same arithmetic without parsing anything.
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.util.Partitioning.ensureParallelism(t(s, dir, "orders"))
+    def bar(withTicker: Boolean) = {
+      val fields = Seq(
+        col("o_orderdate").as("Datetime"),
+        col("o_totalprice").as("Open"),
+        (col("o_totalprice") * 1.01).as("High"),
+        (col("o_totalprice") * 0.99).as("Low"),
+        col("o_totalprice").as("Close"),
+        col("o_totalprice").as("Adj Close"),
+        pmod(col("o_orderkey"), lit(50)).cast("int").as("Volume"),
+        lit(0.0).as("Dividends"),
+        lit(0.0).as("Stock Splits")) ++
+        (if (withTicker)
+          Seq(concat(lit("T"), pmod(col("o_custkey"), lit(100))).as("ticker"))
+        else Seq.empty)
+      to_json(struct(fields: _*))
+    }
+    val wire = o.select(
+      when(pmod(col("o_orderkey"), lit(13)) === 0, substring(bar(true), 1, 25))
+        .when(pmod(col("o_orderkey"), lit(13)) === 1, bar(false))
+        .otherwise(bar(true)).as("value"))
+    graft.ingest.Ingest.barsWithDeadLetter(wire)
+      .groupBy(coalesce(col("dead_reason"), lit("good")).as("lane"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("volume")), lit(0L)).as("total_volume"))
+  }
+
   /** X82: MATRYOSHKA truncation-recall report — the modern embedding
     * cost lever (MRL, Kusupati et al. 2022): serve the first d′ of d
     * dimensions and pay top-k recall for the 1/(d/d′) memory/compute
@@ -3892,6 +3930,7 @@ GROUP BY order_year""")
     "q215_dsir_weights" -> (q215 _),
     "q216_zorder_compact" -> (q216 _),
     "q217_matryoshka_recall" -> (q217 _),
+    "q218_dead_letters" -> (q218 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

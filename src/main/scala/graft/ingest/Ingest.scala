@@ -112,6 +112,60 @@ object Ingest {
     normalized.as[graft.model.Models.Bar]
   }
 
+  /** Bar ingest with DEAD-LETTER routing — the robustness lane the
+    * reference's implicit PERMISSIVE parse throws away: a malformed
+    * payload becomes an all-null row that the quality gate silently
+    * drops, destroying the evidence an operator needs to fix the
+    * producer. Here every wire payload lands in exactly one lane,
+    * tagged in precedence order:
+    *
+    *   - `malformed_json` — the payload did not parse (PERMISSIVE with
+    *     a corrupt-record column, Spark's native mechanism);
+    *   - `missing_key`    — parsed, but no event time or ticker (the
+    *     row could never be keyed or deduped);
+    *   - `gate_volume`    — parsed and keyed, but fails the [[gateBars]]
+    *     quality rule (volume ≤ 0 or absent);
+    *   - dead_reason NULL — a good row, with the same deterministic id
+    *     [[normalizeBars]] assigns (dead rows get a null id — they must
+    *     never collide with real keys in an idempotent sink).
+    *
+    * The RAW payload rides along (`raw`) so dead letters are
+    * replayable byte-for-byte after the producer is fixed. Works
+    * identically on batch and streaming frames (pure projection);
+    * [[graft.streaming.Pipelines.deadLetterSplitSink]] is the
+    * streaming sink that forks the lanes.
+    */
+  def barsWithDeadLetter(jsonValues: DataFrame): DataFrame = {
+    val schema = Models.barWireSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = jsonValues
+      // same plan-barrier rationale as [[parse]]
+      .select(col("value").as("raw"),
+        explode(array(from_json(col("value"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))).as("data"))
+      .select(col("raw"), col("data.*"))
+    val reason = when(col("_corrupt_record").isNotNull, lit("malformed_json"))
+      .when(col("Datetime").isNull || col("ticker").isNull, lit("missing_key"))
+      .when(col("Volume").isNull || col("Volume") <= 0, lit("gate_volume"))
+      .otherwise(lit(null).cast("string"))
+    parsed.select(
+        col("Datetime").as("datetime"),
+        col("Open").as("open"),
+        col("High").as("high"),
+        col("Low").as("low"),
+        col("Close").as("close"),
+        col("Adj Close").as("adj_close"),
+        col("Volume").as("volume"),
+        col("Dividends").as("dividends"),
+        col("Stock Splits").as("stock_splits"),
+        col("ticker"), col("raw"), reason.as("dead_reason"))
+      .withColumn("id",
+        when(col("dead_reason").isNull,
+          deterministicId(col("ticker"), col("datetime").cast("string")))
+          .otherwise(lit(null).cast("string")))
+  }
+
   /** Typed view of a normalized trade frame. */
   def tradesTyped(normalized: DataFrame): org.apache.spark.sql.Dataset[graft.model.Models.Trade] = {
     val spark = normalized.sparkSession

@@ -161,6 +161,29 @@ object Pipelines {
           .write.mode("append").parquet(path)
       }
 
+  /** DEAD-LETTER split sink for [[graft.ingest.Ingest.barsWithDeadLetter]]
+    * frames: good rows (null `dead_reason`) append to `goodPath` without
+    * the routing columns; dead rows keep their RAW payload and reason and
+    * append to `dlqPath` — replayable byte-for-byte once the producer is
+    * fixed, instead of silently vanishing at the quality gate. Both lanes
+    * carry the epoch id (the [[parquetSink]] reconciliation convention).
+    */
+  def deadLetterSplitSink(df: DataFrame, goodPath: String, dlqPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val b = batch.withColumn("__epoch", lit(epochId)).cache()
+        try {
+          b.filter(col("dead_reason").isNull).drop("raw", "dead_reason")
+            .write.mode("append").parquet(goodPath)
+          val dead = b.filter(col("dead_reason").isNotNull)
+            .select(col("raw"), col("dead_reason"), col("__epoch"))
+          if (!dead.isEmpty) dead.write.mode("append").parquet(dlqPath)
+        } finally { b.unpersist(); () }
+      }
+
   /** S3+: exactly-once UPSERT sink on plain parquet — the completion of the
     * deterministic-id design (SURVEY §7 hard-parts).
     *

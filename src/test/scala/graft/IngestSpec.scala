@@ -83,4 +83,30 @@ class IngestSpec extends SparkSpec {
     val out = Ingest.nthLatestPerKey(Seq("ticker"), "dt", 2)(df)
     assert(out.collect().map(r => (r.getString(0), r.getDouble(2))).toSet === Set(("AAPL", 1.0)))
   }
+
+  test("barsWithDeadLetter: every payload lands in exactly one lane, raw preserved, ids only on good rows") {
+    def bar(ticker: String, vol: Int): String =
+      s"""{"Datetime":"2024-11-15T14:30:00.000Z","Open":1.0,"High":2.0,"Low":0.5,"Close":1.5,"Adj Close":1.5,"Volume":$vol,"Dividends":0.0,"Stock Splits":0.0,"ticker":"$ticker"}"""
+    val noTicker =
+      """{"Datetime":"2024-11-15T14:30:00.000Z","Open":1.0,"High":2.0,"Low":0.5,"Close":1.5,"Adj Close":1.5,"Volume":7,"Dividends":0.0,"Stock Splits":0.0}"""
+    val wire = Seq(
+      bar("AAPL", 100),          // good
+      bar("AAPL", 100).take(30), // truncated -> malformed
+      noTicker,                  // unkeyable
+      bar("MSFT", 0)             // gate failure
+    ).toDF("value")
+    val rows = Ingest.barsWithDeadLetter(wire).collect()
+      .map(r => Option(r.getAs[String]("dead_reason")).getOrElse("good") ->
+        (r.getAs[String]("raw"), r.getAs[String]("id"))).toMap
+    assert(rows.keySet === Set("good", "malformed_json", "missing_key", "gate_volume"))
+    // raw payload rides every lane byte-for-byte (replayability)
+    assert(rows("malformed_json")._1 === bar("AAPL", 100).take(30))
+    assert(rows("missing_key")._1 === noTicker)
+    // ids only on good rows, and identical to the normalizeBars id
+    assert(rows("malformed_json")._2 == null && rows("gate_volume")._2 == null)
+    val normId = Ingest.normalizeBars(Seq(bar("AAPL", 100)).toDF("value"))
+      .collect()(0).getAs[String]("id")
+    assert(rows("good")._2 === normId,
+      "dead-letter path must assign the same deterministic id as the plain path")
+  }
 }

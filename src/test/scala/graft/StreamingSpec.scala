@@ -157,6 +157,32 @@ class StreamingSpec extends SparkSpec {
       s"pair-spread state must be bounded by the eviction horizon: $ps")
   }
 
+  test("deadLetterSplitSink: good rows and dead letters land in separate sinks, raw payload replayable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString
+    val mem = MemoryStream[String]
+    val routed = graft.ingest.Ingest.barsWithDeadLetter(mem.toDF())
+    val q = Pipelines.start(
+      Pipelines.deadLetterSplitSink(routed, s"$dir/good", s"$dir/dlq", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      val broken = bar("AAPL", "2024-11-15T14:30:00.000Z", 100).take(30)
+      mem.addData(
+        bar("AAPL", "2024-11-15T14:30:00.000Z", 100),
+        bar("MSFT", "2024-11-15T14:31:00.000Z", 7),
+        broken,
+        bar("TSLA", "2024-11-15T14:32:00.000Z", 0))
+      q.awaitTermination(60000)
+      val good = spark.read.parquet(s"$dir/good")
+      assert(good.count() === 2)
+      assert(!good.columns.contains("raw") && !good.columns.contains("dead_reason"))
+      val dlq = spark.read.parquet(s"$dir/dlq").collect()
+        .map(r => r.getAs[String]("dead_reason") -> r.getAs[String]("raw")).toMap
+      assert(dlq.keySet === Set("malformed_json", "gate_volume"))
+      assert(dlq("malformed_json") === broken, "dead letter must carry the raw bytes")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("foreachBatch parquet sink appends with epoch ids; deterministic ids allow reconciliation") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
