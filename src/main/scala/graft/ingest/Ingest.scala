@@ -166,6 +166,40 @@ object Ingest {
           .otherwise(lit(null).cast("string")))
   }
 
+  /** Trade twin of [[barsWithDeadLetter]] — same lanes, same
+    * precedence, Finnhub wire shape: `malformed_json` (corrupt-record
+    * column) / `missing_key` (no event time or symbol) / `gate_volume`
+    * ([[gateTrades]] rule) / good with the [[normalizeTrades]]
+    * deterministic id. Raw payload rides along for replay.
+    */
+  def tradesWithDeadLetter(jsonValues: DataFrame): DataFrame = {
+    val schema = Models.tradeWireSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = jsonValues
+      .select(col("value").as("raw"),
+        explode(array(from_json(col("value"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))).as("data"))
+      .select(col("raw"), col("data.*"))
+    val reason = when(col("_corrupt_record").isNotNull, lit("malformed_json"))
+      .when(col("t").isNull || col("s").isNull, lit("missing_key"))
+      .when(col("v").isNull || col("v") <= 0, lit("gate_volume"))
+      .otherwise(lit(null).cast("string"))
+    parsed.select(
+        col("c").as("trade_conditions"),
+        col("p").as("last_price"),
+        col("s").as("symbol"),
+        timestamp_millis(col("t")).as("datetime"),
+        col("v").as("volume"),
+        col("raw"), reason.as("dead_reason"))
+      .withColumn("id",
+        when(col("dead_reason").isNull,
+          deterministicId(col("symbol"), col("datetime").cast("string"),
+            col("last_price").cast("string"), col("volume").cast("string"),
+            concat_ws(",", col("trade_conditions"))))
+          .otherwise(lit(null).cast("string")))
+  }
+
   /** Typed view of a normalized trade frame. */
   def tradesTyped(normalized: DataFrame): org.apache.spark.sql.Dataset[graft.model.Models.Trade] = {
     val spark = normalized.sparkSession

@@ -109,4 +109,26 @@ class IngestSpec extends SparkSpec {
     assert(rows("good")._2 === normId,
       "dead-letter path must assign the same deterministic id as the plain path")
   }
+
+  test("tradesWithDeadLetter: same lane contract on the Finnhub wire shape") {
+    def trade(sym: String, vol: Int): String =
+      s"""{"c":["1","12"],"p":150.25,"s":"$sym","t":1731680100123,"v":$vol}"""
+    val noSymbol = """{"c":["1"],"p":10.0,"t":1731680100123,"v":5}"""
+    val wire = Seq(
+      trade("AAPL", 9),
+      trade("AAPL", 9).take(20), // truncated -> malformed
+      noSymbol,                  // unkeyable
+      trade("MSFT", 0)           // gate failure
+    ).toDF("value")
+    val rows = Ingest.tradesWithDeadLetter(wire).collect()
+      .map(r => Option(r.getAs[String]("dead_reason")).getOrElse("good") ->
+        (r.getAs[String]("raw"), r.getAs[String]("id"))).toMap
+    assert(rows.keySet === Set("good", "malformed_json", "missing_key", "gate_volume"))
+    assert(rows("malformed_json")._1 === trade("AAPL", 9).take(20))
+    assert(rows("missing_key")._2 == null && rows("gate_volume")._2 == null)
+    val normId = Ingest.normalizeTrades(Seq(trade("AAPL", 9)).toDF("value"))
+      .collect()(0).getAs[String]("id")
+    assert(rows("good")._2 === normId,
+      "trade dead-letter path must assign the same deterministic id as the plain path")
+  }
 }
