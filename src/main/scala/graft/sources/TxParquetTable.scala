@@ -843,9 +843,15 @@ object TxParquetTable {
   def compact(spark: SparkSession, path: String, idCol: String,
       buckets: Int = 16, targetFiles: Int = 4,
       clusterBy: Option[String] = None,
-      zorderBy: Option[(String, String)] = None): Long = {
+      zorderBy: Seq[String] = Seq.empty): Long = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
-      "pass clusterBy (1-D range) or zorderBy (2-D Z-curve), not both")
+      "pass clusterBy (1-D range) or zorderBy (N-D Z-curve), not both")
+    require(zorderBy.size <= 8,
+      s"zorderBy supports at most 8 columns (4 bits each in a 32-bit " +
+        s"Z-value — more dimensions leave too few bits to order on), " +
+        s"got ${zorderBy.size}")
+    require(zorderBy.distinct.size == zorderBy.size,
+      s"zorderBy columns must be distinct, got (${zorderBy.mkString(", ")})")
     val readVersion = latestVersion(path)
     if (readVersion < 0) return readVersion
     val snap = state(path, Some(readVersion))
@@ -871,37 +877,56 @@ object TxParquetTable {
     //                each clustered file now spans MANY id buckets, so a
     //                later single-bucket upsert rewrites more files —
     //                cluster read-mostly tables, hash-cluster churny ones.
-    //   zorderBy:    Delta's OPTIMIZE ZORDER BY (c1, c2): each column
-    //                min-max scales to 16 bits (bounds from one agg over
-    //                the live set; degenerate constant columns scale to
-    //                0), the two bit-strings INTERLEAVE into a 32-bit
-    //                Z-value, and files are contiguous Z-ranges. A
-    //                single-value predicate on EITHER dimension then
-    //                intersects ~√files of the layout (the Z-curve
-    //                guarantee) instead of choosing one lucky column —
-    //                both columns' zone maps prune, at the same
-    //                upsert-locality cost as clusterBy. Min-max scaling
-    //                is deliberate (rank/ntile would need a global sort
-    //                per column); heavy value skew makes Z-cells uneven
-    //                — acceptable for a compaction-time layout choice.
+    //   zorderBy:    Delta's OPTIMIZE ZORDER BY (c1..ck): each column
+    //                min-max scales to ⌊32/k⌋ bits (bounds from ONE agg
+    //                over the live set; degenerate constant or all-null
+    //                columns scale to 0), the k bit-strings INTERLEAVE
+    //                into a ≤32-bit Z-value (column j's bit b lands at
+    //                position k·b+j — at k=2 this is exactly the
+    //                historical 2-D layout, bit-identical), and files
+    //                are contiguous Z-ranges. A single-value predicate
+    //                on ANY dimension then intersects ~files^((k−1)/k)
+    //                of the layout (the Z-curve guarantee) instead of
+    //                choosing one lucky column — every column's zone
+    //                map prunes, at the same upsert-locality cost as
+    //                clusterBy. Min-max scaling is deliberate
+    //                (rank/ntile would need a global sort per column);
+    //                heavy value skew makes Z-cells uneven — acceptable
+    //                for a compaction-time layout choice.
     val df = (clusterBy, zorderBy) match {
       case (Some(c), _) =>
         base.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case (_, Some((c1, c2))) =>
-        require(base.columns.contains(c1) && base.columns.contains(c2),
-          s"zorderBy columns ($c1, $c2) must exist in (${base.columns.mkString(", ")})")
-        val bounds = base.agg(
-          min(col(c1).cast("double")), max(col(c1).cast("double")),
-          min(col(c2).cast("double")), max(col(c2).cast("double"))).collect()(0)
-        def scale16(c: Column, mn: Double, mx: Double): Column =
-          if (!(mx > mn)) lit(0L)
-          else least(lit(65535L),
-            floor((c.cast("double") - lit(mn)) / lit(mx - mn) * lit(65536.0)).cast("long"))
-        val x = scale16(col(c1), bounds.getDouble(0), bounds.getDouble(1))
-        val y = scale16(col(c2), bounds.getDouble(2), bounds.getDouble(3))
-        val z = (0 until 16).map { b =>
-          shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
-            .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+      case (_, zcols) if zcols.nonEmpty =>
+        zcols.foreach(c => require(base.columns.contains(c),
+          s"zorderBy column $c must exist in (${base.columns.mkString(", ")})"))
+        val k = zcols.size
+        val bitsPer = 32 / k
+        val maxV = (1L << bitsPer) - 1L
+        val aggCols = zcols.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        // one agg over the live set: (min c1, max c1, min c2, max c2, …)
+        val bounds = base.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        def boundAt(j: Int, isMax: Boolean): Option[Double] = {
+          val idx = 2 * j + (if (isMax) 1 else 0)
+          if (bounds.isNullAt(idx)) None else Some(bounds.getDouble(idx))
+        }
+        def scaled(j: Int): Column = {
+          val c = col(zcols(j))
+          (boundAt(j, isMax = false), boundAt(j, isMax = true)) match {
+            // all-null column (r13 advice: used to NPE on getDouble) or
+            // constant column: degenerate to 0 — the 1-D fallback path
+            case (Some(mn), Some(mx)) if mx > mn =>
+              // nulls order first: scale to 0 like the minimum
+              least(lit(maxV), floor(
+                (coalesce(c.cast("double"), lit(mn)) - lit(mn)) /
+                  lit(mx - mn) * lit((maxV + 1).toDouble)).cast("long"))
+            case _ => lit(0L)
+          }
+        }
+        val z = (0 until bitsPer).flatMap { b =>
+          (0 until k).map { j =>
+            shiftleft(shiftright(scaled(j), b).bitwiseAND(lit(1L)), k * b + j)
+          }
         }.reduce(_ bitwiseOR _)
         base.withColumn("__z", z)
           .repartitionByRange(targetFiles, col("__z"))
@@ -917,7 +942,7 @@ object TxParquetTable {
     // column joins the tracked set — clustering without its zone map
     // would be mute.
     val inheritedStats = (snap.live.flatMap(_.stats.keys) ++ clusterBy ++
-        zorderBy.toSeq.flatMap(p => Seq(p._1, p._2))).distinct
+        zorderBy).distinct
       .filter(df.columns.contains)
     val adds = stage(df, path, Some(bucketOf), inheritedStats)
     // columnsReset: df.columns came from a mergeSchema read of EVERY live

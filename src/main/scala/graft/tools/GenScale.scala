@@ -62,6 +62,17 @@ object GenScale {
     }
     java.nio.file.Files.createDirectories(out)
 
+    // validate the embedding-dim-dependent cap BEFORE writing any table
+    // (r13 advice: the `factor <= 2*dim` require used to fire only at
+    // the embeddings stage, after events/documents replicas were
+    // already written — leaving a partially scaled output directory)
+    val embDim = graft.Tables.load(spark, srcDir, "embeddings")
+      .select(size(col("embedding"))).first().getInt(0)
+    require(factor <= 2 * embDim,
+      s"embeddings support at most ${2 * embDim} distinct replicas " +
+        s"(rotation x sign at dim=$embDim), got factor=$factor — " +
+        "nothing written")
+
     // TPC-H tables stay at sf0.1 — symlink the single-file parquets
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem")) {

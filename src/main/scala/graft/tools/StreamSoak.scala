@@ -102,10 +102,15 @@ object StreamSoak {
       // "zero batches" unless the exception is surfaced here
       q.exception.foreach(e => throw e)
       val seconds = (System.nanoTime() - wallStart) / 1e9
-      var last = -1; var stable = 0
-      while (stable < 3 && last < 10000) {
+      // the loop cap is an ITERATION counter, not the queue size (r13
+      // advice: `last < 10000` bounded on event COUNT, so a soak with
+      // >10k progress events would skip the drain wait and read the
+      // queue before late events landed)
+      var last = -1; var stable = 0; var iters = 0
+      while (stable < 3 && iters < 50) {
         val n = acc.events.size
         if (n == last) stable += 1 else { stable = 0; last = n }
+        iters += 1
         Thread.sleep(200)
       }
       import scala.jdk.CollectionConverters._

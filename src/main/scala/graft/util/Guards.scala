@@ -21,18 +21,22 @@ object Guards {
     * (k1, k2) frame (duplicate pairs double-count P&L within each
     * carried-column group).
     *
-    * Mechanics: the guard rides the first non-key column — any key
-    * group with count > 1 turns that column into `raise_error`, which
-    * fires the moment the plan executes. `raise_error` is NullType and
-    * coerces to the guarded column's type.
+    * Mechanics: the guard rides EVERY column — any key group with
+    * count > 1 turns each column into `raise_error`, which fires the
+    * moment the plan executes. Wrapping only one column was a latent
+    * pruning hazard (r13 advice): if a caller never referenced that
+    * particular column downstream, Catalyst column pruning removed
+    * the guarded projection (and its Window) and silently disabled
+    * the check; with every column guarded, the guard survives as long
+    * as the caller consumes ANY column of the frame — and a frame
+    * with no consumed columns has nothing to corrupt. `raise_error`
+    * is NullType and coerces to each guarded column's type.
     */
   def requireUniquePerKey(
       df: DataFrame, keyCols: Seq[String], context: String): DataFrame = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"$context: key columns ${keyCols.mkString(", ")} must exist in " +
         s"(${df.columns.mkString(", ")})")
-    val target = df.columns.filterNot(keyCols.contains).headOption
-      .getOrElse(df.columns.head)
     val w = Window.partitionBy(keyCols.map(col): _*)
     val msg = format_string(
       s"$context: key (%s) maps to %s rows — (${keyCols.mkString(", ")}) " +
@@ -40,9 +44,11 @@ object Guards {
         "per-key rows); dedup the frame before passing it",
       concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
       col("__dup_n").cast("string"))
-    df.withColumn("__dup_n", count(lit(1)).over(w))
-      .withColumn(target,
-        when(col("__dup_n") > 1L, raise_error(msg)).otherwise(col(target)))
-      .drop("__dup_n")
+    val withN = df.withColumn("__dup_n", count(lit(1)).over(w))
+    df.columns.foldLeft(withN) { (d, c) =>
+      d.withColumn(c,
+        when(col("__dup_n") > 1L, raise_error(msg).cast(df.schema(c).dataType))
+          .otherwise(col(c)))
+    }.drop("__dup_n")
   }
 }

@@ -772,7 +772,7 @@ class TxTableSpec extends SparkSpec {
     val beforeY = bandY().collect().map(_.getLong(0)).toSet
 
     TxParquetTable.compact(spark, path, "id", targetFiles = 16,
-      zorderBy = Some(("xv", "yv")))
+      zorderBy = Seq("xv", "yv"))
     val live = TxParquetTable.snapshot(spark, path).inputFiles.length
     // the Z-curve guarantee: a narrow band on EITHER dimension
     // intersects ~sqrt(files) of the layout, not all of it
@@ -791,9 +791,75 @@ class TxTableSpec extends SparkSpec {
     TxParquetTable.append(rows.toDF("id", "xv", "yv").repartition(1), path,
       statsColumns = Seq("xv", "yv"))
     TxParquetTable.compact(spark, path, "id", targetFiles = 4,
-      zorderBy = Some(("xv", "yv")))
+      zorderBy = Seq("xv", "yv"))
     // constant xv scales to 0 everywhere: the layout is effectively a
     // range cluster on yv, and a yv band must still prune
+    val live = TxParquetTable.snapshot(spark, path).inputFiles.length
+    val band = TxParquetTable.snapshotRange(spark, path, "yv", Some(0.0), Some(10.0))
+    assert(band.inputFiles.length < live)
+    assert(TxParquetTable.snapshot(spark, path).count() === 200L)
+  }
+
+  test("zorderBy compact: THREE columns all prune on one layout (N-D generalization)") {
+    val path = freshPath()
+    // a 16x16x16 grid of (xv, yv, zv) cells, Knuth-scrambled by id so
+    // every appended file spans the full range of all three columns
+    val rows = (0 until 4096).map { i =>
+      val cell = (i * 2654435761L % 4096).toInt
+      (i.toLong, (cell % 16).toDouble, (cell / 16 % 16).toDouble,
+        (cell / 256).toDouble)
+    }
+    (0 until 4).foreach { k =>
+      TxParquetTable.append(
+        rows.filter(_._1 % 4 == k).toDF("id", "xv", "yv", "zv").repartition(1),
+        path, statsColumns = Seq("xv", "yv", "zv"))
+    }
+    def band(c: String) = TxParquetTable.snapshotRange(spark, path, c, Some(5.0), Some(5.0))
+    val live0 = TxParquetTable.snapshot(spark, path).inputFiles.length
+    Seq("xv", "yv", "zv").foreach(c =>
+      assert(band(c).inputFiles.length === live0,
+        s"shuffled appends must not prune on $c"))
+    val before = Seq("xv", "yv", "zv").map(c =>
+      c -> band(c).collect().map(_.getLong(0)).toSet).toMap
+
+    TxParquetTable.compact(spark, path, "id", targetFiles = 32,
+      zorderBy = Seq("xv", "yv", "zv"))
+    val live = TxParquetTable.snapshot(spark, path).inputFiles.length
+    // the N-D Z-curve guarantee: a single-value predicate on ANY of the
+    // three dimensions intersects ~files^(2/3), not the whole layout
+    Seq("xv", "yv", "zv").foreach { c =>
+      assert(band(c).inputFiles.length < live,
+        s"$c band must prune (${band(c).inputFiles.length} of $live)")
+      assert(band(c).collect().map(_.getLong(0)).toSet === before(c),
+        s"$c band content must be exact across the rewrite")
+    }
+    assert(TxParquetTable.snapshot(spark, path).count() === 4096L)
+  }
+
+  test("zorderBy compact: k=2 under the N-D interleave keeps the historical bit layout (q216 regression pin)") {
+    // column j's bit b lands at position k*b+j: at k=2 that is x->2b,
+    // y->2b+1 — the exact pre-generalization layout. Pin the arithmetic
+    // itself (a layout change would silently reshuffle every Z-ordered
+    // table's file boundaries even with content preserved).
+    def interleave2(x: Long, y: Long): Long =
+      (0 until 16).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+        .reduce(_ | _)
+    assert(interleave2(0xFFFFL, 0L) === 0x55555555L)
+    assert(interleave2(0L, 0xFFFFL) === 0xAAAAAAAAL)
+    assert(interleave2(0x3L, 0x1L) === 7L)
+  }
+
+  test("zorderBy compact: an all-null column degenerates to 0 instead of NPE (r13 advice)") {
+    val path = freshPath()
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Option.empty[Double], (i % 50).toDouble))
+    TxParquetTable.append(rows.toDF("id", "xv", "yv").repartition(1), path,
+      statsColumns = Seq("yv"))
+    // all-null xv: bounds agg yields null min/max — must fall back to
+    // the constant-column path (scale to 0), not throw
+    TxParquetTable.compact(spark, path, "id", targetFiles = 4,
+      zorderBy = Seq("xv", "yv"))
     val live = TxParquetTable.snapshot(spark, path).inputFiles.length
     val band = TxParquetTable.snapshotRange(spark, path, "yv", Some(0.0), Some(10.0))
     assert(band.inputFiles.length < live)
