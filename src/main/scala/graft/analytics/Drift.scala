@@ -41,6 +41,11 @@ object Drift {
     * a bins-sized spine join so empty bins smooth correctly, and window
     * totals over the tiny (key × bins) frame. The data is scanned once
     * per slice and never shuffled beyond the count aggregate.
+    *
+    * Caller-frame audit (r13 sweep): the reference slice enters as a
+    * Column FLAG, not a frame — the broadcast `bounds` side is derived
+    * in-plan by `groupBy(key)` and is therefore unique per key by
+    * construction; no duplicate-key hazard exists to guard.
     */
   def populationStabilityIndex(
       df: DataFrame, keyCol: String, valueCol: String, isCurrent: Column,

@@ -34,6 +34,11 @@ object EventStudy {
     * aggregate broadcast back, one per-entity window over its days, a
     * final per-entity aggregate. The tick stream collapses before
     * anything sorts; nothing global.
+    *
+    * Caller-frame audit (r13 sweep): the anchor enters as a Column
+    * PREDICATE, not a frame — the broadcast `mkt` side is derived
+    * in-plan by `groupBy(day)` and is therefore unique per day by
+    * construction; no duplicate-key hazard exists to guard.
     */
   def carDaily(
       events: DataFrame, entityCol: String, tsCol: String, valueCol: String,

@@ -72,11 +72,21 @@ object Boilerplate {
     * df) as produced by [[boilerplateGrams]], persisted/read under the
     * CALLER's lifecycle (the Decontaminate precomputed-report pattern):
     * the corpus is gram'd exactly once here.
+    *
+    * The set must be UNIQUE per gram_key — enforced in-plan
+    * ([[graft.util.Guards.requireUniquePerKey]], the r13 caller-frame
+    * sweep): a duplicated gram_key would multiply the corpus gram rows
+    * through the LEFT join, silently inflating n_grams AND n_boiler
+    * (the fraction drifts toward 1 for exposed docs). [[coverageStats]]
+    * deliberately has no such guard: its per-position `distinct()`
+    * makes it duplicate-TOLERANT by construction.
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
       n: Int, boilerGrams: DataFrame, maxBroadcastGrams: Long): DataFrame = {
     val grams = gramKeys(df, idCol, textCol, n)
-    val boiler = boilerGrams.select(col("gram_key"), lit(1).as("is_boiler"))
+    val boiler = graft.util.Guards.requireUniquePerKey(
+      boilerGrams.select(col("gram_key"), lit(1).as("is_boiler")),
+      Seq("gram_key"), "boilerplateStats boilerplate set")
     // same broadcast guard rule as Decontaminate: only hint when the set
     // is provably small, otherwise let the join shuffle the 8-byte keys
     val joined =

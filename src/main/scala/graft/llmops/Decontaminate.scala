@@ -46,6 +46,11 @@ object Decontaminate {
     * distinct gram count is at most `maxBroadcastGrams` (counting it
     * costs one extra pass over the SMALL side only); above that the
     * planner falls back to a shuffled join — slower, but bounded memory.
+    *
+    * Caller-frame audit (r13 sweep): duplicate-TOLERANT by construction
+    * — the benchmark frame is `distinct()`-ed in [[benchmarkGrams]]
+    * before the join, and the precomputed-report `decontaminate`
+    * overload anti-joins (set semantics); no guard needed on either.
     */
   def contaminationReport(
       corpus: DataFrame, bench: DataFrame,

@@ -231,6 +231,11 @@ object Similarity {
     val cents = collectCentroids(centroids)
     val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // collected caller frame: the same unique-qid contract as
+    // cosineTopKBatch, checked on the driver since the rows are in hand
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "ivfTopKBatch query frame: qids must be unique (a duplicated qid " +
+        "would double-list that query's neighbors); dedup the frame")
     val spark = assigned.sparkSession
     import spark.implicits._
     // two slim broadcasts instead of one wide one: the (qid, cell) probe
@@ -298,6 +303,12 @@ object Similarity {
     * form). Leave false for external query vectors: qids that
     * coincidentally collide with corpus ids would silently lose a
     * candidate.
+    *
+    * The query frame must be UNIQUE per qid — enforced in-plan
+    * ([[graft.util.Guards.requireUniquePerKey]], the r13 caller-frame
+    * sweep): a duplicated qid scores every corpus row twice for that
+    * query and the top-k heap then lists the same neighbor id twice —
+    * silent corruption, not a visible error.
     */
   def cosineTopKBatch(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -306,7 +317,9 @@ object Similarity {
     val corpus = graft.util.Partitioning.ensureParallelism(embeddings).select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", norm(col("v")))
-    val qs = queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv"))
+    val qs = graft.util.Guards.requireUniquePerKey(
+      queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv")),
+      Seq("qid"), "cosineTopKBatch query frame")
       .withColumn("qn", norm(col("qv")))
     corpus.crossJoin(broadcast(qs))
       .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
@@ -490,8 +503,12 @@ object Similarity {
     val corpus = graft.util.Partitioning.ensureParallelism(embeddings).select(
       col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col(labelCol).as("lbl"))
       .withColumn("vn", norm(col("v")))
-    val qs = queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv"),
-      col(qLabelCol).as("qlbl"))
+    // same caller-frame contract as cosineTopKBatch: duplicate qids
+    // would double-list neighbors silently
+    val qs = graft.util.Guards.requireUniquePerKey(
+      queries.select(col(qidCol).as("qid"), col(qVecCol).as("qv"),
+        col(qLabelCol).as("qlbl")),
+      Seq("qid"), "contrastivePairs query frame")
       .withColumn("qn", norm(col("qv")))
     corpus.crossJoin(broadcast(qs))
       .filter(col("id") =!= col("qid"))
@@ -661,6 +678,9 @@ object Similarity {
         "task as a plan literal; batch the queries across several calls (each call's " +
         "table is |batch| x m x ksub doubles), or raise maxAdcBytes deliberately.")
     require(qRows.nonEmpty, "pqTopKBatch: empty query set")
+    require(qRows.map(_.getLong(0)).distinct.length == qRows.length,
+      "pqTopKBatch query frame: qids must be unique (a duplicated qid " +
+        "would double-list that query's neighbors); dedup the frame")
     val sqFlat: Array[Double] =
       codebook.centroids.flatMap(_.map(c => c.map(x => x * x).sum))
     val dotFlat: Array[Double] = qRows.flatMap { r =>
@@ -769,6 +789,9 @@ object Similarity {
     val cents = collectCentroids(centroids)
     val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
     require(qRows.nonEmpty, "ivfPqRerankTopKBatch: empty query set")
+    require(qRows.map(_.getLong(0)).distinct.length == qRows.length,
+      "ivfPqRerankTopKBatch query frame: qids must be unique (a duplicated " +
+        "qid would double-list that query's neighbors); dedup the frame")
     val sizes = codebook.centroids.map(_.length)
     val offsets = sizes.scanLeft(0)(_ + _)
     val perQ = offsets.last

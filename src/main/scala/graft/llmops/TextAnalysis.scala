@@ -372,12 +372,20 @@ object TextAnalysis {
       maxBroadcastVocab: Long): org.apache.spark.sql.DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     val pairs = bigramPairs(df, textCol, col(idCol))
-    val bg = bigrams.select(col("v").as("__v"), col("w").as("__w"),
-      col("c").cast("long").as("__cbw"))
+    // caller-frame contracts (the r13 sweep): both precomputed tables
+    // must be unique per key — a duplicated (v, w) or tok row would
+    // multiply the corpus pair rows through the LEFT joins below,
+    // silently inflating n_bigrams and corrupting every surprisal
+    val bg = graft.util.Guards.requireUniquePerKey(
+      bigrams.select(col("v").as("__v"), col("w").as("__w"),
+        col("c").cast("long").as("__cbw")),
+      Seq("__v", "__w"), "bigramSurprisal bigrams table")
     // c(v,·) = Σ_w c(v,w): derived over the bigram TABLE, not the
     // corpus pair stream — the same number, a much smaller aggregate
     val contexts = bg.groupBy(col("__v")).agg(sum(col("__cbw")).as("__cv"))
-    val vg = vocab.select(col("tok").as("__w"), col("c").cast("long").as("__c"))
+    val vg = graft.util.Guards.requireUniquePerKey(
+      vocab.select(col("tok").as("__w"), col("c").cast("long").as("__c")),
+      Seq("__w"), "bigramSurprisal vocab table")
     val probe = vg.agg(count(lit(1)).as("n"), sum(col("__c")).as("t")).head()
     val total = if (probe.isNullAt(1)) 1L else probe.getLong(1)
     // T bounds |bigrams|, |contexts|, |vocab| — one probe sizes all three
@@ -405,11 +413,15 @@ object TextAnalysis {
       s"oovPseudoCount must be > 0 (it feeds a log), got $oovPseudoCount")
     val toks = graft.util.Partitioning.ensureParallelism(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val probe = vocab.agg(count(lit(1)).as("n"), sum(col("c")).as("t")).head()
+    // same caller-frame contract as bigramSurprisal: a duplicated tok
+    // would multiply token rows through the LEFT join below
+    val vocabU = graft.util.Guards.requireUniquePerKey(
+      vocab, Seq("tok"), "unigramSurprisal vocab table")
+    val probe = vocabU.agg(count(lit(1)).as("n"), sum(col("c")).as("t")).head()
     val vocabSize = probe.getLong(0)
     // empty vocab -> null sum; every token is then OOV at the pseudo-count
     val total = if (probe.isNullAt(1)) 1L else probe.getLong(1)
-    val side = if (vocabSize <= maxBroadcastVocab) broadcast(vocab) else vocab
+    val side = if (vocabSize <= maxBroadcastVocab) broadcast(vocabU) else vocabU
     toks.join(side, Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(
