@@ -3393,6 +3393,110 @@ FROM orders WHERE o_totalprice >= 400000.0""",
 SELECT t.doc_id, t.n_grams, d.n_dup_grams, p.n_spans, p.covered_tokens
 FROM tot t JOIN dupc d USING (doc_id) JOIN per p USING (doc_id)""",
 
+    // substring-dedup CUT: keep-first keeper per duplicated gram (the
+    // row_number over (doc_id, pos)), position sets as EXCEPT, kept-wins
+    // overlap protection, and the rewritten text rebuilt byte-exactly
+    // from the ORIGINAL-case token list — all integers and exact
+    // strings, zero rounding.
+    "q219_span_cut" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ot,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS gram
+  FROM tk, LATERAL (SELECT unnest(range(0, len(t) - 7)) AS i) r
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), mk AS (
+  SELECT g.doc_id, g.pos,
+    row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+  FROM grams g JOIN dup USING (gram)
+), keptp AS (
+  SELECT DISTINCT doc_id, pos + u AS p
+  FROM mk, LATERAL (SELECT unnest(range(0, 8)) AS u) s WHERE rn = 1
+), cutp AS (
+  SELECT DISTINCT doc_id, pos + u AS p
+  FROM mk, LATERAL (SELECT unnest(range(0, 8)) AS u) s WHERE rn > 1
+), rem AS (
+  SELECT doc_id, p FROM cutp EXCEPT SELECT doc_id, p FROM keptp
+), sp AS (
+  SELECT doc_id, p,
+    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 1 THEN 1 ELSE 0 END AS brk
+  FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), st AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed,
+    CAST(sum(brk) AS BIGINT) AS n_spans_cut, list(p) AS rm
+  FROM sp GROUP BY 1
+)
+SELECT tk.doc_id, CAST(len(tk.ot) AS BIGINT) AS n_tokens,
+  st.tokens_removed, st.n_spans_cut,
+  -- array_to_string(NULL-on-empty): a fully-excised doc must read ''
+  coalesce(array_to_string(
+    list_transform(
+      list_filter(range(0, len(tk.ot)), i -> NOT list_contains(st.rm, i)),
+      i -> tk.ot[i + 1]), ' '), '') AS rewritten
+FROM tk JOIN st USING (doc_id)""",
+
+    // the cut composed into the curation chain: per-stage doc/token
+    // yields; exact dedup keys on the REWRITTEN text (md5 equality ==
+    // string equality), keep-lowest-doc_id; quality gate at 50
+    // surviving tokens.
+    "q220_cut_curation" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ot,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS gram
+  FROM tk, LATERAL (SELECT unnest(range(0, len(t) - 7)) AS i) r
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), mk AS (
+  SELECT g.doc_id, g.pos,
+    row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+  FROM grams g JOIN dup USING (gram)
+), keptp AS (
+  SELECT DISTINCT doc_id, pos + u AS p
+  FROM mk, LATERAL (SELECT unnest(range(0, 8)) AS u) s WHERE rn = 1
+), cutp AS (
+  SELECT DISTINCT doc_id, pos + u AS p
+  FROM mk, LATERAL (SELECT unnest(range(0, 8)) AS u) s WHERE rn > 1
+), rem AS (
+  SELECT doc_id, p FROM cutp EXCEPT SELECT doc_id, p FROM keptp
+), st AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed, list(p) AS rm
+  FROM rem GROUP BY 1
+), aft AS (
+  SELECT tk.doc_id, CAST(len(tk.ot) AS BIGINT) AS n_tokens,
+    CAST(len(tk.ot) AS BIGINT) - coalesce(st.tokens_removed, 0) AS tokens_after,
+    coalesce(array_to_string(
+      list_transform(
+        list_filter(range(0, len(tk.ot)),
+          i -> NOT list_contains(coalesce(st.rm, CAST([] AS BIGINT[])), i)),
+        i -> tk.ot[i + 1]), ' '), '') AS rewritten
+  FROM tk LEFT JOIN st USING (doc_id)
+), ddp AS (
+  SELECT doc_id, n_tokens, tokens_after,
+    row_number() OVER (PARTITION BY rewritten ORDER BY doc_id) AS rn
+  FROM aft
+)
+SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM aft
+UNION ALL
+SELECT 'span_cut', CAST(count(*) AS BIGINT),
+  CAST(sum(tokens_after) AS BIGINT) FROM aft
+UNION ALL
+SELECT 'exact_dedup', CAST(count(*) AS BIGINT),
+  CAST(sum(tokens_after) AS BIGINT) FROM ddp WHERE rn = 1
+UNION ALL
+SELECT 'quality', CAST(count(*) AS BIGINT),
+  CAST(sum(tokens_after) AS BIGINT) FROM ddp WHERE rn = 1 AND tokens_after >= 50""",
+
     // DSIR importance weights: per-token log terms are pure functions
     // of exact integer counts (identical IEEE both engines); the group
     // sum accumulates engine-order -> the weight rounds (sr6) once at

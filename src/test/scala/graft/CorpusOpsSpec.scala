@@ -363,6 +363,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) === ((2L, 16L)), s"two 8-token spans, 16 tokens covered: $out")
   }
 
+  private def collectCut(docs: org.apache.spark.sql.DataFrame) =
+    graft.llmops.SpanDedup
+      .cutRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+  test("cutRepeatedSpans: KEEP-FIRST policy — lowest (doc_id, pos) occurrence survives, all others are excised") {
+    val p = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, p),                       // canonical owner (lowest doc_id)
+      (2L, s"x $p"),                 // later doc: passage excised
+      // later doc carrying the passage TWICE: both occurrences cut
+      // (keep ONE corpus-wide, not one per doc)
+      (5L, s"$p q1 q2 q3 q4 q5 q6 q7 q8 $p")).toDF("doc_id", "text")
+    val out = collectCut(docs)
+    assert(out(1L) === ((8L, 0L, 0L, p)), s"canonical doc untouched: ${out(1L)}")
+    assert(out(2L) === ((9L, 8L, 1L, "x")), s"later copy excised: ${out(2L)}")
+    assert(out(5L) === ((24L, 16L, 2L, "q1 q2 q3 q4 q5 q6 q7 q8")),
+      s"both later occurrences excised as two spans: ${out(5L)}")
+  }
+
+  test("cutRepeatedSpans: kept-wins overlap protection — a cut window cannot chew through a canonical occurrence") {
+    // doc1 holds the CANONICAL occurrence of G1 = a1..a8 at pos 0 and a
+    // NON-canonical occurrence of G2 = a2..a9 at pos 1 (doc0 owns G2).
+    // Cutting G2's window [1..8] must not destroy G1's kept window
+    // [0..7]: only position 8 (a9) is excised.
+    val g2 = (2 to 9).map(i => s"a$i").mkString(" ")
+    val g1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (0L, g2),                        // canonical owner of G2
+      (1L, (1 to 9).map(i => s"a$i").mkString(" ")), // G1 kept, G2 cut
+      (9L, g1)                         // makes G1 duplicated; fully excised
+    ).toDF("doc_id", "text")
+    val out = collectCut(docs)
+    assert(out(0L) === ((8L, 0L, 0L, g2)), s"G2 owner untouched: ${out(0L)}")
+    assert(out(1L) === ((9L, 1L, 1L, g1)),
+      s"overlap-protected: only a9 excised: ${out(1L)}")
+    assert(out(9L) === ((8L, 8L, 1L, "")),
+      s"non-canonical G1 copy fully excised to empty: ${out(9L)}")
+  }
+
+  test("cutRepeatedSpans: untouched documents come back whitespace-normalized, case preserved") {
+    val docs = Seq(
+      (1L, "  Mixed   CASE\ttokens  here "),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val out = collectCut(docs)
+    assert(out(1L) === ((4L, 0L, 0L, "Mixed CASE tokens here")))
+    assert(out(2L) === ((2L, 0L, 0L, "short doc")))
+  }
+
   test("dsirWeights: hand-computed log-likelihood ratio; target-like doc ranks above off-target") {
     // target docs use {aa, bb}; raw-only docs use {zz}. Weight formula
     // replicated by hand: w = sum c*(ln(tc+1)-ln(sc+1)) + n*(ln(sN+V)-ln(tN+V))
