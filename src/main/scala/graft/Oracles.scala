@@ -3309,6 +3309,31 @@ SELECT lane, CAST(count(*) AS BIGINT) AS n,
   CAST(coalesce(sum(vol), 0) AS BIGINT) AS total_volume
 FROM lanes GROUP BY 1""",
 
+    // dead-letter replay: every stage count is pure arithmetic on
+    // o_orderkey (m = %7 picks the corruption, v = %50 the volume gate),
+    // so the oracle predicts the whole corrupt->route->repair->replay
+    // chain without parsing; id_parity is the engine-side multiset
+    // verdict (union of first-pass good + replayed == clean run),
+    // predicted true.
+    "q221_dlq_replay" ->
+      """WITH r AS (
+  SELECT o_orderkey % 7 AS m, o_orderkey % 50 AS v FROM orders
+)
+SELECT 'clean_good' AS stage, CAST(count(*) AS BIGINT) AS n, true AS id_parity
+FROM r WHERE v <> 0
+UNION ALL
+SELECT 'corrupt_good', CAST(count(*) AS BIGINT), true
+FROM r WHERE m NOT IN (0, 1) AND v <> 0
+UNION ALL
+SELECT 'dead_repairable', CAST(count(*) AS BIGINT), true
+FROM r WHERE m IN (0, 1)
+UNION ALL
+SELECT 'replayed_good', CAST(count(*) AS BIGINT), true
+FROM r WHERE m IN (0, 1) AND v <> 0
+UNION ALL
+SELECT 'union_good', CAST(count(*) AS BIGINT), true
+FROM r WHERE v <> 0""",
+
     // matryoshka truncation recall: both rankings exact SQL (sliced
     // dot products, q24's left-to-right list_sum order and rounded-
     // score ranking with vec_id ties), so the recall NUMBER itself is
@@ -3342,6 +3367,53 @@ FROM (SELECT * FROM tops WHERE d <> 64) t
 LEFT JOIN (SELECT * FROM tops WHERE d = 64) f
   ON t.qid = f.qid AND t.nid = f.nid
 GROUP BY t.d""",
+
+    // structured-matryoshka recall: the corpus itself is replicated
+    // (md5-uniform per (vec_id, dim), centered, divided by the exact
+    // power-of-two 2^((i-1)//8)), then the same exact-cosine ranking
+    // and recall arithmetic as q217 — the oracle checks the vectors,
+    // the recall NUMBER, and the truncate-here verdicts.
+    "q222_matryoshka_structured" ->
+      """WITH v AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i ->
+      ((CAST(('0x' || substr(md5('mrl:' || vec_id || ':' || i), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0) - 0.5)
+      / CAST(1 << ((i - 1) // 8) AS DOUBLE)) AS e
+  FROM embeddings
+), qv AS (
+  SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5
+), pairs AS (
+  SELECT q.qid, c.vec_id AS nid, q.qe, c.e AS ne
+  FROM qv q, v c WHERE c.vec_id <> q.qid
+), scored AS (
+  SELECT qid, nid, d,
+    floor(dp / (na * nb) * 1000000 + 0.5) / 1000000 + 0.0 AS s
+  FROM (
+    SELECT qid, nid, d,
+      list_sum(list_transform(range(1, d + 1), i -> qe[i] * ne[i])) AS dp,
+      sqrt(list_sum(list_transform(range(1, d + 1), i -> qe[i] * qe[i]))) AS na,
+      sqrt(list_sum(list_transform(range(1, d + 1), i -> ne[i] * ne[i]))) AS nb
+    FROM pairs, (SELECT unnest([64, 32, 16]) AS d))
+), ranked AS (
+  SELECT qid, nid, d,
+    row_number() OVER (PARTITION BY d, qid ORDER BY s DESC, nid) AS rk
+  FROM scored
+), tops AS (
+  SELECT qid, nid, d FROM ranked WHERE rk <= 10
+), rec AS (
+  SELECT t.d AS trunc_dim, CAST(50 AS BIGINT) AS topk_total,
+    CAST(count(f.nid) AS BIGINT) AS matched,
+    CAST(count(f.nid) AS BIGINT) / 50.0 AS recall
+  FROM (SELECT * FROM tops WHERE d <> 64) t
+  LEFT JOIN (SELECT * FROM tops WHERE d = 64) f
+    ON t.qid = f.qid AND t.nid = f.nid
+  GROUP BY t.d
+)
+SELECT trunc_dim, topk_total, matched, recall,
+  CASE WHEN trunc_dim = 32 THEN 0.8 ELSE 0.5 END AS threshold,
+  recall >= (CASE WHEN trunc_dim = 32 THEN 0.8 ELSE 0.5 END) AS recall_ok
+FROM rec""",
 
     // 2-D Z-order compaction: content predicted from orders per
     // predicate; pruned_ok is the engine-side scanned<live verdict the

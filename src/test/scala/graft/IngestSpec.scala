@@ -131,4 +131,43 @@ class IngestSpec extends SparkSpec {
     assert(rows("good")._2 === normId,
       "trade dead-letter path must assign the same deterministic id as the plain path")
   }
+
+  test("dead-letter REPLAY: mechanical repair of invertible corruption lands id-parity with the clean run (r13 item 3)") {
+    import org.apache.spark.sql.functions._
+    def bar(ticker: String, vol: Int, minute: Int): String =
+      f"""{"Datetime":"2024-11-15T14:$minute%02d:00.000Z","Open":1.0,"High":2.0,"Low":0.5,"Close":1.5,"Adj Close":1.5,"Volume":$vol%d,"Dividends":0.0,"Stock Splits":0.0,"ticker":"$ticker%s"}"""
+    val clean = (0 until 12).map(i => bar(s"T${i % 4}", if (i % 6 == 0) 0 else i, i))
+    val corrupt = clean.zipWithIndex.map {
+      case (p, i) if i % 3 == 0 => "XX" + p                          // malformed
+      case (p, i) if i % 3 == 1 => p.replace("\"ticker\":", "\"tickr\":") // unkeyable
+      case (p, _) => p
+    }
+    val routed = Ingest.barsWithDeadLetter(corrupt.toDF("value"))
+    val dead = routed.filter(
+      col("dead_reason").isin("malformed_json", "missing_key"))
+    val repaired = dead.select(
+      regexp_replace(
+        when(col("raw").startsWith("XX"), expr("substring(raw, 3)"))
+          .otherwise(col("raw")),
+        lit("\"tickr\":"), lit("\"ticker\":")).as("value"))
+    val replayedGood = Ingest.barsWithDeadLetter(repaired)
+      .filter(col("dead_reason").isNull).select("id")
+    val unionGood = routed.filter(col("dead_reason").isNull).select("id")
+      .unionByName(replayedGood)
+    val cleanGood = Ingest.barsWithDeadLetter(clean.toDF("value"))
+      .filter(col("dead_reason").isNull).select("id")
+    assert(unionGood.exceptAll(cleanGood).isEmpty &&
+      cleanGood.exceptAll(unionGood).isEmpty,
+      "good + replayed must equal the clean run id-for-id (multiset)")
+    // genuine data failures stay dead on replay: the zero-volume rows
+    // (i % 6 == 0) re-enter gate_volume, never the good lane
+    val replayLanes = Ingest.barsWithDeadLetter(repaired)
+      .groupBy(coalesce(col("dead_reason"), lit("good"))).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayLanes.getOrElse("gate_volume", 0L) === 2L,
+      s"i=0 and i=6 are zero-volume and corrupted (i%3 in {0,1}) -> " +
+        s"repaired but still gated: $replayLanes")
+    assert(!replayLanes.contains("malformed_json") && !replayLanes.contains("missing_key"),
+      s"repair must clear both producer-corruption lanes: $replayLanes")
+  }
 }
