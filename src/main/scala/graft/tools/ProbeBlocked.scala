@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   *      dickeyFullerScreen run at bits = 8/10 with wall, candidate
   *      count, and shuffle-write bytes (peak stage + total) recorded —
   *      candidates must track 2^bits down.
+  *   5. **Recall at the 10⁴-key regime against PLANTED truth** (r13
+  *      item 2): the iid universe above can measure wall/candidates but
+  *      has no meaningful recall, and the full screen that would define
+  *      top-k truth is exactly what cannot run there — so truth is
+  *      PLANTED instead (the q213 move at 100×): 1,000 groups × 10
+  *      keys, the universe-2 construction, ground truth = the 45,000
+  *      same-group pairs, recall = the fraction whose keys share a
+  *      block in any table (exact, from the block assignment alone).
+  *      Single-table recall ≈ pᵇ collapses at these bit widths — the
+  *      falsifier at scale — and the artifact GATES ≥ 0.8 at the
+  *      recommended 10k-key operating point (bits = 8, tables = 5).
   *
   * Usage: runMain graft.tools.ProbeBlocked [sfDir] [iters]
   */
@@ -245,8 +256,79 @@ object ProbeBlocked {
       s"""{"bits":$bits,"tables":$tables,"candidates":$candidates,"df_rows":$dfRows,"df_wall_sec":${f3(dfWall)},"shuffle_write_peak_stage_mb":${f3(peakMb)},"shuffle_write_total_mb":${f3(totalMb)}}"""
     }
 
+    // ---- universe 4: planted structure at the 10^4-key regime (r13
+    // item 2) — the universe-2 construction at 10x the keys: 1,000
+    // groups x 10 keys, ground truth = the 45,000 same-group pairs.
+    // Recall is computed from the block assignment alone (survival is
+    // exact block-id equality), so no full screen is needed — exactly
+    // why planting is the only honest way to measure recall here.
+    val nK4 = 10000L; val months4 = 84; val nG4 = 1000L
+    val base4 = spark.range(nK4 * months4)
+      .withColumn("key", col("id") % nK4)
+      .withColumn("__m", floor(col("id") / nK4).cast("int"))
+      .withColumn("grp", col("key") % nG4)
+    val inc4 = floor((mdU(concat_ws(":", lit("f10"), col("grp"), col("__m"))) - lit(0.5))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val idio4 = floor((mdU(concat_ws(":", lit("e10"), col("key"), col("__m"))) - lit(0.5))
+      * lit(200000.0) + lit(0.5)).cast("long")
+    val d4 = base4
+      .withColumn("__fac", sum(inc4).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("__m"))))
+      .withColumn("close",
+        lit(100.0) + (col("__fac") + idio4).cast("double") / lit(1000000.0))
+      .select(col("key"), col("__m").as("month"), col("close"))
+      .localCheckpoint(true)
+    val truthPairs4 = nG4 * (10L * 9L / 2L)
+    val planted10k = Seq((8, 1), (8, 5), (10, 5)).map { case (bits, tables) =>
+      val blocks = graft.analytics.Pairs
+        .blockedPairSource(d4, "key", "month", "close", bits, tables)
+        .localCheckpoint(true)
+      val blk: Map[Long, Set[(Int, Int)]] =
+        (if (tables == 1) blocks.select(col("key").cast("long"),
+            lit(0), col("pair_block"))
+         else blocks.select(col("key").cast("long"),
+            col("pair_table"), col("pair_block")))
+          .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var hits = 0L
+      (0L until nG4).foreach { g =>
+        val ks = (0 until 10).map(i => g + i * nG4)
+        for (i <- ks.indices; j <- (i + 1) until ks.length)
+          if (blk(ks(i)).intersect(blk(ks(j))).nonEmpty) hits += 1
+      }
+      val recall = hits.toDouble / truthPairs4
+      val candidates = if (tables == 1)
+        blocks.groupBy("pair_block").count()
+          .agg(sum(col("count") * (col("count") - 1)))
+          .collect()(0).getLong(0) / 2
+      else {
+        val l = blocks.select(col("key").as("k1"), col("pair_table"), col("pair_block"))
+        val r = blocks.select(col("key").as("k2"), col("pair_table"), col("pair_block"))
+        l.join(r, Seq("pair_table", "pair_block"))
+          .filter(col("k1") < col("k2")).select("k1", "k2").distinct().count()
+      }
+      shuffle.reset()
+      val (dfRows, dfWall) = time {
+        graft.analytics.Pairs.dickeyFullerScreen(
+          d4, "key", "month", "close", Some(blocks))
+      }
+      val peakMb = shuffle.peakStage / 1e6
+      val totalMb = shuffle.total / 1e6
+      println(f"[planted10k] bits=$bits L=$tables cand=$candidates recall=$recall%.3f " +
+        f"rows=$dfRows df=$dfWall%.2f s shuffle_peak=$peakMb%.1f MB")
+      (bits, tables, recall,
+        s"""{"bits":$bits,"tables":$tables,"candidates":$candidates,"recall_planted":${f3(recall)},"truth_pairs":$truthPairs4,"df_rows":$dfRows,"df_wall_sec":${f3(dfWall)},"shuffle_write_peak_stage_mb":${f3(peakMb)},"shuffle_write_total_mb":${f3(totalMb)}}""")
+    }
+    // the 10k-regime gate (r13 item 2): the recommended operating point
+    // must retain >= 0.8 of the planted pairs — refuse a failing artifact
+    val gate10k = planted10k.find(r => r._1 == 8 && r._2 == 5).get._3
+    require(gate10k >= 0.8,
+      f"planted 10k-key recall at bits=8, tables=5 is $gate10k%.3f < 0.80 — " +
+        "the recommended operating point does not hold; do not ship the artifact")
+
     val json =
-      s"""{"protocol":"min of $iters iters, local[32], shuffle.partitions=32, close frames localCheckpoint'd (the Bench discipline)","universe_lineitem_1000":{"source":"$dir lineitem, per-supplier monthly max(l_extendedprice) — NO co-movement structure","keys":$nKeys,"full_pairs":$fullPairs,"full_coint":{"rows":$lRows,"wall_sec":${f3(lWall)}},"full_df":{"rows":$lDfRows,"wall_sec":${f3(lDfWall)}},"topk_rank":"abs(df_tstat) desc over the full Dickey-Fuller screen","blocked":${lineRows.map(_.json(lWall)).mkString("[", ",", "]")},"finding":"recall tracks the random-collision baseline 1-(1-2^-b)^L because this universe's top-|t| pairs are NOISE pairs with weak return correlation - sign-agreement blocking rightly does not favor them; the survival claim is only meaningful where co-movement exists (see universe_planted_1000)"},"universe_planted_1000":{"source":"synthesized: 100 groups x 10 keys, close = 100 + group random walk(+-0.5 micro-exact steps) + iid idio noise(+-0.1); within-group return rho ~= 0.93","keys":$nP,"full_pairs":${nP * (nP - 1) / 2},"full_coint":{"rows":$pRows,"wall_sec":${f3(pWall)}},"full_df":{"rows":$pDfRows,"wall_sec":${f3(pDfWall)}},"blocked":${plantedRows.map(_.json(pWall)).mkString("[", ",", "]")},"recall_gate":{"bits":3,"tables":3,"k":20,"min":0.8,"measured":${f3(gate)},"pass":true},"finding":"single-table recall ~= p^bits (p = 1 - theta/pi) - low even for strongly co-moving pairs, the r13 measurement that falsified the bare geometry claim; OR-amplified tables=3 recovers 1-(1-p^b)^L at ~3x the candidates (q213 oracle-checks the same construction at 100 keys)"},"universe_10000":{"source":"synthesized 10,000 keys x $months10k months, close = 50 + 100*md5_uniform(key:month)","keys":$n10k,"full_pairs":$fullPairs10k,"full_cross_run":false,"reason":"50M pairs x 84 months ~ 4.2e9 joined rows before the first aggregate - the regime blockedPairSource exists for; the blocked form is the only one run","blocked":${blocked10k.mkString("[", ",", "]")}},"note":"recall@k = fraction of the FULL DF screen's top-k |t| pairs whose keys share an SRP block in ANY table (survival is exact block-id equality, so recall is computed from the block assignment itself). candidates = distinct within-block pairs across tables. Generated by graft.tools.ProbeBlocked."}"""
+      s"""{"protocol":"min of $iters iters, local[32], shuffle.partitions=32, close frames localCheckpoint'd (the Bench discipline)","universe_lineitem_1000":{"source":"$dir lineitem, per-supplier monthly max(l_extendedprice) — NO co-movement structure","keys":$nKeys,"full_pairs":$fullPairs,"full_coint":{"rows":$lRows,"wall_sec":${f3(lWall)}},"full_df":{"rows":$lDfRows,"wall_sec":${f3(lDfWall)}},"topk_rank":"abs(df_tstat) desc over the full Dickey-Fuller screen","blocked":${lineRows.map(_.json(lWall)).mkString("[", ",", "]")},"finding":"recall tracks the random-collision baseline 1-(1-2^-b)^L because this universe's top-|t| pairs are NOISE pairs with weak return correlation - sign-agreement blocking rightly does not favor them; the survival claim is only meaningful where co-movement exists (see universe_planted_1000)"},"universe_planted_1000":{"source":"synthesized: 100 groups x 10 keys, close = 100 + group random walk(+-0.5 micro-exact steps) + iid idio noise(+-0.1); within-group return rho ~= 0.93","keys":$nP,"full_pairs":${nP * (nP - 1) / 2},"full_coint":{"rows":$pRows,"wall_sec":${f3(pWall)}},"full_df":{"rows":$pDfRows,"wall_sec":${f3(pDfWall)}},"blocked":${plantedRows.map(_.json(pWall)).mkString("[", ",", "]")},"recall_gate":{"bits":3,"tables":3,"k":20,"min":0.8,"measured":${f3(gate)},"pass":true},"finding":"single-table recall ~= p^bits (p = 1 - theta/pi) - low even for strongly co-moving pairs, the r13 measurement that falsified the bare geometry claim; OR-amplified tables=3 recovers 1-(1-p^b)^L at ~3x the candidates (q213 oracle-checks the same construction at 100 keys)"},"universe_10000":{"source":"synthesized 10,000 keys x $months10k months, close = 50 + 100*md5_uniform(key:month)","keys":$n10k,"full_pairs":$fullPairs10k,"full_cross_run":false,"reason":"50M pairs x 84 months ~ 4.2e9 joined rows before the first aggregate - the regime blockedPairSource exists for; the blocked form is the only one run","blocked":${blocked10k.mkString("[", ",", "]")}},"universe_10000_planted":{"source":"synthesized: 1,000 groups x 10 keys (the universe_planted_1000 construction at 10x keys); ground truth = the planted same-group pairs, so recall needs NO full screen - exactly why planting is the only honest recall measurement in this regime (r13 item 2)","keys":$nK4,"truth_pairs":$truthPairs4,"full_cross_run":false,"blocked":${planted10k.map(_._4).mkString("[", ",", "]")},"recall_gate":{"bits":8,"tables":5,"min":0.8,"measured":${f3(gate10k)},"pass":true},"finding":"single-table recall collapses as p^bits at the bit widths the 10k regime needs for candidate control; OR-amplification buys it back as 1-(1-p^b)^L - the recommended 10k operating point is (bits 8, tables 5)"},"note":"recall@k = fraction of the FULL DF screen's top-k |t| pairs whose keys share an SRP block in ANY table (survival is exact block-id equality, so recall is computed from the block assignment itself); recall_planted = same survival test over the planted same-group pairs. candidates = distinct within-block pairs across tables. Generated by graft.tools.ProbeBlocked."}"""
     val out = java.nio.file.Paths.get("docs/bench/blocked_regime.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

@@ -157,6 +157,34 @@ class StreamingSpec extends SparkSpec {
       s"pair-spread state must be bounded by the eviction horizon: $ps")
   }
 
+  test("committed stream-soak artifact: dead-letter split sink sustains load with lanes summing exactly to rows_in (r13 item 8)") {
+    val f = new java.io.File("docs/bench/stream_soak.json")
+    assert(f.exists(), "run graft.tools.StreamSoak to generate the artifact")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val dl = root.get("dead_letter")
+    assert(dl != null, "regenerate the artifact: dead_letter segment missing")
+    val rowsIn = dl.get("rows_in").asLong()
+    val lanes = dl.get("lanes")
+    val laneNames = Seq("good", "malformed_json", "missing_key", "gate_volume")
+    laneNames.foreach(n => assert(lanes.has(n), s"lane $n missing: $lanes"))
+    // the exactly-one-lane invariant under streaming epochs: every
+    // counted payload landed in precisely one lane
+    assert(laneNames.map(lanes.get(_).asLong()).sum === rowsIn,
+      s"lanes must sum to rows_in: $lanes vs $rowsIn")
+    assert(dl.get("lanes_sum_equals_rows_in").asBoolean())
+    // the injection arithmetic: every 13th payload malformed, every
+    // 13th+1 key-stripped — both lanes within one batch-boundary row
+    // of rows_in/13 (value is a global monotone counter)
+    Seq("malformed_json", "missing_key").foreach { n =>
+      assert(math.abs(lanes.get(n).asLong() - rowsIn / 13) <= 1L,
+        s"$n must track rows_in/13: $lanes")
+    }
+    // parse+route+split must sustain the ingest bar under corruption
+    assert(dl.get("rows_per_sec").asLong() >= 100000L,
+      s"dead-letter soak ${dl.get("rows_per_sec")} below the 100k rows/s bar")
+  }
+
   test("deadLetterSplitSink: good rows and dead letters land in separate sinks, raw payload replayable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString
