@@ -3415,6 +3415,61 @@ SELECT trunc_dim, topk_total, matched, recall,
   recall >= (CASE WHEN trunc_dim = 32 THEN 0.8 ELSE 0.5 END) AS recall_ok
 FROM rec""",
 
+    // 3-D Z-order compaction: the q216 pattern at k=3 — content
+    // predicted from orders per predicate; all THREE dimensions must
+    // earn the pruned_ok verdict on one layout.
+    "q223_zorder3_compact" ->
+      """SELECT 'year_1995' AS predicate, CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total, true AS pruned_ok
+FROM orders WHERE o_orderkey % 2 = 0 AND year(o_orderdate) = 1995
+UNION ALL
+SELECT 'price_ge_400k', CAST(count(*) AS BIGINT),
+  round(sum(o_totalprice), 2), true
+FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice >= 400000.0
+UNION ALL
+SELECT 'band_10_14', CAST(count(*) AS BIGINT),
+  round(sum(o_totalprice), 2), true
+FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey % 100 BETWEEN 10 AND 14""",
+
+    // corporate-action back-adjustment: per-event factors sr6-round
+    // BEFORE the product; the fold runs LEFT TO RIGHT over the
+    // time-ascending event list in both engines (Spark `aggregate`,
+    // DuckDB list_reduce with a prepended 1.0 accumulator — DuckDB's
+    // list_reduce rejects empty lists), so adjusted closes are
+    // bit-identical with no rounding at emission.
+    "q224_adjusted_close" ->
+      """WITH b AS (
+  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+    max(l_extendedprice) AS close
+  FROM lineitem WHERE l_suppkey <= 30 GROUP BY 1, 2
+), e AS (
+  SELECT l_suppkey, month, close,
+    CASE WHEN substr(month, 6, 2) = '06' THEN floor(close) / 1000.0
+         ELSE 0.0 END AS div,
+    CASE WHEN substr(month, 6, 2) = '01' AND l_suppkey % 3 = 0 THEN 2.0
+         ELSE 0.0 END AS spl,
+    lag(close) OVER (PARTITION BY l_suppkey ORDER BY month) AS prev
+  FROM b
+), f AS (
+  SELECT l_suppkey, month,
+    floor(((CASE WHEN div = 0 OR prev IS NULL THEN 1.0
+                 ELSE 1.0 - div / prev END)
+      / (CASE WHEN spl > 0 THEN spl ELSE 1.0 END)) * 1000000 + 0.5)
+      / 1000000 + 0.0 AS fct
+  FROM e WHERE div > 0 OR (spl > 0 AND spl <> 1.0)
+), ev AS (
+  SELECT l_suppkey, list(struct_pack(t := month, f := fct) ORDER BY month) AS evs
+  FROM f GROUP BY 1
+)
+SELECT b.l_suppkey, b.month, b.close,
+  b.close * list_reduce(
+    list_prepend(CAST(1.0 AS DOUBLE),
+      CASE WHEN ev.evs IS NULL THEN CAST([] AS DOUBLE[])
+           ELSE list_transform(list_filter(ev.evs, x -> x.t > b.month),
+                               x -> x.f) END),
+    (a, x) -> a * x) AS adj_close
+FROM b LEFT JOIN ev USING (l_suppkey)""",
+
     // 2-D Z-order compaction: content predicted from orders per
     // predicate; pruned_ok is the engine-side scanned<live verdict the
     // Z-curve layout must earn on BOTH dimensions (the q164 pattern).

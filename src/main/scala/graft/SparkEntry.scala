@@ -3600,6 +3600,82 @@ GROUP BY order_year""")
         coalesce(sum(col("volume")), lit(0L)).as("total_volume"))
   }
 
+  /** X81 at N = 3: the generalized Z-order earning its oracle row —
+    * q216 pins two dimensions; this appends orders with THREE tracked
+    * stat columns, Z-orders on (order_year, o_totalprice, cust_band),
+    * and reads one slice per dimension through snapshotRange: all
+    * three must prune (`pruned_ok`, the q164/q216 verdict the oracle
+    * predicts true) on ONE layout, with content the oracle recomputes
+    * from orders. 10 bits per column at k=3 (⌊32/3⌋).
+    */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val path = java.nio.file.Files.createTempDirectory("q223_zorder3")
+    try {
+      val p = path.toString
+      // the even-keyed half of orders: enough rows for a 27-file 3-D
+      // layout to prune meaningfully, without making the in-query
+      // tx-build the suite's most expensive stage (the q216 cost note)
+      val src = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey").as("id"), col("o_totalprice"),
+          year(col("o_orderdate")).as("order_year"),
+          pmod(col("o_custkey"), lit(100)).cast("int").as("cust_band"))
+      TxParquetTable.append(src.filter(pmod(col("id"), lit(4)) === 0), p,
+        statsColumns = Seq("order_year", "o_totalprice", "cust_band"))
+      TxParquetTable.append(src.filter(pmod(col("id"), lit(4)) === 2), p,
+        statsColumns = Seq("order_year", "o_totalprice", "cust_band"))
+      TxParquetTable.compact(s, p, "id", targetFiles = 27,
+        zorderBy = Seq("order_year", "o_totalprice", "cust_band"))
+      val live = TxParquetTable.snapshot(s, p).inputFiles.length
+      def verdict(name: String, df: DataFrame, scanned: Int) = df
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(name).as("predicate"), col("n"), col("total"),
+          lit(scanned < live).as("pruned_ok"))
+      val byYear = TxParquetTable.snapshotRange(
+        s, p, "order_year", Some(1995), Some(1995))
+      val byPrice = TxParquetTable.snapshotRange(
+        s, p, "o_totalprice", Some(400000.0), None)
+      val byBand = TxParquetTable.snapshotRange(
+        s, p, "cust_band", Some(10), Some(14))
+      val out = verdict("year_1995", byYear, byYear.inputFiles.length)
+        .unionByName(verdict("price_ge_400k", byPrice, byPrice.inputFiles.length))
+        .unionByName(verdict("band_10_14", byBand, byBand.inputFiles.length))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(path)
+  }
+
+  /** X86: corporate-action BACK-ADJUSTMENT — the reference ships
+    * Dividends and Stock Splits through the whole pipeline (producer
+    * `StockFinanceMetrics.py:74`, wire schema
+    * `yfinance_processing.py:23-24`, Cassandra schema
+    * `..._yfinance...py:132-133`) and then nothing uses them; the
+    * analytics they exist for is the adjusted close. Supplier-month
+    * bars from lineitem with DETERMINISTIC corporate actions (a cash
+    * dividend of ⌊close⌋/1000 every June, a 2:1 split every January
+    * for every third supplier), run through
+    * [[graft.analytics.TimeSeries.adjustedClose]]; per-event factors
+    * sr6-round before the LEFT-TO-RIGHT product over the time-ascending
+    * event list, so every adjusted close is bit-identical cross-engine
+    * (the oracle folds the same rounded doubles with list_reduce).
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val bars = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 30)
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("l_suppkey"), col("month"))
+      .agg(max(col("l_extendedprice")).as("close"))
+      .withColumn("dividend",
+        when(substring(col("month"), 6, 2) === "06",
+          floor(col("close")) / lit(1000.0)).otherwise(lit(0.0)))
+      .withColumn("split",
+        when(substring(col("month"), 6, 2) === "01" &&
+          pmod(col("l_suppkey"), lit(3)) === 0, lit(2.0)).otherwise(lit(0.0)))
+    graft.analytics.TimeSeries.adjustedClose(
+        bars, "l_suppkey", "month", "close", "dividend", "split")
+      .select("l_suppkey", "month", "close", "adj_close")
+  }
+
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
     * judge item 3): corrupt → route → repair the raw payloads
     * MECHANICALLY (the corruption is invertible from the bytes alone:
@@ -4113,6 +4189,8 @@ GROUP BY order_year""")
     "q220_cut_curation" -> (q220 _),
     "q221_dlq_replay" -> (q221 _),
     "q222_matryoshka_structured" -> (q222 _),
+    "q223_zorder3_compact" -> (q223 _),
+    "q224_adjusted_close" -> (q224 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

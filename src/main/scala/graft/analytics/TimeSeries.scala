@@ -504,4 +504,87 @@ object TimeSeries {
       .withColumn("is_gap", col(valueCol).isNull.cast("int"))
       .drop("__runf", "__runb", "__prev", "__preve", "__next", "__nexte")
   }
+
+  /** CORPORATE-ACTION back-adjustment (X86): the reference's bar schema
+    * carries `Dividends` and `Stock Splits` end to end — the producer
+    * fetches them (`scripts/finance-collect-data/StockFinanceMetrics.py:74`,
+    * `Ticker.history()`; wire schema
+    * `scripts/spark_streaming_processing/yfinance_processing.py:23-24`),
+    * the Cassandra table stores them
+    * (`dags/ingestion_yfinance_data_to_cassandra_db.py:132-133`) — but
+    * nothing downstream USES them; the analytics they exist for is
+    * exactly this: a total-return-consistent adjusted close, so returns
+    * computed across an ex-date or a split don't read a corporate
+    * action as a price move. CRSP/yfinance-style BACKWARD adjustment:
+    *
+    *   adj_close(t) = close(t) · Π_{events s > t} f(s),
+    *   f(s) = (1 − div(s) / close(s⁻)) / split(s)
+    *
+    * — the latest bar is unadjusted, history scales down past each
+    * ex-date/split. Per-event factors round (sr6) BEFORE the product
+    * (the q187 fitted-param discipline) and the product folds LEFT TO
+    * RIGHT over the time-ascending event list in both engines (Spark
+    * `aggregate`, DuckDB `list_reduce` over the same rounded doubles) —
+    * bit-identical adjusted closes, no rounding at emission.
+    *
+    * Contracts: a dividend ≥ the prior close (factor ≤ 0 — data
+    * corruption, adjusted prices would flip sign) and a non-positive
+    * split both fail IN-PLAN with named errors; a dividend on a key's
+    * FIRST bar has no base price and adjusts nothing (its factor
+    * degrades to the pure split term — there are no earlier rows for it
+    * to scale); null/zero dividend and null/zero/one split mean "no
+    * event".
+    *
+    * Scale shape: one keyed lag window for the base prices, one filter
+    * to the (rare) event rows, one |keys|-sized hash aggregate
+    * collecting each key's sorted event list, one BROADCAST join of
+    * that tiny frame back onto the bars, and a per-row fold over the
+    * key's later events (events per key is corporate-action-rare —
+    * single digits a year). The bar stream is scanned once and never
+    * shuffled beyond the lag window.
+    */
+  def adjustedClose(
+      df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
+      dividendCol: String, splitCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val div = coalesce(col(dividendCol).cast("double"), lit(0.0))
+    val split0 = coalesce(col(splitCol).cast("double"), lit(0.0))
+    // ANY nonzero-dividend or non-{0,1}-split row is an event — including
+    // corrupt negatives, which must reach the guards below rather than
+    // silently not counting as events
+    val isEvent = div =!= 0.0 || (split0 =!= 0.0 && split0 =!= 1.0)
+    val splitEff = when(split0 > 0.0, split0)
+      .when(split0 === 0.0, lit(1.0))
+      .otherwise(raise_error(format_string(
+        "adjustedClose: non-positive split ratio %s at key %s, %s — a " +
+          "split must be > 0 (new shares per old share)",
+        split0.cast("string"), col(keyCol).cast("string"),
+        col(timeCol).cast("string"))))
+    val prev = lag(col(closeCol).cast("double"), 1).over(w)
+    val divTerm = when(div === 0.0 || prev.isNull, lit(1.0))
+      .when(div > 0.0 && div < prev, lit(1.0) - div / prev)
+      .otherwise(raise_error(format_string(
+        "adjustedClose: dividend %s outside (0, prior close %s) at key " +
+          "%s, %s — the adjustment factor would be <= 0 or inflate " +
+          "history (corrupt corporate-action data); fix the feed before " +
+          "adjusting",
+        div.cast("string"), prev.cast("string"),
+        col(keyCol).cast("string"), col(timeCol).cast("string"))))
+    val f = graft.util.Partitioning.stableRound6(divTerm / splitEff + lit(0.0))
+    val events = df
+      .withColumn("__f", when(isEvent, f))
+      .filter(col("__f").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(timeCol).as("t"), col("__f").as("f")))).as("__evs"))
+    df.join(broadcast(events), Seq(keyCol), "left")
+      .withColumn("adj_close",
+        col(closeCol).cast("double") * coalesce(
+          aggregate(
+            filter(col("__evs"), e => e.getField("t") > col(timeCol)),
+            lit(1.0),
+            (acc, e) => acc * e.getField("f")),
+          lit(1.0)))
+      .drop("__evs")
+  }
 }

@@ -249,4 +249,69 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("A", "2024-01-01 10:20:00.0")) === ((Some(5.0), 5.0, 0)))
     assert(out(("B", "2024-01-01 09:00:00.0")) === ((Some(7.0), 7.0, 0)))
   }
+
+  test("adjustedClose: hand-computed split + dividend back-adjustment; latest bar unadjusted") {
+    // key A: 2:1 split at t3, $1 dividend at t5 off a $20 base.
+    //   f(split) = 1/2 = 0.5; f(div) = 1 - 1/20 = 0.95
+    //   adj(t1) = 10 * (0.5 * 0.95) = 4.75   (both events after t1)
+    //   adj(t2) = 20 * 0.475 = 9.5
+    //   adj(t3) = 11 * 0.95  = 10.45         (split at t3 scales only t<t3)
+    //   adj(t4) = 20 * 0.95  = 19.0
+    //   adj(t5) = 21 * 1.0   = 21.0          (latest event; nothing after)
+    //   adj(t6) = 22 * 1.0   = 22.0
+    // key B: no events — adj == close everywhere.
+    val bars = Seq(
+      ("A", "t1", 10.0, 0.0, 0.0),
+      ("A", "t2", 20.0, 0.0, 0.0),
+      ("A", "t3", 11.0, 0.0, 2.0),
+      ("A", "t4", 20.0, 0.0, 0.0),
+      ("A", "t5", 21.0, 1.0, 0.0),
+      ("A", "t6", 22.0, 0.0, 0.0),
+      ("B", "t1", 5.0, 0.0, 0.0)
+    ).toDF("sym", "t", "close", "dividend", "split")
+    val out = TimeSeries.adjustedClose(bars, "sym", "t", "close", "dividend", "split")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("adj_close")).toMap
+    assert(math.abs(out(("A", "t1")) - 4.75) < 1e-9, out(("A", "t1")).toString)
+    assert(math.abs(out(("A", "t2")) - 9.5) < 1e-9)
+    assert(math.abs(out(("A", "t3")) - 10.45) < 1e-9)
+    assert(math.abs(out(("A", "t4")) - 19.0) < 1e-9)
+    assert(out(("A", "t5")) === 21.0 && out(("A", "t6")) === 22.0)
+    assert(out(("B", "t1")) === 5.0)
+  }
+
+  test("adjustedClose guards: dividend >= prior close and non-positive split fail with named errors; first-bar dividend adjusts nothing") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val badDiv = Seq(
+      ("A", "t1", 10.0, 0.0, 0.0), ("A", "t2", 20.0, 10.0, 0.0))
+      .toDF("sym", "t", "close", "dividend", "split")
+    val e1 = intercept[Exception] {
+      TimeSeries.adjustedClose(badDiv, "sym", "t", "close", "dividend", "split").collect()
+    }
+    assert(chain(e1).contains("dividend") && chain(e1).contains("prior close"),
+      chain(e1))
+    val negDiv = Seq(
+      ("A", "t1", 10.0, 0.0, 0.0), ("A", "t2", 20.0, -1.0, 0.0))
+      .toDF("sym", "t", "close", "dividend", "split")
+    val e1b = intercept[Exception] {
+      TimeSeries.adjustedClose(negDiv, "sym", "t", "close", "dividend", "split").collect()
+    }
+    assert(chain(e1b).contains("dividend"), chain(e1b))
+    val badSplit = Seq(("A", "t1", 10.0, 0.0, -2.0))
+      .toDF("sym", "t", "close", "dividend", "split")
+    val e2 = intercept[Exception] {
+      TimeSeries.adjustedClose(badSplit, "sym", "t", "close", "dividend", "split").collect()
+    }
+    assert(chain(e2).contains("non-positive split"), chain(e2))
+    // a dividend on the FIRST bar has no base price: factor degrades to
+    // the split term (here 1.0) and nothing earlier exists to scale
+    val firstDiv = Seq(
+      ("A", "t1", 10.0, 1.0, 0.0), ("A", "t2", 20.0, 0.0, 0.0))
+      .toDF("sym", "t", "close", "dividend", "split")
+    val out = TimeSeries.adjustedClose(firstDiv, "sym", "t", "close", "dividend", "split")
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("adj_close")).toMap
+    assert(out("t1") === 10.0 && out("t2") === 20.0)
+  }
 }
