@@ -3671,6 +3671,10 @@ GROUP BY order_year""")
       .withColumn("split",
         when(substring(col("month"), 6, 2) === "01" &&
           pmod(col("l_suppkey"), lit(3)) === 0, lit(2.0)).otherwise(lit(0.0)))
+      // the q208 pinning: adjustedClose reads the bar frame twice (event
+      // extraction + the final join) — without this, BOTH branches
+      // recompute the lineitem scan + aggregate (r14 plan audit)
+      .localCheckpoint(true)
     graft.analytics.TimeSeries.adjustedClose(
         bars, "l_suppkey", "month", "close", "dividend", "split")
       .select("l_suppkey", "month", "close", "adj_close")

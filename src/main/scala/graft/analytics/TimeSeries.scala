@@ -540,8 +540,10 @@ object TimeSeries {
     * collecting each key's sorted event list, one BROADCAST join of
     * that tiny frame back onto the bars, and a per-row fold over the
     * key's later events (events per key is corporate-action-rare —
-    * single digits a year). The bar stream is scanned once and never
-    * shuffled beyond the lag window.
+    * single digits a year). The CALLER's frame is read twice (event
+    * extraction + the final join) — persist/checkpoint a lazily
+    * derived bar frame before passing it, or both branches recompute
+    * its lineage (q224 pins the pattern).
     */
   def adjustedClose(
       df: DataFrame, keyCol: String, timeCol: String, closeCol: String,

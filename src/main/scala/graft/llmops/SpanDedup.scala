@@ -138,13 +138,20 @@ object SpanDedup {
     val wG = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
     val flagged = marked.withColumn("__rn", row_number().over(wG))
       .select(col("doc_id"), col("pos"), (col("__rn") === 1).as("__keep"))
-    def positions(d: DataFrame): DataFrame = d
+    // kept-wins in ONE pass: a position is excised iff some duplicated
+    // window covers it and none of its covering windows is canonical —
+    // max(__keep) over the exploded cover set decides both at once, so
+    // the gram group-by upstream is computed ONCE (a split into
+    // kept/cut position sets + anti-join would re-derive the whole
+    // duplicated-gram subtree per side — the r14 plan audit)
+    val removed = flagged
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
-      .distinct()
-    val keptPos = positions(flagged.filter(col("__keep")))
-    val removed = positions(flagged.filter(!col("__keep")))
-      .join(keptPos, Seq("doc_id", "p"), "left_anti")
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"),
+        col("__keep"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(max(col("__keep")).as("__anyKept"))
+      .filter(!col("__anyKept"))
+      .select("doc_id", "p")
     val wD = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val prev = lag(col("p"), 1).over(wD)
     val perDoc = removed
