@@ -77,7 +77,9 @@ object DumpPlans {
       "q204_rank_ic" -> "rank IC: per horizon, two ranking windows re-partition the day frame by period, one hash agg reduces to integer rank sums; summary window on the periods frame",
       "q206_bootstrap_sharpe" -> "bootstrap Sharpe: ticks collapse to the market series; the hash-derived draw grid explodes from a 1-row block-count frame and equi-joins blocks — B tiny replicate aggregates, data-size-independent",
       "q208_blocked_pairs" -> "blocked pair universe: the |keys|-row block frame BROADCASTS onto both pair sides and pair_block joins the equi-join keys — cross-block pairs never materialize; the close frame is localCheckpoint-pinned so its scan+aggregate runs once across blocks + both screens",
-      "q212_pairs_backtest" -> "pairs-desk capstone: the 20-row screened frame broadcasts onto the close frame (no pair cross in the trading leg); exact integer prefix sums + lead share ONE (k1,k2) sort; one |pairs|-row aggregate closes it")
+      "q212_pairs_backtest" -> "pairs-desk capstone: the 20-row screened frame broadcasts onto the close frame (no pair cross in the trading leg); exact integer prefix sums + lead share ONE (k1,k2) sort; one |pairs|-row aggregate closes it",
+      "q219_span_cut" -> "substring-dedup cut: ONE duplicated-gram subtree (group-by + keeper window, PlanShapeSpec-pinned), kept-wins decided by a single max(flag) position reduce, removed-position sets broadcast back per doc — the corpus rewrite is a map-only projection",
+      "q224_adjusted_close" -> "corporate-action adjustment: one lag window for base prices, the rare-event list collected to a |keys|-row frame and BROADCAST back, per-row left-to-right factor fold — the bar frame is localCheckpoint-pinned so its aggregate runs once across both readers")
     val out = new StringBuilder
     out.append("# Physical plans — flagship queries (sf0.001, AQE final plans)\n\n")
     out.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-affecting\n")

@@ -502,4 +502,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"partition-less windows over unreduced frames in: ${violations.mkString(", ")}")
   }
+
+  test("q219 span cut: the duplicated-gram subtree is computed ONCE (r14 plan-audit pin)") {
+    // the first draft decided kept-wins with two filtered position
+    // branches + an anti-join — each branch re-derived the whole gram
+    // explode + group-by + keeper window. The one-pass max(__keep)
+    // reduce must keep exactly ONE gram-keyed aggregate (the
+    // duplicated-gram count-distinct) and ONE gram-keyed keeper window
+    // in the optimized plan; a regression to the two-branch shape
+    // doubles both.
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = optimizedOf("q219_span_cut")
+    val gramAggs = plan.collect {
+      case a: Aggregate if a.groupingExpressions.exists {
+        case attr: Attribute => attr.name == "gram"
+        case _ => false
+      } => a
+    }
+    assert(gramAggs.length == 1,
+      s"duplicated-gram group-by must appear exactly once, got ${gramAggs.length}:\n$plan")
+    val gramWindows = plan.collect {
+      case w: Window if w.partitionSpec.exists {
+        case attr: Attribute => attr.name == "gram"
+        case _ => false
+      } => w
+    }
+    assert(gramWindows.length == 1,
+      s"keeper window must appear exactly once, got ${gramWindows.length}:\n$plan")
+  }
 }
