@@ -381,6 +381,40 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) <= 5"""
   }
 
+  // streaming near-dup marks, batch-twin closure: q40's SimHash-120
+  // vote construction + the 6x20-bit banding, then min-predecessor-
+  // within-horizon as a grouped self-join — event times are monotone
+  // in doc_id (1 s per id, horizon 600 s), so (ts, id) order collapses
+  // to doc_id order and the horizon to a 600-id band.
+  private val q225NearDupSql: String = {
+    val bits = 60
+    def voteBits(hs: String) = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+  SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS ts
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs1,
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 16, 15)) AS BIGINT)) AS hs2
+  FROM toks
+), sh AS (
+  SELECT doc_id, (${voteBits("hs1")}) AS f1, (${voteBits("hs2")}) AS f2 FROM hashed
+), blocked AS (
+  SELECT doc_id, b.band,
+    CASE WHEN b.band < 3 THEN (f1 >> (b.band * 20)) & 1048575
+         ELSE (f2 >> ((b.band - 3) * 20)) & 1048575 END AS bv
+  FROM sh, (SELECT unnest(range(0, 6)) AS band) b
+)
+SELECT x.doc_id, CAST(x.band AS INT) AS band, min(y.doc_id) AS dup_of
+FROM blocked x JOIN blocked y
+  ON x.band = y.band AND x.bv = y.bv
+ AND y.doc_id < x.doc_id AND y.doc_id >= x.doc_id - 600
+GROUP BY x.doc_id, x.band"""
+  }
+
   private val q37JaccardSql: String =
     s"""WITH $minhashPairsCte,
 sh AS (
@@ -1164,6 +1198,8 @@ SELECT doc_id,
 FROM m""",
 
     "q40_simhash_pairs" -> q40SimhashSql,
+
+    "q225_stream_near_dups" -> q225NearDupSql,
 
     "q42_range_join" ->
       """SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks_5m

@@ -3680,6 +3680,34 @@ GROUP BY order_year""")
       .select("l_suppkey", "month", "close", "adj_close")
   }
 
+  /** X87: streaming near-dup marks, batch-twin oracle closure (the X69
+    * discipline) — the stream-side of the X2 dedup family: documents
+    * are marked against the earliest same-SimHash-band document within
+    * an event-time horizon, the verdict a streaming curation pipeline
+    * applies BEFORE landing. Event times are synthesized monotone in
+    * doc_id (1 s per id), so the (ts, id) predecessor order collapses
+    * to doc_id order and the oracle replicates the whole chain: q40's
+    * md5 SimHash-120 votes, the 6×20-bit banding, and min-predecessor-
+    * within-horizon as a plain grouped self-join. The STREAMING form's
+    * equality to this twin under chopping and within-watermark disorder
+    * is pinned by StatefulSpec (watermark-complete emission).
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    import s.implicits._
+    val blocked = graft.llmops.Dedup.simhash120Blocked(
+      t(s, dir, "documents"), "doc_id",
+      graft.llmops.TextAnalysis.tokens(col("text")), numBlocks = 6)
+    val occ = blocked.select(
+        concat_ws(":", col("block_idx"), col("block_val")).as("bandKey"),
+        col("block_idx").cast("int").as("band"),
+        col("doc_id").as("docId"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * lit(1000L))
+          .as("datetime"))
+      .as[StatefulOps.BandOccurrence]
+    StatefulOps.nearDupMarksBatch(s, occ, horizonMs = 600000L).toDF()
+  }
+
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
     * judge item 3): corrupt → route → repair the raw payloads
     * MECHANICALLY (the corruption is invertible from the bytes alone:
@@ -4195,6 +4223,7 @@ GROUP BY order_year""")
     "q222_matryoshka_structured" -> (q222 _),
     "q223_zorder3_compact" -> (q223 _),
     "q224_adjusted_close" -> (q224 _),
+    "q225_stream_near_dups" -> (q225 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

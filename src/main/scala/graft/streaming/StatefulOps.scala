@@ -972,4 +972,129 @@ object StatefulOps {
         events.map(_.copy(ticker = ticker)).iterator
       }
   }
+
+  // ---- streaming NEAR-DUP marks: watermark-complete banded LSH dedup ----
+
+  /** One LSH band occurrence: `bandKey` is "blockIdx:blockValue" (the
+    * [[graft.llmops.Dedup.simhash120Blocked]] banding rendered as the
+    * group key), `band` the block index carried through to the output.
+    */
+  final case class BandOccurrence(
+      bandKey: String, band: Int, docId: Long, datetime: Timestamp)
+
+  /** A marked near-duplicate: `doc_id` shares `band` with the earlier
+    * `dup_of` within the horizon.
+    */
+  final case class NearDupMark(doc_id: Long, band: Int, dup_of: Long)
+
+  /** Per-band state: live occurrences (epoch-ms, doc id) and the
+    * watermark below which marks were already emitted (exactly-once
+    * emission across batches).
+    */
+  final case class NearDupState(entries: List[(Long, Long)], emittedBelowMs: Long)
+
+  /** The shared emission rule — the CONTRACT both forms implement:
+    * occurrence x = (ts, id) is marked iff some occurrence y in the
+    * same band has (y.ts, y.id) < (x.ts, x.id) and x.ts − y.ts ≤
+    * `horizonMs`; the reported `dup_of` is the MINIMUM such y by
+    * (ts, id) — a total order, so marks are deterministic under any
+    * arrival order. Emits only occurrences with finalFrom ≤ ts <
+    * finalUntil (the streaming caller passes the previous and current
+    * watermark; the batch twin passes (MinValue, MaxValue)).
+    * Quadratic in the BAND population only — 20-bit bands hold
+    * n/2²⁰ docs each by construction (the q40 sizing).
+    */
+  private[streaming] def nearDupEmit(
+      entries: Seq[(Long, Long)], horizonMs: Long,
+      finalFromMs: Long, finalUntilMs: Long): Seq[(Long, Long)] = {
+    val sorted = entries.sorted
+    sorted.zipWithIndex.flatMap { case ((ts, id), i) =>
+      if (ts >= finalFromMs && ts < finalUntilMs)
+        sorted.take(i).find { case (pts, _) => ts - pts <= horizonMs }
+          .map { case (_, pid) => (id, pid) }
+      else None
+    }
+  }
+
+  /** Streaming near-dup marker — the stream-side of the X2 dedup family
+    * (mark near-duplicate documents BEFORE they land, instead of a
+    * batch sweep after): occurrences arrive banded (one row per LSH
+    * band per doc — [[graft.llmops.Dedup.simhash120Blocked]] upstream,
+    * stateless), state is keyed by (band, value), and a document is
+    * marked against the earliest same-band document within `horizonMs`
+    * of event time.
+    *
+    * WATERMARK-COMPLETE emission — the property that makes the stream
+    * EXACTLY equal its batch twin under any input chopping and any
+    * within-watermark disorder: a mark for occurrence x is emitted only
+    * once the event-time watermark passes x.ts, at which point every
+    * possible predecessor of x has arrived (Spark guarantees no more
+    * rows below the watermark), so the verdict is computed from the
+    * complete predecessor set rather than from arrival order. Late
+    * arrivals within the watermark delay therefore change NOTHING
+    * observable; arrivals beyond it are dropped by the watermark
+    * itself, the standard streaming contract. The cost is latency: a
+    * mark appears one watermark-advance after its document.
+    *
+    * The input MUST carry a watermark on `datetime` (EventTimeTimeout
+    * both wakes idle bands to flush newly-final marks and garbage-
+    * collects: an entry is evicted once the watermark passes
+    * ts + horizon, when it can no longer precede any future-final
+    * occurrence — state per band is rate × horizon bounded).
+    *
+    * Scale shape: the fingerprint+banding is a stateless map; the only
+    * shuffle keys on the band value (2²⁰ × 6 keys), and per-key work is
+    * quadratic only in the band's horizon population. Exactly the q40
+    * batch economics, streaming.
+    */
+  def nearDupMarks(
+      occurrences: Dataset[BandOccurrence], horizonMs: Long): Dataset[NearDupMark] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    val spark = occurrences.sparkSession
+    import spark.implicits._
+    occurrences.groupByKey(_.bandKey)
+      .flatMapGroupsWithState[NearDupState, NearDupMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[BandOccurrence], state: GroupState[NearDupState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(NearDupState(Nil, Long.MinValue))
+          val entries = prior.entries ++
+            it.map(o => (o.datetime.getTime, o.docId)).toList
+          val marks = nearDupEmit(entries, horizonMs, prior.emittedBelowMs, wm)
+          // an entry stops being a possible predecessor once the
+          // watermark passes ts + horizon
+          val kept = entries.filter(_._1 >= wm - horizonMs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(NearDupState(kept, math.max(prior.emittedBelowMs, wm)))
+            // wake when the watermark passes the oldest unemitted entry
+            // (to flush its mark) or, with nothing left to emit, the
+            // oldest entry's eviction horizon (to garbage-collect)
+            val unemitted = kept.collect { case (ts, _) if ts >= wm => ts }
+            val next = if (unemitted.nonEmpty) unemitted.min
+              else kept.map(_._1).min + horizonMs
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          val band = key.takeWhile(_ != ':').toInt
+          marks.iterator.map { case (id, dup) => NearDupMark(id, band, dup) }
+      }
+  }
+
+  /** Batch twin of [[nearDupMarks]] for verification: the same
+    * [[nearDupEmit]] contract over each complete band group — every
+    * occurrence final, no watermark. Oracle-closed by q225.
+    */
+  def nearDupMarksBatch(
+      spark: SparkSession, occurrences: Dataset[BandOccurrence],
+      horizonMs: Long): Dataset[NearDupMark] = {
+    import spark.implicits._
+    occurrences.groupByKey(_.bandKey)
+      .flatMapGroups { (key, it) =>
+        val band = key.takeWhile(_ != ':').toInt
+        nearDupEmit(
+          it.map(o => (o.datetime.getTime, o.docId)).toSeq, horizonMs,
+          Long.MinValue, Long.MaxValue)
+          .iterator.map { case (id, dup) => NearDupMark(id, band, dup) }
+      }
+  }
 }

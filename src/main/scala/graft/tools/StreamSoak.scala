@@ -337,6 +337,52 @@ object StreamSoak {
     (segmentOf(ps, seconds, good + dlq.values.sum), lanes)
   }
 
+  /** Band-occurrence twin for the NEAR-DUP segment: one doc per rate
+    * row, six band occurrences per doc (the SimHash-120 banding shape),
+    * band values Knuth-scrambled into 2¹⁶ buckets per band so same-
+    * bucket collisions inside the 10-minute horizon are common — the
+    * marker does real predecessor work every batch. Event time advances
+    * two minutes per batch, so band state must PLATEAU at the horizon's
+    * occupancy (rate × horizon, the operator's own bound).
+    */
+  private def bandTwin(spark: SparkSession, rowsPerBatch: Int) = {
+    val t0 = java.time.Instant.parse("2024-11-15T09:00:00Z").toEpochMilli
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("numPartitions", 32)
+      .load()
+      .selectExpr("value AS docId",
+        s"timestamp_millis(${t0}L + CAST(value * 120000 / $rowsPerBatch AS BIGINT)) AS datetime")
+      .selectExpr("docId", "datetime", "explode(array(0,1,2,3,4,5)) AS band")
+      .selectExpr(
+        "concat(band, ':', (docId * 2654435761 + band * 40503) % 65536) AS bandKey",
+        "CAST(band AS INT) AS band", "docId", "datetime")
+  }
+
+  /** Drive the streaming near-dup marker under sustained load: six band
+    * occurrences per doc through [[graft.streaming.StatefulOps.nearDupMarks]]
+    * (watermark-complete emission), marks to the epoch-tagged parquet
+    * sink. State rows must plateau at the horizon occupancy — the
+    * rate × horizon bound the operator's scaladoc claims.
+    */
+  private def driveNearDup(
+      spark: SparkSession, durationSec: Int, rowsPerBatch: Int,
+      outDir: String): Segment = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val occ = bandTwin(spark, rowsPerBatch)
+      .withWatermark("datetime", "10 minutes")
+      .as[StatefulOps.BandOccurrence]
+    val marks = StatefulOps.nearDupMarks(occ, horizonMs = 600000L)
+    val writer = Pipelines.parquetSink(marks.toDF(), s"$outDir/out", s"$outDir/ckpt")
+    val (ps, seconds) = runTimed(spark, writer, durationSec)
+    val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
+    val sinkRows = spark.read.parquet(s"$outDir/out")
+      .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
+      .count()
+    segmentOf(ps, seconds, sinkRows)
+  }
+
   /** Drive the flatMapGroupsWithState z-score anomaly detector for
     * `durationSec` of wall clock (r11 judge item 3: the soak previously
     * exercised only parse→gate→watermark→dedup; this segment puts a
@@ -437,12 +483,17 @@ object StreamSoak {
     // the dead-letter split sink under a fixed corruption rate (r13 item 8)
     val (deadLetter, dlLanes) = driveDeadLetter(
       spark, math.max(10, durationSec / 2), rowsPerBatch, s"$root/dead_letter")
+    // the streaming near-dup marker (X87): 1/8 the batch size — per-key
+    // work is quadratic in the band's horizon population, and the
+    // segment measures the marker, not the box's ceiling
+    val nearDup = driveNearDup(
+      spark, math.max(10, durationSec / 2), rowsPerBatch / 8, s"$root/near_dup")
 
     def f2(v: Double) = java.lang.String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def seg(s: Segment, extra: String = ""): String =
       s"""{"rows_in":${s.rowsIn},"seconds":${f2(s.seconds)},"rows_per_sec":${s.rowsPerSec.round},"batches":${s.batches},"state_rows":{"first":${s.stateFirst},"max":${s.stateMax},"last":${s.stateLast}},"sink_rows":${s.sinkRows},"batch_sec":{"first":${f2(s.batchSecFirst)},"max":${f2(s.batchSecMax)},"last":${f2(s.batchSecLast)}}$extra}"""
     val json =
-      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
+      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
     val out = java.nio.file.Paths.get("docs/bench/stream_soak.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

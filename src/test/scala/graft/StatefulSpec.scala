@@ -424,4 +424,45 @@ class StatefulSpec extends SparkSpec {
       assert(batch.toSeq === streaming.toSeq)
     } finally q.stop()
   }
+
+  test("streaming near-dup marks equal the batch twin under chopping AND within-watermark disorder (watermark-complete emission)") {
+    import StatefulOps.{BandOccurrence, NearDupMark}
+    implicit val sqlCtx = spark.sqlContext
+    def occ(band: Int, value: Long, id: Long, tsSec: Int) = BandOccurrence(
+      s"$band:$value", band, id,
+      Timestamp.valueOf(f"2024-01-01 10:${tsSec / 60}%02d:${tsSec % 60}%02d"))
+    // band (0, 7): ids 1, 2, 3 within a 120 s horizon; id 2 arrives LATE
+    // (after id 3, within the 5-minute watermark delay) but is the
+    // earlier event — watermark-complete emission must still mark 3
+    // against 2's predecessor 1, and mark 2 against 1, identically to
+    // the batch twin. band (1, 9): a lone doc, never marked.
+    val batch1 = Seq(occ(0, 7, 1L, 0), occ(0, 7, 3L, 100), occ(1, 9, 50L, 10))
+    val batch2 = Seq(occ(0, 7, 2L, 40))                  // late, in-watermark
+    val batch3 = Seq(occ(0, 7, 4L, 300))                 // out of horizon of 1-3
+    // sentinel far in the future: advances the watermark past every real
+    // event so all marks become final and flush (its own band is ignored)
+    val sentinel = Seq(occ(5, 999L, -1L, 3500))
+    val mem = MemoryStream[BandOccurrence]
+    val q = StatefulOps.nearDupMarks(
+        mem.toDS().withWatermark("datetime", "5 minutes"), horizonMs = 120000L)
+      .writeStream.format("memory").queryName("ndm_out").outputMode("append").start()
+    try {
+      Seq(batch1, batch2, batch3, sentinel).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      // event-time timeouts fire on the batch AFTER the watermark
+      // advances — one more empty nudge flushes the remaining finals
+      mem.addData(occ(5, 999L, -2L, 3590)); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val streaming = spark.table("ndm_out").as[NearDupMark].collect()
+        .filter(_.band != 5).toSet
+      val events = batch1 ++ batch2 ++ batch3
+      val batch = StatefulOps.nearDupMarksBatch(
+        spark, events.toDS(), horizonMs = 120000L).collect().toSet
+      assert(batch === Set(NearDupMark(2L, 0, 1L), NearDupMark(3L, 0, 1L)),
+        s"twin contract: 2 and 3 mark against 1; 4 out of horizon; 50 alone: $batch")
+      assert(streaming === batch,
+        s"stream must equal the twin despite disorder: $streaming vs $batch")
+    } finally q.stop()
+  }
 }

@@ -185,6 +185,27 @@ class StreamingSpec extends SparkSpec {
       s"dead-letter soak ${dl.get("rows_per_sec")} below the 100k rows/s bar")
   }
 
+  test("committed stream-soak artifact: near-dup marker state plateaus at horizon occupancy and emits marks (X87)") {
+    val f = new java.io.File("docs/bench/stream_soak.json")
+    assert(f.exists(), "run graft.tools.StreamSoak to generate the artifact")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val nd = root.get("near_dup")
+    assert(nd != null, "regenerate the artifact: near_dup segment missing")
+    assert(nd.get("batches").asInt() >= 10, s"segment too short: $nd")
+    // the operator's own bound: band state = horizon occupancy (here the
+    // full 6 x 2^16 key space, since every bucket keeps receiving) — it
+    // must PLATEAU there, not track rows_in
+    val st = nd.get("state_rows")
+    assert(st.get("max").asLong() === st.get("last").asLong(),
+      s"near-dup state must plateau, not grow: $st")
+    assert(st.get("max").asLong() <= 6L * 65536L,
+      s"state cannot exceed the band key space: $st")
+    // watermark-complete emission must actually flush marks inside the
+    // soak window (the adversarial collision density marks most docs)
+    assert(nd.get("sink_rows").asLong() > 0L, s"no marks emitted: $nd")
+  }
+
   test("deadLetterSplitSink: good rows and dead letters land in separate sinks, raw payload replayable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString

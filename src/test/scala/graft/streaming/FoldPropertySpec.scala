@@ -191,4 +191,43 @@ class FoldPropertySpec extends AnyFunSuite {
       StatefulOps.zScoreFold(Some(nearMax), Seq(tick), 2.0, 3)
     }
   }
+
+  test("nearDupEmit: min-(ts,id) predecessor within horizon, finality window respected") {
+    import StatefulOps.nearDupEmit
+    // entries: (ts, id). horizon 100. id 2 at 120 and ids 3/4 at 150 all
+    // mark against the EARLIEST in-horizon predecessor (id 1 at 60), not
+    // the nearest; id 9 at 400: its only predecessors are >100 away —
+    // unmarked. Equal-ts ties order by id.
+    val entries = Seq((60L, 1L), (120L, 2L), (150L, 3L), (150L, 4L), (400L, 9L))
+    val all = nearDupEmit(entries, 100L, Long.MinValue, Long.MaxValue)
+    assert(all === Seq((2L, 1L), (3L, 1L), (4L, 1L)), all.toString)
+    // finality window: only entries with 130 <= ts < 160 emit
+    assert(nearDupEmit(entries, 100L, 130L, 160L) === Seq((3L, 1L), (4L, 1L)))
+    assert(nearDupEmit(entries, 100L, 160L, 500L) === Seq.empty,
+      "id 9's predecessors are out of horizon — nothing emits in [160, 500)")
+  }
+
+  test("nearDupEmit: windowed emissions over ANY ascending watermark cuts tile the whole-series emission, any seed") {
+    import StatefulOps.nearDupEmit
+    // the watermark-complete property at the fold level: however the
+    // watermark advances, concatenating the per-advance emission windows
+    // reproduces the all-at-once emission exactly — entries are the
+    // COMPLETE set in every call (the stream holds every possible
+    // predecessor until eviction), only the finality window moves.
+    for (seed <- 1L to 60L) {
+      val n = sample(Gen.choose(0, 30), seed)
+      val ts = sample(Gen.listOfN(n, Gen.choose(0L, 500L)), seed + 1)
+      val entries = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      val horizon = sample(Gen.choose(1L, 200L), seed + 2)
+      val nCuts = sample(Gen.choose(0, 5), seed + 3)
+      val cuts = sample(Gen.listOfN(nCuts, Gen.choose(0L, 600L)), seed + 4)
+        .distinct.sorted
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      val windowed = bounds.zip(bounds.tail).flatMap { case (from, until) =>
+        nearDupEmit(entries, horizon, from, until)
+      }
+      val whole = nearDupEmit(entries, horizon, Long.MinValue, Long.MaxValue)
+      assert(windowed.sorted === whole.sorted, s"seed=$seed diverged")
+    }
+  }
 }
