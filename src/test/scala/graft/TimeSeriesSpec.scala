@@ -314,4 +314,28 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getAs[Double]("adj_close")).toMap
     assert(out("t1") === 10.0 && out("t2") === 20.0)
   }
+
+  test("adjustedClose invariants: no events is identity; a lone k:1 split scales exactly the pre-split history by 1/k") {
+    // identity: a 40-bar random-ish walk with zero dividends/splits must
+    // come back bit-identical (factor product over an empty list = 1.0)
+    val walk = (0 until 40).map(i =>
+      ("W", f"t$i%02d", 100.0 + (i * 37 % 11) - 5.0, 0.0, 0.0))
+    val idOut = TimeSeries.adjustedClose(
+        walk.toDF("sym", "t", "close", "dividend", "split"),
+        "sym", "t", "close", "dividend", "split")
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("adj_close")).toMap
+    walk.foreach { case (_, t, c, _, _) => assert(idOut(t) === c, t) }
+    // a single 4:1 split at t20: every bar BEFORE t20 scales by exactly
+    // 0.25 (a dyadic factor — bit-exact), t20 onward untouched
+    val split = walk.map { case (s, t, c, d, _) =>
+      (s, t, c, d, if (t == "t20") 4.0 else 0.0) }
+    val spOut = TimeSeries.adjustedClose(
+        split.toDF("sym", "t", "close", "dividend", "split"),
+        "sym", "t", "close", "dividend", "split")
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("adj_close")).toMap
+    walk.foreach { case (_, t, c, _, _) =>
+      if (t < "t20") assert(spOut(t) === c * 0.25, t)
+      else assert(spOut(t) === c, t)
+    }
+  }
 }
