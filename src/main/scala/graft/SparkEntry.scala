@@ -3721,6 +3721,15 @@ GROUP BY order_year""")
     * why replayed_good counts only the repairable keys that also pass
     * the gate. Replay stays a CALLER action (DESIGN disposition 17);
     * this query demonstrates the caller path lands exactly.
+    *
+    * NOTE: like q189/q216/q223, this query runs its pipeline (the
+    * parity count + three localCheckpoints) EAGERLY at
+    * DataFrame-construction time and returns a materialized verdict
+    * frame — building the plan executes the work. That is the
+    * deliberate house convention for multi-pass verdict queries (the
+    * temp artifacts must outlive per-query cleanup), and the bench
+    * times `queries(name)(s, dir)` construction + collection together,
+    * so nothing escapes measurement.
     */
   private def q221(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Ingest

@@ -527,13 +527,19 @@ object TimeSeries {
     * `aggregate`, DuckDB `list_reduce` over the same rounded doubles) —
     * bit-identical adjusted closes, no rounding at emission.
     *
-    * Contracts: a dividend ≥ the prior close (factor ≤ 0 — data
-    * corruption, adjusted prices would flip sign) and a non-positive
-    * split both fail IN-PLAN with named errors; a dividend on a key's
-    * FIRST bar has no base price and adjusts nothing (its factor
-    * degrades to the pure split term — there are no earlier rows for it
-    * to scale); null/zero dividend and null/zero/one split mean "no
-    * event".
+    * Contracts: (keyCol, timeCol) must be UNIQUE — a duplicate bar
+    * makes the lag() base price nondeterministic and would silently
+    * corrupt per-event factors, so duplicates fail IN-PLAN with a named
+    * error (the check rides the existing keyed lag window — a duplicate
+    * time shows up as lag(time) == time in the ordered pass, no extra
+    * exchange; duplicate rows are classified as events so the guard is
+    * guaranteed to evaluate, the r14 guard-predicate lesson). A
+    * dividend ≥ the prior close (factor ≤ 0 — data corruption, adjusted
+    * prices would flip sign) and a non-positive split likewise fail
+    * in-plan with named errors; a dividend on a key's FIRST bar has no
+    * base price and adjusts nothing (its factor degrades to the pure
+    * split term — there are no earlier rows for it to scale); null/zero
+    * dividend and null/zero/one split mean "no event".
     *
     * Scale shape: one keyed lag window for the base prices, one filter
     * to the (rare) event rows, one |keys|-sized hash aggregate
@@ -551,10 +557,13 @@ object TimeSeries {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
     val div = coalesce(col(dividendCol).cast("double"), lit(0.0))
     val split0 = coalesce(col(splitCol).cast("double"), lit(0.0))
+    // duplicate (key, time) detection on the SAME ordered window the lag
+    // rides: equal adjacent timestamps == a duplicate bar
+    val dupBar = lag(col(timeCol), 1).over(w) <=> col(timeCol)
     // ANY nonzero-dividend or non-{0,1}-split row is an event — including
-    // corrupt negatives, which must reach the guards below rather than
-    // silently not counting as events
-    val isEvent = div =!= 0.0 || (split0 =!= 0.0 && split0 =!= 1.0)
+    // corrupt negatives and duplicate bars, which must reach the guards
+    // below rather than silently not counting as events
+    val isEvent = dupBar || div =!= 0.0 || (split0 =!= 0.0 && split0 =!= 1.0)
     val splitEff = when(split0 > 0.0, split0)
       .when(split0 === 0.0, lit(1.0))
       .otherwise(raise_error(format_string(
@@ -572,7 +581,13 @@ object TimeSeries {
           "adjusting",
         div.cast("string"), prev.cast("string"),
         col(keyCol).cast("string"), col(timeCol).cast("string"))))
-    val f = graft.util.Partitioning.stableRound6(divTerm / splitEff + lit(0.0))
+    val f = when(dupBar, raise_error(format_string(
+        "adjustedClose: duplicate bar at key %s, %s — (key, time) must be " +
+          "unique (a duplicate makes the lag() base price nondeterministic " +
+          "and silently corrupts per-event factors); dedup the bars before " +
+          "adjusting",
+        col(keyCol).cast("string"), col(timeCol).cast("string"))).cast("double"))
+      .otherwise(graft.util.Partitioning.stableRound6(divTerm / splitEff + lit(0.0)))
     val events = df
       .withColumn("__f", when(isEvent, f))
       .filter(col("__f").isNotNull)

@@ -366,21 +366,33 @@ object Dedup {
     * block_idx, block_val) rows, one per block. Factored out so callers
     * (and specs) can inspect candidate bucket populations directly.
     */
-  def simhash120Blocked(
-      docs: DataFrame, idCol: String, tokensCol: Column, numBlocks: Int): DataFrame = {
+  /** The per-block extraction of a 120-bit fingerprint column as an
+    * array expression (block b = the b-th `120/numBlocks`-bit slice,
+    * blocks never straddling the two 60-bit words) — the shared core of
+    * [[simhash120Blocked]] and the streaming curation gate's stateless
+    * banding ([[graft.streaming.Pipelines.gateOccurrences]]).
+    */
+  def simhash120BlockArray(sh: Column, numBlocks: Int): Column = {
     import graft.functions.SimHash120
     require(numBlocks % 2 == 0,
       "numBlocks must be even so blocks never straddle the two 60-bit words")
     require(SimHash120.Bits % numBlocks == 0, s"numBlocks must divide ${SimHash120.Bits}")
     val bits = SimHash120.Bits / numBlocks
     val blocksPerWord = numBlocks / 2
+    array((0 until numBlocks).map { b =>
+      shiftrightunsigned(element_at(sh, b / blocksPerWord + 1),
+        (b % blocksPerWord) * bits).bitwiseAND((1L << bits) - 1)
+    }: _*)
+  }
+
+  def simhash120Blocked(
+      docs: DataFrame, idCol: String, tokensCol: Column, numBlocks: Int): DataFrame = {
+    import graft.functions.SimHash120
     val h = graft.util.Partitioning.ensureParallelism(docs)
       .select(col(idCol).as("doc_id"), SimHash120.simhash120(tokensCol).as("sh"))
     h.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until numBlocks).map { b =>
-        shiftrightunsigned(element_at(col("sh"), b / blocksPerWord + 1),
-          (b % blocksPerWord) * bits).bitwiseAND((1L << bits) - 1)
-      }: _*)).as(Seq("block_idx", "block_val")))
+      posexplode(simhash120BlockArray(col("sh"), numBlocks))
+        .as(Seq("block_idx", "block_val")))
   }
 
   /** SimHash near-dup pairs at 100 TB scale: the 120-bit fingerprint

@@ -175,7 +175,7 @@ object Similarity {
     * query by cosine (ties to the lower cell id). Centroid norms are
     * computed once per centroid, not once per (query, centroid).
     */
-  private def probeCells(
+  private[llmops] def probeCells(
       cents: Array[(Int, Array[Double], Double)], qv: Array[Double], nProbe: Int): Seq[Int] = {
     val qn = math.sqrt(qv.map(x => x * x).sum)
     cents.map { case (cid, c, cn) =>
@@ -190,7 +190,7 @@ object Similarity {
       .take(nProbe).map(_._1).toSeq
   }
 
-  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double], Double)] =
+  private[llmops] def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double], Double)] =
     centroids.select(col("cell"), col("centroid")).collect()
       .map { r =>
         val c = r.getSeq[Double](1).toArray

@@ -840,6 +840,17 @@ object TxParquetTable {
     * versions stay time-travelable until vacuumed. Returns the committed
     * version (or the read version if already compact).
     */
+  /** Live data-file count of the current snapshot — LOG-ONLY (no data
+    * file opened; O(#commits-since-checkpoint) driver work). The
+    * small-file health read a streaming append sink checks before
+    * deciding to fold its per-epoch files ([[compact]]); −1 for a
+    * table that does not exist yet.
+    */
+  def liveFileCount(path: String): Int = {
+    val v = latestVersion(path)
+    if (v < 0) -1 else state(path, Some(v)).live.length
+  }
+
   def compact(spark: SparkSession, path: String, idCol: String,
       buckets: Int = 16, targetFiles: Int = 4,
       clusterBy: Option[String] = None,
@@ -882,8 +893,13 @@ object TxParquetTable {
     //                over the live set; degenerate constant or all-null
     //                columns scale to 0), the k bit-strings INTERLEAVE
     //                into a ≤32-bit Z-value (column j's bit b lands at
-    //                position k·b+j — at k=2 this is exactly the
-    //                historical 2-D layout, bit-identical), and files
+    //                position k·b+j — at k=2 this reproduces the
+    //                historical 2-D layout bit-identically for NON-NULL
+    //                values; nulls now coalesce to the min bound where
+    //                the r13 form let them fall through least() to the
+    //                max bucket, so recompacting a null-bearing table
+    //                may reshuffle file boundaries — content is
+    //                unaffected, zone maps are re-recorded), and files
     //                are contiguous Z-ranges. A single-value predicate
     //                on ANY dimension then intersects ~files^((k−1)/k)
     //                of the layout (the Z-curve guarantee) instead of

@@ -184,6 +184,169 @@ object Pipelines {
         } finally { b.unpersist(); () }
       }
 
+  /** Stateless banding front of the ingestion-time CURATION GATE (X88):
+    * documents (id, event time, payload) → one [[StatefulOps.GateOccurrence]]
+    * per SimHash-120 band, with the payload riding band 0 ONLY (the
+    * others carry null), so the gate sink can land kept documents
+    * without a second stream or a join. Map-only — safe on a streaming
+    * frame; attach the watermark AFTER this (the event-time column
+    * passes through untouched). `tokensCol` is the token-array
+    * expression over the payload/text column (the q40 convention:
+    * [[graft.llmops.TextAnalysis.tokens]]).
+    */
+  def gateOccurrences(docs: DataFrame, idCol: String, tsCol: String,
+      payloadCol: String, tokensCol: org.apache.spark.sql.Column,
+      numBlocks: Int = 6): Dataset[StatefulOps.GateOccurrence] = {
+    import graft.functions.SimHash120
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("datetime"),
+        col(payloadCol).cast("string").as("__payload"),
+        SimHash120.simhash120(tokensCol).as("__sh"))
+      .select(col("docId"), col("datetime"), col("__payload"),
+        posexplode(graft.llmops.Dedup.simhash120BlockArray(col("__sh"), numBlocks))
+          .as(Seq("band", "block_val")))
+      .select(
+        concat_ws(":", col("band"), col("block_val")).as("bandKey"),
+        col("band").cast("int").as("band"), col("docId"), col("datetime"),
+        when(col("band") === 0, col("__payload"))
+          .otherwise(lit(null)).cast("string").as("payload"))
+      .as[StatefulOps.GateOccurrence]
+  }
+
+  /** Doc-level combine of per-band verdicts ([[StatefulOps.BandVerdict]]):
+    * a document is KEPT iff no band voted `dup`; the canonical
+    * predecessor `dup_of` is the MINIMUM band-level dup_of id (each
+    * band already reports its min-(ts, id) predecessor; the minimum id
+    * across bands is a deterministic total order both engines can
+    * state). Saturated bands are counted (`n_sat_bands`) but do not
+    * drop a document — a saturated band means "verdict unknown", and
+    * the count rides the kept row for audit/review. The combine
+    * asserts IN-PLAN (loudly, on every column — the Guards pruning
+    * discipline) that each doc carries exactly `numBlocks` verdicts:
+    * fewer/more means duplicate doc_ids in the corpus or a partial
+    * emission, both contract breaks.
+    *
+    * Used by [[nearDupGateSink]] per micro-batch (watermark-complete
+    * emission lands all of a doc's bands in ONE batch — each band key
+    * holding the doc either receives data or event-time-times-out in
+    * the first batch whose watermark passes the doc, and the watermark
+    * is global per batch) and by the batch twin (q226).
+    */
+  def combineDocVerdicts(verdicts: DataFrame, numBlocks: Int): DataFrame = {
+    val combined = verdicts.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("__n_bands"),
+        max(col("datetime")).as("datetime"),
+        max(col("payload")).as("payload"),
+        min(when(col("lane") === "dup", col("dup_of"))).as("dup_of"),
+        sum(when(col("lane") === "dup", 1L).otherwise(0L)).cast("int")
+          .as("n_dup_bands"),
+        sum(when(col("lane") === "saturated", 1L).otherwise(0L)).cast("int")
+          .as("n_sat_bands"))
+      .withColumn("kept", col("n_dup_bands") === 0)
+    val msg = format_string(
+      s"nearDupGate: doc_id %s carries %s band verdicts, expected $numBlocks " +
+        "— duplicate doc_ids in the corpus or a partial emission; the gate " +
+        "contract requires unique doc ids and complete bands",
+      col("doc_id").cast("string"), col("__n_bands").cast("string"))
+    combined.columns.filter(_ != "__n_bands").foldLeft(combined) { (d, c) =>
+      d.withColumn(c,
+        when(col("__n_bands") =!= numBlocks, raise_error(msg)
+          .cast(combined.schema(c).dataType)).otherwise(col(c)))
+    }.drop("__n_bands")
+  }
+
+  /** Ingestion-time CURATION GATE sink (X88 — the lane the near-dup
+    * marker X87 exists for): watermark-final per-band verdicts fork
+    * into kept/dropped document lanes, the q218 split-sink shape.
+    * Kept docs land (doc_id, datetime, payload, n_sat_bands); dropped
+    * docs carry their canonical predecessor `dup_of` and band counts
+    * for audit. Both lanes carry the epoch id, every doc lands in
+    * EXACTLY one lane (lanes sum to docs in), and retried epochs
+    * rewrite identical content (verdicts are deterministic).
+    *
+    * Wire shape: docs → [[gateOccurrences]] → `withWatermark` →
+    * [[StatefulOps.bandVerdicts]] → this sink.
+    */
+  def nearDupGateSink(verdicts: Dataset[StatefulOps.BandVerdict], numBlocks: Int,
+      keptPath: String, droppedPath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    verdicts.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val docs = combineDocVerdicts(batch, numBlocks)
+          .withColumn("__epoch", lit(epochId)).cache()
+        try {
+          docs.filter(col("kept"))
+            .select(col("doc_id"), col("datetime"), col("payload"),
+              col("n_sat_bands"), col("__epoch"))
+            .write.mode("append").parquet(keptPath)
+          val dropped = docs.filter(!col("kept"))
+            .select(col("doc_id"), col("datetime"), col("payload"),
+              col("dup_of"), col("n_dup_bands"), col("n_sat_bands"), col("__epoch"))
+          if (!dropped.isEmpty) dropped.write.mode("append").parquet(droppedPath)
+        } finally { docs.unpersist(); () }
+      }
+
+  /** T6 OBSERVABILITY — the late-data lane (X91): the reference (and
+    * stock Spark) drops watermark-expired rows SILENTLY inside stateful
+    * operators — the same class of hole the dead-letter split (X83)
+    * closed for malformed rows. This sink routes every row into exactly
+    * one of an on-time or a late lane BEFORE any stateful consumer sees
+    * it, using a driver-side replica of Spark's watermark algorithm:
+    * wm(batch N) = max event time over batches < N minus `delayMs`,
+    * never regressing — byte-identical to what `withWatermark(tsCol,
+    * delay)` computes, so the late lane holds exactly the rows a
+    * downstream stateful operator would have discarded. The replica
+    * persists next to the checkpoint (`graft_late_wm`, atomic
+    * tmp+rename, read/advanced once per serially-executing batch), so
+    * it survives restarts with the query.
+    *
+    * Both lanes carry the epoch id; lanes sum to rows in (the X83
+    * invariant). Oracle-closed by q229 under a deterministic chopping,
+    * where the watermark progression — and therefore every row's lane —
+    * is pure arithmetic.
+    */
+  def lateLaneSplitSink(df: DataFrame, tsCol: String, delayMs: Long,
+      onTimePath: String, latePath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
+    val wmFile = new java.io.File(checkpoint, "graft_late_wm")
+    def readWm(): Long =
+      if (!wmFile.exists()) Long.MinValue
+      else new String(java.nio.file.Files.readAllBytes(wmFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def writeWm(v: Long): Unit = {
+      val tmp = new java.io.File(checkpoint, "graft_late_wm.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, wmFile.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val wm = readWm()
+        val b = batch
+          .withColumn("__epoch", lit(epochId))
+          .withColumn("__late", unix_millis(col(tsCol)) < lit(wm))
+          .cache()
+        try {
+          b.filter(!col("__late")).drop("__late")
+            .write.mode("append").parquet(onTimePath)
+          val late = b.filter(col("__late")).drop("__late")
+          if (!late.isEmpty) late.write.mode("append").parquet(latePath)
+          val mx = b.agg(max(unix_millis(col(tsCol)))).collect()(0)
+          if (!mx.isNullAt(0)) writeWm(math.max(wm, mx.getLong(0) - delayMs))
+        } finally { b.unpersist(); () }
+      }
+  }
+
   /** S3+: exactly-once UPSERT sink on plain parquet — the completion of the
     * deterministic-id design (SURVEY §7 hard-parts).
     *
@@ -255,19 +418,46 @@ object Pipelines {
     * the batch) and range-prunable (`snapshotRange`). EXACTLY-ONCE by
     * stream transaction id: the commit records (appId, batchId), and a
     * replayed batch after recovery is dropped by the log — the Delta
-    * `txn` action, not a hope that foreachBatch never retries. Pair
-    * with periodic `compact(clusterBy)` to fold the small per-batch
-    * files into a clustered layout.
+    * `txn` action, not a hope that foreachBatch never retries.
+    *
+    * SMALL-FILE POLICY (X81's operational half): every epoch lands one
+    * file, so a day of 5-second triggers is ~17k files before anyone
+    * runs `compact` by hand — read amplification grows linearly in
+    * uptime. `autoCompact = Some((threshold, idCol, targetFiles))`
+    * makes the sink self-folding: after an append that lifts the LIVE
+    * file count to ≥ threshold (a log-only check, no data I/O), the
+    * sink immediately runs [[graft.sources.TxParquetTable.compact]]
+    * down to `targetFiles` hash-clustered files, as its own commit
+    * (`op=compact` in history; pre-compaction versions stay
+    * time-travelable until vacuumed). The compaction rewrites ≤ the
+    * table's live bytes once per ~(threshold − targetFiles) epochs —
+    * amortized O(bytes/epoch · threshold), while reads between
+    * compactions touch at most `threshold` files. Exactly-once is
+    * unaffected: the txn guard sits on the APPEND; a crash between
+    * append and compact just leaves the fold for the next trigger.
+    * Single-writer assumption: a concurrent writer's commit makes the
+    * full-bucket-domain compaction conflict cleanly — the sink retries
+    * the fold at the next epoch rather than failing the stream.
     */
   def txAppendParquetSink(df: DataFrame, path: String, checkpoint: String,
-      appId: String, statsColumns: Seq[String] = Seq.empty)
+      appId: String, statsColumns: Seq[String] = Seq.empty,
+      autoCompact: Option[(Int, String, Int)] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.TxParquetTable.append(
-          batch, path, statsColumns, txn = Some((appId, batchId)))
+        import graft.sources.TxParquetTable
+        TxParquetTable.append(batch, path, statsColumns, txn = Some((appId, batchId)))
+        autoCompact.foreach { case (threshold, idCol, targetFiles) =>
+          require(threshold > targetFiles,
+            s"autoCompact threshold ($threshold) must exceed targetFiles " +
+              s"($targetFiles) or every epoch would recompact")
+          if (TxParquetTable.liveFileCount(path) >= threshold)
+            try TxParquetTable.compact(
+              batch.sparkSession, path, idCol, targetFiles = targetFiles)
+            catch { case _: java.util.ConcurrentModificationException => () }
+        }
         ()
       }
 

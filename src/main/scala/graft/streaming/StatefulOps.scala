@@ -973,6 +973,167 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming AS-OF enrichment: watermark-complete J2 (X90) ----------
+
+  /** Reconstruct a microsecond-precision Timestamp from epoch-micros —
+    * the inverse of [[epochMicros]] (nonnegative inputs).
+    */
+  private[streaming] def microsTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** One row of the unified as-of input stream: quotes (`isQuote`,
+    * the right/reference side — e.g. bars) and trades (the left side
+    * to be enriched) arrive interleaved on one keyed stream; `id` is
+    * the row's tie-break identity (event id), `value` its payload.
+    */
+  final case class AsOfInput(
+      key: String, datetime: Timestamp, isQuote: Boolean, id: Long, value: Double)
+
+  /** Per-key as-of state: live quotes and not-yet-final trades as
+    * (epoch-us, id, value), plus the watermark below which trades were
+    * already emitted.
+    */
+  final case class AsOfState(
+      quotes: List[(Long, Long, Double)], trades: List[(Long, Long, Double)],
+      emittedBelowMs: Long)
+
+  /** A trade enriched with its as-of quote: the LATEST quote at-or-
+    * before the trade (max (ts, value, id) — deterministic under
+    * duplicate quote timestamps), nulled out together with `lag_us`
+    * when it is older than the tolerance (pandas merge_asof(tolerance)
+    * semantics: the latest match is picked FIRST, then discarded if
+    * stale — an older in-tolerance quote can never exist when the
+    * latest is out, since lag grows backwards).
+    */
+  final case class AsOfEnriched(
+      key: String, id: Long, datetime: Timestamp, value: Double,
+      quote_ts: Option[Timestamp], quote_value: Option[Double],
+      lag_us: Option[Long])
+
+  /** The shared match rule — both forms implement it: the candidate is
+    * the maximum (ts, value, id) quote with ts ≤ the trade's ts; it
+    * matches iff its lag is within tolerance.
+    */
+  private[streaming] def asOfPick(
+      quotes: Seq[(Long, Long, Double)], tradeUs: Long,
+      toleranceUs: Long): Option[(Long, Long, Double)] = {
+    val eligible = quotes.filter(_._1 <= tradeUs)
+    if (eligible.isEmpty) None
+    else {
+      val best = eligible.maxBy { case (ts, id, v) => (ts, v, id) }
+      if (tradeUs - best._1 <= toleranceUs) Some(best) else None
+    }
+  }
+
+  /** STREAMING AS-OF enrichment — J2's live form (the two feeds the
+    * reference ingests exist to be joined; batch as-of is
+    * [[graft.analytics.TimeSeries.asOfJoinTolerance]]): each trade is
+    * enriched with the latest quote at-or-before its event time, within
+    * a staleness tolerance, AS IT ARRIVES.
+    *
+    * WATERMARK-COMPLETE emission (the X87 design center): a trade's
+    * enrichment is emitted only once the event-time watermark passes
+    * the trade, at which point every quote that could precede it has
+    * arrived — so the stream EXACTLY equals the batch twin
+    * ([[asOfEnrichBatch]], and through it the q19/q59 as-of semantics)
+    * under any input chopping and any within-watermark disorder. The
+    * cost is latency: one watermark-advance per enrichment.
+    *
+    * The input MUST carry a watermark on `datetime`. State per key is
+    * bounded: quotes evict once the watermark passes
+    * quote_ts + tolerance (no future-final trade can match them —
+    * state ≈ quote-rate × tolerance), in-flight trades evict at
+    * emission (≈ trade-rate × watermark-delay, the unavoidable
+    * in-flight floor). A trade arriving BELOW the already-emitted
+    * watermark gets NO enrichment (the standard late-data contract —
+    * route/count with [[graft.streaming.Pipelines.lateLaneSplitSink]]
+    * upstream); a late-but-within-watermark QUOTE still enriches
+    * every future-final trade, exactly like the batch form.
+    *
+    * Scale shape: one shuffle keyed on the symbol; per-key work is
+    * linear in the batch + state. Like [[graft.plans.MergeAsOf]], a
+    * single hyper-hot key serializes in one task — at that regime
+    * shard the key upstream (the asOfJoinTimeBucketed note); quotes
+    * and trades for a key meet in the SAME state, so no stream-stream
+    * join state blowup (the r13 DrivePairJoin lesson).
+    */
+  def asOfEnrichStream(
+      inputs: Dataset[AsOfInput], toleranceUs: Long): Dataset[AsOfEnriched] = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val spark = inputs.sparkSession
+    import spark.implicits._
+    inputs.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[AsOfInput], state: GroupState[AsOfState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(AsOfState(Nil, Nil, Long.MinValue))
+          val batch = it.toList
+          def tuple(o: AsOfInput) = (epochMicros(o.datetime), o.id, o.value)
+          val quotes = (prior.quotes ++ batch.filter(_.isQuote).map(tuple)).distinct
+          val trades = (prior.trades ++ batch.filterNot(_.isQuote).map(tuple)).distinct
+          def tsMs(us: Long): Long = Math.floorDiv(us, 1000L)
+          val (finalT, restT) = trades.partition { case (us, _, _) =>
+            tsMs(us) >= prior.emittedBelowMs && tsMs(us) < wm }
+          val out = finalT.sortBy { case (us, id, _) => (us, id) }
+            .map { case (us, id, v) =>
+              val m = asOfPick(quotes, us, toleranceUs)
+              AsOfEnriched(key, id, microsTimestamp(us), v,
+                m.map(q => microsTimestamp(q._1)), m.map(_._3), m.map(us - _._1))
+            }
+          // a quote stops mattering once the watermark passes
+          // quote_ts + tolerance; a pending trade must still be ahead of
+          // the watermark (below-watermark stragglers are late — dropped)
+          val keptQuotes = quotes.filter { case (us, _, _) =>
+            us >= wm * 1000L - toleranceUs }
+          val keptTrades = restT.filter { case (us, _, _) => tsMs(us) >= wm }
+          if (keptQuotes.isEmpty && keptTrades.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(
+              keptQuotes, keptTrades, math.max(prior.emittedBelowMs, wm)))
+            // wake when the watermark passes the oldest pending trade (to
+            // flush its enrichment) or, with none pending, the oldest
+            // quote's eviction point (to garbage-collect)
+            val next =
+              if (keptTrades.nonEmpty) keptTrades.map(t => tsMs(t._1)).min
+              else keptQuotes.map(q =>
+                tsMs(q._1) + toleranceUs / 1000L + 1L).min
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[asOfEnrichStream]] for verification (the X69
+    * discipline): the same [[asOfPick]] contract over each complete key
+    * group — every row final, no watermark. The PRODUCTION batch form
+    * at scale remains [[graft.analytics.TimeSeries.asOfJoinTolerance]]
+    * (one window pass, no per-key list); the spec pins all three equal.
+    * Oracle-closed by q228.
+    */
+  def asOfEnrichBatch(
+      spark: SparkSession, inputs: Dataset[AsOfInput],
+      toleranceUs: Long): Dataset[AsOfEnriched] = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    import spark.implicits._
+    inputs.groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toList
+        def tuple(o: AsOfInput) = (epochMicros(o.datetime), o.id, o.value)
+        val quotes = rows.filter(_.isQuote).map(tuple).distinct
+        rows.filterNot(_.isQuote).map(tuple).distinct
+          .sortBy { case (us, id, _) => (us, id) }
+          .map { case (us, id, v) =>
+            val m = asOfPick(quotes, us, toleranceUs)
+            AsOfEnriched(key, id, microsTimestamp(us), v,
+              m.map(q => microsTimestamp(q._1)), m.map(_._3), m.map(us - _._1))
+          }.iterator
+      }
+  }
+
   // ---- streaming NEAR-DUP marks: watermark-complete banded LSH dedup ----
 
   /** One LSH band occurrence: `bandKey` is "blockIdx:blockValue" (the
@@ -983,38 +1144,64 @@ object StatefulOps {
       bandKey: String, band: Int, docId: Long, datetime: Timestamp)
 
   /** A marked near-duplicate: `doc_id` shares `band` with the earlier
-    * `dup_of` within the horizon.
+    * `dup_of` within the horizon. `dup_of` = [[SaturatedDupOf]] (−1) is
+    * the BAND-SATURATED lane: the band's resident-entry cap was hit
+    * when this occurrence arrived, so no verdict could be computed —
+    * route it to review instead of trusting a silent unmarked pass
+    * (doc ids are nonnegative, so the sentinel can't collide).
     */
   final case class NearDupMark(doc_id: Long, band: Int, dup_of: Long)
 
-  /** Per-band state: live occurrences (epoch-ms, doc id) and the
-    * watermark below which marks were already emitted (exactly-once
-    * emission across batches).
-    */
-  final case class NearDupState(entries: List[(Long, Long)], emittedBelowMs: Long)
+  /** The `dup_of` sentinel for the band-saturated lane. */
+  val SaturatedDupOf: Long = -1L
 
-  /** The shared emission rule — the CONTRACT both forms implement:
-    * occurrence x = (ts, id) is marked iff some occurrence y in the
-    * same band has (y.ts, y.id) < (x.ts, x.id) and x.ts − y.ts ≤
-    * `horizonMs`; the reported `dup_of` is the MINIMUM such y by
-    * (ts, id) — a total order, so marks are deterministic under any
-    * arrival order. Emits only occurrences with finalFrom ≤ ts <
-    * finalUntil (the streaming caller passes the previous and current
-    * watermark; the batch twin passes (MinValue, MaxValue)).
+  /** Per-band state: live occurrences (epoch-ms, doc id), occurrences
+    * that arrived past the entry cap (awaiting their saturated verdict),
+    * in-flight payloads (docId → payload for occurrences carrying one,
+    * dropped at verdict emission), and the watermark below which
+    * verdicts were already emitted (exactly-once emission across
+    * batches).
+    */
+  final case class NearDupState(
+      entries: List[(Long, Long)], saturated: List[(Long, Long)],
+      payloads: Map[Long, String], emittedBelowMs: Long)
+
+  /** The shared emission rule — the CONTRACT both forms implement: for
+    * every occurrence x = (ts, id) with finalFrom ≤ ts < finalUntil
+    * (the streaming caller passes the previous and current watermark;
+    * the batch twin passes (MinValue, MaxValue)) emit ONE verdict:
+    * `Some(pred)` iff some occurrence y in the same band has
+    * (y.ts, y.id) < (x.ts, x.id) and x.ts − y.ts ≤ `horizonMs`, where
+    * `pred` is the MINIMUM such y by (ts, id) — a total order, so
+    * verdicts are deterministic under any arrival order — and `None`
+    * (clean) otherwise. Occurrences are deduplicated first: a repeated
+    * (ts, id) row — a caller frame emitting the same (band, doc) twice —
+    * must not mark a document against itself (the strict tuple
+    * inequality read over the raw seq would; r14 advice).
     * Quadratic in the BAND population only — 20-bit bands hold
     * n/2²⁰ docs each by construction (the q40 sizing).
     */
-  private[streaming] def nearDupEmit(
+  private[streaming] def nearDupVerdicts(
       entries: Seq[(Long, Long)], horizonMs: Long,
-      finalFromMs: Long, finalUntilMs: Long): Seq[(Long, Long)] = {
-    val sorted = entries.sorted
+      finalFromMs: Long, finalUntilMs: Long): Seq[(Long, Long, Option[Long])] = {
+    val sorted = entries.distinct.sorted
     sorted.zipWithIndex.flatMap { case ((ts, id), i) =>
       if (ts >= finalFromMs && ts < finalUntilMs)
-        sorted.take(i).find { case (pts, _) => ts - pts <= horizonMs }
-          .map { case (_, pid) => (id, pid) }
+        Some((ts, id,
+          sorted.take(i).find { case (pts, _) => ts - pts <= horizonMs }
+            .map { case (_, pid) => pid }))
       else None
     }
   }
+
+  /** [[nearDupVerdicts]] restricted to the marked occurrences — the
+    * original mark-only contract (FoldPropertySpec pins the tiling).
+    */
+  private[streaming] def nearDupEmit(
+      entries: Seq[(Long, Long)], horizonMs: Long,
+      finalFromMs: Long, finalUntilMs: Long): Seq[(Long, Long)] =
+    nearDupVerdicts(entries, horizonMs, finalFromMs, finalUntilMs)
+      .collect { case (_, id, Some(pid)) => (id, pid) }
 
   /** Streaming near-dup marker — the stream-side of the X2 dedup family
     * (mark near-duplicate documents BEFORE they land, instead of a
@@ -1036,47 +1223,183 @@ object StatefulOps {
     * itself, the standard streaming contract. The cost is latency: a
     * mark appears one watermark-advance after its document.
     *
+    * The input MUST carry a watermark on `datetime`. This is a thin
+    * view over [[bandVerdicts]] — see it for the eviction, hot-band-cap
+    * (`maxBandEntries`: resident entries per band are bounded; past the
+    * cap an occurrence gets the loud `dup_of` = [[SaturatedDupOf]]
+    * saturated mark instead of a silent unmarked pass), late-row, and
+    * scale-shape contracts; this form keeps only the non-clean lanes.
+    */
+  def nearDupMarks(
+      occurrences: Dataset[BandOccurrence], horizonMs: Long,
+      maxBandEntries: Int = Int.MaxValue): Dataset[NearDupMark] = {
+    val spark = occurrences.sparkSession
+    import spark.implicits._
+    val gated = occurrences.map(o =>
+      GateOccurrence(o.bandKey, o.band, o.docId, o.datetime, null))
+    bandVerdicts(gated, horizonMs, maxBandEntries)
+      .filter(_.lane != "clean")
+      .map(v => NearDupMark(v.doc_id, v.band, v.dup_of))
+  }
+
+  /** One LSH band occurrence with an optional document PAYLOAD riding
+    * along — the curation-gate transport: the payload (e.g. the raw
+    * document JSON) is carried on exactly ONE band per doc (null on the
+    * others), so the gate sink can land kept documents without a second
+    * stream or a join. Mark-only callers pass null everywhere.
+    */
+  final case class GateOccurrence(
+      bandKey: String, band: Int, docId: Long, datetime: Timestamp,
+      payload: String)
+
+  /** A watermark-final per-OCCURRENCE verdict from [[bandVerdicts]]:
+    * `lane` is `"dup"` (an earlier same-band occurrence within the
+    * horizon exists — `dup_of` is the canonical minimum-(ts, id)
+    * predecessor), `"clean"` (none exists), or `"saturated"` (the band
+    * hit `maxBandEntries` when this occurrence arrived — no verdict
+    * could be computed; `dup_of` = [[SaturatedDupOf]]). Every
+    * non-late occurrence gets EXACTLY ONE verdict, so downstream lane
+    * counts sum to rows in — the q218 split-sink invariant.
+    */
+  final case class BandVerdict(
+      doc_id: Long, band: Int, datetime: Timestamp, lane: String,
+      dup_of: Long, payload: String)
+
+  /** The generalized streaming core under [[nearDupMarks]] and the
+    * ingestion-time curation gate
+    * ([[graft.streaming.Pipelines.nearDupGateSink]]): per-occurrence
+    * watermark-complete verdicts (see [[BandVerdict]]).
+    *
+    * WATERMARK-COMPLETE emission — the property that makes the stream
+    * EXACTLY equal its batch twin ([[bandVerdictsBatch]]) under any
+    * input chopping and any within-watermark disorder: a verdict for
+    * occurrence x is emitted only once the event-time watermark passes
+    * x.ts, at which point every possible predecessor of x has arrived
+    * (Spark guarantees no more rows below the watermark), so the
+    * verdict is computed from the complete predecessor set rather than
+    * from arrival order. The cost is latency: a verdict appears one
+    * watermark-advance after its document.
+    *
+    * HOT-BAND CAP (`maxBandEntries`, default unbounded): resident
+    * predecessor entries per band are bounded — an occurrence arriving
+    * while its band is full is NOT admitted to the predecessor set and
+    * instead receives the loud `"saturated"` verdict (still
+    * watermark-complete, so gate parity per doc is preserved); within a
+    * batch, admission is lowest-(ts, id)-first, a deterministic rule.
+    * Under an adversarial single hot band this bounds state and per-
+    * batch work at O(cap) instead of O(rate × horizon); the price is
+    * that WHICH occurrences saturate depends on arrival order (only the
+    * saturated lane is chopping-sensitive — admitted verdicts stay
+    * exact), and a saturated occurrence is invisible to later
+    * predecessor searches. Size the cap well above the expected
+    * rate × horizon band population (the q40 2²⁰-band sizing makes
+    * genuine bands tiny; only a degenerate band — e.g. every document
+    * sharing one constant block value — approaches any sane cap).
+    *
     * The input MUST carry a watermark on `datetime` (EventTimeTimeout
-    * both wakes idle bands to flush newly-final marks and garbage-
+    * both wakes idle bands to flush newly-final verdicts and garbage-
     * collects: an entry is evicted once the watermark passes
     * ts + horizon, when it can no longer precede any future-final
-    * occurrence — state per band is rate × horizon bounded).
+    * occurrence — state per band is min(cap, rate × horizon) bounded;
+    * in-flight payloads are dropped at verdict emission). A row
+    * arriving BELOW the already-emitted watermark gets no verdict (the
+    * standard streaming late-data contract — route/count those with
+    * [[graft.streaming.Pipelines.lateLaneSplitSink]] upstream); it IS
+    * still admitted as a predecessor for future occurrences.
     *
     * Scale shape: the fingerprint+banding is a stateless map; the only
     * shuffle keys on the band value (2²⁰ × 6 keys), and per-key work is
     * quadratic only in the band's horizon population. Exactly the q40
     * batch economics, streaming.
     */
-  def nearDupMarks(
-      occurrences: Dataset[BandOccurrence], horizonMs: Long): Dataset[NearDupMark] = {
+  def bandVerdicts(
+      occurrences: Dataset[GateOccurrence], horizonMs: Long,
+      maxBandEntries: Int = Int.MaxValue): Dataset[BandVerdict] = {
     require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    require(maxBandEntries > 0, s"maxBandEntries must be positive, got $maxBandEntries")
     val spark = occurrences.sparkSession
     import spark.implicits._
     occurrences.groupByKey(_.bandKey)
-      .flatMapGroupsWithState[NearDupState, NearDupMark](
+      .flatMapGroupsWithState[NearDupState, BandVerdict](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, it: Iterator[BandOccurrence], state: GroupState[NearDupState]) =>
+        (key: String, it: Iterator[GateOccurrence], state: GroupState[NearDupState]) =>
           val wm = state.getCurrentWatermarkMs()
-          val prior = state.getOption.getOrElse(NearDupState(Nil, Long.MinValue))
-          val entries = prior.entries ++
-            it.map(o => (o.datetime.getTime, o.docId)).toList
-          val marks = nearDupEmit(entries, horizonMs, prior.emittedBelowMs, wm)
+          val prior = state.getOption.getOrElse(
+            NearDupState(Nil, Nil, Map.empty, Long.MinValue))
+          val batch = it.toList
+          // dedup within the batch AND against resident state: a caller
+          // frame repeating a (band, doc) occurrence must not mark a doc
+          // against itself or double-spend cap room (r14 advice)
+          val seen = prior.entries.toSet ++ prior.saturated
+          val fresh = batch.map(o => (o.datetime.getTime, o.docId))
+            .distinct.filterNot(seen)
+          val room = math.max(maxBandEntries - prior.entries.size, 0)
+          val (accepted, overflow) =
+            if (fresh.size <= room) (fresh, Nil)
+            else { val s = fresh.sorted; (s.take(room), s.drop(room)) }
+          val payloads = prior.payloads ++
+            batch.collect { case o if o.payload != null => o.docId -> o.payload }
+          val entries = prior.entries ++ accepted
+          val satAll = prior.saturated ++ overflow
+          val verdicts = nearDupVerdicts(entries, horizonMs, prior.emittedBelowMs, wm)
+          val satFinal = satAll.filter { case (ts, _) =>
+            ts >= prior.emittedBelowMs && ts < wm }
           // an entry stops being a possible predecessor once the
-          // watermark passes ts + horizon
+          // watermark passes ts + horizon; a saturated occurrence only
+          // needs to outlive its own emission
           val kept = entries.filter(_._1 >= wm - horizonMs)
-          if (kept.isEmpty) state.remove()
+          val keptSat = satAll.filter(_._1 >= wm)
+          val emittedIds = verdicts.map(_._2).toSet ++ satFinal.map(_._2)
+          val liveIds = kept.map(_._2).toSet ++ keptSat.map(_._2)
+          val keptPayloads = (payloads -- emittedIds)
+            .filter { case (id, _) => liveIds.contains(id) }
+          if (kept.isEmpty && keptSat.isEmpty) state.remove()
           else {
-            state.update(NearDupState(kept, math.max(prior.emittedBelowMs, wm)))
+            state.update(NearDupState(
+              kept, keptSat, keptPayloads, math.max(prior.emittedBelowMs, wm)))
             // wake when the watermark passes the oldest unemitted entry
-            // (to flush its mark) or, with nothing left to emit, the
+            // (to flush its verdict) or, with nothing left to emit, the
             // oldest entry's eviction horizon (to garbage-collect)
-            val unemitted = kept.collect { case (ts, _) if ts >= wm => ts }
+            val unemitted = (kept ++ keptSat).collect { case (ts, _) if ts >= wm => ts }
             val next = if (unemitted.nonEmpty) unemitted.min
               else kept.map(_._1).min + horizonMs
             state.setTimeoutTimestamp(math.max(next, wm + 1))
           }
           val band = key.takeWhile(_ != ':').toInt
-          marks.iterator.map { case (id, dup) => NearDupMark(id, band, dup) }
+          (verdicts.map { case (ts, id, pred) =>
+            BandVerdict(id, band, new Timestamp(ts),
+              if (pred.isDefined) "dup" else "clean",
+              pred.getOrElse(SaturatedDupOf), payloads.getOrElse(id, null))
+          } ++ satFinal.map { case (ts, id) =>
+            BandVerdict(id, band, new Timestamp(ts), "saturated",
+              SaturatedDupOf, payloads.getOrElse(id, null))
+          }).iterator
+      }
+  }
+
+  /** Batch twin of [[bandVerdicts]] for verification and oracle work:
+    * the same [[nearDupVerdicts]] contract over each complete band
+    * group — every occurrence final, no watermark, no cap (a complete
+    * batch has nothing to shed). Oracle-closed through q226.
+    */
+  def bandVerdictsBatch(
+      spark: SparkSession, occurrences: Dataset[GateOccurrence],
+      horizonMs: Long): Dataset[BandVerdict] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    import spark.implicits._
+    occurrences.groupByKey(_.bandKey)
+      .flatMapGroups { (key, it) =>
+        val band = key.takeWhile(_ != ':').toInt
+        val rows = it.toList
+        val payloads =
+          rows.collect { case o if o.payload != null => o.docId -> o.payload }.toMap
+        nearDupVerdicts(
+          rows.map(o => (o.datetime.getTime, o.docId)), horizonMs,
+          Long.MinValue, Long.MaxValue)
+          .iterator.map { case (ts, id, pred) =>
+            BandVerdict(id, band, new Timestamp(ts),
+              if (pred.isDefined) "dup" else "clean",
+              pred.getOrElse(SaturatedDupOf), payloads.getOrElse(id, null)) }
       }
   }
 
