@@ -1279,6 +1279,52 @@ SELECT t.key, t.id, t.ts AS datetime, t.value,
        THEN epoch_us(t.ts) - epoch_us(q.ts) END AS lag_us
 FROM trades t ASOF LEFT JOIN quotes q ON t.key = q.key AND q.ts <= t.ts""",
 
+    // feed-gap ledger: the fold twin dedups (key, ts) then chains in
+    // ascending order, which emits exactly the distinct-lag gap set.
+    "q231_feed_gaps" ->
+      """WITH e AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, ts FROM events
+), g AS (
+  SELECT key, lag(ts) OVER (PARTITION BY key ORDER BY ts) AS gap_start,
+    ts AS gap_end
+  FROM e
+)
+SELECT key, gap_start, gap_end,
+  epoch_us(gap_end) - epoch_us(gap_start) AS gap_us
+FROM g WHERE epoch_us(gap_end) - epoch_us(gap_start) > 21600000000""",
+
+    // cross-feed reconciliation: the bar feed is the trade grain with
+    // deterministic corruption, so each lane's count and volume total
+    // is pure arithmetic over the same hash conditions; precedence
+    // (presence > volume > price) matches the engine's when-chain.
+    "q230_feed_reconcile" ->
+      """WITH g AS (
+  SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+    CAST(count(*) AS BIGINT) AS volume, max(value) AS price
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT *, (user_id + bucket) % 1000 AS hh FROM g
+), bars AS (
+  SELECT user_id, bucket,
+    CASE WHEN hh % 13 = 0 THEN volume + 7 ELSE volume END AS bar_volume,
+    CASE WHEN hh % 17 = 0 THEN price + 5.0 ELSE price END AS bar_price
+  FROM h WHERE hh % 11 <> 0
+  UNION ALL
+  SELECT user_id, bucket + 10000000, volume, price FROM h WHERE hh % 19 = 0
+), r AS (
+  SELECT CASE WHEN b.bar_volume IS NULL THEN 'missing_in_bars'
+              WHEN g.volume IS NULL THEN 'missing_in_trades'
+              WHEN b.bar_volume <> g.volume THEN 'volume_mismatch'
+              WHEN abs(b.bar_price - g.price) > 0.5 THEN 'price_mismatch'
+              ELSE 'ok' END AS lane,
+    g.volume AS trade_volume
+  FROM bars b FULL OUTER JOIN g
+    ON b.user_id = g.user_id AND b.bucket = g.bucket
+)
+SELECT lane, CAST(count(*) AS BIGINT) AS n,
+  CAST(COALESCE(sum(trade_volume), 0) AS BIGINT) AS trade_volume_sum
+FROM r GROUP BY 1""",
+
     // late-data lanes: the sink's watermark replica is pure arithmetic —
     // wm before batch b = running max over batches < b of (batch-max
     // event-time ms) - 30 days; a row is late iff its event time is

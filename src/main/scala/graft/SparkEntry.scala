@@ -3428,10 +3428,12 @@ GROUP BY order_year""")
     val blocks = Pairs.blockedPairSource(d, "l_suppkey", "month", "close", bits = 3)
       .localCheckpoint(true)
     val screen = Pairs.dickeyFullerScreen(d, "l_suppkey", "month", "close", Some(blocks))
+    // top-20 selection via orderBy.limit (TakeOrderedAndProject — a
+    // distributed bounded heap), NOT a global rank window that would
+    // move every screened pair to one partition (the r15 window lint)
     val sel = screen.filter(col("df_tstat") < -3.34)
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("df_tstat").asc, col("k1"), col("k2"))))
-      .filter(col("__rk") <= 20)
+      .orderBy(col("df_tstat").asc, col("k1"), col("k2"))
+      .limit(20)
       .select("k1", "k2", "beta", "alpha", "df_tstat")
       .localCheckpoint(true) // 20 rows, broadcast into the backtest
     Pairs.spreadZBacktest(d, "l_suppkey", "month", "close", sel,
@@ -3481,10 +3483,10 @@ GROUP BY order_year""")
       .select(col("k"), col("month"), col("close"))
       .localCheckpoint(true) // the q208 pinning: one build, many readers
     val full = Pairs.dickeyFullerScreen(d, "k", "month", "close")
+    // orderBy.limit, not a global rank window (the r15 window lint)
     val topk = full.filter(col("df_tstat").isNotNull)
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(abs(col("df_tstat")).desc, col("k1"), col("k2"))))
-      .filter(col("__rk") <= 20)
+      .orderBy(abs(col("df_tstat")).desc, col("k1"), col("k2"))
+      .limit(20)
       .select("k1", "k2")
     // ONE blocked-source build (r13 judge item 5 — the redundant second
     // build was q213's fixable half): table 0 of the tables=3 run
@@ -3848,6 +3850,68 @@ GROUP BY order_year""")
     } finally deleteRecursively(tmp)
   }
 
+  /** X92: CROSS-FEED reconciliation — the reference lands bars AND
+    * trades for the same instruments with nothing checking the feeds
+    * agree; this classifies every (key, 5-min bucket) into exactly one
+    * of five lanes (missing in either feed / volume mismatch / price
+    * mismatch / ok). The bar feed is the trade-derived grain with
+    * DETERMINISTIC corruption (every 11th hash bucket dropped, volume
+    * inflated every 13th, price shifted every 17th, a phantom
+    * far-future bucket every 19th), so the oracle predicts each lane's
+    * count and trade-volume total from the same arithmetic.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events")
+      .withColumn("bucket", expr("unix_micros(ts) div 300000000"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("volume"), max(col("value")).as("price"))
+      // read by the bars-derivation (twice: real + phantom) and the
+      // trades side — pin the aggregate once (the q224 convention)
+      .localCheckpoint(true)
+    val h = g.withColumn("__h",
+      pmod(col("user_id").cast("long") + col("bucket"), lit(1000)))
+    val realBars = h.filter(pmod(col("__h"), lit(11)) =!= 0)
+      .withColumn("bar_volume",
+        when(pmod(col("__h"), lit(13)) === 0, col("volume") + 7)
+          .otherwise(col("volume")))
+      .withColumn("bar_price",
+        when(pmod(col("__h"), lit(17)) === 0, col("price") + 5.0)
+          .otherwise(col("price")))
+    val phantom = h.filter(pmod(col("__h"), lit(19)) === 0)
+      .withColumn("bucket", col("bucket") + lit(10000000L))
+      .withColumn("bar_volume", col("volume"))
+      .withColumn("bar_price", col("price"))
+    val bars = realBars.unionByName(phantom)
+      .select(col("user_id"), col("bucket"), col("bar_volume"), col("bar_price"))
+    val trades = g.select(col("user_id"), col("bucket"),
+      col("volume").as("trade_volume"), col("price").as("trade_price"))
+    graft.ingest.Ingest.reconcileFeeds(bars, trades,
+        "user_id", "bucket", "bar_volume", "trade_volume",
+        "bar_price", "trade_price", priceTol = 0.5)
+      .groupBy(col("lane"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("trade_volume")), lit(0L)).as("trade_volume_sum"))
+  }
+
+  /** X93: FEED-GAP detection, batch-twin oracle closure — the outage
+    * ledger the reference's polling producers imply and never surface:
+    * every consecutive-event gap per user wider than 6 hours, exact
+    * integer micros. The streaming form
+    * ([[graft.streaming.StatefulOps.feedGapsStream]]) emits the same
+    * completed gaps watermark-complete; its equality to this twin and
+    * to the window-based production form
+    * ([[graft.analytics.TimeSeries.feedGaps]]) is pinned by
+    * StatefulSpec.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ev = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("key"), col("ts").as("datetime"))
+      .as[StatefulOps.KeyedEvent]
+    StatefulOps.feedGapsBatch(s, ev, maxGapUs = 21600000000L).toDF()
+  }
+
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
     * judge item 3): corrupt → route → repair the raw payloads
     * MECHANICALLY (the corruption is invertible from the bytes alone:
@@ -4087,11 +4151,15 @@ GROUP BY order_year""")
     */
   private def q215(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-20 via orderBy.limit (distributed bounded heap), THEN the
+    // rank window over the already-limited 20-row frame — never a
+    // global rank over the per-doc weights (the r15 window lint)
     val w = Window.orderBy(col("dsir_weight").desc, col("doc_id"))
     graft.llmops.Sampling.dsirWeights(
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(20)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
   }
 
   /** X74 second screen: the LEAD-LAG cross-correlation screen fed
@@ -4377,6 +4445,8 @@ GROUP BY order_year""")
     "q227_persisted_ann_index" -> (q227 _),
     "q228_stream_asof" -> (q228 _),
     "q229_late_lanes" -> (q229 _),
+    "q230_feed_reconcile" -> (q230 _),
+    "q231_feed_gaps" -> (q231 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

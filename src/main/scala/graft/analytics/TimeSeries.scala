@@ -551,6 +551,30 @@ object TimeSeries {
     * derived bar frame before passing it, or both branches recompute
     * its lineage (q224 pins the pattern).
     */
+  /** X93: FEED-GAP detection, batch form — the outage read the
+    * reference's polling producers imply and never surface: bars are
+    * fetched every ~20 s per ticker
+    * (`scripts/finance-collect-data/StockFinanceMetrics.py:114-127`)
+    * and trades stream at websocket rate, so silence beyond the
+    * expected cadence IS an incident, currently invisible. Per key,
+    * every consecutive-event gap wider than `maxGapUs`:
+    * (key, gap_start, gap_end, gap_us) — exact integer micros.
+    *
+    * One keyed lag window (shares W2's shape — at scale this is one
+    * shuffle + one ordered pass, linear). The streaming form is
+    * [[graft.streaming.StatefulOps.feedGapsStream]] (watermark-complete,
+    * equal to this on completed gaps).
+    */
+  def feedGaps(
+      df: DataFrame, keyCol: String, tsCol: String, maxGapUs: Long): DataFrame = {
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    df.select(col(keyCol).as("key"), prev.as("gap_start"), col(tsCol).as("gap_end"))
+      .withColumn("gap_us", unix_micros(col("gap_end")) - unix_micros(col("gap_start")))
+      .filter(col("gap_us") > maxGapUs)
+  }
+
   def adjustedClose(
       df: DataFrame, keyCol: String, timeCol: String, closeCol: String,
       dividendCol: String, splitCol: String): DataFrame = {

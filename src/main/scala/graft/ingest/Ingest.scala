@@ -243,4 +243,64 @@ object Ingest {
       .orderBy(col(orderCol).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === offset).drop("__rn")
   }
+
+  /** X92: CROSS-FEED reconciliation — the data-quality read the
+    * reference's dual ingest implies and never performs: it lands
+    * pre-aggregated bars (yfinance) AND raw trades (Finnhub) for the
+    * same instruments into one keyspace
+    * (`dags/ingestion_yfinance_data_to_cassandra_db.py:122-137`,
+    * `dags/ingestion_finnhub_data_to_cassandra_db.py:122-132`,
+    * `README.md:9-15`) with nothing checking that the two feeds AGREE.
+    * Given the bar feed and a trade-derived aggregate on the same
+    * (key, bucket) grain, classify every bucket into EXACTLY one lane
+    * (the X83 exactly-one-lane discipline):
+    *
+    *   - `missing_in_bars`   — trades exist, no bar landed (feed outage
+    *                           or dropped message);
+    *   - `missing_in_trades` — a bar landed with no supporting trades
+    *                           (stale/phantom bar);
+    *   - `volume_mismatch`   — both present, reported volumes differ;
+    *   - `price_mismatch`    — volumes agree but the bar's price is
+    *                           more than `priceTol` from the
+    *                           trade-derived price;
+    *   - `ok`                — the feeds agree.
+    *
+    * Precedence is the listed order (presence before volume before
+    * price), so lane counts are deterministic and sum to the distinct
+    * (key, bucket) universe. Both inputs must be unique per
+    * (key, bucket) — pre-aggregated grains; violations would silently
+    * double-count, so they fail loudly via
+    * [[graft.util.Guards.requireUniquePerKey]].
+    *
+    * Scale shape: ONE full-outer sort-merge/shuffle join on the
+    * (key, bucket) grain — both sides are already aggregate-sized
+    * (keys × buckets, collapsed from their raw feeds before this call);
+    * the verdict is a codegen projection. No broadcast assumption: at
+    * 100 TB both grains can be large.
+    */
+  def reconcileFeeds(
+      bars: DataFrame, trades: DataFrame, keyCol: String, bucketCol: String,
+      barVolumeCol: String, tradeVolumeCol: String,
+      barPriceCol: String, tradePriceCol: String,
+      priceTol: Double): DataFrame = {
+    require(priceTol >= 0, s"priceTol must be >= 0, got $priceTol")
+    val b = graft.util.Guards.requireUniquePerKey(
+      bars.select(col(keyCol).as("key"), col(bucketCol).as("bucket"),
+        col(barVolumeCol).cast("long").as("bar_volume"),
+        col(barPriceCol).cast("double").as("bar_price")),
+      Seq("key", "bucket"), "reconcileFeeds bars grain")
+    val t = graft.util.Guards.requireUniquePerKey(
+      trades.select(col(keyCol).as("key"), col(bucketCol).as("bucket"),
+        col(tradeVolumeCol).cast("long").as("trade_volume"),
+        col(tradePriceCol).cast("double").as("trade_price")),
+      Seq("key", "bucket"), "reconcileFeeds trades grain")
+    b.join(t, Seq("key", "bucket"), "full_outer")
+      .withColumn("lane",
+        when(col("bar_volume").isNull, lit("missing_in_bars"))
+          .when(col("trade_volume").isNull, lit("missing_in_trades"))
+          .when(col("bar_volume") =!= col("trade_volume"), lit("volume_mismatch"))
+          .when(abs(col("bar_price") - col("trade_price")) > priceTol,
+            lit("price_mismatch"))
+          .otherwise(lit("ok")))
+  }
 }

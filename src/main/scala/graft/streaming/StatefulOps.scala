@@ -1134,6 +1134,103 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming FEED-GAP detection: watermark-complete X93 ------------
+
+  /** One keyed heartbeat event (any feed: bars, trades, sensor rows). */
+  final case class KeyedEvent(key: String, datetime: Timestamp)
+
+  /** A detected feed gap: no event for `key` strictly inside
+    * (gap_start, gap_end), gap wider than the configured cadence bound.
+    */
+  final case class FeedGap(
+      key: String, gap_start: Timestamp, gap_end: Timestamp, gap_us: Long)
+
+  /** Per-key gap state: not-yet-final event micros, the last FINAL
+    * event's micros (−1 before any), and the emitted watermark floor.
+    */
+  final case class FeedGapState(
+      pending: List[Long], lastUs: Long, emittedBelowMs: Long)
+
+  /** The shared chain rule: fold final events in ascending micros order
+    * from `lastUs`, emitting a gap whenever the step exceeds
+    * `maxGapUs`. Returns (gaps, new lastUs).
+    */
+  private[streaming] def feedGapFold(
+      lastUs: Long, finalUs: Seq[Long], maxGapUs: Long): (Seq[(Long, Long)], Long) = {
+    var last = lastUs
+    val gaps = Seq.newBuilder[(Long, Long)]
+    finalUs.distinct.sorted.foreach { us =>
+      if (last >= 0 && us - last > maxGapUs) gaps += ((last, us))
+      last = us
+    }
+    (gaps.result(), last)
+  }
+
+  /** STREAMING feed-gap detection (X93) — the outage monitor the
+    * reference's polling producers imply
+    * (`StockFinanceMetrics.py:114-127`: one bar fetch per ticker every
+    * ~20 s; silence is an incident and nothing today observes it):
+    * emit (key, gap_start, gap_end, gap_us) for every consecutive-event
+    * gap wider than `maxGapUs`, as the event CLOSING the gap becomes
+    * watermark-final — so the stream exactly equals the batch form
+    * ([[graft.analytics.TimeSeries.feedGaps]]) on completed gaps under
+    * any chopping and any within-watermark disorder (the X87 design
+    * center). An OPEN gap (a key silent right now) has no closing event
+    * and is deliberately not emitted — poll
+    * [[graft.analytics.TimeSeries.feedGaps]] over landed data with a
+    * synthetic now-row for liveness paging; this operator is the exact
+    * completed-gap ledger.
+    *
+    * The input MUST carry a watermark on `datetime`. State per key is
+    * one long (the last final event) plus the in-flight pending buffer
+    * (rate × watermark-delay bounded); the last-event long persists for
+    * the key's lifetime — state is key-cardinality bounded, the same
+    * budget every keyed aggregate on the feed already pays.
+    */
+  def feedGapsStream(
+      events: Dataset[KeyedEvent], maxGapUs: Long): Dataset[FeedGap] = {
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[FeedGapState, FeedGap](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[KeyedEvent], state: GroupState[FeedGapState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(FeedGapState(Nil, -1L, Long.MinValue))
+          val pending = (prior.pending ++ it.map(e => epochMicros(e.datetime))).distinct
+          def tsMs(us: Long): Long = Math.floorDiv(us, 1000L)
+          val (finalUs, rest) = pending.partition(us =>
+            tsMs(us) >= prior.emittedBelowMs && tsMs(us) < wm)
+          val (gaps, newLast) = feedGapFold(prior.lastUs, finalUs, maxGapUs)
+          val kept = rest.filter(us => tsMs(us) >= wm)
+          state.update(FeedGapState(kept, newLast, math.max(prior.emittedBelowMs, wm)))
+          if (kept.nonEmpty)
+            state.setTimeoutTimestamp(math.max(kept.map(tsMs).min, wm + 1))
+          gaps.iterator.map { case (a, b) =>
+            FeedGap(key, microsTimestamp(a), microsTimestamp(b), b - a) }
+      }
+  }
+
+  /** Batch twin of [[feedGapsStream]] for verification (X69): the same
+    * [[feedGapFold]] over each complete key group. Oracle-closed by
+    * q231; equals [[graft.analytics.TimeSeries.feedGaps]] (the
+    * window-based production batch form) by StatefulSpec.
+    */
+  def feedGapsBatch(
+      spark: SparkSession, events: Dataset[KeyedEvent],
+      maxGapUs: Long): Dataset[FeedGap] = {
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        val (gaps, _) = feedGapFold(
+          -1L, it.map(e => epochMicros(e.datetime)).toSeq, maxGapUs)
+        gaps.iterator.map { case (a, b) =>
+          FeedGap(key, microsTimestamp(a), microsTimestamp(b), b - a) }
+      }
+  }
+
   // ---- streaming NEAR-DUP marks: watermark-complete banded LSH dedup ----
 
   /** One LSH band occurrence: `bandKey` is "blockIdx:blockValue" (the
@@ -1235,8 +1332,15 @@ object StatefulOps {
       maxBandEntries: Int = Int.MaxValue): Dataset[NearDupMark] = {
     val spark = occurrences.sparkSession
     import spark.implicits._
-    val gated = occurrences.map(o =>
-      GateOccurrence(o.bandKey, o.band, o.docId, o.datetime, null))
+    import org.apache.spark.sql.functions.{col, lit}
+    // Column-level projection, NOT a typed map: an object round trip
+    // re-serializes `datetime` into a fresh attribute and silently drops
+    // its watermark tag — the stateful op below would then reject the
+    // query ("event-time timeout not supported without watermark")
+    val gated = occurrences.toDF()
+      .select(col("bandKey"), col("band"), col("docId"), col("datetime"),
+        lit(null).cast("string").as("payload"))
+      .as[GateOccurrence]
     bandVerdicts(gated, horizonMs, maxBandEntries)
       .filter(_.lane != "clean")
       .map(v => NearDupMark(v.doc_id, v.band, v.dup_of))

@@ -1,5 +1,7 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -143,5 +145,69 @@ class CorpusStreamSpec extends SparkSpec {
     // and the encode really exercised both vocab hits and OOV
     val d1 = sink.filter(col("doc_id") === 1L).collect()(0)
     assert(d1.getAs[Long]("n_tokens") === 6L && d1.getAs[Long]("n_oov") >= 1L)
+  }
+
+  test("ingestion-time curation gate: stream lanes equal the batch-twin verdict under chopping") {
+    // X88 end to end: docs -> stateless banding (payload rides band 0)
+    // -> watermark-complete band verdicts -> the gate sink forks
+    // kept/dropped document lanes. Chopped with a near-dup arriving in
+    // a later batch; the lanes must equal the batch twin's combine
+    // (the q226 construction), every doc in exactly one lane with its
+    // payload intact.
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_stream_").toString
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // same distinct-token SET as tA (reordered + one word repeated):
+    // identical SimHash-120 fingerprint, so every band votes dup — a
+    // guaranteed near-dup regardless of hash geometry
+    val tA2 = "today today the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different content about compaction policies and zone maps in a log"
+    def row(id: Long, sec: Int, text: String) =
+      (id, Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"), text)
+    val batch1 = Seq(row(1L, 0, tA), row(3L, 90, tB))
+    val batch2 = Seq(row(2L, 30, tA2)) // later batch, earlier-adjacent event time
+    val sentinel = Seq(row(900L, 3000, "sentinel payload one of a kind zz"),
+      row(901L, 3300, "another sentinel payload equally unique qq"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val occ = Pipelines.gateOccurrences(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      TextAnalysis.tokens(col("text")), numBlocks = 6)
+    val verdicts = StatefulOps.bandVerdicts(
+      occ.withWatermark("datetime", "2 minutes"), horizonMs = 600000L)
+    val q = Pipelines.start(
+      Pipelines.nearDupGateSink(verdicts, 6, s"$dir/kept", s"$dir/dropped", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      Seq(batch1, batch2, sentinel).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      mem.addData(row(902L, 3600, "final nudge payload after the cut xx"))
+      q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val kept = spark.read.parquet(s"$dir/kept")
+        .filter(col("doc_id") < 100).select("doc_id", "payload")
+        .as[(Long, String)].collect().toMap
+      val dropped = spark.read.parquet(s"$dir/dropped")
+        .filter(col("doc_id") < 100)
+        .select("doc_id", "payload", "dup_of")
+        .as[(Long, String, Long)].collect()
+      // doc 2 is the near-dup of doc 1 (earlier (ts, id)); 1 and 3 keep
+      assert(kept.keySet === Set(1L, 3L), s"kept: $kept dropped: ${dropped.toSeq}")
+      assert(kept(1L) === tA && kept(3L) === tB, "payload must ride the kept lane intact")
+      assert(dropped.map(_._1).toSeq === Seq(2L))
+      assert(dropped.head._2 === tA2 && dropped.head._3 === 1L,
+        s"dropped doc carries payload + canonical predecessor: ${dropped.head}")
+      // batch twin: the q226 construction over the same rows
+      val events = (batch1 ++ batch2).toDF("doc_id", "ts", "text")
+      val twin = Pipelines.combineDocVerdicts(
+        StatefulOps.bandVerdictsBatch(spark,
+          Pipelines.gateOccurrences(events, "doc_id", "ts", "text",
+            TextAnalysis.tokens(col("text")), 6), 600000L).toDF(), 6)
+      val twinRows = twin.select("doc_id", "kept").as[(Long, Boolean)]
+        .collect().toMap
+      assert(twinRows === Map(1L -> true, 3L -> true, 2L -> false),
+        s"twin verdicts: $twinRows")
+    } finally q.stop()
   }
 }

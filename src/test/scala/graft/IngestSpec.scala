@@ -170,4 +170,39 @@ class IngestSpec extends SparkSpec {
     assert(!replayLanes.contains("malformed_json") && !replayLanes.contains("missing_key"),
       s"repair must clear both producer-corruption lanes: $replayLanes")
   }
+
+  test("reconcileFeeds: exactly one lane per (key, bucket), precedence presence > volume > price") {
+    import spark.implicits._
+    // trades grain is the base truth; bars deviate one way per bucket
+    val trades = Seq(
+      ("A", 1L, 100L, 10.0), // ok
+      ("A", 2L, 100L, 10.0), // bar missing
+      ("A", 3L, 100L, 10.0), // volume mismatch (and price off: volume wins)
+      ("A", 4L, 100L, 10.0)  // price mismatch
+    ).toDF("key", "bucket", "t_vol", "t_px")
+    val bars = Seq(
+      ("A", 1L, 100L, 10.0),
+      ("A", 3L, 107L, 99.0),
+      ("A", 4L, 100L, 10.9),
+      ("A", 5L, 100L, 10.0)  // phantom: no trades
+    ).toDF("key", "bucket", "b_vol", "b_px")
+    val out = Ingest.reconcileFeeds(bars, trades, "key", "bucket",
+        "b_vol", "t_vol", "b_px", "t_px", priceTol = 0.5)
+      .select("bucket", "lane").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "ok", 2L -> "missing_in_bars",
+      3L -> "volume_mismatch", 4L -> "price_mismatch", 5L -> "missing_in_trades"),
+      out.toString)
+    // grain-uniqueness guard: a duplicate (key, bucket) on either side
+    // fails loudly instead of silently double-counting
+    val dupBars = bars.unionByName(
+      Seq(("A", 1L, 100L, 10.0)).toDF("key", "bucket", "b_vol", "b_px"))
+    val e = intercept[Exception] {
+      Ingest.reconcileFeeds(dupBars, trades, "key", "bucket",
+        "b_vol", "t_vol", "b_px", "t_px", priceTol = 0.5).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("reconcileFeeds bars grain"), chain(e))
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.streaming.StatefulOps
 import graft.streaming.StatefulOps.{OhlcSnapshot, TickerTick}
@@ -463,6 +464,170 @@ class StatefulSpec extends SparkSpec {
         s"twin contract: 2 and 3 mark against 1; 4 out of horizon; 50 alone: $batch")
       assert(streaming === batch,
         s"stream must equal the twin despite disorder: $streaming vs $batch")
+    } finally q.stop()
+  }
+
+  test("streaming feed gaps equal the batch twin AND the window form under chopping and disorder") {
+    import StatefulOps.{FeedGap, KeyedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(key: String, sec: Int) = KeyedEvent(key,
+      Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"))
+    val maxGapUs = 60L * 1000000L // 1 minute cadence bound
+    // key A: events at 0, 30, then silence to 200 (gap), 220, then 400
+    // (gap) — the 200 event arrives LATE (after 220, within watermark);
+    // key B: a lone event, no gap; duplicate event at A/30 must not
+    // split the chain
+    val batch1 = Seq(ev("A", 0), ev("A", 30), ev("A", 30), ev("A", 220), ev("B", 10))
+    val batch2 = Seq(ev("A", 200)) // late-but-in-watermark
+    val batch3 = Seq(ev("A", 400))
+    val sentinel = Seq(ev("Z", 3000))
+    val mem = MemoryStream[KeyedEvent]
+    val q = StatefulOps.feedGapsStream(
+        mem.toDS().withWatermark("datetime", "5 minutes"), maxGapUs)
+      .writeStream.format("memory").queryName("gap_out").outputMode("append").start()
+    try {
+      Seq(batch1, batch2, batch3, sentinel).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      mem.addData(ev("Z", 3500)); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val streaming = spark.table("gap_out").as[FeedGap].collect()
+        .filter(_.key != "Z").sortBy(g => (g.key, g.gap_start.getTime))
+      val events = batch1 ++ batch2 ++ batch3
+      val batch = StatefulOps.feedGapsBatch(spark, events.toDS(), maxGapUs)
+        .collect().filter(_.key != "Z").sortBy(g => (g.key, g.gap_start.getTime))
+      assert(streaming.toSeq === batch.toSeq,
+        s"stream must equal the twin despite the late event: " +
+          s"${streaming.toSeq} vs ${batch.toSeq}")
+      // semantics: the late 200 event SPLITS what would otherwise be a
+      // single 30->220 gap into 30->200 and leaves 200->220 under the
+      // bound; 220->400 is the second gap
+      assert(batch.map(g => (g.gap_start.getTime, g.gap_end.getTime)).toSeq ===
+        Seq((30000L + tsBase, 200000L + tsBase), (220000L + tsBase, 400000L + tsBase)))
+      // and the window-based production form agrees
+      val viaWindow = graft.analytics.TimeSeries.feedGaps(
+          events.toDS().toDF(), "key", "datetime", maxGapUs)
+        .as[FeedGap].collect().filter(_.key != "Z")
+        .sortBy(g => (g.key, g.gap_start.getTime))
+      assert(viaWindow.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  private lazy val tsBase: Long =
+    Timestamp.valueOf("2024-01-01 10:00:00").getTime
+
+  test("hot-band cap: past maxBandEntries, occurrences take the loud dup_of = -1 saturated lane") {
+    import StatefulOps.{BandOccurrence, NearDupMark}
+    implicit val sqlCtx = spark.sqlContext
+    def occ(id: Long, tsSec: Int) = BandOccurrence(
+      "0:7", 0, id,
+      Timestamp.valueOf(f"2024-01-01 10:${tsSec / 60}%02d:${tsSec % 60}%02d"))
+    // one adversarial band, cap 1: id 1 is admitted (lowest (ts, id)
+    // first — deterministic within the batch), 2 and 3 overflow and
+    // must surface as SATURATED marks, not silently pass unmarked
+    val batch1 = Seq(occ(1L, 0), occ(2L, 10), occ(3L, 20))
+    val sentinel = Seq(BandOccurrence("5:999", 5, -1L,
+      Timestamp.valueOf("2024-01-01 11:00:00")))
+    val mem = MemoryStream[BandOccurrence]
+    val q = StatefulOps.nearDupMarks(
+        mem.toDS().withWatermark("datetime", "1 minute"),
+        horizonMs = 120000L, maxBandEntries = 1)
+      .writeStream.format("memory").queryName("sat_out").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(sentinel: _*); q.processAllAvailable()
+      mem.addData(BandOccurrence("5:999", 5, -2L,
+        Timestamp.valueOf("2024-01-01 11:05:00"))); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val marks = spark.table("sat_out").as[NearDupMark].collect()
+        .filter(_.band != 5).toSet
+      assert(marks === Set(
+        NearDupMark(2L, 0, StatefulOps.SaturatedDupOf),
+        NearDupMark(3L, 0, StatefulOps.SaturatedDupOf)),
+        s"cap=1 admits only id 1; 2 and 3 must land the saturated lane: $marks")
+    } finally q.stop()
+  }
+
+  test("duplicate (band, doc) occurrences never mark a doc against itself") {
+    import StatefulOps.{BandOccurrence, NearDupMark}
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    // the same (ts, id) occurrence repeated — the r14-advice trap: a
+    // strict-tuple read over the raw seq would report dup_of == doc_id
+    val occs = Seq(
+      BandOccurrence("0:7", 0, 1L, ts),
+      BandOccurrence("0:7", 0, 1L, ts))
+    val marks = StatefulOps.nearDupMarksBatch(spark, occs.toDS(), 120000L).collect()
+    assert(marks.isEmpty, s"a doc repeated in one band is not its own dup: ${marks.toSeq}")
+    // and a genuine later doc still marks against the deduplicated earlier one
+    val withLater = occs :+ BandOccurrence("0:7", 0, 2L,
+      Timestamp.valueOf("2024-01-01 10:01:00"))
+    val m2 = StatefulOps.nearDupMarksBatch(spark, withLater.toDS(), 120000L).collect()
+    assert(m2.toSeq === Seq(NearDupMark(2L, 0, 1L)))
+  }
+
+  test("streaming as-of enrichment equals the batch twin AND asOfJoinTolerance under chopping and disorder") {
+    import StatefulOps.{AsOfEnriched, AsOfInput}
+    implicit val sqlCtx = spark.sqlContext
+    def in(key: String, tsSec: Int, isQuote: Boolean, id: Long, v: Double) =
+      AsOfInput(key,
+        Timestamp.valueOf(f"2024-01-01 10:${tsSec / 60}%02d:${tsSec % 60}%02d"),
+        isQuote, id, v)
+    val tolUs = 100L * 1000000L // 100 s staleness bound
+    // key A: quote at t0; trades at t30 (matches t0), t55 (must match
+    // the LATE quote t50 that arrives one batch later, within the
+    // watermark), t200 (latest quote t50 is 150 s stale -> null match).
+    // key B: a trade with no quote at all -> null match.
+    val batch1 = Seq(
+      in("A", 0, isQuote = true, 100L, 10.0),
+      in("A", 30, isQuote = false, 1L, 1.0),
+      in("A", 55, isQuote = false, 2L, 2.0))
+    val batch2 = Seq(
+      in("A", 50, isQuote = true, 101L, 11.0), // late-but-in-watermark quote
+      in("B", 60, isQuote = false, 3L, 3.0))
+    val batch3 = Seq(in("A", 200, isQuote = false, 4L, 4.0))
+    val sentinel = in("Z", 3000, isQuote = true, 999L, 0.0)
+    val mem = MemoryStream[AsOfInput]
+    val q = StatefulOps.asOfEnrichStream(
+        mem.toDS().withWatermark("datetime", "2 minutes"), tolUs)
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      Seq(batch1, batch2, batch3, Seq(sentinel)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      mem.addData(in("Z", 3100, isQuote = true, 998L, 0.0)); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val streaming = spark.table("asof_out").as[AsOfEnriched].collect()
+        .filter(_.key != "Z").sortBy(_.id)
+      val events = batch1 ++ batch2 ++ batch3
+      val batch = StatefulOps.asOfEnrichBatch(spark, events.toDS(), tolUs)
+        .collect().filter(_.key != "Z").sortBy(_.id)
+      assert(streaming.toSeq === batch.toSeq,
+        s"stream must equal the twin despite the late quote: " +
+          s"${streaming.toSeq} vs ${batch.toSeq}")
+      // the twin itself carries the intended semantics
+      assert(batch.map(e => e.id -> e.quote_value).toMap ===
+        Map(1L -> Some(10.0), 2L -> Some(11.0), 3L -> None, 4L -> None))
+      assert(batch.find(_.id == 2L).get.lag_us === Some(5000000L))
+      // and equals the PRODUCTION batch form (one window pass, no
+      // per-key lists) on the same frames
+      val all = events.toDS().toDF()
+      val trades = all.filter(!col("isQuote"))
+        .select(col("key"), col("id"), col("datetime"), col("value"))
+      val quotes = all.filter(col("isQuote"))
+        .select(col("key"), col("datetime"),
+          col("datetime").as("quote_ts"), col("value").as("quote_value"))
+      val viaWindow = graft.analytics.TimeSeries.asOfJoinTolerance(
+          trades, quotes, "key", "datetime", "datetime",
+          Seq("quote_ts", "quote_value"), tolUs)
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3),
+            Option(r.getTimestamp(4)), Option(r.get(5)).map(_.asInstanceOf[Double]),
+            Option(r.get(6)).map(_.asInstanceOf[Long]))
+        }.sortBy(_._2)
+      val twin = batch.map(e => (e.key, e.id, e.datetime, e.value,
+        e.quote_ts, e.quote_value, e.lag_us)).toSeq
+      assert(viaWindow.toSeq === twin,
+        s"fold twin must equal asOfJoinTolerance: ${viaWindow.toSeq} vs $twin")
     } finally q.stop()
   }
 }

@@ -365,4 +365,45 @@ class StreamingSpec extends SparkSpec {
       assert(rows.exists(r => r.getAs[Long]("volume") === 300L && r.getAs[Long]("n") === 2L))
     } finally q.stop()
   }
+
+  test("late-lane split sink: replica watermark equals Spark's, every row lands exactly one lane") {
+    // X91: the driver-side watermark replica (running max event-time ms
+    // minus delay, applied one batch later) must equal the watermark
+    // Spark itself reports for the same delay — so the late lane holds
+    // exactly the rows a downstream stateful operator would drop.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_lane_").toString
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("id", "datetime")
+      .withWatermark("datetime", "10 seconds")
+    val q = Pipelines.start(
+      Pipelines.lateLaneSplitSink(df, "datetime", 10000L,
+        s"$dir/on", s"$dir/late", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData((1L, ts(100))); q.processAllAvailable()
+      // wm is now 100s - 10s = 90s: 85s is late, 95s and 200s are not
+      mem.addData((2L, ts(85)), (3L, ts(95)), (4L, ts(200))); q.processAllAvailable()
+      // wm is now 190s: 150s is late
+      mem.addData((5L, ts(150))); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val onTime = spark.read.parquet(s"$dir/on")
+        .select("id").as[Long].collect().toSet
+      val late = spark.read.parquet(s"$dir/late")
+        .select("id").as[Long].collect().toSet
+      assert(onTime === Set(1L, 3L, 4L) && late === Set(2L, 5L),
+        s"on=$onTime late=$late")
+      assert((onTime & late).isEmpty && (onTime ++ late).size === 5,
+        "exactly one lane per row, lanes sum to rows in")
+      // the persisted replica equals the watermark Spark reports
+      val replica = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$dir/ckpt", "graft_late_wm").toPath)).trim.toLong
+      val reported = q.lastProgress.eventTime.get("watermark")
+      assert(reported != null, "Spark must report a watermark for the delayed column")
+      assert(java.time.Instant.parse(reported).toEpochMilli === replica,
+        s"replica $replica != Spark watermark $reported")
+    } finally q.stop()
+  }
 }

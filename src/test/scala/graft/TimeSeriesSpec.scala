@@ -313,6 +313,18 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.adjustedClose(firstDiv, "sym", "t", "close", "dividend", "split")
       .collect().map(r => r.getString(1) -> r.getAs[Double]("adj_close")).toMap
     assert(out("t1") === 10.0 && out("t2") === 20.0)
+    // duplicate (key, time) bars make the lag() base price
+    // nondeterministic — they must fail loudly IN-PLAN (the r14-advice
+    // uniqueness guard, riding the existing keyed window), even when no
+    // real corporate action exists anywhere in the frame
+    val dupBars = Seq(
+      ("A", "t1", 10.0, 0.0, 0.0), ("A", "t1", 11.0, 0.0, 0.0),
+      ("A", "t2", 12.0, 0.0, 0.0))
+      .toDF("sym", "t", "close", "dividend", "split")
+    val e3 = intercept[Exception] {
+      TimeSeries.adjustedClose(dupBars, "sym", "t", "close", "dividend", "split").collect()
+    }
+    assert(chain(e3).contains("duplicate bar"), chain(e3))
   }
 
   test("adjustedClose invariants: no events is identity; a lone k:1 split scales exactly the pre-split history by 1/k") {

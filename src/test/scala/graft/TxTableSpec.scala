@@ -339,6 +339,36 @@ class TxTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tx append sink auto-compacts once the live file count crosses the threshold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = freshPath()
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().select(col("_1").as("id"), col("_2").as("px"))
+    val q = graft.streaming.Pipelines.txAppendParquetSink(
+      stream, path, freshPath() + "/ckpt", appId = "ingest-ac",
+      statsColumns = Seq("px"),
+      autoCompact = Some((3, "id", 1))).start()
+    try {
+      // 4 single-file epochs: the append that lifts live files to >= 3
+      // must trigger the sink's own fold down to 1 file (op=compact)
+      (0 until 4).foreach { i =>
+        mem.addData((i.toLong, i * 10.0)); q.processAllAvailable()
+      }
+      Option(q.exception.orNull).foreach(throw _)
+      assert(TxParquetTable.snapshot(spark, path).count() === 4)
+      val h = TxParquetTable.history(spark, path).collect()
+      assert(h.exists(_.getAs[Boolean]("is_compact")),
+        s"threshold crossed -> an op=compact commit must appear: ${h.toSeq}")
+      // the live layout stays under the threshold after the last epoch
+      assert(TxParquetTable.liveFileCount(path) <= 3,
+        s"live files: ${TxParquetTable.liveFileCount(path)}")
+      // content survives the folds exactly
+      assert(TxParquetTable.snapshot(spark, path)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("history: one log-derived row per commit with compaction and txn metadata") {
     val path = freshPath()
     TxParquetTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1),

@@ -230,4 +230,30 @@ class FoldPropertySpec extends AnyFunSuite {
       assert(windowed.sorted === whole.sorted, s"seed=$seed diverged")
     }
   }
+
+  test("nearDupVerdicts: exactly one verdict per distinct occurrence; repeated (ts, id) rows collapse (no self-mark)") {
+    import StatefulOps.nearDupVerdicts
+    // repeated occurrence: the r14-advice trap — a strict-tuple read over
+    // the raw seq would find the identical tuple at a lower index and
+    // report dup_of == doc_id; distinct-first makes the repeat invisible
+    val dup = Seq((10L, 1L), (10L, 1L), (50L, 2L))
+    val v = nearDupVerdicts(dup, 100L, Long.MinValue, Long.MaxValue)
+    assert(v === Seq((10L, 1L, None), (50L, 2L, Some(1L))), v.toString)
+    // property: over random entries, every DISTINCT occurrence gets
+    // exactly one verdict, and the marked subset equals nearDupEmit
+    for (seed <- 1L to 40L) {
+      val n = sample(Gen.choose(0, 25), seed)
+      val ts = sample(Gen.listOfN(n, Gen.choose(0L, 300L)), seed + 1)
+      val entries = ts.zipWithIndex.map { case (t, i) => (t, (i % 7).toLong) }
+      val horizon = sample(Gen.choose(1L, 150L), seed + 2)
+      val verdicts = StatefulOps.nearDupVerdicts(
+        entries, horizon, Long.MinValue, Long.MaxValue)
+      assert(verdicts.map(x => (x._1, x._2)).sorted === entries.distinct.sorted,
+        s"seed=$seed: one verdict per distinct occurrence")
+      val marks = verdicts.collect { case (_, id, Some(p)) => (id, p) }
+      assert(marks.sorted ===
+        StatefulOps.nearDupEmit(entries, horizon, Long.MinValue, Long.MaxValue).sorted,
+        s"seed=$seed: marked subset must equal nearDupEmit")
+    }
+  }
 }
