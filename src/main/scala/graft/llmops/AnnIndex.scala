@@ -82,7 +82,10 @@ object AnnIndex {
       TxParquetTable.snapshot(spark, centroidsPath(path)))
     val cellIds = cents.map(_._1).toSeq
     val vecs = cents.map(_._2.toSeq).toSeq
-    val assigned = graft.util.Partitioning.ensureParallelism(newVectors)
+    // no forced repartition: the assign is a cheap map (k dot products
+    // per row against a literal matrix) and a blown-up partition count
+    // would fragment the assignments table one tiny file per partition
+    val assigned = newVectors
       .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
       .withColumn("cell", graft.functions.NearestCentroidCell
         .nearestCentroidCell(col("v"), cellIds, vecs))
@@ -94,12 +97,24 @@ object AnnIndex {
   def indexedCount(path: String): Long =
     TxParquetTable.rowCount(assignmentsPath(path)).getOrElse(0L)
 
+  /** Coalesce a sorted distinct cell list into maximal consecutive
+    * runs — one zone-map-pruned read per RUN instead of per cell (a
+    * query set probing most cells degenerates to one full-range read,
+    * which is also the right plan there).
+    */
+  private[llmops] def cellRuns(cells: Seq[Int]): Seq[(Int, Int)] =
+    cells.foldLeft(List.empty[(Int, Int)]) {
+      case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
+      case (acc, c) => (c, c) :: acc
+    }.reverse
+
   /** Serve approximate top-k from the persisted index: probe cells per
     * query on the driver against the persisted centroid head, read only
     * the probed cells' files (one zone-map-pruned
-    * [[TxParquetTable.snapshotRange]] per distinct probed cell — the
-    * clustered layout makes each a near-single-file read), then the
-    * q66 pruned scan + bounded-top-k aggregate.
+    * [[TxParquetTable.snapshotRange]] per consecutive RUN of probed
+    * cells — the clustered layout makes each a near-contiguous read;
+    * sparse probes over many cells stay per-cell reads), then the q66
+    * pruned scan + bounded-top-k aggregate.
     */
   def queryIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, qVecCol: String, nProbe: Int, k: Int,
@@ -108,11 +123,15 @@ object AnnIndex {
     val cents = Similarity.collectCentroids(centroids)
     val probed = queries.select(col(qVecCol)).collect()
       .flatMap(r => Similarity.probeCells(cents, r.getSeq[Double](0).toArray, nProbe))
-      .distinct.sorted
+      .distinct.sorted.toSeq
     require(probed.nonEmpty, "queryIvfIndex: no probe cells (empty query frame?)")
-    val scan = probed.map(c => TxParquetTable.snapshotRange(
-        spark, assignmentsPath(path), "cell", Some(c), Some(c)))
-      .reduce(_ unionByName _)
+    // every interior cell of a run is probed by construction (runs only
+    // extend on consecutive values), so no residual filter is needed;
+    // ivfTopKBatch's (qid, cell) probe join keeps per-query pruning
+    val scan = cellRuns(probed).map { case (lo, hi) =>
+        TxParquetTable.snapshotRange(
+          spark, assignmentsPath(path), "cell", Some(lo), Some(hi))
+      }.reduce(_ unionByName _)
     Similarity.ivfTopKBatch(centroids, scan, queries, qidCol, qVecCol,
       nProbe, k, excludeSelfId)
   }

@@ -269,6 +269,17 @@ object Pipelines {
     *
     * Wire shape: docs → [[gateOccurrences]] → `withWatermark` →
     * [[StatefulOps.bandVerdicts]] → this sink.
+    *
+    * PRECISION SIZING (measured, stream_soak `near_dup_gate`): a band
+    * match is one-sided evidence — every Hamming<6 near-dup shares a
+    * band (pigeonhole), but at high horizon occupancy unrelated docs
+    * collide too: with 2²⁰ buckets per band, ~400k docs in the horizon
+    * fill ~1/3 of each band and ~90% of docs draw SOME collision (the
+    * soak's adversarial density drops 61%). Size bits-per-band against
+    * rate × horizon (the q40 rule: occupancy ≪ 2^bits) — fewer, wider
+    * bands (e.g. 4 × 30-bit) or a shorter horizon at higher rates; the
+    * dropped lane carries dup_of precisely so an auditor can measure
+    * this trade on their own corpus.
     */
   def nearDupGateSink(verdicts: Dataset[StatefulOps.BandVerdict], numBlocks: Int,
       keptPath: String, droppedPath: String, checkpoint: String)

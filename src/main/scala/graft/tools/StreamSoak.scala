@@ -399,8 +399,11 @@ object StreamSoak {
       .load()
       .selectExpr("value AS doc_id",
         s"timestamp_millis(${t0}L + CAST(value * 120000 / $rowsPerBatch AS BIGINT)) AS ts",
+        // token ids from a ~1M pool so distinct docs get distinct
+        // fingerprints and the DELIBERATE replays are what the gate
+        // drops (a small pool makes band collisions drop everything)
         """concat_ws(' ', transform(sequence(0, 11),
-           i -> concat('w', ((value - CASE WHEN value % 37 = 36 THEN 1 ELSE 0 END) * 31 + i * 7) % 9973))) AS text""")
+           i -> concat('w', ((value - CASE WHEN value % 37 = 36 THEN 1 ELSE 0 END) * 31 + i * 77773) % 999983))) AS text""")
   }
 
   /** Drive the ingestion-time CURATION GATE end to end (X88, r14 judge
@@ -632,7 +635,7 @@ object StreamSoak {
     def seg(s: Segment, extra: String = ""): String =
       s"""{"rows_in":${s.rowsIn},"seconds":${f2(s.seconds)},"rows_per_sec":${s.rowsPerSec.round},"batches":${s.batches},"state_rows":{"first":${s.stateFirst},"max":${s.stateMax},"last":${s.stateLast}},"sink_rows":${s.sinkRows},"batch_sec":{"first":${f2(s.batchSecFirst)},"max":${f2(s.batchSecMax)},"last":${f2(s.batchSecLast)}}$extra}"""
     val json =
-      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"near_dup_gate":${seg(gate, s""","lanes":{"kept":${gateLanes("kept")},"dropped":${gateLanes("dropped")}},"docs_in":${gate.rowsIn / 6},"docs_in_flight":${gate.rowsIn / 6 - gateLanes("kept") - gateLanes("dropped")}""")},"late_lane":${seg(lateLane, s""","lanes":{"late":${lateLanes("late")},"on_time":${lateLanes("on_time")}},"lanes_sum_equals_rows_in":true""")},"tx_append":${seg(txAppend, s""","files_live":$filesLive,"compactions":$nCompact,"auto_compact":"threshold 24 live files -> fold to 4"""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). near_dup_gate = the X88 ingestion-time curation gate end to end (docs -> SimHash banding with payload on band 0 -> watermark-complete band verdicts -> kept/dropped split sink; every 37th doc repeats its predecessor's text verbatim): rows_in counts band occurrences (6/doc, docs_in = rows_in/6); lanes are asserted disjoint with one verdict per doc, docs_in_flight is the bounded tail still behind the watermark at stop. late_lane = the X91 late-data lane (every 41st row 30 minutes stale vs a 10-minute delay): on_time/late lanes sum EXACTLY to rows_in over the counted epochs. tx_append = the exactly-once Tx append sink under the small-file auto-compaction policy (4-file epochs, threshold 24 live files -> fold to 4): files_live stays bounded, compactions counts the op=compact commits the policy issued, sink_rows is the table's log-only row count. batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
+      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"near_dup_gate":${seg(gate, s""","lanes":{"kept":${gateLanes("kept")},"dropped":${gateLanes("dropped")}},"docs_in":${gate.rowsIn},"docs_in_flight":${gate.rowsIn - gateLanes("kept") - gateLanes("dropped")}""")},"late_lane":${seg(lateLane, s""","lanes":{"late":${lateLanes("late")},"on_time":${lateLanes("on_time")}},"lanes_sum_equals_rows_in":true""")},"tx_append":${seg(txAppend, s""","files_live":$filesLive,"compactions":$nCompact,"auto_compact":"threshold 24 live files -> fold to 4"""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). near_dup_gate = the X88 ingestion-time curation gate end to end (docs -> SimHash banding with payload on band 0 -> watermark-complete band verdicts -> kept/dropped split sink; every 37th doc repeats its predecessor's text verbatim): rows_in counts SOURCE docs (the banding explodes 6 occurrences per doc downstream); lanes are asserted disjoint with one verdict per doc, docs_in_flight is the bounded tail still behind the watermark at stop. late_lane = the X91 late-data lane (every 41st row 30 minutes stale vs a 10-minute delay): on_time/late lanes sum EXACTLY to rows_in over the counted epochs. tx_append = the exactly-once Tx append sink under the small-file auto-compaction policy (4-file epochs, threshold 24 live files -> fold to 4): files_live stays bounded, compactions counts the op=compact commits the policy issued, sink_rows is the table's log-only row count. batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
     val out = java.nio.file.Paths.get("docs/bench/stream_soak.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

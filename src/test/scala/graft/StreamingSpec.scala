@@ -206,6 +206,41 @@ class StreamingSpec extends SparkSpec {
     assert(nd.get("sink_rows").asLong() > 0L, s"no marks emitted: $nd")
   }
 
+  test("committed stream-soak artifact: gate lanes disjoint, late lanes sum exactly, tx sink self-compacts (r15 segments)") {
+    val f = new java.io.File("docs/bench/stream_soak.json")
+    assert(f.exists(), "run graft.tools.StreamSoak to generate the artifact")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    // near_dup_gate (X88): lanes are per-DOC and disjoint (asserted at
+    // collection); kept+dropped docs == docs whose verdicts went final,
+    // the rest is the bounded in-flight tail behind the watermark
+    val gate = root.get("near_dup_gate")
+    assert(gate != null, "regenerate the artifact: near_dup_gate segment missing")
+    val kept = gate.get("lanes").get("kept").asLong()
+    val dropped = gate.get("lanes").get("dropped").asLong()
+    val docsIn = gate.get("docs_in").asLong()
+    assert(kept + dropped > 0L && kept + dropped <= docsIn, s"gate lanes: $gate")
+    assert(gate.get("docs_in_flight").asLong() === docsIn - kept - dropped)
+    assert(dropped > 0L,
+      "the every-37th-replay construction must actually drop docs")
+    // late_lane (X91): stateless sink — lanes sum EXACTLY to rows_in,
+    // and the every-41st injection must produce a nonzero late lane
+    val late = root.get("late_lane")
+    assert(late != null, "regenerate the artifact: late_lane segment missing")
+    assert(late.get("lanes").get("late").asLong() +
+      late.get("lanes").get("on_time").asLong() === late.get("rows_in").asLong(),
+      s"late lanes must sum to rows_in: $late")
+    assert(late.get("lanes").get("late").asLong() > 0L, s"no late rows: $late")
+    // tx_append (r14 item 7): the auto-compaction policy must have run
+    // at least once and left the live file count bounded near the
+    // threshold (24 + one epoch's files of slack)
+    val tx = root.get("tx_append")
+    assert(tx != null, "regenerate the artifact: tx_append segment missing")
+    assert(tx.get("compactions").asLong() >= 1L, s"policy never compacted: $tx")
+    assert(tx.get("files_live").asLong() <= 28L,
+      s"live files must stay bounded by the policy: $tx")
+  }
+
   test("deadLetterSplitSink: good rows and dead letters land in separate sinks, raw payload replayable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString
