@@ -1279,6 +1279,44 @@ SELECT t.key, t.id, t.ts AS datetime, t.value,
        THEN epoch_us(t.ts) - epoch_us(q.ts) END AS lag_us
 FROM trades t ASOF LEFT JOIN quotes q ON t.key = q.key AND q.ts <= t.ts""",
 
+    // wire-schema drift: signatures are SORTED key lists, so DuckDB
+    // rebuilds each shape with json_object (values irrelevant) and the
+    // per-shape counts are orderkey arithmetic; the malformed truncation
+    // breaks mid-string in both engines (signature '<malformed>').
+    "q232_wire_drift" ->
+      """WITH v AS (
+  SELECT o_orderkey % 9 AS m, count(*) AS n FROM orders GROUP BY 1
+), forms AS (
+  SELECT m, n,
+    CASE WHEN m = 3 THEN NULL
+         ELSE list_sort(json_keys(
+           CASE WHEN m = 0 THEN json_object('Datetime',1,'Open',1,'High',1,'Low',1,'Close',1,'Adj Close',1,'Volume',1,'Dividends',1,'Stock Splits',1,'ticker',1,'Source',1)
+                WHEN m = 1 THEN json_object('Datetime',1,'Open',1,'High',1,'Low',1,'Close',1,'Adj Close',1,'Volume',1,'Stock Splits',1,'ticker',1)
+                WHEN m = 2 THEN json_object('Datetime',1,'Open',1,'High',1,'Low',1,'Close',1,'Adj Close',1,'Volume',1,'Dividends',1,'Stock Splits',1,'Ticker',1)
+                ELSE json_object('Datetime',1,'Open',1,'High',1,'Low',1,'Close',1,'Adj Close',1,'Volume',1,'Dividends',1,'Stock Splits',1,'ticker',1) END)) END AS ks
+  FROM v
+), decl AS (
+  SELECT list_sort(['Datetime','Open','High','Low','Close','Adj Close',
+    'Volume','Dividends','Stock Splits','ticker']) AS d
+), scored AS (
+  SELECT
+    CASE WHEN ks IS NULL THEN '<malformed>'
+         ELSE array_to_string(ks, ',') END AS signature,
+    CASE WHEN ks IS NULL THEN 0
+         ELSE len(list_filter(ks, k -> NOT list_contains(d, k))) END AS n_unknown,
+    CASE WHEN ks IS NULL THEN 0
+         ELSE len(list_filter(d, k -> NOT list_contains(ks, k))) END AS n_missing,
+    n
+  FROM forms, decl
+)
+SELECT signature,
+  CASE WHEN signature = '<malformed>' THEN 'malformed'
+       WHEN n_unknown > 0 OR n_missing > 0 THEN 'drifted'
+       ELSE 'declared_exact' END AS lane,
+  CAST(sum(n) AS BIGINT) AS n,
+  CAST(n_unknown AS INT) AS n_unknown, CAST(n_missing AS INT) AS n_missing
+FROM scored GROUP BY 1, 2, 4, 5""",
+
     // feed-gap ledger: the fold twin dedups (key, ts) then chains in
     // ascending order, which emits exactly the distinct-lag gap set.
     "q231_feed_gaps" ->
@@ -1324,6 +1362,52 @@ FROM g WHERE epoch_us(gap_end) - epoch_us(gap_start) > 21600000000""",
 SELECT lane, CAST(count(*) AS BIGINT) AS n,
   CAST(COALESCE(sum(trade_volume), 0) AS BIGINT) AS trade_volume_sum
 FROM r GROUP BY 1""",
+
+    // self-healing bar feed: q230's reconciliation chain + the healing
+    // policy as a projection; content checksums are exact integers
+    // (volume longs; prices half-up-quantized to cents BEFORE summing).
+    "q233_healed_bars" ->
+      """WITH g AS (
+  SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+    CAST(count(*) AS BIGINT) AS volume, max(value) AS price
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT *, (user_id + bucket) % 1000 AS hh FROM g
+), bars AS (
+  SELECT user_id, bucket,
+    CASE WHEN hh % 13 = 0 THEN volume + 7 ELSE volume END AS bar_volume,
+    CASE WHEN hh % 17 = 0 THEN price + 5.0 ELSE price END AS bar_price
+  FROM h WHERE hh % 11 <> 0
+  UNION ALL
+  SELECT user_id, bucket + 10000000, volume, price FROM h WHERE hh % 19 = 0
+), r AS (
+  SELECT b.bar_volume, b.bar_price, g.volume AS tv, g.price AS tp,
+    CASE WHEN b.bar_volume IS NULL THEN 'missing_in_bars'
+         WHEN g.volume IS NULL THEN 'missing_in_trades'
+         WHEN b.bar_volume <> g.volume THEN 'volume_mismatch'
+         WHEN abs(b.bar_price - g.price) > 0.5 THEN 'price_mismatch'
+         ELSE 'ok' END AS lane
+  FROM bars b FULL OUTER JOIN g
+    ON b.user_id = g.user_id AND b.bucket = g.bucket
+), healed AS (
+  SELECT
+    CASE WHEN lane = 'ok' THEN 'kept_bar'
+         WHEN lane = 'missing_in_bars' THEN 'backfilled'
+         WHEN lane = 'missing_in_trades' THEN 'dropped_phantom'
+         ELSE 'overridden' END AS action,
+    CASE WHEN lane = 'ok' THEN bar_volume
+         WHEN lane = 'missing_in_trades' THEN NULL
+         ELSE tv END AS volume,
+    CASE WHEN lane = 'ok' THEN bar_price
+         WHEN lane = 'missing_in_trades' THEN NULL
+         ELSE tp END AS price
+  FROM r
+)
+SELECT action, CAST(count(*) AS BIGINT) AS n,
+  CAST(COALESCE(sum(volume), 0) AS BIGINT) AS volume_sum,
+  CAST(COALESCE(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+    AS price_cents
+FROM healed GROUP BY 1""",
 
     // late-data lanes: the sink's watermark replica is pure arithmetic —
     // wm before batch b = running max over batches < b of (batch-max

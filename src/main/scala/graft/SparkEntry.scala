@@ -3860,7 +3860,12 @@ GROUP BY order_year""")
     * far-future bucket every 19th), so the oracle predicts each lane's
     * count and trade-volume total from the same arithmetic.
     */
-  private def q230(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q230/q233 fixture: the trade-derived (user, 5-min bucket)
+    * grain plus a deterministically-corrupted bar feed (every 11th
+    * hash bucket dropped, volume inflated every 13th, price shifted
+    * every 17th, a phantom far-future bucket every 19th).
+    */
+  private def feedFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val g = t(s, dir, "events")
       .withColumn("bucket", expr("unix_micros(ts) div 300000000"))
       .groupBy(col("user_id"), col("bucket"))
@@ -3885,12 +3890,38 @@ GROUP BY order_year""")
       .select(col("user_id"), col("bucket"), col("bar_volume"), col("bar_price"))
     val trades = g.select(col("user_id"), col("bucket"),
       col("volume").as("trade_volume"), col("price").as("trade_price"))
+    (bars, trades)
+  }
+
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val (bars, trades) = feedFixture(s, dir)
     graft.ingest.Ingest.reconcileFeeds(bars, trades,
         "user_id", "bucket", "bar_volume", "trade_volume",
         "bar_price", "trade_price", priceTol = 0.5)
       .groupBy(col("lane"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("trade_volume")), lit(0L)).as("trade_volume_sum"))
+  }
+
+  /** X95: the SELF-HEALING bar feed — the action q230's report implies
+    * (the report→action discipline): trades are ground truth, so
+    * missing bars backfill from the trade grain, disagreeing bars are
+    * overridden, phantom bars are dropped (kept in the output with
+    * their action for audit), agreeing bars stand. Per-action counts
+    * with exact integer content checksums (volume sum + half-up cent
+    * quantized price sum), all predicted by the oracle from the q230
+    * corruption arithmetic.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val (bars, trades) = feedFixture(s, dir)
+    graft.ingest.Ingest.healBars(bars, trades,
+        "user_id", "bucket", "bar_volume", "trade_volume",
+        "bar_price", "trade_price", priceTol = 0.5)
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("volume")), lit(0L)).as("volume_sum"),
+        coalesce(sum(floor(col("price") * 100 + 0.5).cast("long")), lit(0L))
+          .as("price_cents"))
   }
 
   /** X93: FEED-GAP detection, batch-twin oracle closure — the outage
@@ -3910,6 +3941,49 @@ GROUP BY order_year""")
       .select(col("user_id").cast("string").as("key"), col("ts").as("datetime"))
       .as[StatefulOps.KeyedEvent]
     StatefulOps.feedGapsBatch(s, ev, maxGapUs = 21600000000L).toDF()
+  }
+
+  /** X94: WIRE-SCHEMA drift monitor — per key-set signature, how many
+    * payloads carry it and how far it drifts from the declared bar
+    * schema. Deterministic shape variants on the orders-built wire
+    * (every 9th payload gains an undeclared `Source` field, 9th+1
+    * drops `Dividends`, 9th+2 renames `ticker`→`Ticker` — one unknown
+    * AND one missing, 9th+3 truncates to malformed), so the oracle
+    * predicts every signature string, lane, and count; signatures are
+    * key-order-free (sorted) so Spark's to_json field order never
+    * matters.
+    */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.util.Partitioning.ensureParallelism(t(s, dir, "orders"))
+    def barFields(dropDividends: Boolean, tickerKey: String) = {
+      val base = Seq(
+        col("o_orderdate").as("Datetime"),
+        col("o_totalprice").as("Open"),
+        (col("o_totalprice") * 1.01).as("High"),
+        (col("o_totalprice") * 0.99).as("Low"),
+        col("o_totalprice").as("Close"),
+        col("o_totalprice").as("Adj Close"),
+        pmod(col("o_orderkey"), lit(50)).cast("int").as("Volume")) ++
+        (if (dropDividends) Seq.empty else Seq(lit(0.0).as("Dividends"))) ++
+        Seq(lit(0.0).as("Stock Splits"),
+          concat(lit("T"), pmod(col("o_custkey"), lit(100))).as(tickerKey))
+      base
+    }
+    val exact = to_json(struct(barFields(dropDividends = false, "ticker"): _*))
+    val extra = to_json(struct(
+      barFields(dropDividends = false, "ticker") :+ lit("api").as("Source"): _*))
+    val noDiv = to_json(struct(barFields(dropDividends = true, "ticker"): _*))
+    val renamed = to_json(struct(barFields(dropDividends = false, "Ticker"): _*))
+    val m = pmod(col("o_orderkey"), lit(9))
+    val wire = o.select(
+      when(m === 0, extra)
+        .when(m === 1, noDiv)
+        .when(m === 2, renamed)
+        .when(m === 3, substring(exact, 1, 25))
+        .otherwise(exact).as("value"))
+    graft.ingest.Ingest.wireSchemaProfile(wire, Seq(
+      "Datetime", "Open", "High", "Low", "Close", "Adj Close",
+      "Volume", "Dividends", "Stock Splits", "ticker"))
   }
 
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
@@ -4447,6 +4521,8 @@ GROUP BY order_year""")
     "q229_late_lanes" -> (q229 _),
     "q230_feed_reconcile" -> (q230 _),
     "q231_feed_gaps" -> (q231 _),
+    "q232_wire_drift" -> (q232 _),
+    "q233_healed_bars" -> (q233 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -278,6 +278,54 @@ object Ingest {
     * the verdict is a codegen projection. No broadcast assumption: at
     * 100 TB both grains can be large.
     */
+  /** X94: WIRE-SCHEMA drift monitor — the schema-evolution
+    * observability the reference's fixed StructTypes lack (SURVEY
+    * §1.1: both stream schemas are hand-declared, "no inference, no
+    * evolution"; `yfinance_processing.py:16-27`). When the upstream
+    * API drifts — a field added, renamed, or dropped — the PERMISSIVE
+    * parse silently nulls what it can't find and silently IGNORES what
+    * it doesn't know; the dead-letter lanes (X83) catch unparseable
+    * and unkeyable payloads but a quiet shape change sails through.
+    * This profiles the wire itself: per distinct KEY-SET signature
+    * (sorted JSON keys), how many payloads carry it, how many of its
+    * fields are unknown to the declared schema, and how many declared
+    * fields it is missing — the report an operator reads to catch a
+    * producer upgrade BEFORE it becomes weeks of silent nulls.
+    *
+    * Lanes: `malformed` (not JSON at all — the X83 lane, counted here
+    * so the profile partitions the wire), `drifted` (any unknown or
+    * missing field), `declared_exact`. One map-only scan (key
+    * extraction + two array differences against the declared-fields
+    * literal) + one hash aggregate on the signature — signatures are
+    * few by construction (producers emit a handful of shapes), so the
+    * aggregate output is tiny at any scale.
+    */
+  def wireSchemaProfile(
+      jsonValues: DataFrame, declaredFields: Seq[String]): DataFrame = {
+    require(declaredFields.nonEmpty, "declaredFields must be non-empty")
+    require(declaredFields.distinct.size == declaredFields.size,
+      s"declaredFields must be distinct, got ${declaredFields.mkString(", ")}")
+    val declared = array(declaredFields.sorted.map(lit): _*)
+    jsonValues
+      .withColumn("__keys", sort_array(expr("json_object_keys(value)")))
+      .withColumn("signature",
+        when(col("__keys").isNull, lit("<malformed>"))
+          .otherwise(concat_ws(",", col("__keys"))))
+      .withColumn("n_unknown",
+        when(col("__keys").isNull, lit(0))
+          .otherwise(size(array_except(col("__keys"), declared))))
+      .withColumn("n_missing",
+        when(col("__keys").isNull, lit(0))
+          .otherwise(size(array_except(declared, col("__keys")))))
+      .withColumn("lane",
+        when(col("__keys").isNull, lit("malformed"))
+          .when(col("n_unknown") > 0 || col("n_missing") > 0, lit("drifted"))
+          .otherwise(lit("declared_exact")))
+      .groupBy(col("signature"), col("lane"), col("n_unknown"), col("n_missing"))
+      .agg(count(lit(1)).as("n"))
+      .select("signature", "lane", "n", "n_unknown", "n_missing")
+  }
+
   def reconcileFeeds(
       bars: DataFrame, trades: DataFrame, keyCol: String, bucketCol: String,
       barVolumeCol: String, tradeVolumeCol: String,
@@ -303,4 +351,50 @@ object Ingest {
             lit("price_mismatch"))
           .otherwise(lit("ok")))
   }
+
+  /** X95: the SELF-HEALING bar feed — the action [[reconcileFeeds]]'s
+    * report implies (the r14→r15 report-to-action discipline: a lane
+    * report nobody acts on is prose). Policy: the raw trade feed is
+    * ground truth (bars are derived upstream of the engine and can be
+    * dropped, stale, or mis-aggregated by the producer —
+    * `StockFinanceMetrics.py:87-93` selects bars from a polled pandas
+    * tail, trades come straight off the wire); per (key, bucket):
+    *
+    *   - `kept_bar`        — feeds agree, the bar stands;
+    *   - `backfilled`      — no bar landed, the trade-derived grain
+    *                          fills the hole;
+    *   - `overridden`      — both landed but disagree (volume or
+    *                          price), trade-derived values win;
+    *   - `dropped_phantom` — a bar with no supporting trades is
+    *                          excluded from the healed feed (kept in
+    *                          the output with its action for audit).
+    *
+    * Output: one row per (key, bucket) with the healed `volume`/`price`
+    * (null on dropped phantoms) and the `action` taken — exactly one
+    * action per bucket, so the healed feed plus the phantom lane
+    * partitions the reconciled universe. Same single full-outer grain
+    * join as the report (this IS the report plus a projection).
+    */
+  def healBars(
+      bars: DataFrame, trades: DataFrame, keyCol: String, bucketCol: String,
+      barVolumeCol: String, tradeVolumeCol: String,
+      barPriceCol: String, tradePriceCol: String,
+      priceTol: Double): DataFrame =
+    reconcileFeeds(bars, trades, keyCol, bucketCol, barVolumeCol,
+        tradeVolumeCol, barPriceCol, tradePriceCol, priceTol)
+      .withColumn("action",
+        when(col("lane") === "ok", lit("kept_bar"))
+          .when(col("lane") === "missing_in_bars", lit("backfilled"))
+          .when(col("lane") === "missing_in_trades", lit("dropped_phantom"))
+          .otherwise(lit("overridden")))
+      .withColumn("volume",
+        when(col("action") === "kept_bar", col("bar_volume"))
+          .when(col("action") === "dropped_phantom", lit(null).cast("long"))
+          .otherwise(col("trade_volume")))
+      .withColumn("price",
+        when(col("action") === "kept_bar", col("bar_price"))
+          .when(col("action") === "dropped_phantom", lit(null).cast("double"))
+          .otherwise(col("trade_price")))
+      .select(col("key"), col("bucket"), col("action"),
+        col("volume"), col("price"))
 }

@@ -21,16 +21,18 @@ object Guards {
     * (k1, k2) frame (duplicate pairs double-count P&L within each
     * carried-column group).
     *
-    * Mechanics: the guard rides EVERY column — any key group with
-    * count > 1 turns each column into `raise_error`, which fires the
-    * moment the plan executes. Wrapping only one column was a latent
-    * pruning hazard (r13 advice): if a caller never referenced that
-    * particular column downstream, Catalyst column pruning removed
-    * the guarded projection (and its Window) and silently disabled
-    * the check; with every column guarded, the guard survives as long
-    * as the caller consumes ANY column of the frame — and a frame
-    * with no consumed columns has nothing to corrupt. `raise_error`
-    * is NullType and coerces to each guarded column's type.
+    * Mechanics: the guard is a FILTER over the per-key window count —
+    * a row in a key group with count > 1 evaluates `raise_error`
+    * inside the filter predicate, which fires the moment the plan
+    * executes. A filter is immune to the column-pruning hazard that
+    * killed the r12 single-column-projection form (Catalyst removes
+    * unused projection columns, never filter predicates) AND, unlike
+    * the r13 wrap-every-column form, it preserves the frame's
+    * attribute identities — so the window's hash partitioning on the
+    * key columns propagates to downstream joins/aggregates on the
+    * same keys instead of forcing a second exchange (the r15 q230
+    * plan-audit finding). Strictly stronger than the projection form:
+    * it fires even when a caller consumes no column of the frame.
     */
   def requireUniquePerKey(
       df: DataFrame, keyCols: Seq[String], context: String): DataFrame = {
@@ -38,17 +40,16 @@ object Guards {
       s"$context: key columns ${keyCols.mkString(", ")} must exist in " +
         s"(${df.columns.mkString(", ")})")
     val w = Window.partitionBy(keyCols.map(col): _*)
+    val dupN = count(lit(1)).over(w)
     val msg = format_string(
       s"$context: key (%s) maps to %s rows — (${keyCols.mkString(", ")}) " +
         "must be unique (duplicates would silently multiply downstream " +
         "per-key rows); dedup the frame before passing it",
       concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
       col("__dup_n").cast("string"))
-    val withN = df.withColumn("__dup_n", count(lit(1)).over(w))
-    df.columns.foldLeft(withN) { (d, c) =>
-      d.withColumn(c,
-        when(col("__dup_n") > 1L, raise_error(msg).cast(df.schema(c).dataType))
-          .otherwise(col(c)))
-    }.drop("__dup_n")
+    df.withColumn("__dup_n", dupN)
+      .filter(when(col("__dup_n") > 1L, raise_error(msg).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup_n")
   }
 }

@@ -171,6 +171,27 @@ class IngestSpec extends SparkSpec {
       s"repair must clear both producer-corruption lanes: $replayLanes")
   }
 
+  test("wireSchemaProfile: sorted-key signatures, unknown/missing counts, malformed lane") {
+    import spark.implicits._
+    val wire = Seq(
+      """{"a":1,"b":2}""",          // exact (declared a,b)
+      """{"b":2,"a":1}""",          // same signature, different key order
+      """{"a":1,"b":2,"c":3}""",    // unknown c
+      """{"a":1}""",                // missing b
+      """{"c":1,"d":2}""",          // 2 unknown, 2 missing
+      """not json at all"""         // malformed
+    ).toDF("value")
+    val out = Ingest.wireSchemaProfile(wire, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(out === Set(
+      ("a,b", "declared_exact", 2L, 0, 0),  // key order collapses
+      ("a,b,c", "drifted", 1L, 1, 0),
+      ("a", "drifted", 1L, 0, 1),
+      ("c,d", "drifted", 1L, 2, 2),
+      ("<malformed>", "malformed", 1L, 0, 0)), out.toString)
+  }
+
   test("reconcileFeeds: exactly one lane per (key, bucket), precedence presence > volume > price") {
     import spark.implicits._
     // trades grain is the base truth; bars deviate one way per bucket
@@ -204,5 +225,31 @@ class IngestSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     assert(chain(e).contains("reconcileFeeds bars grain"), chain(e))
+  }
+
+  test("healBars: trades are ground truth — backfill holes, override disagreements, drop phantoms") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 1L, 100L, 10.0), // agree -> kept_bar
+      ("A", 2L, 100L, 10.0), // bar missing -> backfilled
+      ("A", 3L, 100L, 10.0), // bar volume wrong -> overridden
+      ("A", 4L, 100L, 10.0)  // bar price stale -> overridden
+    ).toDF("key", "bucket", "t_vol", "t_px")
+    val bars = Seq(
+      ("A", 1L, 100L, 10.0),
+      ("A", 3L, 107L, 10.0),
+      ("A", 4L, 100L, 10.9),
+      ("A", 5L, 33L, 1.0)    // phantom -> dropped
+    ).toDF("key", "bucket", "b_vol", "b_px")
+    val out = Ingest.healBars(bars, trades, "key", "bucket",
+        "b_vol", "t_vol", "b_px", "t_px", priceTol = 0.5)
+      .collect().map(r => r.getLong(1) ->
+        (r.getString(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(1L) === ("kept_bar", Some(100L), Some(10.0)))
+    assert(out(2L) === ("backfilled", Some(100L), Some(10.0)))
+    assert(out(3L) === ("overridden", Some(100L), Some(10.0)),
+      "trade volume AND price win on any disagreement")
+    assert(out(4L) === ("overridden", Some(100L), Some(10.0)))
+    assert(out(5L) === ("dropped_phantom", None, None))
   }
 }
