@@ -1363,6 +1363,27 @@ SELECT lane, CAST(count(*) AS BIGINT) AS n,
   CAST(COALESCE(sum(trade_volume), 0) AS BIGINT) AS trade_volume_sum
 FROM r GROUP BY 1""",
 
+    // embedding-diversity quota sample: the X74 md5-hyperplane bucket
+    // family replicated term-for-term (integer-quantized projection
+    // terms, order-free sums -> engine-identical bucket ids), then the
+    // q67 md5-uniform rank within each bucket.
+    "q234_diversity_sample" ->
+      """WITH b AS (
+  SELECT vec_id,
+    (CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ((CAST(('0x' || substr(md5('divq:0:' || i), 1, 15)) AS BIGINT) / 1152921504606846976.0) - 0.5) * 1000000.0 + 0.5) AS BIGINT))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ((CAST(('0x' || substr(md5('divq:1:' || i), 1, 15)) AS BIGINT) / 1152921504606846976.0) - 0.5) * 1000000.0 + 0.5) AS BIGINT))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ((CAST(('0x' || substr(md5('divq:2:' || i), 1, 15)) AS BIGINT) / 1152921504606846976.0) - 0.5) * 1000000.0 + 0.5) AS BIGINT))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * ((CAST(('0x' || substr(md5('divq:3:' || i), 1, 15)) AS BIGINT) / 1152921504606846976.0) - 0.5) * 1000000.0 + 0.5) AS BIGINT))) > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+), ranked AS (
+  SELECT vec_id, bucket,
+    row_number() OVER (PARTITION BY bucket ORDER BY
+      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0, vec_id) AS rk
+  FROM b
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN rk <= 20 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY 1""",
+
     // self-healing bar feed: q230's reconciliation chain + the healing
     // policy as a projection; content checksums are exact integers
     // (volume longs; prices half-up-quantized to cents BEFORE summing).

@@ -3943,6 +3943,25 @@ GROUP BY order_year""")
     StatefulOps.feedGapsBatch(s, ev, maxGapUs = 21600000000L).toDF()
   }
 
+  /** X96: embedding-DIVERSITY quota sampling — the cluster-balanced
+    * selection step of diversity-aware curation: documents hash to
+    * md5-hyperplane sign buckets (the X74 oracle-exact family —
+    * integer-quantized projection terms make every bucket id
+    * bit-identical cross-engine), and at most `quota` survive per
+    * bucket under the deterministic md5-uniform draw. Per-bucket
+    * report: population, kept count, and the kept-id checksum — the
+    * oracle replicates buckets, ranks, and sums exactly (no verdict
+    * bits).
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Sampling.diversityQuotaSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64,
+        planes = 4, quota = 20)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("vec_id")).otherwise(lit(0L))).as("kept_id_sum"))
+
   /** X94: WIRE-SCHEMA drift monitor — per key-set signature, how many
     * payloads carry it and how far it drifts from the declared bar
     * schema. Deterministic shape variants on the orders-built wire
@@ -4523,6 +4542,7 @@ GROUP BY order_year""")
     "q231_feed_gaps" -> (q231 _),
     "q232_wire_drift" -> (q232 _),
     "q233_healed_bars" -> (q233 _),
+    "q234_diversity_sample" -> (q234 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -407,4 +407,59 @@ object Sampling {
             log(col("__tN").cast("double") + col("__V").cast("double"))) + lit(0.0))
           .as("dsir_weight"))
   }
+
+  /** X96: embedding-DIVERSITY quota sampling — spread a selection
+    * budget across embedding space instead of drawing blind: documents
+    * hash to sign-random-projection buckets (coarse semantic regions),
+    * and at most `quota` rows survive per bucket, ranked by the
+    * [[hashUniform]] draw — deterministic and reproducible run-to-run
+    * and engine-to-engine, though (unlike [[hashSample]]) NOT
+    * append-stable: a capped rank is competitive, so a new row can
+    * displace a previously-kept one, the inherent property of any
+    * fixed-budget selection ([[capPerStratum]] shares it). The
+    * cluster-balanced selection step of
+    * diversity-aware data curation: a corpus dominated by one content
+    * region (boilerplate news, one template family) cannot monopolize
+    * the budget the way a plain [[hashSample]] lets it.
+    *
+    * The buckets here are the ORACLE-EXACT hyperplane family of
+    * [[graft.analytics.Pairs.blockedPairSource]] (X74), not the
+    * MurmurHash SRP expression: coefficient(p, i) is an md5-uniform
+    * draw both engines state identically, each projection term
+    * quantizes to an exact integer micro-unit BEFORE the sum (order-
+    * free integer addition → the sign, and therefore every bucket id,
+    * is bit-identical cross-engine), and the per-(p, i) coefficients
+    * are literal subexpressions Catalyst constant-folds at plan time —
+    * runtime cost is planes × dim fused multiply-adds per row, no
+    * hashing. One shuffle on the bucket for the rank window; output is
+    * the full frame with (bucket, take_rank, kept) for audit — the
+    * [[capPerStratum]] shape with a computed stratum.
+    */
+  def diversityQuotaSample(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int, quota: Int): DataFrame = {
+    require(planes >= 1 && planes <= 20, s"planes must be in [1, 20], got $planes")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    import org.apache.spark.sql.expressions.Window
+    def mdU(s: String): Column =
+      conv(substring(md5(lit(s)), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976.0d)
+    val v = col(vecCol)
+    def proj(p: Int): Column =
+      (1 to dim).map { i =>
+        floor(element_at(v, i).cast("double") *
+          (mdU(s"divq:$p:$i") - lit(0.5)) * lit(1000000.0d) + lit(0.5))
+          .cast("long")
+      }.reduce(_ + _)
+    val bucket = (0 until planes).map { p =>
+      when(proj(p) > 0L, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(hashUniform(col(idCol)), col(idCol))
+    graft.util.Partitioning.ensureParallelism(df)
+      .withColumn("bucket", bucket)
+      .withColumn("take_rank", row_number().over(w))
+      .withColumn("kept", col("take_rank") <= quota)
+  }
 }

@@ -148,4 +148,32 @@ class SamplingSpec extends SparkSpec {
     assert(out(4L) === ((4, false)))
     assert(out(9L) === ((1, true)))   // under-cap stratum kept whole
   }
+
+  test("diversityQuotaSample: deterministic buckets, quota enforced per bucket, identical vectors share a bucket") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.llmops.Sampling.diversityQuotaSample(
+      emb, "vec_id", "embedding", 64, planes = 4, quota = 5)
+    val agg = out.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1).otherwise(0)).as("nk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(agg.nonEmpty && agg.forall { case (b, _, _) => b >= 0 && b < 16 })
+    agg.foreach { case (b, n, nk) =>
+      assert(nk === math.min(n, 5L), s"bucket $b: quota must bind at min(n, quota)")
+    }
+    // deterministic: a second run reproduces every (id, bucket, kept) bit
+    val a = out.select("vec_id", "bucket", "kept").collect().toSet
+    val b = graft.llmops.Sampling.diversityQuotaSample(
+        emb, "vec_id", "embedding", 64, planes = 4, quota = 5)
+      .select("vec_id", "bucket", "kept").collect().toSet
+    assert(a === b)
+    // identical vectors always land the same bucket (sign pattern is a
+    // pure function of the vector)
+    val dup = emb.limit(1).withColumn("vec_id", lit(-1L)).unionByName(emb.limit(1))
+    val buckets = graft.llmops.Sampling.diversityQuotaSample(
+        dup, "vec_id", "embedding", 64, planes = 4, quota = 5)
+      .select("bucket").collect().map(_.getInt(0)).distinct
+    assert(buckets.length === 1, s"same vector, different buckets: ${buckets.toSeq}")
+  }
 }
