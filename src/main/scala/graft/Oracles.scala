@@ -1363,6 +1363,26 @@ SELECT lane, CAST(count(*) AS BIGINT) AS n,
   CAST(COALESCE(sum(trade_volume), 0) AS BIGINT) AS trade_volume_sum
 FROM r GROUP BY 1""",
 
+    // shape-gated strict ingest: lane counts and the ingested volume
+    // total are pure orderkey arithmetic (shape variants every 9th key,
+    // volume = key % 50, quality gate drops volume 0).
+    "q235_shape_gated_ingest" ->
+      """WITH c AS (
+  SELECT o_orderkey % 9 AS m, o_orderkey % 50 AS vol FROM orders
+)
+SELECT 'malformed' AS lane, CAST(count(*) AS BIGINT) AS n,
+  CAST(0 AS BIGINT) AS total_volume
+FROM c WHERE m = 3
+UNION ALL
+SELECT 'drifted', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM c WHERE m IN (0, 1, 2)
+UNION ALL
+SELECT 'ingested', CAST(count(*) AS BIGINT), CAST(sum(vol) AS BIGINT)
+FROM c WHERE m >= 4 AND vol > 0
+UNION ALL
+SELECT 'gate_dropped', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM c WHERE m >= 4 AND vol = 0""",
+
     // embedding-diversity quota sample: the X74 md5-hyperplane bucket
     // family replicated term-for-term (integer-quantized projection
     // terms, order-free sums -> engine-identical bucket ids), then the

@@ -3972,7 +3972,11 @@ GROUP BY order_year""")
     * key-order-free (sorted) so Spark's to_json field order never
     * matters.
     */
-  private def q232(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q232/q235 fixture: the orders-built bar wire with four
+    * deterministic shape variants (extra field / dropped field /
+    * renamed key / truncated-malformed, every 9th payload each).
+    */
+  private def driftWire(s: SparkSession, dir: String): DataFrame = {
     val o = graft.util.Partitioning.ensureParallelism(t(s, dir, "orders"))
     def barFields(dropDividends: Boolean, tickerKey: String) = {
       val base = Seq(
@@ -3994,15 +3998,50 @@ GROUP BY order_year""")
     val noDiv = to_json(struct(barFields(dropDividends = true, "ticker"): _*))
     val renamed = to_json(struct(barFields(dropDividends = false, "Ticker"): _*))
     val m = pmod(col("o_orderkey"), lit(9))
-    val wire = o.select(
+    o.select(
       when(m === 0, extra)
         .when(m === 1, noDiv)
         .when(m === 2, renamed)
         .when(m === 3, substring(exact, 1, 25))
         .otherwise(exact).as("value"))
-    graft.ingest.Ingest.wireSchemaProfile(wire, Seq(
-      "Datetime", "Open", "High", "Low", "Close", "Adj Close",
-      "Volume", "Dividends", "Stock Splits", "ticker"))
+  }
+
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    graft.ingest.Ingest.wireSchemaProfile(driftWire(s, dir), DeclaredBarFields)
+
+  private val DeclaredBarFields = Seq(
+    "Datetime", "Open", "High", "Low", "Close", "Adj Close",
+    "Volume", "Dividends", "Stock Splits", "ticker")
+
+  /** X94's ACTION: the strict SHAPE-GATED ingest — drifted payloads
+    * quarantined (raw intact) BEFORE the permissive parse can
+    * half-read them, shape-exact payloads parsed and quality-gated.
+    * Four lanes partition the wire (malformed / drifted / ingested /
+    * gate_dropped); every count and the ingested volume total is
+    * orderkey arithmetic the oracle restates.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Ingest
+    val gated = Ingest.shapeGate(driftWire(s, dir), DeclaredBarFields)
+      .localCheckpoint(true) // read by three lane branches
+    val okRows = gated.filter(col("shape_lane") === "shape_ok").select("value")
+    val ingested = Ingest.gateBars(Ingest.normalizeBars(okRows))
+    def lane(name: String, d: DataFrame, volume: Option[org.apache.spark.sql.Column]): DataFrame =
+      d.agg(count(lit(1)).as("n"),
+          coalesce(volume.map(sum).getOrElse(lit(0L).cast("long")), lit(0L))
+            .as("total_volume"))
+        .select(lit(name).as("lane"), col("n"), col("total_volume"))
+    val out = lane("malformed", gated.filter(col("shape_lane") === "malformed"), None)
+      .unionByName(lane("drifted", gated.filter(col("shape_lane") === "drifted"), None))
+      .unionByName(lane("ingested", ingested, Some(col("volume"))))
+    // gate_dropped = shape_ok minus ingested (exact integer arithmetic);
+    // materialized with the other lanes (the q221 eager convention)
+    val nShapeOk = gated.filter(col("shape_lane") === "shape_ok").count()
+    val nIngested = ingested.count()
+    s.createDataFrame(
+      java.util.Arrays.asList(out.collect() :+
+        org.apache.spark.sql.Row("gate_dropped", nShapeOk - nIngested, 0L): _*),
+      out.schema)
   }
 
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
@@ -4543,6 +4582,7 @@ GROUP BY order_year""")
     "q232_wire_drift" -> (q232 _),
     "q233_healed_bars" -> (q233 _),
     "q234_diversity_sample" -> (q234 _),
+    "q235_shape_gated_ingest" -> (q235 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -352,6 +352,32 @@ object Ingest {
           .otherwise(lit("ok")))
   }
 
+  /** X94's ACTION — the SHAPE GATE: route every payload by its wire
+    * shape BEFORE parsing (the report→action close of
+    * [[wireSchemaProfile]]): `malformed` (not JSON), `drifted` (any
+    * field unknown to / missing from the declared schema — the payload
+    * a PERMISSIVE parse would silently half-read; quarantine it with
+    * the raw bytes intact and replay after a schema review, the X83
+    * replay loop), `shape_ok` (exactly the declared key set — safe to
+    * parse). A strict ingest feeds only the `shape_ok` lane to
+    * [[normalizeBars]]; the X85 replay path re-ingests quarantined
+    * payloads once the declared schema catches up. One map-only
+    * projection (key extraction + two array differences against a
+    * literal) — adds no shuffle to the ingest path.
+    */
+  def shapeGate(jsonValues: DataFrame, declaredFields: Seq[String]): DataFrame = {
+    require(declaredFields.nonEmpty, "declaredFields must be non-empty")
+    val declared = array(declaredFields.sorted.map(lit): _*)
+    jsonValues
+      .withColumn("__keys", sort_array(expr("json_object_keys(value)")))
+      .withColumn("shape_lane",
+        when(col("__keys").isNull, lit("malformed"))
+          .when(size(array_except(col("__keys"), declared)) > 0 ||
+            size(array_except(declared, col("__keys"))) > 0, lit("drifted"))
+          .otherwise(lit("shape_ok")))
+      .drop("__keys")
+  }
+
   /** X95: the SELF-HEALING bar feed — the action [[reconcileFeeds]]'s
     * report implies (the r14→r15 report-to-action discipline: a lane
     * report nobody acts on is prose). Policy: the raw trade feed is

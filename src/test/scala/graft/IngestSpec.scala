@@ -227,6 +227,24 @@ class IngestSpec extends SparkSpec {
     assert(chain(e).contains("reconcileFeeds bars grain"), chain(e))
   }
 
+  test("shapeGate: drifted payloads quarantined raw-intact before parse, shape-exact pass") {
+    import spark.implicits._
+    val wire = Seq(
+      """{"a":1,"b":2}""",       // shape_ok
+      """{"a":1,"b":2,"c":3}""", // drifted (unknown c) — would half-parse silently
+      """{"a":1}""",             // drifted (missing b)
+      """broken"""               // malformed
+    ).toDF("value")
+    val out = Ingest.shapeGate(wire, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("""{"a":1,"b":2}""") === "shape_ok")
+    assert(out("""{"a":1,"b":2,"c":3}""") === "drifted")
+    assert(out("""{"a":1}""") === "drifted")
+    assert(out("""broken""") === "malformed")
+    // raw payload rides the lane column untouched — replayable
+    assert(out.keySet.size === 4)
+  }
+
   test("healBars: trades are ground truth — backfill holes, override disagreements, drop phantoms") {
     import spark.implicits._
     val trades = Seq(
