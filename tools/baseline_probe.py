@@ -28,14 +28,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    oracle_path = None
-    for cand in ["/tmp/verify_sf001/oracle_sql.json", "docs/bench/oracle_sql.json"]:
-        if os.path.exists(cand):
-            oracle_path = cand
-            break
+    # oracle set: explicit 3rd arg wins; otherwise the known drop spots.
+    # ALWAYS print the query count — an r15 session was silently measured
+    # against a stale 225-query file left at the fixed /tmp path.
+    oracle_path = sys.argv[3] if len(sys.argv) > 3 else None
+    if oracle_path is None:
+        for cand in ["/tmp/verify_sf001/oracle_sql.json", "docs/bench/oracle_sql.json"]:
+            if os.path.exists(cand):
+                oracle_path = cand
+                break
     if oracle_path is None:
         sys.exit("no oracle_sql.json found — run graft.Verify first")
     oracles = json.load(open(oracle_path))
+    print(f"[baseline] oracle file: {oracle_path} ({len(oracles)} queries)",
+          file=sys.stderr)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
