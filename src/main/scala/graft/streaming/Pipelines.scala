@@ -279,7 +279,11 @@ object Pipelines {
     * rate × horizon (the q40 rule: occupancy ≪ 2^bits) — fewer, wider
     * bands (e.g. 4 × 30-bit) or a shorter horizon at higher rates; the
     * dropped lane carries dup_of precisely so an auditor can measure
-    * this trade on their own corpus.
+    * this trade on their own corpus. MEASURED (ProbeGatePrecision,
+    * BENCH_NOTES): at the soak's own rate, 6 × 20-bit bands drop 83%
+    * (collision noise) while 4 × 30-bit bands drop 3.97% against a
+    * true 2.7% duplicate rate — one knob, at the price of the
+    * pigeonhole recall radius narrowing Hamming 5 → 3.
     */
   def nearDupGateSink(verdicts: Dataset[StatefulOps.BandVerdict], numBlocks: Int,
       keptPath: String, droppedPath: String, checkpoint: String)
