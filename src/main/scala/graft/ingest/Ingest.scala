@@ -270,7 +270,11 @@ object Ingest {
     * (key, bucket) universe. Both inputs must be unique per
     * (key, bucket) — pre-aggregated grains; violations would silently
     * double-count, so they fail loudly via
-    * [[graft.util.Guards.requireUniquePerKey]].
+    * [[graft.util.Guards.requireUniquePerKey]]. A present row carrying
+    * a NULL volume or price likewise fails loudly (in-plan raise_error):
+    * presence is tracked by an explicit flag, never by field nullness,
+    * so a null field can neither masquerade as a missing feed nor slip
+    * through the mismatch comparisons into the 'ok' lane.
     *
     * Scale shape: ONE full-outer sort-merge/shuffle join on the
     * (key, bucket) grain — both sides are already aggregate-sized
@@ -332,24 +336,45 @@ object Ingest {
       barPriceCol: String, tradePriceCol: String,
       priceTol: Double): DataFrame = {
     require(priceTol >= 0, s"priceTol must be >= 0, got $priceTol")
+    // presence is an explicit flag, NOT volume-nullness (r15 advice): a
+    // PRESENT row carrying a null volume/price would otherwise read as
+    // "missing feed", and a null price would let the mismatch comparison
+    // evaluate to null and fall through the when-chain to 'ok' — a
+    // silently "agreeing" feed. The docstring promises every bucket lands
+    // in exactly one MEANINGFUL lane, so a present-but-null field fails
+    // loudly instead (the grain is pre-aggregated; a null there is a bug
+    // in the caller's aggregation, not a data condition to classify).
+    def guardNotNull(side: String, c: Column, name: String): Column =
+      when(c.isNull, raise_error(concat(
+        lit(s"reconcileFeeds: $side row with null $name at key="),
+        col("key").cast("string"), lit(" bucket="), col("bucket").cast("string"),
+        lit(" — a present grain row must carry its volume and price"))))
+        .otherwise(c)
     val b = graft.util.Guards.requireUniquePerKey(
       bars.select(col(keyCol).as("key"), col(bucketCol).as("bucket"),
         col(barVolumeCol).cast("long").as("bar_volume"),
-        col(barPriceCol).cast("double").as("bar_price")),
+        col(barPriceCol).cast("double").as("bar_price"))
+        .withColumn("bar_volume", guardNotNull("bars", col("bar_volume"), barVolumeCol))
+        .withColumn("bar_price", guardNotNull("bars", col("bar_price"), barPriceCol))
+        .withColumn("__bar_present", lit(true)),
       Seq("key", "bucket"), "reconcileFeeds bars grain")
     val t = graft.util.Guards.requireUniquePerKey(
       trades.select(col(keyCol).as("key"), col(bucketCol).as("bucket"),
         col(tradeVolumeCol).cast("long").as("trade_volume"),
-        col(tradePriceCol).cast("double").as("trade_price")),
+        col(tradePriceCol).cast("double").as("trade_price"))
+        .withColumn("trade_volume", guardNotNull("trades", col("trade_volume"), tradeVolumeCol))
+        .withColumn("trade_price", guardNotNull("trades", col("trade_price"), tradePriceCol))
+        .withColumn("__trade_present", lit(true)),
       Seq("key", "bucket"), "reconcileFeeds trades grain")
     b.join(t, Seq("key", "bucket"), "full_outer")
       .withColumn("lane",
-        when(col("bar_volume").isNull, lit("missing_in_bars"))
-          .when(col("trade_volume").isNull, lit("missing_in_trades"))
+        when(col("__bar_present").isNull, lit("missing_in_bars"))
+          .when(col("__trade_present").isNull, lit("missing_in_trades"))
           .when(col("bar_volume") =!= col("trade_volume"), lit("volume_mismatch"))
           .when(abs(col("bar_price") - col("trade_price")) > priceTol,
             lit("price_mismatch"))
           .otherwise(lit("ok")))
+      .drop("__bar_present", "__trade_present")
   }
 
   /** X94's ACTION — the SHAPE GATE: route every payload by its wire

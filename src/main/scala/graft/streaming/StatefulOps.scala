@@ -1437,7 +1437,17 @@ object StatefulOps {
           val seen = prior.entries.toSet ++ prior.saturated
           val fresh = batch.map(o => (o.datetime.getTime, o.docId))
             .distinct.filterNot(seen)
-          val room = math.max(maxBandEntries - prior.entries.size, 0)
+          // cap room is computed AGAINST the watermark-evicted residents
+          // (r15 advice): an entry the current watermark already makes
+          // evictable (ts < wm - horizon) cannot precede any future-final
+          // occurrence, so letting it occupy a cap slot would spuriously
+          // saturate fresh arrivals in exactly the batch where eviction
+          // frees the room. Eviction is watermark-derived — pre-admission
+          // eviction keeps admission deterministic under chopping. The
+          // evicted entries still participate in THIS batch's verdicts
+          // below (they can precede occurrences in [emittedBelow, wm)).
+          val live = prior.entries.filter(_._1 >= wm - horizonMs)
+          val room = math.max(maxBandEntries - live.size, 0)
           val (accepted, overflow) =
             if (fresh.size <= room) (fresh, Nil)
             else { val s = fresh.sorted; (s.take(room), s.drop(room)) }

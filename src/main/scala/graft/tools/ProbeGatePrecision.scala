@@ -53,8 +53,7 @@ object ProbeGatePrecision {
         q.exception.foreach(e => throw e)
       } finally if (q.isActive) q.stop()
       def n(p: String) =
-        try spark.read.parquet(p).count()
-        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        graft.sources.TxParquetTable.rowCount(p).getOrElse(0L)
       val kept = n(s"$out/kept"); val dropped = n(s"$out/dropped")
       val share = dropped.toDouble / math.max(kept + dropped, 1L)
       println(f"[gate_precision] blocks=$blocks bandBits=${120 / blocks} " +

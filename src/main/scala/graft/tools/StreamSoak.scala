@@ -419,20 +419,25 @@ object StreamSoak {
       outDir: String): (Segment, Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StatefulOps
+    // the shipped DEFAULT banding (4 x 30-bit since r16 — the measured
+    // sizing; ProbeGatePrecision showed the old 6 x 20-bit default
+    // dropped 83-87% of clean docs to band collisions at this rate)
     val occ = Pipelines.gateOccurrences(
         docTwin(spark, rowsPerBatch), "doc_id", "ts", "text",
-        graft.llmops.TextAnalysis.tokens(col("text")), numBlocks = 6)
+        graft.llmops.TextAnalysis.tokens(col("text")))
       .withWatermark("datetime", "10 minutes")
     val verdicts = StatefulOps.bandVerdicts(occ, horizonMs = 600000L)
     val writer = Pipelines.nearDupGateSink(
-      verdicts, 6, s"$outDir/kept", s"$outDir/dropped", s"$outDir/ckpt")
+      verdicts, 4, s"$outDir/kept", s"$outDir/dropped", s"$outDir/ckpt")
     val (ps, seconds) = runTimed(spark, writer, durationSec)
     val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
+    // lanes are Tx tables since r16 (exactly-once epoch appends) — read
+    // through the log, not the raw directory
     def laneIds(p: String) =
-      try spark.read.parquet(p).filter(col("__epoch").isin(epochs: _*))
-        .select("doc_id")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.range(0).select(col("id").as("doc_id")) }
+      if (graft.sources.TxParquetTable.latestVersion(p) < 0)
+        spark.range(0).select(col("id").as("doc_id"))
+      else graft.sources.TxParquetTable.snapshot(spark, p)
+        .filter(col("__epoch").isin(epochs: _*)).select("doc_id")
     val kept = laneIds(s"$outDir/kept")
     val dropped = laneIds(s"$outDir/dropped")
     val nKept = kept.count()

@@ -185,10 +185,11 @@ class CorpusStreamSpec extends SparkSpec {
       mem.addData(row(902L, 3600, "final nudge payload after the cut xx"))
       q.processAllAvailable()
       Option(q.exception.orNull).foreach(throw _)
-      val kept = spark.read.parquet(s"$dir/kept")
+      // lanes are Tx tables since r16 — read through the log
+      val kept = graft.sources.TxParquetTable.snapshot(spark, s"$dir/kept")
         .filter(col("doc_id") < 100).select("doc_id", "payload")
         .as[(Long, String)].collect().toMap
-      val dropped = spark.read.parquet(s"$dir/dropped")
+      val dropped = graft.sources.TxParquetTable.snapshot(spark, s"$dir/dropped")
         .filter(col("doc_id") < 100)
         .select("doc_id", "payload", "dup_of")
         .as[(Long, String, Long)].collect()

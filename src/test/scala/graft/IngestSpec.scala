@@ -225,6 +225,16 @@ class IngestSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     assert(chain(e).contains("reconcileFeeds bars grain"), chain(e))
+    // null-field guard (r15 advice): a PRESENT bar row with a null price
+    // must fail loudly, not fall through the mismatch comparison into
+    // the 'ok' lane as a silently "agreeing" feed
+    val nullBars = Seq(("A", 1L, Some(100L), Option.empty[Double]))
+      .toDF("key", "bucket", "b_vol", "b_px")
+    val e2 = intercept[Exception] {
+      Ingest.reconcileFeeds(nullBars, trades, "key", "bucket",
+        "b_vol", "t_vol", "b_px", "t_px", priceTol = 0.5).collect()
+    }
+    assert(chain(e2).contains("null b_px"), chain(e2))
   }
 
   test("shapeGate: drifted payloads quarantined raw-intact before parse, shape-exact pass") {

@@ -548,6 +548,47 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hot-band cap: watermark-evictable entries free cap room BEFORE admission") {
+    // r15 advice: cap room must be computed against the watermark-
+    // evicted residents — an entry the current watermark already makes
+    // evictable (ts < wm - horizon) cannot precede any future-final
+    // occurrence, so it must not spuriously saturate a fresh arrival in
+    // exactly the batch where eviction would free its slot.
+    import StatefulOps.{BandOccurrence, NearDupMark}
+    implicit val sqlCtx = spark.sqlContext
+    def at(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
+    val mem = MemoryStream[BandOccurrence]
+    val q = StatefulOps.nearDupMarks(
+        mem.toDS().withWatermark("datetime", "1 minute"),
+        horizonMs = 120000L, maxBandEntries = 1)
+      .writeStream.format("memory").queryName("evict_room_out")
+      .outputMode("append").start()
+    try {
+      // fills the cap=1 band
+      mem.addData(BandOccurrence("0:7", 0, 1L, at("10:00:00")))
+      q.processAllAvailable()
+      // advances the watermark to 10:19 — entry 1 becomes evictable
+      // (10:00 < 10:19 - 2min) without band 0:7 being woken
+      mem.addData(BandOccurrence("5:999", 5, -1L, at("10:20:00")))
+      q.processAllAvailable()
+      // arrives in the same invocation that evicts entry 1: must be
+      // ADMITTED (clean — 20 min from entry 1, far outside the 2-min
+      // horizon), not routed to the saturated lane by a stale cap count
+      mem.addData(BandOccurrence("0:7", 0, 4L, at("10:20:10")))
+      q.processAllAvailable()
+      // advance far enough to flush doc 4's verdict
+      mem.addData(BandOccurrence("5:999", 5, -2L, at("10:40:00")))
+      q.processAllAvailable()
+      mem.addData(BandOccurrence("5:999", 5, -3L, at("10:45:00")))
+      q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val marks = spark.table("evict_room_out").as[NearDupMark].collect()
+        .filter(_.band != 5).toSet
+      assert(marks.isEmpty,
+        s"doc 4 must be admitted into the freed slot (clean, no mark): $marks")
+    } finally q.stop()
+  }
+
   test("duplicate (band, doc) occurrences never mark a doc against itself") {
     import StatefulOps.{BandOccurrence, NearDupMark}
     val ts = Timestamp.valueOf("2024-01-01 10:00:00")

@@ -433,12 +433,65 @@ class StreamingSpec extends SparkSpec {
       assert((onTime & late).isEmpty && (onTime ++ late).size === 5,
         "exactly one lane per row, lanes sum to rows in")
       // the persisted replica equals the watermark Spark reports
+      // (file format since r16: "epochId wmBefore wmAfter")
       val replica = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(s"$dir/ckpt", "graft_late_wm").toPath)).trim.toLong
+        new java.io.File(s"$dir/ckpt", "graft_late_wm").toPath)).trim
+        .split("\\s+")(2).toLong
       val reported = q.lastProgress.eventTime.get("watermark")
       assert(reported != null, "Spark must report a watermark for the delayed column")
       assert(java.time.Instant.parse(reported).toEpochMilli === replica,
         s"replica $replica != Spark watermark $reported")
     } finally q.stop()
+  }
+
+  test("late-lane split sink: a replayed epoch re-reads its PRE-batch watermark (epoch idempotence)") {
+    // r15 advice: the replica must be frozen per epoch like Spark's own
+    // watermark — a post-crash replay of an epoch that ALSO advanced the
+    // watermark must re-split under the watermark it originally saw, or
+    // replayed rows flip lanes. Simulated the real way: process epoch 0,
+    // delete its commit marker (crash after sink, before commit),
+    // restart — Spark replays epoch 0 from the offsets log.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_replay_").toString
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("id", "datetime")
+      .withWatermark("datetime", "10 seconds")
+    def writer = Pipelines.lateLaneSplitSink(df, "datetime", 10000L,
+      s"$dir/on", s"$dir/late", s"$dir/ckpt")
+    val q1 = Pipelines.start(writer,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      // epoch 0: wm = MinValue, both rows on_time; advances wm to 90s —
+      // under which id 6 (ts 85s) WOULD read late if replayed wrongly
+      mem.addData((1L, ts(100)), (6L, ts(85))); q1.processAllAvailable()
+      Option(q1.exception.orNull).foreach(throw _)
+    } finally { q1.stop(); q1.awaitTermination(30000); () }
+    val commit0 = new java.io.File(s"$dir/ckpt/commits", "0")
+    assert(commit0.exists, "epoch 0 must have committed")
+    assert(commit0.delete(), "simulate crash before commit")
+    // the local ChecksumFileSystem leaves a .crc sibling that would
+    // block the replayed commit's rename
+    new java.io.File(s"$dir/ckpt/commits", ".0.crc").delete()
+    val q2 = Pipelines.start(writer,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q2.processAllAvailable() // replays epoch 0
+      mem.addData((2L, ts(85))) // epoch 1: wm 90s -> genuinely late
+      q2.processAllAvailable()
+      Option(q2.exception.orNull).foreach(throw _)
+      val on = spark.read.parquet(s"$dir/on").select("id")
+        .as[Long].collect().toSeq
+      val late = spark.read.parquet(s"$dir/late").select("id")
+        .as[Long].collect().toSeq
+      // id 6 must appear ONLY on-time (twice — appends are
+      // at-least-once by contract — but never lane-flipped)
+      assert(!late.contains(6L),
+        s"replayed row flipped to late: on=$on late=$late")
+      assert(on.count(_ == 6L) === 2 && on.count(_ == 1L) === 2,
+        s"replayed epoch re-appends into the SAME lane: on=$on")
+      assert(late.toSet === Set(2L), s"late=$late")
+    } finally q2.stop()
   }
 }
