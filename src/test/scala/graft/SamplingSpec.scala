@@ -140,13 +140,64 @@ class SamplingSpec extends SparkSpec {
       ("y", 9L, 0.2)
     ).toDF("s", "id", "p")
     val out = Sampling.capPerStratum(df, "s", "id", col("p"), cap = 2)
-      .collect().map(r => r.getAs[Long]("id") ->
-        ((r.getAs[Int]("take_rank"), r.getAs[Boolean]("kept")))).toMap
-    assert(out(1L) === ((1, true)))
-    assert(out(2L) === ((2, true)))   // tie at 0.5: lower id wins the cap
-    assert(out(3L) === ((3, false)))
-    assert(out(4L) === ((4, false)))
-    assert(out(9L) === ((1, true)))   // under-cap stratum kept whole
+      .collect().map { r =>
+        val rk = if (r.isNullAt(r.fieldIndex("take_rank"))) None
+          else Some(r.getAs[Int]("take_rank"))
+        r.getAs[Long]("id") -> ((rk, r.getAs[Boolean]("kept")))
+      }.toMap
+    assert(out(1L) === ((Some(1), true)))
+    assert(out(2L) === ((Some(2), true))) // tie at 0.5: lower id wins the cap
+    // past the cap: NOT kept, and take_rank is null by contract (r16:
+    // ranking losers would need the full-stratum sort the heap removes)
+    assert(out(3L) === ((None, false)))
+    assert(out(4L) === ((None, false)))
+    assert(out(9L) === ((Some(1), true))) // under-cap stratum kept whole
+    // string-id (salted two-phase) path agrees with the heap path
+    val sdf = df.selectExpr("s", "concat('d', id) AS id", "p")
+    val sout = Sampling.capPerStratum(sdf, "s", "id", col("p"), cap = 2)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(sout === Map("d1" -> true, "d2" -> true, "d3" -> false,
+      "d4" -> false, "d9" -> true), sout.toString)
+    // null priority fails loudly instead of ranking silently
+    val e = intercept[Exception] {
+      Sampling.capPerStratum(
+        df.withColumn("p", org.apache.spark.sql.functions.when(
+          col("id") === 2L, org.apache.spark.sql.functions.lit(null)
+            .cast("double")).otherwise(col("p"))),
+        "s", "id", col("p"), cap = 2).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("null priority"), chain(e))
+  }
+
+  test("capPerStratum mega-stratum: one stratum holding 90% of the corpus still caps exactly") {
+    // the r15 hazard the heap path removes: a dominant stratum used to
+    // sort its whole population through one window task; the heap
+    // aggregate keeps per-task state at O(cap). Fixture: 9k of 10k rows
+    // in one stratum; semantics must be exact at any skew.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000).select(
+      when(col("id") < 9000L, lit("mega")).otherwise(lit("rest")).as("s"),
+      col("id"),
+      (col("id") % 97).cast("double").as("p"))
+    val agg = Sampling.capPerStratum(df, "s", "id", col("p"), cap = 7)
+      .groupBy("s").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("nk"),
+        max(when(col("kept"), col("take_rank"))).as("maxrk"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(agg("mega") === ((9000L, 7L, 7)))
+    assert(agg("rest") === ((1000L, 7L, 7)))
+    // winners are the deterministic (p desc, id asc) top-7 of the mega
+    // stratum: p = 96 occurs 93 times in [0, 9000); lowest ids win
+    val keptIds = Sampling.capPerStratum(df, "s", "id", col("p"), cap = 7)
+      .filter(col("kept") && col("s") === "mega")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptIds === Set(96L, 193L, 290L, 387L, 484L, 581L, 678L),
+      keptIds.toString)
   }
 
   test("diversityQuotaSample: deterministic buckets, quota enforced per bucket, identical vectors share a bucket") {
