@@ -1383,6 +1383,25 @@ UNION ALL
 SELECT 'gate_dropped', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
 FROM c WHERE m >= 4 AND vol = 0""",
 
+    // bulk ANN serving: the q227 verdict-row discipline (a k-means fit
+    // is not oracle-replicable) — query/serve accounting restated from
+    // count(embeddings) (25 replicas x 10 served each), the recall gate
+    // and the replica-consistency bit both predicted true.
+    "q236_bulk_ann_serve" ->
+      """SELECT CAST(25 * count(*) AS BIGINT) AS n_queries,
+  CAST(250 * count(*) AS BIGINT) AS n_served,
+  true AS recall_ok, true AS replicas_consistent,
+  CAST(count(*) AS BIGINT) AS n_indexed
+FROM embeddings""",
+
+    // ANN staleness telemetry: counts are 4/5-5/5 split arithmetic; the
+    // same-distribution increment must NOT trip either drift axis.
+    "q237_ann_staleness" ->
+      """SELECT CAST(16 AS BIGINT) AS n_cells,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0) AS n_base,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_now,
+  true AS psi_ok, true AS sim_ok, false AS refit_due""",
+
     // embedding-diversity quota sample: the X74 md5-hyperplane bucket
     // family replicated term-for-term (integer-quantized projection
     // terms, order-free sums -> engine-identical bucket ids), then the

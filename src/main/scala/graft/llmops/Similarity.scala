@@ -190,6 +190,11 @@ object Similarity {
       .take(nProbe).map(_._1).toSeq
   }
 
+  /** Test-only window into [[probeCells]] (BulkAnnSpec parity pin). */
+  private[graft] def probeCellsForTest(
+      cents: Array[(Int, Array[Double], Double)], qv: Array[Double], nProbe: Int): Seq[Int] =
+    probeCells(cents, qv, nProbe)
+
   private[llmops] def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double], Double)] =
     centroids.select(col("cell"), col("centroid")).collect()
       .map { r =>
