@@ -1383,6 +1383,74 @@ UNION ALL
 SELECT 'gate_dropped', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
 FROM c WHERE m >= 4 AND vol = 0""",
 
+    // shape-gated strict ingest as a live sink: (batch, lane) counts are
+    // orderkey arithmetic — batch = key mod 3 (the deterministic chop),
+    // lane by the same mod-9 shape variants as q235.
+    "q238_shape_gate_stream" ->
+      """WITH c AS (
+  SELECT o_orderkey % 3 AS b, o_orderkey % 9 AS m, o_orderkey % 50 AS vol
+  FROM orders
+)
+SELECT CAST(b AS BIGINT) AS batch_id,
+  CASE WHEN m = 3 THEN 'malformed'
+       WHEN m IN (0, 1, 2) THEN 'drifted'
+       WHEN vol = 0 THEN 'gate_volume'
+       ELSE 'ingested' END AS lane,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(COALESCE(sum(CASE WHEN m >= 4 AND vol > 0 THEN vol END), 0) AS BIGINT)
+    AS volume_sum
+FROM c GROUP BY 1, 2""",
+
+    // streaming reconciliation twin: the q230 lane arithmetic extended
+    // with the q233 action/healed columns — the stream's watermark-final
+    // verdicts must land exactly the relational reconcile+heal.
+    "q239_recon_stream" ->
+      """WITH g AS (
+  SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+    CAST(count(*) AS BIGINT) AS volume, max(value) AS price
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT *, (user_id + bucket) % 1000 AS hh FROM g
+), bars AS (
+  SELECT user_id, bucket,
+    CASE WHEN hh % 13 = 0 THEN volume + 7 ELSE volume END AS bar_volume,
+    CASE WHEN hh % 17 = 0 THEN price + 5.0 ELSE price END AS bar_price
+  FROM h WHERE hh % 11 <> 0
+  UNION ALL
+  SELECT user_id, bucket + 10000000, volume, price FROM h WHERE hh % 19 = 0
+), r AS (
+  SELECT b.bar_volume, b.bar_price,
+    g.volume AS trade_volume, g.price AS trade_price,
+    CASE WHEN b.bar_volume IS NULL THEN 'missing_in_bars'
+         WHEN g.volume IS NULL THEN 'missing_in_trades'
+         WHEN b.bar_volume <> g.volume THEN 'volume_mismatch'
+         WHEN abs(b.bar_price - g.price) > 0.5 THEN 'price_mismatch'
+         ELSE 'ok' END AS lane
+  FROM bars b FULL OUTER JOIN g
+    ON b.user_id = g.user_id AND b.bucket = g.bucket
+), ra AS (
+  SELECT *,
+    CASE lane WHEN 'ok' THEN 'kept_bar'
+         WHEN 'missing_in_bars' THEN 'backfilled'
+         WHEN 'missing_in_trades' THEN 'dropped_phantom'
+         ELSE 'overridden' END AS action
+  FROM r
+), healed AS (
+  SELECT lane, action, trade_volume,
+    CASE WHEN action = 'kept_bar' THEN bar_volume
+         WHEN action = 'dropped_phantom' THEN NULL
+         ELSE trade_volume END AS healed_volume,
+    CASE WHEN action = 'kept_bar' THEN bar_price
+         WHEN action = 'dropped_phantom' THEN NULL
+         ELSE trade_price END AS healed_price
+  FROM ra
+)
+SELECT lane, action, CAST(count(*) AS BIGINT) AS n,
+  CAST(COALESCE(sum(trade_volume), 0) AS BIGINT) AS trade_volume_sum,
+  CAST(COALESCE(sum(healed_volume), 0) AS BIGINT) AS volume_sum,
+  CAST(COALESCE(sum(floor(healed_price * 100 + 0.5)), 0) AS BIGINT) AS price_cents
+FROM healed GROUP BY 1, 2""",
+
     // bulk ANN serving: the q227 verdict-row discipline (a k-means fit
     // is not oracle-replicable) — query/serve accounting restated from
     // count(embeddings) (25 replicas x 10 served each), the recall gate

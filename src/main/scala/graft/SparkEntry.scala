@@ -3999,6 +3999,8 @@ GROUP BY order_year""")
     val renamed = to_json(struct(barFields(dropDividends = false, "Ticker"): _*))
     val m = pmod(col("o_orderkey"), lit(9))
     o.select(
+      // chop key for the streaming form (q238); batch callers drop it
+      pmod(col("o_orderkey"), lit(3)).cast("int").as("__b"),
       when(m === 0, extra)
         .when(m === 1, noDiv)
         .when(m === 2, renamed)
@@ -4007,7 +4009,8 @@ GROUP BY order_year""")
   }
 
   private def q232(s: SparkSession, dir: String): DataFrame =
-    graft.ingest.Ingest.wireSchemaProfile(driftWire(s, dir), DeclaredBarFields)
+    graft.ingest.Ingest.wireSchemaProfile(
+      driftWire(s, dir).select("value"), DeclaredBarFields)
 
   private val DeclaredBarFields = Seq(
     "Datetime", "Open", "High", "Low", "Close", "Adj Close",
@@ -4022,7 +4025,7 @@ GROUP BY order_year""")
     */
   private def q235(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Ingest
-    val gated = Ingest.shapeGate(driftWire(s, dir), DeclaredBarFields)
+    val gated = Ingest.shapeGate(driftWire(s, dir).select("value"), DeclaredBarFields)
       .localCheckpoint(true) // read by three lane branches
     val okRows = gated.filter(col("shape_lane") === "shape_ok").select("value")
     val ingested = Ingest.gateBars(Ingest.normalizeBars(okRows))
@@ -4118,6 +4121,112 @@ GROUP BY order_year""")
           col("psi_ok"), col("sim_ok"), col("refit_due"))
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally deleteRecursively(path)
+  }
+
+  /** X94+ streaming: the SHAPE-GATED strict ingest as a LIVE sink
+    * (r15 judge item 4) — [[graft.streaming.Pipelines
+    * .shapeGatedBarsSink]] forks every wire payload into
+    * quarantine (malformed/drifted, raw intact) / dead-letter
+    * (gate_volume) / ingested lanes, driven here by a real
+    * MemoryStream under a deterministic 3-batch chopping
+    * (batch = o_orderkey mod 3) of the q232/q235 drift wire, so the
+    * oracle predicts every (batch, lane) count and the ingested
+    * volume total from orderkey arithmetic. Lanes sum to rows in per
+    * epoch. Eager by construction (the q229 convention).
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q238_shapegate")
+    try {
+      val rows = driftWire(s, dir).select(col("__b"), col("value"))
+        .as[(Int, String)].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[String]
+      val writer = graft.streaming.Pipelines.shapeGatedBarsSink(
+        mem.toDF().toDF("value"), DeclaredBarFields,
+        s"$tmp/good", s"$tmp/dlq", s"$tmp/quarantine", s"$tmp/ckpt")
+      val q = writer.start()
+      try {
+        (0 until 3).foreach { b =>
+          mem.addData(rows.filter(_._1 == b).map(_._2).toSeq)
+          q.processAllAvailable()
+        }
+        Option(q.exception.orNull).foreach(throw _)
+      } finally q.stop()
+      def lane(p: String, laneCol: org.apache.spark.sql.Column,
+          vol: Option[org.apache.spark.sql.Column]): DataFrame =
+        s.read.parquet(p)
+          .groupBy(col("__epoch").cast("long").as("batch_id"), laneCol.as("lane"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(vol.map(sum).getOrElse(lit(0L).cast("long")), lit(0L))
+              .as("volume_sum"))
+      val out = lane(s"$tmp/quarantine", col("shape_lane"), None)
+        .unionByName(lane(s"$tmp/dlq", col("dead_reason"), None))
+        .unionByName(lane(s"$tmp/good", lit("ingested"), Some(col("volume"))))
+        .select(col("batch_id"), col("lane"), col("n"), col("volume_sum"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** X92/X95 streaming twin oracle closure (r15 judge item 5): the
+    * q230/q233 fixture driven through
+    * [[graft.streaming.StatefulOps.reconcileFeedsStream]] as a REAL
+    * chopped stream (batch = user mod 3 — both sides of a (key,
+    * bucket) share the user, so groups never straddle batches; a
+    * 100-year watermark delay keeps every fixture bucket above the
+    * watermark until the far-future sentinels flush the tail — the
+    * stateful operator drops below-watermark input rows, so the chop
+    * must never let the watermark overtake undelivered buckets). The
+    * per-(lane, action) counts, trade-volume sums, and healed
+    * volume/price checksums must equal the relational
+    * reconcile+heal arithmetic the oracle restates. Chop-invariance
+    * with sides split ACROSS batches is StatefulSpec's pin (it needs
+    * controlled watermarks, not a fixture-wide chop).
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val (bars, trades) = feedFixture(s, dir)
+    def sideRows(d: DataFrame, side: String, volCol: String, pxCol: String) =
+      d.select(col("user_id").cast("string").as("key"),
+        timestamp_micros(col("bucket") * 300000000L).as("bucket"),
+        lit(side).as("side"), col(volCol).cast("long").as("volume"),
+        col(pxCol).cast("double").as("price"),
+        pmod(col("user_id").cast("long"), lit(3)).cast("int").as("__b"))
+    val rows = sideRows(bars, "bar", "bar_volume", "bar_price")
+      .unionByName(sideRows(trades, "trade", "trade_volume", "trade_price"))
+      .as[(String, java.sql.Timestamp, String, Long, Double, Int)].collect()
+    def sentinel(year: Int) = ("zz_sentinel",
+      java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00"), "trade", 1L, 1.0, -1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String, Long, Double, Int)]
+    val verdicts = StatefulOps.reconcileFeedsStream(
+      mem.toDF().toDF("key", "bucket", "side", "volume", "price", "__b")
+        .drop("__b")
+        .withWatermark("bucket", "36500 days")
+        .as[StatefulOps.FeedSideRow],
+      priceTol = 0.5)
+    val q = verdicts.toDF().writeStream.format("memory")
+      .queryName("q239_recon_out").outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        mem.addData(rows.filter(_._6 == b).toSeq); q.processAllAvailable()
+      }
+      mem.addData(sentinel(2300)); q.processAllAvailable() // wm -> ~2200
+      mem.addData(sentinel(2301)); q.processAllAvailable() // fire timeouts
+      Option(q.exception.orNull).foreach(throw _)
+      val out = s.table("q239_recon_out")
+        .filter(col("key") =!= "zz_sentinel")
+        .groupBy(col("lane"), col("action"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("trade_volume")), lit(0L)).as("trade_volume_sum"),
+          coalesce(sum(col("healed_volume")), lit(0L)).as("volume_sum"),
+          coalesce(sum(floor(col("healed_price") * 100 + 0.5).cast("long")),
+            lit(0L)).as("price_cents"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally q.stop()
   }
 
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
@@ -4661,6 +4770,8 @@ GROUP BY order_year""")
     "q235_shape_gated_ingest" -> (q235 _),
     "q236_bulk_ann_serve" -> (q236 _),
     "q237_ann_staleness" -> (q237 _),
+    "q238_shape_gate_stream" -> (q238 _),
+    "q239_recon_stream" -> (q239 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

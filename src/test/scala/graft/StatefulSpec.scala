@@ -516,6 +516,88 @@ class StatefulSpec extends SparkSpec {
   private lazy val tsBase: Long =
     Timestamp.valueOf("2024-01-01 10:00:00").getTime
 
+  test("streaming feed reconciliation equals the batch twin AND the relational forms under chopping") {
+    import StatefulOps.{FeedSideRow, ReconVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def side(key: String, min: Int, sd: String, vol: Long, px: Double) =
+      FeedSideRow(key, at(min), sd, vol, px)
+    // five buckets covering every lane; the SIDES of buckets 0 and 2
+    // arrive in DIFFERENT batches (the chop-invariance pin): the
+    // watermark (10 min delay) stays below the buckets until the late
+    // sentinels, so presence is decided watermark-complete, never from
+    // arrival order
+    val batch1 = Seq(
+      side("A", 0, "bar", 100L, 10.0),              // ok (trade in batch 2)
+      side("A", 2, "trade", 100L, 10.0),            // missing_in_bars
+      side("A", 4, "bar", 107L, 10.0),              // volume_mismatch
+      side("A", 6, "bar", 100L, 10.9))              // price_mismatch (trade later)
+    val batch2 = Seq(
+      side("A", 0, "trade", 100L, 10.0),
+      side("A", 4, "trade", 100L, 10.0),
+      side("A", 6, "trade", 100L, 10.0),
+      side("A", 8, "bar", 50L, 5.0))                // missing_in_trades (phantom)
+    val sent1 = Seq(side("Z", 60, "trade", 1L, 1.0))
+    val sent2 = Seq(side("Z", 90, "trade", 1L, 1.0))
+    val mem = MemoryStream[FeedSideRow]
+    val q = StatefulOps.reconcileFeedsStream(
+        mem.toDS().withWatermark("bucket", "10 minutes"), priceTol = 0.5)
+      .writeStream.format("memory").queryName("recon_out").outputMode("append").start()
+    try {
+      Seq(batch1, batch2, sent1, sent2).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      Option(q.exception.orNull).foreach(throw _)
+      val streaming = spark.table("recon_out").as[ReconVerdict].collect()
+        .filter(_.key != "Z").sortBy(_.bucket.getTime)
+      val sides = batch1 ++ batch2
+      val twin = StatefulOps.reconcileFeedsBatch(spark, sides.toDS(), priceTol = 0.5)
+        .collect().sortBy(_.bucket.getTime)
+      assert(streaming.toSeq === twin.toSeq,
+        s"stream must equal the twin under the side-splitting chop:\n" +
+          s"${streaming.toSeq}\nvs\n${twin.toSeq}")
+      assert(streaming.map(v => (v.lane, v.action)).toSeq === Seq(
+        ("ok", "kept_bar"), ("missing_in_bars", "backfilled"),
+        ("volume_mismatch", "overridden"), ("price_mismatch", "overridden"),
+        ("missing_in_trades", "dropped_phantom")), streaming.toSeq.toString)
+      // healed values follow the trades-are-ground-truth policy
+      assert(streaming.map(v => (v.healed_volume, v.healed_price)).toSeq === Seq(
+        (Some(100L), Some(10.0)), (Some(100L), Some(10.0)),
+        (Some(100L), Some(10.0)), (Some(100L), Some(10.0)), (None, None)))
+      // ... and the relational forms agree lane-for-lane on the same grains
+      val barsDf = sides.filter(_.side == "bar").toDS().toDF()
+        .select(col("key"), col("bucket"), col("volume").as("bv"), col("price").as("bp"))
+      val tradesDf = sides.filter(_.side == "trade").toDS().toDF()
+        .select(col("key"), col("bucket"), col("volume").as("tv"), col("price").as("tp"))
+      val rel = graft.ingest.Ingest.reconcileFeeds(barsDf, tradesDf,
+          "key", "bucket", "bv", "tv", "bp", "tp", priceTol = 0.5)
+        .select(col("bucket"), col("lane"))
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getString(1)).toMap
+      streaming.foreach { v =>
+        assert(rel(v.bucket.getTime) === v.lane,
+          s"relational lane differs at ${v.bucket}: ${rel(v.bucket.getTime)} vs ${v.lane}")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming feed reconciliation: duplicate grain rows fail loudly") {
+    import StatefulOps.FeedSideRow
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val mem = MemoryStream[FeedSideRow]
+    val q = StatefulOps.reconcileFeedsStream(
+        mem.toDS().withWatermark("bucket", "10 minutes"), priceTol = 0.5)
+      .writeStream.format("memory").queryName("recon_dup_out").outputMode("append").start()
+    try {
+      mem.addData(FeedSideRow("A", t0, "bar", 1L, 1.0),
+        FeedSideRow("A", t0, "bar", 2L, 2.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("duplicate bar grain row"), chain)
+    } finally q.stop()
+  }
+
   test("hot-band cap: past maxBandEntries, occurrences take the loud dup_of = -1 saturated lane") {
     import StatefulOps.{BandOccurrence, NearDupMark}
     implicit val sqlCtx = spark.sqlContext

@@ -444,6 +444,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shape-gated ingest sink: four lanes partition the wire, raw quarantine replayable") {
+    // X94's streaming action (r15 item 4): shapeGate in front of the
+    // dead-letter ingest — drifted/malformed payloads quarantined RAW
+    // before the permissive parse can half-read them, shape-exact
+    // payloads parsed and quality-gated. Lanes sum to rows in.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_shape_sink_").toString
+    val declared = Seq("Datetime", "Open", "High", "Low", "Close",
+      "Adj Close", "Volume", "Dividends", "Stock Splits", "ticker")
+    val good = bar("AAPL", "2024-11-15T14:30:00.000Z", 100)
+    val gated = bar("MSFT", "2024-11-15T14:31:00.000Z", 0) // shape-ok, volume gate
+    val drifted = good.dropRight(1) + ",\"Source\":\"api\"}" // unknown key
+    val malformed = good.take(25)
+    val mem = MemoryStream[String]
+    val q = Pipelines.start(
+      Pipelines.shapeGatedBarsSink(mem.toDF(), declared,
+        s"$dir/good", s"$dir/dlq", s"$dir/quarantine", s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(good, gated, drifted, malformed)
+      q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+      val goodRows = spark.read.parquet(s"$dir/good")
+        .selectExpr("ticker", "CAST(volume AS BIGINT)").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(goodRows.toSeq === Seq(("AAPL", 100L)), goodRows.toSeq.toString)
+      val dlq = spark.read.parquet(s"$dir/dlq")
+        .select("raw", "dead_reason").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(dlq.toSeq === Seq((gated, "gate_volume")), dlq.toSeq.toString)
+      val quarantine = spark.read.parquet(s"$dir/quarantine")
+        .select("raw", "shape_lane").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // raw payloads intact byte-for-byte — the replay contract
+      assert(quarantine === Set((drifted, "drifted"), (malformed, "malformed")),
+        quarantine.toString)
+    } finally q.stop()
+  }
+
   test("late-lane split sink: a replayed epoch re-reads its PRE-batch watermark (epoch idempotence)") {
     // r15 advice: the replica must be frozen per epoch like Spark's own
     // watermark — a post-crash replay of an epoch that ALSO advanced the
