@@ -457,6 +457,66 @@ SELECT d.doc_id, p.doc_id IS NULL AS kept, p.dup_of,
 FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
   }
 
+  // streaming curation chain, batch-twin closure (X99): the q226 gate
+  // CTEs composed with exact dedup (first kept doc per content hash —
+  // event time is monotone in doc_id, so the (datetime, doc_id) keeper
+  // collapses to min(doc_id)) and the shared quality CTE chain at the
+  // q131 threshold.
+  // lazy: splices qualityPCtes, which is declared later in this object
+  private lazy val q240ChainSql: String = {
+    val bits = 60
+    def voteBits(hs: String) = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+  SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS ts
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs1,
+    list_transform(ts, t -> CAST(('0x' || substr(md5(t), 16, 15)) AS BIGINT)) AS hs2
+  FROM toks
+), sh AS (
+  SELECT doc_id, (${voteBits("hs1")}) AS f1, (${voteBits("hs2")}) AS f2 FROM hashed
+), blocked AS (
+  SELECT doc_id, b.band,
+    CASE WHEN b.band < 3 THEN (f1 >> (b.band * 20)) & 1048575
+         ELSE (f2 >> ((b.band - 3) * 20)) & 1048575 END AS bv
+  FROM sh, (SELECT unnest(range(0, 6)) AS band) b
+), marks AS (
+  SELECT x.doc_id, x.band, min(y.doc_id) AS dup_of
+  FROM blocked x JOIN blocked y
+    ON x.band = y.band AND x.bv = y.bv
+   AND y.doc_id < x.doc_id AND y.doc_id >= x.doc_id - 600
+  GROUP BY x.doc_id, x.band
+), perdoc AS (
+  SELECT doc_id FROM marks GROUP BY doc_id
+), $qualityPCtes, g AS (
+  SELECT d.doc_id, d.text, pd.doc_id IS NULL AS kept
+  FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id
+), hx AS (
+  SELECT doc_id, kept, md5(text) AS h FROM g
+), firsts AS (
+  SELECT h, min(doc_id) AS keeper FROM hx WHERE kept GROUP BY h
+), lanes AS (
+  SELECT hx.doc_id,
+    CASE WHEN NOT hx.kept THEN 'gate_dropped'
+         WHEN hx.doc_id <> f2.keeper THEN 'exact_dup'
+         WHEN q.quality_p < 0.5e0 THEN 'low_quality'
+         ELSE 'curated' END AS lane,
+    q.quality_p
+  FROM hx
+  LEFT JOIN firsts f2 ON hx.h = f2.h
+  JOIN p q ON hx.doc_id = q.doc_id
+)
+SELECT lane, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+  CAST(sum(CAST(floor(quality_p * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+    AS quality_micros
+FROM lanes GROUP BY 1"""
+  }
+
   private val q37JaccardSql: String =
     s"""WITH $minhashPairsCte,
 sh AS (
@@ -1244,6 +1304,8 @@ FROM m""",
     "q225_stream_near_dups" -> q225NearDupSql,
 
     "q226_curation_gate" -> q226GateSql,
+
+    "q240_curation_chain" -> q240ChainSql,
 
     // persisted ANN index: the oracle cannot replicate a k-means fit,
     // so it checks the VERDICT row (the q66/q140 discipline): 5 queries

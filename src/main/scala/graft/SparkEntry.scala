@@ -4229,6 +4229,32 @@ GROUP BY order_year""")
     } finally q.stop()
   }
 
+  /** X99: the streaming curation CHAIN, batch-twin oracle closure (r15
+    * judge item 7) — q226's gate COMPOSED with exact dedup and the
+    * quality filter as one pipeline: every document lands in exactly
+    * one of gate_dropped / exact_dup / low_quality / curated. The
+    * q226 fixture (monotone event times), the q131 quality threshold
+    * (0.5), first-of-content keeper by (datetime, doc_id). The
+    * STREAMING form's equality to this twin under chopping — with the
+    * cross-epoch hash registry live — is CorpusStreamSpec's pin; the
+    * soak's `curation_chain` segment runs it at rate.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{Pipelines, StatefulOps}
+    val docs = graft.util.Partitioning.ensureParallelism(t(s, dir, "documents"))
+      .withColumn("__ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * lit(1000L)))
+    val occ = Pipelines.gateOccurrences(docs, "doc_id", "__ts", "text",
+      graft.llmops.TextAnalysis.tokens(col("text")), numBlocks = 6)
+    val verdicts = StatefulOps.bandVerdictsBatch(s, occ, horizonMs = 600000L)
+    val combined = Pipelines.combineDocVerdicts(verdicts.toDF(), numBlocks = 6)
+    Pipelines.curationChainBatch(s, combined, qualityThreshold = 0.5)
+      .groupBy(col("lane"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(floor(col("quality_p") * 1000000 + 0.5).cast("long"))
+          .as("quality_micros"))
+  }
+
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
     * judge item 3): corrupt → route → repair the raw payloads
     * MECHANICALLY (the corruption is invertible from the bytes alone:
@@ -4772,6 +4798,7 @@ GROUP BY order_year""")
     "q237_ann_staleness" -> (q237 _),
     "q238_shape_gate_stream" -> (q238 _),
     "q239_recon_stream" -> (q239 _),
+    "q240_curation_chain" -> (q240 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

