@@ -1514,15 +1514,14 @@ SELECT lane, action, CAST(count(*) AS BIGINT) AS n,
 FROM healed GROUP BY 1, 2""",
 
     // bulk ANN serving: the q227 verdict-row discipline (a k-means fit
-    // is not oracle-replicable) — query/serve accounting restated from
-    // count(embeddings) (25 replicas x 10 served each), the recall gate
-    // and the replica-consistency bit both predicted true.
+    // is not oracle-replicable) — the fixed 500-base x 25-replica query
+    // frame makes the accounting constants, the recall gate and the
+    // replica-consistency bit both predicted true.
     "q236_bulk_ann_serve" ->
-      """SELECT CAST(25 * count(*) AS BIGINT) AS n_queries,
-  CAST(250 * count(*) AS BIGINT) AS n_served,
+      """SELECT CAST(12500 AS BIGINT) AS n_queries,
+  CAST(125000 AS BIGINT) AS n_served,
   true AS recall_ok, true AS replicas_consistent,
-  CAST(count(*) AS BIGINT) AS n_indexed
-FROM embeddings""",
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed""",
 
     // ANN staleness telemetry: counts are 4/5-5/5 split arithmetic; the
     // same-distribution increment must NOT trip either drift axis.

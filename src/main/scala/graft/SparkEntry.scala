@@ -4055,12 +4055,17 @@ GROUP BY order_year""")
     * probe-cell choice happens IN-PLAN
     * ([[graft.llmops.AnnIndex.queryIvfIndexBulk]]; BulkAnnSpec pins
     * row-identity with the interactive path, PlanShapeSpec-style pins
-    * live in BulkAnnSpec). Verdict row: query/serve accounting the
-    * oracle restates from count(embeddings), the q66 recall gate
-    * (hits against exact top-10 of the base vectors — every replica
-    * of a base shares its exact set), and the replica-consistency
-    * check (all 25 replicas of a base serve the identical id set:
-    * distinct (base, id) pairs × 25 == served rows).
+    * live in BulkAnnSpec). The query frame is FIXED-size (the first
+    * 500 corpus vectors × 25 replicas = 12,500 queries at every SF):
+    * the scale axis this query grades is the INDEX side (corpus and
+    * cells grow; the scan prunes), not a query count that multiplies
+    * with it — a 25×-corpus query frame would make the serve
+    * quadratic in SF and measure nothing new. Verdict row: exact
+    * query/serve accounting (constants), the q66 recall gate (hits
+    * against exact top-10 of the 500 base vectors — every replica of
+    * a base shares its exact set), and the replica-consistency check
+    * (all 25 replicas of a base serve the identical id set: distinct
+    * (base, id) pairs × 25 == served rows).
     */
   private def q236(s: SparkSession, dir: String): DataFrame = {
     import graft.llmops.{AnnIndex, Similarity}
@@ -4070,15 +4075,16 @@ GROUP BY order_year""")
       AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", 64, nCells = 16,
         path.toString)
       val reps = s.range(25).select(col("id").as("rep"))
-      val queries = emb.crossJoin(broadcast(reps))
+      val queries = emb.filter(col("vec_id") < 500).crossJoin(broadcast(reps))
         .select((col("vec_id") * 32 + col("rep")).as("qid"),
           Similarity.asDouble(col("embedding")).as("qv"))
       val served = AnnIndex.queryIvfIndexBulk(s, path.toString, queries,
           "qid", "qv", nProbe = 4, k = 10)
         .select(col("qid"), floor(col("qid") / 32).as("base"), col("id"))
         .localCheckpoint(true) // read by four accounting branches
-      val baseQueries = emb.select(col("vec_id").as("qid"),
-        Similarity.asDouble(col("embedding")).as("qv"))
+      val baseQueries = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("qid"),
+          Similarity.asDouble(col("embedding")).as("qv"))
       val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
           baseQueries, "qid", "qv", k = 10)
         .select(col("qid").as("base"), col("id"))

@@ -58,7 +58,6 @@ object AnnIndex {
   def fitIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, nCells: Int, path: String, lloydIters: Int = 1,
       targetFiles: Int = 8): Long = {
-    val spark = embeddings.sparkSession
     require(TxParquetTable.latestVersion(centroidsPath(path)) < 0 &&
         TxParquetTable.latestVersion(assignmentsPath(path)) < 0,
       s"fitIvfIndex: $path already holds an index — a refit must land in " +
@@ -67,11 +66,20 @@ object AnnIndex {
     val (centroids, assigned) =
       Similarity.ivfIndex(embeddings, idCol, vecCol, dim, nCells, lloydIters)
     TxParquetTable.append(centroids, centroidsPath(path))
-    TxParquetTable.append(assigned.select(col("id"), col("v"), col("cell")),
+    // the fit's append IS the OPTIMIZE (r16): repartitionByRange on
+    // cell + the in-file sort writes exactly the range-clustered layout
+    // `compact(clusterBy = cell)` would produce — tight, disjoint cell
+    // zone maps so probed-cell reads prune to O(files/nCells) — in ONE
+    // materialization instead of append-then-rewrite (measured: the
+    // two-commit form staged ~32 tiny files, each paying a per-file
+    // stats job, then re-read and re-wrote them — over half the q236
+    // index lifecycle). Re-cluster after many extends with
+    // [[TxParquetTable.compact]] (clusterBy = "cell") as before.
+    TxParquetTable.append(
+      assigned.select(col("id"), col("v"), col("cell"))
+        .repartitionByRange(targetFiles, col("cell"))
+        .sortWithinPartitions(col("cell")),
       assignmentsPath(path), statsColumns = Seq("cell"))
-    // range-cluster on cell: probed-cell reads prune to O(files/nCells)
-    TxParquetTable.compact(spark, assignmentsPath(path), "id",
-      targetFiles = targetFiles, clusterBy = Some("cell"))
     TxParquetTable.rowCount(assignmentsPath(path)).getOrElse(-1L)
   }
 

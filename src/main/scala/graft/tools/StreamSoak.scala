@@ -745,8 +745,11 @@ object StreamSoak {
       spark, math.max(10, durationSec / 4), rowsPerBatch, s"$root/late_lane")
     // the exactly-once Tx append sink under the small-file
     // auto-compaction policy (r14 item 7)
+    // duration/2 since r16: the policy needs ≥ 6 epochs (24 files at 4
+    // per epoch) to fire at all, and boxes at ~3s/batch only fit 5 in
+    // a quarter window
     val (txAppend, filesLive, nCompact) = driveTxAppend(
-      spark, math.max(10, durationSec / 4), rowsPerBatch, s"$root/tx_append")
+      spark, math.max(10, durationSec / 2), rowsPerBatch, s"$root/tx_append")
     // the shape-gated strict ingest under sustained drift (r15 item 4)
     val (shapeGate, shapeLanes) = driveShapeGate(
       spark, math.max(10, durationSec / 4), rowsPerBatch, s"$root/shape_gate")
