@@ -675,9 +675,17 @@ object StreamSoak {
     // feed would otherwise inflate sink_rows relative to rows_in and
     // break the artifact's exact dedup arithmetic
     // a window that closed before the first batch committed leaves no
-    // table at all — report 0 sink rows instead of failing the soak
+    // table at all (AnalysisException), and a batch KILLED mid-write by
+    // the stop can leave partial part-files whose footer read fails —
+    // either way report what can be read (0 on nothing) instead of
+    // failing the whole soak; the segment's rows_in/batches still carry
+    // the measurement
     def safeCount(f: => Long): Long =
-      try f catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      try f catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"[soak] $sinkKind sink read failed (${e.getClass.getSimpleName}); reporting 0")
+          0L
+      }
     val sinkRows = sinkKind match {
       case "append" =>
         val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
