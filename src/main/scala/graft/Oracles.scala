@@ -1513,6 +1513,84 @@ SELECT lane, action, CAST(count(*) AS BIGINT) AS n,
   CAST(COALESCE(sum(floor(healed_price * 100 + 0.5)), 0) AS BIGINT) AS price_cents
 FROM healed GROUP BY 1, 2""",
 
+    // index maintenance policy: the verdict-row discipline — both
+    // branches' actions, bits, and serving-index coverage are fixture
+    // arithmetic (recluster on the healthy fragmented index covering
+    // the whole corpus; refit after the displaced increment covering
+    // corpus + increment under fresh ids).
+    "q241_index_maintenance" ->
+      """SELECT 'healthy_fragmented' AS phase, 'recluster' AS action,
+  false AS refit_due, true AS files_bounded,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed_out
+UNION ALL
+SELECT 'drifted', 'refit', true, true,
+  (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings)""",
+
+    // retrieval-quality metrics, oracle-EXACT (no verdict bits): the
+    // q127 BM25 chain per single-term query (same rounded idf/tfn,
+    // long-micros per-doc sums, top-10 by (micros desc, id)), graded
+    // truth = the term's tf, and the micro-quantized DCG discipline —
+    // every metric is one final correctly-rounded division.
+    "q242_ranking_metrics" ->
+      """WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    floor(avg(dl) * 1000000 + 0.5) / 1000000 AS avgdl
+  FROM d
+), terms AS (
+  SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'dup'), (2, 'key'),
+    (3, 'window'), (4, 'join'), (5, 'batch')) AS t(qid, term)
+), pos AS (
+  SELECT t.qid, d.doc_id, d.dl,
+    CAST(len(list_filter(d.toks, x -> x = t.term)) AS BIGINT) AS tf
+  FROM d CROSS JOIN terms t
+  WHERE len(list_filter(d.toks, x -> x = t.term)) > 0
+), w AS (
+  SELECT *, count(*) OVER (PARTITION BY qid) AS df FROM pos
+), sc AS (
+  SELECT qid, doc_id,
+    CAST(floor(
+      (floor(ln(1e0 + (n - df + 0.5e0) / (df + 0.5e0)) * 1000000 + 0.5) / 1000000)
+      * (floor(tf * 2.2e0 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) * 1000000 + 0.5) / 1000000)
+      * 1e6 + 0.5e0) AS BIGINT) AS sm
+  FROM w CROSS JOIN stats
+), ranked AS (
+  SELECT qid, doc_id,
+    row_number() OVER (PARTITION BY qid ORDER BY sm DESC, doc_id) AS rank
+  FROM sc
+), r10 AS (
+  SELECT * FROM ranked WHERE rank <= 10
+), joined AS (
+  SELECT r.qid, r.rank, COALESCE(p.tf, 0) AS grade
+  FROM r10 r LEFT JOIN pos p ON r.qid = p.qid AND r.doc_id = p.doc_id
+), got AS (
+  SELECT qid,
+    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_hits,
+    min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+    sum(CAST(floor(grade / ln(rank + 1e0) * 1000000 + 0.5e0) AS BIGINT)) AS dcg
+  FROM joined GROUP BY qid
+), ideal AS (
+  SELECT qid, count(*) AS n_rel,
+    sum(CASE WHEN irank <= 10 THEN
+      CAST(floor(grade / ln(irank + 1e0) * 1000000 + 0.5e0) AS BIGINT)
+      ELSE 0 END) AS idcg
+  FROM (SELECT qid, tf AS grade,
+          row_number() OVER (PARTITION BY qid ORDER BY tf DESC, doc_id) AS irank
+        FROM pos)
+  GROUP BY qid
+)
+SELECT i.qid, CAST(i.n_rel AS BIGINT) AS n_rel,
+  CAST(COALESCE(g.n_hits, 0) AS BIGINT) AS n_hits,
+  floor(COALESCE(g.n_hits, 0) / CAST(i.n_rel AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall_k,
+  floor(COALESCE(1e0 / g.first_rel, 0e0) * 1000000 + 0.5) / 1000000 AS mrr_k,
+  floor(CAST(COALESCE(g.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE) * 1000000 + 0.5) / 1000000 AS ndcg_k
+FROM ideal i LEFT JOIN got g ON i.qid = g.qid""",
+
     // bulk ANN serving: the q227 verdict-row discipline (a k-means fit
     // is not oracle-replicable) — the fixed 500-base x 25-replica query
     // frame makes the accounting constants, the recall gate and the

@@ -4261,6 +4261,78 @@ GROUP BY order_year""")
           .as("quality_micros"))
   }
 
+  /** X100: the ANN index MAINTENANCE POLICY — X98's staleness verdict
+    * acted on (the report→action discipline): one call decides refit /
+    * recluster / none. Both branches exercised: phase 1 lands five
+    * same-distribution single-file extends (healthy index, fragmented
+    * layout → `recluster`, folding back under the file threshold);
+    * phase 2 lands a DISPLACED full-corpus copy (+6.0 on 32 of 64
+    * dims under fresh ids — a content region the fitted centroids
+    * never saw, half the post-extend mass so the population-PSI axis
+    * fires decisively at every SF) →
+    * `refit` into a fresh blue/green path covering exactly the current
+    * corpus. Counts and all verdict bits oracle-predicted. Eager (the
+    * q189/q221 convention — temp artifacts must outlive the query).
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.AnnIndex
+    val path = java.nio.file.Files.createTempDirectory("q241_maint")
+    val refit = java.nio.file.Files.createTempDirectory("q241_refit")
+    try {
+      val emb = t(s, dir, "embeddings")
+      AnnIndex.fitIvfIndex(emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        "vec_id", "embedding", 64, nCells = 16, path.toString)
+      val v = AnnIndex.assignmentsVersion(path.toString)
+      (0 until 5).foreach { r =>
+        AnnIndex.extendIvfIndex(
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+            pmod(col("vec_id") / 5, lit(5)) === r).coalesce(1),
+          "vec_id", "embedding", path.toString)
+      }
+      val m1 = AnnIndex.maintainIvfIndex(s, path.toString, refit.toString, v,
+        reclusterFileThreshold = 6, targetFiles = 4)
+      val drifted = emb
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CASE WHEN i < 32 " +
+            "THEN CAST(x + 6.0 AS FLOAT) ELSE x END)").as("embedding"))
+        .coalesce(1)
+      AnnIndex.extendIvfIndex(drifted, "vec_id", "embedding", path.toString)
+      val m2 = AnnIndex.maintainIvfIndex(s, path.toString, refit.toString, v,
+        reclusterFileThreshold = 6, targetFiles = 4)
+      val out = m1.withColumn("phase", lit("healthy_fragmented"))
+        .unionByName(m2.withColumn("phase", lit("drifted")))
+        .select(col("phase"), col("action"), col("refit_due"),
+          col("files_bounded"), col("n_indexed_out"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { deleteRecursively(path); deleteRecursively(refit) }
+  }
+
+  /** X101: retrieval-quality METRICS, oracle-exact — recall@10, MRR@10
+    * and nDCG@10 for five single-term BM25 rankings against graded
+    * term-frequency truth (grade = the term's tf; relevant ⇔ tf > 0).
+    * Both sides are deterministic and SQL-replicable, so the metrics
+    * themselves hash-match (no verdict bits): the q127 BM25 chain per
+    * term, the micro-quantized DCG discipline
+    * ([[graft.llmops.Retrieval.rankingMetrics]]).
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{Retrieval, TextAnalysis}
+    val docs = t(s, dir, "documents")
+    val terms = Seq("dup", "key", "window", "join", "batch").zipWithIndex
+    val ranking = terms.map { case (term, i) =>
+      Retrieval.bm25TopDocs(docs, "doc_id", "text", Seq(term), k = 10)
+        .select(lit(i + 1L).as("qid"), col("doc_id"), col("rank"))
+    }.reduce(_ unionByName _)
+    val truth = terms.map { case (term, i) =>
+      docs.select(lit(i + 1L).as("qid"), col("doc_id"),
+        size(filter(TextAnalysis.tokens(col("text")), x => x === term))
+          .cast("long").as("grade"))
+        .filter(col("grade") > 0)
+    }.reduce(_ unionByName _)
+    Retrieval.rankingMetrics(ranking, truth, "qid", "doc_id", "rank", "grade",
+      k = 10)
+  }
+
   /** X85: DEAD-LETTER REPLAY — the loop q218's routing exists for (r13
     * judge item 3): corrupt → route → repair the raw payloads
     * MECHANICALLY (the corruption is invertible from the bytes alone:
@@ -4805,6 +4877,8 @@ GROUP BY order_year""")
     "q238_shape_gate_stream" -> (q238 _),
     "q239_recon_stream" -> (q239 _),
     "q240_curation_chain" -> (q240 _),
+    "q241_index_maintenance" -> (q241 _),
+    "q242_ranking_metrics" -> (q242 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

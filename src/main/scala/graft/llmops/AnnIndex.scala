@@ -230,6 +230,68 @@ object AnnIndex {
       nProbe, k, excludeSelfId)
   }
 
+  /** X100: the MAINTENANCE POLICY that closes the X89/X98 loop — the
+    * one call a scheduled maintainer makes after landing extend
+    * batches, acting on [[stalenessReport]]'s verdict instead of
+    * leaving it prose (the report→action discipline):
+    *
+    *   - `refit` — `refit_due` fired: re-fit the WHOLE current corpus
+    *     into `refitPath` (blue/green — the live path keeps serving;
+    *     the caller swaps readers when the fresh index is up). The
+    *     refit is self-contained: corpus, dimension and cell count are
+    *     read from the index's own artifacts.
+    *   - `recluster` — index healthy but extend appends fragmented the
+    *     layout (live files ≥ `reclusterFileThreshold`): fold back to
+    *     `targetFiles` cell-clustered files
+    *     ([[graft.sources.TxParquetTable.compact]] clusterBy) so
+    *     probed-cell pruning stays tight. The X56 small-file policy
+    *     applied to the index.
+    *   - `none` — healthy and compact; nothing rewritten.
+    *
+    * Returns ONE verdict row: (action, psi_ok, sim_ok, refit_due,
+    * files_before, files_bounded, n_indexed_out) where `files_bounded`
+    * says the post-action live-file count is ≤ the threshold and
+    * `n_indexed_out` counts the SERVING index after the action (the
+    * refit must cover exactly the current corpus). Oracle-closed by
+    * q241 on both branches.
+    */
+  def maintainIvfIndex(spark: SparkSession, path: String, refitPath: String,
+      baselineVersion: Long,
+      psiThreshold: Double = 0.25, simDropTol: Double = 0.05,
+      reclusterFileThreshold: Int = 16, targetFiles: Int = 8,
+      lloydIters: Int = 1): DataFrame = {
+    require(reclusterFileThreshold > targetFiles,
+      s"reclusterFileThreshold ($reclusterFileThreshold) must exceed " +
+        s"targetFiles ($targetFiles) or every call would recompact")
+    val report = stalenessReport(spark, path, baselineVersion,
+      psiThreshold, simDropTol).collect()(0)
+    val refitDue = report.getAs[Boolean]("refit_due")
+    val filesBefore = TxParquetTable.liveFileCount(assignmentsPath(path))
+    val head = TxParquetTable.snapshot(spark, centroidsPath(path))
+    val nCells = head.count().toInt
+    val dim = head.select(size(col("centroid"))).head().getInt(0)
+    val action =
+      if (refitDue) {
+        val corpus = TxParquetTable.snapshot(spark, assignmentsPath(path))
+          .select(col("id"), col("v"))
+        fitIvfIndex(corpus, "id", "v", dim, nCells, refitPath,
+          lloydIters, targetFiles)
+        "refit"
+      } else if (filesBefore >= reclusterFileThreshold) {
+        TxParquetTable.compact(spark, assignmentsPath(path), "id",
+          targetFiles = targetFiles, clusterBy = Some("cell"))
+        "recluster"
+      } else "none"
+    val servingPath = if (action == "refit") refitPath else path
+    val filesAfter = TxParquetTable.liveFileCount(assignmentsPath(servingPath))
+    import spark.implicits._
+    Seq((action, report.getAs[Boolean]("psi_ok"), report.getAs[Boolean]("sim_ok"),
+        refitDue, filesBefore.toLong,
+        filesAfter <= reclusterFileThreshold, indexedCount(servingPath)))
+      .toDF("action", "psi_ok", "sim_ok", "refit_due", "files_before",
+        "files_bounded", "n_indexed_out")
+  }
+
   /** BULK serving from the persisted index — the 100 TB-scale twin of
     * [[queryIvfIndex]] (r15 judge item 2): that form collects every
     * caller QUERY VECTOR to the driver to choose probe cells, which is

@@ -153,4 +153,82 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     topDocs(bm25TermScores(docs, idCol, textCol, queryTerms, nDocs, avgdl), idCol, k)
   }
+
+  /** X101: OFFLINE RETRIEVAL-QUALITY METRICS — the evaluation half the
+    * retrieval stack (BM25 X8, ANN X3/X89/X97, hybrid RRF X67) was
+    * missing: given a system's RANKING (`qid`, `id`, `rank` ∈ 1..k,
+    * unique per query) and a graded TRUTH set (`qid`, `id`, integer
+    * `grade` ≥ 0; relevant ⇔ grade > 0), emit per query:
+    *
+    *   - `recall_k`  = relevant retrieved / relevant total;
+    *   - `mrr_k`     = 1 / rank of the first relevant result (0 if none);
+    *   - `ndcg_k`    = DCG / ideal DCG with DCG = Σ grade / ln(rank+1)
+    *                   (the ln-denominator DCG variant — rank 1 term is
+    *                   grade/ln 2);
+    *   - `n_rel`, `n_hits` for the audit trail.
+    *
+    * Determinism contract (the q127 BM25 discipline): every DCG term is
+    * one integer grade divided by ln of a small integer — identical
+    * IEEE in both engines (the q146 surprisal precedent) — then
+    * quantized to integer MICROS before summation, so per-query DCG
+    * and ideal-DCG are exact longs and each metric is ONE final
+    * correctly-rounded division (sr6). Ideal DCG places the truth
+    * grades in descending order (ties don't affect the value), so no
+    * tie-break leaks into the number.
+    *
+    * Scale shape: one equi-join of ranking against truth on (qid, id)
+    * — both eval-sized frames, never the corpus — one rank window over
+    * the per-query truth (partitioned by qid), and one hash aggregate
+    * per side. Caller-frame contracts fail loudly in-plan
+    * ([[graft.util.Guards.requireUniquePerKey]]): duplicate (qid, id)
+    * in either frame or a duplicated (qid, rank) would silently
+    * inflate every metric.
+    */
+  def rankingMetrics(
+      ranking: DataFrame, truth: DataFrame,
+      qidCol: String, idCol: String, rankCol: String, gradeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.util.Partitioning.{stableRound6 => sr6}
+    def micros(c: Column): Column = floor(c * 1000000d + 0.5d).cast("long")
+    val r = graft.util.Guards.requireUniquePerKey(
+      graft.util.Guards.requireUniquePerKey(
+        ranking.select(col(qidCol).as("qid"), col(idCol).as("id"),
+          col(rankCol).cast("long").as("rank"))
+          .filter(col("rank") <= k),
+        Seq("qid", "id"), "rankingMetrics ranking (qid, id)"),
+      Seq("qid", "rank"), "rankingMetrics ranking (qid, rank)")
+    val t = graft.util.Guards.requireUniquePerKey(
+      truth.select(col(qidCol).as("qid"), col(idCol).as("id"),
+        col(gradeCol).cast("long").as("grade")),
+      Seq("qid", "id"), "rankingMetrics truth (qid, id)")
+    // retrieved side: grade joined on, null -> 0 (retrieved-irrelevant)
+    val joined = r.join(t, Seq("qid", "id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+    val got = joined.groupBy(col("qid")).agg(
+      sum(when(col("grade") > 0, 1L).otherwise(0L)).as("n_hits"),
+      min(when(col("grade") > 0, col("rank"))).as("__first_rel"),
+      sum(micros(col("grade").cast("double") /
+        log(col("rank").cast("double") + 1d))).as("__dcg_micros"))
+    // ideal side: truth grades in descending order, top k
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("grade").desc, col("id").asc)
+    val ideal = t.filter(col("grade") > 0)
+      .withColumn("__irank", row_number().over(wIdeal).cast("long"))
+      .groupBy(col("qid")).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__irank") <= k,
+          micros(col("grade").cast("double") /
+            log(col("__irank").cast("double") + 1d))).otherwise(0L))
+          .as("__idcg_micros"))
+    ideal.join(got, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        sr6(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall_k"),
+        sr6(coalesce(lit(1.0) / col("__first_rel").cast("double"), lit(0.0)))
+          .as("mrr_k"),
+        sr6(coalesce(col("__dcg_micros"), lit(0L)).cast("double") /
+          col("__idcg_micros").cast("double")).as("ndcg_k"))
+  }
 }
