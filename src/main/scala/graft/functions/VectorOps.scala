@@ -394,9 +394,10 @@ object ProbeCells {
     val topCell = new Array[Int](k)
     var filled = 0
     // query norm is a positive constant across candidates — only
-    // dot(v, c) * invNorm(c) needs comparing, exactly probeCells'
-    // ordering after dividing by the common qn (division by a positive
-    // constant preserves order AND equality of ties)
+    // dot(v, c) * invNorm(c) needs comparing, and since r17 the
+    // driver-side Similarity.probeCells evaluates this SAME expression
+    // term for term, so the two paths' picks are bit-identical by
+    // construction (not just order-equivalent in exact arithmetic)
     var c = 0
     while (c < matrix.length) {
       val cent = matrix(c)

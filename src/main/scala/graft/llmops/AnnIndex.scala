@@ -265,6 +265,16 @@ object AnnIndex {
         s"targetFiles ($targetFiles) or every call would recompact")
     val report = stalenessReport(spark, path, baselineVersion,
       psiThreshold, simDropTol).collect()(0)
+    // named contract error, not an opaque NPE (r16 advice): an empty
+    // baseline snapshot (wrong baselineVersion, or a version before the
+    // fit landed) or an empty current snapshot nulls the mean-sim
+    // divisions and every verdict bit downstream of them
+    require(report.getAs[Long]("n_base") > 0 && report.getAs[Long]("n_now") > 0,
+      s"maintainIvfIndex: staleness baseline v$baselineVersion holds " +
+        s"${report.getAs[Long]("n_base")} vectors and the current snapshot " +
+        s"${report.getAs[Long]("n_now")} — both must be non-empty for the " +
+        "drift verdict to exist; pass the assignmentsVersion captured AFTER " +
+        "fitIvfIndex as the baseline")
     val refitDue = report.getAs[Boolean]("refit_due")
     val filesBefore = TxParquetTable.liveFileCount(assignmentsPath(path))
     val head = TxParquetTable.snapshot(spark, centroidsPath(path))
@@ -310,10 +320,11 @@ object AnnIndex {
     * probed-cell set (bounded by nCells integers — never by query
     * count) aggregates from the tagged frame, and the assignments scan
     * reads one zone-map-pruned range per consecutive cell run, exactly
-    * as the interactive path. The probe pass over the query frame runs
-    * twice (distinct cells + the join) — query frames are the small
-    * side by definition; a caller with an expensive upstream should
-    * persist it.
+    * as the interactive path. The tagged query frame is
+    * localCheckpointed (two consumers: the distinct and the join), so a
+    * nondeterministic upstream — a sample, a fresh shuffle, rand-derived
+    * qids — can never tag the join with a cell the scan union missed;
+    * single evaluation is a correctness guarantee here, not a cost note.
     *
     * Scoring tail = the q66 economics: corpus norms once per row, the
     * (qid, cell) equi-join keeps per-query pruning, and the per-query
@@ -326,21 +337,45 @@ object AnnIndex {
     * equals [[queryIvfIndex]]'s by construction (same probes, same
     * scan, same scoring — BulkAnnSpec pins row-identical output).
     */
-  def queryIvfIndexBulk(spark: SparkSession, path: String, queries: DataFrame,
-      qidCol: String, qVecCol: String, nProbe: Int, k: Int,
-      excludeSelfId: Boolean = false): DataFrame = {
-    import graft.functions.{BoundedTopK, ProbeCells}
-    val cents = Similarity.collectCentroids(
-      TxParquetTable.snapshot(spark, centroidsPath(path)))
-    val cellIds = cents.map(_._1).toSeq
-    val vecs = cents.map(_._2.toSeq).toSeq
-    val tagged = graft.util.Guards.requireUniquePerKey(
+  /** The bulk paths' shared probe-tagging subplan: guard qid uniqueness,
+    * normalize, tag each query row with its nProbe cells in-plan
+    * ([[graft.functions.ProbeCells]]) and explode to (qid, qv, qn,
+    * cell). Exposed package-private so BulkAnnSpec can pin the
+    * ProbeCells expression structurally — the serve plan itself shows
+    * only the checkpointed RDD this subplan materialized into.
+    */
+  private[graft] def tagProbeCells(queries: DataFrame, qidCol: String,
+      qVecCol: String, cellIds: Seq[Int], vecs: Seq[Seq[Double]],
+      nProbe: Int): DataFrame =
+    graft.util.Guards.requireUniquePerKey(
         queries.select(col(qidCol).cast("long").as("qid"),
           Similarity.asDouble(col(qVecCol)).as("qv")),
         Seq("qid"), "queryIvfIndexBulk query frame")
       .withColumn("qn", Similarity.norm(col("qv")))
       .withColumn("cell",
-        explode(ProbeCells.probeCells(col("qv"), cellIds, vecs, nProbe)))
+        explode(graft.functions.ProbeCells.probeCells(
+          col("qv"), cellIds, vecs, nProbe)))
+
+  def queryIvfIndexBulk(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, qVecCol: String, nProbe: Int, k: Int,
+      excludeSelfId: Boolean = false): DataFrame = {
+    import graft.functions.BoundedTopK
+    val cents = Similarity.collectCentroids(
+      TxParquetTable.snapshot(spark, centroidsPath(path)))
+    val cellIds = cents.map(_._1).toSeq
+    val vecs = cents.map(_._2.toSeq).toSeq
+    // localCheckpoint, not a cost note (r16 advice): the tagged frame is
+    // consumed TWICE (probed-cell distinct + the scan join). With a
+    // nondeterministic upstream (sample, fresh shuffle, rand-derived
+    // qids) a recomputation could tag cells absent from the first
+    // pass's scan union and those candidates would silently vanish —
+    // pinning the frame makes single-evaluation a correctness
+    // guarantee, not a caller convention (and a lost checkpoint block
+    // fails the query loudly instead of recomputing silently). Lazy:
+    // the distinct below is the first action and materializes every
+    // partition.
+    val tagged = tagProbeCells(queries, qidCol, qVecCol, cellIds, vecs, nProbe)
+      .localCheckpoint(false)
     // the ONLY whole-frame action: a distinct over ≤ nCells ints — the
     // probed-cell union for file pruning, bounded by the index head's
     // size, not the query count

@@ -191,10 +191,20 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     import graft.util.Partitioning.{stableRound6 => sr6}
     def micros(c: Column): Column = floor(c * 1000000d + 0.5d).cast("long")
+    // rank domain guard (r16 advice): rank 0 would divide grade by
+    // ln(1) = 0 — an Infinity that silently saturates the micros cast
+    // and corrupts DCG instead of failing like the other frame-contract
+    // violations; negative ranks feed ln of a value <= 0. Loud, in-plan.
+    val rankGuarded = when(
+      col(rankCol).cast("long").isNull || col(rankCol).cast("long") < 1L,
+      raise_error(concat(lit("rankingMetrics ranking: rank must be a long >= 1, got "),
+        coalesce(col(rankCol).cast("string"), lit("NULL")),
+        lit(" for id "), col(idCol).cast("string"))))
+      .otherwise(col(rankCol).cast("long"))
     val r = graft.util.Guards.requireUniquePerKey(
       graft.util.Guards.requireUniquePerKey(
         ranking.select(col(qidCol).as("qid"), col(idCol).as("id"),
-          col(rankCol).cast("long").as("rank"))
+          rankGuarded.as("rank"))
           .filter(col("rank") <= k),
         Seq("qid", "id"), "rankingMetrics ranking (qid, id)"),
       Seq("qid", "rank"), "rankingMetrics ranking (qid, rank)")

@@ -100,21 +100,25 @@ object Sampling {
     * append-stable (a new row can displace one of the k; that is
     * inherent to any exact-size sample).
     *
-    * Scale shape: one hash-partition shuffle on the stratum column plus
-    * a per-partition running rank — no global sort. Skew note: a single
-    * giant stratum serializes through one task; for pathological strata
-    * pre-filter with [[hashSample]] at ~(2k / |stratum|) first, then
-    * exact-rank the survivors.
+    * Scale shape (r17, retiring the last full-stratum rank window — the
+    * r16 verdict's remaining mega-stratum hazard): the winners come from
+    * the [[topCapPerStratum]] bounded-heap kernel with score = the
+    * NEGATED uniform draw (heap order score DESC, id ASC ≡ the window's
+    * hashUniform ASC, id ASC — identical picks by construction), so
+    * per-task state is O(k), only |strata| × k keys shuffle, and a
+    * single giant stratum costs one O(k) heap per input partition
+    * instead of one task sorting its whole population. The corpus then
+    * takes one semi-join against that tiny winners frame (broadcast
+    * when it fits; AQE decides). Ids must be non-null (the kernel's
+    * loud in-plan contract — a null id could never join back).
     */
   def sampleExactPerStratum(
       df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(hashUniform(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    val winners = topCapPerStratum(df, strataCol, idCol,
+      -hashUniform(col(idCol)), k, "sampleExactPerStratum")
+      .select(col(strataCol), col(idCol))
+    df.join(winners, Seq(strataCol, idCol), "left_semi")
   }
 
   /** The quota samplers' shared kernel: the top `cap` (strata, id) keys
@@ -160,12 +164,22 @@ object Sampling {
         col(idCol).cast("string"),
         lit(" — a ranked row must carry its priority"))))
       .otherwise(scoreDesc.cast("double"))
+    // null ids fail LOUDLY on both paths (r16 advice): the heap
+    // aggregate would skip a null id by the SQL-aggregate convention
+    // while the salted window ranked it — two silent, different fates —
+    // and either way a null id can never join back onto the corpus, so
+    // its row would silently read kept=false. The contract is that
+    // ranked rows carry identity.
+    val idGuarded = when(col(idCol).isNull,
+      raise_error(lit(s"$context: null id — ranked rows must carry a " +
+        "non-null id (a null would silently vanish from the winners)")))
+      .otherwise(col(idCol))
     val idType = df.schema(idCol).dataType
     val winners = idType match {
       case LongType | IntegerType | ShortType | ByteType =>
         df.groupBy(col(strataCol))
           .agg(graft.functions.BoundedTopK
-            .topK(guarded, col(idCol).cast("long"), cap).as("__top"))
+            .topK(guarded, idGuarded.cast("long"), cap).as("__top"))
           .select(col(strataCol),
             posexplode(col("__top")).as(Seq("__pos", "__e")))
           .select(col(strataCol),
@@ -178,7 +192,7 @@ object Sampling {
           .orderBy(col("__score").desc, col(idCol).asc)
         val w2 = Window.partitionBy(col(strataCol))
           .orderBy(col("__score").desc, col(idCol).asc)
-        df.select(col(strataCol), col(idCol), guarded.as("__score"))
+        df.select(col(strataCol), idGuarded.as(idCol), guarded.as("__score"))
           .withColumn("__salt", salt)
           .withColumn("__r1", row_number().over(w1))
           .filter(col("__r1") <= cap)

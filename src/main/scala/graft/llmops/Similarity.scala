@@ -172,12 +172,21 @@ object Similarity {
 
   /** Driver-side probe selection shared by [[ivfTopK]] and
     * [[ivfTopKBatch]]: the nProbe cells whose centroids are nearest the
-    * query by cosine (ties to the lower cell id). Centroid norms are
-    * computed once per centroid, not once per (query, centroid).
+    * query by cosine (ties to the lower cell id).
+    *
+    * The score is `dot(q, c) * (1 / ||c||)` — the EXACT expression the
+    * distributed twin ([[graft.functions.ProbeCells]]) evaluates, term
+    * for term, so driver-side and in-plan probe picks are bit-identical
+    * BY CONSTRUCTION, not merely order-equivalent (r16 advice: the
+    * earlier `dot / (||c|| * ||q||)` form preserved ordering only in
+    * exact arithmetic — different IEEE rounding paths could flip
+    * near-tie cells for adversarially close centroids). Dropping the
+    * constant positive 1/||q|| factor never changes which cells win.
+    * Inverse norms are computed once per centroid, not per (query,
+    * centroid); a zero-norm centroid scores 0, as in ProbeCells.
     */
   private[llmops] def probeCells(
       cents: Array[(Int, Array[Double], Double)], qv: Array[Double], nProbe: Int): Seq[Int] = {
-    val qn = math.sqrt(qv.map(x => x * x).sum)
     cents.map { case (cid, c, cn) =>
       // fail fast on a dimension mismatch — zip would silently truncate
       // and pick quietly-wrong probe cells (same contract as
@@ -185,7 +194,8 @@ object Similarity {
       require(c.length == qv.length,
         s"query dimension ${qv.length} != centroid dimension ${c.length} (cell $cid)")
       val d = c.zip(qv).map { case (a, b) => a * b }.sum
-      (cid, d / (cn * qn))
+      val inv = if (cn == 0.0) 0.0 else 1.0 / cn
+      (cid, d * inv)
     }.sortBy { case (cid, s) => (-s, cid) }
       .take(nProbe).map(_._1).toSeq
   }

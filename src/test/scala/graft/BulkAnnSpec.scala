@@ -54,12 +54,23 @@ class BulkAnnSpec extends SparkSpec {
     assert(bulkRows === interactive,
       s"bulk minus interactive: ${(bulkRows -- interactive).take(5)}; " +
         s"interactive minus bulk: ${(interactive -- bulkRows).take(5)}")
-    // the probe choice is in-plan (ProbeCells in the optimized plan) and
-    // feeds a real join — the structural claim that no query-vector
-    // collect gates the serve
+    // the probe choice is in-plan (ProbeCells in the TAGGING subplan —
+    // r17: the serve plan shows only the checkpointed RDD that subplan
+    // materialized into, the single-evaluation guarantee) and feeds a
+    // real join — the structural claim that no query-vector collect
+    // gates the serve
+    val cents = graft.sources.TxParquetTable.snapshot(spark, s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val taggedPlan = AnnIndex.tagProbeCells(queries, "qid", "qv",
+        cents.map(_._1).toSeq, cents.map(_._2).toSeq, nProbe = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(taggedPlan.toLowerCase.contains("probecells") ||
+        taggedPlan.contains("probe_cells"),
+      s"probe tagging must be in-plan:\n$taggedPlan")
     val plan = bulk.queryExecution.optimizedPlan.toString
-    assert(plan.toLowerCase.contains("probecells") || plan.contains("probe_cells"),
-      s"probe tagging must be in-plan:\n$plan")
+    assert(plan.contains("LogicalRDD"),
+      s"the tagged query frame must be checkpoint-pinned (evaluated once):\n$plan")
     assert(bulk.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.nonEmpty, s"bulk serve must join queries against assignments:\n$plan")

@@ -99,6 +99,54 @@ class SamplingSpec extends SparkSpec {
     assert(again.select("id").except(out.select("id")).count() === 0)
   }
 
+  test("sampleExactPerStratum picks identically to the rank-window form it replaced") {
+    // r17 (r16 verdict item 3): the heap delegate with score =
+    // -hashUniform(id) must choose EXACTLY the rows
+    // row_number() over (partition by s order by hashUniform(id), id) <= k
+    // chose — the identical total order, now without a full-stratum sort.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3000).select(
+      col("id"), (col("id") % 7).cast("string").as("s"))
+    val w = Window.partitionBy(col("s"))
+      .orderBy(Sampling.hashUniform(col("id")).asc, col("id").asc)
+    val windowForm = df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 13).select("s", "id")
+    val heapForm = Sampling.sampleExactPerStratum(df, "s", "id", k = 13)
+      .select("s", "id")
+    assert(heapForm.except(windowForm).count() === 0)
+    assert(windowForm.except(heapForm).count() === 0)
+    assert(heapForm.count() === windowForm.count())
+  }
+
+  test("sampleExactPerStratum mega-stratum: a 90%-skewed stratum still samples exactly k") {
+    // the same fixture shape as capPerStratum's mega-stratum pin: the
+    // heap path must stay exact at any skew (per-task state O(k), no
+    // stratum-wide sort)
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000).select(
+      when(col("id") < 9000L, lit("mega")).otherwise(lit("rest")).as("s"),
+      col("id"))
+    val out = Sampling.sampleExactPerStratum(df, "s", "id", k = 11)
+    val byStratum = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum === Map("mega" -> 11L, "rest" -> 11L))
+  }
+
+  test("sampleExactPerStratum: a null id fails loudly (the winners contract)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(50).select(
+      when(col("id") === 7L, lit(null).cast("long")).otherwise(col("id")).as("id"),
+      lit("s").as("s"))
+    val e = intercept[Exception] {
+      Sampling.sampleExactPerStratum(df, "s", "id", k = 5).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("null id"), chain(e))
+  }
+
   test("ensureParallelism repartitions an unknown-stats RDD-backed frame") {
     val rdd = spark.sparkContext.parallelize(Seq(1, 2, 3, 4), 1)
     val df = spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
