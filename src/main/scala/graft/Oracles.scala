@@ -1601,6 +1601,17 @@ FROM ideal i LEFT JOIN got g ON i.qid = g.qid""",
   true AS recall_ok, true AS replicas_consistent,
   (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed""",
 
+    // PQ-compressed bulk serving: the q236 verdict-row discipline — the
+    // fixed 500 x 25 query frame makes the accounting constants, the
+    // recall gate / replica consistency / codes-cover-index bits all
+    // predicted true (fit 4/5 + encode-extend 1/5 covers the corpus).
+    "q243_pq_bulk_serve" ->
+      """SELECT CAST(12500 AS BIGINT) AS n_queries,
+  CAST(125000 AS BIGINT) AS n_served,
+  true AS recall_ok, true AS replicas_consistent,
+  true AS codes_cover_index,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed""",
+
     // ANN staleness telemetry: counts are 4/5-5/5 split arithmetic; the
     // same-distribution increment must NOT trip either drift axis.
     "q237_ann_staleness" ->

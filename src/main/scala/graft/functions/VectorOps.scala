@@ -443,3 +443,100 @@ object ProbeCells {
         org.apache.spark.sql.graft.bridge.expression(vec),
         cellIds, centroids, nProbe))
 }
+
+/** Per-query ADC lookup table, built IN-PLAN — the distributed twin of
+  * [[graft.llmops.Similarity.pqTopKBatch]]'s driver-built dot tables
+  * (r16 judge item 1): that form collects every query vector to embed a
+  * |queries| × m × ksub literal in the plan, which is right for a
+  * bounded interactive batch and impossible for a bulk query frame.
+  * Here each query ROW computes its own table — entry offset(j) + c =
+  * dot(q[j·subDim .. ), codebook(j)(c)) — as one primitive loop over
+  * the driver-resident codebook (a codegen reference object, m × ksub
+  * × subDim doubles — tiny by the PQ construction, ksub ≤ 256,
+  * independent of both corpus and query count). Scoring a candidate
+  * row downstream is then m element_at lookups + adds, the classic
+  * asymmetric-distance computation, with nothing query-count-sized on
+  * the driver.
+  *
+  * Output: array<double> of Σ_j len(j) entries in flat (j, code) order
+  * — the [[graft.llmops.Similarity.pqTopKBatch]] offset layout, dense
+  * codes per subspace.
+  */
+case class AdcDotTable(
+    child: Expression,
+    centroids: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one subspace codebook")
+  require(centroids.forall(_.nonEmpty), "every subspace needs >= 1 centroid")
+  private val subDim0 = centroids.head.head.length
+  require(centroids.forall(_.forall(_.length == subDim0)),
+    s"all subspace centroids must share sub-dimension $subDim0")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adc_dot_table requires array<double> input, got ${other.sql}")
+  }
+
+  @transient private lazy val mats: Array[Array[Array[Double]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    AdcDotTable.compute(input.asInstanceOf[ArrayData], mats)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("codebook", mats, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AdcDotTable.compute($c, $matRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcDotTable =
+    copy(child = newChild)
+}
+
+object AdcDotTable {
+
+  /** Shared by interpreted eval and generated code (static call). */
+  def compute(v: ArrayData, mats: Array[Array[Array[Double]]]): ArrayData = {
+    val m = mats.length
+    val subDim = mats(0)(0).length
+    // fail fast on shape mismatch (the DotProduct.compute contract):
+    // a silently truncated query would build a quietly wrong table
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"adc_dot_table: query dim ${v.numElements()} != m*subDim = ${m * subDim}")
+    var total = 0
+    var j = 0
+    while (j < m) { total += mats(j).length; j += 1 }
+    val out = new Array[Double](total)
+    var pos = 0
+    j = 0
+    while (j < m) {
+      val table = mats(j)
+      val base = j * subDim
+      var c = 0
+      while (c < table.length) {
+        val cent = table(c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          s += v.getDouble(base + i) * cent(i)
+          i += 1
+        }
+        out(pos) = s
+        pos += 1
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def adcDotTable(vec: Column, centroids: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      AdcDotTable(
+        org.apache.spark.sql.graft.bridge.expression(vec), centroids))
+}

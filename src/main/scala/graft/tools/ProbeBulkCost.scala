@@ -64,6 +64,30 @@ object ProbeBulkCost {
       served.join(exact, Seq("base", "id"), "left_semi").count()
       served.select("base", "id").distinct().count()
     }
+
+    // ---- r17: the PQ-compressed serve economics (q243) ----
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0L
+      else d.listFiles.filter(_.isFile).map(_.length).sum
+    }
+    val path3 = java.nio.file.Files.createTempDirectory("bulk_cost_pq").toString
+    t("pq_fit(m=8,ksub=16)+encode") {
+      AnnIndex.fitIvfPqIndex(emb, "vec_id", "embedding", 64, nCells = 16,
+        m = 8, ksub = 16, path3)
+    }
+    val rawBytes = dirBytes(s"$path3/assignments/data")
+    val codeBytes = dirBytes(s"$path3/codes/data")
+    println(f"[bulkcost] serve-scan bytes: raw assignments $rawBytes%,d vs " +
+      f"PQ codes $codeBytes%,d (${rawBytes.toDouble / codeBytes}%.1fx smaller candidate scan)")
+    t("pq_bulk_serve(shortlist=200)") {
+      AnnIndex.queryIvfPqIndexBulk(spark, path3, queries, "qid", "qv",
+        nProbe = 4, k = 10, shortlist = 200).count()
+    }
+    t("raw_bulk_serve(same index)") {
+      AnnIndex.queryIvfIndexBulk(spark, path3, queries, "qid", "qv",
+        nProbe = 4, k = 10).count()
+    }
     spark.stop()
   }
 }

