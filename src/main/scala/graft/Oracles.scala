@@ -1612,6 +1612,21 @@ FROM ideal i LEFT JOIN got g ON i.qid = g.qid""",
   true AS codes_cover_index,
   (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed""",
 
+    // serving-pointer lifecycle: fixture arithmetic — the refit covers
+    // corpus + displaced increment (2n), the rollback re-serves gen0
+    // which by then ALSO holds the extend (2n); the phase/refit bits and
+    // the time-travel read are structural.
+    "q245_index_pointer" ->
+      """SELECT 'initial' AS phase, false AS serving_is_refit,
+  true AS past_read_ok,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed
+UNION ALL
+SELECT 'refit_promoted', true, true,
+  (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings)
+UNION ALL
+SELECT 'rolled_back', false, true,
+  (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings)""",
+
     // ANN staleness telemetry: counts are 4/5-5/5 split arithmetic; the
     // same-distribution increment must NOT trip either drift axis.
     "q237_ann_staleness" ->

@@ -162,6 +162,60 @@ class BulkAnnSpec extends SparkSpec {
     assert(AnnIndex.codesCount(refit) === AnnIndex.indexedCount(refit))
   }
 
+  test("serving pointer: atomic promote, time-travel reads, CAS conflict, rollback") {
+    val root = java.nio.file.Files.createTempDirectory("ann_ptr_root_").toString
+    val gen0 = java.nio.file.Files.createTempDirectory("ann_ptr_g0_").toString
+    val gen1 = java.nio.file.Files.createTempDirectory("ann_ptr_g1_").toString
+    AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 16, gen0)
+    AnnIndex.promoteIndex(spark, root, gen0)
+    assert(AnnIndex.currentIndexPath(spark, root) === gen0)
+    val v0 = AnnIndex.pointerVersion(root)
+    AnnIndex.fitIvfIndex(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      dim, nCells = 4, gen1)
+    AnnIndex.promoteIndex(spark, root, gen1)
+    assert(AnnIndex.currentIndexPath(spark, root) === gen1)
+    // time-travel: the pre-promote pointer version still resolves gen0
+    assert(AnnIndex.currentIndexPath(spark, root, Some(v0)) === gen0)
+    // CAS: a promote expecting the stale version conflicts loudly
+    // instead of silently clobbering the generation that landed since
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndex.promoteIndex(spark, root, gen0, Some(v0))
+    }
+    // rollback is one RESTORE commit on the pointer; artifacts untouched
+    AnnIndex.rollbackPointer(root, v0)
+    assert(AnnIndex.currentIndexPath(spark, root) === gen0)
+    assert(AnnIndex.indexedCount(gen1) > 0, "rollback must not touch artifacts")
+  }
+
+  test("promoteIndex refuses an incomplete target (never tear readers)") {
+    val root = java.nio.file.Files.createTempDirectory("ann_ptr_root2_").toString
+    val empty = java.nio.file.Files.createTempDirectory("ann_ptr_empty_").toString
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.promoteIndex(spark, root, empty)
+    }
+    assert(e.getMessage.contains("no complete index"), e.getMessage)
+  }
+
+  test("maintainCurrentIndex: a refit PROMOTES atomically in the same call") {
+    val root = java.nio.file.Files.createTempDirectory("ann_maint_root_").toString
+    val gen0 = java.nio.file.Files.createTempDirectory("ann_maint_g0_").toString
+    val gen1 = java.nio.file.Files.createTempDirectory("ann_maint_g1_").toString
+    AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 16, gen0)
+    val base = AnnIndex.assignmentsVersion(gen0)
+    AnnIndex.promoteIndex(spark, root, gen0)
+    val drifted = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CASE WHEN i < 32 " +
+        "THEN CAST(x + 6.0 AS FLOAT) ELSE x END)").as("embedding"))
+    AnnIndex.extendIvfIndex(drifted, "vec_id", "embedding", gen0)
+    val verdict = AnnIndex.maintainCurrentIndex(spark, root, gen1, base,
+      reclusterFileThreshold = 32, targetFiles = 4).collect()(0)
+    assert(verdict.getAs[String]("action") === "refit")
+    assert(verdict.getAs[Boolean]("promoted"))
+    assert(verdict.getAs[String]("serving_path") === gen1)
+    assert(AnnIndex.currentIndexPath(spark, root) === gen1)
+    assert(AnnIndex.indexedCount(gen1) === emb.count() * 2)
+  }
+
   test("bulk serve guards duplicate qids loudly") {
     val path = java.nio.file.Files.createTempDirectory("bulk_ann_dup_").toString
     AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 16, path)
