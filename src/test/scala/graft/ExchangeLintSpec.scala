@@ -20,15 +20,79 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * shape the lint wants plans to prefer; penalizing them would push
   * plans toward shuffles.
   *
-  * Budgets are the r16 measured values (tools/ProbeExchanges) — exact
-  * pins, not headroom: every one of these queries is deterministic at
-  * fixed input, so a count increase IS a plan change that needs
-  * re-auditing (lower is fine — AQE folding stages is a win).
+  * Budgets are measured values (tools/ProbeExchanges; r16 top-12 +
+  * the r17 extension to EVERY query ≥ 1 s committed bench cost — r16
+  * judge item 6, two confirming runs each) — exact pins, not headroom:
+  * every one of these queries is deterministic at fixed input, so a
+  * count increase IS a plan change that needs re-auditing (lower is
+  * fine — AQE folding stages is a win). One exception: q244 pins the
+  * max of its two observed counts (32 vs 30 — its lazy localCheckpoint
+  * materializes under whichever consumer acts first, shifting a
+  * recomputed subplan's exchanges between executions; the plan itself
+  * is unchanged).
   */
 class ExchangeLintSpec extends SparkSpec {
 
   /** query -> (shuffle budget, what the shuffles are). */
   private val budgets: Map[String, (Int, String)] = Map(
+    // ---- r17 extension: every query >= 1 s committed bench cost ----
+    "q241_index_maintenance" -> (48,
+      "index lifecycle: fit aggregates, five extends, two staleness reads, recluster sort, blue/green refit"),
+    "q239_recon_stream" -> (11,
+      "MemoryStream reconciler: per-batch stateful exchanges + the verdict aggregate"),
+    "q238_shape_gate_stream" -> (4,
+      "shape-gated stream: stateless lanes, one aggregate per lane read"),
+    "q135_leakage_safe_split" -> (14,
+      "near-dup pair CC fixpoint + split aggregates; corpus join-back broadcasts"),
+    "q237_ann_staleness" -> (19,
+      "fit + extend + two snapshot cellStats aggregates + the PSI fold"),
+    "q174_cluster_compact" -> (24, "cluster-by OPTIMIZE lifecycle jobs"),
+    "q121_curation_v2" -> (11,
+      "curation chain v2: dedup group-bys, quality + mixture aggregates"),
+    "q72_dedup_groups" -> (14, "MinHash banding group-bys + CC fixpoint rounds"),
+    "q192_dedup_yield" -> (17, "per-stage dedup yield aggregates over the chain"),
+    "q222_matryoshka_structured" -> (6, "truncation-recall joins at two prefix dims"),
+    "q140_ivfpq_knn" -> (6, "IVF fit aggregate + PQ subspace fits + rerank joins"),
+    "q208_blocked_pairs" -> (14, "blocked pair-universe group-bys + recall accounting"),
+    "q213_blocked_recall" -> (8, "OR-amplified blocking + recall gate joins"),
+    "q229_late_lanes" -> (6, "late-lane stream: per-batch max-ts aggregate + lane reads"),
+    "q183_tx_range_sql" -> (20, "tx_range SQL surface: per-travel-point reads/aggregates"),
+    "q221_dlq_replay" -> (9, "route + repair + re-ingest + multiset parity checks"),
+    "q212_pairs_backtest" -> (8, "pair screen + spread-z backtest aggregates"),
+    "q209_blocked_leadlag" -> (12, "blocked pairs + per-lag correlation aggregates"),
+    "q153_budget_select" -> (5, "level aggregate + boundary take + budget filter"),
+    "q159_tx_changes" -> (8, "CDC changes-between-versions reads + aggregates"),
+    "q220_cut_curation" -> (9, "span cut + curation chain aggregates"),
+    "q163_incremental_curation" -> (8, "bloom-gated increment + incremental maintenance"),
+    "q37_jaccard_near_dups" -> (2, "shingle group-by + banded candidate join"),
+    "q234_diversity_sample" -> (2, "bounded-heap quota winners + corpus join-back"),
+    "q112_pq_knn" -> (5, "PQ subspace fit aggregates + ADC rerank"),
+    "q211_tx_restore" -> (11, "RESTORE lifecycle: pre/post snapshots + verification reads"),
+    "q123_containment_pairs" -> (2, "gram group-by + containment join"),
+    "q175_research_capstone" -> (4, "indicator windows share sorts; capstone aggregates"),
+    "q62_tx_roundtrip" -> (5, "tx upsert round-trip + year aggregate"),
+    "q22_near_dup_pairs" -> (2, "MinHash band group-by + candidate join"),
+    "q146_bigram_surprisal" -> (4, "bigram count tables + per-doc surprisal aggregate"),
+    "q69_corpus_curation" -> (6, "dedup + quality + sample chain"),
+    "q162_pca_whitening" -> (1, "one Gram-matrix aggregate; projection is map-only"),
+    "q164_zone_map_read" -> (5, "zone-map-pruned reads + the pruned_ok accounting"),
+    "q51_ingest_trades" -> (1, "parse is map-only; one output aggregate"),
+    "q156_bigram_oov" -> (4, "persisted bigram table reuse + OOV aggregate"),
+    "q219_span_cut" -> (6, "one gram-keyed aggregate + keeper window + cut join"),
+    "q242_ranking_metrics" -> (3, "five BM25 scans fold into term aggregates + metric joins"),
+    "q113_source_overlap" -> (5, "per-source MinHash group-bys + overlap join"),
+    "q03_join_revenue" -> (2, "fact-fact shuffle join + final aggregate"),
+    "q205_net_backtest" -> (8, "backtest period windows + cost-adjusted aggregates"),
+    "q110_session_paths" -> (2, "sessionize + path aggregate"),
+    "q243_pq_bulk_serve" -> (37,
+      "PQ index lifecycle (fit + codebook + encode + extend) + ADC shortlist heap + rerank join + exact-twin accounting"),
+    "q244_ranker_eval" -> (32,
+      "exact/quantized top-50 legs + RRF fusion + three rankingMetrics passes + the ANN fit/serve/gate (max of two observed counts — see header note)"),
+    "q245_index_pointer" -> (32,
+      "pointer lifecycle: fit, promote upserts, drift extend, refit, rollback, per-phase pointer reads"),
+    "q246_e2e_ingest" -> (29,
+      "composed ingest: per-epoch lane appends (5 Tx tables x 3 epochs) + registry bloom + lane accounting"),
+    // ---- the r16 top-12 (original pins) ----
     "q227_persisted_ann_index" -> (56,
       "Tx index lifecycle: Lloyd fit aggregates, cell-clustered compaction sort, " +
         "per-run pruned serves, exact-twin topK — ~1 shuffle per lifecycle job (61 executions)"),
