@@ -1710,6 +1710,35 @@ UNION ALL
 SELECT 'ivf_bulk_gate', CAST(-1 AS BIGINT), CAST(8 AS BIGINT),
   CAST(-1 AS BIGINT), 1e0, -1e0, -1e0""",
 
+    // streaming ANN serve through the pointer: the verdict-row
+    // discipline (k-means serves are not SQL-replicable) — exact
+    // accounting constants per epoch, the promote flip, and the
+    // stream==direct twin bit, all predicted.
+    "q248_ann_serve_stream" ->
+      """SELECT CAST(0 AS BIGINT) AS epoch, CAST(40 AS BIGINT) AS n_queries,
+  CAST(400 AS BIGINT) AS n_served, false AS served_from_promoted,
+  true AS twin_match
+UNION ALL
+SELECT 1, 40, 400, true, true""",
+
+    // keyed delete: the surviving predicate restated relationally (the
+    // q62 per-year aggregate discipline); n_before/n_deleted_cdc are
+    // plain counts, travel/prune bits structural (3 target ids cannot
+    // cover more than 3 of 8 bucket files).
+    "q247_keyed_delete" ->
+      """WITH surv0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 3),
+tiny AS (SELECT o_orderkey FROM surv0 ORDER BY o_orderkey LIMIT 3),
+surv AS (SELECT * FROM surv0
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tiny))
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_before,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 3)
+    AS n_deleted_cdc,
+  true AS travel_ok, true AS pruned_ok
+FROM surv GROUP BY 1""",
+
     // end-to-end ingest capstone: every (batch, lane) count restated as
     // arithmetic — year-bucketed batches, the q229 watermark-replica
     // progression (max good-row event time per batch, applied one batch

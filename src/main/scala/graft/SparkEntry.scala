@@ -4587,6 +4587,114 @@ GROUP BY order_year""")
     } finally deleteRecursively(tmp)
   }
 
+  /** X106: streaming ANN enrichment through the serving pointer
+    * ([[graft.streaming.Pipelines.annServeSink]]) — two epochs of the
+    * same 40-query frame with a BLUE/GREEN PROMOTE between them: epoch
+    * 0 serves from gen0 (half the corpus), a full-corpus gen1 is fit
+    * and promoted mid-stream, epoch 1 serves from gen1 with no restart
+    * — the pointer resolution happens per epoch. Verdict rows per
+    * epoch: exact accounting (40 × k rows — both generations hold ≥ k
+    * candidates per probe set at every SF), `served_from_promoted`
+    * (the __index_path audit column flipped), and `twin_match` (the
+    * epoch's rows equal a direct bulk serve against the recorded
+    * generation — the streaming sink adds exactly nothing to the
+    * answer). Eager (the q229 convention).
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    import graft.llmops.{AnnIndex, Similarity}
+    import graft.sources.TxParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("q248_annstream")
+    val (root, gen0, gen1, out) =
+      (s"$tmp/root", s"$tmp/gen0", s"$tmp/gen1", s"$tmp/out")
+    try {
+      val emb = t(s, dir, "embeddings")
+      AnnIndex.fitIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", 64, nCells = 8, gen0)
+      AnnIndex.promoteIndex(s, root, gen0)
+      val queries = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+      val qRows = queries.as[(Long, Seq[Double])].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val writer = graft.streaming.Pipelines.annServeSink(
+        mem.toDF().toDF("qid", "qv"), "qid", "qv", root,
+        nProbe = 4, k = 10, s"$out/served", s"$out/ckpt")
+      val q = writer.start()
+      try {
+        mem.addData(qRows.toSeq); q.processAllAvailable()
+        AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", 64, nCells = 8, gen1)
+        AnnIndex.promoteIndex(s, root, gen1)
+        mem.addData(qRows.toSeq); q.processAllAvailable()
+        Option(q.exception.orNull).foreach(throw _)
+      } finally q.stop()
+      val served = TxParquetTable.snapshot(s, s"$out/served").localCheckpoint(true)
+      val rows = Seq(0L -> gen0, 1L -> gen1).map { case (epoch, gen) =>
+        val e = served.filter(col("__epoch") === epoch)
+        val got = e.select("qid", "id", "score").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val direct = AnnIndex.queryIvfIndexBulk(s, gen, queries,
+            "qid", "qv", nProbe = 4, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        (epoch, e.select("qid").distinct().count(), e.count(),
+          e.select("__index_path").distinct().head().getString(0) == gen1,
+          got == direct)
+      }
+      rows.toDF("epoch", "n_queries", "n_served", "served_from_promoted",
+        "twin_match")
+    } finally deleteRecursively(tmp)
+  }
+
+  /** X105: keyed DELETE on the Tx table — the right-to-be-forgotten op
+    * ([[graft.sources.TxParquetTable.delete]]): one atomic commit
+    * rewriting only the files that can hold a target id (bucket-pruned
+    * on keyed layouts, zone-map-pruned on append-only ones),
+    * time-travelable until vacuum. Lifecycle under oracle: load orders
+    * keyed (8 buckets) → BULK delete (every orderkey ≡ 3 mod 7) →
+    * MICRO delete (the 3 smallest survivors — at most 3 of 8 bucket
+    * files rewritten, the pruning bit) → the post-delete snapshot's
+    * per-year aggregate hash-matches SQL over the surviving predicate,
+    * with verdict columns: `n_before` (the PRE-delete version read
+    * through time travel — the logical-delete contract), `n_deleted_cdc`
+    * (the CDC read between versions classifies exactly the bulk-deleted
+    * rows), `travel_ok`, `pruned_ok`. Eager (the q189 Tx-lifecycle
+    * convention).
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("q247_delete")
+    val path = s"$tmp/t"
+    try {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      TxParquetTable.upsert(o, path, "o_orderkey", buckets = 8)
+      val v0 = TxParquetTable.latestVersion(path)
+      val nFull = o.count()
+      val vDel = TxParquetTable.delete(
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 3).select("o_orderkey"),
+        path, "o_orderkey")
+      val tiny = TxParquetTable.snapshot(s, path)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3)
+      val vDel2 = TxParquetTable.delete(tiny, path, "o_orderkey")
+      val rewritten2 = TxParquetTable.history(s, path)
+        .filter(col("version") === vDel2)
+        .select("n_removed").head().getLong(0)
+      val nBefore = TxParquetTable.snapshot(s, path, Some(v0)).count()
+      val nDeletedCdc = TxParquetTable.changes(s, path, v0, vDel, "o_orderkey")
+        .filter(col("change_type") === "delete").count()
+      val out = TxParquetTable.snapshot(s, path)
+        .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("n_before", lit(nBefore))
+        .withColumn("n_deleted_cdc", lit(nDeletedCdc))
+        .withColumn("travel_ok", lit(nBefore == nFull))
+        .withColumn("pruned_ok", lit(rewritten2 <= 3L))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
   /** X101: retrieval-quality METRICS, oracle-exact — recall@10, MRR@10
     * and nDCG@10 for five single-term BM25 rankings against graded
     * term-frequency truth (grade = the term's tf; relevant ⇔ tf > 0).
@@ -5163,6 +5271,8 @@ GROUP BY order_year""")
     "q244_ranker_eval" -> (q244 _),
     "q245_index_pointer" -> (q245 _),
     "q246_e2e_ingest" -> (q246 _),
+    "q247_keyed_delete" -> (q247 _),
+    "q248_ann_serve_stream" -> (q248 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

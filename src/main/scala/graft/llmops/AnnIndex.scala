@@ -696,9 +696,17 @@ object AnnIndex {
     * ROW-IDENTICAL (BulkAnnSpec pins it); at operating shortlists the
     * recall gate is q243.
     */
+  /** `rerank = false` is the PURE-ADC regime: the top-k comes straight
+    * from the code-domain scores and the RAW table is never touched at
+    * all — the serve for deployments where even the shortlist's pruned
+    * raw read is off-budget. Scores are then approximate (quantization
+    * error unrepaired); the shortlist-80 recall gate in BulkAnnSpec is
+    * the measured quality floor for the reranked form, the pure-ADC
+    * spec pins its own overlap floor.
+    */
   def queryIvfPqIndexBulk(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, qVecCol: String, nProbe: Int, k: Int, shortlist: Int,
-      excludeSelfId: Boolean = false): DataFrame = {
+      excludeSelfId: Boolean = false, rerank: Boolean = true): DataFrame = {
     import graft.functions.{AdcDotTable, BoundedTopK, ProbeCells}
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val cents = Similarity.collectCentroids(
@@ -743,11 +751,20 @@ object AnnIndex {
       element_at(col("adc"),
         lit(offsets(j)) + element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    val cand = runScan(codesPath(path))
+    val scored = runScan(codesPath(path))
       .join(taggedC, Seq("cell"))
       .select(col("qid"), col("id"),
         ((col("cdot") + resDot) / (col("vnorm") * col("qn"))).as("s"))
       .filter(if (excludeSelfId) col("id") =!= col("qid") else lit(true))
+    if (!rerank) {
+      // pure ADC: the heap takes k directly; no raw read anywhere
+      return scored.groupBy(col("qid"))
+        .agg(BoundedTopK.topK(col("s"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("e"))
+        .select(col("qid"), col("e.id").as("id"),
+          round(col("e.score"), 6).as("score"))
+    }
+    val cand = scored
       .groupBy(col("qid"))
       .agg(BoundedTopK.topK(col("s"), col("id"), shortlist).as("nn"))
       .select(col("qid"), explode(col("nn")).as("e"))

@@ -1108,4 +1108,97 @@ object TxParquetTable {
     publish(path, adds, removes, domain, readVersion, Some(n),
       columns = (tableCols ++ incoming.columns).distinct)
   }
+
+  /** Keyed DELETE — the right-to-be-forgotten op (X105): remove every
+    * row whose `idCol` appears in `ids`, as ONE atomic commit that
+    * rewrites ONLY the files that can hold a target id. Returns the
+    * committed version (the read version when nothing can match — a
+    * vacuous delete commits nothing).
+    *
+    * File pruning, in order of precision:
+    *   - a KEYED table (recorded bucket scheme — [[upsert]] wrote it)
+    *     prunes to the target ids' bucket files, exactly upsert's rule;
+    *   - a file carrying an `idCol` ZONE MAP is skipped when its
+    *     [min, max] cannot intersect the targets' [min, max] (coarse —
+    *     one agg over the id frame, never a per-id driver set);
+    *   - a file with neither is conservatively rewritten (and gains
+    *     bucket stats under a keyed scheme — the upsert self-healing
+    *     rule).
+    *
+    * Conflict domain mirrors [[upsert]]: the commit declares every
+    * bucket it rewrites (the full domain when any affected file lacks
+    * bucket stats, or on an unkeyed table — two unkeyed deletes, or a
+    * delete racing an upsert, must serialize: the loser's survivors
+    * were computed from a stale live set and could resurrect rows).
+    * Concurrent appends conflict for the same reason as upsert's rule.
+    *
+    * PRIVACY CONTRACT, stated loudly: a delete is LOGICAL — the removed
+    * rows stay readable at pre-delete versions (time travel) until
+    * [[vacuum]] drops their files. GDPR-grade physical erasure is
+    * `delete(...)` followed by `vacuum(path, retainVersion = <the
+    * delete's committed version>, retentionMs = 0)`; TxTableSpec pins
+    * that the pre-delete snapshot becomes unreadable after it.
+    */
+  def delete(ids: DataFrame, path: String, idCol: String): Long = {
+    val spark = ids.sparkSession
+    val readVersion = latestVersion(path)
+    require(readVersion >= 0, s"delete: no Tx table at $path")
+    val snap = state(path, Some(readVersion))
+    if (snap.live.isEmpty) return readVersion
+    val incoming = ids.select(col(idCol)).dropDuplicates(idCol)
+      .localCheckpoint(true) // pin: consumed by prune stats AND the anti-join
+    if (incoming.isEmpty) return readVersion
+    val nOpt = snap.bucketCount
+    def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
+      pmod(xxhash64(c), lit(n)).cast("int")
+    // target-id bounds in the zone-map stats domain (one 2-value agg)
+    val dt = incoming.schema(idCol).dataType
+    val boundsRow = incoming
+      .agg(min(statsExpr(dt, col(idCol))), max(statsExpr(dt, col(idCol)))).head()
+    val tag = statsTag(dt)
+    def zoneCanHold(f: AddFile): Boolean = f.stats.get(idCol) match {
+      case Some(s) if tag.contains(s.t) && !boundsRow.isNullAt(0) =>
+        val (lo, hi) = (boundsRow.get(0).toString, boundsRow.get(1).toString)
+        def cmp(a: String, b: String): Int = s.t match {
+          case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+          case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+          case _ => a.compareTo(b)
+        }
+        !(cmp(s.mx, lo) < 0 || cmp(s.mn, hi) > 0)
+      case _ => true // no usable zone map -> cannot prune
+    }
+    val affected = nOpt match {
+      case Some(n) =>
+        val targetBuckets = incoming
+          .select(bucketOf(col(idCol), n).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        snap.live.filter(f =>
+          (f.buckets.isEmpty || f.buckets.exists(targetBuckets.contains)) &&
+            zoneCanHold(f))
+      case None => snap.live.filter(zoneCanHold)
+    }
+    if (affected.isEmpty) return readVersion
+    val old = spark.read.option("mergeSchema", "true").parquet(
+      affected.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+    val survivors = old
+      .join(incoming.select(col(idCol).as("__del_id")),
+        col(idCol) === col("__del_id"), "left_anti")
+      .drop("__del_id")
+      .localCheckpoint(true)
+    val inheritedStats = snap.live.flatMap(_.stats.keys).distinct
+      .filter(old.columns.contains)
+    val adds = stage(survivors, path,
+      nOpt.map(n => bucketOf(col(idCol), n)), inheritedStats)
+    val domain = nOpt match {
+      case Some(n) =>
+        if (affected.exists(_.buckets.isEmpty)) (0 until n).toSeq
+        else affected.flatMap(_.buckets).distinct.sorted
+      case None => Seq(0) // unkeyed: one shared domain token serializes
+    }
+    // bucketCount: keep the keyed scheme; an unkeyed table stays
+    // unkeyed (recording a scheme here would poison a later upsert's
+    // modulus) — its Seq(0) domain token still serializes deletes
+    publish(path, adds, affected.map(_.name), domain, readVersion, nOpt,
+      columns = tableColumns(spark, path, snap), op = Some("delete"))
+  }
 }

@@ -727,6 +727,57 @@ object Pipelines {
     ()
   }
 
+  /** X106: streaming ANN enrichment THROUGH the serving pointer — the
+    * operational composition X97 (bulk serving) and X103 (the atomic
+    * blue/green pointer) exist for: a long-running stream of query
+    * vectors (re-embedding sweeps, hard-negative mining feeds,
+    * similarity-enrichment of arriving documents) served per epoch
+    * from the persisted index, with the serving generation RESOLVED
+    * THROUGH THE POINTER at every epoch — a maintainer's promote
+    * ([[graft.llmops.AnnIndex.maintainCurrentIndex]]) takes effect at
+    * the next micro-batch boundary, no restart, no torn generation
+    * (each epoch reads exactly one pointer resolution).
+    *
+    * Per epoch: resolve → [[graft.llmops.AnnIndex.queryIvfIndexBulk]]
+    * (in-plan probe tagging, bounded-heap top-k — nothing
+    * query-count-sized on the driver) → ONE exactly-once Tx append of
+    * (qid, id, score, __index_path, __epoch); `__index_path` records
+    * which generation served the epoch, the serving audit trail.
+    * Batches are independent serves, so the sink is stateless and
+    * replay lands identically (the txn guard makes it a no-op).
+    */
+  def annServeSink(queries: DataFrame, qidCol: String, qVecCol: String,
+      indexRoot: String, nProbe: Int, k: Int,
+      outPath: String, checkpoint: String,
+      appId: String = "graft-ann-serve",
+      pqShortlist: Option[Int] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        import graft.llmops.AnnIndex
+        import graft.sources.TxParquetTable
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val path = AnnIndex.currentIndexPath(spark, indexRoot)
+          // pqShortlist opts into the X102 serve economics (code-domain
+          // candidate scan + exact rerank) — the generation must carry
+          // PQ artifacts, which queryIvfPqIndexBulk enforces loudly
+          val served = pqShortlist match {
+            case Some(sl) => AnnIndex.queryIvfPqIndexBulk(spark, path, batch,
+              qidCol, qVecCol, nProbe, k, shortlist = sl)
+            case None => AnnIndex.queryIvfIndexBulk(spark, path, batch,
+              qidCol, qVecCol, nProbe, k)
+          }
+          TxParquetTable.append(
+            served.withColumn("__index_path", lit(path))
+              .withColumn("__epoch", lit(epochId)),
+            outPath, txn = Some((appId, epochId)))
+          ()
+        }
+      }
+
   /** X104: the END-TO-END INGEST CAPSTONE (r16 judge item 7) — the
     * reference's entire declared surface
     * (`dags/ingestion_yfinance_data_to_cassandra_db.py:254-282`: fetch →

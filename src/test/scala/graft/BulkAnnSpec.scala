@@ -241,6 +241,119 @@ class BulkAnnSpec extends SparkSpec {
     assert(AnnIndex.codesCount(path) === AnnIndex.indexedCount(path))
   }
 
+  test("annServeSink serves each epoch through the pointer and follows a promote live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ann_sink_root_").toString
+    val gen0 = java.nio.file.Files.createTempDirectory("ann_sink_g0_").toString
+    val gen1 = java.nio.file.Files.createTempDirectory("ann_sink_g1_").toString
+    val out = java.nio.file.Files.createTempDirectory("ann_sink_out_").toString
+    // gen0 indexes half the corpus; gen1 all of it — a promote between
+    // epochs must change which generation answers
+    AnnIndex.fitIvfIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", dim, nCells = 8, gen0)
+    AnnIndex.promoteIndex(spark, root, gen0)
+    val queries = emb.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"),
+        graft.llmops.Similarity.asDouble(col("embedding")).as("qv"))
+    val qRows = queries.as[(Long, Seq[Double])].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val writer = graft.streaming.Pipelines.annServeSink(
+      mem.toDF().toDF("qid", "qv"), "qid", "qv", root,
+      nProbe = 3, k = 5, s"$out/served", s"$out/ckpt")
+    val q = writer.start()
+    try {
+      mem.addData(qRows.toSeq); q.processAllAvailable()
+      AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 8, gen1)
+      AnnIndex.promoteIndex(spark, root, gen1)
+      mem.addData(qRows.toSeq); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+    } finally q.stop()
+    val served = graft.sources.TxParquetTable.snapshot(spark, s"$out/served")
+    // each epoch's audit column names the generation that answered
+    val byEpoch = served.select(col("__epoch"), col("__index_path"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byEpoch === Map(0L -> gen0, 1L -> gen1))
+    // per-epoch rows equal a direct bulk serve against that generation
+    Seq((0L, gen0), (1L, gen1)).foreach { case (epoch, gen) =>
+      val got = served.filter(col("__epoch") === epoch)
+        .select("qid", "id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = AnnIndex.queryIvfIndexBulk(spark, gen, queries,
+          "qid", "qv", nProbe = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === direct, s"epoch $epoch must equal the direct serve on $gen")
+    }
+  }
+
+  test("pure-ADC serve (rerank=false) never touches the raw table and keeps a measured overlap floor") {
+    val path = java.nio.file.Files.createTempDirectory("bulk_pq_pure_").toString
+    AnnIndex.fitIvfPqIndex(emb, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, path)
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val pure = AnnIndex.queryIvfPqIndexBulk(spark, path, queries, "qid", "qv",
+      nProbe = 4, k = 10, shortlist = 10, excludeSelfId = true, rerank = false)
+    // the plan must not read the assignments table (codes + head only)
+    val scans = pure.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.toString
+    }
+    assert(!scans.exists(_.contains("assignments")),
+      s"pure-ADC serve must not scan the raw assignments:\n${scans.mkString("\n")}")
+    val pureRows = pure.select("qid", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pureRows.groupBy(_._1).forall(_._2.size == 10), "k rows per query")
+    val raw = AnnIndex.queryIvfIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 4, k = 10, excludeSelfId = true)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // measured on this fixture: ~39% (158/400) — the honest price of
+    // skipping the rerank at m=8/ksub=16 on 64 dims (the q112 raw-ADC
+    // finding); the floor pins a third so a quantization regression
+    // (wrong offsets, wrong residual domain) still fails loudly while
+    // fixture drift doesn't. Deployments wanting exact top-k keep the
+    // rerank (row-identity pinned above); pure ADC trades recall for
+    // ZERO raw-table reads.
+    val overlap = pureRows.intersect(raw).size
+    assert(overlap * 10 >= raw.size * 3,
+      s"pure-ADC top-10 should keep >= 30% of the exact-in-probe top-10, got $overlap/${raw.size}")
+  }
+
+  test("annServeSink serves over PQ codes when asked (pqShortlist)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ann_sinkpq_root_").toString
+    val gen0 = java.nio.file.Files.createTempDirectory("ann_sinkpq_g0_").toString
+    val out = java.nio.file.Files.createTempDirectory("ann_sinkpq_out_").toString
+    AnnIndex.fitIvfPqIndex(emb, "vec_id", "embedding", dim, nCells = 16,
+      m = 8, ksub = 16, gen0)
+    AnnIndex.promoteIndex(spark, root, gen0)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        graft.llmops.Similarity.asDouble(col("embedding")).as("qv"))
+    val qRows = queries.as[(Long, Seq[Double])].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val writer = graft.streaming.Pipelines.annServeSink(
+      mem.toDF().toDF("qid", "qv"), "qid", "qv", root,
+      nProbe = 4, k = 5, s"$out/served", s"$out/ckpt",
+      pqShortlist = Some(1000000))
+    val q = writer.start()
+    try {
+      mem.addData(qRows.toSeq); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+    } finally q.stop()
+    val got = graft.sources.TxParquetTable.snapshot(spark, s"$out/served")
+      .select("qid", "id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // covering shortlist -> identical to the raw serve (the X102 parity)
+    val direct = AnnIndex.queryIvfIndexBulk(spark, gen0, queries,
+        "qid", "qv", nProbe = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === direct)
+  }
+
   test("bulk serve guards duplicate qids loudly") {
     val path = java.nio.file.Files.createTempDirectory("bulk_ann_dup_").toString
     AnnIndex.fitIvfIndex(emb, "vec_id", "embedding", dim, nCells = 16, path)

@@ -92,6 +92,10 @@ class ExchangeLintSpec extends SparkSpec {
       "pointer lifecycle: fit, promote upserts, drift extend, refit, rollback, per-phase pointer reads"),
     "q246_e2e_ingest" -> (29,
       "composed ingest: per-epoch lane appends (5 Tx tables x 3 epochs) + registry bloom + lane accounting"),
+    "q247_keyed_delete" -> (17,
+      "keyed load + two bucket-pruned delete rewrites + CDC/travel/aggregate verification reads"),
+    "q248_ann_serve_stream" -> (43,
+      "two index fits + two per-epoch bulk serves (probe distinct, cell join, heap) + the per-epoch direct-serve twins"),
     // ---- the r16 top-12 (original pins) ----
     "q227_persisted_ann_index" -> (56,
       "Tx index lifecycle: Lloyd fit aggregates, cell-clustered compaction sort, " +

@@ -34,6 +34,75 @@ class TxTableSpec extends SparkSpec {
     assert(TxParquetTable.rowCount(path) === Some(2L))
   }
 
+  test("delete removes by id atomically; time travel keeps the past until vacuum (X105)") {
+    import spark.implicits._
+    val path = freshPath()
+    val v0 = TxParquetTable.upsert(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), path, "id", buckets = 8)
+    val vDel = TxParquetTable.delete(
+      Seq(3L, 7L, 21L, 999L).toDF("id"), path, "id") // 999 absent: vacuous
+    assert(vDel > v0)
+    val now = TxParquetTable.snapshot(spark, path).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(now === (1L to 40L).toSet -- Set(3L, 7L, 21L))
+    // logical delete: the pre-delete version still reads complete
+    assert(TxParquetTable.snapshot(spark, path, Some(v0)).count() === 40)
+    // CDC classifies exactly the deleted rows
+    val cdc = TxParquetTable.changes(spark, path, v0, vDel, "id")
+      .filter(col("change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cdc === Set(3L, 7L, 21L))
+    // history carries the op marker
+    val ops = TxParquetTable.history(spark, path)
+      .filter(col("version") === vDel).collect()
+    assert(ops.length === 1)
+    // GDPR physical erasure = delete + vacuum(retain the delete)
+    TxParquetTable.vacuum(path, retainVersion = vDel, retentionMs = 0L)
+    val e = intercept[IllegalStateException] {
+      TxParquetTable.snapshot(spark, path, Some(v0)).count()
+    }
+    assert(e.getMessage.contains("no longer fully present"), e.getMessage)
+    assert(TxParquetTable.snapshot(spark, path).count() === 37)
+  }
+
+  test("delete prunes its rewrite to the target ids' bucket files (X105 scale shape)") {
+    import spark.implicits._
+    val path = freshPath()
+    TxParquetTable.upsert(
+      (1L to 1000L).map(i => (i, i * 2)).toDF("id", "x"), path, "id", buckets = 8)
+    val before = TxParquetTable.history(spark, path)
+    val filesBefore = TxParquetTable.liveFileCount(path)
+    val vDel = TxParquetTable.delete(Seq(5L, 6L, 7L).toDF("id"), path, "id")
+    // 3 target ids can touch at most 3 of the 8 bucket files; the
+    // commit must not have rewritten the rest
+    val removedAtDelete = TxParquetTable.history(spark, path)
+      .filter(col("version") === vDel)
+      .select("n_removed").head().getLong(0)
+    assert(removedAtDelete <= 3,
+      s"delete must rewrite <= |target buckets| files, rewrote $removedAtDelete of $filesBefore")
+    assert(TxParquetTable.snapshot(spark, path).count() === 997)
+    assert(before.count() >= 1)
+  }
+
+  test("delete on an unkeyed append-only table falls back to zone-map pruning") {
+    import spark.implicits._
+    val path = freshPath()
+    // two appends with DISJOINT id ranges, both zone-mapped on id
+    TxParquetTable.append((1L to 100L).map(i => (i, "a")).toDF("id", "v")
+      .coalesce(1), path, statsColumns = Seq("id"))
+    TxParquetTable.append((1000L to 1100L).map(i => (i, "b")).toDF("id", "v")
+      .coalesce(1), path, statsColumns = Seq("id"))
+    val vDel = TxParquetTable.delete(Seq(50L, 60L).toDF("id"), path, "id")
+    val removed = TxParquetTable.history(spark, path)
+      .filter(col("version") === vDel)
+      .select("n_removed").head().getLong(0)
+    assert(removed === 1,
+      s"the high-range file's zone map excludes the targets; rewrote $removed files")
+    assert(TxParquetTable.snapshot(spark, path).count() === 199)
+    assert(TxParquetTable.snapshot(spark, path)
+      .filter(col("id").isin(50L, 60L)).count() === 0)
+  }
+
   test("upsert replaces by id, keeps others, and time travel sees the past") {
     val path = freshPath()
     val v0 = TxParquetTable.append(
