@@ -97,10 +97,35 @@ object StreamSoak {
     try {
       val wallStart = System.nanoTime()
       Thread.sleep(durationSec * 1000L)
-      q.stop(); q.awaitTermination(60000)
       // streaming queries fail ASYNCHRONOUSLY: a dead query looks like
-      // "zero batches" unless the exception is surfaced here
-      q.exception.foreach(e => throw e)
+      // "zero batches" unless the exception is surfaced here. One
+      // exception class is OURS, not the query's: stop() interrupts a
+      // batch mid-commit, and the dying task's InterruptedException /
+      // CANNOT_COMMIT can win the race into the query's failure slot
+      // (observed r17 on an idle box where 400k-row batches were
+      // always mid-commit at the window edge) — and awaitTermination
+      // RETHROWS it before any q.exception check runs. Swallow ONLY
+      // that stop-window noise on both surfaces; a genuine operator
+      // failure (a user-function require, a parse error) still throws.
+      def isStopNoise(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
+          case _: InterruptedException => true
+          case t => Option(t.getMessage).exists(m =>
+            m.contains("CANNOT_COMMIT") || m.contains("interrupted"))
+        }
+      q.stop()
+      try q.awaitTermination(60000)
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if isStopNoise(e) =>
+          println(s"[soak] ignoring stop-window noise (awaitTermination): " +
+            s"${String.valueOf(e.getMessage).take(120)}")
+      }
+      q.exception.foreach { e =>
+        if (!isStopNoise(e)) throw e
+        println(s"[soak] ignoring stop-window noise: " +
+          s"${String.valueOf(e.getMessage).take(120)}")
+      }
       val seconds = (System.nanoTime() - wallStart) / 1e9
       // the loop cap is an ITERATION counter, not the queue size (r13
       // advice: `last < 10000` bounded on event COUNT, so a soak with
@@ -273,8 +298,13 @@ object StreamSoak {
     val writer = Pipelines.parquetSink(mon.toDF(), s"$outDir/out", s"$outDir/ckpt")
     val (ps, seconds) = runTimed(spark, writer, durationSec)
     val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
-    val sinkRows = spark.read.parquet(s"$outDir/out")
-      .filter(col("__epoch").isin(epochs: _*)).count()
+    // a window whose only complete batches were detector-quiet (or whose
+    // last batch the stop killed mid-write) leaves no readable sink —
+    // report 0, the driveStateful/drive guard
+    val sinkRows =
+      try spark.read.parquet(s"$outDir/out")
+        .filter(col("__epoch").isin(epochs: _*)).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     (segmentOf(ps, seconds, sinkRows),
       "stream-stream equi-join on (pair, ts) -> spread -> zScoreAnomalies (chained stateful operators)")
   }
