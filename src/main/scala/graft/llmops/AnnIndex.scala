@@ -352,6 +352,15 @@ object AnnIndex {
         TxParquetTable.latestVersion(assignmentsPath(servingPath)) >= 0,
       s"promoteIndex: $servingPath holds no complete index (centroids + " +
         "assignments) — promote only a finished fit")
+    // a PQ generation must also be WHOLE (r17 advice): a crash between
+    // the extend's two appends leaves codes behind assignments, and
+    // promoting that generation would tear every code-domain reader
+    if (hasPqArtifacts(servingPath)) {
+      val (a, c) = (indexedCount(servingPath), codesCount(servingPath))
+      require(a == c,
+        s"promoteIndex: $servingPath PQ artifacts are torn — $a assignment " +
+          s"rows vs $c code rows; finish or re-run the extend before promoting")
+    }
     import spark.implicits._
     TxParquetTable.upsert(
       Seq((0L, servingPath)).toDF("id", "serving_path"),
@@ -709,6 +718,19 @@ object AnnIndex {
       excludeSelfId: Boolean = false, rerank: Boolean = true): DataFrame = {
     import graft.functions.{AdcDotTable, BoundedTopK, ProbeCells}
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    // coverage guard (r17 advice): fit/extend commit assignments and
+    // codes as two appends — a crash in between leaves rows assigned
+    // but uncoded, and the code-domain candidate scan would silently
+    // never nominate them (quiet recall loss). Fail the serve loudly
+    // instead; re-run the extend (its assignment append is the txn'd
+    // side) or refit to heal.
+    locally {
+      val (a, c) = (indexedCount(path), codesCount(path))
+      require(a == c,
+        s"queryIvfPqIndexBulk: PQ index at $path is torn — $a assignment " +
+          s"rows vs $c code rows (a failed extend?); uncoded rows would " +
+          "silently vanish from the candidate scan. Re-extend or refit.")
+    }
     val cents = Similarity.collectCentroids(
       TxParquetTable.snapshot(spark, centroidsPath(path)))
     val cellIds = cents.map(_._1).toSeq

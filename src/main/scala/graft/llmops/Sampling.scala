@@ -111,11 +111,24 @@ object Sampling {
     * takes one semi-join against that tiny winners frame (broadcast
     * when it fits; AQE decides). Ids must be non-null (the kernel's
     * loud in-plan contract — a null id could never join back).
+    *
+    * CONTRACT on duplicate (stratum, id) rows (r17 advice): "exactly k"
+    * counts DISTINCT ids — the kernel input is deduplicated on the key,
+    * so k distinct ids win per stratum, and the semi-join returns EVERY
+    * corpus copy of a winner (a semi-join cannot pick among identical
+    * keys). With unique ids — the normal corpus shape — that is exactly
+    * k rows; with duplicates it is k ids, ≥ k rows. Dedupe upstream if
+    * row-exactness under duplicate ids is required.
     */
   def sampleExactPerStratum(
       df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val winners = topCapPerStratum(df, strataCol, idCol,
+    // dedupe BEFORE the heap: a duplicated id would reach the heap twice
+    // with the same draw and trip the winners-uniqueness guard loudly —
+    // the contract above is the useful behavior, not that failure
+    val winners = topCapPerStratum(
+      df.select(col(strataCol), col(idCol)).dropDuplicates(strataCol, idCol),
+      strataCol, idCol,
       -hashUniform(col(idCol)), k, "sampleExactPerStratum")
       .select(col(strataCol), col(idCol))
     df.join(winners, Seq(strataCol, idCol), "left_semi")

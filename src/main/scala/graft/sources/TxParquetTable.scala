@@ -735,6 +735,26 @@ object TxParquetTable {
         .SeqHasAsJava(rows).asJava), schema)
   }
 
+  /** Commit-level adds for the streaming source ([[TxStreamSource]]):
+    * for each version in (fromVersion, toVersion], the op marker,
+    * whether the commit REMOVED files (a data-changing rewrite unless
+    * the op says otherwise), whether it reset the column baseline (the
+    * legacy-compact tell), and the added files as (absolute path,
+    * numRecords). Log-only — O(#commits in range) small-JSON parses,
+    * zero data I/O.
+    */
+  private[sources] def commitAdds(path: String, fromVersion: Long,
+      toVersion: Long): Seq[(Long, Option[String], Boolean, Boolean, Seq[(String, Long)])] =
+    commitFiles(path)
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .sortBy(_._1)
+      .map { case (v, f) =>
+        val c = parseCommit(read(f))
+        (v, c.op, c.remove.nonEmpty, c.columnsReset,
+          c.add.map(a =>
+            (new File(dataDir(path), a.name).getAbsolutePath, a.numRecords)))
+      }
+
   /** Max txn version `app` ever recorded in commits ≤ `upTo`, straight
     * from the COMMIT FILES (never a checkpoint) — the fallback for
     * snapshots whose checkpoint may have dropped the txns record (see
@@ -1145,7 +1165,22 @@ object TxParquetTable {
     require(readVersion >= 0, s"delete: no Tx table at $path")
     val snap = state(path, Some(readVersion))
     if (snap.live.isEmpty) return readVersion
-    val incoming = ids.select(col(idCol)).dropDuplicates(idCol)
+    // cast the targets to the TABLE's stored id type (r17 advice): the
+    // bucket hash and zone bounds below are computed in the stored
+    // domain — an INT ids frame against a BIGINT-keyed table would hash
+    // to different buckets, prune the wrong files, and the delete would
+    // silently remove nothing while returning a committed version. A
+    // target that cannot represent in the stored type fails loudly
+    // rather than silently matching nothing.
+    val storedType = snapshot(spark, path, Some(readVersion))
+      .schema(idCol).dataType
+    val rawIds = ids.select(col(idCol)).dropDuplicates(idCol)
+    val incoming = rawIds
+      .select(when(col(idCol).isNotNull && col(idCol).cast(storedType).isNull,
+          raise_error(concat(lit(s"delete: id value "),
+            col(idCol).cast("string"),
+            lit(s" does not represent in the table's $storedType id domain"))))
+        .otherwise(col(idCol).cast(storedType)).as(idCol))
       .localCheckpoint(true) // pin: consumed by prune stats AND the anti-join
     if (incoming.isEmpty) return readVersion
     val nOpt = snap.bucketCount

@@ -107,12 +107,25 @@ object StreamSoak {
       // RETHROWS it before any q.exception check runs. Swallow ONLY
       // that stop-window noise on both surfaces; a genuine operator
       // failure (a user-function require, a parse error) still throws.
-      def isStopNoise(e: Throwable): Boolean =
-        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
-          case _: InterruptedException => true
-          case t => Option(t.getMessage).exists(m =>
-            m.contains("CANNOT_COMMIT") || m.contains("interrupted"))
+      // Tightened r18 (advice): noise requires (a) stop() already
+      // issued, (b) the ROOT cause exactly an interrupt/kill class or
+      // a CANNOT_COMMIT matched by ERROR CLASS — a real failure whose
+      // message merely mentions "interrupted" no longer slips through.
+      @volatile var stopIssued = false
+      def isStopNoise(e: Throwable): Boolean = stopIssued && {
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toList
+        val root = chain.last
+        val rootIsKill = root.isInstanceOf[InterruptedException] ||
+          root.isInstanceOf[org.apache.spark.TaskKilledException] ||
+          root.isInstanceOf[java.nio.channels.ClosedByInterruptException]
+        val cannotCommit = chain.exists {
+          case st: org.apache.spark.SparkThrowable =>
+            Option(st.getCondition).exists(_.startsWith("CANNOT_COMMIT"))
+          case _ => false
         }
+        rootIsKill || cannotCommit
+      }
+      stopIssued = true
       q.stop()
       try q.awaitTermination(60000)
       catch {

@@ -121,6 +121,36 @@ class BulkAnnSpec extends SparkSpec {
     assert(pq === raw)
   }
 
+  test("a torn PQ index (assignments ahead of codes) fails the serve and the promote loudly (r17 advice)") {
+    // extend commits assignments then codes — a crash in between leaves
+    // rows the code-domain candidate scan would silently never
+    // nominate. Simulate the tear by appending an assignment-only
+    // increment, then require both queryIvfPqIndexBulk and promoteIndex
+    // to refuse it by name.
+    import graft.sources.TxParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("bulk_pq_torn_")
+    val (root, path) = (s"$tmp/root", s"$tmp/idx")
+    AnnIndex.fitIvfPqIndex(emb.filter(col("vec_id") >= 10), "vec_id",
+      "embedding", dim, nCells = 8, m = 8, ksub = 16, path)
+    // the tear: extendIvfIndex appends assignments WITHOUT codes
+    AnnIndex.extendIvfIndex(emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", path)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), Similarity.asDouble(col("embedding")).as("qv"))
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.queryIvfPqIndexBulk(spark, path, queries, "qid", "qv",
+        nProbe = 2, k = 3, shortlist = 10)
+    }
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.promoteIndex(spark, root, path)
+    }
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
+    // the raw serve is unaffected (assignments + raw vectors are whole)
+    assert(AnnIndex.queryIvfIndexBulk(spark, path, queries, "qid", "qv",
+      nProbe = 2, k = 3).count() > 0)
+  }
+
   test("PQ ADC nomination at an operating shortlist keeps the exact top-k (recall gate)") {
     // the shortlist is the knob that buys back ADC quantization error
     // (the q112 discipline: shortlist >> k recovers the exact set);

@@ -103,6 +103,31 @@ class TxTableSpec extends SparkSpec {
       .filter(col("id").isin(50L, 60L)).count() === 0)
   }
 
+  test("delete casts caller id types to the table's stored id domain (r17 advice)") {
+    import spark.implicits._
+    val path = freshPath()
+    TxParquetTable.upsert(
+      (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), path, "id", buckets = 8)
+    // INT targets against a BIGINT-keyed table: pre-fix these hashed to
+    // different buckets (xxhash64 of INT != of BIGINT), pruned the
+    // wrong files, and the delete silently removed nothing
+    val vDel = TxParquetTable.delete(
+      Seq(5, 9, 150).toDF("id"), path, "id")
+    val now = TxParquetTable.snapshot(spark, path).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(now === (1L to 200L).toSet -- Set(5L, 9L, 150L),
+      s"typed-mismatch delete must still remove its targets (v=$vDel)")
+    // an unrepresentable target fails loudly, never silently no-ops —
+    // either our raise_error guard or (ANSI mode) the cast's own error
+    val e = intercept[Exception] {
+      TxParquetTable.delete(Seq("not-a-number").toDF("id"), path, "id")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("does not represent") || msgs.toUpperCase.contains("CAST"),
+      msgs)
+  }
+
   test("upsert replaces by id, keeps others, and time travel sees the past") {
     val path = freshPath()
     val v0 = TxParquetTable.append(
