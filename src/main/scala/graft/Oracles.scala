@@ -1721,6 +1721,13 @@ SELECT 'ivf_bulk_gate', CAST(-1 AS BIGINT), CAST(8 AS BIGINT),
 UNION ALL
 SELECT 1, 40, 400, true, true""",
 
+    // Tx streaming source replay: the 3-commit append train streamed
+    // out and landed downstream must reproduce the source rows EXACTLY
+    // — full-row parity against the same parquet, no arithmetic at all
+    // (values pass through both engines untouched, bit-identical).
+    "q249_tx_stream_replay" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders""",
+
     // keyed delete: the surviving predicate restated relationally (the
     // q62 per-year aggregate discipline); n_before/n_deleted_cdc are
     // plain counts, travel/prune bits structural (3 target ids cannot
