@@ -1728,6 +1728,36 @@ SELECT 1, 40, 400, true, true""",
     "q249_tx_stream_replay" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders""",
 
+    // schema catch-up: the drift-class arithmetic — mod-9 payloads gain
+    // the promoted Source key (land on replay), other mod-11 payloads
+    // gain the unpromoted Origin key (stay quarantined); ingest totals
+    // and the idempotence bit are constants of the same arithmetic.
+    "q251_schema_catchup" ->
+      """WITH c AS (
+  SELECT count(*) FILTER (WHERE o_orderkey % 9 = 0) AS a,
+    count(*) FILTER (WHERE o_orderkey % 9 <> 0 AND o_orderkey % 11 = 0) AS b,
+    count(*) AS total
+  FROM orders)
+SELECT 'landed_now' AS lane, CAST(a AS BIGINT) AS n,
+  CAST(total - a - b AS BIGINT) AS n_ingested_v1,
+  CAST(total - b AS BIGINT) AS n_ingested_after,
+  true AS replay_idempotent
+FROM c
+UNION ALL
+SELECT 'still_quarantined', b, total - a - b, total - b, true FROM c""",
+
+    // erasure policy: q247's surviving predicate per year, plus the
+    // policy verdict constants — young pass reports only (time travel
+    // intact), due pass vacuums (pre-delete version unreadable).
+    "q250_erasure_policy" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(o_totalprice), 2) AS total,
+  'none' AS young_action, true AS travel_before_due,
+  'vacuum' AS acted_action, CAST(1 AS BIGINT) AS n_due,
+  CAST(0 AS BIGINT) AS still_readable_after, true AS erased_ok
+FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
+
     // keyed delete: the surviving predicate restated relationally (the
     // q62 per-year aggregate discipline); n_before/n_deleted_cdc are
     // plain counts, travel/prune bits structural (3 target ids cannot

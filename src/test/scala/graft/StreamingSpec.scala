@@ -241,6 +241,27 @@ class StreamingSpec extends SparkSpec {
       s"live files must stay bounded by the policy: $tx")
   }
 
+  test("committed stream-soak artifact: ANN serve through the pointer followed a mid-soak promote (X106 over X102, r17 item 6)") {
+    val f = new java.io.File("docs/bench/stream_soak.json")
+    assert(f.exists(), "run graft.tools.StreamSoak to generate the artifact")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val ann = root.get("ann_serve")
+    assert(ann != null, "regenerate the artifact: ann_serve segment missing")
+    // both generations must have served, the flip ordered (every gen1
+    // epoch strictly after every gen0 epoch — one pointer resolution
+    // per epoch, never a torn mix)
+    assert(ann.get("index_paths").asLong() === 2L,
+      s"the mid-soak promote must flip the serving generation: $ann")
+    assert(ann.get("promote_flip_ordered").asBoolean(),
+      s"generations must not interleave across epochs: $ann")
+    // every counted query answered with exactly k=5 rows through the
+    // PQ code-domain path (shortlist 40 covers k at every cell size)
+    assert(ann.get("sink_rows").asLong() === 5L * ann.get("rows_in").asLong(),
+      s"each query must land exactly k rows: $ann")
+    assert(ann.get("batches").asInt() >= 4, s"segment too short: $ann")
+  }
+
   test("deadLetterSplitSink: good rows and dead letters land in separate sinks, raw payload replayable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString

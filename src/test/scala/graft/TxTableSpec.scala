@@ -128,6 +128,41 @@ class TxTableSpec extends SparkSpec {
       msgs)
   }
 
+  test("enforceErasure: a due delete's pre-images become unreadable; a young delete keeps its time travel (X108)") {
+    import spark.implicits._
+    val path = freshPath()
+    val v0 = TxParquetTable.upsert(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), path, "id", buckets = 4)
+    val vDel = TxParquetTable.delete(Seq(3L, 8L).toDF("id"), path, "id")
+    // not yet due: a large lag budget reports pending and acts NOT
+    val young = TxParquetTable.enforceErasure(spark, path, maxLagMs = 3600000L)
+      .collect()(0)
+    assert(young.getAs[String]("action") === "none" &&
+      young.getAs[Long]("n_pending") === 1L, young.toString)
+    // time travel still works before the policy is due
+    assert(TxParquetTable.snapshot(spark, path, Some(v0)).count() === 100)
+    // due now (lag 0): one vacuum erases the pre-images
+    val acted = TxParquetTable.enforceErasure(spark, path, maxLagMs = 0L)
+      .collect()(0)
+    assert(acted.getAs[String]("action") === "vacuum" &&
+      acted.getAs[Long]("n_due") === 1L &&
+      acted.getAs[Long]("vacuumed_files") >= 1L &&
+      acted.getAs[Long]("still_readable_after") === 0L &&
+      acted.getAs[Long]("erase_horizon_version") === vDel, acted.toString)
+    // the privacy contract: the pre-delete version is gone
+    val e = intercept[IllegalStateException] {
+      TxParquetTable.snapshot(spark, path, Some(v0)).count()
+    }
+    assert(e.getMessage.contains("no longer fully present"), e.getMessage)
+    // … while the post-delete snapshot reads complete
+    assert(TxParquetTable.snapshot(spark, path).count() === 98)
+    // idempotent: nothing pending afterwards
+    val again = TxParquetTable.enforceErasure(spark, path, maxLagMs = 0L)
+      .collect()(0)
+    assert(again.getAs[String]("action") === "none" &&
+      again.getAs[Long]("n_pending") === 0L, again.toString)
+  }
+
   test("upsert replaces by id, keeps others, and time travel sees the past") {
     val path = freshPath()
     val v0 = TxParquetTable.append(
