@@ -1728,6 +1728,39 @@ SELECT 1, 40, 400, true, true""",
     "q249_tx_stream_replay" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders""",
 
+    // incremental MV: the maintained view must equal the full GROUP BY
+    // (exact integer cents — the incremental merge reorders addition,
+    // so the measure domain is exact by construction); rows_in_2 is the
+    // third commit's row count (drain 2 read ONLY the increment), the
+    // no-op / replay verdicts are constants of the txn discipline.
+    "q252_incremental_mv" ->
+      """WITH c AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    o_orderpriority,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders)
+SELECT order_year, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(cents) AS BIGINT) AS cents_total,
+  min(cents) AS cents_min, max(cents) AS cents_max,
+  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE order_year >= 1997)
+    AS rows_in_2,
+  true AS incremental_ok, true AS noop_ok, true AS replay_ok
+FROM c GROUP BY 1, 2""",
+
+    // incremental replication: the replica's per-year aggregate under
+    // the survivor predicate — the delete ran BEFORE the fourth append,
+    // so m7≡3 rows of the m4≡3 slice survive; applied-commit counts and
+    // the no-op/content bits are constants of the train.
+    "q253_replication" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total,
+  CAST(3 AS BIGINT) AS appends_1, CAST(1 AS BIGINT) AS deletes_1,
+  CAST(1 AS BIGINT) AS layout_skipped_1, CAST(1 AS BIGINT) AS appends_2,
+  true AS noop_3, true AS content_match
+FROM orders
+WHERE o_orderkey % 7 <> 3 OR o_orderkey % 4 = 3
+GROUP BY 1""",
+
     // schema catch-up: the drift-class arithmetic — mod-9 payloads gain
     // the promoted Source key (land on replay), other mod-11 payloads
     // gain the unpromoted Origin key (stay quarantined); ingest totals

@@ -4862,6 +4862,122 @@ GROUP BY order_year""")
     } finally deleteRecursively(tmp)
   }
 
+  /** X110: INCREMENTAL MATERIALIZED VIEW
+    * ([[graft.sources.MaterializedView.maintainAggView]]) — a keyed
+    * aggregate view over a Tx table maintained per COMMIT RANGE through
+    * the X107 streaming source: each refresh reads only the new commits'
+    * rows (log-only planning) and only the touched keys' current view
+    * rows (bucket-pruned point lookup), landing as ONE txn-guarded
+    * upsert. Lifecycle under oracle: bronze = orders in two year-bucket
+    * appends → drain 1 builds the view → a third append → drain 2
+    * catches up INCREMENTALLY (`rows_in_2` — the engine's own input
+    * accounting — must equal exactly the third commit's row count, the
+    * oracle computes it from the year arithmetic) → drain 3 is a no-op
+    * (nothing unseen) → a replayed epoch's re-merge is discarded by the
+    * txn pre-check (`replay_ok`: the double-count guard). Measures in
+    * CENTS (exact integer sums — the incremental merge reorders FP
+    * addition, so the view keeps the exact domain and lets the reader
+    * scale). Final view rows hash-match the full GROUP BY. Eager (the
+    * q189 Tx-lifecycle convention).
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MaterializedView, TxParquetTable}
+    val tmp = java.nio.file.Files.createTempDirectory("q252_mv")
+    try {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("order_year"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val bucket = when(col("order_year") <= 1994, 0)
+        .when(col("order_year") <= 1996, 1).otherwise(2)
+      val bronze = s"$tmp/bronze"
+      (0 to 1).foreach { i =>
+        TxParquetTable.append(o.filter(bucket === i).drop("o_orderkey"), bronze)
+      }
+      val mv = s"$tmp/mv"
+      def drain() = MaterializedView.maintainAggView(
+        s, bronze, mv, s"$tmp/ckpt",
+        Seq("order_year", "o_orderpriority"), "price_cents")
+      val r1 = drain()
+      TxParquetTable.append(o.filter(bucket === 2).drop("o_orderkey"), bronze)
+      val r2 = drain()
+      val r3 = drain() // nothing unseen: zero applied epochs, same version
+      // replayed-epoch probe: re-merge an already-recorded (app, epoch)
+      // — the txn pre-check must discard it before any rewrite
+      val vReplay = MaterializedView.mergeIncrement(
+        o.filter(bucket === 2).drop("o_orderkey"), mv,
+        Seq("order_year", "o_orderpriority"), "price_cents",
+        txn = Some(("graft-mv", 0L)))
+      val out = TxParquetTable.snapshot(s, mv)
+        .select(col("order_year"), col("o_orderpriority"), col("n"),
+          col("sum_v").as("cents_total"), col("min_v").as("cents_min"),
+          col("max_v").as("cents_max"))
+        .withColumn("rows_in_2", lit(r2.rowsIn))
+        .withColumn("incremental_ok", lit(r1.epochsApplied >= 1 && r2.epochsApplied >= 1))
+        .withColumn("noop_ok",
+          lit(r3.epochsApplied == 0 && r3.mvVersion == r2.mvVersion))
+        .withColumn("replay_ok", lit(vReplay == r2.mvVersion))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** X111: INCREMENTAL TABLE REPLICATION
+    * ([[graft.sources.Replicate.replicate]]) — commit-log shipping: each
+    * run applies exactly the source commits the replica's recorded txn
+    * cursor has not seen, append commits copying exactly their added
+    * files, compactions skipped (layout-only), deletes re-derived from
+    * CDC and applied keyed. Lifecycle under oracle: two appends →
+    * compact → third append → bulk delete → replicate (3 appends + 1
+    * delete applied, 1 layout skip) → fourth append → replicate (1
+    * append) → replicate (no-op). The ORDERING subtlety the oracle
+    * states: the delete ran before the fourth append, so m7≡3 rows of
+    * the fourth slice SURVIVE — survivors = `m7 <> 3 OR m4 = 3`.
+    * `content_match` pins replica == source row-for-row (two exceptAlls)
+    * on top of the per-year hash. Eager (the q189 Tx-lifecycle
+    * convention).
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Replicate, TxParquetTable}
+    val tmp = java.nio.file.Files.createTempDirectory("q253_replica")
+    try {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val m4 = pmod(col("o_orderkey"), lit(4))
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      TxParquetTable.append(o.filter(m4 === 0), src)
+      TxParquetTable.append(o.filter(m4 === 1), src)
+      // targetFiles = 1 so the fold always RUNS (tiny-SF appends may
+      // land as single files; live <= targetFiles would skip the commit
+      // and shift the predicted applied/skip counts)
+      TxParquetTable.compact(s, src, "o_orderkey", targetFiles = 1)
+      TxParquetTable.append(o.filter(m4 === 2), src)
+      TxParquetTable.delete(
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 3).select("o_orderkey"),
+        src, "o_orderkey")
+      val r1 = Replicate.replicate(s, src, dst, Some("o_orderkey"))
+      TxParquetTable.append(o.filter(m4 === 3), src)
+      val r2 = Replicate.replicate(s, src, dst, Some("o_orderkey"))
+      val r3 = Replicate.replicate(s, src, dst, Some("o_orderkey"))
+      val replica = TxParquetTable.snapshot(s, dst)
+      val srcSnap = TxParquetTable.snapshot(s, src)
+      val contentMatch = srcSnap.exceptAll(replica).isEmpty &&
+        replica.exceptAll(srcSnap).isEmpty
+      val out = replica
+        .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("appends_1", lit(r1.appendsApplied))
+        .withColumn("deletes_1", lit(r1.deletesApplied))
+        .withColumn("layout_skipped_1", lit(r1.layoutSkipped))
+        .withColumn("appends_2", lit(r2.appendsApplied))
+        .withColumn("noop_3", lit(r3.noop))
+        .withColumn("content_match", lit(contentMatch))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
   /** X101: retrieval-quality METRICS, oracle-exact — recall@10, MRR@10
     * and nDCG@10 for five single-term BM25 rankings against graded
     * term-frequency truth (grade = the term's tf; relevant ⇔ tf > 0).
@@ -5443,6 +5559,8 @@ GROUP BY order_year""")
     "q249_tx_stream_replay" -> (q249 _),
     "q250_erasure_policy" -> (q250 _),
     "q251_schema_catchup" -> (q251 _),
+    "q252_incremental_mv" -> (q252 _),
+    "q253_replication" -> (q253 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

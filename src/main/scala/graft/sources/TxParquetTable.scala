@@ -755,6 +755,23 @@ object TxParquetTable {
             (new File(dataDir(path), a.name).getAbsolutePath, a.numRecords)))
       }
 
+  /** Highest stream-transaction version recorded for `app` — the
+    * exactly-once cursor behind the `txn` guard on append/upsert/delete,
+    * made PUBLIC so incremental consumers ([[Replicate]]) can resume
+    * from exactly the next unseen unit of work instead of re-examining
+    * history. Checkpoint-loss-safe (falls back to a raw log scan when
+    * the snapshot carries no record, like [[append]]'s guard); None for
+    * an app that never committed or a table that does not exist.
+    */
+  def recordedTxn(path: String, app: String): Option[Long] = {
+    val v = latestVersion(path)
+    if (v < 0) None
+    else {
+      val snap = state(path, Some(v))
+      snap.txns.get(app).orElse(maxTxnInLog(path, app, v))
+    }
+  }
+
   /** Max txn version `app` ever recorded in commits ≤ `upTo`, straight
     * from the COMMIT FILES (never a checkpoint) — the fallback for
     * snapshots whose checkpoint may have dropped the txns record (see
@@ -1113,12 +1130,29 @@ object TxParquetTable {
     * `asOfVersion` when implementing a caller-side retry loop, so a
     * commit landing between your read and this call is detected.
     * Returns the committed version.
+    *
+    * `txn`: the [[append]] stream-transaction contract for upserts that
+    * are NOT naturally idempotent — an incremental-view MERGE computes
+    * its rows from (old state + this epoch's delta), so a replayed epoch
+    * re-applying the delta would double-count; an upsert carrying an
+    * (appId, ver) the log already recorded at ≥ ver is a retry and
+    * becomes a no-op before any rewrite is planned. Plain whole-row
+    * upserts (replace-by-key) don't need it: replay rewrites the same
+    * rows.
     */
   def upsert(df: DataFrame, path: String, idCol: String, buckets: Int = 16,
-      asOfVersion: Option[Long] = None): Long = {
+      asOfVersion: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val readVersion = asOfVersion.getOrElse(latestVersion(path))
     val snap = if (readVersion < 0) Snapshot(-1L, Seq.empty, None) else state(path, Some(readVersion))
+    txn.foreach { case (app, ver) =>
+      // same checkpoint-loss fallback as append: a snapshot with no
+      // record for this app re-checks the raw log (commits are never
+      // deleted) before trusting "never seen"
+      val recorded = snap.txns.get(app).orElse(maxTxnInLog(path, app, snap.version))
+      if (recorded.exists(_ >= ver)) return snap.version
+    }
     // the log records the table's bucket scheme at the first keyed write;
     // it ALWAYS wins over the parameter afterwards — per-file stats and
     // conflict domains are bucket ids under one modulus, and a caller
@@ -1189,7 +1223,7 @@ object TxParquetTable {
           affectedFiles.map(_.name))
       }
     publish(path, adds, removes, domain, readVersion, Some(n),
-      columns = (tableCols ++ incoming.columns).distinct)
+      columns = (tableCols ++ incoming.columns).distinct, txn = txn)
   }
 
   /** Keyed DELETE — the right-to-be-forgotten op (X105): remove every
@@ -1222,30 +1256,75 @@ object TxParquetTable {
     * delete's committed version>, retentionMs = 0)`; TxTableSpec pins
     * that the pre-delete snapshot becomes unreadable after it.
     */
-  def delete(ids: DataFrame, path: String, idCol: String): Long = {
+  def delete(ids: DataFrame, path: String, idCol: String,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = ids.sparkSession
     val readVersion = latestVersion(path)
     require(readVersion >= 0, s"delete: no Tx table at $path")
     val snap = state(path, Some(readVersion))
+    txn.foreach { case (app, ver) =>
+      // the append/upsert retry guard, for replayed delete units
+      // (a replication run resumed after a crash): already-recorded
+      // versions are discarded before any prune work
+      val recorded = snap.txns.get(app).orElse(maxTxnInLog(path, app, snap.version))
+      if (recorded.exists(_ >= ver)) return snap.version
+    }
     if (snap.live.isEmpty) return readVersion
-    // cast the targets to the TABLE's stored id type (r17 advice): the
-    // bucket hash and zone bounds below are computed in the stored
-    // domain — an INT ids frame against a BIGINT-keyed table would hash
-    // to different buckets, prune the wrong files, and the delete would
-    // silently remove nothing while returning a committed version. A
-    // target that cannot represent in the stored type fails loudly
-    // rather than silently matching nothing.
-    val storedType = snapshot(spark, path, Some(readVersion))
+    val (incoming, affected) = idTargets(spark, path, snap, idCol, ids, "delete")
+    if (incoming.isEmpty) return readVersion
+    val nOpt = snap.bucketCount
+    def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
+      pmod(xxhash64(c), lit(n)).cast("int")
+    if (affected.isEmpty) return readVersion
+    val old = spark.read.option("mergeSchema", "true").parquet(
+      affected.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+    val survivors = old
+      .join(incoming.select(col(idCol).as("__del_id")),
+        col(idCol) === col("__del_id"), "left_anti")
+      .drop("__del_id")
+      .localCheckpoint(true)
+    val inheritedStats = snap.live.flatMap(_.stats.keys).distinct
+      .filter(old.columns.contains)
+    val adds = stage(survivors, path,
+      nOpt.map(n => bucketOf(col(idCol), n)), inheritedStats)
+    val domain = nOpt match {
+      case Some(n) =>
+        if (affected.exists(_.buckets.isEmpty)) (0 until n).toSeq
+        else affected.flatMap(_.buckets).distinct.sorted
+      case None => Seq(0) // unkeyed: one shared domain token serializes
+    }
+    // bucketCount: keep the keyed scheme; an unkeyed table stays
+    // unkeyed (recording a scheme here would poison a later upsert's
+    // modulus) — its Seq(0) domain token still serializes deletes
+    publish(path, adds, affected.map(_.name), domain, readVersion, nOpt,
+      columns = tableColumns(spark, path, snap), txn = txn,
+      op = Some("delete"))
+  }
+
+  /** Shared prune kernel behind keyed DELETE and [[snapshotForIds]]:
+    * cast the target ids to the TABLE's stored id type (r17 advice —
+    * an INT ids frame against a BIGINT-keyed table would hash to
+    * different buckets and silently match nothing; a value that cannot
+    * represent in the stored domain fails loudly), pin the frame, and
+    * return it together with the live files that CAN hold any target:
+    * keyed tables prune to the targets' bucket files, files carrying an
+    * `idCol` zone map are skipped when [min, max] cannot intersect the
+    * targets' bounds (one 2-value agg — never a per-id driver set),
+    * files with neither are conservatively included.
+    */
+  private def idTargets(spark: SparkSession, path: String, snap: Snapshot,
+      idCol: String, ids: DataFrame, opName: String): (DataFrame, Seq[AddFile]) = {
+    val storedType = snapshot(spark, path, Some(snap.version))
       .schema(idCol).dataType
     val rawIds = ids.select(col(idCol)).dropDuplicates(idCol)
     val incoming = rawIds
       .select(when(col(idCol).isNotNull && col(idCol).cast(storedType).isNull,
-          raise_error(concat(lit(s"delete: id value "),
+          raise_error(concat(lit(s"$opName: id value "),
             col(idCol).cast("string"),
             lit(s" does not represent in the table's $storedType id domain"))))
         .otherwise(col(idCol).cast(storedType)).as(idCol))
-      .localCheckpoint(true) // pin: consumed by prune stats AND the anti-join
-    if (incoming.isEmpty) return readVersion
+      .localCheckpoint(true) // pin: consumed by prune stats AND the join
+    if (incoming.isEmpty) return (incoming, Seq.empty)
     val nOpt = snap.bucketCount
     def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
       pmod(xxhash64(c), lit(n)).cast("int")
@@ -1275,28 +1354,31 @@ object TxParquetTable {
             zoneCanHold(f))
       case None => snap.live.filter(zoneCanHold)
     }
-    if (affected.isEmpty) return readVersion
-    val old = spark.read.option("mergeSchema", "true").parquet(
-      affected.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
-    val survivors = old
-      .join(incoming.select(col(idCol).as("__del_id")),
-        col(idCol) === col("__del_id"), "left_anti")
-      .drop("__del_id")
-      .localCheckpoint(true)
-    val inheritedStats = snap.live.flatMap(_.stats.keys).distinct
-      .filter(old.columns.contains)
-    val adds = stage(survivors, path,
-      nOpt.map(n => bucketOf(col(idCol), n)), inheritedStats)
-    val domain = nOpt match {
-      case Some(n) =>
-        if (affected.exists(_.buckets.isEmpty)) (0 until n).toSeq
-        else affected.flatMap(_.buckets).distinct.sorted
-      case None => Seq(0) // unkeyed: one shared domain token serializes
-    }
-    // bucketCount: keep the keyed scheme; an unkeyed table stays
-    // unkeyed (recording a scheme here would poison a later upsert's
-    // modulus) — its Seq(0) domain token still serializes deletes
-    publish(path, adds, affected.map(_.name), domain, readVersion, nOpt,
-      columns = tableColumns(spark, path, snap), op = Some("delete"))
+    (incoming, affected)
+  }
+
+  /** Keyed POINT-LOOKUP read: the rows whose `idCol` is in `ids`,
+    * reading ONLY the live files that can hold a target (the same
+    * bucket + zone-map pruning as [[delete]] — on a keyed table a
+    * k-id lookup opens at most k bucket files, never the table). The
+    * serving-side primitive behind incremental-view merges
+    * ([[MaterializedView]]: read the affected keys' current rows, not
+    * the view) and online feature lookups. Ids are cast to the table's
+    * stored id domain (mismatches fail loudly); the result carries the
+    * full snapshot schema.
+    */
+  def snapshotForIds(spark: SparkSession, path: String, idCol: String,
+      ids: DataFrame, version: Option[Long] = None): DataFrame = {
+    val readVersion = version.getOrElse(latestVersion(path))
+    require(readVersion >= 0, s"snapshotForIds: no Tx table at $path")
+    val snap = state(path, Some(readVersion))
+    val full = snapshot(spark, path, Some(readVersion))
+    if (snap.live.isEmpty) return full.limit(0)
+    val (incoming, affected) = idTargets(spark, path, snap, idCol, ids, "snapshotForIds")
+    if (affected.isEmpty || incoming.isEmpty) return full.limit(0)
+    spark.read.option("mergeSchema", "true").parquet(
+        affected.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
+      .join(incoming.select(col(idCol).as("__lookup_id")),
+        col(idCol) === col("__lookup_id"), "left_semi")
   }
 }

@@ -262,6 +262,26 @@ class StreamingSpec extends SparkSpec {
     assert(ann.get("batches").asInt() >= 4, s"segment too short: $ann")
   }
 
+  test("committed stream-soak artifact: chained bronze->MV pipeline kept up and the view equals the GROUP BY (X107->X110, r18)") {
+    val f = new java.io.File("docs/bench/stream_soak.json")
+    assert(f.exists(), "run graft.tools.StreamSoak to generate the artifact")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val chain = root.get("tx_chain")
+    assert(chain != null, "regenerate the artifact: tx_chain segment missing")
+    // the identity the segment exists for: after the post-stop catch-up
+    // drain, the incrementally-maintained view equals a full GROUP BY
+    // over the bronze snapshot
+    assert(chain.get("view_equals_groupby").asBoolean(),
+      s"incremental view diverged from the GROUP BY: $chain")
+    // the drain loop must have run CONCURRENTLY with the writer (≥ 2
+    // drains inside the window; the final catch-up adds one more)
+    assert(chain.get("drains").asLong() >= 3L, s"chain barely drained: $chain")
+    // 200-ticker key space: the view stays keys-sized, never rows-sized
+    assert(chain.get("mv_rows").asLong() === 200L, s"view not keys-sized: $chain")
+    assert(chain.get("batches").asInt() >= 4, s"segment too short: $chain")
+  }
+
   test("deadLetterSplitSink: good rows and dead letters land in separate sinks, raw payload replayable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_dlq_").toString
