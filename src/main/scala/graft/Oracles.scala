@@ -1761,6 +1761,21 @@ FROM orders
 WHERE o_orderkey % 7 <> 3 OR o_orderkey % 4 = 3
 GROUP BY 1""",
 
+    // manifest cut: the final resolved epoch covers the whole table;
+    // the torn-read count is the first two year buckets across both
+    // lanes (the even lane's physically-landed third bucket is
+    // invisible through the manifest), epoch-0 the first bucket alone.
+    "q254_manifest_cut" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total,
+  CAST(1 AS BIGINT) AS torn_epoch,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+     WHERE year(o_orderdate) <= 1996) AS n_at_torn,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+     WHERE year(o_orderdate) <= 1994) AS n_epoch0,
+  CAST(2 AS BIGINT) AS final_epoch, true AS replay_ok
+FROM orders GROUP BY 1""",
+
     // schema catch-up: the drift-class arithmetic — mod-9 payloads gain
     // the promoted Source key (land on replay), other mod-11 payloads
     // gain the unpromoted Origin key (stay quarantined); ingest totals

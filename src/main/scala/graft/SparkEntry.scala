@@ -4978,6 +4978,76 @@ GROUP BY order_year""")
     } finally deleteRecursively(tmp)
   }
 
+  /** X112: SNAPSHOT-CONSISTENT MULTI-TABLE READS
+    * ([[graft.sources.Manifest]]) — the blue/green pointer generalized
+    * to N tables × epochs: lanes commit independently, one atomic
+    * manifest append publishes the epoch's (table, version) set, and
+    * readers resolving through the manifest NEVER see a torn
+    * multi-table state. Lifecycle under oracle: orders split
+    * even/odd into two lane tables, landed in three year-bucket epochs
+    * — epochs 0–1 publish normally; epoch 2 "crashes" after the even
+    * lane's commit (odd lane + publish missing), and the resolve still
+    * reads the epoch-1 cut (`n_at_torn` counts exactly the first two
+    * buckets ACROSS BOTH LANES — the even lane's physically-landed
+    * bucket-2 rows are invisible through the manifest); the epoch then
+    * completes, a replayed publish is a log-level no-op
+    * (`replay_ok`), and `n_epoch0` pins cross-table time travel at the
+    * first cut. Final per-year aggregate over the resolved epoch-2 cut
+    * hash-matches the full table. Eager (the q189 Tx-lifecycle
+    * convention).
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Manifest, TxParquetTable}
+    val tmp = java.nio.file.Files.createTempDirectory("q254_manifest")
+    try {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val bucket = when(year(col("o_orderdate")) <= 1994, 0)
+        .when(year(col("o_orderdate")) <= 1996, 1).otherwise(2)
+      val even = s"$tmp/even"
+      val odd = s"$tmp/odd"
+      val man = s"$tmp/manifest"
+      val paths = Map("even" -> even, "odd" -> odd)
+      def land(e: Int, lanes: Seq[(String, String)]): Map[String, Long] =
+        lanes.map { case (name, path) =>
+          val slice = o.filter(bucket === e &&
+            pmod(col("o_orderkey"), lit(2)) === (if (name == "even") 0 else 1))
+          name -> TxParquetTable.append(slice, path)
+        }.toMap
+      (0 to 1).foreach { e =>
+        Manifest.publish(s, man, e, land(e, paths.toSeq))
+      }
+      // epoch 2 "crash": the even lane lands, the odd lane and the
+      // publish never happen — a torn multi-table state on disk
+      land(2, Seq("even" -> even))
+      val (tornEpoch, _) = Manifest.resolve(s, man)
+      val (_, tornFrames) = Manifest.snapshotAll(s, man, paths)
+      val nAtTorn = tornFrames.values.map(_.count()).sum
+      // cross-table time travel: the epoch-0 cut
+      val (_, cut0) = Manifest.snapshotAll(s, man, paths, epoch = Some(0L))
+      val nEpoch0 = cut0.values.map(_.count()).sum
+      // the epoch completes; a replayed publish must be a no-op
+      val vOdd2 = land(2, Seq("odd" -> odd))("odd")
+      val vEven2 = TxParquetTable.latestVersion(even)
+      val vPub = Manifest.publish(s, man, 2L,
+        Map("even" -> vEven2, "odd" -> vOdd2))
+      val vPubReplay = Manifest.publish(s, man, 2L,
+        Map("even" -> vEven2, "odd" -> vOdd2))
+      val (finalEpoch, finalFrames) = Manifest.snapshotAll(s, man, paths)
+      val all = finalFrames.values.reduce(_ unionByName _)
+      val out = all
+        .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("torn_epoch", lit(tornEpoch))
+        .withColumn("n_at_torn", lit(nAtTorn))
+        .withColumn("n_epoch0", lit(nEpoch0))
+        .withColumn("final_epoch", lit(finalEpoch))
+        .withColumn("replay_ok", lit(vPubReplay == vPub))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
   /** X101: retrieval-quality METRICS, oracle-exact — recall@10, MRR@10
     * and nDCG@10 for five single-term BM25 rankings against graded
     * term-frequency truth (grade = the term's tf; relevant ⇔ tf > 0).
@@ -5561,6 +5631,7 @@ GROUP BY order_year""")
     "q251_schema_catchup" -> (q251 _),
     "q252_incremental_mv" -> (q252 _),
     "q253_replication" -> (q253 _),
+    "q254_manifest_cut" -> (q254 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate
