@@ -1776,6 +1776,22 @@ GROUP BY 1""",
   CAST(2 AS BIGINT) AS final_epoch, true AS replay_ok
 FROM orders GROUP BY 1""",
 
+    // last-writer-wins upsert: only the strictly-newer update (m5≡0,
+    // ×2) and the in-batch max (m5≡3, ×3) land; the stale replay
+    // (m5≡1) and the tie (m5≡2) keep the stored row — absent from the
+    // sum by construction.
+    "q255_lww_upsert" ->
+      """WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+    o_orderkey % 5 AS m5
+  FROM orders)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN m5 = 0 THEN cents * 2
+                WHEN m5 = 3 THEN cents * 3
+                ELSE cents END) AS BIGINT) AS cents_total
+FROM c GROUP BY 1""",
+
     // schema catch-up: the drift-class arithmetic — mod-9 payloads gain
     // the promoted Source key (land on replay), other mod-11 payloads
     // gain the unpromoted Origin key (stay quarantined); ingest totals

@@ -5048,6 +5048,56 @@ GROUP BY order_year""")
     } finally deleteRecursively(tmp)
   }
 
+  /** X113: LAST-WRITER-WINS upsert
+    * ([[graft.sources.TxParquetTable.upsert]] `newerWins`) — the
+    * out-of-order-feed contract: a replayed producer window or a
+    * backfill racing live ingest must never regress a fresher stored
+    * row with a staler one. Four contention classes in one lifecycle,
+    * every outcome oracle-predicted by arithmetic: a strictly-NEWER
+    * update applies (m5≡0: +1000 days, cents×2), a STALE replay is
+    * ignored (m5≡1: −1000 days, cents×100 — absent from the oracle
+    * sum), a TIE keeps the stored row (m5≡2: same version, cents×100 —
+    * also absent), and a batch carrying BOTH a stale and a fresh copy
+    * of the same id reduces to its own max before the merge (m5≡3:
+    * the ×3 copy wins over the ×7 stale one). Eager (the q189
+    * Tx-lifecycle convention).
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxParquetTable
+    val tmp = java.nio.file.Files.createTempDirectory("q255_lww")
+    val path = s"$tmp/t"
+    try {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp").as("ver"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      TxParquetTable.upsert(o, path, "o_orderkey", buckets = 8,
+        newerWins = Some("ver"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      val day = 86400L
+      val batch2 = o.filter(m5 <= 2).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        when(m5 === 0, timestamp_seconds(unix_timestamp(col("ver")) + 1000 * day))
+          .when(m5 === 1, timestamp_seconds(unix_timestamp(col("ver")) - 1000 * day))
+          .otherwise(col("ver")).as("ver"),
+        when(m5 === 0, col("cents") * 2).otherwise(col("cents") * 100)
+          .as("cents"))
+      TxParquetTable.upsert(batch2, path, "o_orderkey", newerWins = Some("ver"))
+      val b3 = o.filter(m5 === 3)
+      val batch3 = b3.select(col("o_orderkey"), col("o_orderpriority"),
+          timestamp_seconds(unix_timestamp(col("ver")) + 500 * day).as("ver"),
+          (col("cents") * 3).as("cents"))
+        .unionByName(b3.select(col("o_orderkey"), col("o_orderpriority"),
+          timestamp_seconds(unix_timestamp(col("ver")) - 500 * day).as("ver"),
+          (col("cents") * 7).as("cents")))
+      TxParquetTable.upsert(batch3, path, "o_orderkey", newerWins = Some("ver"))
+      val out = TxParquetTable.snapshot(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(tmp)
+  }
+
   /** X101: retrieval-quality METRICS, oracle-exact — recall@10, MRR@10
     * and nDCG@10 for five single-term BM25 rankings against graded
     * term-frequency truth (grade = the term's tf; relevant ⇔ tf > 0).
@@ -5632,6 +5682,7 @@ GROUP BY order_year""")
     "q252_incremental_mv" -> (q252 _),
     "q253_replication" -> (q253 _),
     "q254_manifest_cut" -> (q254 _),
+    "q255_lww_upsert" -> (q255 _),
   )
 
   /** DuckDB oracle twins — every query in [[queries]] has one. Approximate

@@ -1139,10 +1139,21 @@ object TxParquetTable {
     * becomes a no-op before any rewrite is planned. Plain whole-row
     * upserts (replace-by-key) don't need it: replay rewrites the same
     * rows.
+    *
+    * `newerWins` (X113): LAST-WRITER-WINS by the named ordering column —
+    * the out-of-order-feed contract (a replayed producer window, a
+    * delayed partition, a backfill racing live ingest must never
+    * regress a fresher row with a staler one). When set, an incoming
+    * row replaces the stored row ONLY if its ordering value is strictly
+    * greater (ties and nulls keep the stored row; within-batch
+    * duplicates reduce to the batch's own max first); blind
+    * replace-by-key is exactly the default `None`. The rewrite also
+    * enforces per-id uniqueness across the affected buckets.
     */
   def upsert(df: DataFrame, path: String, idCol: String, buckets: Int = 16,
       asOfVersion: Option[Long] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      newerWins: Option[String] = None): Long = {
     val spark = df.sparkSession
     val readVersion = asOfVersion.getOrElse(latestVersion(path))
     val snap = if (readVersion < 0) Snapshot(-1L, Seq.empty, None) else state(path, Some(readVersion))
@@ -1160,8 +1171,19 @@ object TxParquetTable {
     // files (duplicate ids) while its domain fails to conflict
     val n = snap.bucketCount.getOrElse(buckets)
     def bucketOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(n)).cast("int")
-    val incoming = df
-      .dropDuplicates(idCol)
+    newerWins.foreach(vc => require(df.columns.contains(vc),
+      s"upsert(newerWins=$vc): batch has no such column"))
+    val reduced = newerWins match {
+      case Some(vc) =>
+        // within-batch reduction to the per-id max BEFORE the merge: the
+        // stored-row comparison below sees one contender per id
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col(vc).desc_nulls_last)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => df.dropDuplicates(idCol)
+    }
+    val incoming = reduced
       .localCheckpoint(true) // pin the batch; its plan must not re-read the table
     val affected = incoming.select(bucketOf(col(idCol)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1209,16 +1231,33 @@ object TxParquetTable {
         // evolved column from the rewritten files
         val old = spark.read.option("mergeSchema", "true").parquet(
           affectedFiles.map(f => new File(dataDir(path), f.name).getAbsolutePath): _*)
-        val survivors = old
-          .join(incoming.select(col(idCol).as("__new_id")),
-            col(idCol) === col("__new_id"), "left_anti")
-          .drop("__new_id")
         // additive-only evolution already enforced above against the full
         // snapshot schema (old.columns is a subset of it);
         // allowMissingColumns below only fills the SURVIVOR side of
         // genuinely new columns.
-        val rewrite = survivors.unionByName(incoming, allowMissingColumns = true)
-          .localCheckpoint(true)
+        val rewrite = newerWins match {
+          case None =>
+            val survivors = old
+              .join(incoming.select(col(idCol).as("__new_id")),
+                col(idCol) === col("__new_id"), "left_anti")
+              .drop("__new_id")
+            survivors.unionByName(incoming, allowMissingColumns = true)
+              .localCheckpoint(true)
+          case Some(vc) =>
+            // last-writer-wins: per id keep the max ordering value; on a
+            // TIE (or null vs null) the STORED row wins — __src 0 sorts
+            // before 1 at equal keys, and desc_nulls_last makes any
+            // non-null beat null regardless of side
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol))
+              .orderBy(col(vc).desc_nulls_last, col("__src").asc)
+            old.withColumn("__src", lit(0))
+              .unionByName(incoming.withColumn("__src", lit(1)),
+                allowMissingColumns = true)
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn", "__src")
+              .localCheckpoint(true)
+        }
         (stage(rewrite, path, Some(bucketOf(col(idCol))), inheritedStats),
           affectedFiles.map(_.name))
       }

@@ -778,7 +778,7 @@ object StreamSoak {
     */
   private def driveAnnServe(
       spark: SparkSession, durationSec: Int, queriesPerBatch: Int,
-      outDir: String): (Segment, Long, Boolean) = {
+      outDir: String): (Segment, Long, Boolean, (Long, Long, Long)) = {
     import org.apache.spark.sql.functions._
     import graft.llmops.AnnIndex
     import graft.sources.TxParquetTable
@@ -823,9 +823,22 @@ object StreamSoak {
     val epochs = ps.map(p => java.lang.Long.valueOf(p.batchId))
     val served = TxParquetTable.snapshot(spark, out)
       .filter(col("__epoch").isin(epochs: _*))
-      .select(col("__epoch"), col("__index_path")).cache()
+      .select(col("__epoch"), col("__index_path"), col("qid")).cache()
     val sinkRows = served.count()
     val nPaths = served.select("__index_path").distinct().count()
+    // per-query coverage, stated instead of assumed (r18): a query
+    // whose nProbe cells hold fewer than k candidates lands fewer than
+    // k rows — the SAME rows the raw serve would land (the parity the
+    // specs pin); on this lattice fixture at nProbe=4/128 cells that
+    // is a small tail. queries_full/partial/empty make the tail a
+    // recorded number the artifact spec bounds, not a silent identity
+    // violation.
+    val perQ = served.groupBy(col("__epoch"), col("qid"))
+      .agg(count(lit(1)).as("n")).cache()
+    val queriesFull = perQ.filter(col("n") === 5).count()
+    val queriesPartial = perQ.filter(col("n") =!= 5).count()
+    val queriesEmpty = ps.map(_.numInputRows).sum - queriesFull - queriesPartial
+    perQ.unpersist()
     // the flip is ORDERED: every gen1 epoch strictly after every gen0
     // epoch (one pointer resolution per epoch, never a torn mix)
     val flipOrdered = nPaths == 2 && {
@@ -836,7 +849,8 @@ object StreamSoak {
       maxG0 < minG1
     }
     served.unpersist()
-    (segmentOf(ps, seconds, sinkRows), nPaths, flipOrdered)
+    (segmentOf(ps, seconds, sinkRows), nPaths, flipOrdered,
+      (queriesFull, queriesPartial, queriesEmpty))
   }
 
   private def driveReconSkew(
@@ -1118,8 +1132,10 @@ object StreamSoak {
     // (r17 item 6) — 1/100 batch sizing: each query fans out to ~1.5k
     // candidate code rows in the ADC scan, so the segment measures the
     // serve, not the box's join ceiling
-    val (annServe, annPaths, annFlip) = driveAnnServe(
-      spark, math.max(10, durationSec / 2), rowsPerBatch / 100, s"$root/ann_serve")
+    val (annServe, annPaths, annFlip, (annFull, annPartial, annEmpty)) =
+      driveAnnServe(
+        spark, math.max(10, durationSec / 2), rowsPerBatch / 100,
+        s"$root/ann_serve")
     // the X107→X110 chained pipeline at rate (r18): a bronze Tx ingest
     // stream with a concurrent incremental-MV drain loop tailing its
     // commit log — 1/4 batch sizing (the writer shares the box with the
@@ -1133,7 +1149,7 @@ object StreamSoak {
     def seg(s: Segment, extra: String = ""): String =
       s"""{"rows_in":${s.rowsIn},"seconds":${f2(s.seconds)},"rows_per_sec":${s.rowsPerSec.round},"batches":${s.batches},"state_rows":{"first":${s.stateFirst},"max":${s.stateMax},"last":${s.stateLast}},"sink_rows":${s.sinkRows},"batch_sec":{"first":${f2(s.batchSecFirst)},"max":${f2(s.batchSecMax)},"last":${f2(s.batchSecLast)}}$extra}"""
     val json =
-      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"near_dup_gate":${seg(gate, s""","lanes":{"kept":${gateLanes("kept")},"dropped":${gateLanes("dropped")}},"docs_in":${gate.rowsIn},"docs_in_flight":${gate.rowsIn - gateLanes("kept") - gateLanes("dropped")}""")},"late_lane":${seg(lateLane, s""","lanes":{"late":${lateLanes("late")},"on_time":${lateLanes("on_time")}},"lanes_sum_equals_rows_in":true""")},"tx_append":${seg(txAppend, s""","files_live":$filesLive,"compactions":$nCompact,"auto_compact":"threshold 24 live files -> fold to 4"""")},"shape_gate":${seg(shapeGate, s""","lanes":{${shapeLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"curation_chain":${seg(chain, s""","lanes":{${chainLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"docs_in":${chain.rowsIn},"docs_in_flight":${chain.rowsIn - chainLanes.values.sum},"telemetry_equals_lanes":true,"registry_rows":{"first_epoch":$regFirst,"last_epoch":$regLast}""")},"e2e_ingest":${seg(e2e, s""","lanes":{${e2eLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"recon_skew":${seg(reconSkew, s""","hot_key_share":0.9""")},"ann_serve":${seg(annServe, s""","index_paths":$annPaths,"promote_flip_ordered":$annFlip,"pq_shortlist":40""")},"tx_chain":${seg(txChain, s""","drains":$chainDrains,"mv_rows":$chainMvRows,"mean_drain_sec":${f2(chainMeanDrain)},"view_equals_groupby":$chainEqual""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). near_dup_gate = the X88 ingestion-time curation gate end to end at the r16 DEFAULT sizing (4 x 30-bit bands, 5-minute horizon; docs -> SimHash banding with payload on band 0 -> watermark-complete band verdicts -> exactly-once Tx kept/dropped lanes; every 37th doc repeats its predecessor's text verbatim): rows_in counts SOURCE docs (the banding explodes 4 occurrences per doc downstream); lanes are asserted disjoint with one verdict per doc, docs_in_flight is the bounded tail still behind the watermark at stop, and dropped/(kept+dropped) must read ~= the planted 1/37 replay rate (the r15 6 x 20 default read 87% here - collision noise, since fixed). late_lane = the X91 late-data lane (every 41st row 30 minutes stale vs a 10-minute delay): on_time/late lanes sum EXACTLY to rows_in over the counted epochs. tx_append = the exactly-once Tx append sink under the small-file auto-compaction policy (4-file epochs, threshold 24 live files -> fold to 4): files_live stays bounded, compactions counts the op=compact commits the policy issued, sink_rows is the table's log-only row count. shape_gate = the X94 shape-gated strict ingest under sustained drift (every 9th payload gains an undeclared key, 9th+1 truncates, every 50th volume 0): quarantine/DLQ/ingested lanes sum EXACTLY to rows_in. curation_chain = the X99 composed pipeline (near-dup gate at the 4x30-bit default -> exact dedup via the cross-epoch hash registry -> quality filter), all lanes exactly-once Tx appends; telemetry ledger equals the lanes table, docs_in_flight is the watermark tail; since r17 the registry read is BLOOM-GATED (persisted filter beside the Tx tables, definitive-new docs never touch the registry), so batch_sec first/last must stay flat while registry_rows grows first_epoch -> last_epoch. e2e_ingest = the X104 COMPOSED capstone (shape gate -> DLQ -> late lane -> bloom-gated exact dedup -> exactly-once Tx append, ONE pipeline; every 9th payload drifts, 9th+1 truncates, 50th volume 0, 23rd a verbatim re-send, 41st 30 minutes stale): quarantine+dlq+late+dup+ingested sum EXACTLY to rows_in across ALL five sinks - the global exactly-one-lane identity, asserted at collection. ann_serve = the X106 streaming ANN serve over the X102 PQ code-domain path THROUGH the blue/green pointer, with a PROMOTE landing mid-soak (gen1 pre-fit offline - the operational blue/green shape - so the mid-soak action is the pointer CAS alone): rows_in counts query vectors over COMMITTED epochs (each fans to ~1.5k candidate code rows in the ADC scan + exact rerank, sink exactly k=5 rows per query - the identity the spec pins), index_paths must read 2 and promote_flip_ordered=true (every gen1-served epoch strictly after every gen0 epoch - one pointer resolution per epoch, never a torn mix). tx_chain = the X107->X110 CHAINED pipeline at rate (r18): a bronze Tx ingest stream (exactly-once append sink) runs the whole window while an incremental-MV drain loop tails its commit log on the driver thread - each drain reads only the unseen commits (log-planned) and touches only the 200-ticker view's affected buckets; rows_in/batch_sec are the WRITER's (drain-query progress filtered out by runId), drains/mean_drain_sec name the catch-up cost, and view_equals_groupby asserts the final view equals a full GROUP BY over the bronze snapshot (both exceptAlls empty) after one post-stop catch-up drain. recon_skew = reconcileFeedsStream under a 90% hot key (17 cold keys share the rest; each observation a matched bar+trade pair on its own (key, bucket) grain): state is keyed on the COMPOSITE (key, bucket) so the hot key spreads across buckets - state_rows must plateau at keys x in-flight buckets and batch_sec stay flat (the q239 fixture is uniform; this names the skew behavior). batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
+      s"""{"pipeline":"twin of runBarsPipeline: value-column JSON -> parse -> gate -> watermark(10m) -> dedupWithinWatermark -> sink","rows_per_batch":$rowsPerBatch,"duration_sec":$durationSec,"state_store":"RocksDB (changelog checkpointing)","append":${seg(append)},"upsert":${seg(upsert)},"upsert_steady":${seg(upsertSteady, s""","key_universe":403200""")},"stateful":${seg(stateful)},"pair_spread":${seg(pairSpread, s""","route":"${pairRoute.replace("\"", "'")}"""")},"dead_letter":${seg(deadLetter, s""","lanes":{${dlLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"near_dup":${seg(nearDup)},"near_dup_gate":${seg(gate, s""","lanes":{"kept":${gateLanes("kept")},"dropped":${gateLanes("dropped")}},"docs_in":${gate.rowsIn},"docs_in_flight":${gate.rowsIn - gateLanes("kept") - gateLanes("dropped")}""")},"late_lane":${seg(lateLane, s""","lanes":{"late":${lateLanes("late")},"on_time":${lateLanes("on_time")}},"lanes_sum_equals_rows_in":true""")},"tx_append":${seg(txAppend, s""","files_live":$filesLive,"compactions":$nCompact,"auto_compact":"threshold 24 live files -> fold to 4"""")},"shape_gate":${seg(shapeGate, s""","lanes":{${shapeLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"curation_chain":${seg(chain, s""","lanes":{${chainLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"docs_in":${chain.rowsIn},"docs_in_flight":${chain.rowsIn - chainLanes.values.sum},"telemetry_equals_lanes":true,"registry_rows":{"first_epoch":$regFirst,"last_epoch":$regLast}""")},"e2e_ingest":${seg(e2e, s""","lanes":{${e2eLanes.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"lanes_sum_equals_rows_in":true""")},"recon_skew":${seg(reconSkew, s""","hot_key_share":0.9""")},"ann_serve":${seg(annServe, s""","index_paths":$annPaths,"promote_flip_ordered":$annFlip,"pq_shortlist":40,"queries_full":$annFull,"queries_partial":$annPartial,"queries_empty":$annEmpty""")},"tx_chain":${seg(txChain, s""","drains":$chainDrains,"mv_rows":$chainMvRows,"mean_drain_sec":${f2(chainMeanDrain)},"view_equals_groupby":$chainEqual""")},"note":"append = rate-shaped ingest sink, O(batch)/epoch: the sustained-throughput headline. upsert = exactly-once keyed sink under ALL-NEW keys (worst case: per-epoch cost grows with table size, measured to name it). upsert_steady = the same sink under keyed UPDATES cycling a fixed 403,200-key universe: sink_rows must equal the key space (table plateau) and batch_sec goes flat after the first full cycle. stateful = flatMapGroupsWithState zScoreAnomalies over 200 tickers: state_rows must plateau at the key space. pair_spread = the DESIGN-16 composition (two legs -> interval join -> hedge spread -> zScoreAnomalies over 20 pairs); 'route' records whether the stream-stream-join form planned or the pre-joined fallback ran. dead_letter = barsWithDeadLetter -> deadLetterSplitSink under the q218 corruption shape (every 13th payload truncated, 13th+1 ticker-stripped, volume 0 every 50th): per-lane counts over the counted epochs with lanes summing EXACTLY to rows_in (the exactly-one-lane invariant under streaming epochs, asserted at collection). near_dup = the streaming near-dup marker (six Knuth-scrambled band occurrences per doc, 2^16 buckets per band, 10-minute horizon): rows_in counts band occurrences; state must plateau at the horizon occupancy (rate x horizon), marks flush one watermark-advance after their doc (watermark-complete emission). near_dup_gate = the X88 ingestion-time curation gate end to end at the r16 DEFAULT sizing (4 x 30-bit bands, 5-minute horizon; docs -> SimHash banding with payload on band 0 -> watermark-complete band verdicts -> exactly-once Tx kept/dropped lanes; every 37th doc repeats its predecessor's text verbatim): rows_in counts SOURCE docs (the banding explodes 4 occurrences per doc downstream); lanes are asserted disjoint with one verdict per doc, docs_in_flight is the bounded tail still behind the watermark at stop, and dropped/(kept+dropped) must read ~= the planted 1/37 replay rate (the r15 6 x 20 default read 87% here - collision noise, since fixed). late_lane = the X91 late-data lane (every 41st row 30 minutes stale vs a 10-minute delay): on_time/late lanes sum EXACTLY to rows_in over the counted epochs. tx_append = the exactly-once Tx append sink under the small-file auto-compaction policy (4-file epochs, threshold 24 live files -> fold to 4): files_live stays bounded, compactions counts the op=compact commits the policy issued, sink_rows is the table's log-only row count. shape_gate = the X94 shape-gated strict ingest under sustained drift (every 9th payload gains an undeclared key, 9th+1 truncates, every 50th volume 0): quarantine/DLQ/ingested lanes sum EXACTLY to rows_in. curation_chain = the X99 composed pipeline (near-dup gate at the 4x30-bit default -> exact dedup via the cross-epoch hash registry -> quality filter), all lanes exactly-once Tx appends; telemetry ledger equals the lanes table, docs_in_flight is the watermark tail; since r17 the registry read is BLOOM-GATED (persisted filter beside the Tx tables, definitive-new docs never touch the registry), so batch_sec first/last must stay flat while registry_rows grows first_epoch -> last_epoch. e2e_ingest = the X104 COMPOSED capstone (shape gate -> DLQ -> late lane -> bloom-gated exact dedup -> exactly-once Tx append, ONE pipeline; every 9th payload drifts, 9th+1 truncates, 50th volume 0, 23rd a verbatim re-send, 41st 30 minutes stale): quarantine+dlq+late+dup+ingested sum EXACTLY to rows_in across ALL five sinks - the global exactly-one-lane identity, asserted at collection. ann_serve = the X106 streaming ANN serve over the X102 PQ code-domain path THROUGH the blue/green pointer, with a PROMOTE landing mid-soak (gen1 pre-fit offline - the operational blue/green shape - so the mid-soak action is the pointer CAS alone): rows_in counts query vectors over COMMITTED epochs (each fans to ~1.5k candidate code rows in the ADC scan + exact rerank, sink k=5 rows per COVERED query); queries_full/partial/empty state per-query coverage instead of assuming it (r18): a query whose nProbe=4 cells hold fewer than k candidates lands exactly what the probed region holds - the SAME rows the raw serve would land (the parity BulkAnnSpec pins) - and on this lattice fixture that tail is a few percent; the spec bounds it rather than letting a counted-epoch shift flip an exactly-k assert. index_paths must read 2 and promote_flip_ordered=true (every gen1-served epoch strictly after every gen0 epoch - one pointer resolution per epoch, never a torn mix). tx_chain = the X107->X110 CHAINED pipeline at rate (r18): a bronze Tx ingest stream (exactly-once append sink) runs the whole window while an incremental-MV drain loop tails its commit log on the driver thread - each drain reads only the unseen commits (log-planned) and touches only the 200-ticker view's affected buckets; rows_in/batch_sec are the WRITER's (drain-query progress filtered out by runId), drains/mean_drain_sec name the catch-up cost, and view_equals_groupby asserts the final view equals a full GROUP BY over the bronze snapshot (both exceptAlls empty) after one post-stop catch-up drain. recon_skew = reconcileFeedsStream under a 90% hot key (17 cold keys share the rest; each observation a matched bar+trade pair on its own (key, bucket) grain): state is keyed on the COMPOSITE (key, bucket) so the hot key spreads across buckets - state_rows must plateau at keys x in-flight buckets and batch_sec stay flat (the q239 fixture is uniform; this names the skew behavior). batch_sec = per-batch triggerExecution wall after a 3-batch warm-up. Progress via StreamingQueryListener (exact at any duration)."}"""
     val out = java.nio.file.Paths.get("docs/bench/stream_soak.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

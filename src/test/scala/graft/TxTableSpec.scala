@@ -1289,4 +1289,33 @@ class TxTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("stats domain"), e.getMessage)
   }
+
+  test("upsert(newerWins): stale and tie updates keep the stored row, newer wins, in-batch dups reduce to the max") {
+    val path = freshPath()
+    def state = TxParquetTable.snapshot(spark, path)
+      .select("id", "ver", "x").as[(Long, Long, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    TxParquetTable.upsert(
+      Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c")).toDF("id", "ver", "x"),
+      path, "id", buckets = 4, newerWins = Some("ver"))
+    // newer wins; stale ignored; tie keeps stored
+    TxParquetTable.upsert(
+      Seq((1L, 11L, "A"), (2L, 9L, "STALE"), (3L, 10L, "TIE"))
+        .toDF("id", "ver", "x"),
+      path, "id", buckets = 4, newerWins = Some("ver"))
+    assert(state === Map(1L -> ((11L, "A")), 2L -> ((10L, "b")), 3L -> ((10L, "c"))))
+    // an in-batch stale/fresh pair reduces to the batch max BEFORE the
+    // merge; a null version always loses to a non-null stored row
+    TxParquetTable.upsert(
+      Seq((1L, Some(13L), "FRESH"), (1L, Some(12L), "mid"),
+        (2L, Option.empty[Long], "NULLVER")).toDF("id", "ver", "x"),
+      path, "id", buckets = 4, newerWins = Some("ver"))
+    assert(state === Map(1L -> ((13L, "FRESH")), 2L -> ((10L, "b")), 3L -> ((10L, "c"))))
+    // plain replace-by-key (newerWins = None) still regresses — the
+    // contract difference this parameter exists for
+    TxParquetTable.upsert(
+      Seq((1L, 1L, "regressed")).toDF("id", "ver", "x"),
+      path, "id", buckets = 4)
+    assert(state(1L) === ((1L, "regressed")))
+  }
 }
