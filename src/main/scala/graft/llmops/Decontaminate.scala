@@ -58,7 +58,12 @@ object Decontaminate {
       n: Int, minOverlap: Long,
       maxBroadcastGrams: Long = 8L * 1000 * 1000): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
-    val grams = benchmarkGrams(bench, textCol, n)
+    // pin the benchmark gram set (MB-scale by contract): the broadcast
+    // decision needs its count and the probe join needs its rows — an
+    // unpinned plan pays the bench-side gram explode TWICE (r17 q121
+    // attribution), and at 100 TB the bench side is the one input small
+    // enough to materialize by design
+    val grams = benchmarkGrams(bench, textCol, n).localCheckpoint(true)
     val benchSide =
       if (grams.count() <= maxBroadcastGrams) broadcast(grams) else grams
     val corpusGrams = corpus
