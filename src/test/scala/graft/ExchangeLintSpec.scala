@@ -96,6 +96,21 @@ class ExchangeLintSpec extends SparkSpec {
       "keyed load + two bucket-pruned delete rewrites + CDC/travel/aggregate verification reads"),
     "q248_ann_serve_stream" -> (43,
       "two index fits + two per-epoch bulk serves (probe distinct, cell join, heap) + the per-epoch direct-serve twins"),
+    // ---- the r18 extension: every new query >= 1 s committed cost ----
+    "q249_tx_stream_replay" -> (1,
+      "log-planned source batches land as appends (no shuffle); the single shuffle is the final full-row hash compare"),
+    "q250_erasure_policy" -> (11,
+      "keyed load + delete rewrite + per-pass policy verification reads (travel aggregate, survivor aggregate)"),
+    "q251_schema_catchup" -> (7,
+      "quarantine/ingest appends + the replay's first-match gate + per-lane accounting aggregates"),
+    "q252_incremental_mv" -> (17,
+      "per-drain delta aggregate + point-lookup semi-join + bucket-rewrite upsert, x3 drains + the replay probe + final GROUP BY"),
+    "q253_replication" -> (22,
+      "source train (appends/compact/delete) + per-version replica appends and the CDC delete + two exceptAll content compares"),
+    "q254_manifest_cut" -> (6,
+      "lane appends are shuffle-free; per-cut counts + the final per-year aggregate over the resolved union"),
+    "q255_lww_upsert" -> (13,
+      "three newerWins rewrites (per-batch max rank + merge rank window each) + the final aggregate"),
     // ---- the r16 top-12 (original pins) ----
     "q227_persisted_ann_index" -> (56,
       "Tx index lifecycle: Lloyd fit aggregates, cell-clustered compaction sort, " +
