@@ -830,7 +830,8 @@ object Pipelines {
       outDir: String, checkpoint: String, delayMs: Long,
       appId: String = "graft-e2e-ingest",
       bloomExpectedItems: Long = 4000000L, bloomFpp: Double = 0.01,
-      probeCollectMax: Int = 4096)
+      probeCollectMax: Int = 4096,
+      publishManifest: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
     val hconf = jsonValues.sparkSession.sessionState.newHadoopConf()
@@ -845,7 +846,7 @@ object Pipelines {
         val gated = Ingest.shapeGate(batch, declaredFields)
           .withColumn("__epoch", lit(epochId)).cache()
         try {
-          TxParquetTable.append(
+          val vQuar = TxParquetTable.append(
             gated.filter(col("shape_lane") =!= "shape_ok")
               .select(col("value").as("raw"), col("shape_lane"), col("__epoch")),
             s"$outDir/quarantine", txn = Some((appId, epochId)))
@@ -853,7 +854,7 @@ object Pipelines {
               gated.filter(col("shape_lane") === "shape_ok").select("value"))
             .withColumn("__epoch", lit(epochId)).cache()
           try {
-            TxParquetTable.append(
+            val vDlq = TxParquetTable.append(
               routed.filter(col("dead_reason").isNotNull)
                 .select(col("raw"), col("dead_reason"), col("__epoch")),
               s"$outDir/dlq", txn = Some((appId, epochId)))
@@ -866,7 +867,8 @@ object Pipelines {
               .withColumn("__late", unix_millis(col("datetime")) < lit(wm))
               .cache()
             try {
-              TxParquetTable.append(split.filter(col("__late")).drop("__late"),
+              val vLate = TxParquetTable.append(
+                split.filter(col("__late")).drop("__late"),
                 s"$outDir/late", txn = Some((appId, epochId)))
               val onTime = split.filter(!col("__late")).drop("__late")
               // X99's registry stage on the deterministic id: the gate
@@ -945,11 +947,11 @@ object Pipelines {
                 .drop("__rn", "__seen")
                 .cache()
               try {
-                TxParquetTable.append(
+                val vDup = TxParquetTable.append(
                   marked.filter(col("__dup")).drop("__dup"),
                   s"$outDir/dup", txn = Some((appId, epochId)))
                 val fresh = marked.filter(!col("__dup")).drop("__dup")
-                TxParquetTable.append(fresh,
+                val vIngested = TxParquetTable.append(fresh,
                   s"$outDir/ingested", txn = Some((appId, epochId)))
                 TxParquetTable.append(
                   fresh.select(col("id").as("h"), col("__epoch")),
@@ -967,6 +969,24 @@ object Pipelines {
                   if (mx.isNullAt(0)) wm
                   else math.max(wm, mx.getLong(0) - delayMs)
                 writeWmReplica(checkpoint, hconf, epochId, wm, advanced)
+                // X112 composed into X104 (opt-in): after every lane of
+                // the epoch committed, ONE atomic manifest append
+                // records the five (lane, version) pairs — readers
+                // resolving through it never see an epoch whose lanes
+                // are only partially landed (a crash between lane
+                // commits), and a replayed epoch's re-publish is a
+                // txn-guarded no-op. The replayed lane appends above
+                // return each lane's committed version (single-writer
+                // log), so a recovery re-publish carries the same set.
+                if (publishManifest) {
+                  graft.sources.Manifest.publish(spark, s"$outDir/manifest",
+                    epochId,
+                    Map("quarantine" -> vQuar, "dlq" -> vDlq,
+                      "late" -> vLate, "dup" -> vDup,
+                      "ingested" -> vIngested),
+                    app = s"$appId-manifest")
+                  ()
+                }
               } finally { marked.unpersist(); () }
             } finally { split.unpersist(); () }
           } finally { routed.unpersist(); () }

@@ -222,4 +222,37 @@ class ComposedPipelineSpec extends SparkSpec {
     assert(joinLanes("ingested") === 8L && joinLanes("dup") === 8L, joinLanes.toString)
     assert(joinLanes.values.sum === 16L, "exactly-one-lane identity")
   }
+
+  test("e2e ingest sink publishes a per-epoch manifest: readers through it see all five lanes or none (X112 over X104)") {
+    implicit val sqlCtx = spark.sqlContext
+    val declared = Seq("Datetime", "Open", "High", "Low", "Close",
+      "Adj Close", "Volume", "Dividends", "Stock Splits", "ticker")
+    def bar(i: Int): String =
+      s"""{"Datetime":"2024-06-03T14:${30 + i}:00.000Z","Open":1.0,"High":1.1,"Low":0.9,"Close":1.05,"Adj Close":1.05,"Volume":${100 + i},"Dividends":0.0,"Stock Splits":0.0,"ticker":"M$i"}"""
+    val dir = java.nio.file.Files.createTempDirectory(
+      "graft_e2e_manifest_").toString
+    val mem = MemoryStream[String]
+    val q = Pipelines.endToEndIngestSink(
+      mem.toDF().toDF("value"), declared, dir, s"$dir/ckpt",
+      delayMs = 600000L, publishManifest = true).start()
+    try {
+      mem.addData((0 until 4).map(bar): _*); q.processAllAvailable()
+      mem.addData((4 until 6).map(bar): _*); q.processAllAvailable()
+      Option(q.exception.orNull).foreach(throw _)
+    } finally q.stop()
+    import graft.sources.{Manifest, TxParquetTable}
+    val paths = Seq("quarantine", "dlq", "late", "dup", "ingested")
+      .map(l => l -> s"$dir/$l").toMap
+    // the newest published cut carries all five lanes at their
+    // epoch-final versions; counts through it equal direct reads
+    val (epoch, frames) = Manifest.snapshotAll(spark, s"$dir/manifest", paths)
+    assert(epoch >= 1L)
+    assert(frames("ingested").count() === 6L)
+    assert(paths.keys.forall(l => frames(l).count() ===
+      TxParquetTable.snapshot(spark, paths(l)).count()))
+    // cross-lane time travel: the epoch-0 cut predates epoch 1's rows
+    val (_, cut0) = Manifest.snapshotAll(spark, s"$dir/manifest", paths,
+      epoch = Some(0L))
+    assert(cut0("ingested").count() === 4L)
+  }
 }
