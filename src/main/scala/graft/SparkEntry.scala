@@ -4850,7 +4850,15 @@ GROUP BY order_year""")
         when(pmod(k, lit(9)) === 0, withExtra("Source", "api"))
           .when(pmod(k, lit(11)) === 0, withExtra("Origin", "ws"))
           .otherwise(bar).as("value"))
+      // r18: materialize the gate ONCE (the q235 localCheckpoint
+      // convention). Without it, Catalyst pushes each consumer's
+      // shape_lane filter — with the full to_json + json_object_keys
+      // tree inlined per reference — below the ensureParallelism
+      // exchange, re-evaluating the wire fixture per consumer on the
+      // cached table's ONE input partition (ProbeJobs: two 4-7 s
+      // single-task AQE map jobs; plans/r18/q251_*_before.txt).
       val gated = Ingest.shapeGate(wire, DeclaredBarFields)
+        .localCheckpoint(true)
       TxParquetTable.append(
         gated.filter(col("shape_lane") =!= "shape_ok")
           .select(col("value").as("raw"), col("shape_lane")), quar)

@@ -568,31 +568,53 @@ object TxParquetTable {
         "integer/date/timestamp/float/double/string columns")
     val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // Per-file bucket sets and zone-map bounds in ONE job over the staged
+    // directory, grouped by input_file_name (r18, guide §1.2: the previous
+    // form launched one agg job per staged file plus one distinct job per
+    // file for buckets — 2N scheduler round-trips per commit; a 1000-file
+    // commit paid 2000 jobs of driver orchestration for work one grouped
+    // pass does). Keyed by file NAME before the move; a zero-row staged
+    // file has no group and keeps the conservative no-stats/no-buckets
+    // entry the per-file form produced.
+    val statted0 = statted // stable reference for closures below
+    val perFile: Map[String, org.apache.spark.sql.Row] =
+      if (bucketOf.isEmpty && statted0.isEmpty) Map.empty
+      else {
+        val fileDf = spark.read.parquet(tmp.getAbsolutePath)
+        val aggs =
+          bucketOf.map(c => collect_set(c.cast("int")).as("__buckets")).toSeq ++
+            statted0.flatMap { case (c, dt, _) =>
+              val e = statsExpr(dt, org.apache.spark.sql.functions.col(c))
+              Seq(min(e), max(e))
+            }
+        fileDf.groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getString(0).split('/').last -> r).toMap
+      }
+    val statsBase = if (bucketOf.isEmpty) 1 else 2 // row offset of first min
     val adds = parts.map { p =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
       val target = new File(dataDir(path), name)
+      val row = perFile.get(p.getName)
       Files.move(p.toPath, target.toPath)
       // footer-only row count stamped into the log (Delta's numRecords):
       // snapshot row counts and Bloom sizing become pure log reads
       val numRecords = ParquetFooters.fileRowCount(hadoopConf, target.getAbsolutePath)
-      lazy val fileDf = spark.read.parquet(target.getAbsolutePath)
-      val buckets = bucketOf match {
-        case Some(c) => fileDf
-          .select(c.cast("int")).distinct().collect().map(_.getInt(0)).toSeq.sorted
-        case None => Seq.empty
+      val buckets = (bucketOf, row) match {
+        case (Some(_), Some(r)) => r.getSeq[Int](1).sorted
+        case _ => Seq.empty
       }
-      val stats = if (statted.isEmpty) Map.empty[String, ColStats] else {
-        val aggs = statted.flatMap { case (c, dt, _) =>
-          val e = statsExpr(dt, org.apache.spark.sql.functions.col(c))
-          Seq(min(e), max(e))
-        }
-        val row = fileDf.agg(aggs.head, aggs.tail: _*).head()
-        statted.zipWithIndex.flatMap { case ((c, _, tag), i) =>
-          // an all-null file has null bounds: record no stats for the
-          // column (conservative: the file is never pruned on it)
-          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-          else Some(c -> ColStats(tag, row.get(2 * i).toString, row.get(2 * i + 1).toString))
-        }.toMap
+      val stats = row match {
+        case Some(r) if statted0.nonEmpty =>
+          statted0.zipWithIndex.flatMap { case ((c, _, tag), i) =>
+            // an all-null file has null bounds: record no stats for the
+            // column (conservative: the file is never pruned on it)
+            val (lo, hi) = (statsBase + 2 * i, statsBase + 2 * i + 1)
+            if (r.isNullAt(lo) || r.isNullAt(hi)) None
+            else Some(c -> ColStats(tag, r.get(lo).toString, r.get(hi).toString))
+          }.toMap
+        case _ => Map.empty[String, ColStats]
       }
       AddFile(name, buckets, stats, numRecords)
     }
