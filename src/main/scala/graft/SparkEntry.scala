@@ -4093,17 +4093,28 @@ GROUP BY order_year""")
       val served = AnnIndex.queryIvfIndexBulk(s, path.toString, queries,
           "qid", "qv", nProbe = 4, k = 10)
         .select(col("qid"), floor(col("qid") / 32).as("base"), col("id"))
-        .localCheckpoint(true) // read by four accounting branches
       val baseQueries = emb.filter(col("vec_id") < 500)
         .select(col("vec_id").as("qid"),
           Similarity.asDouble(col("embedding")).as("qv"))
       val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
           baseQueries, "qid", "qv", k = 10)
         .select(col("qid").as("base"), col("id"))
-      val nServed = served.count()
-      val nQueries = served.select(col("qid")).distinct().count()
-      val nHit = served.join(exact, Seq("base", "id"), "left_semi").count()
-      val nBasePairs = served.select(col("base"), col("id")).distinct().count()
+      // ONE accounting job (r19, guide §1.2): the four counts used to be
+      // four actions over a localCheckpointed serve output (4 jobs + an
+      // eager materialization pass); `exact` is unique per (base, id) by
+      // construction (top-k of distinct corpus ids per query), so the
+      // left join cannot fan out and count(__hit) IS the old semi-join
+      // count. With one consumer the pin is gone too — the serve plan
+      // streams straight into the aggregate.
+      val acct = served
+        .join(exact.withColumn("__hit", lit(true)), Seq("base", "id"), "left")
+        .agg(count(lit(1)).as("n_served"),
+          countDistinct(col("qid")).as("n_queries"),
+          count(col("__hit")).as("n_hit"),
+          countDistinct(col("base"), col("id")).as("n_base_pairs"))
+        .head()
+      val (nServed, nQueries, nHit, nBasePairs) = (acct.getLong(0),
+        acct.getLong(1), acct.getLong(2), acct.getLong(3))
       import s.implicits._
       Seq((nQueries, nServed,
           nHit * 10 >= nServed * 3,
@@ -4351,17 +4362,24 @@ GROUP BY order_year""")
       val served = AnnIndex.queryIvfPqIndexBulk(s, path.toString, queries,
           "qid", "qv", nProbe = 4, k = 10, shortlist = 200)
         .select(col("qid"), floor(col("qid") / 32).as("base"), col("id"))
-        .localCheckpoint(true) // read by four accounting branches
       val baseQueries = emb.filter(col("vec_id") < 500)
         .select(col("vec_id").as("qid"),
           Similarity.asDouble(col("embedding")).as("qv"))
       val exact = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
           baseQueries, "qid", "qv", k = 10)
         .select(col("qid").as("base"), col("id"))
-      val nServed = served.count()
-      val nQueries = served.select(col("qid")).distinct().count()
-      val nHit = served.join(exact, Seq("base", "id"), "left_semi").count()
-      val nBasePairs = served.select(col("base"), col("id")).distinct().count()
+      // ONE accounting job replacing four actions + the serve-output pin
+      // (r19, guide §1.2) — the q236 fusion, PQ edition; see q236 for
+      // the no-fan-out argument
+      val acct = served
+        .join(exact.withColumn("__hit", lit(true)), Seq("base", "id"), "left")
+        .agg(count(lit(1)).as("n_served"),
+          countDistinct(col("qid")).as("n_queries"),
+          count(col("__hit")).as("n_hit"),
+          countDistinct(col("base"), col("id")).as("n_base_pairs"))
+        .head()
+      val (nServed, nQueries, nHit, nBasePairs) = (acct.getLong(0),
+        acct.getLong(1), acct.getLong(2), acct.getLong(3))
       import s.implicits._
       Seq((nQueries, nServed,
           nHit * 10 >= nServed * 3,
@@ -4644,14 +4662,20 @@ GROUP BY order_year""")
       } finally q.stop()
       val served = TxParquetTable.snapshot(s, s"$out/served").localCheckpoint(true)
       val rows = Seq(0L -> gen0, 1L -> gen1).map { case (epoch, gen) =>
-        val e = served.filter(col("__epoch") === epoch)
-        val got = e.select("qid", "id", "score").collect()
+        // ONE collect per epoch (r19, guide §1.2): the epoch frame is
+        // bounded (40 queries × k), and every verdict column — counts,
+        // distinct qids, index-path audit, twin match — derives from
+        // the same rows the twin comparison already collected; this was
+        // four extra jobs per epoch
+        val eRows = served.filter(col("__epoch") === epoch)
+          .select("qid", "id", "score", "__index_path").collect()
+        val got = eRows
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         val direct = AnnIndex.queryIvfIndexBulk(s, gen, queries,
             "qid", "qv", nProbe = 4, k = 10)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        (epoch, e.select("qid").distinct().count(), e.count(),
-          e.select("__index_path").distinct().head().getString(0) == gen1,
+        (epoch, eRows.map(_.getLong(0)).distinct.length.toLong, eRows.length.toLong,
+          eRows.map(_.getString(3)).distinct.toSeq == Seq(gen1),
           got == direct)
       }
       rows.toDF("epoch", "n_queries", "n_served", "served_from_promoted",

@@ -468,8 +468,14 @@ object AnnIndex {
       qVecCol: String, cellIds: Seq[Int], vecs: Seq[Seq[Double]],
       nProbe: Int): DataFrame =
     graft.util.Guards.requireUniquePerKey(
-        queries.select(col(qidCol).cast("long").as("qid"),
-          Similarity.asDouble(col(qVecCol)).as("qv")),
+        // spread the query frame BEFORE the per-row probe/norm work
+        // (r19, guide §2.5 input skew): a bulk frame built from a few
+        // parquet splits (or one MemoryStream block) otherwise runs the
+        // whole tagging + checkpoint materialization on 2-3 tasks —
+        // measured as the single biggest job of every bulk serve
+        graft.util.Partitioning.ensureParallelism(
+          queries.select(col(qidCol).cast("long").as("qid"),
+            Similarity.asDouble(col(qVecCol)).as("qv"))),
         Seq("qid"), "queryIvfIndexBulk query frame")
       .withColumn("qn", Similarity.norm(col("qv")))
       .withColumn("cell",
@@ -743,8 +749,12 @@ object AnnIndex {
     // upstreams), with three consumers here: probed-cell distinct, the
     // ADC candidate join, and the rerank's query-side join
     val q0 = graft.util.Guards.requireUniquePerKey(
-        queries.select(col(qidCol).cast("long").as("qid"),
-          Similarity.asDouble(col(qVecCol)).as("qv")),
+        // same query-frame spread as tagProbeCells (r19, guide §2.5):
+        // the ADC table build (m×ksub dot products per row) is the
+        // most expensive per-row tag and must not run on 2-3 tasks
+        graft.util.Partitioning.ensureParallelism(
+          queries.select(col(qidCol).cast("long").as("qid"),
+            Similarity.asDouble(col(qVecCol)).as("qv"))),
         Seq("qid"), "queryIvfPqIndexBulk query frame")
       .withColumn("qn", Similarity.norm(col("qv")))
       .withColumn("adc", AdcDotTable.adcDotTable(col("qv"),

@@ -217,7 +217,13 @@ object Pipelines {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val gated = Ingest.shapeGate(batch, declaredFields)
+        // spread the wire BEFORE the gate (r19, guide §2.5 input skew):
+        // a micro-batch arrives as however few partitions the source
+        // block held (MemoryStream: ONE), and the whole JSON parse +
+        // shape-gate chain — the epoch's real compute — would otherwise
+        // run single-task on an idle cluster
+        val gated = Ingest.shapeGate(
+            graft.util.Partitioning.ensureParallelism(batch), declaredFields)
           .withColumn("__epoch", lit(epochId)).cache()
         try {
           val quarantined = gated.filter(col("shape_lane") =!= "shape_ok")
@@ -843,9 +849,18 @@ object Pipelines {
         import graft.sources.TxParquetTable
         val spark = batch.sparkSession
         val idsPath = s"$outDir/ids"
-        val gated = Ingest.shapeGate(batch, declaredFields)
+        // spread the wire BEFORE the gate (r19, guide §2.5): see
+        // shapeGatedBarsSink — the epoch's parse/gate chain must not
+        // run on the source block's single partition
+        val gated = Ingest.shapeGate(
+            graft.util.Partitioning.ensureParallelism(batch), declaredFields)
           .withColumn("__epoch", lit(epochId)).cache()
+        // phase labels (guide §1.5) so job-level profiling attributes
+        // each lane's cost; thread-local, cleared in the outer finally
+        def phase(p: String): Unit =
+          spark.sparkContext.setJobDescription(s"e2e epoch=$epochId $p")
         try {
+          phase("quarantine")
           val vQuar = TxParquetTable.append(
             gated.filter(col("shape_lane") =!= "shape_ok")
               .select(col("value").as("raw"), col("shape_lane"), col("__epoch")),
@@ -854,6 +869,7 @@ object Pipelines {
               gated.filter(col("shape_lane") === "shape_ok").select("value"))
             .withColumn("__epoch", lit(epochId)).cache()
           try {
+            phase("dlq")
             val vDlq = TxParquetTable.append(
               routed.filter(col("dead_reason").isNotNull)
                 .select(col("raw"), col("dead_reason"), col("__epoch")),
@@ -867,6 +883,7 @@ object Pipelines {
               .withColumn("__late", unix_millis(col("datetime")) < lit(wm))
               .cache()
             try {
+              phase("late")
               val vLate = TxParquetTable.append(
                 split.filter(col("__late")).drop("__late"),
                 s"$outDir/late", txn = Some((appId, epochId)))
@@ -885,6 +902,7 @@ object Pipelines {
                 if (TxParquetTable.latestVersion(idsPath) < 0)
                   (Seq.empty[String], None)
                 else {
+                  phase("registry probe")
                   val bloom = loadOrBuildRegistryBloom(spark, outDir, idsPath,
                     bloomExpectedItems, bloomFpp)
                   val probeFrame = onTime.select(col("id"))
@@ -947,16 +965,28 @@ object Pipelines {
                 .drop("__rn", "__seen")
                 .cache()
               try {
+                phase("dup")
                 val vDup = TxParquetTable.append(
                   marked.filter(col("__dup")).drop("__dup"),
                   s"$outDir/dup", txn = Some((appId, epochId)))
                 val fresh = marked.filter(!col("__dup")).drop("__dup")
+                phase("ingested")
                 val vIngested = TxParquetTable.append(fresh,
                   s"$outDir/ingested", txn = Some((appId, epochId)))
+                phase("ids registry")
                 TxParquetTable.append(
                   fresh.select(col("id").as("h"), col("__epoch")),
                   idsPath, txn = Some((appId, epochId)))
+                phase("bloom merge")
+                // coalesce before the bloom aggregate (r19, guide §5):
+                // stat.bloomFilter allocates one full expectedItems-sized
+                // bitset PER PARTITION (≈4.8 MB at the 4M default) and
+                // merges them on the driver — on a well-spread batch
+                // that's 32 bitsets for one epoch's keys; a handful of
+                // partitions stream the same cached rows through a
+                // bounded number of bitsets
                 val newKeys = fresh.select(xxhash64(col("id")).as("__bloom_key"))
+                  .coalesce(8)
                 if (!newKeys.isEmpty) {
                   mergeRegistryBloom(outDir, newKeys.stat.bloomFilter(
                     "__bloom_key", bloomExpectedItems, bloomFpp))
@@ -964,6 +994,7 @@ object Pipelines {
                 // advance the replica over ALL parsed rows (late included
                 // — Spark's own watermark stats see them too), once per
                 // NEW epoch
+                phase("wm advance")
                 val mx = split.agg(max(unix_millis(col("datetime")))).collect()(0)
                 val advanced =
                   if (mx.isNullAt(0)) wm
@@ -990,7 +1021,11 @@ object Pipelines {
               } finally { marked.unpersist(); () }
             } finally { split.unpersist(); () }
           } finally { routed.unpersist(); () }
-        } finally { gated.unpersist(); () }
+        } finally {
+          gated.unpersist()
+          spark.sparkContext.setJobDescription(null)
+          ()
+        }
       }
   }
 
