@@ -79,7 +79,8 @@ object Components {
     */
   private def propagateToFixpoint(
       bi: DataFrame, maxIters: Int, variant: String, remedy: String)(
-      step: (DataFrame, DataFrame) => (DataFrame, Seq[DataFrame])): DataFrame = {
+      step: (DataFrame, DataFrame) => (DataFrame, Seq[DataFrame])): DataFrame =
+      withLoopShuffleWidth(bi) {
     var labels = bi.select(col("src").as("id"), col("dst"))
       .groupBy(col("id"))
       .agg(least(col("id"), min(col("dst"))).as("label"))
@@ -103,7 +104,8 @@ object Components {
       throw new IllegalStateException(
         s"$variant did not converge in $maxIters rounds $remedy")
     labels
-  }
+  }   // labels is checkpointed: consumers read blocks, never re-plan
+      // under the loop width this scope restores on exit
 
   /** Both propagation variants' shared edge prep: null-filtered edges,
     * materialized ONCE, then mirrored into the bidirectional frame the
@@ -143,6 +145,47 @@ object Components {
       .localCheckpoint()
     releaseCheckpoint(fwd)
     bi
+  }
+
+  /** Target rows per shuffle partition inside a fixpoint ROUND (r19,
+    * guide §2.2): label/edge frames are a few long columns, so ~2M rows
+    * is tens of MB — comfortably one task. */
+  private val RowsPerLoopPartition = 2L << 20
+
+  /** Run `body` with spark.sql.shuffle.partitions scoped DOWN to what
+    * the fixpoint's edge set actually needs, restoring the session
+    * setting afterwards (r19, guide §2.2 fewer-larger partitions +
+    * §1.2 per-round fixed cost). Every round of a propagation loop is a
+    * join + aggregate over the edge/label frames — at the session-wide
+    * width (sized for corpus scans) a 10⁴-node near-dup graph pays 32+
+    * tasks of scheduling per stage per round, and the rounds are
+    * SEQUENTIAL, so the width multiplies straight into wall time
+    * (measured via tools/Probe: q129 8.1 s at width 32 → 4.2 s at 1;
+    * q72 4.1 → 2.9). Width derives from the measured edge count — at
+    * corpus scale it saturates back to the session setting, so this is
+    * a no-op exactly where wide shuffles are right. The conf mutation
+    * is session-scoped and restored in finally; fixpoint loops run on
+    * one driver thread between actions, the engine's sequential-query
+    * discipline (Bench/Verify) keeps no concurrent planner on the
+    * session, and a non-numeric width (e.g. under an exotic conf)
+    * falls through to a plain run.
+    */
+  private def withLoopShuffleWidth[A](edges: DataFrame,
+      knownRows: Option[Long] = None)(body: => A): A = {
+    val conf = edges.sparkSession.conf
+    val key = "spark.sql.shuffle.partitions"
+    val sessionWidth = scala.util.Try(conf.get(key).toInt).toOption
+    sessionWidth match {
+      case Some(w) if w > 1 =>
+        // callers that already paid a counting action pass the count;
+        // otherwise one block-sized job over the checkpointed edges
+        val rows = knownRows.getOrElse(edges.count())
+        val width = math.max(1L, math.min(w.toLong,
+          (rows + RowsPerLoopPartition - 1) / RowsPerLoopPartition)).toString
+        conf.set(key, width)
+        try body finally conf.set(key, w.toString)
+      case _ => body
+    }
   }
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame
@@ -227,7 +270,9 @@ object Components {
     var iter = 0
     var prevFp = edgeFingerprint(e)
     var converged = prevFp._1 == 0L
-    while (iter < maxIters && !converged) {
+    // prevFp._1 IS the edge count — no extra action (ComponentsSpec pins
+    // this loop's job budget)
+    withLoopShuffleWidth(e, Some(prevFp._1)) { while (iter < maxIters && !converged) {
       // ---- large-star ----
       val bi = e.select(col("p").as("x"), col("c").as("y"))
         .union(e.select(col("c").as("x"), col("p").as("y")))
@@ -258,7 +303,7 @@ object Components {
       releaseCheckpoint(e) // superseded once next is live (probes above ran)
       e = next
       iter += 1
-    }
+    } }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsAlternating did not converge in $maxIters rounds; raise maxIters")

@@ -79,6 +79,30 @@ class ComponentsSpec extends SparkSpec {
     assert(ok === Set(1L))
   }
 
+  test("fixpoint loops scope the shuffle width to the graph and restore the session setting (r19)") {
+    // the rounds of a propagation loop run at a width derived from the
+    // measured edge count (a 10^4-edge graph must not pay 32 tasks of
+    // scheduling per stage per SEQUENTIAL round); the session conf must
+    // come back exactly — including when the loop exits by THROWING
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    assert(assignments(Seq((1L, 2L), (2L, 3L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(spark.conf.get(key) === before, "width not restored after success")
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        maxIters = 1).collect()
+    }
+    assert(spark.conf.get(key) === before, "width not restored after a throw")
+    intercept[IllegalStateException] {
+      Components.connectedComponentsAlternating(chain.toDF("a", "b"), "a", "b",
+        maxIters = 1).collect()
+    }
+    assert(spark.conf.get(key) === before,
+      "width not restored after an alternating-loop throw")
+  }
+
   test("alternating convergence probe costs ONE job per round (checksum, not count+except)") {
     // warm codegen/exchange paths so the counted run has no one-off jobs
     Components.connectedComponentsAlternating(
