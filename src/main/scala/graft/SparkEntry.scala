@@ -4230,32 +4230,41 @@ GROUP BY order_year""")
     def sentinel(year: Int) = ("zz_sentinel",
       java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00"), "trade", 1L, 1.0, -1)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = MemoryStream[(String, java.sql.Timestamp, String, Long, Double, Int)]
-    val verdicts = StatefulOps.reconcileFeedsStream(
-      mem.toDF().toDF("key", "bucket", "side", "volume", "price", "__b")
-        .drop("__b")
-        .withWatermark("bucket", "36500 days")
-        .as[StatefulOps.FeedSideRow],
-      priceTol = 0.5)
-    val q = verdicts.toDF().writeStream.format("memory")
-      .queryName("q239_recon_out").outputMode("append").start()
-    try {
-      (0 until 3).foreach { b =>
-        mem.addData(rows.filter(_._6 == b).toSeq); q.processAllAvailable()
-      }
-      mem.addData(sentinel(2300)); q.processAllAvailable() // wm -> ~2200
-      mem.addData(sentinel(2301)); q.processAllAvailable() // fire timeouts
-      Option(q.exception.orNull).foreach(throw _)
-      val out = s.table("q239_recon_out")
-        .filter(col("key") =!= "zz_sentinel")
-        .groupBy(col("lane"), col("action"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("trade_volume")), lit(0L)).as("trade_volume_sum"),
-          coalesce(sum(col("healed_volume")), lit(0L)).as("volume_sum"),
-          coalesce(sum(floor(col("healed_price") * 100 + 0.5).cast("long")),
-            lit(0L)).as("price_cents"))
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally q.stop()
+    // state width from the MEASURED fixture size (r19, guide §2.2): the
+    // stateful shuffle width is fixed at stream start, and every one of
+    // the 5 sequential micro-batches pays one state-store instance (load
+    // + commit I/O) per partition — at the session width (sized for
+    // corpus scans) that was 32 stores per batch for a bounded frame the
+    // query just collected. The clamp saturates to the session setting
+    // as the fixture grows. Measured: 12.1 -> ~7 s (tools/Probe).
+    graft.util.Partitioning.withShuffleWidth(s, rows.length.toLong, 1L << 18) {
+      val mem = MemoryStream[(String, java.sql.Timestamp, String, Long, Double, Int)]
+      val verdicts = StatefulOps.reconcileFeedsStream(
+        mem.toDF().toDF("key", "bucket", "side", "volume", "price", "__b")
+          .drop("__b")
+          .withWatermark("bucket", "36500 days")
+          .as[StatefulOps.FeedSideRow],
+        priceTol = 0.5)
+      val q = verdicts.toDF().writeStream.format("memory")
+        .queryName("q239_recon_out").outputMode("append").start()
+      try {
+        (0 until 3).foreach { b =>
+          mem.addData(rows.filter(_._6 == b).toSeq); q.processAllAvailable()
+        }
+        mem.addData(sentinel(2300)); q.processAllAvailable() // wm -> ~2200
+        mem.addData(sentinel(2301)); q.processAllAvailable() // fire timeouts
+        Option(q.exception.orNull).foreach(throw _)
+        val out = s.table("q239_recon_out")
+          .filter(col("key") =!= "zz_sentinel")
+          .groupBy(col("lane"), col("action"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("trade_volume")), lit(0L)).as("trade_volume_sum"),
+            coalesce(sum(col("healed_volume")), lit(0L)).as("volume_sum"),
+            coalesce(sum(floor(col("healed_price") * 100 + 0.5).cast("long")),
+              lit(0L)).as("price_cents"))
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally q.stop()
+    }
   }
 
   /** X99: the streaming curation CHAIN, batch-twin oracle closure (r15

@@ -171,22 +171,11 @@ object Components {
     * falls through to a plain run.
     */
   private def withLoopShuffleWidth[A](edges: DataFrame,
-      knownRows: Option[Long] = None)(body: => A): A = {
-    val conf = edges.sparkSession.conf
-    val key = "spark.sql.shuffle.partitions"
-    val sessionWidth = scala.util.Try(conf.get(key).toInt).toOption
-    sessionWidth match {
-      case Some(w) if w > 1 =>
-        // callers that already paid a counting action pass the count;
-        // otherwise one block-sized job over the checkpointed edges
-        val rows = knownRows.getOrElse(edges.count())
-        val width = math.max(1L, math.min(w.toLong,
-          (rows + RowsPerLoopPartition - 1) / RowsPerLoopPartition)).toString
-        conf.set(key, width)
-        try body finally conf.set(key, w.toString)
-      case _ => body
-    }
-  }
+      knownRows: Option[Long] = None)(body: => A): A =
+    // callers that already paid a counting action pass the count;
+    // otherwise one block-sized job over the checkpointed edges
+    graft.util.Partitioning.withShuffleWidth(edges.sparkSession,
+      knownRows.getOrElse(edges.count()), RowsPerLoopPartition)(body)
 
   /** Drop the block-manager blocks behind a `localCheckpoint`ed frame
     * that a later round has superseded. A checkpointed Dataset's plan is

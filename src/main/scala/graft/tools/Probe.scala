@@ -19,7 +19,7 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100000).selectExpr("sum(id)").collect()
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q129_semantic_dedup", "q72_dedup_groups")) {
+    for (q <- Seq("q239_recon_stream", "q229_late_lanes")) {
       val fn = graft.SparkEntry.queries(q)
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()

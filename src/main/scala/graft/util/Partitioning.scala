@@ -32,6 +32,35 @@ object Partitioning {
     * splits already provide parallelism and a forced shuffle would only
     * add cost, so this no-ops at production scale.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped DOWN to what
+    * `rows` of data actually need, restoring the session setting in
+    * finally (r19, guide §2.2). For work whose input size is KNOWN
+    * up front — a fixpoint loop over a measured edge set, a bounded
+    * verification stream whose rows were just collected — the session
+    * width (sized for corpus scans) multiplies straight into wall time:
+    * every sequential round/micro-batch pays `width` tasks of
+    * scheduling (and, for stateful streams, `width` state-store
+    * instances with per-batch commit I/O). The clamp saturates to the
+    * session setting as `rows` grows, so this is a no-op exactly where
+    * wide shuffles are right. Session-scoped mutation: callers run on
+    * one driver thread between actions and the engine's Bench/Verify
+    * discipline keeps queries sequential on the session.
+    */
+  def withShuffleWidth[A](spark: org.apache.spark.sql.SparkSession,
+      rows: => Long, rowsPerPartition: Long)(body: => A): A = {
+    require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    val key = "spark.sql.shuffle.partitions"
+    val sessionWidth = scala.util.Try(spark.conf.get(key).toInt).toOption
+    sessionWidth match {
+      case Some(w) if w > 1 =>
+        val width = math.max(1L, math.min(w.toLong,
+          (rows + rowsPerPartition - 1) / rowsPerPartition)).toString
+        spark.conf.set(key, width)
+        try body finally spark.conf.set(key, w.toString)
+      case _ => body
+    }
+  }
+
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
